@@ -1,0 +1,348 @@
+"""Query registry: every operator exposed as (spark, sf_dir) -> DataFrame with
+a DuckDB-oracle SQL twin where SQL-expressible.
+
+This is the correctness contract of SURVEY.md §2: the driver runs each
+`queries()` entry side-by-side with `oracle_sql()` at sf0.01 and compares
+row-count + schema + order-insensitive value-hash. Conventions that make the
+comparison deterministic across engines:
+
+- cross-engine hash primitive = md5/sha256 hex strings (identical output);
+- integers cast to BIGINT, floats to DOUBLE, and every float rounded
+  (`F.round` / `round`) before returning;
+- array indexing via 1-based `element_at` (Spark) / `l[i]` (DuckDB);
+- every top-k has a deterministic tiebreak on a key column, ordering by the
+  *rounded* score so boundary decisions agree bit-for-bit;
+- session timezone pinned to UTC (duckdb timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from yaml_pipe_spark.functions.hashing import sha256_text
+from yaml_pipe_spark.functions.text import non_empty
+from yaml_pipe_spark.operators.chunkers import fixed_window_chunks, markdown_chunks
+from yaml_pipe_spark.tables import load_table
+
+
+@dataclass
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # ANSI SQL for DuckDB; None -> rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: Optional[str], doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QueryDef(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Flagship (M0): scan -> empty-filter -> fixed-window chunk -> hash -> agg
+# Exercises S1 (scan+filter, sources.py:94-96), C1 (chunking, chunkers.py:39-87),
+# T1 (content hash, state_manager.py:141-147) in one plan.
+# ---------------------------------------------------------------------------
+
+FLAGSHIP_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, lang, text FROM documents WHERE length(trim(text)) > 0
+),
+starts AS (
+  SELECT doc_id, lang, text,
+         UNNEST(generate_series(1, length(text), 160)) AS s
+  FROM docs
+),
+chunks AS (
+  SELECT doc_id, lang, substr(text, CAST(s AS INT), 200) AS chunk FROM starts
+)
+SELECT lang,
+       count(*) AS n_chunks,
+       count(DISTINCT doc_id) AS n_docs,
+       count(DISTINCT sha256(chunk)) AS n_uniq_chunks,
+       round(avg(length(chunk)), 4) AS avg_chunk_len
+FROM chunks
+GROUP BY lang
+"""
+
+
+@register("flagship", FLAGSHIP_ORACLE, "M0: scan+filter+chunk+hash+agg per lang")
+def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    chunks = fixed_window_chunks(docs, "text", chunk_size=200, chunk_overlap=40)
+    return chunks.groupBy("lang").agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.countDistinct(sha256_text(F.col("chunk"))).alias("n_uniq_chunks"),
+        F.round(F.avg(F.length("chunk")), 4).alias("avg_chunk_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S1: scan + glob/empty-filter + content hash (sources.py:78-97)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s1_scan_nonempty",
+    """
+SELECT doc_id, source, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       sha256(text) AS content_hash
+FROM documents WHERE length(trim(text)) > 0
+""",
+    "S1 LocalFileSource: skip empty docs, sha256 content hash",
+)
+def q_s1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(non_empty(F.col("text"))).select(
+        "doc_id",
+        "source",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        sha256_text(F.col("text")).alias("content_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C1: fixed-window chunker, full row-level output (chunkers.py:39-87)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c1_fixed_chunk",
+    """
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
+),
+starts AS (
+  SELECT doc_id, text, UNNEST(generate_series(1, length(text), 160)) AS s
+  FROM docs
+)
+SELECT doc_id,
+       (s - 1) // 160 + 1 AS chunk_index,
+       sha256(substr(text, CAST(s AS INT), 200)) AS chunk_hash,
+       CAST(length(substr(text, CAST(s AS INT), 200)) AS BIGINT) AS chunk_len
+FROM starts
+""",
+    "C1 fixed-window chunker: 1-based chunk_index, per-chunk hash",
+)
+def q_c1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = fixed_window_chunks(docs, "text", chunk_size=200, chunk_overlap=40)
+    return chunks.select(
+        "doc_id",
+        "chunk_index",
+        sha256_text(F.col("chunk")).alias("chunk_hash"),
+        F.length("chunk").cast("long").alias("chunk_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C2: markdown sectionizer (chunkers.py:90-138)
+# ---------------------------------------------------------------------------
+
+C2_ORACLE = r"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
+),
+marked AS (
+  SELECT doc_id,
+         string_split(regexp_replace(text, '(?m)^(#{1,3} )', e'\x01\1', 'g'),
+                      e'\x01') AS l
+  FROM docs
+),
+secs AS (
+  SELECT doc_id, UNNEST(generate_series(1, len(l))) AS i, l FROM marked
+),
+parts AS (
+  SELECT doc_id, i, trim(l[i], e' \n\r\t') AS sec FROM secs
+  WHERE length(trim(l[i], e' \n\r\t')) > 0
+),
+feat AS (
+  SELECT doc_id, i, sec,
+         COALESCE(length(regexp_extract(string_split(sec, chr(10))[1],
+                                        '^(#{1,3}) ', 1)), 0) AS lvl,
+         regexp_extract(string_split(sec, chr(10))[1], '^#{1,3} (.*)$', 1) AS ttl
+  FROM parts
+),
+mk AS (
+  SELECT doc_id, i, sec, lvl,
+         CASE WHEN lvl = 1 THEN ttl END AS m1,
+         CASE WHEN lvl = 2 THEN ttl WHEN lvl = 1 THEN e'\x01' END AS m2,
+         CASE WHEN lvl = 3 THEN ttl
+              WHEN lvl IN (1, 2) THEN e'\x01' END AS m3
+  FROM feat
+),
+win AS (
+  SELECT doc_id, i, sec,
+         last_value(m1 IGNORE NULLS) OVER w AS h1,
+         last_value(m2 IGNORE NULLS) OVER w AS h2,
+         last_value(m3 IGNORE NULLS) OVER w AS h3,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) AS chunk_index
+  FROM mk
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT doc_id, CAST(chunk_index AS BIGINT) AS chunk_index,
+       sha256(sec) AS chunk_hash,
+       CASE WHEN h1 <> e'\x01' THEN h1 END AS header1,
+       CASE WHEN h2 <> e'\x01' THEN h2 END AS header2,
+       CASE WHEN h3 <> e'\x01' THEN h3 END AS header3
+FROM win
+"""
+
+
+@register(
+    "c2_markdown_chunk",
+    C2_ORACLE,
+    "C2 markdown sectionizer with hierarchical header metadata",
+)
+def q_c2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = markdown_chunks(docs, "text", id_cols=["doc_id"])
+    return out.select(
+        "doc_id",
+        "chunk_index",
+        sha256_text(F.col("chunk")).alias("chunk_hash"),
+        "header1",
+        "header2",
+        "header3",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational kernel: TPC-H-style scan/agg, window top-k, multi-join
+# (driver-added star schema, FIXTURES.md §5 — backs the operator inventory's
+# scan/filter/agg/join/window claims at scale)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+         AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "TPC-H Q1-style pricing summary (scan+filter+groupBy+8 aggs)",
+)
+def q_rel_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "rel_top3_orders_per_priority",
+    """
+SELECT o_orderpriority, o_orderkey, o_totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+    "Top-K per group via window (deterministic tiebreak on o_orderkey)",
+)
+def q_rel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "rel_nation_revenue",
+    """
+SELECT n.n_name AS nation,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+""",
+    "Multi-join revenue rollup; nation broadcast, fact-fact shuffle join",
+)
+def q_rel_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Public contract used by __spark_entry__.py
+# ---------------------------------------------------------------------------
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship on sf0.001 (driver smoke check: rows > 0, stable schema)."""
+    return q_flagship(spark, "/root/testdata/sf0.001")
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: qd.fn for name, qd in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle is not None
+    }
