@@ -329,6 +329,227 @@ def q_rel_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Vector path: deterministic hash embedder, top-k cosine (Q1), hit-rate (Q2)
+# ---------------------------------------------------------------------------
+
+# DuckDB twins of functions.vectors (explicit indexed sums: left-to-right
+# double folds, bit-identical to Spark's F.aggregate).
+
+
+def _dk_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _dk_cos(a: str, b: str) -> str:
+    return f"({_dk_dot(a, b)} / sqrt({_dk_dot(a, a)} * {_dk_dot(b, b)}))"
+
+
+@register(
+    "e_hash_embed",
+    """
+WITH d AS (SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0),
+x AS (SELECT doc_id, text, UNNEST(generate_series(1, 8)) AS dim FROM d),
+h AS (SELECT doc_id, dim, md5(CAST(dim AS VARCHAR) || ':' || text) AS hh FROM x)
+SELECT doc_id, CAST(dim AS BIGINT) AS dim,
+       round(((strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 16 +
+              (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1))
+             / 255.0 * 2 - 1, 6) AS value
+FROM h
+""",
+    "Deterministic hash-embedder (SURVEY §2.3): md5-derived pseudo-embedding",
+)
+def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.functions.hashing import hash_embedding
+
+    docs = load_table(spark, sf_dir, "documents").filter(non_empty(F.col("text")))
+    emb = hash_embedding(F.col("text"), dim=8)
+    return (
+        docs.select("doc_id", F.posexplode(emb).alias("__pos", "value"))
+        .withColumn("dim", (F.col("__pos") + 1).cast("long"))
+        .select("doc_id", "dim", "value")
+    )
+
+
+Q1_ORACLE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+         round({_dk_cos('e.embedding', 'q.qv')}, 6) AS score
+  FROM embeddings e, q
+)
+SELECT vec_id, label, score FROM s ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
+@register(
+    "q1_topk_cosine",
+    Q1_ORACLE,
+    "Q1 top-k similarity search (evaluation.py:44-64): exact cosine top-10",
+)
+def q_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.similarity import topk_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    out = topk_cosine(emb, qv, k=10)
+    return out.select("vec_id", F.col("label").cast("long").alias("label"), "score")
+
+
+Q2_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS qid, label AS expected, embedding AS qv
+  FROM embeddings WHERE vec_id < 20
+),
+scored AS (
+  SELECT q.qid, q.expected, e.vec_id, e.label,
+         round({_dk_cos('e.embedding', 'q.qv')}, 6) AS score
+  FROM embeddings e, q WHERE e.vec_id <> q.qid
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY score DESC, vec_id) AS rn
+  FROM scored
+),
+hits AS (
+  SELECT qid, max(CASE WHEN label = expected THEN 1 ELSE 0 END) AS hit
+  FROM ranked WHERE rn <= 5 GROUP BY qid
+)
+SELECT round(100 * avg(hit), 4) AS hit_rate,
+       count(*) AS total_questions,
+       CAST(sum(hit) AS BIGINT) AS hits
+FROM hits
+"""
+
+
+@register(
+    "q2_hitrate",
+    Q2_ORACLE,
+    "Q2 retrieval eval (evaluation.py:66-109): top-5 label hit-rate",
+)
+def q_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.similarity import hit_rate, knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("expected"),
+        F.col("embedding").alias("qv"),
+    )
+    nn = knn_join(q, emb, k=5)
+    return hit_rate(nn, "qid", "expected", "label")
+
+
+# ---------------------------------------------------------------------------
+# T2: incremental change detection (state_manager.py:155-178) — the engine's
+# one implicit join, as a left anti-join against a derived ledger
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t2_changed_anti_join",
+    """
+WITH d AS (SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0),
+cur AS (
+  SELECT CAST(doc_id AS VARCHAR) AS item_id,
+         sha256(CASE WHEN doc_id % 5 = 0 THEN text || '!' ELSE text END)
+           AS content_hash
+  FROM d
+),
+st AS (
+  SELECT CAST(doc_id AS VARCHAR) AS item_id, sha256(text) AS content_hash
+  FROM d WHERE doc_id % 3 = 0
+)
+SELECT c.item_id, c.content_hash FROM cur c
+WHERE NOT EXISTS (
+  SELECT 1 FROM st s
+  WHERE s.item_id = c.item_id AND s.content_hash = c.content_hash
+)
+""",
+    "T2 has_changed as anti-join: new docs + docs whose hash moved",
+)
+def q_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.state import changed_rows
+
+    docs = load_table(spark, sf_dir, "documents").filter(non_empty(F.col("text")))
+    cur_text = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit("!"))
+    ).otherwise(F.col("text"))
+    current = docs.select(
+        F.col("doc_id").cast("string").alias("item_id"),
+        sha256_text(cur_text).alias("content_hash"),
+    )
+    state = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").cast("string").alias("item_id"),
+        sha256_text(F.col("text")).alias("content_hash"),
+    )
+    return changed_rows(current, state)
+
+
+# ---------------------------------------------------------------------------
+# S4: PostgreSQLSource semantics (sources.py:237-308) — timestamp cursor +
+# first-column-as-content positional projection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s4_events_content",
+    """
+SELECT CAST(event_type AS VARCHAR) AS content, event_id, user_id, value,
+       'postgres://synthetic/events' AS source
+FROM events WHERE ts > TIMESTAMP '2024-01-20'
+""",
+    "S4 JDBC source: cursor predicate + first-col-as-content projection",
+)
+def q_s4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.sources.relational import (
+        first_col_as_content,
+        incremental_by_timestamp,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = incremental_by_timestamp(ev, "ts", "2024-01-20")
+    proj = ev.select("event_type", "event_id", "user_id", "value")
+    return first_col_as_content(proj, "postgres://synthetic/events")
+
+
+# ---------------------------------------------------------------------------
+# S2: WebSource line normalization (sources.py:134-137)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s2_normalize_lines",
+    """
+SELECT doc_id,
+       sha256(array_to_string(list_filter(
+         list_transform(string_split(text, chr(10)), x -> trim(x)),
+         x -> length(x) > 0), chr(10))) AS norm_hash,
+       CAST(len(list_filter(
+         list_transform(string_split(text, chr(10)), x -> trim(x)),
+         x -> length(x) > 0)) AS BIGINT) AS n_lines
+FROM documents
+""",
+    "S2 WebSource text cleanup: strip lines, drop blanks, re-join",
+)
+def q_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.functions.text import normalize_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    return docs.select(
+        "doc_id",
+        sha256_text(normalize_lines(F.col("text"))).alias("norm_hash"),
+        F.size(lines).cast("long").alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Public contract used by __spark_entry__.py
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,89 @@
+"""Incremental-processing state: the reference's ledger as a Spark state table.
+
+Reference (SURVEY §2.4, utils/state_manager.py): a JSON/Redis dict
+{"processed_items": {item_id -> sha256}, "last_run_timestamp": iso8601}
+drives new/changed detection (`has_changed`, state_manager.py:155-178) and is
+upserted after each run (state_manager.py:180-196, committed at
+core/pipeline.py:96-98).
+
+Spark design: a parquet state table (item_id STRING, content_hash STRING,
+updated_at TIMESTAMP). Change detection is ONE left anti-join on
+(item_id, content_hash) — the heart of incrementality, and the only join the
+reference implicitly performs. Commit order fixes the reference's non-atomic
+sink-then-state hazard (SURVEY §3.1 step 5): data write is idempotent
+(dynamic partition overwrite), state table is overwritten after.
+
+Bug-fix vs reference (deliberate, documented): hash failures there are
+treated as *unchanged* and silently skipped (state_manager.py:167-170); here a
+null hash never matches the ledger, so such rows are re-processed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STATE_SCHEMA = "item_id string, content_hash string, updated_at timestamp"
+
+
+def changed_rows(
+    current: DataFrame,
+    state: DataFrame,
+    id_col: str = "item_id",
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """Rows of `current` that are new or changed w.r.t. the ledger.
+
+    Left anti-join on (item_id, content_hash): a row survives iff no ledger
+    entry has the same id AND hash — i.e. new items and changed items both
+    pass, unchanged items are pruned. Shuffles both sides on the key; at
+    scale, AQE picks broadcast automatically when the ledger is small.
+    """
+    ledger = state.select(
+        F.col(id_col).alias("__sid"), F.col(hash_col).alias("__shash")
+    )
+    cond = (F.col(id_col) == F.col("__sid")) & (F.col(hash_col) == F.col("__shash"))
+    return current.join(ledger, cond, "left_anti")
+
+
+def read_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Load the ledger; missing/corrupt -> empty ledger (the reference starts
+    fresh on corrupt state, state_manager.py:59-61)."""
+    try:
+        return spark.read.schema(STATE_SCHEMA).parquet(state_path)
+    except Exception:
+        return spark.createDataFrame([], STATE_SCHEMA)
+
+
+def commit_state(
+    processed: DataFrame,
+    prior_state: DataFrame,
+    state_path: str,
+    id_col: str = "item_id",
+    hash_col: str = "content_hash",
+) -> None:
+    """Upsert processed (item_id, hash) into the ledger and persist.
+
+    MERGE emulation without Delta: new rows + prior rows not superseded,
+    single overwrite of the (small) state table. updated_at is the commit
+    watermark (T4, state_manager.py:198-202).
+    """
+    now = F.current_timestamp()
+    new = processed.select(
+        F.col(id_col).cast("string").alias("item_id"),
+        F.col(hash_col).alias("content_hash"),
+    ).dropDuplicates(["item_id"])
+    kept = prior_state.join(new, "item_id", "left_anti").select(
+        "item_id", "content_hash", "updated_at"
+    )
+    merged = kept.unionByName(new.withColumn("updated_at", now))
+    # The state table is tiny relative to the data (one row per item);
+    # localCheckpoint breaks lineage so the overwrite doesn't re-read the
+    # path it is replacing.
+    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
+
+
+def last_run_timestamp(state: DataFrame):
+    """T4 watermark: max(updated_at) or None on an empty ledger."""
+    row = state.agg(F.max("updated_at").alias("ts")).collect()[0]
+    return row.ts
