@@ -1,0 +1,87 @@
+"""Dedup operator semantics on hand-built corpora."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yaml_pipe_spark.operators.dedup import (
+    cosine_pairs,
+    drop_exact_duplicates,
+    exact_dedup_summary,
+    exact_jaccard_pairs,
+    minhash_near_duplicates,
+    simhash_fingerprints,
+    simhash_near_duplicates,
+    token_shingles,
+)
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 1
+    (3, "completely different text about spark dataframes and parquet files"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+    (5, "hi"),  # too short for 3-gram shingles
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    row = exact_dedup_summary(_docs(spark)).collect()[0]
+    assert (row.n_docs, row.n_unique, row.n_dup_docs) == (5, 4, 1)
+    kept = drop_exact_duplicates(_docs(spark)).select("doc_id").collect()
+    ids = {r.doc_id for r in kept}
+    assert 1 in ids and 4 not in ids  # lowest-id representative survives
+
+
+def test_token_shingles_short_doc(spark):
+    sh = token_shingles(_docs(spark), k=3)
+    assert sh.filter(F.col("doc_id") == 5).count() == 0
+
+
+def test_exact_jaccard_pairs(spark):
+    sh = token_shingles(_docs(spark), k=3)
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in exact_jaccard_pairs(sh).collect()}
+    assert pairs[(1, 4)] == 1.0  # exact dup
+    assert 0.5 < pairs[(1, 2)] < 1.0  # near-dup
+    assert (1, 3) not in pairs  # no shared shingles
+
+
+def test_minhash_finds_near_dups(spark):
+    out = minhash_near_duplicates(_docs(spark), threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (1, 4) in got and (1, 2) in got and (2, 4) in got
+    assert all(3 not in p and 5 not in p for p in got)
+
+
+def test_simhash(spark):
+    fps = simhash_fingerprints(_docs(spark))
+    by_id = {r.doc_id: r.simhash for r in fps.collect()}
+    assert len(by_id[1]) == 64 and set(by_id[1]) <= {"0", "1"}
+    assert by_id[1] == by_id[4]  # identical text -> identical fingerprint
+    ham_12 = sum(a != b for a, b in zip(by_id[1], by_id[2]))
+    ham_13 = sum(a != b for a, b in zip(by_id[1], by_id[3]))
+    assert ham_12 < ham_13  # near-dup closer than unrelated
+    pairs = simhash_near_duplicates(fps, max_hamming=0).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} >= {(1, 4)}
+
+
+def test_cosine_pairs_with_blocking(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "a"),
+            (2, [0.99, 0.1], "a"),
+            (3, [0.0, 1.0], "a"),
+            (4, [1.0, 0.01], "b"),  # close to 1 but different block
+        ],
+        "vec_id long, embedding array<double>, blk string",
+    )
+    allp = {(r.id_a, r.id_b) for r in cosine_pairs(df, threshold=0.9).collect()}
+    assert (1, 2) in allp and (1, 4) in allp and (1, 3) not in allp
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in cosine_pairs(df, threshold=0.9, block_col="blk").collect()
+    }
+    assert (1, 2) in blocked and (1, 4) not in blocked  # cross-block pruned

@@ -550,6 +550,223 @@ def q_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup suite (north-star extension; absent in the reference, SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+_DK_SHINGLES = r"""
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh0 AS (
+  SELECT doc_id, UNNEST(generate_series(1, len(t) - 2)) AS i, t
+  FROM toks WHERE len(t) >= 3
+),
+shingles AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM sh0
+)"""
+
+_DK_SIGS = ", ".join(
+    f"min(md5('{s}:' || shingle)) AS sig_{s}" for s in range(16)
+)
+_DK_BUCKETS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band_id, md5('{b}|' || "
+    + " || ".join(f"sig_{b * 4 + r}" for r in range(4))
+    + ") AS band_key FROM sigs"
+    for b in range(4)
+)
+
+MINHASH_ORACLE = f"""
+WITH {_DK_SHINGLES},
+sigs AS (SELECT doc_id, {_DK_SIGS} FROM shingles GROUP BY doc_id),
+buckets AS ({_DK_BUCKETS}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a
+  JOIN buckets b ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM shingles a
+  JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+vpairs AS (
+  SELECT i.id_a, i.id_b,
+         round(i.inter / (sa.n + sb.n - i.inter), 4) AS jaccard
+  FROM inter i
+  JOIN cands c ON c.id_a = i.id_a AND c.id_b = i.id_b
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+)
+SELECT id_a, id_b, jaccard FROM vpairs WHERE jaccard >= 0.8
+"""
+
+
+@register(
+    "dedup_exact",
+    """
+SELECT count(*) AS n_docs,
+       count(DISTINCT sha256(text)) AS n_unique,
+       CAST(count(*) - count(DISTINCT sha256(text)) AS BIGINT) AS n_dup_docs
+FROM documents
+""",
+    "Exact dedup summary: hash-groupBy over content",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.dedup import exact_dedup_summary
+
+    return exact_dedup_summary(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_lsh",
+    MINHASH_ORACLE,
+    "MinHash+LSH near-dup: shingle->sign->band->bucket-join->verify",
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.dedup import minhash_near_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(
+        docs, "text", "doc_id", k=3, n_hashes=16, bands=4, threshold=0.8
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH {_DK_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM shingles a
+  JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+vpairs AS (
+  SELECT i.id_a, i.id_b,
+         round(i.inter / (sa.n + sb.n - i.inter), 4) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+)
+SELECT id_a, id_b, jaccard FROM vpairs WHERE jaccard >= 0.8
+""",
+    "Exact n-gram Jaccard similarity join via inverted index (no LSH)",
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.dedup import exact_jaccard_pairs, token_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = token_shingles(docs, "text", "doc_id", k=3)
+    return exact_jaccard_pairs(shingles).filter(F.col("jaccard") >= 0.8)
+
+
+_DK_BIT = (
+    "(2 * (((strpos('0123456789abcdef', substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1)"
+    " // (CASE WHEN j % 4 = 0 THEN 8 WHEN j % 4 = 1 THEN 4"
+    "          WHEN j % 4 = 2 THEN 2 ELSE 1 END)) % 2) - 1)"
+)
+
+SIMHASH_FP_CTE = f"""
+toks AS (
+  SELECT doc_id,
+         UNNEST(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+           AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+hh AS (SELECT doc_id, tf, md5(tok) AS h FROM tf),
+ex AS (SELECT doc_id, tf, h, UNNEST(generate_series(0, 63)) AS j FROM hh),
+bitc AS (
+  SELECT doc_id, j, sum(tf * {_DK_BIT}) AS s FROM ex GROUP BY 1, 2
+),
+fp AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j)
+           AS simhash
+  FROM bitc GROUP BY doc_id
+)"""
+
+
+@register(
+    "dedup_simhash",
+    f"WITH {SIMHASH_FP_CTE}\nSELECT doc_id, simhash FROM fp",
+    "SimHash: tf-weighted 64-bit fingerprint per doc (bit-string form)",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.dedup import simhash_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_fingerprints(docs, "text", "doc_id")
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+WITH {SIMHASH_FP_CTE},
+expanded AS (
+  SELECT doc_id, simhash, UNNEST(generate_series(0, 3)) AS band_id FROM fp
+),
+buck AS (
+  SELECT doc_id, simhash, band_id,
+         substr(simhash, CAST(band_id * 16 + 1 AS INT), 16) AS band_key
+  FROM expanded
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.simhash AS fa, b.simhash AS fb
+  FROM buck a
+  JOIN buck b ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+),
+ham AS (
+  SELECT id_a, id_b,
+         len(list_filter(generate_series(1, 64),
+                         i -> substr(fa, CAST(i AS INT), 1)
+                              <> substr(fb, CAST(i AS INT), 1))) AS hamming
+  FROM pairs
+)
+SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+FROM ham WHERE hamming <= 3
+""",
+    "SimHash near-dup pairs: 4x16-bit banding + exact Hamming verify",
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_near_duplicates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = simhash_fingerprints(docs, "text", "doc_id")
+    return simhash_near_duplicates(fps, "doc_id", bits=64, bands=4, max_hamming=3)
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+SELECT * FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({_dk_cos('a.embedding', 'b.embedding')}, 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+) WHERE cosine >= 0.4
+""",
+    "Embedding-cosine near-dup pairs (brute-force baseline)",
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.dedup import cosine_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb, "vec_id", "embedding", threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
 # Public contract used by __spark_entry__.py
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,358 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Not present in the reference (SURVEY §2.9 gap ledger) — added per the north
+star: exact dedup, MinHash+LSH near-dup, SimHash, exact n-gram Jaccard
+similarity join, and embedding-cosine near-dup. Every operator is built from
+cross-engine-deterministic primitives (md5 hex strings) so the full pipeline —
+shingle -> minhash -> band -> bucket-join -> verify — is checkable against a
+DuckDB oracle.
+
+Scale design (100 TB):
+- shingling is a narrow explode; signatures are ONE groupBy with n_hashes
+  min() aggregates (map-side partial min -> tiny shuffle);
+- LSH banding turns the quadratic all-pairs problem into an equi-join on
+  (band_id, band_key); hot buckets are the skew risk -> AQE skew join plus an
+  optional bucket-size cap (`max_bucket_size`) that drops degenerate buckets
+  (standard practice: a bucket with 10k docs contributes 50M candidate pairs
+  and almost no information);
+- exact-Jaccard verification joins shingles only for candidate pairs;
+- `df_max_freq` drops ultra-common shingles before pairing (document-
+  frequency cut), the standard defense against stop-shingle blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from yaml_pipe_spark.functions.hashing import hex_nibble_expr
+from yaml_pipe_spark.functions.text import tokens
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_summary(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row summary: total docs, distinct contents, redundant copies."""
+    h = F.sha2(F.col(text_col), 256)
+    return df.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(h).alias("n_unique"),
+        (F.count("*") - F.countDistinct(h)).cast("long").alias("n_dup_docs"),
+    )
+
+
+def drop_exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id representative of each exact content group.
+    Deterministic alternative to dropDuplicates (which keeps an arbitrary
+    row): one shuffle on the content hash."""
+    from pyspark.sql import Window as W
+
+    h = F.sha2(F.col(text_col), 256)
+    w = W.partitionBy(h).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def token_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Distinct word k-gram shingles per doc: (id_col, shingle).
+    Docs with fewer than k tokens produce no shingles (and therefore opt out
+    of near-dup detection, like too-short docs in production dedup)."""
+    base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__t")
+    ).filter(F.size("__t") >= k)
+    # guard above keeps sequence() start<=stop (2-arg sequence would
+    # auto-reverse on start>stop and fabricate shingles)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("__t") - (k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.get(F.col("__t"), i + j - 1) for j in range(k)]
+        ),
+    )
+    return base.select(F.col(id_col), F.explode(grams).alias("shingle")).distinct()
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str = "doc_id", n_hashes: int = 16
+) -> DataFrame:
+    """(id, sig_0..sig_{n-1}): sig_s = MIN(md5(s || ':' || shingle)).
+
+    The min of a seeded md5 hex string is a valid minhash (uniform order on
+    hex strings) and is identical across engines. One groupBy, n_hashes
+    partial-min aggregates — map-side combine makes the shuffle tiny.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"sig_{s}")
+        for s in range(n_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing >= 1 LSH band bucket.
+
+    band_key = md5(band || '|' || concat of the band's signature row); the
+    pair join is an equi-join on (band_id, band_key). `max_bucket_size`
+    drops degenerate buckets before the join (quadratic blowup guard).
+    """
+    rows = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.lit(f"{b}|")] + [
+            F.col(f"sig_{b * rows + r}") for r in range(rows)
+        ]
+        band_cols.append(F.md5(F.concat(*parts)).alias(f"band_{b}"))
+    banded = sigs.select(F.col(id_col), *band_cols)
+    stack_expr = ", ".join(f"{b}, band_{b}" for b in range(bands))
+    buckets = banded.selectExpr(
+        id_col, f"stack({bands}, {stack_expr}) as (band_id, band_key)"
+    )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("band_id", "band_key")
+        buckets = (
+            buckets.withColumn("__n", F.count("*").over(w))
+            .filter(F.col("__n") <= max_bucket_size)
+            .drop("__n")
+        )
+    a = buckets.select(
+        F.col("band_id"), F.col("band_key"), F.col(id_col).alias("id_a")
+    )
+    b = buckets.select(
+        F.col("band_id"), F.col("band_key"), F.col(id_col).alias("id_b")
+    )
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def exact_jaccard_pairs(
+    shingles: DataFrame,
+    candidates: DataFrame | None = None,
+    id_col: str = "doc_id",
+    df_max_freq: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard over shingle sets: (id_a, id_b, jaccard).
+
+    With `candidates`, verifies only those pairs (the LSH path). Without, it
+    is the exact similarity join via inverted index: pairs sharing >= 1
+    shingle — never a cross join. `df_max_freq` applies the document-
+    frequency cut before pairing.
+    """
+    sh = shingles
+    if df_max_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+        sh = (
+            sh.join(freq.filter(F.col("__df") <= df_max_freq), "shingle")
+            .select(id_col, "shingle")
+        )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band ->
+    bucket-join -> exact-Jaccard verify -> threshold."""
+    shingles = token_shingles(df, text_col, id_col, k)
+    sigs = minhash_signatures(shingles, id_col, n_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, n_hashes, bands, max_bucket_size)
+    verified = exact_jaccard_pairs(shingles, cands, id_col)
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """(id, simhash) — simhash as a `bits`-char '0'/'1' string.
+
+    Term-frequency-weighted: bit j of the fingerprint is 1 iff
+    sum over distinct tokens of tf * (2*bit_j(md5(token)) - 1) > 0.
+    The bit-string form keeps the value engine-portable (no int64 overflow
+    or sign semantics to reconcile).
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    tf = tok.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    tf = tf.withColumn("h", F.md5(F.col("tok")))
+    expanded = tf.select(
+        id_col, "tf", "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j")
+    )
+    nibble = hex_nibble_expr(F.col("h"), (F.col("j") / 4).cast("int") + 1)
+    shift = (
+        F.when(F.col("j") % 4 == 0, 8)
+        .when(F.col("j") % 4 == 1, 4)
+        .when(F.col("j") % 4 == 2, 2)
+        .otherwise(1)
+    )
+    # integer floor-division: nibble/shift are small exact doubles, cast
+    # truncates like DuckDB's `//` on positives
+    bit = (nibble / shift).cast("long") % 2
+    contrib = F.col("tf") * (bit * 2 - 1)
+    sums = expanded.withColumn("c", contrib).groupBy(id_col, "j").agg(
+        F.sum("c").alias("s")
+    )
+    ch = F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0"))
+    return (
+        sums.withColumn("ch", ch)
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "ch"))),
+                    lambda x: x.getField("ch"),
+                ),
+                "",
+            ).alias("simhash")
+        )
+    )
+
+
+def hamming_distance(a: Column, b: Column, bits: int = 64) -> Column:
+    """Differing positions between two equal-length bit-strings.
+    DuckDB twin: len(list_filter(generate_series(1, bits),
+    i -> substr(a, i, 1) <> substr(b, i, 1)))."""
+    return F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(bits)),
+            lambda i: F.substring(a, i, F.lit(1)) != F.substring(b, i, F.lit(1)),
+        )
+    ).cast("long")
+
+
+def simhash_near_duplicates(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding: pairs identical on >= 1 of `bands`
+    contiguous bit-bands, verified by exact Hamming <= max_hamming."""
+    width = bits // bands
+    stack_expr = ", ".join(
+        f"{b}, substring(simhash, {b * width + 1}, {width})" for b in range(bands)
+    )
+    buckets = fps.selectExpr(
+        id_col, "simhash", f"stack({bands}, {stack_expr}) as (band_id, band_key)"
+    )
+    a = buckets.select(
+        "band_id", "band_key", F.col(id_col).alias("id_a"), F.col("simhash").alias("fa")
+    )
+    b = buckets.select(
+        "band_id", "band_key", F.col(id_col).alias("id_b"), F.col("simhash").alias("fb")
+    )
+    pairs = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fa", "fb")
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", hamming_distance(F.col("fa"), F.col("fb"), bits))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    block_col: str | None = None,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with cosine >= threshold.
+
+    Brute-force O(n^2/2) self-join — the exactness baseline. At scale pass
+    `block_col` (e.g. an LSH sign-bucket or cluster id) to turn it into an
+    equi-join within blocks; see similarity.knn_join for the top-k variant.
+    """
+    from yaml_pipe_spark.functions.vectors import cosine
+
+    keys = ["__blk"] if block_col else []
+    a = df.select(
+        *([F.col(block_col).alias("__blk")] if block_col else []),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+    )
+    b = df.select(
+        *([F.col(block_col).alias("__blk")] if block_col else []),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+    )
+    pairs = (a.join(b, keys) if keys else a.crossJoin(b)).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    return (
+        pairs.withColumn(
+            "cosine", F.round(cosine(F.col("va"), F.col("vb")), score_decimals)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
