@@ -767,6 +767,372 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Text analysis (north-star extension): language ID, quality, tokens,
+# fingerprints — pure expressions with generated SQL twins
+# ---------------------------------------------------------------------------
+
+
+def _dk_occ(p: str, needle: str) -> str:
+    n = needle.replace("'", "''")
+    return f"((length({p}) - length(replace({p}, '{n}', ''))) // {len(needle)})"
+
+
+def _dk_lang_scores() -> str:
+    from yaml_pipe_spark.operators.text_stats import LANG_MARKERS
+
+    cols = []
+    for lang, markers in LANG_MARKERS.items():
+        expr = " + ".join(_dk_occ("p", m) for m in markers)
+        cols.append(f"({expr}) AS s_{lang}")
+    return ", ".join(cols)
+
+
+def _lang_case_sql() -> str:
+    from yaml_pipe_spark.operators.text_stats import LANG_MARKERS
+
+    langs = list(LANG_MARKERS)
+    zero = " AND ".join(f"s_{l} = 0" for l in langs)
+    branches = [f"WHEN {zero} THEN 'und'"]
+    for i, lang in enumerate(langs[:-1]):
+        cond = " AND ".join(f"s_{lang} >= s_{o}" for o in langs[i + 1 :])
+        branches.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + f" ELSE '{langs[-1]}' END"
+
+
+@register(
+    "text_lang_id",
+    f"""
+WITH p0 AS (SELECT doc_id, ' ' || text || ' ' AS p FROM documents),
+s AS (SELECT doc_id, {_dk_lang_scores()} FROM p0)
+SELECT doc_id, {_lang_case_sql()} AS lang_pred FROM s
+""",
+    "Language ID: stopword-marker argmax with deterministic tiebreak",
+)
+def q_text_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.text_stats import language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", language_id(F.col("text")).alias("lang_pred"))
+
+
+_DK_NTOK = "len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))"
+_DK_PUNCT = (
+    "len(regexp_extract_all(text, '[.,;:!?''\"()\\[\\]{}-]'))"
+)
+_DK_DIGIT = "len(regexp_extract_all(text, '[0-9]'))"
+_DK_BPE = "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
+
+
+def _dk_stop_hits() -> str:
+    from yaml_pipe_spark.operators.text_stats import LANG_MARKERS
+
+    return " + ".join(
+        _dk_occ("(' ' || text || ' ')", m)
+        for ms in LANG_MARKERS.values()
+        for m in ms
+    )
+
+
+@register(
+    "text_quality",
+    f"""
+WITH base AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         {_DK_NTOK} AS n_tokens,
+         {_DK_BPE} AS n_bpe_tokens,
+         {_DK_PUNCT} AS n_punct,
+         {_DK_DIGIT} AS n_digit,
+         ({_dk_stop_hits()}) AS stop_hits
+  FROM documents
+),
+safe AS (
+  SELECT *, greatest(n_chars, 1) AS sc, greatest(n_tokens, 1) AS st FROM base
+)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+       round(n_punct / sc, 4) AS punct_ratio,
+       round(n_digit / sc, 4) AS digit_ratio,
+       round(stop_hits / st, 4) AS stopword_ratio,
+       round(least(n_tokens / 100.0, 1.0) * 0.25
+             + (1 - least(n_punct / sc * 4, 1.0)) * 0.25
+             + least(stop_hits / st * 3, 1.0) * 0.25
+             + least(n_tokens / sc * 6, 1.0) * 0.25, 4) AS quality_score
+FROM safe
+""",
+    "Quality scoring: length/punct/stopword ratios + fixed-weight composite",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.text_stats import text_statistics
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text_statistics(docs).select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "n_bpe_tokens",
+        "punct_ratio",
+        "digit_ratio",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+@register(
+    "text_fingerprint",
+    f"""
+WITH {_DK_SHINGLES}
+SELECT doc_id,
+       min(md5(shingle)) AS fp_min,
+       max(md5(shingle)) AS fp_max,
+       count(DISTINCT shingle) AS n_shingles
+FROM shingles GROUP BY doc_id
+""",
+    "Document fingerprinting: min/max shingle hash + shingle cardinality",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.text_stats import doc_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_fingerprint(docs, "text", "doc_id", k=3)
+
+
+# ---------------------------------------------------------------------------
+# Events: tumbling window agg, sessionization, props extraction — batch twins
+# of the streaming mode
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_tumbling_agg",
+    """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    "Tumbling 1h window per event_type (epoch-aligned, = streaming plan)",
+)
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.events import tumbling_agg
+
+    return tumbling_agg(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_sessionize",
+    """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_us
+  FROM events
+),
+flags AS (
+  SELECT *, CASE WHEN prev_us IS NULL
+                   OR epoch_us(ts) - prev_us > 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM g
+),
+sess AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS session_seq
+  FROM flags
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM sess GROUP BY user_id, session_seq
+""",
+    "Sessionization (gaps-and-islands, 30 min gap): lag + running sum",
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.events import sessionize
+
+    return sessionize(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_props_extract",
+    """
+SELECT event_type,
+       count(*) AS n,
+       round(avg(CAST(regexp_extract(props, '"k":\\s*([0-9]+)', 1) AS BIGINT)), 4)
+         AS avg_k,
+       CAST(sum(CAST(regexp_extract(props, '"k":\\s*([0-9]+)', 1) AS BIGINT))
+            AS BIGINT) AS sum_k
+FROM events GROUP BY event_type
+""",
+    "Semi-structured props: regex scalar extraction + aggregate",
+)
+def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.events import extract_prop
+
+    ev = load_table(spark, sf_dir, "events")
+    k = extract_prop(ev, "props", "k")
+    return ev.withColumn("k", k).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.sum("k").alias("sum_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational extras: pivot, rollup, anti-join, scalar subquery
+# ---------------------------------------------------------------------------
+
+_PRIORITIES = {
+    "1-URGENT": "urgent",
+    "2-HIGH": "high",
+    "3-MEDIUM": "medium",
+    "4-NOT SPECIFIED": "not_specified",
+    "5-LOW": "low",
+}
+
+
+@register(
+    "rel_pivot_status_priority",
+    "SELECT o_orderstatus, "
+    + ", ".join(
+        f"CAST(sum(CASE WHEN o_orderpriority = '{v}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS {alias}"
+        for v, alias in _PRIORITIES.items()
+    )
+    + " FROM orders GROUP BY o_orderstatus",
+    "Pivot: order counts by status x priority",
+)
+def q_rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", list(_PRIORITIES))
+        .count()
+    )
+    return piv.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{v}`"), F.lit(0)).cast("long").alias(alias)
+            for v, alias in _PRIORITIES.items()
+        ],
+    )
+
+
+@register(
+    "rel_rollup_lineitem",
+    """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    "ROLLUP grouping sets with subtotals and grand total",
+)
+def q_rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+@register(
+    "rel_customers_without_orders",
+    """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1998-01-01')
+GROUP BY c_mktsegment
+""",
+    "Anti-join: customers that never ordered, by segment",
+)
+def q_rel_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        cust.join(orders, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "rel_suppliers_above_avg",
+    """
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE s_acctbal > (SELECT avg(s_acctbal) FROM supplier)
+""",
+    "Scalar subquery: suppliers above the global average balance",
+)
+def q_rel_scalar_sub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    avg_bal = sup.agg(F.avg("s_acctbal").alias("a"))
+    return (
+        sup.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("s_acctbal") > F.col("a"))
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN scale path: deterministic sign-bit bucketing (LSH-style) then exact
+# rerank within the query's bucket — the oracle-checkable approximate variant
+# ---------------------------------------------------------------------------
+
+_DK_BUCKET = "concat(" + ", ".join(
+    f"CASE WHEN embedding[{i}] >= 0 THEN '1' ELSE '0' END" for i in range(1, 5)
+) + ")"
+
+
+@register(
+    "ann_signlsh_topk",
+    f"""
+WITH b AS (
+  SELECT vec_id, label, embedding, {_DK_BUCKET} AS bkt FROM embeddings
+),
+q AS (SELECT embedding AS qv, bkt AS qbkt FROM b WHERE vec_id = 0),
+s AS (
+  SELECT b.vec_id, CAST(b.label AS BIGINT) AS label,
+         round({_dk_cos('b.embedding', 'q.qv')}, 6) AS score
+  FROM b, q WHERE b.bkt = q.qbkt AND b.vec_id <> 0
+)
+SELECT vec_id, label, score FROM s ORDER BY score DESC, vec_id LIMIT 5
+""",
+    "Approximate top-k: sign-bit LSH bucket prune + exact rerank",
+)
+def q_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.functions.vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = F.concat(
+        *[
+            F.when(F.get(F.col("embedding"), i) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for i in range(4)
+        ]
+    )
+    b = emb.withColumn("bkt", bucket)
+    q = (
+        b.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qv"), F.col("bkt").alias("qbkt"))
+    )
+    return (
+        b.join(F.broadcast(q), F.col("bkt") == F.col("qbkt"))
+        .filter(F.col("vec_id") != 0)
+        .withColumn("score", F.round(cosine(F.col("embedding"), F.col("qv")), 6))
+        .select("vec_id", F.col("label").cast("long").alias("label"), "score")
+        .orderBy(F.col("score").desc(), "vec_id")
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Public contract used by __spark_entry__.py
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,135 @@
+"""Text analysis for training-data pipelines: language ID, quality scoring,
+token statistics, document fingerprinting.
+
+North-star extension (absent in the reference, SURVEY §2.9). Everything is a
+pure Catalyst expression over the text column — no UDFs, fully pushdown- and
+codegen-friendly, and each has an exact DuckDB twin:
+
+- occurrence counting via length-difference arithmetic
+  (length(t) - length(replace(t, s, ''))) / length(s);
+- regex feature counts via len(regexp_extract_all(...));
+- language ID = argmax over per-language stopword-marker scores with a fixed
+  CASE-chain tiebreak (deterministic in both engines);
+- quality score = fixed-weight combination of bounded ratios, double math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from yaml_pipe_spark.functions.text import tokens
+
+# language -> stopword markers (space-padded so they match whole words).
+# Order fixes the argmax tiebreak.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " is "],
+    "de": [" der ", " und ", " die ", " ist "],
+    "fr": [" le ", " et ", " la ", " est "],
+    "es": [" el ", " y ", " los ", " es "],
+    "zh": ["的", "是", "在"],
+}
+
+
+def occurrences(col: Column, needle: str) -> Column:
+    """Non-overlapping occurrence count of a literal substring.
+    DuckDB twin: (length(t) - length(replace(t, s, ''))) // length(s)."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    return {
+        lang: sum(
+            (occurrences(padded, m) for m in markers), F.lit(0).cast("long")
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def language_id(col: Column) -> Column:
+    """Argmax language as a sequential CASE chain (earlier language wins
+    ties, matching the SQL twin branch order); all-zero scores -> 'und'."""
+    scores = lang_scores(col)
+    langs = list(LANG_MARKERS)
+    all_zero = F.lit(True)
+    for lang in langs:
+        all_zero = all_zero & (scores[lang] == 0)
+    expr = F.when(all_zero, F.lit("und"))
+    for i, lang in enumerate(langs[:-1]):
+        cond = F.lit(True)
+        for other in langs[i + 1 :]:
+            cond = cond & (scores[lang] >= scores[other])
+        expr = expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit(langs[-1]))
+
+
+_PUNCT_RE = r"[.,;:!?'\"()\[\]{}-]"
+_DIGIT_RE = r"[0-9]"
+_WORD_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def regex_count(col: Column, pattern: str) -> Column:
+    """DuckDB twin: len(regexp_extract_all(t, pattern))."""
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), 0)).cast("long")
+
+
+def text_statistics(
+    df: DataFrame, text_col: str = "text", decimals: int = 4
+) -> DataFrame:
+    """Adds per-row columns: n_chars, n_tokens, n_bpe_tokens, punct_ratio,
+    digit_ratio, stopword_ratio, quality_score."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_chars = F.length(t).cast("long")
+    n_tokens = F.size(toks).cast("long")
+    n_bpe = regex_count(t, _WORD_RE)
+    n_punct = regex_count(t, _PUNCT_RE)
+    n_digit = regex_count(t, _DIGIT_RE)
+    stop_hits = sum(
+        (
+            occurrences(F.concat(F.lit(" "), t, F.lit(" ")), m)
+            for ms in LANG_MARKERS.values()
+            for m in ms
+        ),
+        F.lit(0).cast("long"),
+    )
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    safe_toks = F.greatest(n_tokens, F.lit(1))
+    punct_ratio = F.round(n_punct / safe_chars, decimals)
+    digit_ratio = F.round(n_digit / safe_chars, decimals)
+    stop_ratio = F.round(stop_hits / safe_toks, decimals)
+    quality = F.round(
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.25
+        + (1 - F.least(n_punct / safe_chars * 4, F.lit(1.0))) * 0.25
+        + F.least(stop_hits / safe_toks * 3, F.lit(1.0)) * 0.25
+        + F.least(n_tokens / safe_chars * 6, F.lit(1.0)) * 0.25,
+        decimals,
+    )
+    return (
+        df.withColumn("n_chars", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("n_bpe_tokens", n_bpe)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("digit_ratio", digit_ratio)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("quality_score", quality)
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Winnowing-style fingerprint: the min/max md5 over word k-gram shingles
+    plus the distinct-shingle count. (id, fp_min, fp_max, n_shingles)."""
+    from yaml_pipe_spark.operators.dedup import token_shingles
+
+    sh = token_shingles(df, text_col, id_col, k)
+    return sh.groupBy(id_col).agg(
+        F.min(F.md5(F.col("shingle"))).alias("fp_min"),
+        F.max(F.md5(F.col("shingle"))).alias("fp_max"),
+        F.countDistinct("shingle").alias("n_shingles"),
+    )
