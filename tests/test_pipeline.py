@@ -1,0 +1,130 @@
+"""End-to-end pipeline: YAML spec -> compile -> run -> idempotent re-run ->
+incremental re-processing (SURVEY §3.1 translated to one lazy chain)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from yaml_pipe_spark.plans.config import ConfigError, parse_config
+from yaml_pipe_spark.plans.factory import build_component, list_components
+from yaml_pipe_spark.plans.pipeline import run_pipeline
+
+CONFIG_TMPL = """
+source:
+  type: local_files
+  config:
+    path: "{data}"
+    glob_pattern: "**/*.txt"
+chunker:
+  type: fixed_window
+  config: {{chunk_size: 50, chunk_overlap: 10}}
+embedder:
+  type: hash
+  config: {{dim: 8}}
+sink:
+  type: parquet
+  config: {{path: "{sink}"}}
+state_manager:
+  type: parquet
+  config: {{path: "{state}"}}
+"""
+
+
+def _write(path, text):
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(text)
+
+
+@pytest.fixture()
+def workdir():
+    with tempfile.TemporaryDirectory() as tmp:
+        data = os.path.join(tmp, "data")
+        os.makedirs(data)
+        _write(os.path.join(data, "a.txt"), "alpha " * 30)
+        _write(os.path.join(data, "b.txt"), "bravo " * 40)
+        _write(os.path.join(data, "empty.txt"), "   ")
+        yield {
+            "data": data,
+            "sink": os.path.join(tmp, "out"),
+            "state": os.path.join(tmp, "state"),
+        }
+
+
+def _spec(workdir):
+    return parse_config(CONFIG_TMPL.format(**workdir))
+
+
+def test_pipeline_end_to_end(spark, workdir):
+    spec = _spec(workdir)
+    res = run_pipeline(spark, spec)
+    assert res.n_loaded == 2  # empty file skipped (sources.py:94-96 semantics)
+    assert res.n_changed == 2
+    assert res.n_chunks > 2 and not res.skipped
+
+    sink = build_component("sink", spec.sink)
+    out = sink.read(spark)
+    assert out.count() == res.n_chunks
+    cols = set(out.columns)
+    assert {"text", "chunk_index", "embedding", "source"} <= cols
+    emb = out.select("embedding").first()[0]
+    assert len(emb) == 8
+
+    # re-run with nothing changed: short-circuit, sink untouched
+    res2 = run_pipeline(spark, spec)
+    assert res2.skipped and res2.n_changed == 0
+    assert sink.read(spark).count() == res.n_chunks
+
+    # change one file: only it re-processes; its partition is overwritten
+    _write(os.path.join(workdir["data"], "a.txt"), "gamma " * 10)
+    res3 = run_pipeline(spark, spec)
+    assert res3.n_changed == 1 and not res3.skipped
+    final = sink.read(spark)
+    a_rows = final.filter(final.source.contains("a.txt"))
+    assert 0 < a_rows.count() < res.n_chunks
+    assert a_rows.filter(a_rows.text.contains("gamma")).count() == a_rows.count()
+    # b.txt rows survive the dynamic partition overwrite
+    assert final.filter(final.source.contains("b.txt")).count() > 0
+
+
+def test_config_validation_errors():
+    with pytest.raises(ConfigError):
+        parse_config("")
+    with pytest.raises(ConfigError):
+        parse_config("source: {type: x}")  # missing chunker/embedder/sink
+    with pytest.raises(ConfigError):
+        parse_config(":\n  - not yaml: [")
+
+
+def test_factory_unknown_type():
+    from yaml_pipe_spark.plans.config import ComponentSpec
+
+    with pytest.raises(ValueError, match="unknown chunker"):
+        build_component("chunker", ComponentSpec(type="nope"))
+    regs = list_components()
+    assert "fixed_window" in regs["chunker"]
+    assert "hash" in regs["embedder"]
+
+
+def test_cli_surface(spark, workdir, capsys):
+    from yaml_pipe_spark import cli
+
+    cfg = os.path.join(workdir["data"], "..", "pipeline.yaml")
+    _write(cfg, CONFIG_TMPL.format(**workdir))
+
+    assert cli.main(["list-components"]) == 0
+    assert "chunker" in capsys.readouterr().out
+
+    assert cli.main(["test-connection", "source", "-c", cfg]) == 0
+    assert cli.main(["run", "-c", cfg]) == 0
+    out = capsys.readouterr().out
+    assert '"skipped": false' in out
+
+    assert cli.main(["status", "-c", cfg]) == 0
+    assert "2 processed item(s)" in capsys.readouterr().out
+
+    assert cli.main(["clean", "-c", cfg]) == 1  # refuses without --yes
+    assert cli.main(["clean", "-c", cfg, "--yes"]) == 0
+    assert not os.path.exists(workdir["sink"])

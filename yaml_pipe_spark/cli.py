@@ -1,0 +1,198 @@
+"""CLI — the reference's command surface (SURVEY §2.8, cli.py:38-213) on
+argparse: run / init / status / list-components / test-connection / clean /
+eval. Exit codes are honest (non-zero on failure — the reference exits 0
+even when the pipeline fails, core/pipeline.py:124-127)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+
+from yaml_pipe_spark.plans.config import (
+    DEFAULT_CONFIG_YAML,
+    ConfigError,
+    load_config,
+)
+
+
+def _spark():
+    from yaml_pipe_spark.session import get_spark
+
+    return get_spark("yaml-pipe-spark-cli")
+
+
+def cmd_run(args) -> int:
+    from yaml_pipe_spark.plans.pipeline import run_pipeline
+
+    spec = load_config(args.config)
+    res = run_pipeline(_spark(), spec)
+    print(
+        json.dumps(
+            {
+                "loaded": res.n_loaded,
+                "changed": res.n_changed,
+                "chunks": res.n_chunks,
+                "skipped": res.skipped,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_init(args) -> int:
+    # reference cli.py:59-97: mkdir data/, write default pipeline.yaml
+    os.makedirs("data", exist_ok=True)
+    if os.path.exists(args.output):
+        print(f"{args.output} already exists; not overwriting")
+        return 0
+    with open(args.output, "w", encoding="utf-8") as f:
+        f.write(DEFAULT_CONFIG_YAML)
+    print(f"wrote {args.output}")
+    return 0
+
+
+def cmd_status(args) -> int:
+    # reference cli.py:100-122: print sorted processed item ids
+    from yaml_pipe_spark.plans.factory import build_component
+
+    spec = load_config(args.config)
+    if spec.state_manager is None:
+        print("no state_manager configured")
+        return 1
+    state = build_component("state_manager", spec.state_manager)
+    rows = state.read(_spark()).orderBy("item_id").collect()
+    for r in rows:
+        print(f"{r.item_id}\t{r.content_hash}\t{r.updated_at}")
+    print(f"{len(rows)} processed item(s)")
+    return 0
+
+
+def cmd_list_components(args) -> int:
+    from yaml_pipe_spark.plans.factory import list_components
+
+    for kind, names in list_components().items():
+        print(f"{kind}: {', '.join(names)}")
+    return 0
+
+
+def cmd_test_connection(args) -> int:
+    # reference cli.py:141-164
+    from yaml_pipe_spark.plans.factory import build_component
+
+    spec = load_config(args.config)
+    comp_spec = getattr(spec, args.component)
+    comp = build_component(args.component, comp_spec)
+    try:
+        comp.test_connection(_spark())
+    except Exception as e:
+        print(f"{args.component} connection FAILED: {e}")
+        return 1
+    print(f"{args.component} connection OK")
+    return 0
+
+
+def cmd_clean(args) -> int:
+    # reference cli.py:167-195: delete state + sink dirs, with confirmation
+    spec = load_config(args.config)
+    targets = [spec.sink.config.get("path")]
+    if spec.state_manager is not None:
+        targets.append(spec.state_manager.config.get("path"))
+    targets = [t for t in targets if t]
+    if not args.yes:
+        print(f"would delete: {targets} (pass --yes to confirm)")
+        return 1
+    for t in targets:
+        shutil.rmtree(t, ignore_errors=True)
+        print(f"deleted {t}")
+    return 0
+
+
+def cmd_eval(args) -> int:
+    # reference cli.py:198-213 + evaluation.py:66-109: JSONL of
+    # {question, expected_source}; hit iff any top-k result's source matches.
+    from pyspark.sql import functions as F
+
+    from yaml_pipe_spark.operators.similarity import hit_rate, knn_join
+    from yaml_pipe_spark.plans.factory import build_component
+
+    spec = load_config(args.config)
+    spark = _spark()
+    sink = build_component("sink", spec.sink)
+    embedder = build_component("embedder", spec.embedder)
+    corpus = sink.read(spark)
+
+    questions = spark.read.json(args.dataset)
+    q = embedder.apply(questions, "question").select(
+        F.col("question").alias("qid"),
+        F.col("expected_source").alias("expected"),
+        F.col("embedding").alias("qv"),
+    )
+    corpus_k = corpus.select(
+        F.col("source").alias("cand_source"),
+        F.monotonically_increasing_id().alias("cid"),
+        "embedding",
+    )
+    nn = knn_join(
+        q, corpus_k, k=args.k, id_col="cid", exclude_self=False
+    )
+    res = hit_rate(nn, "qid", "expected", "cand_source").collect()[0]
+    print(
+        json.dumps(
+            {
+                "hit_rate": res.hit_rate,
+                "total_questions": res.total_questions,
+                "hits": res.hits,
+            }
+        )
+    )
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="yaml-pipe-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="execute a pipeline config")
+    r.add_argument("-c", "--config", required=True)
+    r.set_defaults(fn=cmd_run)
+
+    i = sub.add_parser("init", help="write a default pipeline.yaml")
+    i.add_argument("-o", "--output", default="pipeline.yaml")
+    i.set_defaults(fn=cmd_init)
+
+    s = sub.add_parser("status", help="list processed items from the ledger")
+    s.add_argument("-c", "--config", required=True)
+    s.set_defaults(fn=cmd_status)
+
+    lc = sub.add_parser("list-components", help="print component registries")
+    lc.set_defaults(fn=cmd_list_components)
+
+    tc = sub.add_parser("test-connection", help="probe a source or sink")
+    tc.add_argument("component", choices=["source", "sink"])
+    tc.add_argument("-c", "--config", required=True)
+    tc.set_defaults(fn=cmd_test_connection)
+
+    cl = sub.add_parser("clean", help="delete sink + state paths")
+    cl.add_argument("-c", "--config", required=True)
+    cl.add_argument("--yes", action="store_true")
+    cl.set_defaults(fn=cmd_clean)
+
+    ev = sub.add_parser("eval", help="retrieval hit-rate over a JSONL dataset")
+    ev.add_argument("dataset")
+    ev.add_argument("-c", "--config", required=True)
+    ev.add_argument("-k", type=int, default=5)
+    ev.set_defaults(fn=cmd_eval)
+
+    args = p.parse_args(argv)
+    try:
+        return args.fn(args)
+    except ConfigError as e:
+        print(f"config error: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1133,6 +1133,60 @@ def q_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# P3: the full pipeline as ONE plan — scan -> empty-filter -> chunk ->
+# embed -> sink projection (the reference's 4 materialization barriers
+# collapsed into a single lazy chain, SURVEY §3.1)
+# ---------------------------------------------------------------------------
+
+_DK_EMB_DIM = (
+    "round(((strpos('0123456789abcdef', substr(md5('{d}:' || chunk), 1, 1)) - 1)"
+    " * 16 + (strpos('0123456789abcdef', substr(md5('{d}:' || chunk), 2, 1)) - 1))"
+    " / 255.0 * 2 - 1, 6)"
+)
+
+
+@register(
+    "pipeline_full",
+    f"""
+WITH docs AS (
+  SELECT doc_id, source, text FROM documents WHERE length(trim(text)) > 0
+),
+starts AS (
+  SELECT doc_id, source, text,
+         UNNEST(generate_series(1, length(text), 160)) AS s
+  FROM docs
+),
+chunks AS (
+  SELECT doc_id, source, (s - 1) // 160 + 1 AS chunk_index,
+         substr(text, CAST(s AS INT), 200) AS chunk
+  FROM starts
+)
+SELECT doc_id, source, chunk_index, sha256(chunk) AS chunk_hash,
+       {_DK_EMB_DIM.format(d=1)} AS e1,
+       {_DK_EMB_DIM.format(d=2)} AS e2,
+       {_DK_EMB_DIM.format(d=3)} AS e3,
+       {_DK_EMB_DIM.format(d=4)} AS e4
+FROM chunks
+""",
+    "P3 run_pipeline as one lazy chain: scan+filter+chunk+embed+project",
+)
+def q_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.functions.hashing import hash_embedding
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    chunks = fixed_window_chunks(docs, "text", chunk_size=200, chunk_overlap=40)
+    emb = hash_embedding(F.col("chunk"), dim=4)
+    out = chunks.withColumn("__e", emb)
+    return out.select(
+        "doc_id",
+        "source",
+        "chunk_index",
+        sha256_text(F.col("chunk")).alias("chunk_hash"),
+        *[F.element_at(F.col("__e"), i).alias(f"e{i}") for i in range(1, 5)],
+    )
+
+
+# ---------------------------------------------------------------------------
 # Public contract used by __spark_entry__.py
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,157 @@
+"""Component registries + factory (reference P2, core/factory.py:29-90).
+
+Same dispatch contract: a `type` string selects the class, `config` kwargs
+construct it, unknown/missing type raises ValueError naming the registry.
+Components are thin classes over the pure operator functions; each exposes
+either load(spark) (sources), apply(df) (chunkers/embedders), write(df)/
+read(spark) (sinks), or read/commit (state backends).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from yaml_pipe_spark.operators import chunkers as _ch
+from yaml_pipe_spark.operators.embedders import (
+    HashEmbedder,
+    OpenAIEmbedder,
+    SentenceTransformerEmbedder,
+)
+from yaml_pipe_spark.operators.sinks import ParquetSink
+from yaml_pipe_spark.operators.state import (
+    changed_rows,
+    commit_state,
+    read_state,
+)
+from yaml_pipe_spark.plans.config import ComponentSpec
+from yaml_pipe_spark.sources.files import LocalFileSource, ParquetDocumentsSource
+from yaml_pipe_spark.sources.web import WebSource
+
+
+class FixedWindowChunker:
+    def __init__(self, chunk_size: int = 200, chunk_overlap: int = 40):
+        self.chunk_size, self.chunk_overlap = chunk_size, chunk_overlap
+
+    def apply(self, df: DataFrame, text_col: str = "content") -> DataFrame:
+        return _ch.fixed_window_chunks(
+            df, text_col, self.chunk_size, self.chunk_overlap
+        ).drop(text_col)
+
+
+class RecursiveCharacterChunker:
+    """Reference C1 parity (langchain-style splitter, chunkers.py:39-87)."""
+
+    def __init__(self, chunk_size: int = 100, chunk_overlap: int = 20):
+        self.chunk_size, self.chunk_overlap = chunk_size, chunk_overlap
+
+    def apply(self, df: DataFrame, text_col: str = "content") -> DataFrame:
+        return _ch.recursive_character_chunks(
+            df, text_col, self.chunk_size, self.chunk_overlap
+        ).drop(text_col)
+
+
+class MarkdownChunker:
+    def apply(self, df: DataFrame, text_col: str = "content") -> DataFrame:
+        id_cols = [c for c in df.columns if c != text_col]
+        return _ch.markdown_chunks(df, text_col, id_cols=id_cols)
+
+
+class AdaptiveChunker:
+    """Reference C3 (chunkers.py:141-183): markdown iff >= 2 header lines."""
+
+    def __init__(self, chunk_size: int = 200, chunk_overlap: int = 40):
+        self.chunk_size, self.chunk_overlap = chunk_size, chunk_overlap
+
+    def apply(self, df: DataFrame, text_col: str = "content") -> DataFrame:
+        id_cols = [c for c in df.columns if c != text_col]
+        return _ch.adaptive_chunks(
+            df, text_col, self.chunk_size, self.chunk_overlap, id_cols=id_cols
+        )
+
+
+class ParquetStateBackend:
+    """T5 ledger on parquet (replaces JSON file / Redis key,
+    state_manager.py:38-125)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return read_state(spark, self.path)
+
+    def filter_changed(self, current: DataFrame, spark: SparkSession) -> DataFrame:
+        return changed_rows(current, self.read(spark), "item_id", "content_hash")
+
+    def commit(self, processed: DataFrame, spark: SparkSession) -> None:
+        commit_state(processed, self.read(spark), self.path)
+
+
+class JDBCSource:
+    """S4 (sources.py:237-308) over spark.read.jdbc; needs a JDBC driver jar
+    on the classpath (not in this container — test_connection reports it)."""
+
+    def __init__(
+        self,
+        url: str,
+        query: str,
+        timestamp_column: str = "updated_at",
+        **properties: str,
+    ):
+        self.url, self.query = url, query
+        self.timestamp_column = timestamp_column
+        self.properties = properties
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        from yaml_pipe_spark.sources.relational import jdbc_source
+
+        return jdbc_source(
+            spark, self.url, self.query, self.timestamp_column,
+            properties=self.properties,
+        )
+
+    def test_connection(self, spark: SparkSession) -> None:
+        self.load(spark).limit(0).collect()
+
+
+SOURCES = {
+    "local_files": LocalFileSource,
+    "parquet_documents": ParquetDocumentsSource,
+    "web": WebSource,
+    "postgresql": JDBCSource,
+}
+CHUNKERS = {
+    "fixed_window": FixedWindowChunker,
+    "recursive_character": RecursiveCharacterChunker,
+    "markdown": MarkdownChunker,
+    "adaptive": AdaptiveChunker,
+}
+EMBEDDERS = {
+    "hash": HashEmbedder,
+    "sentence_transformer": SentenceTransformerEmbedder,
+    "openai": OpenAIEmbedder,
+}
+SINKS = {"parquet": ParquetSink}
+STATE_BACKENDS = {"parquet": ParquetStateBackend}
+
+_REGISTRIES = {
+    "source": SOURCES,
+    "chunker": CHUNKERS,
+    "embedder": EMBEDDERS,
+    "sink": SINKS,
+    "state_manager": STATE_BACKENDS,
+}
+
+
+def build_component(kind: str, spec: ComponentSpec):
+    registry = _REGISTRIES[kind]
+    cls = registry.get(spec.type)
+    if cls is None:
+        raise ValueError(
+            f"unknown {kind} type {spec.type!r}; known: {sorted(registry)}"
+        )
+    return cls(**spec.config)
+
+
+def list_components() -> dict[str, list[str]]:
+    return {k: sorted(v) for k, v in _REGISTRIES.items()}

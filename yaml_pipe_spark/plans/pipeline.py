@@ -1,0 +1,101 @@
+"""Pipeline compiler/runner (reference P3, core/pipeline.py:35-127).
+
+The reference executes source -> chunk -> embed -> sink as four full
+materialization barriers over Python lists (SURVEY §3.1). Here the whole
+pipeline compiles to ONE lazy DataFrame chain
+    load -> anti-join(state) -> chunk-explode -> embed -> partitioned write
+executed by a single write action; the only barrier is the deliberate
+state-table commit AFTER the data write (fixing the reference's non-atomic
+sink-then-state ordering, pipeline.py:96-98 — our data write is idempotent
+via dynamic partition overwrite, so a crash between write and commit only
+re-processes, never duplicates).
+
+Error semantics divergence (deliberate): exceptions propagate — the
+reference logs and swallows them, exiting 0 on failure (pipeline.py:124-127).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from yaml_pipe_spark.plans.config import PipelineSpec
+from yaml_pipe_spark.plans.factory import build_component
+
+
+@dataclass
+class PipelineResult:
+    n_loaded: int
+    n_changed: int
+    n_chunks: int
+    skipped: bool
+
+
+def compile_pipeline(
+    spark: SparkSession, spec: PipelineSpec
+) -> tuple[DataFrame, object, object]:
+    """Build the lazy chunk+embed DataFrame (pre-write) plus the sink and
+    state backend. Exposed separately so the plan can be inspected/explained
+    without executing."""
+    source = build_component("source", spec.source)
+    chunker = build_component("chunker", spec.chunker)
+    embedder = build_component("embedder", spec.embedder)
+    sink = build_component("sink", spec.sink)
+    state = (
+        build_component("state_manager", spec.state_manager)
+        if spec.state_manager
+        else None
+    )
+
+    docs = source.load(spark)
+    if state is not None:
+        item_id = "doc_id" if "doc_id" in docs.columns else "source"
+        keyed = docs.withColumn("item_id", F.col(item_id).cast("string"))
+        docs = state.filter_changed(keyed, spark)
+    chunks = chunker.apply(docs, "content")
+    embedded = embedder.apply(chunks, "chunk")
+    return embedded, sink, state
+
+
+def run_pipeline(spark: SparkSession, spec: PipelineSpec) -> PipelineResult:
+    source = build_component("source", spec.source)
+    state = (
+        build_component("state_manager", spec.state_manager)
+        if spec.state_manager
+        else None
+    )
+    chunker = build_component("chunker", spec.chunker)
+    embedder = build_component("embedder", spec.embedder)
+    sink = build_component("sink", spec.sink)
+
+    docs = source.load(spark)
+    n_loaded = docs.count()
+
+    if state is not None:
+        item_id = "doc_id" if "doc_id" in docs.columns else "source"
+        keyed = docs.withColumn("item_id", F.col(item_id).cast("string"))
+        changed = state.filter_changed(keyed, spark)
+    else:
+        changed = docs.withColumn("item_id", F.col("source").cast("string"))
+    # cache: the changed set feeds both the write and the state commit
+    changed = changed.cache()
+    n_changed = changed.count()
+
+    if n_changed == 0:  # reference short-circuit (pipeline.py:59-61)
+        changed.unpersist()
+        return PipelineResult(n_loaded, 0, 0, skipped=True)
+
+    chunks = chunker.apply(changed, "content")
+    embedded = embedder.apply(chunks, "chunk")
+    out = embedded.withColumnRenamed("chunk", "text")
+    sink.write(out)
+    # chunk count re-runs the (cached-source) transform; acceptable for the
+    # run report — callers that don't need it can use compile_pipeline+write.
+    n_chunks = out.count()
+
+    if state is not None:
+        state.commit(changed.select("item_id", "content_hash"), spark)
+    changed.unpersist()
+    return PipelineResult(n_loaded, n_changed, n_chunks, skipped=False)

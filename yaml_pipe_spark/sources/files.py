@@ -1,0 +1,90 @@
+"""File sources (reference S1 LocalFileSource, S3 S3Source — SURVEY §2.1).
+
+Reference semantics preserved (components/sources.py:52-115):
+- directory + glob scan -> here spark.read with pathGlobFilter (distributed
+  listing, no driver glob);
+- only new/changed files via the state ledger -> left anti-join on
+  (path, sha256(content)) instead of a per-file Python loop;
+- skip empty files (sources.py:94-96) -> filter on trimmed length;
+- metadata {source: path} -> input file name column.
+
+The reference parses files with `unstructured.partition` and joins elements
+with "\n\n" (sources.py:92-93); that library is not in this container, so
+files are read as UTF-8 text (the behavior unstructured exhibits for .txt).
+S3 is the same operator with an s3a:// path — Hadoop S3A replaces boto3
+(sources.py:162-234), and etag change-detection becomes the same content-hash
+anti-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from yaml_pipe_spark.functions.text import non_empty
+
+
+class LocalFileSource:
+    """Glob a directory tree into (source, content, content_hash) rows."""
+
+    def __init__(self, path: str, glob_pattern: str = "**/*.txt"):
+        self.path = path
+        # pathGlobFilter matches file names only; a recursive lookup handles
+        # the ** part of the reference's glob.
+        self.file_glob = glob_pattern.rsplit("/", 1)[-1]
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        raw = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", self.file_glob)
+            .option("recursiveFileLookup", "true")
+            .load(self.path)
+        )
+        content = F.decode(F.col("content"), "UTF-8")
+        return (
+            raw.select(
+                F.col("path").alias("source"),
+                content.alias("content"),
+                F.sha2(F.col("content"), 256).alias("content_hash"),
+            )
+            .filter(non_empty(F.col("content")))
+        )
+
+    def test_connection(self, spark: SparkSession) -> None:
+        import os
+
+        if not os.path.isdir(self.path.removeprefix("file:")):
+            raise FileNotFoundError(f"source directory missing: {self.path}")
+
+
+class ParquetDocumentsSource:
+    """Scan an existing parquet corpus (the driver tables / any lakehouse
+    table) into the pipeline's document model."""
+
+    def __init__(
+        self,
+        path: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        source_col: str = "source",
+    ):
+        self.path = path
+        self.text_col = text_col
+        self.id_col = id_col
+        self.source_col = source_col
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        df = spark.read.parquet(self.path)
+        cols = [
+            F.col(self.id_col).cast("string").alias("doc_id"),
+            F.col(self.text_col).alias("content"),
+            F.sha2(F.col(self.text_col), 256).alias("content_hash"),
+        ]
+        if self.source_col in df.columns:
+            cols.append(F.col(self.source_col).alias("source"))
+        else:
+            cols.append(F.lit(self.path).alias("source"))
+        return df.select(*cols).filter(non_empty(F.col("content")))
+
+    def test_connection(self, spark: SparkSession) -> None:
+        spark.read.parquet(self.path).limit(0).collect()

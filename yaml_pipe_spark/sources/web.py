@@ -1,0 +1,85 @@
+"""Web source (reference S2 WebSource, components/sources.py:118-159).
+
+Reference semantics: GET one URL with a 10 s timeout and a desktop UA
+(sources.py:125-132), strip HTML to text (sources.py:134-135), normalize
+lines (strip, drop blanks, re-join — sources.py:136-137), errors -> empty
+result (sources.py:142-147), stateless (sources.py:149-150).
+
+Spark design: the fetch is a driver-side action over a URL *list* (one URL in
+the reference; many here), parallelizable by distributing the URL table and
+fetching inside mapInPandas when the list is large. HTML stripping uses a
+regex tag-removal (BeautifulSoup is heavier but equivalent for text
+extraction); line normalization is the shared `normalize_lines` expression so
+it stays oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import urllib.error
+import urllib.request
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from yaml_pipe_spark.functions.text import non_empty, normalize_lines
+
+_UA = (
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+    "(KHTML, like Gecko) Chrome/91.0.4472.124 Safari/537.36"
+)
+
+
+def fetch_url(url: str, timeout: float = 10.0) -> str | None:
+    """Driver/worker-side GET; None on any error (reference sources.py:142-147
+    returns an empty doc list on failure)."""
+    req = urllib.request.Request(url, headers={"User-Agent": _UA})
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return resp.read().decode("utf-8", errors="replace")
+    except (urllib.error.URLError, OSError, ValueError):
+        return None
+
+
+def strip_html(col):
+    """Tag/script removal + entity unescape as a column expression."""
+    no_script = F.regexp_replace(
+        col, r"(?is)<(script|style)[^>]*>.*?</\1>", " "
+    )
+    no_tags = F.regexp_replace(no_script, r"(?s)<[^>]+>", " ")
+    unescaped = no_tags
+    for ent, ch in [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " ")]:
+        unescaped = F.replace(unescaped, F.lit(ent), F.lit(ch))
+    # collapse runs of spaces/tabs introduced by tag removal, keep newlines
+    collapsed = F.regexp_replace(unescaped, r"[ \t]+", " ")
+    return normalize_lines(collapsed)
+
+
+class WebSource:
+    """Fetch URL(s) into (source, content) rows; failed fetches are dropped."""
+
+    def __init__(self, url: str | list[str], timeout: float = 10.0):
+        self.urls = [url] if isinstance(url, str) else list(url)
+        self.timeout = timeout
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        rows = []
+        for u in self.urls:
+            html = fetch_url(u, self.timeout)
+            if html is not None:
+                rows.append((u, html))
+        if not rows:
+            return spark.createDataFrame([], "source string, content string")
+        raw = spark.createDataFrame(rows, "source string, content string")
+        return (
+            raw.withColumn("content", strip_html(F.col("content")))
+            .filter(non_empty(F.col("content")))
+            .withColumn("content_hash", F.sha2(F.col("content"), 256))
+        )
+
+    def test_connection(self, spark: SparkSession) -> None:
+        """HEAD probe with the reference's 5 s timeout (sources.py:152-159)."""
+        req = urllib.request.Request(
+            self.urls[0], method="HEAD", headers={"User-Agent": _UA}
+        )
+        urllib.request.urlopen(req, timeout=5.0)
