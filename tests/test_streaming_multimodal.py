@@ -1,0 +1,108 @@
+"""Streaming pipeline (checkpoint-driven incrementality) and multimodal
+column plumbing."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _write(path, text):
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(text)
+
+
+def test_streaming_pipeline_exactly_once(spark):
+    from yaml_pipe_spark.streaming.stream import run_streaming_pipeline
+
+    with tempfile.TemporaryDirectory() as tmp:
+        inp = os.path.join(tmp, "in")
+        os.makedirs(inp)
+        _write(os.path.join(inp, "a.txt"), "alpha " * 50)
+        sink = os.path.join(tmp, "sink")
+        ckpt = os.path.join(tmp, "ckpt")
+
+        run_streaming_pipeline(spark, inp, sink, ckpt, chunk_size=60,
+                               chunk_overlap=10, embed_dim=4)
+        n1 = spark.read.parquet(sink).count()
+        assert n1 > 0
+
+        # re-run with no new files: checkpoint prevents reprocessing
+        run_streaming_pipeline(spark, inp, sink, ckpt, chunk_size=60,
+                               chunk_overlap=10, embed_dim=4)
+        assert spark.read.parquet(sink).count() == n1
+
+        # new file: only it is processed (append grows, old rows unchanged)
+        _write(os.path.join(inp, "b.txt"), "bravo " * 30)
+        run_streaming_pipeline(spark, inp, sink, ckpt, chunk_size=60,
+                               chunk_overlap=10, embed_dim=4)
+        out = spark.read.parquet(sink)
+        assert out.count() > n1
+        assert out.filter(out.source.contains("a.txt")).count() == n1
+
+
+def test_streaming_tumbling_agg_matches_batch(spark):
+    from yaml_pipe_spark.operators.events import tumbling_agg
+    from yaml_pipe_spark.streaming.stream import (
+        stream_events,
+        streaming_tumbling_agg,
+    )
+    from yaml_pipe_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    stream = stream_events(spark, sf)
+    agg = streaming_tumbling_agg(stream)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_agg_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM stream_agg_test").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in tumbling_agg(load_table(spark, sf, "events")).collect()
+    }
+    assert got == want  # stream plan == batch plan (oracle-checked in batch)
+
+
+def test_multimodal_features(spark):
+    from yaml_pipe_spark.multimodal.binary import (
+        extract_features,
+        sample_frames,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 30)
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    by_id = {r.item_id: r for r in rows}
+    assert by_id[0].modality == "image" and by_id[2].modality == "video"
+    assert all(len(r.feat) == 8 for r in rows)
+    assert all(r.n_bytes == 32 * (1 + r.item_id % 7) for r in rows)
+    # determinism: same payload -> same features on a second run
+    rows2 = extract_features(synthetic_media(spark, 30)).collect()
+    assert {r.item_id: r.payload_sha for r in rows2} == {
+        r.item_id: r.payload_sha for r in rows
+    }
+    frames = sample_frames(feats, every_n=25)
+    fr = frames.collect()
+    assert all(r.frame_idx % 25 == 0 and r.frame_idx < r.n_frames for r in fr)
+    assert {r.item_id for r in fr} == {r.item_id for r in rows if r.modality == "video"}
+
+
+def test_multimodal_real_decode_is_marked(spark):
+    from yaml_pipe_spark.multimodal.binary import decode_payload
+
+    with pytest.raises(NotImplementedError, match="codec libraries"):
+        decode_payload(b"xx", "image", real_decode=True)

@@ -1187,6 +1187,79 @@ def q_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Rows-only queries (not SQL-expressible; driver records a weaker check):
+# C1 langchain-parity chunker (Python recursive splitter), streaming agg
+# (Structured Streaming runtime), multimodal features (binary mapInPandas)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c1_recursive_chunk",
+    None,
+    "C1 parity chunker (langchain-style recursive splitter, pandas UDF); "
+    "golden-string validated in tests/test_chunkers.py",
+)
+def q_c1_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.chunkers import recursive_character_chunks
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = recursive_character_chunks(docs, "text", chunk_size=200, chunk_overlap=40)
+    return out.select(
+        "doc_id",
+        "chunk_index",
+        sha256_text(F.col("chunk")).alias("chunk_hash"),
+        F.length("chunk").cast("long").alias("chunk_len"),
+    )
+
+
+_STREAM_COUNTER = [0]
+
+
+@register(
+    "stream_tumbling_agg",
+    None,
+    "Structured Streaming watermarked tumbling agg (availableNow drain); "
+    "plan-identical to oracle-checked events_tumbling_agg",
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.streaming.stream import (
+        stream_events,
+        streaming_tumbling_agg,
+    )
+
+    _STREAM_COUNTER[0] += 1
+    name = f"stream_tumbling_agg_q{_STREAM_COUNTER[0]}"
+    agg = streaming_tumbling_agg(stream_events(spark, sf_dir))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+@register(
+    "multimodal_features",
+    None,
+    "Multimodal binary columns through Arrow mapInPandas feature extraction "
+    "(decode stubbed; schema/batch plumbing real), per-modality rollup",
+)
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.multimodal.binary import extract_features, synthetic_media
+
+    feats = extract_features(synthetic_media(spark, 300))
+    return feats.groupBy("modality").agg(
+        F.count("*").alias("n_items"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg("width"), 4).alias("avg_width"),
+        F.countDistinct("payload_sha").alias("n_unique_payloads"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Public contract used by __spark_entry__.py
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,111 @@
+"""Streaming pipeline + windowed aggregation.
+
+The reference simulates incrementality with a JSON ledger re-scanned per run
+(SURVEY §1.3/§2.4). Structured Streaming's file source subsumes the whole
+ledger: the checkpoint's processed-files log IS T1-T5 — exactly-once file
+tracking, no hand-rolled hashes. The chunk/embed operators are ordinary
+stateless DataFrame transforms, so the SAME functions run on the stream; the
+sink stays an idempotent foreachBatch parquet write.
+
+Batch/stream parity: `streaming_tumbling_agg` is the identical logical plan
+to operators.events.tumbling_agg plus a watermark — correctness established
+against the DuckDB oracle in batch transfers to the stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from yaml_pipe_spark.functions.hashing import hash_embedding
+from yaml_pipe_spark.functions.text import non_empty
+from yaml_pipe_spark.operators.chunkers import fixed_window_chunks
+
+
+def stream_text_files(spark: SparkSession, path: str, glob: str = "*.txt"):
+    """File-source stream over a directory of text files: each new file is
+    one document (S1 as readStream)."""
+    return (
+        spark.readStream.format("text")
+        .option("pathGlobFilter", glob)
+        .option("wholetext", "true")
+        .load(path)
+        .select(
+            F.input_file_name().alias("source"),
+            F.col("value").alias("content"),
+        )
+        .filter(non_empty(F.col("content")))
+    )
+
+
+def run_streaming_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    chunk_size: int = 200,
+    chunk_overlap: int = 40,
+    embed_dim: int = 8,
+) -> None:
+    """source -> chunk -> embed -> parquet, exactly-once via checkpoint.
+
+    Runs with availableNow (drain everything seen, then stop) — the streaming
+    twin of one reference `run` invocation; re-invoking after new files land
+    processes only the new files, no ledger code at all.
+    """
+    docs = stream_text_files(spark, input_dir)
+    chunks = fixed_window_chunks(docs, "content", chunk_size, chunk_overlap)
+    out = (
+        chunks.withColumn("embedding", hash_embedding(F.col("chunk"), embed_dim))
+        .withColumnRenamed("chunk", "text")
+        .drop("content")
+    )
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(sink_dir)
+
+    q = (
+        out.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def streaming_tumbling_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling agg — same plan as the batch twin, late rows
+    beyond `watermark` dropped, state bounded."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), key_col, "n_events", "sum_value"
+        )
+    )
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the driver events table (nanos handled as in
+    tables.load_table)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
