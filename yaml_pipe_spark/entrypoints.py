@@ -1133,6 +1133,283 @@ def q_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# C3: adaptive chunker dispatch (chunkers.py:141-183) — per-row strategy
+# choice: markdown iff >= 2 header markers, else fixed-window
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c3_adaptive_chunk",
+    r"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
+),
+cls AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text, '\n#{1,3} ')) >= 2 AS is_md
+  FROM docs
+),
+md AS (
+  SELECT doc_id, len(list_filter(
+    string_split(regexp_replace(text, '(?m)^(#{1,3} )', e'\x01\1', 'g'),
+                 e'\x01'),
+    x -> length(trim(x, e' \n\r\t')) > 0)) AS n
+  FROM cls WHERE is_md
+),
+fx AS (
+  SELECT doc_id, len(generate_series(1, length(text), 160)) AS n
+  FROM cls WHERE NOT is_md
+)
+SELECT doc_id, 'markdown' AS strategy, CAST(n AS BIGINT) AS n_chunks FROM md
+UNION ALL
+SELECT doc_id, 'fixed' AS strategy, CAST(n AS BIGINT) AS n_chunks FROM fx
+""",
+    "C3 adaptive dispatch: per-doc strategy + chunk count from that branch",
+)
+def q_c3_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.chunkers import adaptive_chunks, is_markdownish
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(non_empty(F.col("text")))
+    )
+    chunks = adaptive_chunks(docs, "text", 200, 40, id_cols=["doc_id"])
+    counts = chunks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks")
+    )
+    strat = docs.select(
+        "doc_id",
+        F.when(is_markdownish(F.col("text")), F.lit("markdown"))
+        .otherwise(F.lit("fixed"))
+        .alias("strategy"),
+    )
+    return counts.join(strat, "doc_id").select("doc_id", "strategy", "n_chunks")
+
+
+# ---------------------------------------------------------------------------
+# Similarity JOIN (Q1 generalized DF x DF) + IVF scale path
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_knn_join",
+    f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.qid, e.vec_id, round({_dk_cos('e.embedding', 'q.qv')}, 6) AS score
+  FROM embeddings e, q WHERE e.vec_id <> q.qid
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY score DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT qid, vec_id, CAST(rn AS BIGINT) AS rank, score
+FROM ranked WHERE rn <= 5
+""",
+    "Similarity join: top-5 neighbors per query row (DF x DF knn_join)",
+)
+def q_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.similarity import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    nn = knn_join(q, emb, k=5)
+    return nn.select("qid", "vec_id", "rank", "score")
+
+
+ANN_IVF_ORACLE = f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+),
+a AS (
+  SELECT e.vec_id, e.label, e.embedding, c.cid,
+         round({_dk_cos('e.embedding', 'c.cv')}, 6) AS s
+  FROM embeddings e, c
+),
+asg AS (
+  SELECT vec_id, label, embedding, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY s DESC, cid) AS rn
+    FROM a
+  ) WHERE rn = 1
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+probes AS (
+  SELECT cid FROM (
+    SELECT c.cid, row_number() OVER (
+      ORDER BY round({_dk_cos('c.cv', 'q.qv')}, 6) DESC, c.cid) AS rn
+    FROM c, q
+  ) WHERE rn <= 2
+),
+s AS (
+  SELECT a.vec_id, CAST(a.label AS BIGINT) AS label,
+         round({_dk_cos('a.embedding', 'q.qv')}, 6) AS score
+  FROM asg a, q WHERE a.cid IN (SELECT cid FROM probes)
+)
+SELECT vec_id, label, score FROM s ORDER BY score DESC, vec_id LIMIT 5
+"""
+
+
+@register(
+    "ann_ivf_topk",
+    ANN_IVF_ORACLE,
+    "IVF ANN: centroid-assign, probe 2 nearest cells, exact rerank top-5",
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    out = ivf_topk(emb, qv, centroids, k=5, nprobe=2)
+    return out.select("vec_id", F.col("label").cast("long").alias("label"), "score")
+
+
+# ---------------------------------------------------------------------------
+# Events extras: as-of join (carry-forward plan) + hopping window
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_asof_join",
+    """
+WITH u AS (
+  SELECT event_id, user_id, ts, 0 AS side FROM events WHERE event_type = 'view'
+  UNION ALL
+  SELECT event_id, user_id, ts, 1 AS side
+  FROM events WHERE event_type = 'purchase'
+),
+w AS (
+  SELECT *,
+    last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS matched_event_id,
+    last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS matched_ts
+  FROM u
+)
+SELECT event_id, user_id, ts, matched_event_id, matched_ts
+FROM w WHERE side = 1
+""",
+    "As-of join: each purchase matched to the user's latest prior view "
+    "(union + carry-forward, no range self-join)",
+)
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.events import asof_join_last_prior
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return asof_join_last_prior(purchases, views)
+
+
+@register(
+    "events_hopping_agg",
+    """
+WITH x AS (
+  SELECT event_type, value,
+         UNNEST([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts)
+                   - INTERVAL '30 minutes']) AS window_start
+  FROM events
+)
+SELECT window_start, event_type, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM x GROUP BY 1, 2
+""",
+    "Hopping 1h/30min window per event_type (each event in 2 windows)",
+)
+def q_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.events import hopping_agg
+
+    return hopping_agg(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup resolution: keep-first representative (not just pair detection)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_drop_exact",
+    """
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs FROM r WHERE rn = 1 GROUP BY lang
+""",
+    "Exact-dedup resolution: keep lowest-id copy per content hash, per-lang",
+)
+def q_dedup_drop_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.dedup import drop_exact_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = drop_exact_duplicates(docs, "text", "doc_id")
+    return kept.groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# Relational set operations: INTERSECT / EXCEPT / UNION (distinct semantics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_set_ops",
+    """
+WITH a AS (
+  SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+b AS (SELECT o_custkey AS key FROM orders WHERE o_totalprice > 150000)
+SELECT 'intersect' AS op, count(*) AS n FROM (SELECT * FROM a INTERSECT
+                                              SELECT * FROM b)
+UNION ALL
+SELECT 'except' AS op, count(*) AS n FROM (SELECT * FROM a EXCEPT
+                                           SELECT * FROM b)
+UNION ALL
+SELECT 'union' AS op, count(*) AS n FROM (SELECT * FROM a UNION
+                                          SELECT * FROM b)
+""",
+    "Set operations over customer keys: INTERSECT/EXCEPT/UNION distinct",
+)
+def q_rel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("key"))
+    )
+    b = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 150000)
+        .select(F.col("o_custkey").alias("key"))
+    )
+    parts = [
+        a.intersect(b).agg(
+            F.lit("intersect").alias("op"), F.count("*").alias("n")
+        ),
+        a.subtract(b).agg(F.lit("except").alias("op"), F.count("*").alias("n")),
+        a.union(b).distinct().agg(
+            F.lit("union").alias("op"), F.count("*").alias("n")
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # P3: the full pipeline as ONE plan — scan -> empty-filter -> chunk ->
 # embed -> sink projection (the reference's 4 materialization barriers
 # collapsed into a single lazy chain, SURVEY §3.1)

@@ -72,6 +72,77 @@ def sessionize(
     )
 
 
+def hopping_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+) -> DataFrame:
+    """Per (hopping window, key): count + sum(value). Each event lands in
+    window/slide overlapping windows (F.window with slideDuration explodes the
+    row window/slide times before the partial agg — still one shuffle on
+    (window, key))."""
+    return (
+        df.groupBy(
+            F.window(F.col(ts_col), window, slide).alias("w"), F.col(key_col)
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def asof_join_last_prior(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    right_prefix: str = "matched",
+) -> DataFrame:
+    """As-of join: for each `left` row, the latest `right` row of the same
+    `on` key with right.ts <= left.ts (ties: the right row wins, i.e.
+    prior-or-equal).
+
+    Implemented as the union-and-carry-forward plan, NOT a range self-join:
+    tag both sides, union, and carry the last right id/ts forward with one
+    window over (key, ts). One shuffle on the key, linear in rows — this is
+    the shape that survives 100 TB, where a ts-range join would be quadratic
+    per key. Rows with no prior match keep NULLs (like a left join).
+    """
+    l = left.select(
+        F.col(on), F.col(ts_col), F.col(id_col), F.lit(1).alias("__side")
+    )
+    r = right.select(
+        F.col(on), F.col(ts_col), F.col(id_col), F.lit(0).alias("__side")
+    )
+    u = l.unionByName(r)
+    # right rows sort before left rows at equal ts so prior-or-equal matches
+    w = (
+        W.partitionBy(on)
+        .orderBy(F.col(ts_col), F.col("__side"), F.col(id_col))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    right_id = F.when(F.col("__side") == 0, F.col(id_col))
+    right_ts = F.when(F.col("__side") == 0, F.col(ts_col))
+    out = (
+        u.withColumn(f"{right_prefix}_{id_col}", F.last(right_id, True).over(w))
+        .withColumn(f"{right_prefix}_{ts_col}", F.last(right_ts, True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    return out.select(
+        id_col, on, ts_col, f"{right_prefix}_{id_col}", f"{right_prefix}_{ts_col}"
+    )
+
+
 def extract_prop(df: DataFrame, props_col: str = "props", key: str = "k"):
     """Portable JSON-ish scalar extraction via regex (works identically in
     Spark and DuckDB without JSON extensions): integer value of `key`."""

@@ -80,6 +80,82 @@ def knn_join(
     )
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cid_col: str = "cid",
+    cvec_col: str = "cv",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """IVF coarse quantization: assign every corpus vector to its nearest
+    centroid (max cosine, ties to the lowest centroid id).
+
+    Centroids are broadcast (they are small by construction — hundreds to a
+    few thousand); the argmax is a single groupBy on the vector id with
+    max_by over a (score, -cid) struct, so the only shuffle is on id_col and
+    the partial aggregation collapses the candidate rows map-side. At 100 TB
+    the assignment is embarrassingly parallel and the output can be written
+    partitioned by cid to make probes partition-pruned scans."""
+    scored = corpus.crossJoin(F.broadcast(centroids)).withColumn(
+        "__s", F.round(cosine(F.col(vec_col), F.col(cvec_col)), score_decimals)
+    )
+    best = (
+        scored.groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.col(cid_col), F.struct(F.col("__s"), -F.col(cid_col))
+            ).alias(cid_col)
+        )
+    )
+    return corpus.join(best, id_col)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    query_vec: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cid_col: str = "cid",
+    cvec_col: str = "cv",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """IVF-style approximate top-k: probe the query's `nprobe` nearest
+    centroid cells, exact-rerank only the vectors assigned there.
+
+    `query_vec` is a 1-row DataFrame with column `qv`. The probe list is tiny
+    and broadcast, so the candidate filter is a broadcast semi-join (a
+    partition-pruned scan when the assignment table is partitioned by cid);
+    the rerank is TakeOrderedAndProject over the probed cells only — the
+    classic IVF recall/cost trade, with scan cost ~ nprobe/n_centroids of
+    brute force."""
+    assigned = ivf_assign(
+        corpus, centroids, vec_col, id_col, cid_col, cvec_col, score_decimals
+    )
+    probes = (
+        centroids.crossJoin(F.broadcast(query_vec))
+        .withColumn(
+            "__s", F.round(cosine(F.col(cvec_col), F.col("qv")), score_decimals)
+        )
+        .orderBy(F.col("__s").desc(), F.col(cid_col))
+        .limit(nprobe)
+        .select(cid_col)
+    )
+    cands = assigned.join(F.broadcast(probes), cid_col, "left_semi")
+    scored = cands.crossJoin(F.broadcast(query_vec)).withColumn(
+        "score", F.round(cosine(F.col(vec_col), F.col("qv")), score_decimals)
+    )
+    return (
+        scored.drop("qv")
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def hit_rate(
     neighbors: DataFrame,
     query_id: str = "qid",
