@@ -172,14 +172,14 @@ def exact_jaccard_pairs(
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
+    pair_shingles = a.join(b, "shingle").filter(F.col("id_a") < F.col("id_b"))
     if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+        # pair-level cut BEFORE the count agg so non-candidate pairs never
+        # enter the (id_a, id_b) shuffle
+        pair_shingles = pair_shingles.join(
+            candidates.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
+        )
+    inter = pair_shingles.groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
     return (
@@ -238,12 +238,16 @@ def simhash_fingerprints(
     # into rows: a single groupBy over the (doc, token) rows with `bits`
     # partial sums — no 64x row blowup, one shuffle. (Values identical to
     # the exploded formulation; the DuckDB oracle keeps the exploded form.)
+    # The hex digest is decoded once per 32-bit word with conv(); bit j of
+    # word w is then (word >> (31 - j%32)) & 1 — integer ops instead of
+    # `bits` per-row substring/strpos lookups, same big-endian bit order.
+    n_words = (bits + 31) // 32
+    for w in range(n_words):
+        word = F.conv(F.substring(F.col("h"), 8 * w + 1, 8), 16, 10).cast("long")
+        tf = tf.withColumn(f"__w{w}", word)
     bit_sums = []
     for j in range(bits):
-        nibble = hex_nibble_expr(F.col("h"), F.lit(j // 4 + 1))
-        shift = [8, 4, 2, 1][j % 4]
-        # truncating cast == DuckDB `//` on these small exact doubles
-        bit = (nibble / F.lit(shift)).cast("long") % 2
+        bit = F.shiftright(F.col(f"__w{j // 32}"), 31 - j % 32) % 2
         bit_sums.append(F.sum(F.col("tf") * (bit * 2 - 1)).alias(f"s{j}"))
     sums = tf.groupBy(id_col).agg(*bit_sums)
     fp = F.concat(
@@ -257,14 +261,23 @@ def simhash_fingerprints(
 
 def hamming_distance(a: Column, b: Column, bits: int = 64) -> Column:
     """Differing positions between two equal-length bit-strings.
-    DuckDB twin: len(list_filter(generate_series(1, bits),
+
+    Decoded 16-bit-word-wise with conv() then XOR + bit_count — integer ops
+    instead of `bits` dynamic-position substrings per pair (the substring
+    form was ~25x slower on candidate-pair volumes where near-dup clusters
+    make the verify the dominant stage). Values are the plain Hamming count
+    either way; the DuckDB twin keeps the positional form:
+    len(list_filter(generate_series(1, bits),
     i -> substr(a, i, 1) <> substr(b, i, 1)))."""
-    return F.size(
-        F.filter(
-            F.sequence(F.lit(1), F.lit(bits)),
-            lambda i: F.substring(a, i, F.lit(1)) != F.substring(b, i, F.lit(1)),
-        )
-    ).cast("long")
+    words = []
+    for w in range(0, bits, 16):
+        wa = F.conv(F.substring(a, w + 1, 16), 2, 10).cast("long")
+        wb = F.conv(F.substring(b, w + 1, 16), 2, 10).cast("long")
+        words.append(F.bit_count(wa.bitwiseXOR(wb)))
+    out = words[0]
+    for x in words[1:]:
+        out = out + x
+    return out.cast("long")
 
 
 def simhash_near_duplicates(
@@ -283,16 +296,27 @@ def simhash_near_duplicates(
     buckets = fps.selectExpr(
         id_col, "simhash", f"stack({bands}, {stack_expr}) as (band_id, band_key)"
     )
-    a = buckets.select(
-        "band_id", "band_key", F.col(id_col).alias("id_a"), F.col("simhash").alias("fa")
-    )
-    b = buckets.select(
-        "band_id", "band_key", F.col(id_col).alias("id_b"), F.col("simhash").alias("fb")
+    # Pair generation via groupBy + in-bucket expansion instead of a bucket
+    # self-join: a self-join evaluates the (expensive) fingerprint aggregation
+    # once per join side, while collect_list computes it once and shuffles
+    # each bucket's members to one reducer. Buckets are tiny by construction
+    # (a full 16-bit band must match), so the |bucket|^2 expansion is cheap
+    # and the skew guard is the same max-bucket-size filter as MinHash LSH.
+    grouped = (
+        buckets.groupBy("band_id", "band_key")
+        .agg(F.collect_list(F.struct(F.col(id_col), F.col("simhash"))).alias("g"))
+        .filter(F.size("g") >= 2)
     )
     pairs = (
-        a.join(b, ["band_id", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "fa", "fb")
+        grouped.select(F.explode("g").alias("a"), "g")
+        .select("a", F.explode("g").alias("b"))
+        .filter(F.col("a")[id_col] < F.col("b")[id_col])
+        .select(
+            F.col("a")[id_col].alias("id_a"),
+            F.col("b")[id_col].alias("id_b"),
+            F.col("a")["simhash"].alias("fa"),
+            F.col("b")["simhash"].alias("fb"),
+        )
         .distinct()
     )
     return (
