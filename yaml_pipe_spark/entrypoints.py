@@ -1410,6 +1410,162 @@ def q_rel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Skew mitigation (100 TB story): salted two-phase agg + salted replicate
+# join — plan rewrites with identical results, so plain-SQL oracles apply
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_salted_user_totals",
+    """
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value,
+       max(value) AS max_value
+FROM events GROUP BY user_id
+""",
+    "Salted two-phase aggregation (groupBy key+salt, then merge): result "
+    "identical to a plain groupBy, hot keys spread over 8 reducers",
+)
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.skew import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_aggregate(
+        ev,
+        ["user_id"],
+        {
+            "n_events": (F.count("*"), F.sum),
+            "__sv": (F.sum("value"), F.sum),
+            "max_value": (F.max("value"), F.max),
+        },
+        salt_col=F.col("event_id"),
+        n_salts=8,
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        F.round(F.col("__sv"), 2).alias("sum_value"),
+        "max_value",
+    )
+
+
+@register(
+    "rel_salted_join",
+    """
+SELECT c.c_mktsegment, count(*) AS n_events, round(sum(e.value), 2) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+    "Salted replicate join (salt big side, explode small side): row set "
+    "identical to the plain equi-join",
+)
+def q_rel_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "c_custkey", F.col("user_id")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = salted_join(
+        ev, cust, "c_custkey", n_salts=8, salt_source=F.col("event_id")
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational analytics extras: exact percentiles, lead/lag gaps, ntile,
+# typed JSON extraction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_percentiles",
+    """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+       round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+FROM lineitem GROUP BY l_returnflag
+""",
+    "Exact interpolated percentiles per group (Spark percentile = "
+    "DuckDB quantile_cont, both linear interpolation)",
+)
+def q_rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias(
+            "p50_price"
+        ),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias(
+            "p99_price"
+        ),
+    )
+
+
+@register(
+    "rel_order_gaps",
+    """
+SELECT o_custkey, o_orderkey,
+       date_diff('day',
+                 lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey),
+                 o_orderdate) AS gap_days,
+       CAST(ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey)
+            AS BIGINT) AS price_quartile
+FROM orders
+""",
+    "Customer reorder gaps (lag + datediff) and global price quartiles "
+    "(ntile) in one pass",
+)
+def q_rel_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w_cust = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_price = W.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w_cust)
+        ).alias("gap_days"),
+        F.ntile(4).over(w_price).cast("long").alias("price_quartile"),
+    )
+
+
+@register(
+    "events_props_json",
+    """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(count(CASE WHEN json_extract_string(props, '$.k') IS NULL
+                       THEN 1 END) AS BIGINT) AS n_missing
+FROM events GROUP BY event_type
+""",
+    "Typed JSON extraction (from_json with explicit schema) + aggregate",
+)
+def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "__p", F.from_json(F.col("props"), "k BIGINT")
+    ).withColumn("k", F.col("__p.k"))
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.count(F.when(F.col("k").isNull(), 1)).cast("long").alias("n_missing"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # P3: the full pipeline as ONE plan — scan -> empty-filter -> chunk ->
 # embed -> sink projection (the reference's 4 materialization barriers
 # collapsed into a single lazy chain, SURVEY §3.1)
