@@ -1645,14 +1645,158 @@ def q_c1_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Session windows: native F.session_window (batch + streaming twins).
+# Boundary semantics are STRICT (gap exactly = 30 min starts a new session),
+# vs events_sessionize's inclusive ledger islands — both shipped, both
+# oracle-checked, the difference documented here.
+# ---------------------------------------------------------------------------
+
+SESSION_WINDOW_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts, value,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_us
+  FROM events
+),
+flags AS (
+  SELECT *, CASE WHEN prev_us IS NULL
+                   OR epoch_us(ts) - prev_us >= 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM g
+),
+sess AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS session_seq
+  FROM flags
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM sess GROUP BY user_id, session_seq
+"""
+
+
+@register(
+    "events_session_window",
+    SESSION_WINDOW_ORACLE,
+    "Native session_window agg (strict gap boundary, end = last event + gap)",
+)
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 _STREAM_COUNTER = [0]
+
+
+def _drain_to_memory(stream_df, output_mode: str, name: str):
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name
+
+
+@register(
+    "stream_session_window",
+    SESSION_WINDOW_ORACLE,
+    "Structured Streaming session_window (complete-mode availableNow drain) "
+    "— same oracle as the batch twin",
+)
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.streaming.stream import (
+        stream_events,
+        streaming_session_agg,
+    )
+
+    _STREAM_COUNTER[0] += 1
+    name = f"stream_session_window_q{_STREAM_COUNTER[0]}"
+    agg = streaming_session_agg(stream_events(spark, sf_dir))
+    _drain_to_memory(agg, "complete", name)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+@register(
+    "stream_dedup_first_arrival",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM (SELECT DISTINCT user_id, event_type FROM events)
+""",
+    "Streaming dropDuplicates on (user_id, event_type) with watermarked "
+    "state; kept-row count equals DISTINCT in batch",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.streaming.stream import stream_events, streaming_dedup
+
+    _STREAM_COUNTER[0] += 1
+    name = f"stream_dedup_q{_STREAM_COUNTER[0]}"
+    dd = streaming_dedup(
+        stream_events(spark, sf_dir), ["user_id", "event_type"]
+    )
+    _drain_to_memory(dd, "append", name)
+    return spark.sql(
+        f"SELECT CAST(count(*) AS BIGINT) AS n_kept, "
+        f"CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM {name}"
+    )
+
+
+@register(
+    "stream_stateful_counter",
+    """
+SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+""",
+    "Custom stateful op (applyInPandasWithState): per-user running counter; "
+    "max(running_total) per key over the drain = plain per-key count",
+)
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.streaming.stream import (
+        stateful_user_counter,
+        stream_events,
+    )
+
+    _STREAM_COUNTER[0] += 1
+    name = f"stream_stateful_q{_STREAM_COUNTER[0]}"
+    counter = stateful_user_counter(stream_events(spark, sf_dir))
+    _drain_to_memory(counter, "update", name)
+    return spark.sql(
+        f"SELECT user_id, max(running_total) AS n_events FROM {name} "
+        f"GROUP BY user_id"
+    )
 
 
 @register(
     "stream_tumbling_agg",
-    None,
-    "Structured Streaming watermarked tumbling agg (availableNow drain); "
-    "plan-identical to oracle-checked events_tumbling_agg",
+    """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    "Structured Streaming watermarked tumbling agg (complete-mode "
+    "availableNow drain) — same oracle as the batch twin; complete mode "
+    "keeps all window state so the drain equals the batch result",
 )
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yaml_pipe_spark.streaming.stream import (

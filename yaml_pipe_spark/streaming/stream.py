@@ -95,6 +95,80 @@ def streaming_tumbling_agg(
     )
 
 
+def streaming_session_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native session windows on the stream: F.session_window merges events
+    whose [ts, ts+gap) intervals overlap — strict boundary (a gap of exactly
+    `gap` starts a NEW session), unlike operators.events.sessionize's
+    inclusive ledger semantics. session_end = last event + gap by definition.
+    Complete output mode keeps all session state so the availableNow drain
+    emits every session."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col)
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col(key_col),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming first-arrival dedup: dropDuplicates keyed state with a
+    watermark bound (state for keys older than the watermark is dropped —
+    the streaming twin of drop_exact_duplicates, with bounded memory)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicates(keys)
+
+
+def stateful_user_counter(
+    events: DataFrame, key_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: a per-key counter
+    carried across micro-batches. Emits (key, running_total) every batch;
+    MAX(running_total) per key over the drain equals the plain per-key count
+    regardless of how availableNow splits batches — which is what makes this
+    oracle-checkable downstream.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        (prev,) = state.get if state.exists else (0,)
+        total = prev + n
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "running_total": [total]})
+
+    return events.groupBy(F.col(key_col)).applyInPandasWithState(
+        update,
+        outputStructType="user_id long, running_total long",
+        stateStructType="total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of the driver events table (nanos handled as in
     tables.load_table)."""
