@@ -8,6 +8,7 @@ import tempfile
 
 import pytest
 
+from tests.conftest import SF_SMALL
 from yaml_pipe_spark.plans.config import ConfigError, parse_config
 from yaml_pipe_spark.plans.factory import build_component, list_components
 from yaml_pipe_spark.plans.pipeline import run_pipeline
@@ -128,3 +129,42 @@ def test_cli_surface(spark, workdir, capsys):
     assert cli.main(["clean", "-c", cfg]) == 1  # refuses without --yes
     assert cli.main(["clean", "-c", cfg, "--yes"]) == 0
     assert not os.path.exists(workdir["sink"])
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """BucketedTable: two tables bucketed on the join key join with zero
+    Exchange operators — the pay-shuffle-once-at-ingest layout that makes
+    recurring fact-fact joins cheap at scale."""
+    from pyspark.sql import functions as F
+
+    from yaml_pipe_spark.operators.sinks import BucketedTable
+    from yaml_pipe_spark.tables import load_table
+
+    orders_t = BucketedTable("orders_b", "o_orderkey", n_buckets=4)
+    li_t = BucketedTable("lineitem_b", "l_orderkey", n_buckets=4)
+    try:
+        orders_t.write(
+            load_table(spark, SF_SMALL, "orders").select(
+                "o_orderkey", "o_totalprice"
+            )
+        )
+        li_t.write(
+            load_table(spark, SF_SMALL, "lineitem").select(
+                "l_orderkey", "l_quantity"
+            )
+        )
+        # disable broadcast so the join would otherwise shuffle both sides
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = orders_t.read(spark).join(
+            li_t.read(spark),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # sanity: the join still returns the right row count
+        expected = load_table(spark, SF_SMALL, "lineitem").count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")

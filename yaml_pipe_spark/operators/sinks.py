@@ -20,6 +20,38 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class BucketedTable:
+    """Bucketed+sorted managed table: pre-shuffled storage for co-located
+    joins and aggregations.
+
+    Writing with bucketBy(n, key).sortBy(key) hash-partitions rows into `n`
+    buckets at write time; two tables bucketed the same way join WITHOUT a
+    shuffle (SortMergeJoin with no Exchange on either side — asserted in
+    tests/test_pipeline.py). This is the 100 TB answer for fact-fact joins
+    that recur on the same key (orders ⋈ lineitem every run): pay the
+    shuffle once at ingest, never again at query time. The reference has no
+    equivalent (single-node, SURVEY §4); this generalizes its
+    partition-per-source layout to join-key layout.
+    """
+
+    def __init__(self, name: str, bucket_key: str, n_buckets: int = 8):
+        self.name = name
+        self.bucket_key = bucket_key
+        self.n_buckets = n_buckets
+
+    def write(self, df: DataFrame) -> None:
+        (
+            df.write.mode("overwrite")
+            .bucketBy(self.n_buckets, self.bucket_key)
+            .sortBy(self.bucket_key)
+            .format("parquet")
+            .saveAsTable(self.name)
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.table(self.name)
+
+
 class ParquetSink:
     """Partitioned, idempotently-overwritable corpus table."""
 
