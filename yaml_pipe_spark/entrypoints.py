@@ -1497,15 +1497,22 @@ FROM lineitem GROUP BY l_returnflag
 )
 def q_rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50_qty"),
-        F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90_qty"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias(
-            "p50_price"
-        ),
-        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias(
-            "p99_price"
-        ),
+    # one percentile buffer per column (array of fractions), not one per
+    # fraction — halves the sort/buffer work in the aggregate
+    out = li.groupBy("l_returnflag").agg(
+        F.percentile(
+            "l_quantity", F.array(F.lit(0.5), F.lit(0.9))
+        ).alias("__q"),
+        F.percentile(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.99))
+        ).alias("__p"),
+    )
+    return out.select(
+        "l_returnflag",
+        F.round(F.element_at("__q", 1), 4).alias("p50_qty"),
+        F.round(F.element_at("__q", 2), 4).alias("p90_qty"),
+        F.round(F.element_at("__p", 1), 4).alias("p50_price"),
+        F.round(F.element_at("__p", 2), 4).alias("p99_price"),
     )
 
 

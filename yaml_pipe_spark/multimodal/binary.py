@@ -59,7 +59,12 @@ def synthetic_media(spark: SparkSession, n: int = 100) -> DataFrame:
             }
             yield pd.DataFrame(rows)
 
-    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+    # bound the partition count for small synthetic corpora: spark.range
+    # defaults to defaultParallelism partitions, and each partition costs a
+    # Python-worker round trip in mapInPandas — 32 workers for 300 rows is
+    # all overhead (real corpora size partitions by payload bytes instead)
+    n_parts = max(1, min(8, n // 64))
+    return spark.range(n, numPartitions=n_parts).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def decode_payload(payload: bytes, modality: str, real_decode: bool = False):
