@@ -900,6 +900,142 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus assembly: blocked embedding dedup (scale path), deterministic
+# stratified sampling, token-budget sharding, tf-idf top terms
+# ---------------------------------------------------------------------------
+
+_DK_SIGN_BUCKET = "concat(" + ", ".join(
+    f"CASE WHEN embedding[{i}] >= 0 THEN '1' ELSE '0' END" for i in range(1, 5)
+) + ")"
+
+
+@register(
+    "dedup_embedding_cosine_blocked",
+    f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_DK_SIGN_BUCKET} AS bkt FROM embeddings
+)
+SELECT * FROM (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         round({_dk_cos('a.embedding', 'c.embedding')}, 6) AS cosine
+  FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
+) WHERE cosine >= 0.4
+""",
+    "Embedding near-dup with sign-LSH blocking: candidate pairs only within "
+    "a bucket — the equi-join scale path for cosine_pairs",
+)
+def q_dedup_emb_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.dedup import cosine_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = F.concat(
+        *[
+            F.when(F.get(F.col("embedding"), i) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for i in range(4)
+        ]
+    )
+    b = emb.withColumn("bkt", bucket)
+    return cosine_pairs(b, "vec_id", "embedding", threshold=0.4, block_col="bkt")
+
+
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25}
+
+
+def _dk_byte0(expr: str) -> str:
+    return (
+        f"((strpos('0123456789abcdef', substr(md5({expr}), 1, 1)) - 1) * 16 + "
+        f"(strpos('0123456789abcdef', substr(md5({expr}), 2, 1)) - 1))"
+    )
+
+
+@register(
+    "sample_stratified",
+    f"""
+SELECT doc_id, lang FROM documents
+WHERE {_dk_byte0("CAST(doc_id AS VARCHAR)")} <
+      (CASE WHEN lang = 'en' THEN 0.5
+            WHEN lang = 'de' THEN 0.25 ELSE 1.0 END) * 256
+""",
+    "Deterministic stratified downsampling: keep iff byte0(md5(id)) < "
+    "rate(lang) * 256 — reproducible, shuffle-free",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(docs, "lang", _SAMPLE_RATES, "doc_id")
+    return out.select("doc_id", "lang")
+
+
+@register(
+    "shard_token_budget",
+    """
+WITH t AS (
+  SELECT doc_id, lang,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+           AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor((cum - n_tokens) / 4096.0) AS BIGINT) AS shard_id
+FROM c
+""",
+    "Token-budget training shards: per-lang exclusive prefix sum / budget "
+    "(parallel per-stratum windows, no global sort)",
+)
+def q_shard_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.sampling import shard_by_token_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = shard_by_token_budget(
+        docs, "text", "doc_id", stratum_col="lang", budget=4096
+    )
+    return out.select("doc_id", "lang", "n_tokens", "shard_id")
+
+
+@register(
+    "text_tfidf_topterms",
+    r"""
+WITH tok AS (
+  SELECT doc_id,
+         UNNEST(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+           AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+docfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS nd FROM tf),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln((n.nd + 1) / (docfreq.df + 1.0)), 6) AS tfidf
+  FROM tf JOIN docfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tfidf, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+""",
+    "Top-3 characteristic terms per doc by smoothed tf-idf",
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.text_stats import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "text", "doc_id", k=3)
+
+
+# ---------------------------------------------------------------------------
 # Events: tumbling window agg, sessionization, props extraction — batch twins
 # of the streaming mode
 # ---------------------------------------------------------------------------

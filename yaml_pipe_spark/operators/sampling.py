@@ -1,0 +1,79 @@
+"""Training-corpus assembly operators: deterministic sampling and sharding.
+
+A 100 TB training-data pipeline rarely ships a corpus verbatim: it
+downsamples over-represented strata (by language/source/quality band) and
+packs the survivors into fixed-budget shards for the trainer. Both operators
+here are deterministic — sampling decisions derive from a content hash, not
+rand() — so runs are reproducible, incremental re-runs make identical
+decisions for unchanged rows, and each op is checkable against a plain SQL
+oracle like every other operator in the engine.
+
+Scale notes: the hash-sample is a stateless narrow filter (no shuffle, fully
+pushed into the scan stage); sharding is one window shuffle on the stratum
+key, and keeping the running sum per-stratum (not global) avoids the
+single-partition global-window trap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from yaml_pipe_spark.functions.hashing import hex_pair_to_int
+from yaml_pipe_spark.functions.text import tokens
+
+
+def hash_sample_flag(key: Column, rate: Column) -> Column:
+    """Deterministic keep/drop: keep iff byte_0(md5(key)) < rate * 256.
+
+    The same key always samples the same way at the same rate, across runs
+    and engines (md5 hex is the cross-engine primitive, functions.hashing).
+    """
+    return hex_pair_to_int(F.md5(key.cast("string")), 1) < rate * 256
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Per-stratum deterministic downsampling: `rates` maps stratum value ->
+    keep probability; unlisted strata keep `default_rate`. A narrow filter —
+    no shuffle, no state, reproducible."""
+    rate = F.lit(default_rate)
+    for value, r in rates.items():
+        rate = F.when(F.col(stratum_col) == value, F.lit(r)).otherwise(rate)
+    return df.filter(hash_sample_flag(F.col(key_col), rate))
+
+
+def shard_by_token_budget(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stratum_col: str | None = None,
+    budget: int = 4096,
+) -> DataFrame:
+    """Assign docs to fixed-token-budget training shards.
+
+    shard_id = floor(exclusive-prefix-sum(n_tokens) / budget) within the
+    stratum, docs ordered by id. Deterministic, and per-stratum windows keep
+    the prefix sum parallel (a global ordering would serialize on one
+    reducer). Oversized single docs still get their own shard(s) — the
+    assignment is a streaming-friendly running sum, not bin packing.
+    """
+    part = [stratum_col] if stratum_col else []
+    w = (
+        W.partitionBy(*part)
+        .orderBy(F.col(id_col))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    n_tok = F.size(tokens(F.col(text_col)))
+    out = df.withColumn("n_tokens", n_tok.cast("long")).withColumn(
+        "__cum", F.sum("n_tokens").over(w)
+    )
+    return out.withColumn(
+        "shard_id", F.floor((F.col("__cum") - F.col("n_tokens")) / budget)
+    ).drop("__cum")

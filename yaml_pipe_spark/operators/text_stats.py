@@ -133,3 +133,52 @@ def doc_fingerprint(
         F.max(F.md5(F.col("shingle"))).alias("fp_max"),
         F.countDistinct("shingle").alias("n_shingles"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    decimals: int = 6,
+) -> DataFrame:
+    """Top-k characteristic terms per doc by smoothed tf-idf.
+
+    tf = term count within the doc; idf = ln((N + 1) / (df + 1)) with N the
+    number of docs contributing tokens and df the term's document frequency.
+    One shuffle for tf (groupBy doc, term), one for df (groupBy term, the
+    small side of a broadcast-able join at any corpus size where the
+    vocabulary fits the broadcast threshold — otherwise a shuffle join on
+    term), one window for the per-doc top-k. Ties broken lexicographically.
+    Returns (id, term, tfidf DOUBLE rounded, rank).
+    """
+    from pyspark.sql import Window as W
+
+    from yaml_pipe_spark.functions.text import tokens
+
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    n_docs = tf.select(id_col).distinct().agg(
+        F.count("*").alias("__n")
+    )
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("__n") + 1) / (F.col("df") + 1)),
+                decimals,
+            ),
+        )
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", "rank")
+    )
