@@ -1,0 +1,80 @@
+"""Plan-quality regression tests: the scale claims in README/operator
+docstrings, asserted against the actual physical plans. A correct result
+computed through the wrong plan (no pushdown, needless shuffle, Python in
+the hot path) is a bug at 100 TB even if small-SF values match."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from tests.conftest import SF_SMALL
+from yaml_pipe_spark.entrypoints import REGISTRY
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def _q(name, spark):
+    return REGISTRY[name].fn(spark, SF_SMALL)
+
+
+def test_filter_and_projection_pushed_to_scan(spark):
+    plan = _plan(_q("rel_pricing_summary", spark))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual" in plan
+    # column pruning: the scan must not read all 16 lineitem columns
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_comment" not in read and "l_partkey" not in read
+
+
+def test_small_dims_broadcast(spark):
+    plan = _plan(_q("rel_nation_revenue", spark))
+    assert "BroadcastHashJoin" in plan
+    # the 25-row nation table must never be the shuffle side
+    assert "Exchange hashpartitioning(n_nationkey" not in plan
+
+
+def test_stratified_sample_is_narrow(spark):
+    # deterministic hash sampling is a pure filter: no Exchange anywhere
+    plan = _plan(_q("sample_stratified", spark))
+    assert "Exchange" not in plan
+
+
+def test_topk_is_take_ordered(spark):
+    # exact top-k must compile to TakeOrderedAndProject (per-partition heap,
+    # k rows to the driver), not a global sort
+    plan = _plan(_q("q1_topk_cosine", spark))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan or "global=true" not in plan
+
+
+def test_codegen_covers_expression_pipeline(spark):
+    # the flagship chunk+hash+agg chain stays inside whole-stage codegen —
+    # no Python evaluation nodes. (AQE's pre-execution plan hides codegen
+    # spans, so disable it for the explain only.)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(_q("flagship", spark), "simple")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # codegen stages print as "*(n)" prefixes in simple mode
+    assert "*(1)" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_aggregation_has_map_side_combine(spark):
+    # partial + final HashAggregate pairs around the shuffle
+    plan = _plan(_q("rel_pricing_summary", spark), "simple")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_python_only_where_declared(spark):
+    # the recursive-parity chunker is the ONE sanctioned Python row path in
+    # the chunker family; the oracle-checked chunkers must stay JVM-side
+    for name in ("c1_fixed_chunk", "c2_markdown_chunk", "c3_adaptive_chunk"):
+        plan = _plan(_q(name, spark), "simple")
+        assert "EvalPython" not in plan, name

@@ -55,7 +55,7 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 
 FLAGSHIP_ORACLE = """
 WITH docs AS (
-  SELECT doc_id, lang, text FROM documents WHERE length(trim(text)) > 0
+  SELECT doc_id, lang, text FROM documents WHERE length(trim(text, e' \n\r\t')) > 0
 ),
 starts AS (
   SELECT doc_id, lang, text,
@@ -97,7 +97,7 @@ def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT doc_id, source, lang, CAST(n_chars AS BIGINT) AS n_chars,
        sha256(text) AS content_hash
-FROM documents WHERE length(trim(text)) > 0
+FROM documents WHERE length(trim(text, e' \n\r\t')) > 0
 """,
     "S1 LocalFileSource: skip empty docs, sha256 content hash",
 )
@@ -121,7 +121,7 @@ def q_s1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c1_fixed_chunk",
     """
 WITH docs AS (
-  SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
+  SELECT doc_id, text FROM documents WHERE length(trim(text, e' \n\r\t')) > 0
 ),
 starts AS (
   SELECT doc_id, text, UNNEST(generate_series(1, length(text), 160)) AS s
@@ -152,7 +152,7 @@ def q_c1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 C2_ORACLE = r"""
 WITH docs AS (
-  SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
+  SELECT doc_id, text FROM documents WHERE length(trim(text, e' \n\r\t')) > 0
 ),
 marked AS (
   SELECT doc_id,
@@ -350,7 +350,7 @@ def _dk_cos(a: str, b: str) -> str:
 @register(
     "e_hash_embed",
     """
-WITH d AS (SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0),
+WITH d AS (SELECT doc_id, text FROM documents WHERE length(trim(text, e' \n\r\t')) > 0),
 x AS (SELECT doc_id, text, UNNEST(generate_series(1, 8)) AS dim FROM d),
 h AS (SELECT doc_id, dim, md5(CAST(dim AS VARCHAR) || ':' || text) AS hh FROM x)
 SELECT doc_id, CAST(dim AS BIGINT) AS dim,
@@ -451,7 +451,7 @@ def q_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "t2_changed_anti_join",
     """
-WITH d AS (SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0),
+WITH d AS (SELECT doc_id, text FROM documents WHERE length(trim(text, e' \n\r\t')) > 0),
 cur AS (
   SELECT CAST(doc_id AS VARCHAR) AS item_id,
          sha256(CASE WHEN doc_id % 5 = 0 THEN text || '!' ELSE text END)
@@ -1278,7 +1278,7 @@ def q_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c3_adaptive_chunk",
     r"""
 WITH docs AS (
-  SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
+  SELECT doc_id, text FROM documents WHERE length(trim(text, e' \n\r\t')) > 0
 ),
 cls AS (
   SELECT doc_id, text,
@@ -1725,7 +1725,7 @@ _DK_EMB_DIM = (
     "pipeline_full",
     f"""
 WITH docs AS (
-  SELECT doc_id, source, text FROM documents WHERE length(trim(text)) > 0
+  SELECT doc_id, source, text FROM documents WHERE length(trim(text, e' \n\r\t')) > 0
 ),
 starts AS (
   SELECT doc_id, source, text,

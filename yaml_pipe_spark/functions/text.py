@@ -17,9 +17,12 @@ def non_empty(col: Column) -> Column:
     """True iff the text has any non-whitespace content.
 
     Reference: components/sources.py:94-96 (skip empty files),
-    components/chunkers.py:70-74 (empty doc -> no chunks).
+    components/chunkers.py:70-74 (empty doc -> no chunks). The reference
+    uses Python str.strip(), which strips ALL whitespace — so the filter
+    trims space/newline/cr/tab, not SQL trim()'s spaces-only default.
+    DuckDB twin: length(trim(text, e' \\n\\r\\t')) > 0.
     """
-    return F.length(F.trim(col)) > 0
+    return F.length(F.btrim(col, F.lit(" \n\r\t"))) > 0
 
 
 def normalize_lines(col: Column) -> Column:
