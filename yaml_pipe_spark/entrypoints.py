@@ -706,10 +706,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(docs, "text", "doc_id")
 
 
-@register(
-    "dedup_simhash_pairs",
-    f"""
-WITH {SIMHASH_FP_CTE},
+_SIMHASH_PAIR_CTES = f"""{SIMHASH_FP_CTE},
 expanded AS (
   SELECT doc_id, simhash, UNNEST(generate_series(0, 3)) AS band_id FROM fp
 ),
@@ -731,7 +728,13 @@ ham AS (
                          i -> substr(fa, CAST(i AS INT), 1)
                               <> substr(fb, CAST(i AS INT), 1))) AS hamming
   FROM pairs
-)
+)"""
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+WITH {_SIMHASH_PAIR_CTES}
 SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
 FROM ham WHERE hamming <= 3
 """,
@@ -746,6 +749,40 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     fps = simhash_fingerprints(docs, "text", "doc_id")
     return simhash_near_duplicates(fps, "doc_id", bits=64, bands=4, max_hamming=3)
+
+
+@register(
+    "dedup_cluster_resolution",
+    f"""
+WITH RECURSIVE {_SIMHASH_PAIR_CTES},
+p AS (SELECT id_a, id_b FROM ham WHERE hamming <= 3),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM p
+  UNION
+  SELECT id_b AS a, id_a AS b FROM p
+),
+reach(n, m) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+)
+SELECT n AS doc_id, min(m) AS cluster_rep FROM reach GROUP BY n
+""",
+    "Near-dup cluster resolution: connected components (iterative min-label "
+    "propagation) over SimHash pairs; rep = min doc_id in the component",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.dedup import (
+        connected_components,
+        simhash_fingerprints,
+        simhash_near_duplicates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = simhash_fingerprints(docs, "text", "doc_id")
+    prs = simhash_near_duplicates(fps, "doc_id", bits=64, bands=4, max_hamming=3)
+    cc = connected_components(prs)
+    return cc.select(F.col("node").alias("doc_id"), "cluster_rep")
 
 
 @register(

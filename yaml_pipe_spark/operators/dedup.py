@@ -379,3 +379,79 @@ def cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster resolution: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Resolve pairwise matches into clusters: (node, cluster_rep) where
+    cluster_rep = the minimum node id reachable through the pair graph.
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own label and its neighbors' labels; converged when no label changes.
+    Rounds needed ~ graph diameter (near-dup clusters are tiny, so 2-4 in
+    practice); each round is one shuffle (join + groupBy min). Lineage is cut
+    with localCheckpoint per round so plans don't grow exponentially — the
+    standard Spark shape for iterative algorithms (GraphFrames' CC does the
+    doubling variant of the same loop). The driver holds only the converged
+    flag, never the data.
+
+    DuckDB twin: WITH RECURSIVE reachability + min per node (see
+    entrypoints.dedup_cluster_resolution).
+    """
+    # The pair graph is orders of magnitude smaller than the corpus (only
+    # matched docs appear). Collapse it to a few partitions before iterating:
+    # per-round cost is then task-scheduling-bound, not shuffle-bound, and
+    # the expensive pair-generation plan is materialized exactly once by the
+    # eager checkpoint instead of once per round.
+    n_parts = max(2, pairs.sparkSession.sparkContext.defaultParallelism // 8)
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .coalesce(n_parts)
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .coalesce(n_parts)
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .coalesce(n_parts)
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_rep"))
