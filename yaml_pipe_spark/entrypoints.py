@@ -786,6 +786,54 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_levenshtein_verify",
+    f"""
+WITH {_SIMHASH_PAIR_CTES},
+p AS (SELECT id_a, id_b FROM ham WHERE hamming <= 3),
+texts AS (SELECT doc_id, substr(text, 1, 80) AS prefix FROM documents)
+SELECT p.id_a, p.id_b,
+       CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_distance
+FROM p
+JOIN texts a ON a.doc_id = p.id_a
+JOIN texts b ON b.doc_id = p.id_b
+WHERE levenshtein(a.prefix, b.prefix) <= 20
+""",
+    "Edit-distance verification of SimHash candidates: levenshtein on "
+    "80-char prefixes (bounded cost per pair), fuzzy-match surface",
+)
+def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_near_duplicates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = simhash_fingerprints(docs, "text", "doc_id")
+    prs = simhash_near_duplicates(
+        fps, "doc_id", bits=64, bands=4, max_hamming=3
+    ).select("id_a", "id_b")
+    texts = docs.select(
+        "doc_id", F.substring("text", 1, 80).alias("prefix")
+    )
+    a = texts.select(
+        F.col("doc_id").alias("id_a"), F.col("prefix").alias("pa")
+    )
+    b = texts.select(
+        F.col("doc_id").alias("id_b"), F.col("prefix").alias("pb")
+    )
+    return (
+        prs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "edit_distance",
+            F.levenshtein(F.col("pa"), F.col("pb")).cast("long"),
+        )
+        .filter(F.col("edit_distance") <= 20)
+        .select("id_a", "id_b", "edit_distance")
+    )
+
+
+@register(
     "dedup_embedding_cosine",
     f"""
 SELECT * FROM (
@@ -1205,6 +1253,22 @@ def q_rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+@register(
+    "rel_cube_flag_status",
+    """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n, round(avg(l_discount), 4) AS avg_disc
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    "CUBE grouping sets: all 4 combinations of subtotals in one pass",
+)
+def q_rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.avg("l_discount"), 4).alias("avg_disc")
     )
 
 
