@@ -1952,14 +1952,25 @@ _STREAM_COUNTER = [0]
 
 
 def _drain_to_memory(stream_df, output_mode: str, name: str):
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # Stateful streaming operators pay a per-shuffle-partition state-store
+    # cost (open/commit per micro-batch per partition); at test scale 32
+    # partitions are pure overhead, so drain with 8. The partition count is
+    # baked into the checkpoint at first run — production picks it by target
+    # state size per partition, not by core count.
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return name
 
 
@@ -2007,6 +2018,79 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INTERVAL_JOIN_ORACLE = """
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+       v.event_id AS view_id, v.ts AS view_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND v.ts >= p.ts - INTERVAL 1 HOUR
+ AND v.ts <= p.ts
+"""
+
+
+@register(
+    "events_interval_join",
+    INTERVAL_JOIN_ORACLE,
+    "Interval join: views within 1h before each purchase (shuffle on "
+    "user_id + range predicate, per-key linear)",
+)
+def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    cond = (
+        (p.user_id == v.v_user_id)
+        & (v.view_ts >= p.purchase_ts - F.expr("INTERVAL 1 HOUR"))
+        & (v.view_ts <= p.purchase_ts)
+    )
+    return p.join(v, cond).select(
+        "purchase_id", "user_id", "purchase_ts", "view_id", "view_ts"
+    )
+
+
+@register(
+    "stream_interval_join",
+    INTERVAL_JOIN_ORACLE,
+    "Stream-stream interval join with two-sided watermarks (availableNow "
+    "drain) — same oracle as the batch twin",
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.streaming.stream import (
+        stream_events,
+        streaming_interval_join,
+    )
+
+    _STREAM_COUNTER[0] += 1
+    name = f"stream_ij_q{_STREAM_COUNTER[0]}"
+    ev1 = stream_events(spark, sf_dir)
+    ev2 = stream_events(spark, sf_dir)
+    p = ev1.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("l_ts"),
+    )
+    v = ev2.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("r_ts"),
+    )
+    joined = streaming_interval_join(p, v)
+    _drain_to_memory(joined, "append", name)
+    return spark.sql(
+        f"SELECT purchase_id, user_id, l_ts AS purchase_ts, "
+        f"view_id, r_ts AS view_ts FROM {name}"
+    )
+
+
 @register(
     "stream_stateful_counter",
     """
@@ -2051,14 +2135,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     _STREAM_COUNTER[0] += 1
     name = f"stream_tumbling_agg_q{_STREAM_COUNTER[0]}"
     agg = streaming_tumbling_agg(stream_events(spark, sf_dir))
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    _drain_to_memory(agg, "complete", name)
     return spark.sql(f"SELECT * FROM {name}")
 
 

@@ -169,6 +169,29 @@ def stateful_user_counter(
     )
 
 
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    interval: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner interval join: right rows within [left.ts -
+    interval, left.ts] of the same key. Watermarks on both sides bound the
+    join state (right rows older than left's watermark + interval are
+    evicted); inner-join matches emit as soon as both sides arrive."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[on] == r[on])
+        & (r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {interval}"))
+        & (r[right_ts] <= l[left_ts])
+    )
+    return l.join(r, cond, "inner").drop(r[on])
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of the driver events table (nanos handled as in
     tables.load_table)."""
