@@ -1257,6 +1257,76 @@ def q_rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_shipping_priority",
+    """
+SELECT l.l_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-06-15'
+  AND l.l_shipdate > TIMESTAMP '1997-06-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+    "TPC-H Q3-style shipping priority: filtered 3-way join, agg, top-10 "
+    "by revenue (deterministic tiebreaks)",
+)
+def q_rel_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-06-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-15").cast("timestamp")
+    )
+    joined = cust.join(orders, cust.c_custkey == orders.o_custkey).join(
+        li, orders.o_orderkey == li.l_orderkey
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "rel_orders_with_big_lineitems",
+    """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+GROUP BY o_orderpriority
+""",
+    "Semi-join (EXISTS): orders with at least one near-max-quantity item",
+)
+def q_rel_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    big = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 49)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        orders.join(big, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
     "rel_cube_flag_status",
     """
 SELECT l_returnflag, l_linestatus,
