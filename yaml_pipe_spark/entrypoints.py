@@ -2088,6 +2088,38 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_time_weighted_avg",
+    """
+WITH g AS (
+  SELECT user_id, value, epoch_us(ts) AS us,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_us
+  FROM events
+),
+w AS (
+  SELECT user_id, value, COALESCE(next_us - us, 0) AS dt,
+         CASE WHEN next_us IS NULL THEN value END AS last_val
+  FROM g
+)
+SELECT user_id,
+       round(CASE WHEN sum(dt) > 0 THEN sum(value * dt) / sum(dt)
+                  ELSE max(last_val) END, 4) AS twa_value
+FROM w GROUP BY user_id
+""",
+    "Grouped-map UDF (applyInPandas): per-user time-weighted average; "
+    "oracle = the lead()-window formulation of the same math",
+)
+def q_events_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.events import time_weighted_avg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = time_weighted_avg(ev)
+    return out.select(
+        "user_id", F.round(F.col("twa_value"), 4).alias("twa_value")
+    )
+
+
 INTERVAL_JOIN_ORACLE = """
 SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
        v.event_id AS view_id, v.ts AS view_ts

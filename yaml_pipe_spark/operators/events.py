@@ -143,6 +143,50 @@ def asof_join_last_prior(
     )
 
 
+def time_weighted_avg(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key time-weighted average via applyInPandas (grouped-map UDF).
+
+    Each value holds until the key's next event (order: ts, then id_col as
+    the deterministic tiebreak); the last event gets weight 0, so
+    twa = sum(value_i * dt_i) / sum(dt_i) over consecutive gaps.
+    Single-event keys fall back to the last value. Returned unrounded —
+    callers round engine-side (Python round() is banker's rounding and
+    would diverge from SQL ROUND on boundaries).
+
+    This operator exists to exercise the grouped-map surface (one Arrow
+    batch per key group, pandas inside) — the same math is SQL-expressible
+    with lead() windows, which is exactly what makes it oracle-checkable
+    unlike most Python UDFs. One shuffle on the key; group size bounds
+    worker memory (a key's whole history must fit one pandas frame — for
+    unbounded keys use the window formulation instead).
+    """
+    import pandas as pd
+
+    def twa(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col])
+        # ns -> us so dt matches the oracle's epoch_us() integers exactly
+        us = pdf[ts_col].astype("int64") // 1000
+        dt = (us.shift(-1) - us).fillna(0)
+        total = float(dt.sum())
+        if total <= 0:
+            val = float(pdf[value_col].iloc[-1])
+        else:
+            val = float((pdf[value_col] * dt).sum() / total)
+        return pd.DataFrame(
+            {user_col: [pdf[user_col].iloc[0]], "twa_value": [val]}
+        )
+
+    return df.groupBy(user_col).applyInPandas(
+        twa, schema=f"{user_col} long, twa_value double"
+    )
+
+
 def extract_prop(df: DataFrame, props_col: str = "props", key: str = "k"):
     """Portable JSON-ish scalar extraction via regex (works identically in
     Spark and DuckDB without JSON extensions): integer value of `key`."""
