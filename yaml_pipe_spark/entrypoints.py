@@ -488,6 +488,47 @@ def q_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changed_rows(current, state)
 
 
+@register(
+    "t3_state_merge",
+    """
+WITH d AS (SELECT doc_id, text FROM documents
+           WHERE length(trim(text, e' \\n\\r\\t')) > 0),
+cur AS (
+  SELECT CAST(doc_id AS VARCHAR) AS item_id,
+         sha256(CASE WHEN doc_id % 5 = 0 THEN text || '!' ELSE text END)
+           AS content_hash
+  FROM d WHERE doc_id % 2 = 0
+),
+st AS (
+  SELECT CAST(doc_id AS VARCHAR) AS item_id, sha256(text) AS content_hash
+  FROM d WHERE doc_id % 3 = 0
+)
+SELECT item_id, content_hash FROM cur
+UNION ALL
+SELECT s.item_id, s.content_hash FROM st s
+WHERE NOT EXISTS (SELECT 1 FROM cur c WHERE c.item_id = s.item_id)
+""",
+    "T3 ledger upsert (MERGE emulation): batch rows supersede prior entries, "
+    "untouched entries carry over",
+)
+def q_t3_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.state import merge_ledger
+
+    docs = load_table(spark, sf_dir, "documents").filter(non_empty(F.col("text")))
+    cur_text = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit("!"))
+    ).otherwise(F.col("text"))
+    processed = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").cast("string").alias("item_id"),
+        sha256_text(cur_text).alias("content_hash"),
+    )
+    prior = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").cast("string").alias("item_id"),
+        sha256_text(F.col("text")).alias("content_hash"),
+    )
+    return merge_ledger(processed, prior)
+
+
 # ---------------------------------------------------------------------------
 # S4: PostgreSQLSource semantics (sources.py:237-308) — timestamp cursor +
 # first-column-as-content positional projection

@@ -55,6 +55,26 @@ def read_state(spark: SparkSession, state_path: str) -> DataFrame:
         return spark.createDataFrame([], STATE_SCHEMA)
 
 
+def merge_ledger(
+    processed: DataFrame,
+    prior_state: DataFrame,
+    id_col: str = "item_id",
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """T3 upsert as a pure transform: processed rows supersede prior entries
+    with the same item_id; everything else carries over. Returns
+    (item_id, content_hash) — MERGE emulation without Delta, one anti-join
+    plus a union."""
+    new = processed.select(
+        F.col(id_col).cast("string").alias("item_id"),
+        F.col(hash_col).alias("content_hash"),
+    ).dropDuplicates(["item_id"])
+    kept = prior_state.join(new, "item_id", "left_anti").select(
+        "item_id", "content_hash"
+    )
+    return kept.unionByName(new)
+
+
 def commit_state(
     processed: DataFrame,
     prior_state: DataFrame,
@@ -64,9 +84,9 @@ def commit_state(
 ) -> None:
     """Upsert processed (item_id, hash) into the ledger and persist.
 
-    MERGE emulation without Delta: new rows + prior rows not superseded,
-    single overwrite of the (small) state table. updated_at is the commit
-    watermark (T4, state_manager.py:198-202).
+    Single overwrite of the (small) state table; updated_at is the commit
+    watermark (T4, state_manager.py:198-202), carried over for rows the
+    batch did not touch.
     """
     now = F.current_timestamp()
     new = processed.select(
