@@ -168,3 +168,35 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_pipeline_filters_stage(spark, workdir):
+    """Optional document-level filters (dedup/quality/sampling) compose into
+    the spec between change detection and chunking."""
+    _write(os.path.join(workdir["data"], "dup.txt"), "alpha " * 30)  # = a.txt
+    _write(os.path.join(workdir["data"], "tiny.txt"), "hi")
+    cfg = CONFIG_TMPL.format(**workdir) + (
+        "filters:\n"
+        "  - type: exact_dedup\n"
+        "    config: {}\n"
+        "  - type: quality\n"
+        "    config: {min_tokens: 5}\n"
+    )
+    spec = parse_config(cfg)
+    res = run_pipeline(spark, spec)
+    # 4 non-empty docs loaded; dup.txt deduped against a.txt, tiny.txt fails
+    # the token threshold -> chunks only from 2 survivors
+    assert res.n_loaded == 4 and res.n_changed == 4
+    sink = build_component("sink", spec.sink)
+    out = sink.read(spark)
+    sources = {
+        os.path.basename(r.source) for r in out.select("source").distinct().collect()
+    }
+    assert len(sources) == 2
+    assert "tiny.txt" not in sources
+    # dedup keeps exactly one of the identical pair
+    assert len({"a.txt", "dup.txt"} & sources) == 1
+
+    # all 4 changed docs are marked processed (filtered docs must not retry)
+    res2 = run_pipeline(spark, spec)
+    assert res2.skipped

@@ -32,6 +32,10 @@ class PipelineSpec(BaseModel):
     embedder: ComponentSpec
     sink: ComponentSpec
     state_manager: Optional[ComponentSpec] = None
+    # Engine extension beyond the reference's fixed 4-stage spec: an optional
+    # ordered list of document-level filters (dedup / quality / sampling)
+    # applied between change detection and chunking.
+    filters: list[ComponentSpec] = Field(default_factory=list)
 
 
 def parse_config(text: str) -> PipelineSpec:

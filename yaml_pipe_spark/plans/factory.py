@@ -114,11 +114,91 @@ class JDBCSource:
         self.load(spark).limit(0).collect()
 
 
+class ExactDedupFilter:
+    """Document-level exact dedup: keep the lexicographically-smallest
+    item_id per content hash (deterministic; one shuffle on the hash)."""
+
+    def __init__(self, text_col: str = "content", id_col: str = "item_id"):
+        self.text_col, self.id_col = text_col, id_col
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from yaml_pipe_spark.operators.dedup import drop_exact_duplicates
+
+        return drop_exact_duplicates(df, self.text_col, self.id_col)
+
+
+class QualityFilter:
+    """Threshold filter over text_statistics columns (narrow, no shuffle)."""
+
+    def __init__(
+        self,
+        text_col: str = "content",
+        min_tokens: int = 0,
+        max_punct_ratio: float = 1.0,
+        min_quality_score: float = 0.0,
+    ):
+        self.text_col = text_col
+        self.min_tokens = min_tokens
+        self.max_punct_ratio = max_punct_ratio
+        self.min_quality_score = min_quality_score
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from yaml_pipe_spark.operators.text_stats import text_statistics
+
+        stats = text_statistics(df.withColumnRenamed(self.text_col, "text"))
+        kept = stats.filter(
+            (F.col("n_tokens") >= self.min_tokens)
+            & (F.col("punct_ratio") <= self.max_punct_ratio)
+            & (F.col("quality_score") >= self.min_quality_score)
+        )
+        drop = [
+            c
+            for c in kept.columns
+            if c
+            in {
+                "n_chars",
+                "n_tokens",
+                "n_bpe_tokens",
+                "punct_ratio",
+                "digit_ratio",
+                "stopword_ratio",
+                "quality_score",
+            }
+        ]
+        return kept.drop(*drop).withColumnRenamed("text", self.text_col)
+
+
+class StratifiedSampleFilter:
+    """Deterministic hash downsampling per stratum (narrow, reproducible)."""
+
+    def __init__(
+        self,
+        stratum_col: str,
+        rates: dict[str, float],
+        key_col: str = "item_id",
+        default_rate: float = 1.0,
+    ):
+        self.stratum_col, self.rates = stratum_col, rates
+        self.key_col, self.default_rate = key_col, default_rate
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from yaml_pipe_spark.operators.sampling import stratified_sample
+
+        return stratified_sample(
+            df, self.stratum_col, self.rates, self.key_col, self.default_rate
+        )
+
+
 SOURCES = {
     "local_files": LocalFileSource,
     "parquet_documents": ParquetDocumentsSource,
     "web": WebSource,
     "postgresql": JDBCSource,
+}
+FILTERS = {
+    "exact_dedup": ExactDedupFilter,
+    "quality": QualityFilter,
+    "stratified_sample": StratifiedSampleFilter,
 }
 CHUNKERS = {
     "fixed_window": FixedWindowChunker,
@@ -140,6 +220,7 @@ _REGISTRIES = {
     "embedder": EMBEDDERS,
     "sink": SINKS,
     "state_manager": STATE_BACKENDS,
+    "filter": FILTERS,
 }
 
 

@@ -54,6 +54,8 @@ def compile_pipeline(
         item_id = "doc_id" if "doc_id" in docs.columns else "source"
         keyed = docs.withColumn("item_id", F.col(item_id).cast("string"))
         docs = state.filter_changed(keyed, spark)
+    for fspec in spec.filters:
+        docs = build_component("filter", fspec).apply(docs)
     chunks = chunker.apply(docs, "content")
     embedded = embedder.apply(chunks, "chunk")
     return embedded, sink, state
@@ -87,7 +89,11 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec) -> PipelineResult:
         changed.unpersist()
         return PipelineResult(n_loaded, 0, 0, skipped=True)
 
-    chunks = chunker.apply(changed, "content")
+    filtered = changed
+    for fspec in spec.filters:
+        filtered = build_component("filter", fspec).apply(filtered)
+
+    chunks = chunker.apply(filtered, "content")
     embedded = embedder.apply(chunks, "chunk")
     out = embedded.withColumnRenamed("chunk", "text")
     sink.write(out)
