@@ -71,7 +71,9 @@ def token_shingles(
     """Distinct word k-gram shingles per doc: (id_col, shingle).
     Docs with fewer than k tokens produce no shingles (and therefore opt out
     of near-dup detection, like too-short docs in production dedup)."""
-    base = df.select(
+    from yaml_pipe_spark.session import spread_for_expansion
+
+    base = spread_for_expansion(df).select(
         F.col(id_col), tokens(F.col(text_col)).alias("__t")
     ).filter(F.size("__t") >= k)
     # guard above keeps sequence() start<=stop (2-arg sequence would
@@ -229,7 +231,9 @@ def simhash_fingerprints(
     The bit-string form keeps the value engine-portable (no int64 overflow
     or sign semantics to reconcile).
     """
-    tok = df.select(
+    from yaml_pipe_spark.session import spread_for_expansion
+
+    tok = spread_for_expansion(df).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     )
     tf = tok.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))

@@ -156,7 +156,9 @@ def tfidf_top_terms(
 
     from yaml_pipe_spark.functions.text import tokens
 
-    tok = df.select(
+    from yaml_pipe_spark.session import spread_for_expansion
+
+    tok = spread_for_expansion(df).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     )
     tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))

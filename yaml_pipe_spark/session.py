@@ -50,3 +50,16 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def spread_for_expansion(df):
+    """Round-robin repartition a DataFrame to full parallelism IFF it is
+    under-partitioned (e.g., a small compressed parquet arriving as one scan
+    split) — the guard keeps well-partitioned cluster-scale inputs
+    shuffle-free while rescuing the pathological case where a cheap scan
+    feeds an expensive expansion (token/shingle explode) on one core."""
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= par:
+        return df.repartition(par)
+    return df
