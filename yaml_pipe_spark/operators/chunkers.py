@@ -292,9 +292,13 @@ def recursive_character_chunks(
 
         return s.map(safe)
 
+    from yaml_pipe_spark.session import spread_for_expansion
+
     chunks = split_udf(F.col(text_col))
+    # the Python splitter is the CPU cost here — make sure an
+    # under-partitioned scan doesn't serialize it on one worker
     return (
-        df.filter(non_empty(F.col(text_col)))
+        spread_for_expansion(df.filter(non_empty(F.col(text_col))))
         .select(*df.columns, F.posexplode(chunks).alias("__pos", chunk_col))
         .withColumn(index_col, (F.col("__pos") + 1).cast("long"))
         .drop("__pos")
