@@ -1368,6 +1368,55 @@ def q_rel_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_region_customer_rollup",
+    """
+SELECT r.r_name AS region, n.n_name AS nation,
+       count(*) AS n_customers, round(sum(c.c_acctbal), 2) AS total_balance
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+    "Region-nation customer rollup: snowflake dim chain, both dims broadcast",
+)
+def q_rel_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+    )
+
+
+@register(
+    "rel_part_brand_stats",
+    """
+SELECT p_brand,
+       split_part(p_type, ' ', 1) AS type_family,
+       count(*) AS n_parts,
+       round(avg(p_retailprice), 4) AS avg_price,
+       CAST(max(p_size) AS BIGINT) AS max_size
+FROM part GROUP BY p_brand, split_part(p_type, ' ', 1)
+""",
+    "Part catalog stats: string-derived grouping key (split_part) + aggs",
+)
+def q_rel_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    fam = F.split_part(F.col("p_type"), F.lit(" "), F.lit(1))
+    return part.groupBy("p_brand", fam.alias("type_family")).agg(
+        F.count("*").alias("n_parts"),
+        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        F.max("p_size").cast("long").alias("max_size"),
+    )
+
+
+@register(
     "rel_cube_flag_status",
     """
 SELECT l_returnflag, l_linestatus,
