@@ -2179,6 +2179,53 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_retention_cohorts",
+    """
+WITH firsts AS (
+  SELECT user_id,
+         TIMESTAMP '1970-01-01'
+           + (epoch_us(min(ts)) // 604800000000) * INTERVAL '7 days'
+           AS cohort_week
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id,
+         TIMESTAMP '1970-01-01'
+           + (epoch_us(ts) // 604800000000) * INTERVAL '7 days'
+           AS active_week
+  FROM events
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.active_week) // 7 AS BIGINT)
+         AS week_offset,
+       count(DISTINCT a.user_id) AS n_active
+FROM firsts f JOIN active a ON f.user_id = a.user_id
+GROUP BY 1, 2
+""",
+    "Retention cohort matrix: first-seen week x weekly-active offset "
+    "(two aggs + one join, all on user_id; weeks epoch-aligned like "
+    "F.window, NOT DuckDB time_bucket's Monday origin)",
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    week = lambda c: F.window(c, "7 days").start  # noqa: E731
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    firsts = firsts.select(
+        "user_id", week(F.col("first_ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", week(F.col("ts")).alias("active_week")
+    ).distinct()
+    joined = firsts.join(active, "user_id")
+    offset = (
+        F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+    ).cast("long")
+    return joined.groupBy(
+        "cohort_week", offset.alias("week_offset")
+    ).agg(F.countDistinct("user_id").alias("n_active"))
+
+
+@register(
     "events_time_weighted_avg",
     """
 WITH g AS (
