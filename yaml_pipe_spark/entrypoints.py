@@ -2179,6 +2179,59 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_funnel",
+    """
+WITH v AS (
+  SELECT user_id, min(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS c_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS p_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v) AS n_viewed,
+       (SELECT count(*) FROM c) AS n_clicked_after_view,
+       (SELECT count(*) FROM p) AS n_purchased_after_click
+""",
+    "Ordered funnel conversion: view -> later click -> later purchase, "
+    "per-user min-timestamp chaining (3 aggs + 2 joins on user_id)",
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    nv = v.agg(F.count("*").alias("n_viewed"))
+    nc = c.agg(F.count("*").alias("n_clicked_after_view"))
+    np_ = p.agg(F.count("*").alias("n_purchased_after_click"))
+    return nv.crossJoin(nc).crossJoin(np_)
+
+
+@register(
     "events_retention_cohorts",
     """
 WITH firsts AS (
