@@ -1368,6 +1368,37 @@ def q_rel_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_moving_30d_revenue",
+    """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey
+         ORDER BY date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)
+         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS rev_30d
+FROM orders
+""",
+    "Value-based RANGE window frame: per-customer trailing-30-day revenue",
+)
+def q_rel_moving_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "__day",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")),
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("__day"))
+        .rangeBetween(-30, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("rev_30d"),
+    )
+
+
+@register(
     "rel_region_customer_rollup",
     """
 SELECT r.r_name AS region, n.n_name AS nation,
