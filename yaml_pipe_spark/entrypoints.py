@@ -2481,6 +2481,453 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Correlated-subquery / decision-support patterns (TPC-H Q17/Q18/Q21/Q22/Q8
+# analogs over the synthetic tables). These generalize the reference's only
+# subquery-shaped logic (the hit-rate EXISTS scan, evaluation.py:89-95) into
+# the full decorrelated-join repertoire: scalar-subquery broadcast, HAVING on
+# a grouped fact, double-grouped EXISTS/NOT-EXISTS, and window-over-agg
+# ratios. Each decorrelates the subquery into an explicit join so the 100 TB
+# plan is a bounded number of shuffles instead of a per-row probe.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_small_qty_revenue",
+    """
+WITH qlim AS (
+  SELECT l_partkey, 0.5 * avg(l_quantity) AS qlim FROM lineitem GROUP BY 1
+),
+small AS (
+  SELECT l.l_partkey, count(*) AS n, sum(l_extendedprice) AS rev
+  FROM lineitem l JOIN qlim USING (l_partkey)
+  WHERE l.l_quantity < qlim
+  GROUP BY 1
+)
+SELECT p_brand,
+       CAST(sum(n) AS BIGINT) AS n_small_lineitems,
+       round(sum(rev), 2) AS small_qty_revenue
+FROM small JOIN part ON p_partkey = l_partkey
+GROUP BY p_brand
+""",
+    "TPC-H Q17 analog: revenue from below-half-average-quantity lineitems "
+    "per brand; the correlated avg subquery decorrelates into a per-part agg "
+    "joined back on l_partkey",
+)
+def q_rel_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale shape: the per-part avg is |part| rows (lineitem/30); both the
+    # self-join and the brand join hash on partkey, so AQE coalesces one
+    # shuffle. Partial agg per partkey BEFORE the part join shrinks the
+    # probe side to |part| rows.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    qlim = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("qlim")
+    )
+    small = (
+        li.join(qlim, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qlim"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n"), F.sum("l_extendedprice").alias("rev"))
+    )
+    return (
+        small.join(part, small.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum("n").cast("long").alias("n_small_lineitems"),
+            F.round(F.sum("rev"), 2).alias("small_qty_revenue"),
+        )
+    )
+
+
+@register(
+    "rel_large_volume_customers",
+    """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice,
+       round(sum_qty, 2) AS sum_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+""",
+    "TPC-H Q18 analog: large-volume orders (HAVING on a grouped fact) "
+    "joined back to orders and customer",
+)
+def q_rel_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The HAVING filter runs on the grouped fact BEFORE the joins, so only
+    # the ~5% qualifying orderkeys reach the shuffle joins; map-side partial
+    # aggregation bounds the first shuffle.
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "rel_waiting_suppliers",
+    """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL 365 DAY
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+),
+per_sup AS (
+  SELECT l_orderkey, l_suppkey, max(late) AS sup_late
+  FROM li GROUP BY 1, 2
+),
+per_ord AS (
+  SELECT l_orderkey, count(*) AS n_sups, sum(sup_late) AS n_late
+  FROM per_sup GROUP BY 1
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM per_sup
+JOIN per_ord USING (l_orderkey)
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE sup_late = 1 AND n_late = 1 AND n_sups > 1
+GROUP BY s_name
+""",
+    "TPC-H Q21 analog: suppliers who were the ONLY late shipper in a "
+    "multi-supplier finished order (EXISTS + NOT-EXISTS decorrelated into "
+    "two stacked groupings on the same key)",
+)
+def q_rel_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Both groupings and the self-join hash on l_orderkey — one shuffle
+    # lineage reused end-to-end; supplier is the broadcast dim.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.when(
+            F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 365), 1
+        ).otherwise(0).alias("late"),
+    )
+    per_sup = joined.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("sup_late")
+    )
+    per_ord = per_sup.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_sups"), F.sum("sup_late").alias("n_late")
+    )
+    return (
+        per_sup.join(per_ord, "l_orderkey")
+        .filter(
+            (F.col("sup_late") == 1)
+            & (F.col("n_late") == 1)
+            & (F.col("n_sups") > 1)
+        )
+        .join(F.broadcast(sup), per_sup.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+    )
+
+
+@register(
+    "rel_sales_opportunity",
+    """
+WITH thr AS (SELECT avg(c_acctbal) AS thr FROM customer WHERE c_acctbal > 0),
+mxo AS (SELECT max(o_orderdate) AS mxd FROM orders),
+recent AS (
+  SELECT DISTINCT o_custkey FROM orders, mxo
+  WHERE o_orderdate >= mxd - INTERVAL 180 DAY
+)
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer, thr, nation
+WHERE n_nationkey = c_nationkey
+  AND c_acctbal > thr
+  AND NOT EXISTS (SELECT 1 FROM recent WHERE o_custkey = c_custkey)
+GROUP BY n_name
+""",
+    "TPC-H Q22 analog: per nation, rich customers with no order in the "
+    "trailing 180 days — two scalar-subquery broadcasts + anti-join (the "
+    "T2 change-detection join, state_manager.py:155-178, in "
+    "decision-support clothing)",
+)
+def q_rel_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    thr = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("thr")
+    )
+    mxo = orders.agg(F.max("o_orderdate").alias("mxd"))
+    recent = (
+        orders.crossJoin(F.broadcast(mxo))
+        .filter(F.col("o_orderdate") >= F.date_sub(F.col("mxd"), 180))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("thr"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "rel_market_share",
+    """
+WITH rev AS (
+  SELECT r_name, n_name, sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  GROUP BY 1, 2
+)
+SELECT r_name, n_name,
+       round(rev, 2) AS nation_rev,
+       round(rev / sum(rev) OVER (PARTITION BY r_name), 6) AS region_share
+FROM rev
+""",
+    "TPC-H Q8 analog: each supplier-nation's revenue share within its "
+    "region — star join into a window-over-aggregate ratio",
+)
+def q_rel_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    # Star-join shape: the fact shuffles once on suppkey is avoided
+    # entirely — supplier/nation/region all broadcast, so revenue is a
+    # single partial+final agg; the share window runs over |nation| rows.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dims = (
+        sup.join(nation, sup.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "n_name", "r_name")
+    )
+    rev = (
+        li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "rev"
+            )
+        )
+    )
+    w = W.partitionBy("r_name")
+    return rev.select(
+        "r_name",
+        "n_name",
+        F.round("rev", 2).alias("nation_rev"),
+        F.round(F.col("rev") / F.sum("rev").over(w), 6).alias("region_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-scoring extensions: time-decayed engagement and RFM segmentation.
+# Decay uses a rational kernel 1/(1 + age/tau) instead of exp() so the
+# score is pure field arithmetic — bit-identical across engines (the
+# determinism convention from the module docstring); age comes from exact
+# integer microsecond deltas (unix_micros / epoch_us).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_decayed_score",
+    """
+WITH mx AS (SELECT max(epoch_us(ts)) AS mx FROM events)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value / (1 + (mx - epoch_us(ts)) / 86400000000.0 / 7)), 3)
+         AS decayed_score
+FROM events, mx
+GROUP BY user_id
+""",
+    "Time-decayed per-user engagement score (rational decay, tau=7d): "
+    "scalar max-timestamp broadcast + one grouped agg",
+)
+def q_events_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    mx = ev.agg(F.max(F.unix_micros("ts")).alias("mx"))
+    age_days = (F.col("mx") - F.unix_micros("ts")) / 86400000000.0
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(
+                F.sum(F.col("value") / (1 + age_days / 7)), 3
+            ).alias("decayed_score"),
+        )
+    )
+
+
+@register(
+    "events_rfm_segments",
+    """
+WITH mx AS (SELECT max(ts) AS mxts FROM events),
+per_user AS (
+  SELECT user_id,
+         date_diff('day', max(ts), mxts) AS recency_days,
+         count(*) AS frequency,
+         round(coalesce(sum(value) FILTER (WHERE event_type = 'purchase'),
+                        0), 2) AS monetary
+  FROM events, mx
+  GROUP BY user_id, mxts
+),
+med AS (
+  SELECT quantile_cont(recency_days, 0.5) AS r50,
+         quantile_cont(frequency, 0.5) AS f50,
+         quantile_cont(monetary, 0.5) AS m50
+  FROM per_user
+)
+SELECT concat(
+         CASE WHEN recency_days <= r50 THEN 'R1' ELSE 'R2' END,
+         CASE WHEN frequency > f50 THEN 'F1' ELSE 'F2' END,
+         CASE WHEN monetary > m50 THEN 'M1' ELSE 'M2' END
+       ) AS segment,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(sum(monetary), 2) AS total_monetary
+FROM per_user, med
+GROUP BY 1
+""",
+    "RFM (recency/frequency/monetary) user segmentation by median splits "
+    "— two stacked aggs plus a broadcast scalar of exact medians; "
+    "quantile thresholds adapt to scale while the plan stays sort-free "
+    "over events (percentile runs on per-user rows only). Monetary is "
+    "rounded to cents BEFORE the median so boundary users classify "
+    "identically across engines",
+)
+def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    mx = ev.agg(F.max("ts").alias("mxts"))
+    per_user = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id", "mxts")
+        .agg(
+            F.datediff(F.col("mxts"), F.max("ts")).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.round(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("event_type") == "purchase", F.col("value")
+                        )
+                    ),
+                    F.lit(0.0),
+                ),
+                2,
+            ).alias("monetary"),
+        )
+    )
+    med = per_user.agg(
+        F.expr("percentile(recency_days, 0.5)").alias("r50"),
+        F.expr("percentile(frequency, 0.5)").alias("f50"),
+        F.expr("percentile(monetary, 0.5)").alias("m50"),
+    )
+    segment = F.concat(
+        F.when(F.col("recency_days") <= F.col("r50"), "R1").otherwise("R2"),
+        F.when(F.col("frequency") > F.col("f50"), "F1").otherwise("F2"),
+        F.when(F.col("monetary") > F.col("m50"), "M1").otherwise("M2"),
+    )
+    return (
+        per_user.crossJoin(F.broadcast(med))
+        .groupBy(segment.alias("segment"))
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.round(F.sum("monetary"), 2).alias("total_monetary"),
+        )
+    )
+
+
+@register(
+    "text_entropy",
+    """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tf AS (
+  SELECT doc_id, w, count(*) AS c FROM words WHERE w <> '' GROUP BY 1, 2
+),
+tot AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS vocab
+  FROM tf GROUP BY 1
+)
+SELECT tf.doc_id, n_tokens, vocab,
+       round(-sum((c * 1.0 / n_tokens) * ln(c * 1.0 / n_tokens)), 4)
+         AS entropy
+FROM tf JOIN tot USING (doc_id)
+GROUP BY tf.doc_id, n_tokens, vocab
+""",
+    "Unigram Shannon entropy per document — the information-density "
+    "quality signal missing from text_quality's ratio features; explode + "
+    "tf agg + window totals, all one doc_id shuffle lineage",
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    w = W.partitionBy("doc_id")
+    # totals via window over the tf rows: stays in the doc_id shuffle
+    # lineage instead of a second shuffle + self-join
+    tot = tf.select(
+        "doc_id",
+        "c",
+        F.sum("c").over(w).cast("long").alias("n_tokens"),
+        F.count("*").over(w).cast("long").alias("vocab"),
+    )
+    p = F.col("c") / F.col("n_tokens")
+    return tot.groupBy("doc_id", "n_tokens", "vocab").agg(
+        F.round(-F.sum(p * F.log(p)), 4).alias("entropy")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Public contract used by __spark_entry__.py
 # ---------------------------------------------------------------------------
 
