@@ -78,3 +78,44 @@ def test_python_only_where_declared(spark):
     for name in ("c1_fixed_chunk", "c2_markdown_chunk", "c3_adaptive_chunk"):
         plan = _plan(_q(name, spark), "simple")
         assert "EvalPython" not in plan, name
+
+
+def test_market_share_star_join_all_broadcast(spark):
+    # supplier/nation/region are broadcast dims: the lineitem fact must
+    # never shuffle on the join key — revenue is one partial+final agg
+    plan = _plan(_q("rel_market_share", spark))
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning(l_suppkey" not in plan
+
+
+def test_grouping_sets_single_pass(spark):
+    # three resolutions (day / day+type / grand total) in ONE scan: an
+    # Expand node feeding one partial+final agg pair, not three scans
+    plan = _plan(_q("events_grouping_sets", spark), "simple")
+    assert plan.count("Expand") == 1
+    assert plan.count("FileScan") == 1
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_emb_dim_stats_partial_agg_before_shuffle(spark):
+    # the x64 posexplode blowup must be compressed map-side: exactly one
+    # exchange, with a partial HashAggregate below it
+    plan = _plan(_q("emb_dim_stats", spark), "simple")
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_decorrelated_subqueries_stay_jvm_side(spark):
+    # the TPC-H-analog family: correlated subqueries decorrelate into
+    # joins/aggs with zero Python evaluation nodes
+    for name in (
+        "rel_small_qty_revenue",
+        "rel_large_volume_customers",
+        "rel_waiting_suppliers",
+        "rel_sales_opportunity",
+        "events_decayed_score",
+        "events_rfm_segments",
+        "text_entropy",
+    ):
+        plan = _plan(_q(name, spark), "simple")
+        assert "EvalPython" not in plan, name

@@ -2927,6 +2927,169 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_grouping_sets",
+    """
+WITH g AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         CAST(grouping(CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)
+           AS g_day,
+         CAST(grouping(event_type) AS BIGINT) AS g_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         round(sum(value), 2) AS sum_value
+  FROM events
+  GROUP BY GROUPING SETS ((day), (day, event_type), ())
+)
+SELECT CAST(day AS VARCHAR) AS day, event_type, g_day, g_type,
+       n_events, sum_value
+FROM g
+""",
+    "Multi-resolution continuous-aggregate rollup over events via GROUPING "
+    "SETS: per-day, per-day-per-type, and grand total in ONE pass (one "
+    "expand + one shuffle — not three scans); per-column grouping() flags "
+    "instead of grouping_id() because the bit order is engine-defined",
+)
+def q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type", "value"
+    )
+    g = ev.groupingSets(
+        [["day"], ["day", "event_type"], []], "day", "event_type"
+    ).agg(
+        F.grouping("day").cast("long").alias("g_day"),
+        F.grouping("event_type").cast("long").alias("g_type"),
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    # day as a string: computed DATEs round-trip to pandas differently per
+    # engine (datetime64 vs date object), so pin the comparison dtype
+    return g.withColumn("day", F.col("day").cast("string"))
+
+
+@register(
+    "emb_dim_stats",
+    """
+WITH dims AS (
+  SELECT unnest(generate_series(1, len(embedding))) AS dim,
+         unnest(embedding) AS v
+  FROM embeddings
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(v), 4) AS mean_v,
+       round(stddev_samp(v), 4) AS std_v,
+       round(min(v), 4) AS min_v,
+       round(max(v), 4) AS max_v
+FROM dims GROUP BY dim
+""",
+    "Per-dimension corpus statistics over the embedding column (the "
+    "normalize/whiten precursor for IVF centroid training): posexplode -> "
+    "64-key agg; partial aggregation compresses the x64 row blowup back to "
+    "|dims| x |partitions| before the single shuffle",
+)
+def q_emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    dims = emb.select(
+        F.posexplode("embedding").alias("pos", "v")
+    ).select((F.col("pos") + 1).cast("long").alias("dim"), "v")
+    return dims.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("v"), 4).alias("mean_v"),
+        F.round(F.stddev_samp("v"), 4).alias("std_v"),
+        F.round(F.min("v"), 4).alias("min_v"),
+        F.round(F.max("v"), 4).alias("max_v"),
+    )
+
+
+@register(
+    "rel_nation_balance_fulljoin",
+    """
+WITH c AS (
+  SELECT c_nationkey AS nk, count(*) AS n_cust,
+         round(sum(c_acctbal), 2) AS cust_bal
+  FROM customer GROUP BY 1
+),
+s AS (
+  SELECT s_nationkey AS nk, count(*) AS n_supp,
+         round(sum(s_acctbal), 2) AS supp_bal
+  FROM supplier GROUP BY 1
+)
+SELECT CAST(coalesce(c.nk, s.nk) AS BIGINT) AS nationkey,
+       CAST(coalesce(n_cust, 0) AS BIGINT) AS n_cust,
+       coalesce(cust_bal, 0) AS cust_bal,
+       CAST(coalesce(n_supp, 0) AS BIGINT) AS n_supp,
+       coalesce(supp_bal, 0) AS supp_bal
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+""",
+    "Per-nation customer-vs-supplier balance sheet: FULL OUTER join of two "
+    "pre-aggregated sides (aggregate-then-join keeps the outer join at "
+    "|nation| rows instead of row-level)",
+)
+def q_rel_fulljoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_acctbal"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_nationkey", "s_acctbal"
+    )
+    c = cust.groupBy(F.col("c_nationkey").alias("c_nk")).agg(
+        F.count("*").alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).alias("cust_bal"),
+    )
+    s = sup.groupBy(F.col("s_nationkey").alias("s_nk")).agg(
+        F.count("*").alias("n_supp"),
+        F.round(F.sum("s_acctbal"), 2).alias("supp_bal"),
+    )
+    return c.join(s, c.c_nk == s.s_nk, "full_outer").select(
+        F.coalesce("c_nk", "s_nk").cast("long").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).cast("long").alias("n_cust"),
+        F.coalesce("cust_bal", F.lit(0.0)).alias("cust_bal"),
+        F.coalesce("n_supp", F.lit(0)).cast("long").alias("n_supp"),
+        F.coalesce("supp_bal", F.lit(0.0)).alias("supp_bal"),
+    )
+
+
+@register(
+    "stream_static_enrich",
+    """
+WITH profile AS (
+  SELECT user_id, count(*) AS user_events FROM events GROUP BY 1
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       CAST(sum(user_events) AS BIGINT) AS activity_weight
+FROM events JOIN profile USING (user_id)
+GROUP BY event_type
+""",
+    "Stream-static enrichment join: the event stream joined per-microbatch "
+    "against a batch-computed user profile dim (stateless join — no "
+    "watermark state), then a complete-mode agg whose drain equals the "
+    "batch result. The missing join mode from the stream suite: stream "
+    "side unbounded, static side a recomputed-per-batch DataFrame",
+)
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.streaming.stream import stream_events
+
+    batch_ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    profile = batch_ev.groupBy("user_id").agg(
+        F.count("*").alias("user_events")
+    )
+    stream = stream_events(spark, sf_dir).select(
+        "user_id", "event_type", "value"
+    )
+    enriched = stream.join(F.broadcast(profile), "user_id")
+    agg = enriched.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.sum("user_events").cast("long").alias("activity_weight"),
+    )
+    _STREAM_COUNTER[0] += 1
+    name = f"stream_static_enrich_q{_STREAM_COUNTER[0]}"
+    _drain_to_memory(agg, "complete", name)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
 # ---------------------------------------------------------------------------
 # Public contract used by __spark_entry__.py
 # ---------------------------------------------------------------------------
