@@ -150,3 +150,43 @@ def test_hash_embedding_shape_and_range(spark, texts):
         for r in df.select(hash_embedding(F.col("text"), 8).alias("e")).collect()
     ]
     assert vecs == again
+
+
+def test_entropy_bounds_and_rfm_partition(spark):
+    """Structural invariants of the curation queries at sf0.001:
+    - unigram entropy lies in [0, ln(vocab)] and n_tokens >= vocab;
+    - RFM segments partition the user set exactly (sum n_users = |users|);
+    - repetition fractions and contamination fractions lie in [0, 1]."""
+    import math
+
+    from tests.conftest import SF_SMALL
+    from yaml_pipe_spark.entrypoints import REGISTRY
+    from yaml_pipe_spark.tables import load_table
+
+    ent = REGISTRY["text_entropy"].fn(spark, SF_SMALL).collect()
+    assert ent
+    for r in ent:
+        assert r.vocab <= r.n_tokens
+        # entropy is rounded to 4 decimals, so allow the rounding quantum
+        assert -1e-9 <= r.entropy <= math.log(r.vocab) + 5e-5, r
+
+    n_users = (
+        load_table(spark, SF_SMALL, "events")
+        .select("user_id").distinct().count()
+    )
+    rfm = REGISTRY["events_rfm_segments"].fn(spark, SF_SMALL).collect()
+    assert sum(r.n_users for r in rfm) == n_users
+    assert len({r.segment for r in rfm}) == len(rfm)
+
+    rep = REGISTRY["text_repetition"].fn(spark, SF_SMALL).collect()
+    assert rep
+    for r in rep:
+        for f in (r.dup_bigram_frac, r.dup_trigram_frac, r.top_word_frac):
+            if f is not None:
+                assert 0.0 <= f <= 1.0, r
+
+    dec = REGISTRY["text_decontaminate"].fn(spark, SF_SMALL).collect()
+    assert dec
+    for r in dec:
+        assert 0 <= r.n_contaminated <= r.n_grams, r
+        assert 0.0 <= r.contamination_frac <= 1.0, r

@@ -3091,6 +3091,205 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-corpus curation extensions: within-document repetition stats
+# (the Gopher/C4 repetition filters), train/test n-gram decontamination,
+# and domain mixing weights. These extend the text_* quality family the
+# same way dedup_* extends T2: filters a 100 TB pretraining pipeline runs
+# between ingestion and sharding.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition",
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, w,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+         lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+  FROM toks
+),
+g AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         count(w2) AS n2,
+         count(DISTINCT CASE WHEN w2 IS NOT NULL
+                             THEN w || ' ' || w2 END) AS d2,
+         count(w3) AS n3,
+         count(DISTINCT CASE WHEN w3 IS NOT NULL
+                             THEN w || ' ' || w2 || ' ' || w3 END) AS d3
+  FROM grams GROUP BY 1
+),
+tf AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
+top AS (SELECT doc_id, max(c) AS mx FROM tf GROUP BY 1)
+SELECT g.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(1 - d2 * 1.0 / nullif(n2, 0), 4) AS dup_bigram_frac,
+       round(1 - d3 * 1.0 / nullif(n3, 0), 4) AS dup_trigram_frac,
+       round(mx * 1.0 / n_tokens, 4) AS top_word_frac
+FROM g JOIN top USING (doc_id)
+""",
+    "Gopher-style within-document repetition filter: duplicate bigram/"
+    "trigram fractions (via lead() windows — no gram materialization "
+    "blowup) + most-frequent-word share; everything in one doc_id shuffle "
+    "lineage",
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    grams = toks.select(
+        "doc_id",
+        "w",
+        F.lead("w").over(w).alias("w2"),
+        F.lead("w", 2).over(w).alias("w3"),
+    )
+    bigram = F.when(
+        F.col("w2").isNotNull(), F.concat_ws(" ", "w", "w2")
+    )
+    trigram = F.when(
+        F.col("w3").isNotNull(), F.concat_ws(" ", "w", "w2", "w3")
+    )
+    g = grams.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.count("w2").alias("n2"),
+        F.countDistinct(bigram).alias("d2"),
+        F.count("w3").alias("n3"),
+        F.countDistinct(trigram).alias("d3"),
+    )
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    top = tf.groupBy("doc_id").agg(F.max("c").alias("mx"))
+    return g.join(top, "doc_id").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(
+            1 - F.col("d2") / F.nullif(F.col("n2"), F.lit(0)), 4
+        ).alias("dup_bigram_frac"),
+        F.round(
+            1 - F.col("d3") / F.nullif(F.col("n3"), F.lit(0)), 4
+        ).alias("dup_trigram_frac"),
+        F.round(F.col("mx") / F.col("n_tokens"), 4).alias("top_word_frac"),
+    )
+
+
+@register(
+    "text_decontaminate",
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         w || ' ' || lead(w)    OVER (PARTITION BY doc_id ORDER BY pos)
+           || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos)
+           || ' ' || lead(w, 3) OVER (PARTITION BY doc_id ORDER BY pos)
+           || ' ' || lead(w, 4) OVER (PARTITION BY doc_id ORDER BY pos)
+           AS gram
+  FROM toks
+),
+train_grams AS (
+  SELECT DISTINCT gram FROM grams
+  WHERE doc_id % 10 < 8 AND gram IS NOT NULL
+),
+test AS (
+  SELECT doc_id, gram FROM grams
+  WHERE doc_id % 10 >= 8 AND gram IS NOT NULL
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(tr.gram) AS BIGINT) AS n_contaminated,
+       round(count(tr.gram) * 1.0 / count(*), 4) AS contamination_frac
+FROM test t LEFT JOIN train_grams tr USING (gram)
+GROUP BY t.doc_id
+""",
+    "Train/test decontamination: 5-gram overlap of held-out docs "
+    "(doc_id%10>=8) against the train split — sliding grams via lead() "
+    "windows, train side deduplicated BEFORE the equi-join so the probe "
+    "is |distinct grams|, the standard benchmark-leakage check",
+)
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", i).over(w) for i in range(1, 5)]
+    gram = F.concat_ws(" ", *parts)
+    # concat_ws skips nulls, so guard: a full 5-gram needs lead(w,4) set
+    grams = toks.select(
+        "doc_id",
+        F.when(F.lead("w", 4).over(w).isNotNull(), gram).alias("gram"),
+    ).filter(F.col("gram").isNotNull())
+    train = (
+        grams.filter(F.col("doc_id") % 10 < 8).select("gram").distinct()
+    )
+    test = grams.filter(F.col("doc_id") % 10 >= 8)
+    joined = test.join(
+        train.withColumnRenamed("gram", "tr_gram"),
+        test.gram == F.col("tr_gram"),
+        "left",
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.count("tr_gram").cast("long").alias("n_contaminated"),
+        F.round(F.count("tr_gram") / F.count("*"), 4).alias(
+            "contamination_frac"
+        ),
+    )
+
+
+@register(
+    "corpus_mix_weights",
+    """
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len(string_split(text, ' '))) AS n_tokens
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT sum(n_tokens) AS t, count(*) AS k FROM per)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(n_tokens * 1.0 / t, 6) AS token_share,
+       round((1.0 / k) / (n_tokens * 1.0 / t), 4) AS uniform_mix_weight
+FROM per, tot
+""",
+    "Domain mixing weights: per-source token share and the up/down-"
+    "sampling weight that flattens the mix to uniform — the sampling-"
+    "ratio input for corpus assembly (pairs with sample_stratified / "
+    "shard_token_budget); token counting is a narrow map, one tiny agg",
+)
+def q_corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("t"), F.count("*").alias("k")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.col("n_tokens") / F.col("t"), 6).alias("token_share"),
+        F.round(
+            (1.0 / F.col("k")) / (F.col("n_tokens") / F.col("t")), 4
+        ).alias("uniform_mix_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Public contract used by __spark_entry__.py
 # ---------------------------------------------------------------------------
 
