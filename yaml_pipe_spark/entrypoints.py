@@ -3289,6 +3289,54 @@ def q_corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rel_price_histogram",
+    """
+WITH mm AS (
+  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+)
+SELECT CAST(least(floor((o_totalprice - lo) * 20 / (hi - lo)), 19) + 1
+            AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(min(o_totalprice), 2) AS bucket_min,
+       round(max(o_totalprice), 2) AS bucket_max
+FROM orders, mm
+GROUP BY 1
+""",
+    "Equi-width 20-bucket histogram of order totals over a broadcast "
+    "min/max scalar — two narrow passes, one tiny agg (the profiling "
+    "primitive behind skew detection and range partitioning). Bucketing "
+    "is spelled as identical floor arithmetic in BOTH engines (duckdb "
+    "has no width_bucket) so boundary values land identically",
+)
+def q_rel_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    mm = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    bucket = (
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                * 20
+                / (F.col("hi") - F.col("lo"))
+            ),
+            F.lit(19),
+        )
+        + 1
+    )
+    return (
+        orders.crossJoin(F.broadcast(mm))
+        .select(bucket.cast("long").alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("bucket_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bucket_max"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public contract used by __spark_entry__.py
 # ---------------------------------------------------------------------------
