@@ -3337,6 +3337,63 @@ def q_rel_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sample_weighted",
+    """
+WITH w AS (
+  SELECT doc_id, source, n_chars,
+         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|ws'), 1, 8))
+               AS BIGINT) % 1000000) / 1000000.0 AS u
+  FROM documents
+),
+tot AS (SELECT sum(n_chars) AS sum_w, count(*) AS n FROM w)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       round(least(0.3 * n_chars * n / sum_w, 1.0), 6) AS p_include
+FROM w, tot
+WHERE u < least(0.3 * n_chars * n / sum_w, 1.0)
+""",
+    "Deterministic size-weighted Bernoulli sample (~30% expected, "
+    "probability proportional to n_chars): the importance-downsampling "
+    "primitive for corpus assembly. The coin is a hash-derived uniform "
+    "(md5 -> integer -> [0,1)) and the threshold pure field arithmetic, "
+    "so selection is reproducible across engines AND across runs — a "
+    "pure filter + one broadcast scalar, no shuffle of the corpus",
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|ws"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    ) / 1000000.0
+    tot = docs.agg(
+        F.sum("n_chars").alias("sum_w"), F.count("*").alias("n")
+    )
+    p = F.least(
+        0.3 * F.col("n_chars") * F.col("n") / F.col("sum_w"), F.lit(1.0)
+    )
+    return (
+        docs.withColumn("u", u)
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("u") < p)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.round(p, 6).alias("p_include"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public contract used by __spark_entry__.py
 # ---------------------------------------------------------------------------
