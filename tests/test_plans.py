@@ -119,3 +119,11 @@ def test_decorrelated_subqueries_stay_jvm_side(spark):
     ):
         plan = _plan(_q(name, spark), "simple")
         assert "EvalPython" not in plan, name
+
+
+def test_weighted_sample_corpus_stays_narrow(spark):
+    # the corpus side is a pure filter + broadcast scalar: the documents
+    # scan must never hash-shuffle
+    plan = _plan(_q("sample_weighted", spark))
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning(doc_id" not in plan
