@@ -127,3 +127,28 @@ def test_weighted_sample_corpus_stays_narrow(spark):
     plan = _plan(_q("sample_weighted", spark))
     assert "SortMergeJoin" not in plan
     assert "Exchange hashpartitioning(doc_id" not in plan
+
+
+def test_order_gaps_has_no_global_window(spark):
+    # quartiles come from broadcast percentile thresholds, not
+    # ntile() OVER (ORDER BY ...): no window or sort may be global
+    # (single-partition) anywhere in the plan
+    plan = _plan(_q("rel_order_gaps", spark))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    for line in plan.splitlines():
+        if "Sort [" in line and "global=true" in line:
+            raise AssertionError(f"global sort in plan: {line}")
+    assert "ntile" not in plan
+    # the lag window runs per-customer over a hash-partitioned exchange
+    # (the only SinglePartition exchange allowed is the 3-scalar threshold
+    # aggregate feeding the broadcast)
+    assert "Exchange hashpartitioning(o_custkey" in plan
+
+
+def test_twa_window_variant_is_jvm_only(spark):
+    # the production TWA is pure Catalyst (lead window + agg); the
+    # applyInPandas twin is the sanctioned grouped-map demo
+    plan = _plan(_q("events_time_weighted_window", spark), "simple")
+    assert "EvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
+    demo = _plan(_q("events_time_weighted_avg", spark), "simple")
+    assert "FlatMapGroupsInPandas" in demo

@@ -130,9 +130,14 @@ def cmd_eval(args) -> int:
         F.col("expected_source").alias("expected"),
         F.col("embedding").alias("qv"),
     )
+    # stable candidate id: knn_join breaks score ties on id_col, so the id
+    # must be deterministic across runs (monotonically_increasing_id is
+    # partition-layout-dependent and would make tied top-k nondeterministic)
     corpus_k = corpus.select(
         F.col("source").alias("cand_source"),
-        F.monotonically_increasing_id().alias("cid"),
+        F.sha2(F.concat_ws("\x1f", F.col("source"), F.col("text")), 256).alias(
+            "cid"
+        ),
         "embedding",
     )
     nn = knn_join(

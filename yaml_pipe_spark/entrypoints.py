@@ -112,6 +112,92 @@ def q_s1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-extension parse dispatch (reference sources.py:92-93: unstructured
+# element extraction + "\n\n" join). The corpus gets a deterministic synthetic
+# extension per doc (hash of doc_id over txt/md/html), then one CASE-WHEN
+# dispatch applies that format's parser — all Catalyst expressions; the
+# element split/trim regexes use explicit whitespace classes so Java regex
+# and DuckDB RE2 agree (\s differs between them).
+_DK_ELS = (
+    "list_filter(list_transform(regexp_split_to_array({src}, "
+    "'\\n[ \\t\\r]*\\n[ \\t\\r\\n]*'), x -> regexp_replace(regexp_replace(x, "
+    "'^[ \\t\\r\\n]+', ''), '[ \\t\\r\\n]+$', '')), x -> length(x) > 0)"
+)
+
+_DK_HTML_SRC = (
+    "regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'), "
+    "'[ \\t]+', ' ', 'g')"
+)
+_DK_ELS_TXT = _DK_ELS.format(src="text")
+_DK_ELS_HTML = _DK_ELS.format(src=_DK_HTML_SRC)
+
+_PARSE_DISPATCH_ORACLE = f"""
+WITH tagged AS (
+  SELECT doc_id, text,
+         ['txt', 'md', 'html'][
+           ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+            + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 3 + 1
+         ] AS ext
+  FROM documents
+),
+parsed AS (
+  SELECT doc_id, ext,
+         CASE ext
+           WHEN 'txt' THEN array_to_string({_DK_ELS_TXT}, e'\\n\\n')
+           WHEN 'md' THEN array_to_string(list_transform(
+                {_DK_ELS_TXT},
+                x -> regexp_replace(x, '^#{{1,6}}[ \\t]+', '')), e'\\n\\n')
+           WHEN 'html' THEN array_to_string({_DK_ELS_HTML}, e'\\n\\n')
+         END AS parsed
+  FROM tagged
+)
+SELECT ext,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN length(parsed) > 0
+                     THEN len(string_split(parsed, e'\\n\\n')) ELSE 0 END)
+            AS BIGINT) AS n_elements,
+       CAST(count(DISTINCT md5(parsed)) AS BIGINT) AS n_uniq,
+       round(avg(length(parsed)), 4) AS avg_len
+FROM parsed
+GROUP BY ext
+"""
+
+
+@register(
+    "s1_parse_dispatch",
+    _PARSE_DISPATCH_ORACLE,
+    "S1 parse seam: per-extension parser dispatch (txt/md/html), element "
+    "split + blank-line join, all whole-stage-codegen expressions",
+)
+def q_s1_parse_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.sources.parsers import parse_by_extension
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    h = F.md5(F.col("doc_id").cast("string"))
+    # first md5 byte as an integer; the oracle spells the same value with
+    # strpos('0123456789abcdef', ...) arithmetic (DuckDB has no conv())
+    code = F.conv(F.substring(h, 1, 2), 16, 10).cast("long")
+    tagged = docs.withColumn(
+        "ext",
+        F.element_at(
+            F.array(F.lit("txt"), F.lit("md"), F.lit("html")),
+            (code % 3 + 1).cast("int"),
+        ),
+    )
+    parsed = tagged.withColumn(
+        "parsed", parse_by_extension(F.col("text"), F.col("ext"))
+    )
+    n_els = F.when(
+        F.length("parsed") > 0, F.size(F.split(F.col("parsed"), "\n\n"))
+    ).otherwise(F.lit(0))
+    return parsed.groupBy("ext").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(n_els).cast("long").alias("n_elements"),
+        F.countDistinct(F.md5("parsed")).cast("long").alias("n_uniq"),
+        F.round(F.avg(F.length("parsed")), 4).alias("avg_len"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # C1: fixed-window chunker, full row-level output (chunkers.py:39-87)
 # ---------------------------------------------------------------------------
@@ -1947,31 +2033,66 @@ def q_rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "rel_order_gaps",
     """
+WITH th AS (
+  SELECT round(quantile_cont(o_totalprice, 0.25), 4) AS q25,
+         round(quantile_cont(o_totalprice, 0.50), 4) AS q50,
+         round(quantile_cont(o_totalprice, 0.75), 4) AS q75
+  FROM orders
+)
 SELECT o_custkey, o_orderkey,
        date_diff('day',
                  lag(o_orderdate) OVER (PARTITION BY o_custkey
                                         ORDER BY o_orderdate, o_orderkey),
                  o_orderdate) AS gap_days,
-       CAST(ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey)
-            AS BIGINT) AS price_quartile
-FROM orders
+       CAST(CASE WHEN o_totalprice >= q75 THEN 1
+                 WHEN o_totalprice >= q50 THEN 2
+                 WHEN o_totalprice >= q25 THEN 3
+                 ELSE 4 END AS BIGINT) AS price_quartile
+FROM orders, th
 """,
-    "Customer reorder gaps (lag + datediff) and global price quartiles "
-    "(ntile) in one pass",
+    "Customer reorder gaps (lag + datediff) and global price quartiles via "
+    "broadcast percentile thresholds (no single-partition ntile window)",
 )
 def q_rel_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quartile-by-threshold instead of ntile(4) OVER (ORDER BY ...): a global
+    # ORDER BY window serializes the whole table through one reducer, while
+    # the three thresholds come from one shuffle-free partial aggregate and
+    # broadcast back. Boundary rule: ties at a threshold land in the richer
+    # quartile on both engines. Spark `percentile` and DuckDB `quantile_cont`
+    # both interpolate linearly (type-7); thresholds are rounded to 4 decimals
+    # on both sides so last-bit arithmetic differences can't flip a bucket.
+    # At 100 TB swap percentile -> approx_percentile (mergeable t-digest);
+    # the comparison structure stays identical.
     from pyspark.sql import Window as W
 
     orders = load_table(spark, sf_dir, "orders")
+    th = orders.agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("q25"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("q50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("q75"),
+    )
     w_cust = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    w_price = W.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        F.datediff(
-            F.col("o_orderdate"), F.lag("o_orderdate").over(w_cust)
-        ).alias("gap_days"),
-        F.ntile(4).over(w_price).cast("long").alias("price_quartile"),
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w_cust)
+            ).alias("gap_days"),
+            "o_totalprice",
+        )
+        .crossJoin(F.broadcast(th))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "gap_days",
+            F.when(F.col("o_totalprice") >= F.col("q75"), F.lit(1))
+            .when(F.col("o_totalprice") >= F.col("q50"), F.lit(2))
+            .when(F.col("o_totalprice") >= F.col("q25"), F.lit(3))
+            .otherwise(F.lit(4))
+            .cast("long")
+            .alias("price_quartile"),
+        )
     )
 
 
@@ -2341,6 +2462,38 @@ def q_events_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_time_weighted_window",
+    """
+WITH g AS (
+  SELECT user_id, value, epoch_us(ts) AS us,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_us
+  FROM events
+),
+w AS (
+  SELECT user_id, value, COALESCE(next_us - us, 0) AS dt,
+         CASE WHEN next_us IS NULL THEN value END AS last_val
+  FROM g
+)
+SELECT user_id,
+       round(CASE WHEN sum(dt) > 0 THEN sum(value * dt) / sum(dt)
+                  ELSE max(last_val) END, 4) AS twa_value
+FROM w GROUP BY user_id
+""",
+    "Production TWA: lead()-window + one aggregation, pure Catalyst (no "
+    "Python workers); same math as the applyInPandas demo above",
+)
+def q_events_twa_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.events import time_weighted_avg_window
+
+    ev = load_table(spark, sf_dir, "events")
+    out = time_weighted_avg_window(ev)
+    return out.select(
+        "user_id", F.round(F.col("twa_value"), 4).alias("twa_value")
+    )
+
+
 INTERVAL_JOIN_ORACLE = """
 SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
        v.event_id AS view_id, v.ts AS view_ts
@@ -2630,8 +2783,13 @@ def q_rel_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
         "l_orderkey",
         "l_suppkey",
+        # interval arithmetic (not date_add): preserves time-of-day so the
+        # comparison matches the oracle's `+ INTERVAL 365 DAY` exactly even
+        # for non-midnight timestamps
         F.when(
-            F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 365), 1
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS"),
+            1,
         ).otherwise(0).alias("late"),
     )
     per_sup = joined.groupBy("l_orderkey", "l_suppkey").agg(
@@ -3404,11 +3562,85 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_flagship(spark, "/root/testdata/sf0.001")
 
 
+# The round driver validates a *prefix* of the queries() dict (round 1 recorded
+# exactly the first 50 entries in insertion order). DRIVER_ORDER front-loads
+# every query family that has not yet earned a driver-green CORRECTNESS row —
+# the 35 round-1-unvalidated queries plus this round's additions — then a
+# one-per-family sample of already-green queries as regression canaries.
+# Registry entries not listed here follow in registration order (still covered
+# by bench.py and the local sf0.001 oracle-parity suite every round).
+DRIVER_ORDER: list[str] = [
+    "flagship",  # canary: the smoke-checked query stays first
+    # -- round-1-unvalidated (past the r01 prefix), fast batch queries first --
+    "agg_salted_user_totals",
+    "rel_salted_join",
+    "rel_percentiles",
+    "rel_order_gaps",
+    "events_props_json",
+    "c1_recursive_chunk",
+    "events_session_window",
+    "events_funnel",
+    "events_retention_cohorts",
+    "events_time_weighted_avg",
+    "events_interval_join",
+    "multimodal_features",
+    "rel_small_qty_revenue",
+    "rel_large_volume_customers",
+    "rel_waiting_suppliers",
+    "rel_sales_opportunity",
+    "rel_market_share",
+    "events_decayed_score",
+    "events_rfm_segments",
+    "text_entropy",
+    "events_grouping_sets",
+    "emb_dim_stats",
+    "rel_nation_balance_fulljoin",
+    "text_repetition",
+    "text_decontaminate",
+    "corpus_mix_weights",
+    "rel_price_histogram",
+    "sample_weighted",
+    "pipeline_full",
+    # -- round-1-unvalidated streaming drains (slowest; kept inside the prefix) --
+    "stream_session_window",
+    "stream_dedup_first_arrival",
+    "stream_interval_join",
+    "stream_stateful_counter",
+    "stream_tumbling_agg",
+    "stream_static_enrich",
+    # -- new in round 2 --
+    "events_time_weighted_window",
+    "s1_parse_dispatch",
+    # -- round-1-green regression canaries, one per operator family --
+    "s1_scan_nonempty",
+    "s2_normalize_lines",
+    "s4_events_content",
+    "c1_fixed_chunk",
+    "c3_adaptive_chunk",
+    "t2_changed_anti_join",
+    "t3_state_merge",
+    "e_hash_embed",
+    "q1_topk_cosine",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "sample_stratified",
+]
+
+
+def _ordered_names() -> list[str]:
+    """DRIVER_ORDER entries that exist, then the rest in registration order."""
+    head = [n for n in DRIVER_ORDER if n in REGISTRY]
+    tail = [n for n in REGISTRY if n not in set(head)]
+    return head + tail
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: qd.fn for name, qd in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle is not None
+        name: REGISTRY[name].oracle
+        for name in _ordered_names()
+        if REGISTRY[name].oracle is not None
     }

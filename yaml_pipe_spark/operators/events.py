@@ -187,6 +187,50 @@ def time_weighted_avg(
     )
 
 
+def time_weighted_avg_window(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Production-path TWA: pure lead()-window + one aggregation, no Python.
+
+    Identical math to `time_weighted_avg` (each value holds until the key's
+    next event; last event weight 0; single-event keys fall back to the last
+    value) but expressed entirely in Catalyst expressions: lead(ts) over the
+    per-key window gives each interval's end, dt in microseconds matches the
+    oracle's epoch_us() integers, and one groupBy finishes it. Stays inside
+    whole-stage codegen — no Arrow transfer, no per-key pandas frame, and no
+    requirement that a key's history fit in one worker's memory beyond the
+    sort-based window (which spills). This is the variant to use at scale;
+    the applyInPandas twin above exists as the grouped-map API demo.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(user_col).orderBy(ts_col, id_col)
+    us = F.unix_micros(F.col(ts_col))
+    g = df.select(
+        user_col,
+        value_col,
+        us.alias("__us"),
+        F.lead(us).over(w).alias("__next_us"),
+    ).select(
+        user_col,
+        value_col,
+        F.coalesce(F.col("__next_us") - F.col("__us"), F.lit(0)).alias("__dt"),
+        F.when(F.col("__next_us").isNull(), F.col(value_col)).alias("__last"),
+    )
+    return g.groupBy(user_col).agg(
+        F.when(
+            F.sum("__dt") > 0,
+            F.sum(F.col(value_col) * F.col("__dt")) / F.sum("__dt"),
+        )
+        .otherwise(F.max("__last"))
+        .alias("twa_value")
+    )
+
+
 def extract_prop(df: DataFrame, props_col: str = "props", key: str = "k"):
     """Portable JSON-ish scalar extraction via regex (works identically in
     Spark and DuckDB without JSON extensions): integer value of `key`."""

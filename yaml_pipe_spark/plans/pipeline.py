@@ -54,6 +54,10 @@ def compile_pipeline(
         item_id = "doc_id" if "doc_id" in docs.columns else "source"
         keyed = docs.withColumn("item_id", F.col(item_id).cast("string"))
         docs = state.filter_changed(keyed, spark)
+    else:
+        # same schema as run_pipeline's no-state branch: filters default to
+        # id_col="item_id", so both paths must expose it
+        docs = docs.withColumn("item_id", F.col("source").cast("string"))
     for fspec in spec.filters:
         docs = build_component("filter", fspec).apply(docs)
     chunks = chunker.apply(docs, "content")
@@ -62,6 +66,20 @@ def compile_pipeline(
 
 
 def run_pipeline(spark: SparkSession, spec: PipelineSpec) -> PipelineResult:
+    """Execute the pipeline with ONE data action.
+
+    All three run-report counts come from `Observation` nodes embedded in the
+    write plan (collected by the sink write itself), not from separate
+    `.count()` actions — at corpus scale a count-before-write would re-scan
+    the source and a count-after-write would re-run chunk+embed. A no-state
+    run is exactly one Spark action (the write); a stateful run adds only the
+    deliberate state-commit action, which re-reads the cached changed set.
+    The reference's n_changed==0 short-circuit (pipeline.py:59-61) is
+    preserved in effect: the dynamic-partition-overwrite write of an empty
+    changed set touches no partitions, and the state commit is skipped.
+    """
+    from pyspark.sql import Observation
+
     source = build_component("source", spec.source)
     state = (
         build_component("state_manager", spec.state_manager)
@@ -72,8 +90,10 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec) -> PipelineResult:
     embedder = build_component("embedder", spec.embedder)
     sink = build_component("sink", spec.sink)
 
+    obs_loaded, obs_changed, obs_chunks = Observation(), Observation(), Observation()
+
     docs = source.load(spark)
-    n_loaded = docs.count()
+    docs = docs.observe(obs_loaded, F.count(F.lit(1)).alias("n"))
 
     if state is not None:
         item_id = "doc_id" if "doc_id" in docs.columns else "source"
@@ -81,13 +101,10 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec) -> PipelineResult:
         changed = state.filter_changed(keyed, spark)
     else:
         changed = docs.withColumn("item_id", F.col("source").cast("string"))
-    # cache: the changed set feeds both the write and the state commit
-    changed = changed.cache()
-    n_changed = changed.count()
-
-    if n_changed == 0:  # reference short-circuit (pipeline.py:59-61)
-        changed.unpersist()
-        return PipelineResult(n_loaded, 0, 0, skipped=True)
+    changed = changed.observe(obs_changed, F.count(F.lit(1)).alias("n"))
+    if state is not None:
+        # cache: the changed set feeds both the write and the state commit
+        changed = changed.cache()
 
     filtered = changed
     for fspec in spec.filters:
@@ -96,12 +113,15 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec) -> PipelineResult:
     chunks = chunker.apply(filtered, "content")
     embedded = embedder.apply(chunks, "chunk")
     out = embedded.withColumnRenamed("chunk", "text")
-    sink.write(out)
-    # chunk count re-runs the (cached-source) transform; acceptable for the
-    # run report — callers that don't need it can use compile_pipeline+write.
-    n_chunks = out.count()
+    out = out.observe(obs_chunks, F.count(F.lit(1)).alias("n"))
+    sink.write(out)  # the single data action; observations resolve here
+
+    n_loaded = int(obs_loaded.get["n"])
+    n_changed = int(obs_changed.get["n"])
+    n_chunks = int(obs_chunks.get["n"])
 
     if state is not None:
-        state.commit(changed.select("item_id", "content_hash"), spark)
-    changed.unpersist()
-    return PipelineResult(n_loaded, n_changed, n_chunks, skipped=False)
+        if n_changed > 0:
+            state.commit(changed.select("item_id", "content_hash"), spark)
+        changed.unpersist()
+    return PipelineResult(n_loaded, n_changed, n_chunks, skipped=n_changed == 0)

@@ -25,13 +25,28 @@ from yaml_pipe_spark.functions.text import non_empty
 
 
 class LocalFileSource:
-    """Glob a directory tree into (source, content, content_hash) rows."""
+    """Glob a directory tree into (source, content, content_hash) rows.
 
-    def __init__(self, path: str, glob_pattern: str = "**/*.txt"):
+    With ``parse=True`` the content passes through the per-extension parser
+    registry (sources/parsers.py) — the Spark-native seam for the reference's
+    `unstructured.partition` + "\\n\\n"-join step (sources.py:92-93). Files
+    whose extension has no registered parser are skipped, mirroring the
+    reference's log-and-skip on parse failure (sources.py:98-100).
+    """
+
+    def __init__(
+        self,
+        path: str,
+        glob_pattern: str = "**/*.txt",
+        parse: bool = False,
+        parse_extensions: list[str] | None = None,
+    ):
         self.path = path
         # pathGlobFilter matches file names only; a recursive lookup handles
         # the ** part of the reference's glob.
         self.file_glob = glob_pattern.rsplit("/", 1)[-1]
+        self.parse = parse
+        self.parse_extensions = parse_extensions
 
     def load(self, spark: SparkSession) -> DataFrame:
         raw = (
@@ -41,12 +56,22 @@ class LocalFileSource:
             .load(self.path)
         )
         content = F.decode(F.col("content"), "UTF-8")
+        if self.parse:
+            from yaml_pipe_spark.sources.parsers import (
+                file_extension,
+                parse_by_extension,
+            )
+
+            content = parse_by_extension(
+                content, file_extension(F.col("path")), self.parse_extensions
+            )
         return (
             raw.select(
                 F.col("path").alias("source"),
                 content.alias("content"),
                 F.sha2(F.col("content"), 256).alias("content_hash"),
             )
+            .filter(F.col("content").isNotNull())
             .filter(non_empty(F.col("content")))
         )
 

@@ -70,7 +70,9 @@ def check_query(spark, name: str, sf_dir: str) -> list[str]:
     qd = REGISTRY[name]
     spark_pdf = qd.fn(spark, sf_dir).toPandas()
     if qd.oracle is None:
-        return [] if len(spark_pdf) >= 0 else ["spark query failed"]
+        # mirror the driver's rows>0 smoke contract — an empty result from an
+        # oracle-less query is a failure, not a vacuous pass
+        return [] if len(spark_pdf) > 0 else ["rows-only query returned 0 rows"]
     con = duck_connection(sf_dir)
     oracle_pdf = con.sql(qd.oracle).df()
     return compare_frames(spark_pdf, oracle_pdf)
