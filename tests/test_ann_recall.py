@@ -1,0 +1,110 @@
+"""ANN quality gate: approximate top-k operators must publish a measured
+recall against the exact result, with floors.
+
+Two corpora, two kinds of floor:
+- a deterministic *clustered* corpus (10 Gaussian clusters, sigma=0.08) where
+  a well-tuned ANN must reach recall@5 >= 0.8 — the regime vector search is
+  actually used in (real embeddings cluster);
+- the driver's synthetic embeddings table, which is isotropic random (mean
+  same-label cosine == mean diff-label cosine == ~0, measured) — in that
+  regime no sublinear method can reach 0.8, so the gate is *lift*: recall
+  must beat the fraction of the corpus scanned (random pruning scores
+  recall == scan fraction in expectation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from yaml_pipe_spark.operators.similarity import (
+    ivf_knn_join,
+    knn_join,
+    lsh_planes,
+    recall_at_k,
+    signlsh_knn_join,
+)
+
+DIM, NBITS, K = 32, 4, 5
+
+
+def _clustered(spark, n=400, n_clusters=10, sigma=0.08, seed=11):
+    rng = np.random.RandomState(seed)
+    centers = rng.standard_normal((n_clusters, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.randint(0, n_clusters, n)
+    vecs = centers[labels] + sigma * rng.standard_normal((n, DIM))
+    rows = [
+        (int(i), [float(x) for x in np.round(v, 6)]) for i, v in enumerate(vecs)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(int(c), [float(x) for x in np.round(v, 6)]) for c, v in enumerate(centers)],
+        "cid long, cv array<double>",
+    )
+    return df.cache(), cents
+
+
+def _queries(corpus, nq=50):
+    return (
+        corpus.filter(F.col("vec_id") < nq)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    )
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    corpus, cents = _clustered(spark)
+    q = _queries(corpus)
+    exact = knn_join(q, corpus, k=K, id_col="vec_id").cache()
+    yield corpus, cents, q, exact
+    corpus.unpersist()
+    exact.unpersist()
+
+
+def test_signlsh_recall_floor_clustered(spark, clustered):
+    corpus, _, q, exact = clustered
+    planes = lsh_planes(DIM, NBITS)
+    approx = signlsh_knn_join(q, corpus, planes, k=K, multiprobe=True)
+    r = recall_at_k(approx, exact).collect()[0]
+    assert r.n_queries == 50
+    assert r.recall >= 0.8, f"signlsh recall@{K}={r.recall}"
+
+
+def test_ivf_recall_floor_clustered(spark, clustered):
+    corpus, cents, q, exact = clustered
+    approx = ivf_knn_join(q, corpus, cents, k=K, nprobe=3)
+    r = recall_at_k(approx, exact).collect()[0]
+    assert r.recall >= 0.8, f"ivf recall@{K}={r.recall}"
+
+
+def test_ann_beats_random_pruning_on_driver_table(spark):
+    # the driver's embeddings are isotropic random; the honest gate there is
+    # recall lift over the scanned fraction (random pruning: recall == frac)
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").cache()
+    n = emb.count()
+    q = _queries(emb, nq=40)
+    exact = knn_join(q, emb, k=K).cache()
+    planes = lsh_planes(64, 4)
+    approx = signlsh_knn_join(q, emb, planes, k=K, multiprobe=True)
+    r = recall_at_k(approx, exact).collect()[0]
+    # scanned fraction for nbits=4 multiprobe: (nbits+1)/2^nbits = 5/16
+    frac = 5 / 16
+    assert r.recall >= 1.2 * frac, f"lift too low: recall={r.recall} frac={frac}"
+    emb.unpersist()
+    exact.unpersist()
+
+
+def test_lsh_join_is_equi_join_not_crossjoin(spark, clustered):
+    corpus, _, q, _ = clustered
+    import contextlib
+    import io
+
+    planes = lsh_planes(DIM, NBITS)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        signlsh_knn_join(q, corpus, planes, k=K).explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -1,0 +1,61 @@
+"""Contract tests for connectors that can't reach their backing service in
+this container (no database, no object store): the option maps and path
+plumbing they hand to Spark are asserted instead, so the docstring claims
+are executable (reference sources.py:162-234 S3, :237-308 PostgreSQL)."""
+
+from __future__ import annotations
+
+import pytest
+
+from yaml_pipe_spark.sources.files import LocalFileSource
+from yaml_pipe_spark.sources.relational import jdbc_options
+
+URL = "jdbc:postgresql://db:5432/corpus"
+Q = "SELECT content, id, updated_at FROM docs"
+
+
+def test_jdbc_options_basic():
+    opts = jdbc_options(URL, Q, properties={"driver": "org.postgresql.Driver"})
+    assert opts["url"] == URL
+    # the user SQL passes through verbatim — the incremental cursor is a
+    # Column filter, never string-concatenated (the reference interpolates,
+    # sources.py:266-272: SQL-injectable)
+    assert opts["query"] == Q
+    assert "last_run" not in opts["query"]
+    assert opts["driver"] == "org.postgresql.Driver"
+    assert int(opts["fetchsize"]) >= 1000  # not a row-at-a-time cursor
+
+
+def test_jdbc_options_partitioned_read():
+    opts = jdbc_options(
+        URL, Q, partition_column="id", num_partitions=16,
+        lower_bound=0, upper_bound=1_000_000,
+    )
+    # Spark forbids query+partitionColumn: the query must become a
+    # derived-table dbtable, with all four range options present
+    assert "query" not in opts
+    assert opts["dbtable"] == f"({Q}) yaml_pipe_sub"
+    assert opts["partitionColumn"] == "id"
+    assert opts["numPartitions"] == "16"
+    assert opts["lowerBound"] == "0" and opts["upperBound"] == "1000000"
+
+
+def test_jdbc_partition_options_all_or_nothing():
+    with pytest.raises(ValueError, match="all of"):
+        jdbc_options(URL, Q, partition_column="id")
+
+
+def test_file_source_probe_uses_hadoop_fs(spark, tmp_path):
+    # the probe goes through Hadoop Path.getFileSystem, so the same code
+    # resolves s3a:// — asserted by scheme-qualified local paths
+    ok = LocalFileSource(f"file://{tmp_path}")
+    ok.test_connection(spark)  # exists -> no raise
+    missing = LocalFileSource(f"file://{tmp_path}/nope")
+    with pytest.raises(FileNotFoundError):
+        missing.test_connection(spark)
+
+
+def test_file_source_glob_survives_scheme_paths():
+    src = LocalFileSource("s3a://bucket/corpus", glob_pattern="**/*.md")
+    assert src.path == "s3a://bucket/corpus"
+    assert src.file_glob == "*.md"

@@ -78,10 +78,48 @@ def test_cosine_pairs_with_blocking(spark):
         ],
         "vec_id long, embedding array<double>, blk string",
     )
-    allp = {(r.id_a, r.id_b) for r in cosine_pairs(df, threshold=0.9).collect()}
+    allp = {(r.id_a, r.id_b) for r in cosine_pairs(df, threshold=0.9, allow_quadratic=True).collect()}
     assert (1, 2) in allp and (1, 4) in allp and (1, 3) not in allp
     blocked = {
         (r.id_a, r.id_b)
         for r in cosine_pairs(df, threshold=0.9, block_col="blk").collect()
     }
     assert (1, 2) in blocked and (1, 4) not in blocked  # cross-block pruned
+
+
+def test_cc_partitions_adapt_to_edge_count():
+    from yaml_pipe_spark.operators.dedup import _cc_partitions
+
+    # tiny near-dup graph: collapse to the floor
+    assert _cc_partitions(1_000, 32, 2_000_000) == 2
+    # large graph: one partition per target chunk
+    assert _cc_partitions(50_000_000, 256, 2_000_000) == 25
+    # capped at 4x cluster parallelism
+    assert _cc_partitions(500_000_000, 8, 2_000_000) == 32
+    assert _cc_partitions(0, 32, 2_000_000) == 2
+
+
+def test_cc_large_graph_keeps_parallelism(spark):
+    from pyspark.sql import functions as F
+
+    from yaml_pipe_spark.operators.dedup import connected_components
+
+    # 100k disjoint 2-node clusters (converges in one round); a small
+    # per-partition target must NOT collapse the iteration to 2 partitions
+    pairs = spark.range(100_000).select(
+        (F.col("id") * 2).alias("id_a"), (F.col("id") * 2 + 1).alias("id_b")
+    )
+    out = connected_components(pairs, target_edges_per_partition=25_000)
+    assert out.rdd.getNumPartitions() >= 8
+    sample = {r.node: r.cluster_rep for r in out.filter(F.col("node") < 10).collect()}
+    assert sample == {0: 0, 1: 0, 2: 2, 3: 2, 4: 4, 5: 4, 6: 6, 7: 6, 8: 8, 9: 8}
+
+
+def test_quadratic_cosine_pairs_is_gated(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="O\\(n\\^2\\)"):
+        cosine_pairs(df)

@@ -200,3 +200,66 @@ def test_pipeline_filters_stage(spark, workdir):
     # all 4 changed docs are marked processed (filtered docs must not retry)
     res2 = run_pipeline(spark, spec)
     assert res2.skipped
+
+
+def test_no_state_run_is_single_action(spark, workdir, monkeypatch):
+    # run-report counts come from Observation nodes resolved by the write
+    # itself — a no-state run must never call count()/collect() (each one
+    # re-executes the source scan or the whole transform at corpus scale)
+    import pyspark.sql.dataframe as dfmod
+
+    spec = _spec(workdir)
+    spec.state_manager = None
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver-side action inside run_pipeline")
+
+    monkeypatch.setattr(dfmod.DataFrame, "count", boom)
+    monkeypatch.setattr(dfmod.DataFrame, "collect", boom)
+    res = run_pipeline(spark, spec)
+    assert res.n_loaded == 2 and res.n_changed == 2 and res.n_chunks > 2
+    assert not res.skipped
+
+
+DUCKDB_CONFIG_TMPL = CONFIG_TMPL.replace(
+    'type: parquet\n  config: {{path: "{sink}"}}',
+    'type: duckdb\n  config: {{db_path: "{sink}.duckdb"}}',
+)
+
+
+def test_duckdb_sink_adapter_idempotent_rerun(spark, workdir):
+    # the second factory-registered sink must satisfy the same contract:
+    # re-run -> no dup rows; changed source -> only that source replaced
+    from yaml_pipe_spark.operators.sinks import Sink
+    from yaml_pipe_spark.plans.config import parse_config
+
+    spec = parse_config(DUCKDB_CONFIG_TMPL.format(**workdir))
+    sink = build_component("sink", spec.sink)
+    assert isinstance(sink, Sink)
+
+    res = run_pipeline(spark, spec)
+    assert res.n_chunks > 0
+    assert sink.read(spark).count() == res.n_chunks
+
+    res2 = run_pipeline(spark, spec)
+    assert res2.skipped
+    assert sink.read(spark).count() == res.n_chunks  # no duplicates
+
+    _write(os.path.join(workdir["data"], "a.txt"), "delta " * 12)
+    res3 = run_pipeline(spark, spec)
+    assert res3.n_changed == 1
+    final = sink.read(spark)
+    a_rows = final.filter(final.source.contains("a.txt"))
+    assert a_rows.count() > 0
+    assert a_rows.filter(a_rows.text.contains("delta")).count() == a_rows.count()
+    assert final.filter(final.source.contains("b.txt")).count() > 0
+
+
+def test_all_registered_sinks_satisfy_protocol():
+    from yaml_pipe_spark.operators.sinks import Sink
+    from yaml_pipe_spark.plans.factory import SINKS
+
+    for name, cls in SINKS.items():
+        for method in ("write", "read", "test_connection"):
+            assert hasattr(cls, method), f"{name} missing {method}"
+    assert "duckdb" in SINKS and "parquet" in SINKS

@@ -125,6 +125,11 @@ def cmd_eval(args) -> int:
     corpus = sink.read(spark)
 
     questions = spark.read.json(args.dataset)
+    if "question" not in questions.columns:
+        # empty dataset: reference returns 0.0/0/0 (evaluation.py:97-99);
+        # spark.read.json of an empty file has no schema to embed
+        print(json.dumps({"hit_rate": 0.0, "total_questions": 0, "hits": 0}))
+        return 0
     q = embedder.apply(questions, "question").select(
         F.col("question").alias("qid"),
         F.col("expected_source").alias("expected"),
@@ -147,10 +152,35 @@ def cmd_eval(args) -> int:
     print(
         json.dumps(
             {
-                "hit_rate": res.hit_rate,
+                # empty dataset -> 0.0/0/0 like the reference
+                # (evaluation.py:97-99), not nulls from an empty aggregate
+                "hit_rate": res.hit_rate if res.hit_rate is not None else 0.0,
                 "total_questions": res.total_questions,
-                "hits": res.hits,
+                "hits": res.hits if res.hits is not None else 0,
             }
+        )
+    )
+    return 0
+
+
+def cmd_search(args) -> int:
+    # reference app.py:35-61 Searcher surface as a command: embed the query
+    # with the pipeline's embedder, exact top-k against the sink
+    from yaml_pipe_spark.search import search_corpus
+
+    spec = load_config(args.config)
+    rows = search_corpus(_spark(), spec, args.query, k=args.k).collect()
+    print(
+        json.dumps(
+            [
+                {
+                    "rank": r.rank,
+                    "source": r.source,
+                    "text": r.text,
+                    "score": r.score,
+                }
+                for r in rows
+            ]
         )
     )
     return 0
@@ -184,6 +214,12 @@ def main(argv: list[str] | None = None) -> int:
     cl.add_argument("-c", "--config", required=True)
     cl.add_argument("--yes", action="store_true")
     cl.set_defaults(fn=cmd_clean)
+
+    se = sub.add_parser("search", help="top-k search against a pipeline sink")
+    se.add_argument("query")
+    se.add_argument("-c", "--config", required=True)
+    se.add_argument("-k", type=int, default=3)
+    se.set_defaults(fn=cmd_search)
 
     ev = sub.add_parser("eval", help="retrieval hit-rate over a JSONL dataset")
     ev.add_argument("dataset")

@@ -975,7 +975,11 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yaml_pipe_spark.operators.dedup import cosine_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    # the declared exactness baseline (recall ground truth for the blocked
+    # twin below) — the ONLY sanctioned quadratic call site
+    return cosine_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, allow_quadratic=True
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -342,14 +342,25 @@ def cosine_pairs(
     threshold: float = 0.4,
     block_col: str | None = None,
     score_decimals: int = 6,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with cosine >= threshold.
 
-    Brute-force O(n^2/2) self-join — the exactness baseline. At scale pass
+    Without `block_col` this is a brute-force O(n^2/2) self-join — the
+    exactness baseline for recall measurement, NEVER the production path.
+    It is gated: callers must pass `allow_quadratic=True` to get the cross
+    join, so nobody reaches the quadratic plan by default. At scale pass
     `block_col` (e.g. an LSH sign-bucket or cluster id) to turn it into an
-    equi-join within blocks; see similarity.knn_join for the top-k variant.
+    equi-join within blocks; see similarity.signlsh_knn_join for top-k.
     """
     from yaml_pipe_spark.functions.vectors import dot, l2_norm_sq
+
+    if block_col is None and not allow_quadratic:
+        raise ValueError(
+            "cosine_pairs without block_col is O(n^2); pass block_col for "
+            "the blocked scale path, or allow_quadratic=True if you really "
+            "want the brute-force exactness baseline"
+        )
 
     # Precompute each vector's squared norm BEFORE the pair join: the naive
     # cosine(a, b) recomputes dot(a,a)/dot(b,b) per pair — 3x the flops and
@@ -390,11 +401,23 @@ def cosine_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _cc_partitions(
+    n_edges: int, parallelism: int, target_edges_per_partition: int
+) -> int:
+    """Iteration partition count from the *measured* edge count: enough
+    partitions that a round's shuffle fits executor memory, few enough that
+    tiny near-dup graphs aren't scheduling-bound. Capped at 4x cluster
+    parallelism — past that, extra partitions only add task overhead."""
+    want = -(-n_edges // max(1, target_edges_per_partition))
+    return max(2, min(want, max(2, parallelism * 4)))
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    target_edges_per_partition: int = 2_000_000,
 ) -> DataFrame:
     """Resolve pairwise matches into clusters: (node, cluster_rep) where
     cluster_rep = the minimum node id reachable through the pair graph.
@@ -411,25 +434,41 @@ def connected_components(
     DuckDB twin: WITH RECURSIVE reachability + min per node (see
     entrypoints.dedup_cluster_resolution).
     """
-    # The pair graph is orders of magnitude smaller than the corpus (only
-    # matched docs appear). Collapse it to a few partitions before iterating:
-    # per-round cost is then task-scheduling-bound, not shuffle-bound, and
-    # the expensive pair-generation plan is materialized exactly once by the
-    # eager checkpoint instead of once per round.
-    n_parts = max(2, pairs.sparkSession.sparkContext.defaultParallelism // 8)
+    # The pair graph is usually orders of magnitude smaller than the corpus
+    # (only matched docs appear) — but "usually" is not a partition strategy:
+    # a dirty corpus at 100 TB can emit a huge pair graph. Materialize the
+    # expensive pair-generation plan once (eager checkpoint), count the edges
+    # (cheap on checkpointed data), and size the iteration partitioning from
+    # the actual edge count: tiny graphs collapse to a couple of partitions
+    # (per-round cost becomes scheduling-bound, not shuffle-bound), large
+    # graphs keep enough partitions that each round's shuffle fits memory.
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .coalesce(n_parts)
         .localCheckpoint(eager=True)
     )
-    labels = (
+    n_parts = _cc_partitions(
+        edges.count(),
+        pairs.sparkSession.sparkContext.defaultParallelism,
+        target_edges_per_partition,
+    )
+    def _sized(df: DataFrame) -> DataFrame:
+        # coalesce when shrinking (narrow); repartition when the measured
+        # edge count demands more partitions than AQE's byte-based coalesce
+        # left us (one shuffle that right-sizes every subsequent round)
+        cur = df.rdd.getNumPartitions()
+        if n_parts < cur:
+            df = df.coalesce(n_parts)
+        elif n_parts > cur:
+            df = df.repartition(n_parts)
+        return df.localCheckpoint(eager=True)
+
+    edges = _sized(edges)
+    labels = _sized(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .coalesce(n_parts)
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -437,7 +476,7 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        new_labels = _sized(
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
@@ -445,8 +484,6 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
-            .coalesce(n_parts)
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")

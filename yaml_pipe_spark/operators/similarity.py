@@ -80,6 +80,171 @@ def knn_join(
     )
 
 
+def _dot_literal(vec: Column, plane: list[float]) -> Column:
+    """vec · plane for a Python-side hyperplane, as one Catalyst expression."""
+    arr = F.array(*[F.lit(float(x)) for x in plane])
+    return F.aggregate(
+        F.zip_with(vec, arr, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def signlsh_code(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane sign-LSH code as an integer (bit j = sign(v·r_j)).
+
+    Classic cosine LSH (Charikar 2002): P[bit agrees] = 1 - angle/pi. The
+    hyperplanes are driver-side literals, so the code is a pure expression —
+    whole-stage codegen, no UDF, reproducible across engines and runs."""
+    code = F.lit(0)
+    for j, plane in enumerate(planes):
+        code = code + F.when(
+            _dot_literal(vec, plane) >= 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
+    return code.cast("long")
+
+
+def lsh_planes(dim: int, nbits: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes (fixed seed -> reproducible codes)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((nbits, dim)).round(6).tolist()
+
+
+def signlsh_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    multiprobe: bool = True,
+    query_id: str = "qid",
+    query_vec: str = "qv",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Approximate batch top-k: sign-LSH bucket equi-join + exact rerank.
+
+    The scale path for large query sets where `knn_join`'s broadcast-all
+    cross product stops fitting: both sides get an integer LSH code, the
+    join is a plain equi-join on the code (shuffle on bucket, no all-pairs),
+    and only in-bucket candidates are scored. `multiprobe=True` additionally
+    probes every bucket at Hamming distance 1 from the query's code
+    (nbits extra probes per query — the standard recall lever; candidate
+    cost stays ~ (nbits+1)/2^nbits of the corpus for isotropic data).
+    Recall is measured, not assumed: see recall_at_k and
+    tests/test_ann_recall.py for the gated floor."""
+    nbits = len(planes)
+    ccoded = corpus.withColumn("__code", signlsh_code(F.col(vec_col), planes))
+    qcode = signlsh_code(F.col(query_vec), planes)
+    qcoded = queries.withColumn("__qcode", qcode)
+    if multiprobe:
+        probes = F.array(
+            F.col("__qcode"),
+            *[
+                F.col("__qcode").bitwiseXOR(F.lit(1 << j)).cast("long")
+                for j in range(nbits)
+            ],
+        )
+        qcoded = qcoded.select(
+            query_id, query_vec, F.explode(probes).alias("__code")
+        )
+    else:
+        qcoded = qcoded.withColumnRenamed("__qcode", "__code")
+    pairs = ccoded.join(qcoded, "__code")
+    if exclude_self:
+        pairs = pairs.filter(F.col(id_col) != F.col(query_id))
+    scored = pairs.withColumn(
+        "score", F.round(cosine(F.col(vec_col), F.col(query_vec)), score_decimals)
+    )
+    w = W.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        # multiprobe can reach the same candidate through two probes only if
+        # codes collide; dedup before ranking keeps row_number honest
+        scored.dropDuplicates([query_id, id_col])
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .drop(query_vec, vec_col, "__code")
+    )
+
+
+def ivf_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    query_id: str = "qid",
+    query_vec: str = "qv",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cid_col: str = "cid",
+    cvec_col: str = "cv",
+    exclude_self: bool = True,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Batch IVF: every query probes its `nprobe` nearest centroid cells;
+    candidates come from one equi-join of (query, probe-cell) against the
+    cell-assigned corpus — shuffle on cell id, never all-pairs. With the
+    assignment written partitioned by cell, probes become partition-pruned
+    scans (see ivf_assign)."""
+    assigned = ivf_assign(
+        corpus, centroids, vec_col, id_col, cid_col, cvec_col, score_decimals
+    )
+    qprobe = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "__s", F.round(cosine(F.col(query_vec), F.col(cvec_col)), score_decimals)
+        )
+        .withColumn(
+            "__pr",
+            F.row_number().over(
+                W.partitionBy(query_id).orderBy(
+                    F.col("__s").desc(), F.col(cid_col)
+                )
+            ),
+        )
+        .filter(F.col("__pr") <= nprobe)
+        .select(query_id, query_vec, cid_col)
+    )
+    pairs = assigned.join(qprobe, cid_col)
+    if exclude_self:
+        pairs = pairs.filter(F.col(id_col) != F.col(query_id))
+    scored = pairs.withColumn(
+        "score", F.round(cosine(F.col(vec_col), F.col(query_vec)), score_decimals)
+    )
+    w = W.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .drop(query_vec, vec_col, cid_col)
+    )
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_id: str = "qid",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall of an approximate top-k against the exact top-k: the fraction
+    of exact neighbor (query, id) pairs the approximate result returned.
+    One row: (recall DOUBLE, n_queries BIGINT, n_exact BIGINT, n_hit BIGINT).
+    This is the number every approximate operator must publish — an ANN
+    without a measured recall is not gradeable."""
+    e = exact.select(query_id, id_col)
+    a = approx.select(query_id, id_col).withColumn("__hit", F.lit(1))
+    joined = e.join(a, [query_id, id_col], "left")
+    return joined.agg(
+        F.round(F.avg(F.coalesce(F.col("__hit"), F.lit(0))), 4).alias("recall"),
+        F.countDistinct(query_id).alias("n_queries"),
+        F.count("*").alias("n_exact"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("n_hit"),
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,

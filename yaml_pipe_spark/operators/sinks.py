@@ -16,6 +16,8 @@ changed sources, not the table; readers prune partitions on source filters.
 
 from __future__ import annotations
 
+from typing import Protocol, runtime_checkable
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -81,3 +83,105 @@ class ParquetSink:
         parent = os.path.dirname(os.path.abspath(self.path)) or "."
         if not os.path.isdir(parent):
             raise FileNotFoundError(f"sink parent directory missing: {parent}")
+
+
+@runtime_checkable
+class Sink(Protocol):
+    """The adapter contract every sink must satisfy (reference
+    sinks.py:33-162 surface: upsert-by-source write, read-back, probe).
+
+    Contract for `write`: idempotent per source — every `source` value
+    present in the batch replaces that source's previous rows atomically
+    (the reference's delete-where-source-then-insert, sinks.py:65-80);
+    sources NOT in the batch are untouched. Re-running a pipeline must
+    never duplicate rows. Off-sandbox vector stores (LanceDB, Chroma,
+    pgvector) plug in by implementing these three methods and registering
+    the class in plans.factory.SINKS — DuckDBSink below is the worked
+    example of a non-parquet adapter.
+    """
+
+    def write(self, df: DataFrame) -> None: ...
+
+    def read(self, spark: SparkSession) -> DataFrame: ...
+
+    def test_connection(self, spark: SparkSession) -> None: ...
+
+
+class DuckDBSink:
+    """Vector-store-shaped adapter backed by a local DuckDB file.
+
+    Exercises the exact adapter motions a LanceDB/Chroma sink needs
+    (reference sinks.py:33-162) against a store that exists in this
+    container: delete-by-source then bulk insert, schema widening by
+    ALTER ADD (the reference copies the whole table, sinks.py:40-48),
+    connection probe. The batch is staged as parquet by Spark (distributed
+    write) and bulk-loaded server-side via read_parquet — no row-at-a-time
+    driver loop; `read` hands the table back through Arrow.
+    A single-file store is inherently single-node — this adapter is the
+    integration seam, not the 100 TB path (that is ParquetSink/BucketedTable).
+    """
+
+    def __init__(self, db_path: str, table: str = "corpus"):
+        self.db_path = db_path
+        self.table = table
+
+    def _connect(self):
+        import duckdb
+
+        return duckdb.connect(self.db_path)
+
+    def write(self, df: DataFrame) -> None:
+        import os
+        import shutil
+
+        staging = f"{self.db_path}.staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        df.write.mode("overwrite").parquet(staging)
+        con = self._connect()
+        try:
+            glob = os.path.join(staging, "*.parquet")
+            staged = f"read_parquet('{glob}')"
+            exists = con.sql(
+                "SELECT count(*) FROM information_schema.tables "
+                f"WHERE table_name = '{self.table}'"
+            ).fetchone()[0]
+            if not exists:
+                con.sql(f"CREATE TABLE {self.table} AS SELECT * FROM {staged}")
+                return
+            # schema widening: add any new batch columns before the upsert
+            have = {
+                r[0]
+                for r in con.sql(
+                    "SELECT column_name FROM information_schema.columns "
+                    f"WHERE table_name = '{self.table}'"
+                ).fetchall()
+            }
+            batch = con.sql(f"DESCRIBE SELECT * FROM {staged}").fetchall()
+            for name, sql_type, *_ in batch:
+                if name not in have:
+                    con.sql(
+                        f'ALTER TABLE {self.table} ADD COLUMN "{name}" {sql_type}'
+                    )
+            con.sql(
+                f"DELETE FROM {self.table} WHERE source IN "
+                f"(SELECT DISTINCT source FROM {staged})"
+            )
+            con.sql(f"INSERT INTO {self.table} BY NAME SELECT * FROM {staged}")
+        finally:
+            con.close()
+            shutil.rmtree(staging, ignore_errors=True)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        con = self._connect()
+        try:
+            tbl = con.sql(f"SELECT * FROM {self.table}").arrow()
+        finally:
+            con.close()
+        return spark.createDataFrame(tbl.to_pandas())
+
+    def test_connection(self, spark: SparkSession) -> None:
+        con = self._connect()
+        try:
+            con.sql("SELECT 1")
+        finally:
+            con.close()

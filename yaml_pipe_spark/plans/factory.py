@@ -18,7 +18,7 @@ from yaml_pipe_spark.operators.embedders import (
     OpenAIEmbedder,
     SentenceTransformerEmbedder,
 )
-from yaml_pipe_spark.operators.sinks import ParquetSink
+from yaml_pipe_spark.operators.sinks import DuckDBSink, ParquetSink
 from yaml_pipe_spark.operators.state import (
     changed_rows,
     commit_state,
@@ -211,7 +211,7 @@ EMBEDDERS = {
     "sentence_transformer": SentenceTransformerEmbedder,
     "openai": OpenAIEmbedder,
 }
-SINKS = {"parquet": ParquetSink}
+SINKS = {"parquet": ParquetSink, "duckdb": DuckDBSink}
 STATE_BACKENDS = {"parquet": ParquetStateBackend}
 
 _REGISTRIES = {

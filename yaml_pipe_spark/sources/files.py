@@ -76,10 +76,15 @@ class LocalFileSource:
         )
 
     def test_connection(self, spark: SparkSession) -> None:
-        import os
-
-        if not os.path.isdir(self.path.removeprefix("file:")):
-            raise FileNotFoundError(f"source directory missing: {self.path}")
+        """Probe through the Hadoop FileSystem API, not os.path: the same
+        call resolves file:, s3a:, hdfs:, gs: — whatever scheme `path`
+        carries — so the S3 claim is exercised by the identical code path
+        (reference S3Source.test_connection, sources.py:226-234)."""
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            raise FileNotFoundError(f"source path missing: {self.path}")
 
 
 class ParquetDocumentsSource:

@@ -41,6 +41,57 @@ def first_col_as_content(df: DataFrame, source_uri: str) -> DataFrame:
     )
 
 
+def jdbc_options(
+    url: str,
+    query: str,
+    properties: dict | None = None,
+    fetchsize: int = 10_000,
+    partition_column: str | None = None,
+    num_partitions: int | None = None,
+    lower_bound: str | int | None = None,
+    upper_bound: str | int | None = None,
+) -> dict[str, str]:
+    """The full JDBC reader option map, as a pure (contract-testable)
+    function — the part of the connector that CAN be verified without a
+    database (tests/test_connectors.py).
+
+    Contract points:
+    - the user query goes through the `query` option verbatim — the cursor
+      predicate is NEVER string-concatenated into the SQL (the reference
+      interpolates it, sources.py:266-272, which is SQL-injectable; here
+      incremental_by_timestamp applies a Column filter that Catalyst pushes
+      into the database scan);
+    - `fetchsize` defaults high (row-at-a-time JDBC cursors are the classic
+      single-node bottleneck);
+    - passing partition_column/num_partitions/bounds turns the read into N
+      parallel range-partitioned queries — the 100 TB path for big tables;
+      all four must be set together.
+    """
+    opts: dict[str, str] = {
+        "url": url,
+        "query": query,
+        "fetchsize": str(fetchsize),
+    }
+    part = (partition_column, num_partitions, lower_bound, upper_bound)
+    if any(v is not None for v in part):
+        if any(v is None for v in part):
+            raise ValueError(
+                "partitioned JDBC reads need all of partition_column, "
+                "num_partitions, lower_bound, upper_bound"
+            )
+        # Spark's JDBC source forbids `query` + partitionColumn; the query
+        # becomes a derived-table dbtable instead (same pushdown).
+        opts.pop("query")
+        opts["dbtable"] = f"({query}) yaml_pipe_sub"
+        opts["partitionColumn"] = str(partition_column)
+        opts["numPartitions"] = str(num_partitions)
+        opts["lowerBound"] = str(lower_bound)
+        opts["upperBound"] = str(upper_bound)
+    for k, v in (properties or {}).items():
+        opts[str(k)] = str(v)
+    return opts
+
+
 def jdbc_source(
     spark,
     url: str,
@@ -48,17 +99,15 @@ def jdbc_source(
     ts_col: str = "updated_at",
     last_run_ts: str | None = None,
     properties: dict | None = None,
+    **partition_kwargs,
 ) -> DataFrame:
     """The real connector: JDBC subquery pushdown + safe cursor predicate.
-    Catalyst pushes the filter into the database scan. Untested in this
-    container (no database); semantics covered via the helpers above."""
-    reader = (
-        spark.read.format("jdbc")
-        .option("url", url)
-        .option("query", query)
+    Catalyst pushes the filter into the database scan. Untestable against a
+    live database in this container; the option map it passes to the reader
+    is contract-tested via jdbc_options."""
+    reader = spark.read.format("jdbc").options(
+        **jdbc_options(url, query, properties, **partition_kwargs)
     )
-    for k, v in (properties or {}).items():
-        reader = reader.option(k, v)
     df = reader.load()
     return first_col_as_content(
         incremental_by_timestamp(df, ts_col, last_run_ts), url
