@@ -3566,6 +3566,200 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_flagship(spark, "/root/testdata/sf0.001")
 
 
+# ---------------------------------------------------------------------------
+# Corpus curation beyond per-doc stats (operators/curation.py): C4-style
+# blocklist filters, cross-document shared-span measurement, PII redaction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_blocklist_filter",
+    """
+WITH f AS (
+  SELECT lang,
+         list_has_any(string_split(text, ' '), ['slow', 'legacy'])
+           AS has_blocked,
+         len(string_split(text, ' ')) < 12 AS too_short,
+         list_max(list_transform(string_split(text, ' '),
+                                 x -> length(x))) > 15 AS has_long_word
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(CASE WHEN has_blocked THEN 1 END) AS BIGINT) AS n_blocked,
+       CAST(count(CASE WHEN too_short THEN 1 END) AS BIGINT) AS n_short,
+       CAST(count(CASE WHEN has_long_word THEN 1 END) AS BIGINT) AS n_long,
+       CAST(count(CASE WHEN NOT (has_blocked OR too_short OR has_long_word)
+                       THEN 1 END) AS BIGINT) AS n_kept
+FROM f GROUP BY lang
+""",
+    "C4-style document filters: vocabulary blocklist + min-words + "
+    "max-word-length, independent flags, narrow map + one tiny agg",
+)
+def q_text_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.curation import blocklist_flags
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    f = blocklist_flags(
+        docs, "text", blocklist=("slow", "legacy"), min_words=12, max_word_len=15
+    )
+    cnt = lambda c: F.count(F.when(F.col(c), 1)).cast("long")  # noqa: E731
+    return f.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        cnt("has_blocked").alias("n_blocked"),
+        cnt("too_short").alias("n_short"),
+        cnt("has_long_word").alias("n_long"),
+        cnt("keep").alias("n_kept"),
+    )
+
+
+@register(
+    "text_shared_ngrams",
+    """
+WITH toks AS (
+  SELECT lang, doc_id, unnest(string_split(text, ' ')) AS w,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+g AS (
+  SELECT lang, doc_id, w,
+         lead(w, 1) OVER win AS w1, lead(w, 2) OVER win AS w2,
+         lead(w, 3) OVER win AS w3, lead(w, 4) OVER win AS w4
+  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+grams AS (
+  SELECT lang, doc_id,
+         md5(w || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4) AS gram
+  FROM g WHERE w4 IS NOT NULL
+),
+per AS (
+  SELECT lang, gram, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+  FROM grams GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(CASE WHEN n_docs >= 2 THEN 1 END) AS BIGINT) AS n_shared,
+       round(count(CASE WHEN n_docs >= 2 THEN 1 END) * 1.0 / count(*), 6)
+         AS shared_ratio,
+       CAST(COALESCE(sum(CASE WHEN n_docs >= 2 THEN n_occ END), 0) AS BIGINT)
+         AS cross_doc_occ
+FROM per GROUP BY lang
+""",
+    "Cross-document shared 5-gram spans (RefinedWeb-style boilerplate "
+    "measure): lead()-window grams, per-gram document frequency, per-lang "
+    "share — one window pass + one gram shuffle",
+)
+def q_text_shared_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.curation import shared_ngrams
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "text"
+    )
+    per = shared_ngrams(docs, "text", "doc_id", "lang", k=5)
+    shared = F.col("n_docs") >= 2
+    return per.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.count(F.when(shared, 1)).cast("long").alias("n_shared"),
+        F.round(
+            F.count(F.when(shared, 1)) * F.lit(1.0) / F.count("*"), 6
+        ).alias("shared_ratio"),
+        F.coalesce(F.sum(F.when(shared, F.col("n_occ"))), F.lit(0))
+        .cast("long")
+        .alias("cross_doc_occ"),
+    )
+
+
+@register(
+    "text_pii_redact",
+    """
+WITH injected AS (
+  -- deterministic PII harness: the synthetic corpus contains no emails/IPs,
+  -- so a subset gets them appended (same expression both engines) to
+  -- exercise detect+redact with real hits
+  SELECT lang, doc_id,
+         text
+         || (CASE WHEN doc_id % 5 = 0
+                  THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com now' ELSE '' END)
+         || (CASE WHEN doc_id % 7 = 0
+                  THEN ' host 10.0.' || CAST(doc_id % 250 AS VARCHAR)
+                       || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END)
+           AS t
+  FROM documents
+),
+r AS (
+  SELECT lang,
+         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+'))
+           AS n_emails,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+',
+                        '<EMAIL>', 'g') AS t1
+  FROM injected
+),
+r2 AS (
+  SELECT lang, n_emails,
+         len(regexp_extract_all(t1,
+             '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS n_ips,
+         regexp_replace(t1,
+             '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}',
+             '<IP>', 'g') AS redacted
+  FROM r
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_emails) AS BIGINT) AS n_emails,
+       CAST(sum(n_ips) AS BIGINT) AS n_ips,
+       CAST(count(CASE WHEN n_emails = 0 AND n_ips = 0 THEN 1 END) AS BIGINT)
+         AS n_clean,
+       CAST(count(DISTINCT md5(redacted)) AS BIGINT) AS n_uniq_redacted
+FROM r2 GROUP BY lang
+""",
+    "PII detect + redact (emails, IPv4) over a deterministic injection "
+    "harness; regex subset chosen for Java/RE2 parity; zero shuffle "
+    "before the final agg",
+)
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.curation import pii_redact
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "text"
+    )
+    injected = docs.withColumn(
+        "t",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (F.col("doc_id") % 250).cast("string"),
+                    F.lit("."),
+                    (F.col("doc_id") % 100).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    r = pii_redact(injected, "t")
+    return r.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_emails").cast("long").alias("n_emails"),
+        F.sum("n_ips").cast("long").alias("n_ips"),
+        F.count(
+            F.when((F.col("n_emails") == 0) & (F.col("n_ips") == 0), 1)
+        )
+        .cast("long")
+        .alias("n_clean"),
+        F.countDistinct(F.md5("redacted")).cast("long").alias("n_uniq_redacted"),
+    )
+
+
 # The round driver validates a *prefix* of the queries() dict (round 1 recorded
 # exactly the first 50 entries in insertion order). DRIVER_ORDER front-loads
 # every query family that has not yet earned a driver-green CORRECTNESS row —
@@ -3615,14 +3809,14 @@ DRIVER_ORDER: list[str] = [
     # -- new in round 2 --
     "events_time_weighted_window",
     "s1_parse_dispatch",
+    "text_blocklist_filter",
+    "text_shared_ngrams",
+    "text_pii_redact",
     # -- round-1-green regression canaries, one per operator family --
     "s1_scan_nonempty",
-    "s2_normalize_lines",
     "s4_events_content",
     "c1_fixed_chunk",
-    "c3_adaptive_chunk",
     "t2_changed_anti_join",
-    "t3_state_merge",
     "e_hash_embed",
     "q1_topk_cosine",
     "dedup_minhash_lsh",

@@ -168,6 +168,33 @@ class QualityFilter:
         return kept.drop(*drop).withColumnRenamed("text", self.text_col)
 
 
+class BlocklistFilter:
+    """C4-style document drop: vocabulary blocklist + min-words +
+    max-word-length (operators/curation.py; narrow, no shuffle)."""
+
+    def __init__(
+        self,
+        text_col: str = "content",
+        blocklist: list[str] | None = None,
+        min_words: int = 1,
+        max_word_len: int = 1000,
+    ):
+        self.text_col = text_col
+        self.blocklist = tuple(blocklist or ())
+        self.min_words = min_words
+        self.max_word_len = max_word_len
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from yaml_pipe_spark.operators.curation import blocklist_flags
+
+        flagged = blocklist_flags(
+            df, self.text_col, self.blocklist, self.min_words, self.max_word_len
+        )
+        return flagged.filter(F.col("keep")).drop(
+            "has_blocked", "too_short", "has_long_word", "keep"
+        )
+
+
 class StratifiedSampleFilter:
     """Deterministic hash downsampling per stratum (narrow, reproducible)."""
 
@@ -199,6 +226,7 @@ FILTERS = {
     "exact_dedup": ExactDedupFilter,
     "quality": QualityFilter,
     "stratified_sample": StratifiedSampleFilter,
+    "blocklist": BlocklistFilter,
 }
 CHUNKERS = {
     "fixed_window": FixedWindowChunker,
