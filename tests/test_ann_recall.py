@@ -108,3 +108,31 @@ def test_lsh_join_is_equi_join_not_crossjoin(spark, clustered):
         signlsh_knn_join(q, corpus, planes, k=K).explain("formatted")
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_ivf_beats_arbitrary_centroids(spark, clustered):
+    from yaml_pipe_spark.operators.similarity import kmeans_fit
+
+    corpus, true_cents, q, exact = clustered
+    fitted = kmeans_fit(corpus, n_clusters=10, max_iterations=8)
+    cents = fitted.collect()
+    assert len(cents) == 10
+    # fitted centroids must be unit-norm (spherical k-means)
+    import math
+
+    for r in cents:
+        assert abs(math.sqrt(sum(x * x for x in r.cv)) - 1.0) < 1e-6
+    approx = ivf_knn_join(q, corpus, fitted, k=K, nprobe=2)
+    r = recall_at_k(approx, exact).collect()[0]
+    assert r.recall >= 0.85, f"kmeans-ivf recall@{K}={r.recall}"
+
+
+def test_kmeans_is_deterministic(spark, clustered):
+    from yaml_pipe_spark.operators.similarity import kmeans_fit
+
+    corpus, _, _, _ = clustered
+    a = kmeans_fit(corpus, n_clusters=4, max_iterations=3).collect()
+    b = kmeans_fit(corpus, n_clusters=4, max_iterations=3).collect()
+    assert sorted(map(tuple, ((r.cid, tuple(r.cv)) for r in a))) == sorted(
+        map(tuple, ((r.cid, tuple(r.cv)) for r in b))
+    )

@@ -155,3 +155,20 @@ def test_twa_window_variant_is_jvm_only(spark):
     assert "EvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
     demo = _plan(_q("events_time_weighted_avg", spark), "simple")
     assert "FlatMapGroupsInPandas" in demo
+
+
+def test_curation_and_parse_queries_stay_jvm_side(spark):
+    # parse dispatch + curation are pure Catalyst: no Python nodes anywhere,
+    # and the boilerplate measure is bounded at 3 exchanges (token window,
+    # gram groupBy, final agg)
+    for name in (
+        "s1_parse_dispatch",
+        "text_blocklist_filter",
+        "text_pii_redact",
+        "text_shared_ngrams",
+    ):
+        plan = _plan(_q(name, spark), "simple")
+        assert "EvalPython" not in plan, name
+        assert "FlatMapGroupsInPandas" not in plan, name
+    shared = _plan(_q("text_shared_ngrams", spark), "simple")
+    assert shared.count("Exchange") <= 3

@@ -190,3 +190,43 @@ def test_entropy_bounds_and_rfm_partition(spark):
     for r in dec:
         assert 0 <= r.n_contaminated <= r.n_grams, r
         assert 0.0 <= r.contamination_frac <= 1.0, r
+
+
+@given(texts=TEXTS)
+@settings(**SETTINGS)
+def test_parse_text_idempotent(spark, texts):
+    """Element normalization is a projection onto its own image:
+    parse(parse(x)) == parse(x), and the output never contains a blank line
+    (elements are trimmed and joined with exactly one blank line)."""
+    from yaml_pipe_spark.sources.parsers import parse_text
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    out = df.select(
+        "id",
+        parse_text(F.col("text")).alias("once"),
+    ).select("id", "once", parse_text(F.col("once")).alias("twice"))
+    for r in out.collect():
+        assert r.once == r.twice
+        for el in r.once.split("\n\n"):
+            assert el == "" or el.strip() == el
+
+
+@given(texts=TEXTS)
+@settings(**SETTINGS)
+def test_pii_redact_idempotent_and_clean(spark, texts):
+    """Redaction is idempotent (placeholders don't re-match) and the
+    redacted text never contains an email/IP match."""
+    from yaml_pipe_spark.operators.curation import pii_redact
+
+    salted = [t + " a@b.co 1.2.3.4" for t in texts]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(salted)], "id long, text string"
+    )
+    once = pii_redact(df, "text").select(
+        "id", F.col("redacted").alias("text"), "n_emails", "n_ips"
+    )
+    twice = pii_redact(once, "text")
+    for r in twice.collect():
+        assert r.n_emails == 0 and r.n_ips == 0, r.redacted

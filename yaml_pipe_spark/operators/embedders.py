@@ -72,6 +72,26 @@ class SentenceTransformerEmbedder:
         return df.withColumn("embedding", embed_udf(F.col(text_col)))
 
 
+def batched_embed(texts, embed_batch, batch_size):
+    """Micro-batching contract for remote embedders, as a pure function so
+    the batch arithmetic is testable without a network or a Spark worker:
+    every batch has <= batch_size texts, order is preserved, None -> ''.
+    `embed_batch` is called once per slice and must return one vector per
+    input text (the reference loops per batch the same way,
+    embedders.py:75-84)."""
+    clean = ["" if t is None else t for t in texts]
+    out = []
+    for i in range(0, len(clean), batch_size):
+        batch = clean[i : i + batch_size]
+        vecs = embed_batch(batch)
+        if len(vecs) != len(batch):
+            raise ValueError(
+                f"embedder returned {len(vecs)} vectors for {len(batch)} texts"
+            )
+        out.extend(vecs)
+    return out
+
+
 class OpenAIEmbedder:
     """Remote-API embedder (reference embedders.py:65-91): micro-batched HTTP
     calls inside the UDF; key from config or OPENAI_API_KEY."""
@@ -100,11 +120,12 @@ class OpenAIEmbedder:
             except ImportError as e:  # pragma: no cover - lib not in container
                 raise RuntimeError("openai client is not installed") from e
             client = openai.OpenAI(api_key=key)
-            texts = s.fillna("").tolist()
-            out: list[list[float]] = []
-            for i in range(0, len(texts), bs):
-                resp = client.embeddings.create(model=model, input=texts[i : i + bs])
-                out.extend([d.embedding for d in resp.data])
+
+            def embed_batch(batch):
+                resp = client.embeddings.create(model=model, input=batch)
+                return [d.embedding for d in resp.data]
+
+            out = batched_embed(s.tolist(), embed_batch, bs)
             return type(s)(out)
 
         return df.withColumn("embedding", embed_udf(F.col(text_col)))

@@ -223,6 +223,90 @@ def ivf_knn_join(
     )
 
 
+def kmeans_fit(
+    corpus: DataFrame,
+    n_clusters: int,
+    max_iterations: int = 10,
+    tol: float = 1e-4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Spherical k-means for IVF coarse quantizers, as DataFrame ops.
+
+    Lloyd iterations: broadcast the k centroids, assign every vector to its
+    max-cosine centroid (one narrow pass), recompute each centroid as the
+    mean of its members via posexplode -> groupBy(cid, dim) with map-side
+    partial aggregation — one shuffle of k*dim*partitions partial sums per
+    round, never a collect of member vectors. The driver holds ONLY the
+    k x dim centroid matrix (that is the k-means contract, not a scale
+    smell). Deterministic throughout: init picks the k corpus vectors with
+    the smallest md5(id) (seedless but stable), ties in assignment go to
+    the lowest centroid id, empty clusters keep their previous centroid.
+    Returns a (cid, cv) DataFrame ready for ivf_topk / ivf_knn_join.
+    """
+    import math
+
+    spark = corpus.sparkSession
+    init_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_clusters)
+        .collect()
+    )
+    centroids = [list(r[1]) for r in init_rows]
+
+    def _norm(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v] if n > 0 else v
+
+    centroids = [_norm(v) for v in centroids]
+    for _ in range(max_iterations):
+        cdf = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(centroids)],
+            "cid long, cv array<double>",
+        )
+        assigned = (
+            corpus.crossJoin(F.broadcast(cdf))
+            .withColumn("__s", cosine(F.col(vec_col), F.col("cv")))
+            .groupBy(id_col, vec_col)
+            .agg(
+                F.max_by(
+                    F.col("cid"), F.struct(F.col("__s"), -F.col("cid"))
+                ).alias("cid")
+            )
+        )
+        dims = assigned.select(
+            "cid", F.posexplode(F.col(vec_col)).alias("dim", "x")
+        )
+        means = (
+            dims.groupBy("cid", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dim"), F.col("m")))
+                ).alias("dm")
+            )
+            .select("cid", F.col("dm.m").alias("mv"))
+        )
+        new_centroids = list(centroids)
+        shift = 0.0
+        for row in means.collect():  # k rows — the centroid matrix only
+            nv = _norm(list(row.mv))
+            old = centroids[row.cid]
+            shift = max(
+                shift, math.sqrt(sum((a - b) ** 2 for a, b in zip(nv, old)))
+            )
+            new_centroids[row.cid] = nv
+        centroids = new_centroids
+        if shift < tol:
+            break
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(centroids)],
+        "cid long, cv array<double>",
+    )
+
+
 def recall_at_k(
     approx: DataFrame,
     exact: DataFrame,
