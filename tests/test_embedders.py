@@ -29,13 +29,21 @@ def test_batched_embed_rejects_wrong_cardinality():
         batched_embed(["a", "b", "c"], lambda b: [[0.0]] * 2, batch_size=8)
 
 
-def test_openai_embedder_key_handling(monkeypatch):
+def test_openai_embedder_key_handling(spark, monkeypatch):
     monkeypatch.delenv("OPENAI_API_KEY", raising=False)
+    # construction succeeds without a key (configs must compile anywhere);
+    # the apply stage is where the key becomes mandatory
+    e = OpenAIEmbedder()
+    df = spark.createDataFrame([("x",)], "chunk string")
     with pytest.raises(ValueError, match="key missing"):
-        OpenAIEmbedder()
+        e.apply(df)
     monkeypatch.setenv("OPENAI_API_KEY", "sk-env")
     assert OpenAIEmbedder().api_key == "sk-env"
     assert OpenAIEmbedder(api_key="sk-arg").api_key == "sk-arg"
+    # reference-config key alias
+    assert OpenAIEmbedder(model_name="text-embedding-ada-002").model == (
+        "text-embedding-ada-002"
+    )
 
 
 def test_hash_embedder_shape_and_determinism(spark):

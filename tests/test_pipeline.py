@@ -263,3 +263,20 @@ def test_all_registered_sinks_satisfy_protocol():
         for method in ("write", "read", "test_connection"):
             assert hasattr(cls, method), f"{name} missing {method}"
     assert "duckdb" in SINKS and "parquet" in SINKS
+
+
+def test_clean_handles_duckdb_file_sink(spark, workdir, capsys):
+    from yaml_pipe_spark import cli
+    from yaml_pipe_spark.plans.config import parse_config
+
+    cfg_text = DUCKDB_CONFIG_TMPL.format(**workdir)
+    spec = parse_config(cfg_text)
+    run_pipeline(spark, spec)
+    db = workdir["sink"] + ".duckdb"
+    assert os.path.exists(db)
+    cfg = os.path.join(os.path.dirname(workdir["data"]), "p.yaml")
+    _write(cfg, cfg_text)
+    assert cli.main(["clean", "-c", cfg]) == 1  # no --yes: dry-run refuses
+    assert os.path.exists(db)
+    assert cli.main(["clean", "-c", cfg, "--yes"]) == 0
+    assert not os.path.exists(db)

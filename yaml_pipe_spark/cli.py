@@ -95,9 +95,13 @@ def cmd_test_connection(args) -> int:
 
 
 def cmd_clean(args) -> int:
-    # reference cli.py:167-195: delete state + sink dirs, with confirmation
+    # reference cli.py:167-195: delete state + sink dirs, with confirmation.
+    # Sinks address their storage as either a directory (parquet `path`) or
+    # a single file (duckdb `db_path`).
     spec = load_config(args.config)
-    targets = [spec.sink.config.get("path")]
+    targets = [
+        spec.sink.config.get("path") or spec.sink.config.get("db_path")
+    ]
     if spec.state_manager is not None:
         targets.append(spec.state_manager.config.get("path"))
     targets = [t for t in targets if t]
@@ -105,7 +109,10 @@ def cmd_clean(args) -> int:
         print(f"would delete: {targets} (pass --yes to confirm)")
         return 1
     for t in targets:
-        shutil.rmtree(t, ignore_errors=True)
+        if os.path.isfile(t):
+            os.remove(t)
+        else:
+            shutil.rmtree(t, ignore_errors=True)
         print(f"deleted {t}")
     return 0
 

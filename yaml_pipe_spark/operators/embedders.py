@@ -98,19 +98,23 @@ class OpenAIEmbedder:
 
     def __init__(
         self, model: str = "text-embedding-3-small", api_key: str | None = None,
-        batch_size: int = 256,
+        batch_size: int = 256, model_name: str | None = None,
     ):
         import os
 
-        self.model = model
+        # `model_name` accepted for reference-config compatibility
+        # (reference embedders.py uses model_name across all embedders)
+        self.model = model_name or model
         self.api_key = api_key or os.environ.get("OPENAI_API_KEY")
         self.batch_size = batch_size
+
+    def apply(self, df: DataFrame, text_col: str = "chunk") -> DataFrame:
+        # key validated at plan-build time, not construction: configs must
+        # parse/compile on machines that never run the embed stage
         if not self.api_key:
             raise ValueError(
                 "OpenAI API key missing: pass api_key or set OPENAI_API_KEY"
             )
-
-    def apply(self, df: DataFrame, text_col: str = "chunk") -> DataFrame:
         model, key, bs = self.model, self.api_key, self.batch_size
 
         @F.pandas_udf(T.ArrayType(T.FloatType()))

@@ -19,6 +19,7 @@ from yaml_pipe_spark.operators.embedders import (
     SentenceTransformerEmbedder,
 )
 from yaml_pipe_spark.operators.sinks import DuckDBSink, ParquetSink
+from yaml_pipe_spark.operators.vector_sinks import ChromaDBSink, LanceDBSink
 from yaml_pipe_spark.operators.state import (
     changed_rows,
     commit_state,
@@ -93,11 +94,26 @@ class JDBCSource:
 
     def __init__(
         self,
-        url: str,
-        query: str,
+        url: str | None = None,
+        query: str = "",
         timestamp_column: str = "updated_at",
+        host: str | None = None,
+        port: int = 5432,
+        database: str | None = None,
+        user: str | None = None,
+        password: str | None = None,
         **properties: str,
     ):
+        # reference config shape (pipeline_postgres.yaml): host/port/
+        # database/user/password — synthesized into the JDBC url + props
+        if url is None:
+            if not (host and database):
+                raise ValueError("jdbc source needs url or host+database")
+            url = f"jdbc:postgresql://{host}:{port}/{database}"
+        if user is not None:
+            properties.setdefault("user", user)
+        if password is not None:
+            properties.setdefault("password", password)
         self.url, self.query = url, query
         self.timestamp_column = timestamp_column
         self.properties = properties
@@ -112,6 +128,24 @@ class JDBCSource:
 
     def test_connection(self, spark: SparkSession) -> None:
         self.load(spark).limit(0).collect()
+
+
+class S3Source(LocalFileSource):
+    """S3 (reference sources.py:162-234) with the reference's config keys
+    (bucket, prefix): the same distributed binaryFile scan over an s3a://
+    path — Hadoop S3A replaces boto3, the content-hash anti-join replaces
+    ETag bookkeeping. Needs hadoop-aws + credentials on a real cluster;
+    construction never gates so configs compile anywhere."""
+
+    def __init__(
+        self,
+        bucket: str,
+        prefix: str = "",
+        glob_pattern: str = "**/*",
+        parse: bool = False,
+    ):
+        path = f"s3a://{bucket}/{prefix}".rstrip("/")
+        super().__init__(path, glob_pattern=glob_pattern, parse=parse)
 
 
 class ExactDedupFilter:
@@ -221,6 +255,8 @@ SOURCES = {
     "parquet_documents": ParquetDocumentsSource,
     "web": WebSource,
     "postgresql": JDBCSource,
+    "postgres": JDBCSource,  # reference type name
+    "s3": S3Source,
 }
 FILTERS = {
     "exact_dedup": ExactDedupFilter,
@@ -239,7 +275,13 @@ EMBEDDERS = {
     "sentence_transformer": SentenceTransformerEmbedder,
     "openai": OpenAIEmbedder,
 }
-SINKS = {"parquet": ParquetSink, "duckdb": DuckDBSink}
+SINKS = {
+    "parquet": ParquetSink,
+    "duckdb": DuckDBSink,
+    # reference-config-compatible adapters, import-gated (vector_sinks.py)
+    "lancedb": LanceDBSink,
+    "chromadb": ChromaDBSink,
+}
 STATE_BACKENDS = {"parquet": ParquetStateBackend}
 
 _REGISTRIES = {
