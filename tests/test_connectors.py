@@ -59,3 +59,31 @@ def test_file_source_glob_survives_scheme_paths():
     src = LocalFileSource("s3a://bucket/corpus", glob_pattern="**/*.md")
     assert src.path == "s3a://bucket/corpus"
     assert src.file_glob == "*.md"
+
+
+def test_timestamp_cursor_pushes_to_scan(spark, tmp_path):
+    # the cursor literal is cast to the COLUMN's timestamp type; a
+    # mismatched cast would wrap the column and block scan pushdown
+    # (the driver testdata stores nanos-as-int64, where the conversion cast
+    # legitimately blocks pushdown — this asserts the real-data behavior)
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from yaml_pipe_spark.sources.relational import incremental_by_timestamp
+
+    p = str(tmp_path / "ev")
+    spark.range(100).select(
+        F.col("id"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(mins=F.col("id"))).alias("ts"),
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    inc = incremental_by_timestamp(df, "ts", "2024-01-01 00:30:00")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        inc.explain("formatted")
+    plan = buf.getvalue()
+    assert "GreaterThan(ts" in plan, plan
+    assert inc.count() == 69  # 70 rows after cutoff, minus the boundary row +1

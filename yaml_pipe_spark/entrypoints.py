@@ -575,6 +575,33 @@ def q_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t4_timestamp_cursor",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(epoch_us(ts)) AS BIGINT) AS min_us,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS max_us
+FROM events
+WHERE ts > TIMESTAMP '2024-01-16 00:00:00'
+GROUP BY event_type
+""",
+    "T4 timestamp cursor (sources.py:266-272 semantics, minus the string "
+    "interpolation): incremental predicate as a pushed-down Column filter; "
+    "a real run feeds last_run_ts from the ledger",
+)
+def q_t4_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.sources.relational import incremental_by_timestamp
+
+    ev = load_table(spark, sf_dir, "events")
+    inc = incremental_by_timestamp(ev, "ts", "2024-01-16 00:00:00")
+    return inc.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min(F.unix_micros("ts")).cast("long").alias("min_us"),
+        F.max(F.unix_micros("ts")).cast("long").alias("max_us"),
+    )
+
+
+@register(
     "t3_state_merge",
     """
 WITH d AS (SELECT doc_id, text FROM documents
@@ -3812,7 +3839,9 @@ DRIVER_ORDER: list[str] = [
     "text_blocklist_filter",
     "text_shared_ngrams",
     "text_pii_redact",
+    "t4_timestamp_cursor",
     # -- round-1-green regression canaries, one per operator family --
+    # (sampling is re-validated via sample_weighted above)
     "s1_scan_nonempty",
     "s4_events_content",
     "c1_fixed_chunk",
@@ -3821,7 +3850,6 @@ DRIVER_ORDER: list[str] = [
     "q1_topk_cosine",
     "dedup_minhash_lsh",
     "text_quality",
-    "sample_stratified",
 ]
 
 

@@ -24,10 +24,16 @@ def incremental_by_timestamp(
     df: DataFrame, ts_col: str, last_run_ts: str | None
 ) -> DataFrame:
     """Keep rows with ts_col > last_run_ts (no-op cursor when None —
-    first run processes everything, sources.py:266-268)."""
+    first run processes everything, sources.py:266-268).
+
+    The literal is cast to the COLUMN's own timestamp type (ntz vs ltz):
+    a mismatched literal makes Spark wrap the column in a cast, which
+    blocks predicate pushdown into the scan/database — the whole point of
+    the cursor."""
     if last_run_ts is None:
         return df
-    return df.filter(F.col(ts_col) > F.lit(last_run_ts).cast("timestamp"))
+    ts_type = df.schema[ts_col].dataType
+    return df.filter(F.col(ts_col) > F.lit(last_run_ts).cast(ts_type))
 
 
 def first_col_as_content(df: DataFrame, source_uri: str) -> DataFrame:
