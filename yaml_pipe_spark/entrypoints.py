@@ -2664,6 +2664,110 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dk_sha_byte(n: int) -> str:
+    """Int value of byte `n` (0-based) of a sha256 hex digest column `h`."""
+    return (
+        f"(16 * (strpos('0123456789abcdef', substr(h, {2 * n + 1}, 1)) - 1)"
+        f" + strpos('0123456789abcdef', substr(h, {2 * n + 2}, 1)) - 1)"
+    )
+
+
+_DK_MEDIA = """
+  SELECT doc_id,
+         ['image','audio','video'][CAST(1 + doc_id % 3 AS INT)] AS modality,
+         repeat(CAST(doc_id AS VARCHAR), CAST(1 + doc_id % 7 AS INT))
+           AS payload_txt
+  FROM documents
+"""
+
+_DK_MEDIA_DECODED = f"""
+WITH m AS ({_DK_MEDIA}),
+d AS (
+  SELECT doc_id, modality,
+         octet_length(encode(payload_txt)) AS n_bytes,
+         sha256(payload_txt) AS h
+  FROM m
+),
+f AS (
+  SELECT doc_id, modality, n_bytes, h,
+         16 + {_dk_sha_byte(0)} % 240 AS width,
+         16 + {_dk_sha_byte(1)} % 240 AS height,
+         CASE WHEN modality = 'video' THEN 1 + {_dk_sha_byte(2)} % 120
+              ELSE 1 END AS n_frames
+  FROM d
+)
+"""
+
+
+@register(
+    "multimodal_decode_check",
+    f"""
+{_DK_MEDIA_DECODED}
+SELECT modality,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(sum(width) AS BIGINT) AS sum_width,
+       CAST(sum(height) AS BIGINT) AS sum_height,
+       CAST(sum(n_frames) AS BIGINT) AS sum_frames,
+       CAST(count(DISTINCT h) AS BIGINT) AS n_unique_payloads
+FROM f GROUP BY modality
+""",
+    "ORACLE-CHECKED multimodal decode: binary payloads built from doc_id "
+    "(ASCII bytes so DuckDB's VARCHAR-only sha256 can recompute the digest) "
+    "run through the real Arrow mapInPandas decode UDF; every derived "
+    "dimension (bytes, width, height, frame count, payload digest) is "
+    "re-derived independently by the oracle. Upgrades multimodal from "
+    "rows-only to hash-matched.",
+)
+def q_multimodal_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.multimodal.binary import (
+        extract_features,
+        media_from_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    feats = extract_features(media_from_documents(docs))
+    return feats.groupBy("modality").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.sum("width").cast("long").alias("sum_width"),
+        F.sum("height").cast("long").alias("sum_height"),
+        F.sum("n_frames").cast("long").alias("sum_frames"),
+        F.countDistinct("payload_sha").cast("long").alias("n_unique_payloads"),
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    f"""
+{_DK_MEDIA_DECODED}
+SELECT doc_id AS item_id,
+       CAST(unnest(range(0, n_frames, 10)) AS BIGINT) AS frame_idx,
+       CAST(n_frames AS INT) AS n_frames
+FROM f WHERE modality = 'video'
+""",
+    "Video frame sampling (every 10th frame) as an exploded index stream — "
+    "the shape a real frame extractor feeds; frame counts come through the "
+    "binary decode UDF and the oracle re-derives them from the digest. "
+    "Explode is a Generate inside codegen, no Python past the decode.",
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.multimodal.binary import (
+        extract_features,
+        media_from_documents,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    feats = extract_features(media_from_documents(docs))
+    frames = sample_frames(feats, every_n=10)
+    return frames.select(
+        F.col("item_id").cast("long").alias("item_id"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("n_frames").cast("int").alias("n_frames"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Correlated-subquery / decision-support patterns (TPC-H Q17/Q18/Q21/Q22/Q8
 # analogs over the synthetic tables). These generalize the reference's only
@@ -3784,6 +3888,257 @@ def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_clean"),
         F.countDistinct(F.md5("redacted")).cast("long").alias("n_uniq_redacted"),
+    )
+
+
+@register(
+    "stream_hopping_agg",
+    """
+WITH x AS (
+  SELECT event_type, value,
+         UNNEST([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts)
+                   - INTERVAL '30 minutes']) AS window_start
+  FROM events
+)
+SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM x GROUP BY 1, 2
+""",
+    "Structured Streaming hopping 1h/30min window (complete-mode availableNow "
+    "drain) — same oracle as the batch twin events_hopping_agg; watermark "
+    "bounds the per-(window,key) state",
+)
+def q_stream_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.streaming.stream import (
+        stream_events,
+        streaming_hopping_agg,
+    )
+
+    _STREAM_COUNTER[0] += 1
+    name = f"stream_hopping_agg_q{_STREAM_COUNTER[0]}"
+    agg = streaming_hopping_agg(stream_events(spark, sf_dir))
+    _drain_to_memory(agg, "complete", name)
+    return spark.sql(
+        f"SELECT window_start, event_type, CAST(n_events AS BIGINT) AS n_events, "
+        f"sum_value FROM {name}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: SCD2 dimension history, time-series anomaly scoring,
+# sketch-accuracy gates (HLL / t-digest vs exact, oracle-checkable via a
+# bounded-error boolean), GPT-2-style pre-tokenizer token accounting.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_scd2_history",
+    """
+WITH s AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+         CASE WHEN lag(o_orderpriority) OVER
+                   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                   IS DISTINCT FROM o_orderpriority THEN 1 ELSE 0 END AS chg
+  FROM orders
+),
+g AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate,
+         sum(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS UNBOUNDED PRECEDING) AS version
+  FROM s
+),
+v AS (
+  SELECT o_custkey, version, o_orderpriority,
+         min(o_orderdate) AS valid_from
+  FROM g GROUP BY o_custkey, version, o_orderpriority
+)
+SELECT o_custkey,
+       CAST(version AS INT) AS version,
+       o_orderpriority,
+       valid_from,
+       lead(valid_from) OVER wv AS valid_to,
+       (lead(valid_from) OVER wv) IS NULL AS is_current
+FROM v WINDOW wv AS (PARTITION BY o_custkey ORDER BY version)
+""",
+    "SCD Type-2 dimension history: per-customer order-priority versions with "
+    "valid_from/valid_to intervals and is_current flag (gaps-and-islands, "
+    "one shuffle on the key; the ledger (T3) keeps only latest-hash — this "
+    "is the full-lineage upgrade a warehouse expects)",
+)
+def q_rel_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.state import scd2_history
+
+    orders = load_table(spark, sf_dir, "orders")
+    return scd2_history(
+        orders,
+        key_col="o_custkey",
+        ts_col="o_orderdate",
+        attr_col="o_orderpriority",
+        tiebreak_col="o_orderkey",
+    )
+
+
+@register(
+    "events_anomaly_zscore",
+    """
+WITH c AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS cnt
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+s AS (
+  SELECT event_type, avg(cnt) AS mu, stddev_samp(cnt) AS sigma
+  FROM c GROUP BY event_type
+),
+z AS (
+  SELECT c.event_type,
+         CASE WHEN s.sigma > 0 THEN (c.cnt - s.mu) / s.sigma
+              ELSE 0.0 END AS zval
+  FROM c JOIN s ON c.event_type = s.event_type
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(count(CASE WHEN abs(zval) > 2 THEN 1 END) AS BIGINT)
+         AS n_anomalies,
+       round(max(abs(zval)), 4) AS max_abs_z
+FROM z GROUP BY event_type
+""",
+    "Hourly-count anomaly detection by per-type z-score: the raw-event "
+    "shuffle is the (type, hour) count with map-side combine; stats and "
+    "flagging run on the tiny bucket table with a broadcast join",
+)
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.events import anomaly_zscore
+
+    events = load_table(spark, sf_dir, "events")
+    return anomaly_zscore(events, "ts", "event_type", "hour", 2.0)
+
+
+@register(
+    "events_approx_distinct_bounded",
+    """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS approx_within_5pct
+FROM events GROUP BY event_type
+""",
+    "Sketch-accuracy gate: HyperLogLog++ (approx_count_distinct, rsd=0.02) "
+    "must land within 5% of the exact distinct count — the bounded-error "
+    "boolean makes an approximate operator oracle-checkable. At 100 TB the "
+    "sketch is the only viable path (fixed-size state, map-side mergeable); "
+    "this query keeps it honest against the exact answer.",
+)
+def q_events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    agg = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("__approx"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("__approx") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("approx_within_5pct"),
+    )
+
+
+@register(
+    "rel_approx_quantile_bounded",
+    """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 2) AS exact_median,
+       TRUE AS approx_rank_ok
+FROM orders GROUP BY o_orderpriority
+""",
+    "Sketch-accuracy gate for quantiles, on the guarantee the sketch "
+    "actually makes: approx_percentile (accuracy=10000, Greenwald-Khanna "
+    "mergeable summary) promises RANK error <= n/accuracy, not value "
+    "closeness — so the gate recomputes the returned value's empirical rank "
+    "and asserts |rank/n - 0.5| <= 0.01 + 1/n. Value-distance bounds are "
+    "wrong for discrete sketches (adjacent order-statistics can differ by "
+    "percents at small n); rank bounds hold at every scale.",
+)
+def q_rel_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    appx = orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("__exact"),
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias(
+            "__approx"
+        ),
+    )
+    ranked = (
+        orders.join(F.broadcast(appx), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.first("__exact").alias("__exact"),
+            F.count(
+                F.when(F.col("o_totalprice") <= F.col("__approx"), 1)
+            ).alias("__le"),
+            F.count("*").alias("__n"),
+        )
+    )
+    return ranked.select(
+        "o_orderpriority",
+        F.round("__exact", 2).alias("exact_median"),
+        (
+            F.abs(F.col("__le") / F.col("__n") - 0.5)
+            <= 0.01 + 1.0 / F.col("__n")
+        ).alias("approx_rank_ok"),
+    )
+
+
+# GPT-2-style pre-tokenizer (lookahead-free subset: RE2 has no lookahead, so
+# the `\s+(?!\S)` branch is dropped — trailing-space merging differs from
+# upstream GPT-2, deterministically in both engines). Leftmost-first
+# alternation semantics match between Java regex and RE2's perl mode.
+_BPE_PAT = (
+    "'(?:s|t|re|ve|m|ll|d)"
+    "| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+)
+
+
+@register(
+    "text_token_bpe",
+    f"""
+WITH t AS (
+  SELECT lang,
+         len(regexp_extract_all(text,
+             '{_BPE_PAT.replace("'", "''")}')) AS n_tokens,
+         n_chars
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(n_tokens), 4) AS avg_tokens,
+       round(sum(n_chars) * 1.0 / sum(n_tokens), 4) AS chars_per_token
+FROM t GROUP BY lang
+""",
+    "Token accounting with a GPT-2-style pre-tokenizer regex (contractions, "
+    "letter runs, digit runs, punctuation runs, whitespace) — pure Catalyst "
+    "regexp_extract_all, no UDF; chars-per-token is the budget planners' "
+    "compression ratio",
+)
+def q_text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        "n_chars",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0))).alias(
+            "n_tokens"
+        ),
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(F.sum("n_chars") / F.sum("n_tokens"), 4).alias(
+            "chars_per_token"
+        ),
     )
 
 

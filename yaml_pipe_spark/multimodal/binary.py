@@ -131,3 +131,32 @@ def resize_stub(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame
     return df.withColumn("target_width", F.lit(width)).withColumn(
         "target_height", F.lit(height)
     )
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic media corpus keyed to the `documents` table: payload is
+    the UTF-8 bytes of `repeat(str(doc_id), 1 + doc_id % 7)`.
+
+    The payload happens to be ASCII so an external SQL engine can recompute
+    `sha256(payload)` (DuckDB's sha256 only accepts VARCHAR) — which makes
+    the *whole decode path* oracle-checkable end-to-end, not just rows>0.
+    The Spark side still treats it as an opaque `binary` column through the
+    same Arrow mapInPandas contract as any real image/audio/video payload.
+
+    Scale: payload construction is a narrow Catalyst projection on the
+    documents scan — no Python until the decode UDF itself.
+    """
+    return docs.select(
+        F.col("doc_id").cast("long").alias("item_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.encode(
+            F.repeat(F.col("doc_id").cast("string"), (F.col("doc_id") % 7 + 1).cast("int")),
+            "UTF-8",
+        ).alias("payload"),
+        F.create_map(
+            F.lit("origin"), F.concat(F.lit("documents/"), F.col("doc_id"))
+        ).alias("meta"),
+    )

@@ -236,3 +236,41 @@ def extract_prop(df: DataFrame, props_col: str = "props", key: str = "k"):
     Spark and DuckDB without JSON extensions): integer value of `key`."""
     pat = f'"{key}":\\s*([0-9]+)'
     return F.regexp_extract(F.col(props_col), pat, 1).cast("long")
+
+
+def anomaly_zscore(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    bucket: str = "hour",
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Per-group time-bucket count anomalies by z-score.
+
+    Two-level plan sized for 100 TB: the only shuffle over the raw events is
+    the (group, bucket) count with map-side partial aggregation; everything
+    after runs on the tiny bucketed-count table (groups x buckets), where
+    the per-group mean/stddev join is a broadcast. Returns one row per
+    group: bucket count, anomaly count at |z| > threshold, and max |z|.
+    """
+    counts = df.groupBy(
+        F.col(group_col), F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
+    ).agg(F.count("*").alias("cnt"))
+    stats = counts.groupBy(group_col).agg(
+        F.avg("cnt").alias("mu"),
+        F.stddev_samp("cnt").alias("sigma"),
+    )
+    z = (
+        counts.join(F.broadcast(stats), group_col)
+        .withColumn(
+            "z",
+            F.when(
+                F.col("sigma") > 0, (F.col("cnt") - F.col("mu")) / F.col("sigma")
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    return z.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.count(F.when(F.abs("z") > threshold, 1)).cast("long").alias("n_anomalies"),
+        F.round(F.max(F.abs("z")), 4).alias("max_abs_z"),
+    )

@@ -20,7 +20,7 @@ null hash never matches the ledger, so such rows are re-processed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 STATE_SCHEMA = "item_id string, content_hash string, updated_at timestamp"
@@ -107,3 +107,51 @@ def last_run_timestamp(state: DataFrame):
     """T4 watermark: max(updated_at) or None on an empty ledger."""
     row = state.agg(F.max("updated_at").alias("ts")).collect()[0]
     return row.ts
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type-2 history from an event/fact stream.
+
+    Collapses consecutive rows with an unchanged `attr_col` into versioned
+    validity intervals per key: (key, version, attr, valid_from, valid_to,
+    is_current), where valid_to is NULL on the open (current) version. This
+    is the warehouse-standard dimension-history build the reference's ledger
+    (state_manager.py:180-196) cannot express — it keeps only the latest
+    hash per item; SCD2 keeps the full lineage of changes.
+
+    Shape: gaps-and-islands. One shuffle on `key_col`; every window below
+    reuses that same partitioning (Catalyst schedules them in one Exchange).
+    No driver-side state; at 100 TB the cost is the single key shuffle.
+    `tiebreak_col` must make (ts, tiebreak) unique per key so version
+    boundaries are deterministic.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    prev = F.lag(attr_col).over(w)
+    chg = F.when(prev.isNull() | (prev != F.col(attr_col)), 1).otherwise(0)
+    versioned = df.select(
+        key_col, ts_col, tiebreak_col, attr_col
+    ).withColumn("__chg", chg).withColumn(
+        "version",
+        F.sum("__chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = versioned.groupBy(key_col, "version", attr_col).agg(
+        F.min(ts_col).alias("valid_from")
+    )
+    wv = Window.partitionBy(key_col).orderBy("version")
+    nxt = F.lead("valid_from").over(wv)
+    return spans.select(
+        F.col(key_col),
+        F.col("version").cast("int").alias("version"),
+        F.col(attr_col),
+        F.col("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
