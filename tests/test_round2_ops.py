@@ -208,3 +208,22 @@ def test_stream_hopping_matches_batch_twin(spark):
         for r in _q("stream_hopping_agg", spark).collect()
     }
     assert stream == batch
+
+
+# ---------------------------------------------- recall + LM quality proxy
+
+
+def test_ann_recall_measured_shape(spark):
+    r = _q("ann_recall_measured", spark).collect()[0]
+    assert r.n_queries == 40 and r.n_exact == 40 * 5
+    assert 0.0 <= r.recall <= 1.0
+    assert r.n_hit <= r.n_exact
+
+
+def test_unigram_logprob_is_negative_and_ordered(spark):
+    rows = _q("text_unigram_logprob", spark).collect()
+    assert rows
+    for r in rows:
+        # log-probabilities are strictly negative; min <= avg
+        assert r.avg_logprob < 0
+        assert r.min_logprob <= r.avg_logprob

@@ -4142,6 +4142,155 @@ def q_text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_recall_measured",
+    f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         CAST((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+            + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+            + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS BIGINT)
+           AS code
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qv, code AS qcode
+  FROM e WHERE vec_id < 40
+),
+scores AS (
+  SELECT q.qid, e.vec_id, e.code, q.qcode,
+         round({_dk_cos('e.embedding', 'q.qv')}, 6) AS score
+  FROM e, q WHERE e.vec_id <> q.qid
+),
+exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, vec_id) AS rn
+    FROM scores) WHERE rn <= 5
+),
+approx AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, vec_id) AS rn
+    FROM scores WHERE code = qcode) WHERE rn <= 5
+),
+j AS (
+  SELECT ex.qid, CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+  FROM exact ex LEFT JOIN approx a
+    ON ex.qid = a.qid AND ex.vec_id = a.vec_id
+)
+SELECT round(avg(hit), 4) AS recall,
+       CAST(count(DISTINCT qid) AS BIGINT) AS n_queries,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(hit) AS BIGINT) AS n_hit
+FROM j
+""",
+    "Recall@5 of single-probe sign-LSH (4 axis-aligned planes) against the "
+    "exact top-k, measured over 40 query vectors — and the ORACLE "
+    "independently recomputes the same recall, so the measurement machinery "
+    "itself is hash-checked, not just asserted in tests. The ANN operators' "
+    "production planes are random Gaussians (lsh_planes); axis planes are "
+    "used here so the oracle SQL stays closed-form.",
+)
+def q_ann_recall_measured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.similarity import (
+        knn_join,
+        recall_at_k,
+        signlsh_knn_join,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = emb.select(F.size("embedding").alias("d")).first().d
+    planes = [
+        [1.0 if i == j else 0.0 for i in range(dim)] for j in range(4)
+    ]
+    queries = emb.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    exact = knn_join(queries, emb, k=5)
+    approx = signlsh_knn_join(queries, emb, planes, k=5, multiprobe=False)
+    return recall_at_k(approx, exact)
+
+
+@register(
+    "text_unigram_logprob",
+    r"""
+WITH toks AS (
+  SELECT lang, doc_id,
+         unnest(regexp_extract_all(lower(text), '\p{L}+')) AS tok
+  FROM documents
+),
+dt AS (
+  SELECT lang, doc_id, tok, count(*) AS c_dt
+  FROM toks GROUP BY lang, doc_id, tok
+),
+lm AS (SELECT lang, tok, sum(c_dt) AS c_t FROM dt GROUP BY lang, tok),
+tot AS (SELECT lang, sum(c_t) AS n_l FROM lm GROUP BY lang),
+doc AS (
+  SELECT dt.lang, dt.doc_id,
+         sum(dt.c_dt * log10(CAST(lm.c_t AS DOUBLE) / CAST(tot.n_l AS DOUBLE)))
+           / sum(dt.c_dt) AS lp
+  FROM dt
+  JOIN lm ON dt.lang = lm.lang AND dt.tok = lm.tok
+  JOIN tot ON dt.lang = tot.lang
+  GROUP BY dt.lang, dt.doc_id
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(lp), 4) AS avg_logprob,
+       round(min(lp), 4) AS min_logprob
+FROM doc GROUP BY lang
+""",
+    "Unigram-LM quality proxy (CCNet-style): per-lang token LM trained on "
+    "the corpus itself, per-doc mean log10 unigram probability, rolled up "
+    "per lang. Plan: one (doc,token) count shuffle, LM derived from it by a "
+    "second small agg, vocabulary join on (lang,token) — the frequent-token "
+    "skew lives on the doc-aggregated side so no key explodes; per-doc "
+    "scores never leave the (lang,doc) partitioning.",
+)
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "text"
+    )
+    toks = docs.select(
+        "lang",
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"\p{L}+"), F.lit(0))
+        ).alias("tok"),
+    )
+    dt = toks.groupBy("lang", "doc_id", "tok").agg(
+        F.count("*").alias("c_dt")
+    )
+    lm = dt.groupBy("lang", "tok").agg(F.sum("c_dt").alias("c_t"))
+    tot = lm.groupBy("lang").agg(F.sum("c_t").alias("n_l"))
+    doc = (
+        dt.join(lm, ["lang", "tok"])
+        .join(F.broadcast(tot), "lang")
+        .groupBy("lang", "doc_id")
+        .agg(
+            (
+                F.sum(
+                    F.col("c_dt")
+                    * F.log10(
+                        F.col("c_t").cast("double")
+                        / F.col("n_l").cast("double")
+                    )
+                )
+                / F.sum("c_dt")
+            ).alias("lp")
+        )
+    )
+    return doc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("lp"), 4).alias("avg_logprob"),
+        F.round(F.min("lp"), 4).alias("min_logprob"),
+    )
+
+
 # The round driver validates a *prefix* of the queries() dict (round 1 recorded
 # exactly the first 50 entries in insertion order). DRIVER_ORDER front-loads
 # every query family that has not yet earned a driver-green CORRECTNESS row —
@@ -4195,16 +4344,18 @@ DRIVER_ORDER: list[str] = [
     "text_shared_ngrams",
     "text_pii_redact",
     "t4_timestamp_cursor",
-    # -- round-1-green regression canaries, one per operator family --
-    # (sampling is re-validated via sample_weighted above)
-    "s1_scan_nonempty",
-    "s4_events_content",
-    "c1_fixed_chunk",
-    "t2_changed_anti_join",
-    "e_hash_embed",
-    "q1_topk_cosine",
-    "dedup_minhash_lsh",
-    "text_quality",
+    # -- new oracled queries this session (displace the r01-green canaries:
+    # those already have driver rows, these don't; multimodal_frame_sample
+    # and stream_hopping_agg ride the tail until round 3 since their
+    # families are already represented above) --
+    "multimodal_decode_check",
+    "rel_scd2_history",
+    "events_anomaly_zscore",
+    "events_approx_distinct_bounded",
+    "rel_approx_quantile_bounded",
+    "text_token_bpe",
+    "ann_recall_measured",
+    "text_unigram_logprob",
 ]
 
 
