@@ -106,3 +106,80 @@ def test_multimodal_real_decode_is_marked(spark):
 
     with pytest.raises(NotImplementedError, match="codec libraries"):
         decode_payload(b"xx", "image", real_decode=True)
+
+
+def test_watermark_drops_late_data(spark):
+    """Deterministic late-data semantics: an event arriving after the
+    watermark has passed its window must be dropped, not aggregated.
+
+    Two availableNow drains over one checkpoint: run 1 sets the watermark
+    (max event time 14:00 - 1h delay = 13:00); run 2 delivers a late 10:45
+    event (beyond the persisted watermark -> dropped) plus a 16:00 event.
+    The 10:00-11:00 window must stay at count 2 forever.
+    """
+    import json
+
+    def _jwrite(path, rows):
+        with open(path, "w", encoding="utf-8") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    with tempfile.TemporaryDirectory() as tmp:
+        inp = os.path.join(tmp, "in")
+        sink = os.path.join(tmp, "sink")
+        ckpt = os.path.join(tmp, "ckpt")
+        os.makedirs(inp)
+
+        def drain():
+            stream = (
+                spark.readStream.schema("ts timestamp, k string")
+                .json(inp)
+                .withWatermark("ts", "1 hour")
+                .groupBy(F.window("ts", "1 hour").alias("w"), "k")
+                .count()
+                .select(F.col("w.start").alias("ws"), "k", "count")
+            )
+
+            def write_batch(df, _epoch):
+                df.write.mode("append").parquet(sink)
+
+            q = (
+                stream.writeStream.outputMode("append")
+                .foreachBatch(write_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        _jwrite(
+            os.path.join(inp, "b1.json"),
+            [
+                {"ts": "2024-01-01 10:00:00", "k": "a"},
+                {"ts": "2024-01-01 10:30:00", "k": "a"},
+                {"ts": "2024-01-01 14:00:00", "k": "a"},
+            ],
+        )
+        drain()
+        first = {
+            (r.ws.hour, r.k): r["count"]
+            for r in spark.read.parquet(sink).collect()
+        }
+        # watermark reached 13:00 -> the 10:00 window is final at count 2
+        assert first[(10, "a")] == 2
+
+        _jwrite(
+            os.path.join(inp, "b2.json"),
+            [
+                {"ts": "2024-01-01 10:45:00", "k": "a"},  # late: beyond wm
+                {"ts": "2024-01-01 16:00:00", "k": "a"},
+            ],
+        )
+        drain()
+        final = {}
+        for r in spark.read.parquet(sink).collect():
+            final[(r.ws.hour, r.k)] = final.get((r.ws.hour, r.k), 0) + r["count"]
+        # late row dropped: 10:00 window still 2 and emitted exactly once
+        assert final[(10, "a")] == 2
+        # watermark moved to 15:00 -> the 14:00 window finalized at 1
+        assert final[(14, "a")] == 1

@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from yaml_pipe_spark.functions.vectors import cosine
+from yaml_pipe_spark.functions.vectors import cosine, cosine_with_norms, l2_norm_sq
 
 
 def topk_cosine(
@@ -66,17 +66,27 @@ def knn_join(
     swap the broadcast for an LSH pre-bucketing (see dedup.minhash_lsh) — the
     ranking shape stays identical.
     """
-    pairs = corpus.join(F.broadcast(queries), how="cross")
+    # self-norms once per row, not once per pair: zip_with/aggregate are
+    # interpreted expressions, so the per-pair work must be a single dot
+    c = corpus.withColumn("__cn", l2_norm_sq(F.col(vec_col)))
+    q = queries.withColumn("__qn", l2_norm_sq(F.col(query_vec)))
+    pairs = c.join(F.broadcast(q), how="cross")
     if exclude_self:
         pairs = pairs.filter(F.col(id_col) != F.col(query_id))
     scored = pairs.withColumn(
-        "score", F.round(cosine(F.col(vec_col), F.col(query_vec)), score_decimals)
+        "score",
+        F.round(
+            cosine_with_norms(
+                F.col(vec_col), F.col(query_vec), F.col("__cn"), F.col("__qn")
+            ),
+            score_decimals,
+        ),
     )
     w = W.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
-        .drop(query_vec, vec_col)
+        .drop(query_vec, vec_col, "__cn", "__qn")
     )
 
 
@@ -153,11 +163,19 @@ def signlsh_knn_join(
         )
     else:
         qcoded = qcoded.withColumnRenamed("__qcode", "__code")
+    ccoded = ccoded.withColumn("__cn", l2_norm_sq(F.col(vec_col)))
+    qcoded = qcoded.withColumn("__qn", l2_norm_sq(F.col(query_vec)))
     pairs = ccoded.join(qcoded, "__code")
     if exclude_self:
         pairs = pairs.filter(F.col(id_col) != F.col(query_id))
     scored = pairs.withColumn(
-        "score", F.round(cosine(F.col(vec_col), F.col(query_vec)), score_decimals)
+        "score",
+        F.round(
+            cosine_with_norms(
+                F.col(vec_col), F.col(query_vec), F.col("__cn"), F.col("__qn")
+            ),
+            score_decimals,
+        ),
     )
     w = W.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(id_col))
     return (
@@ -166,7 +184,7 @@ def signlsh_knn_join(
         scored.dropDuplicates([query_id, id_col])
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
-        .drop(query_vec, vec_col, "__code")
+        .drop(query_vec, vec_col, "__code", "__cn", "__qn")
     )
 
 
