@@ -46,6 +46,10 @@ def main() -> None:
                 "metric": "bench_total_sec",
                 "value": total,
                 "unit": "sec",
+                # n_queries grows round over round as operators land — compare
+                # totals across rounds per shared query (the "queries" map),
+                # not by the raw total
+                "n_queries": len(timings),
                 "queries": timings,
                 "sf": sf,
             }

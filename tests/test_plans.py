@@ -172,3 +172,66 @@ def test_curation_and_parse_queries_stay_jvm_side(spark):
         assert "FlatMapGroupsInPandas" not in plan, name
     shared = _plan(_q("text_shared_ngrams", spark), "simple")
     assert shared.count("Exchange") <= 3
+
+
+def test_round2_queries_stay_jvm_side(spark):
+    # the new text/event/sketch queries are pure Catalyst end to end
+    for name in (
+        "text_token_bpe",
+        "text_unigram_logprob",
+        "events_anomaly_zscore",
+        "events_approx_distinct_bounded",
+        "rel_approx_quantile_bounded",
+        "rel_scd2_history",
+    ):
+        plan = _plan(_q(name, spark), "simple")
+        assert "EvalPython" not in plan, name
+        assert "FlatMapGroupsInPandas" not in plan, name
+
+
+def test_anomaly_zscore_stats_join_broadcasts(spark):
+    # the per-type mean/std join back onto the bucket counts must broadcast
+    # (the bucket-count table is tiny: types x hours); the only raw-event
+    # shuffle is the (type, hour) count with map-side partial aggregation
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(_q("events_anomaly_zscore", spark), "simple")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the bucket-count exchange is REUSED for the stats side: one scan
+    assert plan.count("FileScan") == 1
+    assert "ReusedExchange" in plan
+
+
+def test_unigram_logprob_single_corpus_scan(spark):
+    # the LM derives from the (doc, token) counts — the corpus parquet is
+    # scanned once, not re-scanned per aggregation level
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(_q("text_unigram_logprob", spark), "simple")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # every diamond branch (lm, corpus totals) hangs off the reused
+    # (doc,token) exchange — the corpus text is scanned and tokenized once
+    assert plan.count("FileScan") == 1
+    assert plan.count("ReusedExchange") == 2
+
+
+def test_scd2_windows_are_key_partitioned(spark):
+    # every window/sort runs over a hashpartitioning(o_custkey) exchange;
+    # SCD2 must never serialize the fact through one reducer
+    plan = _plan(_q("rel_scd2_history", spark))
+    assert "hashpartitioning(o_custkey" in plan
+    for line in plan.splitlines():
+        if "Sort [" in line and "global=true" in line:
+            raise AssertionError(f"global sort in plan: {line}")
+
+
+def test_recall_measurement_reuses_exchange(spark):
+    # both rankings partition by qid: the two window passes must not add
+    # python nodes, and the query side is broadcast into the scoring joins
+    plan = _plan(_q("ann_recall_measured", spark), "simple")
+    assert "EvalPython" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan

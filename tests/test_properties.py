@@ -230,3 +230,50 @@ def test_pii_redact_idempotent_and_clean(spark, texts):
     twice = pii_redact(once, "text")
     for r in twice.collect():
         assert r.n_emails == 0 and r.n_ips == 0, r.redacted
+
+
+ATTR_SEQS = st.lists(
+    st.lists(st.sampled_from("ABC"), min_size=1, max_size=12),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(seqs=ATTR_SEQS)
+@settings(**SETTINGS)
+def test_scd2_history_invariants(spark, seqs):
+    """For any per-key attribute sequence: one version per change-point run,
+    intervals chain with no gaps/overlaps, exactly one open current version,
+    and consecutive versions always differ in the attribute."""
+    from datetime import datetime
+
+    from yaml_pipe_spark.operators.state import scd2_history
+
+    rows = []
+    oid = 0
+    for k, seq in enumerate(seqs):
+        for i, attr in enumerate(seq):
+            oid += 1
+            rows.append((k, datetime(2024, 1, 1 + i), oid, attr))
+    df = spark.createDataFrame(
+        rows, "k int, ts timestamp, oid int, attr string"
+    )
+    hist = scd2_history(df, "k", "ts", "attr", "oid").collect()
+
+    by_key: dict[int, list] = {}
+    for r in hist:
+        by_key.setdefault(r.k, []).append(r)
+    assert set(by_key) == set(range(len(seqs)))
+    for k, seq in enumerate(seqs):
+        runs = [seq[0]]
+        for a in seq[1:]:
+            if a != runs[-1]:
+                runs.append(a)
+        vs = sorted(by_key[k], key=lambda r: r.version)
+        assert [r.attr for r in vs] == runs
+        assert [r.version for r in vs] == list(range(1, len(runs) + 1))
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to == b.valid_from
+            assert a.attr != b.attr
+        assert vs[-1].valid_to is None
+        assert [r.is_current for r in vs] == [False] * (len(vs) - 1) + [True]

@@ -4230,19 +4230,24 @@ dt AS (
 lm AS (SELECT lang, tok, sum(c_dt) AS c_t FROM dt GROUP BY lang, tok),
 tot AS (SELECT lang, sum(c_t) AS n_l FROM lm GROUP BY lang),
 doc AS (
+  -- log10(c_t/n_l) = log10(c_t) - log10(n_l): score docs without n_l and
+  -- shift by log10(n_l) at the per-lang rollup, so the corpus-total join
+  -- happens on 3 rows instead of at the doc-token level
   SELECT dt.lang, dt.doc_id,
-         sum(dt.c_dt * log10(CAST(lm.c_t AS DOUBLE) / CAST(tot.n_l AS DOUBLE)))
-           / sum(dt.c_dt) AS lp
+         sum(dt.c_dt * log10(CAST(lm.c_t AS DOUBLE))) / sum(dt.c_dt) AS lp0
   FROM dt
   JOIN lm ON dt.lang = lm.lang AND dt.tok = lm.tok
-  JOIN tot ON dt.lang = tot.lang
   GROUP BY dt.lang, dt.doc_id
+),
+agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         avg(lp0) AS avg0, min(lp0) AS min0
+  FROM doc GROUP BY lang
 )
-SELECT lang,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       round(avg(lp), 4) AS avg_logprob,
-       round(min(lp), 4) AS min_logprob
-FROM doc GROUP BY lang
+SELECT agg.lang AS lang, n_docs,
+       round(avg0 - log10(CAST(n_l AS DOUBLE)), 4) AS avg_logprob,
+       round(min0 - log10(CAST(n_l AS DOUBLE)), 4) AS min_logprob
+FROM agg JOIN tot ON agg.lang = tot.lang
 """,
     "Unigram-LM quality proxy (CCNet-style): per-lang token LM trained on "
     "the corpus itself, per-doc mean log10 unigram probability, rolled up "
@@ -4262,32 +4267,40 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.lower("text"), F.lit(r"\p{L}+"), F.lit(0))
         ).alias("tok"),
     )
+    # explicit null-filter so every diamond branch shares a bit-identical
+    # subtree: the lm join would add `isnotnull(tok)` to its own branches
+    # only, which blocks exchange reuse for the corpus-total branch and
+    # forces a second corpus scan
+    toks = toks.filter(F.col("tok").isNotNull())
     dt = toks.groupBy("lang", "doc_id", "tok").agg(
         F.count("*").alias("c_dt")
     )
     lm = dt.groupBy("lang", "tok").agg(F.sum("c_dt").alias("c_t"))
     tot = lm.groupBy("lang").agg(F.sum("c_t").alias("n_l"))
+    # log10(c_t/n_l) = log10(c_t) - log10(n_l): the corpus-total shift joins
+    # at the 3-row lang rollup, keeping the doc-token stream a single
+    # dt-exchange diamond (reused, one corpus scan)
     doc = (
         dt.join(lm, ["lang", "tok"])
-        .join(F.broadcast(tot), "lang")
         .groupBy("lang", "doc_id")
         .agg(
             (
-                F.sum(
-                    F.col("c_dt")
-                    * F.log10(
-                        F.col("c_t").cast("double")
-                        / F.col("n_l").cast("double")
-                    )
-                )
+                F.sum(F.col("c_dt") * F.log10(F.col("c_t").cast("double")))
                 / F.sum("c_dt")
-            ).alias("lp")
+            ).alias("lp0")
         )
     )
-    return doc.groupBy("lang").agg(
+    agg = doc.groupBy("lang").agg(
         F.count("*").cast("long").alias("n_docs"),
-        F.round(F.avg("lp"), 4).alias("avg_logprob"),
-        F.round(F.min("lp"), 4).alias("min_logprob"),
+        F.avg("lp0").alias("avg0"),
+        F.min("lp0").alias("min0"),
+    )
+    shift = F.log10(F.col("n_l").cast("double"))
+    return agg.join(tot, "lang").select(
+        "lang",
+        "n_docs",
+        F.round(F.col("avg0") - shift, 4).alias("avg_logprob"),
+        F.round(F.col("min0") - shift, 4).alias("min_logprob"),
     )
 
 
