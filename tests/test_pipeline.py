@@ -280,3 +280,22 @@ def test_clean_handles_duckdb_file_sink(spark, workdir, capsys):
     assert os.path.exists(db)
     assert cli.main(["clean", "-c", cfg, "--yes"]) == 0
     assert not os.path.exists(db)
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from yaml_pipe_spark.operators.sinks import compact_parquet
+
+    path = str(tmp_path / "frag")
+    # simulate many tiny incremental appends
+    for i in range(8):
+        spark.range(i * 100, (i + 1) * 100).write.mode("append").parquet(path)
+    import pathlib
+
+    before = len(list(pathlib.Path(path).rglob("*.parquet")))
+    assert before >= 8
+    n = compact_parquet(spark, path, target_bytes_per_file=1 << 30)
+    after = len(list(pathlib.Path(path).rglob("*.parquet")))
+    assert n == 1 and after == 1
+    # contents survive the rewrite
+    got = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert got == list(range(800))

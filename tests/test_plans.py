@@ -235,3 +235,38 @@ def test_recall_measurement_reuses_exchange(spark):
     plan = _plan(_q("ann_recall_measured", spark), "simple")
     assert "EvalPython" not in plan
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_fact_join(spark):
+    # at 100 TB a selective dim-filtered fact-fact join should inject a
+    # runtime bloom filter on the probe side (row-group level skipping).
+    # Local data is far below the default thresholds, so force them down and
+    # assert Spark injects bloom_filter_agg + might_contain when the shape
+    # calls for it — the production conf keeps the defaults.
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        od = spark.read.parquet(f"{SF_SMALL}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _plan(j, "simple")
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)

@@ -183,3 +183,45 @@ def test_watermark_drops_late_data(spark):
         assert final[(10, "a")] == 2
         # watermark moved to 15:00 -> the 14:00 window finalized at 1
         assert final[(14, "a")] == 1
+
+
+def test_transform_with_state_counter_matches_batch(spark):
+    """Spark 4 TransformWithState twin of the applyInPandasWithState
+    counter: per-key MAX(running_total) over the drain equals the batch
+    per-key count. Skips where google.protobuf (required by the TWS state
+    server) is unavailable."""
+    from yaml_pipe_spark.streaming.stream import (
+        _tws_available,
+        stateful_user_counter_tws,
+        stream_events,
+    )
+
+    if not _tws_available():
+        pytest.skip("google.protobuf unavailable: TWS state server cannot start")
+
+    sf = "/root/testdata/sf0.001"
+    out = stateful_user_counter_tws(stream_events(spark, sf))
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tws_counter")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.user_id: r.n
+        for r in spark.sql(
+            "SELECT user_id, max(running_total) AS n FROM tws_counter "
+            "GROUP BY user_id"
+        ).collect()
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    want = {
+        r.user_id: r.n
+        for r in spark.read.parquet(f"{sf}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want

@@ -185,3 +185,39 @@ class DuckDBSink:
             con.sql("SELECT 1")
         finally:
             con.close()
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_bytes_per_file: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction for a parquet directory: rewrite to
+    ceil(total_bytes / target) files and swap atomically-ish via a staging
+    directory. Returns the new file count.
+
+    Why it exists: incremental/streaming appends (run_pipeline re-runs, the
+    foreachBatch sink) accumulate small files; at corpus scale a scan's task
+    count — and the namenode/list cost — is file-bound, so periodic
+    compaction to ~128MB files is standard table maintenance. The rewrite is
+    one narrow job: no shuffle keys, `coalesce` only merges partitions.
+
+    Caveat (documented, deliberate): the delete+rename swap is not atomic —
+    production tables should use a transactional format (Delta/Iceberg
+    OPTIMIZE) where available; this is the raw-parquet fallback with the
+    same plan shape.
+    """
+    import math
+    import shutil
+
+    total = sum(
+        f.stat().st_size
+        for f in __import__("pathlib").Path(path).rglob("*.parquet")
+    )
+    n_files = max(1, math.ceil(total / target_bytes_per_file))
+    staging = path.rstrip("/") + "__compacting"
+    df = spark.read.parquet(path)
+    df.coalesce(n_files).write.mode("overwrite").parquet(staging)
+    shutil.rmtree(path)
+    shutil.move(staging, path)
+    return n_files

@@ -236,3 +236,66 @@ def streaming_hopping_agg(
             "sum_value",
         )
     )
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas ships a protobuf-based state server; gate
+    on the import so environments without a working google.protobuf fall
+    back to stateful_user_counter (applyInPandasWithState)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stateful_user_counter_tws(
+    events: DataFrame, key_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """The stateful_user_counter twin on the Spark 4 TransformWithState API
+    (StatefulProcessor + typed ValueState) — the modern replacement for
+    applyInPandasWithState: composable state variables (value/list/map),
+    timers, and TTL instead of a single state tuple.
+
+    Same contract as the applyInPandasWithState twin: emits (key,
+    running_total) per batch; MAX(running_total) per key over a drain equals
+    the plain per-key batch count, which keeps it oracle-checkable.
+    Requires a working protobuf (see _tws_available); raises ImportError
+    otherwise rather than failing inside the stream.
+    """
+    if not _tws_available():
+        raise ImportError(
+            "transformWithStateInPandas needs google.protobuf; use "
+            "stateful_user_counter (applyInPandasWithState) instead"
+        )
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    class Counter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.total = handle.getValueState(
+                "total", StructType([StructField("n", LongType())])
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            n = sum(len(pdf) for pdf in rows)
+            prev = self.total.get()[0] if self.total.exists() else 0
+            self.total.update((prev + n,))
+            yield pd.DataFrame(
+                {key_col: [key[0]], "running_total": [prev + n]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(F.col(key_col)).transformWithStateInPandas(
+        Counter(),
+        outputStructType=f"{key_col} long, running_total long",
+        outputMode="Update",
+        timeMode="None",
+    )
