@@ -80,3 +80,44 @@ def test_pii_redact(spark):
     assert rows[1].redacted == "write to <EMAIL> or <IP> today"
     assert rows[2].n_emails == 0 and rows[2].n_ips == 0
     assert rows[2].redacted == "nothing sensitive here"
+
+
+def test_curation_funnel_monotone_and_dedups_survivors(spark):
+    from yaml_pipe_spark.operators.curation import curation_funnel
+
+    good = (
+        "a quick brown fox jumped over one lazy dog and then it rested "
+        "near this river while that dog watched some quiet water slowly "
+        "drifting past an old wooden bridge during the warm evening sun "
+        "as birds sang their gentle songs above distant green hills"
+    )
+    rows = [
+        ("en", 1, good),              # survives everything
+        ("en", 2, good),              # exact duplicate -> dropped at dedup
+        ("en", 3, "too short"),       # fails length band
+        ("en", 4, "spam and " * 20),  # repetition: top token at 50% share
+        ("en", 5, "0123456789 " * 30),  # fails alpha ratio
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, text string")
+    r = {row.lang: row for row in curation_funnel(df).collect()}["en"]
+    assert (
+        r.n_total >= r.n_len >= r.n_alpha >= r.n_stop >= r.n_rep >= r.n_final
+    )
+    assert r.n_total == 5
+    assert r.n_len == 4        # doc 3 out
+    assert r.n_alpha == 3      # doc 5 out
+    assert r.n_stop == 3       # doc 4 still has " and " evidence
+    assert r.n_rep == 2        # doc 4 out (docs 1,2 remain)
+    assert r.n_final == 1      # exact-dup collapse keeps doc 1
+
+
+def test_curation_funnel_registered_monotone(spark):
+    from yaml_pipe_spark.entrypoints import REGISTRY
+
+    for r in REGISTRY["corpus_curation_funnel"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect():
+        assert (
+            r.n_total >= r.n_len >= r.n_alpha >= r.n_stop >= r.n_rep
+            >= r.n_final
+        )

@@ -4143,6 +4143,70 @@ def q_text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_curation_funnel",
+    f"""
+WITH base AS (SELECT lang, doc_id, text FROM documents),
+rep AS (
+  SELECT doc_id, max(c) AS max_tok, sum(c) AS n_tok FROM (
+    SELECT doc_id, tok, count(*) AS c FROM (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\p{{L}}+'))
+               AS tok
+      FROM base) GROUP BY doc_id, tok) GROUP BY doc_id
+),
+sig AS (
+  SELECT b.lang, b.doc_id, b.text,
+         length(b.text) AS n_chars,
+         len(regexp_extract_all(b.text, '\\p{{L}}')) AS n_letters,
+         ({_dk_stop_hits()}) AS stop_hits,
+         r.max_tok, r.n_tok
+  FROM base b LEFT JOIN rep r USING (doc_id)
+),
+flags AS (
+  SELECT lang, doc_id, text,
+         (n_chars BETWEEN 100 AND 20000) AS c_len,
+         ((n_chars BETWEEN 100 AND 20000)
+          AND n_letters * 100 >= 70 * n_chars) AS c_alpha,
+         ((n_chars BETWEEN 100 AND 20000)
+          AND n_letters * 100 >= 70 * n_chars
+          AND stop_hits >= 1) AS c_stop,
+         ((n_chars BETWEEN 100 AND 20000)
+          AND n_letters * 100 >= 70 * n_chars
+          AND stop_hits >= 1
+          AND n_tok IS NOT NULL AND 8 * max_tok <= n_tok) AS c_rep
+  FROM sig
+),
+final AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_final FROM (
+    SELECT lang, doc_id,
+           row_number() OVER (PARTITION BY sha256(text)
+                              ORDER BY doc_id) AS rn
+    FROM flags WHERE c_rep) WHERE rn = 1 GROUP BY lang
+),
+stages AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_total,
+         CAST(count(CASE WHEN c_len THEN 1 END) AS BIGINT) AS n_len,
+         CAST(count(CASE WHEN c_alpha THEN 1 END) AS BIGINT) AS n_alpha,
+         CAST(count(CASE WHEN c_stop THEN 1 END) AS BIGINT) AS n_stop,
+         CAST(count(CASE WHEN c_rep THEN 1 END) AS BIGINT) AS n_rep
+  FROM flags GROUP BY lang
+)
+SELECT s.lang AS lang, n_total, n_len, n_alpha, n_stop, n_rep,
+       CAST(COALESCE(f.n_final, 0) AS BIGINT) AS n_final
+FROM stages s LEFT JOIN final f ON s.lang = f.lang
+""",
+    "End-to-end curation decision layer: cumulative per-lang attrition "
+    "through length band -> alpha ratio -> stopword evidence -> top-unigram "
+    "repetition -> exact dedup; integer-arithmetic thresholds so engines "
+    "agree exactly. The review table a corpus team reads before a train run.",
+)
+def q_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.curation import curation_funnel
+
+    return curation_funnel(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "ann_recall_measured",
     f"""
 WITH e AS (

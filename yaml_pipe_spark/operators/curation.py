@@ -108,3 +108,111 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("n_ips", n_ips.cast("long"))
         .withColumn("redacted", redacted)
     )
+
+
+def curation_funnel(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_chars: int = 100,
+    max_chars: int = 20000,
+    min_alpha_pct: int = 70,
+    min_stop_hits: int = 1,
+    max_rep_inv: int = 8,
+) -> DataFrame:
+    """End-to-end keep/drop funnel: per-lang attrition through the standard
+    curation gates, applied cumulatively —
+
+      total -> length band -> alphabetic ratio -> stopword evidence ->
+      top-unigram repetition -> exact dedup (keep lowest doc_id)
+
+    This is the decision layer the individual signal queries feed; counts
+    per stage are what a corpus team actually reviews before a train run.
+
+    Thresholds are integer-arithmetic comparisons (n_letters*100 >=
+    min_alpha_pct*n_chars, max_rep_inv*max_tok <= n_tok) so engines agree
+    exactly — no float boundary drift. Plan: one (doc,token) shuffle for
+    the repetition stats, one hash-window for the dedup rank over
+    survivors, final per-lang agg; the corpus scan feeds everything once.
+    """
+    from pyspark.sql import Window as W
+
+    from yaml_pipe_spark.operators.text_stats import (
+        LANG_MARKERS,
+        occurrences,
+        regex_count,
+    )
+
+    t = F.col(text_col)
+    base = docs.select("lang", "doc_id", text_col)
+    toks = base.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(t), F.lit(r"\p{L}+"), F.lit(0))
+        ).alias("tok"),
+    )
+    rep = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_tok"), F.sum("c").alias("n_tok"))
+    )
+    stop_hits = sum(
+        (
+            occurrences(F.concat(F.lit(" "), t, F.lit(" ")), m)
+            for ms in LANG_MARKERS.values()
+            for m in ms
+        ),
+        F.lit(0).cast("long"),
+    )
+    sig = base.join(rep, "doc_id", "left").select(
+        "lang",
+        "doc_id",
+        text_col,
+        F.length(t).cast("long").alias("n_chars"),
+        regex_count(t, r"\p{L}").alias("n_letters"),
+        stop_hits.alias("stop_hits"),
+        "max_tok",
+        "n_tok",
+    )
+    c_len = F.col("n_chars").between(min_chars, max_chars)
+    c_alpha = c_len & (
+        F.col("n_letters") * 100 >= min_alpha_pct * F.col("n_chars")
+    )
+    c_stop = c_alpha & (F.col("stop_hits") >= min_stop_hits)
+    c_rep = c_stop & (
+        F.col("n_tok").isNotNull()
+        & (max_rep_inv * F.col("max_tok") <= F.col("n_tok"))
+    )
+    flags = sig.select(
+        "lang",
+        "doc_id",
+        text_col,
+        c_len.alias("c_len"),
+        c_alpha.alias("c_alpha"),
+        c_stop.alias("c_stop"),
+        c_rep.alias("c_rep"),
+    )
+    surv = flags.filter(F.col("c_rep"))
+    w = W.partitionBy(F.sha2(t, 256)).orderBy("doc_id")
+    final = (
+        surv.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_final"))
+    )
+    stages = flags.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.count(F.when(F.col("c_len"), 1)).cast("long").alias("n_len"),
+        F.count(F.when(F.col("c_alpha"), 1)).cast("long").alias("n_alpha"),
+        F.count(F.when(F.col("c_stop"), 1)).cast("long").alias("n_stop"),
+        F.count(F.when(F.col("c_rep"), 1)).cast("long").alias("n_rep"),
+    )
+    return stages.join(final, "lang", "left").select(
+        "lang",
+        "n_total",
+        "n_len",
+        "n_alpha",
+        "n_stop",
+        "n_rep",
+        F.coalesce("n_final", F.lit(0)).cast("long").alias("n_final"),
+    )
