@@ -136,3 +136,69 @@ def test_kmeans_is_deterministic(spark, clustered):
     assert sorted(map(tuple, ((r.cid, tuple(r.cv)) for r in a))) == sorted(
         map(tuple, ((r.cid, tuple(r.cv)) for r in b))
     )
+
+
+def test_ivf_assignment_partition_pruned_probe(spark, tmp_path):
+    """The docstring claim made executable: writing the IVF assignment
+    partitioned by cid turns a probe into a partition-pruned scan — the
+    cid filter must appear in PartitionFilters, not as a post-scan filter
+    over every cell."""
+    import contextlib
+    import io
+
+    from yaml_pipe_spark.operators.similarity import ivf_assign, kmeans_fit
+    from yaml_pipe_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = kmeans_fit(emb, n_clusters=4, max_iterations=3)
+    path = str(tmp_path / "ivf")
+    ivf_assign(emb, cents).write.partitionBy("cid").parquet(path)
+
+    probe = spark.read.parquet(path).filter(F.col("cid") == 1)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [isnotnull(cid" in plan
+    # pruning is real, not just planned: only cell 1's rows are read
+    expected = spark.read.parquet(path).filter(F.col("cid") == 1).count()
+    assert probe.count() == expected > 0
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE's OptimizeSkewedJoin is the runtime backstop for key skew the
+    salting operators handle explicitly: with one hot key dominating a
+    sort-merge join, the final adaptive plan must mark the join skew=true
+    (the hot partition was split instead of serializing on one task)."""
+    from pyspark.sql import functions as F2
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 200_000).select(
+            F2.when(F2.col("id") % 100 < 98, F2.lit(7))
+            .otherwise(F2.col("id"))
+            .alias("k"),
+            F2.col("id").alias("v"),
+        )
+        right = spark.range(0, 5_000).select(
+            F2.when(F2.col("id") % 100 < 98, F2.lit(7))
+            .otherwise(F2.col("id"))
+            .alias("k"),
+            F2.col("id").alias("w"),
+        )
+        j = left.join(right, "k").groupBy().count()
+        j.collect()
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
