@@ -151,8 +151,11 @@ def test_ivf_assignment_partition_pruned_probe(spark, tmp_path):
 
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
     cents = kmeans_fit(emb, n_clusters=4, max_iterations=3)
+    assignment = ivf_assign(emb, cents)
+    # independent expectation, computed before the partitioned write
+    expected = assignment.filter(F.col("cid") == 1).count()
     path = str(tmp_path / "ivf")
-    ivf_assign(emb, cents).write.partitionBy("cid").parquet(path)
+    assignment.write.partitionBy("cid").parquet(path)
 
     probe = spark.read.parquet(path).filter(F.col("cid") == 1)
     buf = io.StringIO()
@@ -160,8 +163,7 @@ def test_ivf_assignment_partition_pruned_probe(spark, tmp_path):
         probe.explain("formatted")
     plan = buf.getvalue()
     assert "PartitionFilters: [isnotnull(cid" in plan
-    # pruning is real, not just planned: only cell 1's rows are read
-    expected = spark.read.parquet(path).filter(F.col("cid") == 1).count()
+    # pruning is real, not just planned: cell 1 survives the rewrite intact
     assert probe.count() == expected > 0
 
 

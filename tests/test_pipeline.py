@@ -299,3 +299,36 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     # contents survive the rewrite
     got = sorted(r.id for r in spark.read.parquet(path).collect())
     assert got == list(range(800))
+
+
+def test_compact_parquet_preserves_partition_layout(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from yaml_pipe_spark.operators.sinks import compact_parquet
+
+    path = str(tmp_path / "part")
+    for i in range(4):
+        (
+            spark.range(i * 50, (i + 1) * 50)
+            .select((F.col("id") % 3).alias("cid"), "id")
+            .write.mode("append")
+            .partitionBy("cid")
+            .parquet(path)
+        )
+    compact_parquet(spark, path, target_bytes_per_file=1 << 30)
+    import pathlib
+
+    # hive layout survives: cid=N directories still exist
+    dirs = {d.name for d in pathlib.Path(path).iterdir() if d.is_dir()}
+    assert {"cid=0", "cid=1", "cid=2"} <= dirs
+    # and a cid probe is still partition-pruned
+    import contextlib
+    import io
+
+    probe = spark.read.parquet(path).filter(F.col("cid") == 1)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain("formatted")
+    assert "PartitionFilters: [isnotnull(cid" in buf.getvalue()
+    got = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert got == list(range(200))

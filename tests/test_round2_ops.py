@@ -74,7 +74,7 @@ def test_scd2_no_global_window(spark):
 def test_anomaly_zscore_flags_injected_spike(spark):
     from yaml_pipe_spark.operators.events import anomaly_zscore
 
-    # 48 calm hourly buckets of 10 events + one spike hour of 100
+    # 48 calm hourly buckets of 10 events + one spike hour of 40
     rows = []
     for h in range(48):
         for i in range(10):
@@ -227,3 +227,22 @@ def test_unigram_logprob_is_negative_and_ordered(spark):
         # log-probabilities are strictly negative; min <= avg
         assert r.avg_logprob < 0
         assert r.min_logprob <= r.avg_logprob
+
+
+def test_scd2_null_attrs_are_versioned_null_safely(spark):
+    from yaml_pipe_spark.operators.state import scd2_history
+
+    rows = [
+        (1, datetime(2024, 1, 1), 1, None),   # leading NULL run
+        (1, datetime(2024, 1, 2), 2, None),   # same NULL run, no bump
+        (1, datetime(2024, 1, 3), 3, "A"),
+        (1, datetime(2024, 1, 4), 4, None),   # back to NULL: new version
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, oid int, attr string")
+    hist = sorted(scd2_history(df, "k", "ts", "attr", "oid").collect(),
+                  key=lambda r: r.version)
+    assert [r.attr for r in hist] == [None, "A", None]
+    assert [r.version for r in hist] == [1, 2, 3]
+    assert [r.is_current for r in hist] == [False, False, True]
+    for a, b in zip(hist, hist[1:]):
+        assert a.valid_to == b.valid_from

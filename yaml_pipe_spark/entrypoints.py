@@ -3906,8 +3906,9 @@ SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n_events,
 FROM x GROUP BY 1, 2
 """,
     "Structured Streaming hopping 1h/30min window (complete-mode availableNow "
-    "drain) — same oracle as the batch twin events_hopping_agg; watermark "
-    "bounds the per-(window,key) state",
+    "drain, which keeps all window state so the oracle sees every window; "
+    "append/update mode is where the watermark bounds state) — same oracle "
+    "as the batch twin events_hopping_agg",
 )
 def q_stream_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yaml_pipe_spark.streaming.stream import (
@@ -3937,7 +3938,10 @@ def q_stream_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH s AS (
   SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
-         CASE WHEN lag(o_orderpriority) OVER
+         CASE WHEN row_number() OVER
+                   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                   = 1
+                OR lag(o_orderpriority) OVER
                    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
                    IS DISTINCT FROM o_orderpriority THEN 1 ELSE 0 END AS chg
   FROM orders
@@ -4371,10 +4375,10 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The round driver validates a *prefix* of the queries() dict (round 1 recorded
 # exactly the first 50 entries in insertion order). DRIVER_ORDER front-loads
 # every query family that has not yet earned a driver-green CORRECTNESS row —
-# the 35 round-1-unvalidated queries plus this round's additions — then a
-# one-per-family sample of already-green queries as regression canaries.
+# the 35 round-1-unvalidated queries plus this round's additions; flagship is
+# the only repeat canary (it is also the smoke-checked entry query).
 # Registry entries not listed here follow in registration order (still covered
-# by bench.py and the local sf0.001 oracle-parity suite every round).
+# by bench.py and the local sf0.001/sf0.01 oracle-parity runs every round).
 DRIVER_ORDER: list[str] = [
     "flagship",  # canary: the smoke-checked query stays first
     # -- round-1-unvalidated (past the r01 prefix), fast batch queries first --

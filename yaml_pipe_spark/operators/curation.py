@@ -132,15 +132,13 @@ def curation_funnel(
     min_alpha_pct*n_chars, max_rep_inv*max_tok <= n_tok) so engines agree
     exactly — no float boundary drift. Plan: one (doc,token) shuffle for
     the repetition stats, one hash-window for the dedup rank over
-    survivors, final per-lang agg; the corpus scan feeds everything once.
+    survivors, final per-lang agg. The corpus is read twice (char-level
+    signals on one branch, the token explode on the other) — unlike the
+    all-token-level unigram LM, the two branches cannot share one subtree.
     """
     from pyspark.sql import Window as W
 
-    from yaml_pipe_spark.operators.text_stats import (
-        LANG_MARKERS,
-        occurrences,
-        regex_count,
-    )
+    from yaml_pipe_spark.operators.text_stats import regex_count, stop_hits
 
     t = F.col(text_col)
     base = docs.select("lang", "doc_id", text_col)
@@ -156,21 +154,13 @@ def curation_funnel(
         .groupBy("doc_id")
         .agg(F.max("c").alias("max_tok"), F.sum("c").alias("n_tok"))
     )
-    stop_hits = sum(
-        (
-            occurrences(F.concat(F.lit(" "), t, F.lit(" ")), m)
-            for ms in LANG_MARKERS.values()
-            for m in ms
-        ),
-        F.lit(0).cast("long"),
-    )
     sig = base.join(rep, "doc_id", "left").select(
         "lang",
         "doc_id",
         text_col,
         F.length(t).cast("long").alias("n_chars"),
         regex_count(t, r"\p{L}").alias("n_letters"),
-        stop_hits.alias("stop_hits"),
+        stop_hits(t).alias("stop_hits"),
         "max_tok",
         "n_tok",
     )

@@ -227,17 +227,27 @@ def ivf_knn_join(
         .filter(F.col("__pr") <= nprobe)
         .select(query_id, query_vec, cid_col)
     )
-    pairs = assigned.join(qprobe, cid_col)
+    # same per-pair-fold reduction as knn_join/signlsh_knn_join: one
+    # interpreted dot per candidate pair, self-norms once per row
+    pairs = assigned.withColumn("__cn", l2_norm_sq(F.col(vec_col))).join(
+        qprobe.withColumn("__qn", l2_norm_sq(F.col(query_vec))), cid_col
+    )
     if exclude_self:
         pairs = pairs.filter(F.col(id_col) != F.col(query_id))
     scored = pairs.withColumn(
-        "score", F.round(cosine(F.col(vec_col), F.col(query_vec)), score_decimals)
+        "score",
+        F.round(
+            cosine_with_norms(
+                F.col(vec_col), F.col(query_vec), F.col("__cn"), F.col("__qn")
+            ),
+            score_decimals,
+        ),
     )
     w = W.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
-        .drop(query_vec, vec_col, cid_col)
+        .drop(query_vec, vec_col, cid_col, "__cn", "__qn")
     )
 
 

@@ -202,22 +202,39 @@ def compact_parquet(
     compaction to ~128MB files is standard table maintenance. The rewrite is
     one narrow job: no shuffle keys, `coalesce` only merges partitions.
 
+    Hive-partitioned layouts (dir names like `cid=3`) are preserved: the
+    rewrite re-applies `partitionBy` on the discovered partition columns so
+    partition-pruned probes (e.g. the IVF assignment table) keep their
+    PartitionFilters after compaction. Note `coalesce` then bounds files
+    per PARTITION, so the returned count is a per-partition target.
+
     Caveat (documented, deliberate): the delete+rename swap is not atomic —
     production tables should use a transactional format (Delta/Iceberg
     OPTIMIZE) where available; this is the raw-parquet fallback with the
     same plan shape.
     """
     import math
+    import pathlib
     import shutil
 
-    total = sum(
-        f.stat().st_size
-        for f in __import__("pathlib").Path(path).rglob("*.parquet")
-    )
+    root = pathlib.Path(path)
+    total = sum(f.stat().st_size for f in root.rglob("*.parquet"))
     n_files = max(1, math.ceil(total / target_bytes_per_file))
+    # discover hive partition columns from first-level directory names
+    part_cols: list[str] = []
+    probe = root
+    while True:
+        subdirs = [d for d in probe.iterdir() if d.is_dir() and "=" in d.name]
+        if not subdirs:
+            break
+        part_cols.append(subdirs[0].name.split("=", 1)[0])
+        probe = subdirs[0]
     staging = path.rstrip("/") + "__compacting"
     df = spark.read.parquet(path)
-    df.coalesce(n_files).write.mode("overwrite").parquet(staging)
+    writer = df.coalesce(n_files).write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(staging)
     shutil.rmtree(path)
     shutil.move(staging, path)
     return n_files

@@ -133,7 +133,13 @@ def scd2_history(
     """
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     prev = F.lag(attr_col).over(w)
-    chg = F.when(prev.isNull() | (prev != F.col(attr_col)), 1).otherwise(0)
+    # null-safe change detection (IS DISTINCT FROM, matching the SQL twin):
+    # plain != returns NULL around NULL attrs, which would merge distinct
+    # versions or split NULL runs; eqNullSafe treats the leading lag-NULL
+    # row as a change only when the attr itself differs, so bump explicitly
+    # on the first row via row_number
+    rn1 = F.row_number().over(w) == 1
+    chg = F.when(rn1 | ~prev.eqNullSafe(F.col(attr_col)), 1).otherwise(0)
     versioned = df.select(
         key_col, ts_col, tiebreak_col, attr_col
     ).withColumn("__chg", chg).withColumn(

@@ -40,6 +40,20 @@ def occurrences(col: Column, needle: str) -> Column:
     ).cast("long")
 
 
+def stop_hits(col: Column) -> Column:
+    """Total stopword-marker hits across all languages, space-padded so
+    markers match at text boundaries. DuckDB twin: entrypoints._dk_stop_hits
+    — change them together or Spark/oracle parity splits."""
+    return sum(
+        (
+            occurrences(F.concat(F.lit(" "), col, F.lit(" ")), m)
+            for ms in LANG_MARKERS.values()
+            for m in ms
+        ),
+        F.lit(0).cast("long"),
+    )
+
+
 def lang_scores(col: Column) -> dict[str, Column]:
     padded = F.concat(F.lit(" "), col, F.lit(" "))
     return {
@@ -89,23 +103,16 @@ def text_statistics(
     n_bpe = regex_count(t, _WORD_RE)
     n_punct = regex_count(t, _PUNCT_RE)
     n_digit = regex_count(t, _DIGIT_RE)
-    stop_hits = sum(
-        (
-            occurrences(F.concat(F.lit(" "), t, F.lit(" ")), m)
-            for ms in LANG_MARKERS.values()
-            for m in ms
-        ),
-        F.lit(0).cast("long"),
-    )
+    n_stop_hits = stop_hits(t)
     safe_chars = F.greatest(n_chars, F.lit(1))
     safe_toks = F.greatest(n_tokens, F.lit(1))
     punct_ratio = F.round(n_punct / safe_chars, decimals)
     digit_ratio = F.round(n_digit / safe_chars, decimals)
-    stop_ratio = F.round(stop_hits / safe_toks, decimals)
+    stop_ratio = F.round(n_stop_hits / safe_toks, decimals)
     quality = F.round(
         F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.25
         + (1 - F.least(n_punct / safe_chars * 4, F.lit(1.0))) * 0.25
-        + F.least(stop_hits / safe_toks * 3, F.lit(1.0)) * 0.25
+        + F.least(n_stop_hits / safe_toks * 3, F.lit(1.0)) * 0.25
         + F.least(n_tokens / safe_chars * 6, F.lit(1.0)) * 0.25,
         decimals,
     )

@@ -218,8 +218,11 @@ def streaming_hopping_agg(
 ) -> DataFrame:
     """Watermarked hopping (sliding) window agg — each event lands in
     window/slide overlapping windows; same logical plan as the batch twin
-    operators.events.hopping_agg, so the batch oracle transfers. State per
-    (window, key) is bounded by the watermark."""
+    operators.events.hopping_agg, so the batch oracle transfers. In
+    append/update output the watermark bounds the per-(window, key) state;
+    the registered drain uses COMPLETE mode (so every window is emitted for
+    the oracle), which — as with streaming_session_agg — retains all
+    aggregation state for the run."""
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(
