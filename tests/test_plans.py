@@ -270,3 +270,15 @@ def test_runtime_bloom_filter_prunes_fact_fact_join(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_disjunctive_predicates_pushed_to_both_scans(spark):
+    # TPC-H Q19 shape: from the OR-of-ANDs join filter, Catalyst must derive
+    # the single-side disjunctions and push them into BOTH parquet scans
+    # (CNF extraction) — neither side may scan unfiltered
+    plan = _plan(_q("rel_disjunctive_revenue", spark))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    li = [l for l in pushed if "l_quantity" in l]
+    pt = [l for l in pushed if "p_brand" in l]
+    assert li and "Or(" in li[0]
+    assert pt and "Or(" in pt[0]

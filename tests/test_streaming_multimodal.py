@@ -225,3 +225,45 @@ def test_transform_with_state_counter_matches_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_agg_on_rocksdb_state_store(spark):
+    """The production state backend: the tumbling agg drain produces
+    identical results on the RocksDB state store provider (bounded memory,
+    changelog checkpointing at scale) as on the default HDFS-backed one."""
+    from yaml_pipe_spark.operators.events import tumbling_agg
+    from yaml_pipe_spark.streaming.stream import (
+        stream_events,
+        streaming_tumbling_agg,
+    )
+    from yaml_pipe_spark.tables import load_table
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        sf = "/root/testdata/sf0.001"
+        agg = streaming_tumbling_agg(stream_events(spark, sf))
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("rocksdb_agg")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r.window_start, r.event_type): (r.n_events, r.sum_value)
+            for r in spark.sql("SELECT * FROM rocksdb_agg").collect()
+        }
+        want = {
+            (r.window_start, r.event_type): (r.n_events, r.sum_value)
+            for r in tumbling_agg(load_table(spark, sf, "events")).collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set(key, prev)

@@ -4147,6 +4147,54 @@ def q_text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_disjunctive_revenue",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity BETWEEN 20 AND 45)
+""",
+    "TPC-H Q19 analog: disjunctive (OR-of-ANDs) predicates across a "
+    "fact-dim join. Catalyst splits the disjunction: the part-only "
+    "conjuncts (brand OR-chain, size bounds) and the lineitem-only "
+    "quantity bound are derived and pushed to each scan (CNF extraction), "
+    "so both sides prune before the join instead of filtering after it.",
+)
+def q_rel_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 45)
+        )
+    )
+    return j.filter(cond).agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+@register(
     "corpus_curation_funnel",
     f"""
 WITH base AS (SELECT lang, doc_id, text FROM documents),
