@@ -246,3 +246,23 @@ def test_scd2_null_attrs_are_versioned_null_safely(spark):
     assert [r.is_current for r in hist] == [False, False, True]
     for a, b in zip(hist, hist[1:]):
         assert a.valid_to == b.valid_from
+
+
+def test_incremental_agg_merges_overlapping_keys(spark):
+    from yaml_pipe_spark.operators.state import merge_aggregates
+
+    prior = spark.createDataFrame(
+        [("click", "2024-01-16", 10, 100.0), ("view", "2024-01-15", 5, 50.0)],
+        "event_type string, day string, n_events long, sum_value double",
+    )
+    delta = spark.createDataFrame(
+        [("click", "2024-01-16", 7, 30.5), ("buy", "2024-01-16", 1, 9.5)],
+        "event_type string, day string, n_events long, sum_value double",
+    )
+    out = {
+        (r.event_type, r.day): (r.n_events, r.sum_value)
+        for r in merge_aggregates(prior, delta, ["event_type", "day"]).collect()
+    }
+    assert out[("click", "2024-01-16")] == (17, 130.5)  # genuinely merged
+    assert out[("view", "2024-01-15")] == (5, 50.0)
+    assert out[("buy", "2024-01-16")] == (1, 9.5)

@@ -4147,6 +4147,45 @@ def q_text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_incremental_agg",
+    """
+SELECT event_type, date_trunc('day', ts) AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type, date_trunc('day', ts)
+""",
+    "Incremental view maintenance, oracle-checked against the full "
+    "recompute: history (ts < Jan 16) is folded as an already-materialized "
+    "per-key aggregate (cut mid-day so merged keys exist on both sides), "
+    "only the delta scans raw rows, and "
+    "merge(agg(prior), agg(delta)) must hash-equal agg(everything) — "
+    "count/sum are mergeable partials, exactly Spark's partial/final split "
+    "lifted across pipeline runs. At 100 TB this is the difference between "
+    "scanning one day and scanning the full history every run.",
+)
+def q_events_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.state import merge_aggregates
+
+    events = load_table(spark, sf_dir, "events")
+    # noon cutoff: the Jan-16 day bucket exists on BOTH sides, so the
+    # merge genuinely combines partials instead of unioning disjoint keys
+    cutoff = F.lit("2024-01-16 12:00:00").cast("timestamp")
+    keys = ["event_type", "day"]
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        ).agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("value").alias("sum_value"),  # unrounded partial
+        )
+
+    prior = partial(events.filter(F.col("ts") < cutoff))
+    delta = partial(events.filter(F.col("ts") >= cutoff))
+    return merge_aggregates(prior, delta, keys)
+
+
+@register(
     "rel_disjunctive_revenue",
     """
 SELECT CAST(count(*) AS BIGINT) AS n_items,
@@ -4427,6 +4466,10 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the only repeat canary (it is also the smoke-checked entry query).
 # Registry entries not listed here follow in registration order (still covered
 # by bench.py and the local sf0.001/sf0.01 oracle-parity runs every round).
+# ROUND-3 ROTATION NOTE: queries added after the r02 prefix froze and still
+# needing a first driver row: multimodal_frame_sample, stream_hopping_agg,
+# corpus_curation_funnel, rel_disjunctive_revenue, events_incremental_agg —
+# front these (displacing r02-green entries) when rebuilding this list.
 DRIVER_ORDER: list[str] = [
     "flagship",  # canary: the smoke-checked query stays first
     # -- round-1-unvalidated (past the r01 prefix), fast batch queries first --

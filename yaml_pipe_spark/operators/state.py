@@ -161,3 +161,30 @@ def scd2_history(
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+def merge_aggregates(
+    prior: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Incremental view maintenance for mergeable aggregates: combine a
+    previously-materialized per-key aggregate table with the aggregate of a
+    new delta batch, without re-scanning history.
+
+    Both inputs carry the partial-aggregate columns (n_events BIGINT,
+    sum_value DOUBLE); the merge is a unionByName + one groupBy on the keys
+    — count and sum are associative/commutative, so
+    merge(agg(prior_rows), agg(delta_rows)) == agg(all_rows). Derived
+    measures (avg) are recomputed from the merged partials, never averaged.
+
+    The 100 TB point: a daily pipeline folds yesterday's aggregate table
+    (small, per-key) with today's delta (the only raw scan), exactly like
+    Spark's own partial/final aggregation split — but across runs instead
+    of across tasks.
+    """
+    merged = prior.unionByName(delta)
+    return merged.groupBy(*keys).agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.round(F.sum("sum_value"), 2).alias("sum_value"),
+    )
