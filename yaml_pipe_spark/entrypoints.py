@@ -4147,6 +4147,85 @@ def q_text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_late_ship_orders",
+    """
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_late_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o.o_orderpriority
+""",
+    "TPC-H Q4 analog: orders with at least one line shipped >30 days after "
+    "the order date, per priority. The correlated EXISTS decorrelates to a "
+    "LEFT SEMI join on the order key — one shuffle each side, no per-row "
+    "probe; the date comparison uses interval arithmetic identical to the "
+    "oracle's.",
+)
+def q_rel_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    # the correlated EXISTS needs o_orderdate, so first derive the late
+    # order keys from the join, then semi-join orders against them
+    late_keys = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    ).select(F.col("l_orderkey").alias("__k"))
+    return (
+        orders.join(
+            late_keys, F.col("o_orderkey") == F.col("__k"), "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("n_late_orders"))
+    )
+
+
+@register(
+    "rel_promo_revenue_pct",
+    """
+SELECT round(
+         100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END)
+         / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= DATE '2024-01-01'
+  AND l.l_shipdate < DATE '2024-07-01'
+""",
+    "TPC-H Q14 analog: promo parts' share of revenue in a ship-date "
+    "window. Part is the broadcast dim; the conditional and total sums "
+    "come out of ONE partial+final aggregation pass (a single CASE inside "
+    "the same agg), not two scans.",
+)
+def q_rel_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("2024-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("2024-07-01").cast("date"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)).alias(
+            "__promo"
+        ),
+        F.sum(rev).alias("__total"),
+        F.count("*").cast("long").alias("n_items"),
+    )
+    return agg.select(
+        F.round(100.0 * F.col("__promo") / F.col("__total"), 4).alias(
+            "promo_pct"
+        ),
+        "n_items",
+    )
+
+
+@register(
     "events_incremental_agg",
     """
 SELECT event_type, date_trunc('day', ts) AS day,
@@ -4468,8 +4547,9 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by bench.py and the local sf0.001/sf0.01 oracle-parity runs every round).
 # ROUND-3 ROTATION NOTE: queries added after the r02 prefix froze and still
 # needing a first driver row: multimodal_frame_sample, stream_hopping_agg,
-# corpus_curation_funnel, rel_disjunctive_revenue, events_incremental_agg —
-# front these (displacing r02-green entries) when rebuilding this list.
+# corpus_curation_funnel, rel_disjunctive_revenue, events_incremental_agg,
+# rel_late_ship_orders, rel_promo_revenue_pct — front these (displacing
+# r02-green entries) when rebuilding this list.
 DRIVER_ORDER: list[str] = [
     "flagship",  # canary: the smoke-checked query stays first
     # -- round-1-unvalidated (past the r01 prefix), fast batch queries first --
