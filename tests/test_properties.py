@@ -277,3 +277,61 @@ def test_scd2_history_invariants(spark, seqs):
             assert a.attr != b.attr
         assert vs[-1].valid_to is None
         assert [r.is_current for r in vs] == [False] * (len(vs) - 1) + [True]
+
+
+@given(texts=TEXTS)
+@settings(**SETTINGS)
+def test_bpe_tokens_partition_the_text(spark, texts):
+    """The GPT-2-style pre-tokenizer regex must PARTITION the input: the
+    concatenation of all matched tokens reconstructs the text exactly
+    (no character is dropped or double-counted by the alternation)."""
+    from yaml_pipe_spark.entrypoints import _BPE_PAT
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(
+        "text",
+        F.concat_ws(
+            "", F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0))
+        ).alias("rejoined"),
+    ).collect()
+    for r in rows:
+        assert r.rejoined == r.text
+
+
+SPLIT_EVENTS = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=1, max_value=100),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(events=SPLIT_EVENTS, cut=st.integers(min_value=0, max_value=9))
+@settings(**SETTINGS)
+def test_merge_aggregates_equals_direct_agg(spark, events, cut):
+    """For ANY split point: merge(agg(prior), agg(delta)) == agg(all) —
+    the mergeability contract behind incremental view maintenance."""
+    from yaml_pipe_spark.operators.state import merge_aggregates
+
+    df = spark.createDataFrame(events, "k string, day int, value long")
+
+    def partial(d):
+        return d.groupBy("k", "day").agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("value").cast("double").alias("sum_value"),
+        )
+
+    merged = merge_aggregates(
+        partial(df.filter(F.col("day") < cut)),
+        partial(df.filter(F.col("day") >= cut)),
+        ["k", "day"],
+    )
+    direct = partial(df).select(
+        "k", "day", "n_events", F.round("sum_value", 2).alias("sum_value")
+    )
+    got = {(r.k, r.day): (r.n_events, r.sum_value) for r in merged.collect()}
+    want = {(r.k, r.day): (r.n_events, r.sum_value) for r in direct.collect()}
+    assert got == want
