@@ -6,22 +6,17 @@ from __future__ import annotations
 
 from yaml_pipe_spark.entrypoints import DRIVER_ORDER, REGISTRY, queries, oracle_sql
 
-# every query that had no CORRECTNESS_r01 row (registry entries 51-85 in
-# round-1 registration order) plus this round's additions
-ROUND1_UNVALIDATED = {
-    "agg_salted_user_totals", "rel_salted_join", "rel_percentiles",
-    "rel_order_gaps", "events_props_json", "pipeline_full",
-    "c1_recursive_chunk", "events_session_window", "stream_session_window",
-    "stream_dedup_first_arrival", "events_funnel", "events_retention_cohorts",
-    "events_time_weighted_avg", "events_interval_join", "stream_interval_join",
-    "stream_stateful_counter", "stream_tumbling_agg", "multimodal_features",
-    "rel_small_qty_revenue", "rel_large_volume_customers",
-    "rel_waiting_suppliers", "rel_sales_opportunity", "rel_market_share",
-    "events_decayed_score", "events_rfm_segments", "text_entropy",
-    "events_grouping_sets", "emb_dim_stats", "rel_nation_balance_fulljoin",
-    "stream_static_enrich", "text_repetition", "text_decontaminate",
-    "corpus_mix_weights", "rel_price_histogram", "sample_weighted",
+# Queries with no driver CORRECTNESS row in r1 or r2 (registered after the
+# r02 prefix froze) — round 3 MUST front these for their first driver check.
+NEVER_DRIVER_CHECKED = {
+    "multimodal_frame_sample", "stream_hopping_agg", "corpus_curation_funnel",
+    "rel_disjunctive_revenue", "events_incremental_agg",
+    "rel_late_ship_orders", "rel_promo_revenue_pct",
 }
+
+# Queries registered new in round 3 — no driver row exists yet, so they must
+# also sit inside the 50-entry prefix. Grow this set alongside the registry.
+ROUND3_NEW: set[str] = set()
 
 
 def test_driver_order_is_valid():
@@ -31,8 +26,8 @@ def test_driver_order_is_valid():
 
 
 def test_unvalidated_queries_inside_driver_prefix():
-    prefix = list(queries())[:50]
-    missing = ROUND1_UNVALIDATED - set(prefix)
+    prefix = set(list(queries())[:50])
+    missing = (NEVER_DRIVER_CHECKED | ROUND3_NEW) - prefix
     assert not missing, f"still outside the 50-entry driver prefix: {missing}"
 
 

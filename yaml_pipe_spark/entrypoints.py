@@ -4538,76 +4538,75 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The round driver validates a *prefix* of the queries() dict (round 1 recorded
-# exactly the first 50 entries in insertion order). DRIVER_ORDER front-loads
-# every query family that has not yet earned a driver-green CORRECTNESS row —
-# the 35 round-1-unvalidated queries plus this round's additions; flagship is
-# the only repeat canary (it is also the smoke-checked entry query).
+# The round driver validates a *prefix* of the queries() dict (rounds 1 and 2
+# each recorded exactly the first 50 entries in insertion order). DRIVER_ORDER
+# front-loads, in priority order:
+#   1. flagship (the smoke-checked canary),
+#   2. the 7 queries added after the r02 prefix froze — the only registry
+#      entries with no driver CORRECTNESS row in either prior round,
+#   3. every query registered new in round 3,
+#   4. queries whose implementation or oracle changed this round (their old
+#      green rows describe code that no longer exists — re-validate),
+#   5. r1-validated entries as padding (oldest validation first).
 # Registry entries not listed here follow in registration order (still covered
-# by bench.py and the local sf0.001/sf0.01 oracle-parity runs every round).
-# ROUND-3 ROTATION NOTE: queries added after the r02 prefix froze and still
-# needing a first driver row: multimodal_frame_sample, stream_hopping_agg,
-# corpus_curation_funnel, rel_disjunctive_revenue, events_incremental_agg,
-# rel_late_ship_orders, rel_promo_revenue_pct — front these (displacing
-# r02-green entries) when rebuilding this list.
+# by bench.py and the local sf0.001/sf0.01/sf0.1 oracle-parity runs every
+# round). After round 3 the union of driver-green rows covers every query
+# registered through r3; keep rotating re-validations through the tail slots.
 DRIVER_ORDER: list[str] = [
     "flagship",  # canary: the smoke-checked query stays first
-    # -- round-1-unvalidated (past the r01 prefix), fast batch queries first --
-    "agg_salted_user_totals",
-    "rel_salted_join",
-    "rel_percentiles",
-    "rel_order_gaps",
-    "events_props_json",
-    "c1_recursive_chunk",
-    "events_session_window",
-    "events_funnel",
-    "events_retention_cohorts",
-    "events_time_weighted_avg",
-    "events_interval_join",
-    "multimodal_features",
-    "rel_small_qty_revenue",
-    "rel_large_volume_customers",
-    "rel_waiting_suppliers",
-    "rel_sales_opportunity",
-    "rel_market_share",
-    "events_decayed_score",
-    "events_rfm_segments",
-    "text_entropy",
-    "events_grouping_sets",
-    "emb_dim_stats",
-    "rel_nation_balance_fulljoin",
-    "text_repetition",
-    "text_decontaminate",
-    "corpus_mix_weights",
-    "rel_price_histogram",
-    "sample_weighted",
-    "pipeline_full",
-    # -- round-1-unvalidated streaming drains (slowest; kept inside the prefix) --
-    "stream_session_window",
-    "stream_dedup_first_arrival",
-    "stream_interval_join",
-    "stream_stateful_counter",
-    "stream_tumbling_agg",
-    "stream_static_enrich",
-    # -- new in round 2 --
-    "events_time_weighted_window",
-    "s1_parse_dispatch",
-    "text_blocklist_filter",
-    "text_shared_ngrams",
-    "text_pii_redact",
-    "t4_timestamp_cursor",
-    # -- new oracled queries this session (displace the r01-green canaries:
-    # those already have driver rows, these don't; multimodal_frame_sample
-    # and stream_hopping_agg ride the tail until round 3 since their
-    # families are already represented above) --
-    "multimodal_decode_check",
-    "rel_scd2_history",
-    "events_anomaly_zscore",
-    "events_approx_distinct_bounded",
-    "rel_approx_quantile_bounded",
-    "text_token_bpe",
+    # -- (2) first driver row ever: post-r02-freeze queries --
+    "rel_late_ship_orders",
+    "rel_promo_revenue_pct",
+    "rel_disjunctive_revenue",
+    "events_incremental_agg",
+    "corpus_curation_funnel",
+    "multimodal_frame_sample",
+    "stream_hopping_agg",
+    # -- (3) new in round 3 (inserted as they are registered) --
+    # -- (4) changed this round: re-validate against the new code/oracle --
+    "rel_order_gaps",          # percentile thresholds now from the same scan
+    "text_repetition",         # regression diagnosis may alter the plan
+    "sim_knn_join",            # pair scoring vectorized (pandas_udf matmul)
+    "ann_signlsh_topk",
+    "ann_ivf_topk",
     "ann_recall_measured",
-    "text_unigram_logprob",
+    "q1_topk_cosine",
+    "dedup_embedding_cosine_blocked",
+    "dedup_minhash_lsh",       # skew guards defaulted on (oracle mirrors cut)
+    "dedup_ngram_jaccard",
+    "text_token_bpe",          # explicit whitespace class in both engines
+    "events_approx_distinct_bounded",  # widened sigma bound
+    "t3_state_merge",          # merge_aggregates rounding moved to query layer
+    # -- (5) padding: r1-validated, not seen by the driver since round 1 --
+    "s1_scan_nonempty",
+    "c1_fixed_chunk",
+    "c2_markdown_chunk",
+    "c3_adaptive_chunk",
+    "rel_pricing_summary",
+    "rel_top3_orders_per_priority",
+    "rel_nation_revenue",
+    "e_hash_embed",
+    "q2_hitrate",
+    "t2_changed_anti_join",
+    "s4_events_content",
+    "s2_normalize_lines",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_cluster_resolution",
+    "dedup_levenshtein_verify",
+    "text_lang_id",
+    "text_quality",
+    "text_fingerprint",
+    "sample_stratified",
+    "shard_token_budget",
+    "text_tfidf_topterms",
+    "events_tumbling_agg",
+    "events_sessionize",
+    "events_asof_join",
+    "rel_shipping_priority",
+    "rel_moving_30d_revenue",
+    "rel_customers_without_orders",
 ]
 
 
