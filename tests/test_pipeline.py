@@ -301,6 +301,25 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     assert got == list(range(800))
 
 
+def test_compact_parquet_rejects_remote_and_missing_paths(spark, tmp_path):
+    import pytest
+
+    from yaml_pipe_spark.operators.sinks import compact_parquet
+
+    # non-local scheme: pathlib would see an empty table and "compact" it
+    # to nothing — must refuse loudly instead
+    with pytest.raises(ValueError, match="scheme 's3a'"):
+        compact_parquet(spark, "s3a://bucket/table")
+    with pytest.raises(ValueError, match="scheme 'hdfs'"):
+        compact_parquet(spark, "hdfs://nn/warehouse/t")
+    with pytest.raises(ValueError, match="not a local directory"):
+        compact_parquet(spark, str(tmp_path / "does_not_exist"))
+    # file:// is local — accepted and normalized
+    p = tmp_path / "ok"
+    spark.range(10).write.parquet(str(p))
+    assert compact_parquet(spark, "file://" + str(p)) == 1
+
+
 def test_compact_parquet_preserves_partition_layout(spark, tmp_path):
     from pyspark.sql import functions as F
 

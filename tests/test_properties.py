@@ -309,13 +309,19 @@ SPLIT_EVENTS = st.lists(
 )
 
 
-@given(events=SPLIT_EVENTS, cut=st.integers(min_value=0, max_value=9))
+@given(
+    events=SPLIT_EVENTS,
+    cut=st.integers(min_value=0, max_value=9),
+    cut2=st.integers(min_value=0, max_value=9),
+)
 @settings(**SETTINGS)
-def test_merge_aggregates_equals_direct_agg(spark, events, cut):
-    """For ANY split point: merge(agg(prior), agg(delta)) == agg(all) —
-    the mergeability contract behind incremental view maintenance."""
+def test_merge_aggregates_equals_direct_agg(spark, events, cut, cut2):
+    """For ANY split points: merge(merge(a, b), c) == agg(all) — the output
+    of merge_aggregates is itself a valid `prior` for the next run (it stays
+    unrounded), which is the iterated daily-pipeline contract."""
     from yaml_pipe_spark.operators.state import merge_aggregates
 
+    lo, hi = sorted((cut, cut2))
     df = spark.createDataFrame(events, "k string, day int, value long")
 
     def partial(d):
@@ -324,14 +330,15 @@ def test_merge_aggregates_equals_direct_agg(spark, events, cut):
             F.sum("value").cast("double").alias("sum_value"),
         )
 
-    merged = merge_aggregates(
-        partial(df.filter(F.col("day") < cut)),
-        partial(df.filter(F.col("day") >= cut)),
+    once = merge_aggregates(
+        partial(df.filter(F.col("day") < lo)),
+        partial(df.filter((F.col("day") >= lo) & (F.col("day") < hi))),
         ["k", "day"],
     )
-    direct = partial(df).select(
-        "k", "day", "n_events", F.round("sum_value", 2).alias("sum_value")
+    twice = merge_aggregates(  # feed the merge output back as prior
+        once, partial(df.filter(F.col("day") >= hi)), ["k", "day"]
     )
-    got = {(r.k, r.day): (r.n_events, r.sum_value) for r in merged.collect()}
+    direct = partial(df)
+    got = {(r.k, r.day): (r.n_events, r.sum_value) for r in twice.collect()}
     want = {(r.k, r.day): (r.n_events, r.sum_value) for r in direct.collect()}
     assert got == want

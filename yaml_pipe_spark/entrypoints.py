@@ -2092,15 +2092,22 @@ def q_rel_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quartile on both engines. Spark `percentile` and DuckDB `quantile_cont`
     # both interpolate linearly (type-7); thresholds are rounded to 4 decimals
     # on both sides so last-bit arithmetic differences can't flip a bucket.
+    # All three fractions share ONE percentile buffer (array argument) — three
+    # separate percentile() calls each sort their own copy of the column,
+    # which is what made the r2 version 2.17x the r1 time.
     # At 100 TB swap percentile -> approx_percentile (mergeable t-digest);
     # the comparison structure stays identical.
     from pyspark.sql import Window as W
 
     orders = load_table(spark, sf_dir, "orders")
     th = orders.agg(
-        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("q25"),
-        F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("q50"),
-        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("q75"),
+        F.percentile(
+            "o_totalprice", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))
+        ).alias("__t")
+    ).select(
+        F.round(F.element_at("__t", 1), 4).alias("q25"),
+        F.round(F.element_at("__t", 2), 4).alias("q50"),
+        F.round(F.element_at("__t", 3), 4).alias("q75"),
     )
     w_cust = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return (
@@ -4023,14 +4030,17 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT event_type,
        CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
-       TRUE AS approx_within_5pct
+       TRUE AS approx_within_4sigma
 FROM events GROUP BY event_type
 """,
     "Sketch-accuracy gate: HyperLogLog++ (approx_count_distinct, rsd=0.02) "
-    "must land within 5% of the exact distinct count — the bounded-error "
-    "boolean makes an approximate operator oracle-checkable. At 100 TB the "
-    "sketch is the only viable path (fixed-size state, map-side mergeable); "
-    "this query keeps it honest against the exact answer.",
+    "must land within 8% (= 4 x rsd) of the exact distinct count. rsd is a "
+    "standard deviation, NOT a hard bound — a 4-sigma gate fails with "
+    "probability ~6e-5 per group, vs a flaky ~1% for the naive 5% (2.5 "
+    "sigma) version; the boolean makes an approximate operator "
+    "oracle-checkable. At 100 TB the sketch is the only viable path "
+    "(fixed-size state, map-side mergeable); this query keeps it honest "
+    "against the exact answer.",
 )
 def q_events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
@@ -4043,8 +4053,8 @@ def q_events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_users",
         (
             F.abs(F.col("__approx") - F.col("exact_users"))
-            <= 0.05 * F.col("exact_users")
-        ).alias("approx_within_5pct"),
+            <= 0.08 * F.col("exact_users")
+        ).alias("approx_within_4sigma"),
     )
 
 
@@ -4099,9 +4109,14 @@ def q_rel_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the `\s+(?!\S)` branch is dropped — trailing-space merging differs from
 # upstream GPT-2, deterministically in both engines). Leftmost-first
 # alternation semantics match between Java regex and RE2's perl mode.
+# Whitespace is an EXPLICIT class, not \s: Java's \s includes vertical tab
+# (\x0B) while RE2's does not, so a document containing VT would tokenize
+# differently per engine. The explicit class (incl. \x0B) is identical in
+# both.
+_BPE_WS = " \\t\\n\\x0B\\f\\r"
 _BPE_PAT = (
     "'(?:s|t|re|ve|m|ll|d)"
-    "| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    f"| ?\\p{{L}}+| ?\\p{{N}}+| ?[^{_BPE_WS}\\p{{L}}\\p{{N}}]+|[{_BPE_WS}]+"
 )
 
 
@@ -4261,7 +4276,10 @@ def q_events_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prior = partial(events.filter(F.col("ts") < cutoff))
     delta = partial(events.filter(F.col("ts") >= cutoff))
-    return merge_aggregates(prior, delta, keys)
+    merged = merge_aggregates(prior, delta, keys)
+    # rounding is presentation-layer only: merge_aggregates keeps sum_value
+    # unrounded so its output is itself a valid `prior` for the next run
+    return merged.withColumn("sum_value", F.round("sum_value", 2))
 
 
 @register(

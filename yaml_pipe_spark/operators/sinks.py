@@ -212,12 +212,29 @@ def compact_parquet(
     production tables should use a transactional format (Delta/Iceberg
     OPTIMIZE) where available; this is the raw-parquet fallback with the
     same plan shape.
+
+    LOCAL FILESYSTEM ONLY: the walk/swap uses pathlib/shutil, which silently
+    sees an empty table on hdfs:// or s3a:// URIs — so any non-local scheme
+    (or a local path that does not exist) raises ValueError instead of
+    "compacting" 0 bytes. The HDFS/S3 version of this maintenance belongs to
+    a Hadoop-FileSystem-API or table-format implementation.
     """
     import math
     import pathlib
+    import re
     import shutil
 
-    root = pathlib.Path(path)
+    scheme = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", path)
+    if scheme and scheme.group(1) != "file":
+        raise ValueError(
+            f"compact_parquet only supports local paths, got scheme "
+            f"{scheme.group(1)!r} — use Delta/Iceberg OPTIMIZE or a "
+            f"Hadoop-FS-based rewrite for remote tables"
+        )
+    root = pathlib.Path(path.removeprefix("file://"))
+    if not root.is_dir():
+        raise ValueError(f"compact_parquet: {path} is not a local directory")
+    path = str(root)  # normalized local form for both Spark and shutil
     total = sum(f.stat().st_size for f in root.rglob("*.parquet"))
     n_files = max(1, math.ceil(total / target_bytes_per_file))
     # discover hive partition columns from first-level directory names

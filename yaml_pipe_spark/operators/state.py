@@ -178,6 +178,12 @@ def merge_aggregates(
     merge(agg(prior_rows), agg(delta_rows)) == agg(all_rows). Derived
     measures (avg) are recomputed from the merged partials, never averaged.
 
+    The output keeps sum_value UNROUNDED so it remains a valid partial: the
+    next run can feed this result back as `prior` and
+    merge(merge(a, b), c) == agg(a ∪ b ∪ c) still holds exactly. Rounding
+    is presentation — apply it in the query/report layer, never between
+    merges (a rounded partial breaks associativity).
+
     The 100 TB point: a daily pipeline folds yesterday's aggregate table
     (small, per-key) with today's delta (the only raw scan), exactly like
     Spark's own partial/final aggregation split — but across runs instead
@@ -186,5 +192,5 @@ def merge_aggregates(
     merged = prior.unionByName(delta)
     return merged.groupBy(*keys).agg(
         F.sum("n_events").cast("long").alias("n_events"),
-        F.round(F.sum("sum_value"), 2).alias("sum_value"),
+        F.sum("sum_value").alias("sum_value"),
     )
