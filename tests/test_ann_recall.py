@@ -204,3 +204,34 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_knn_join_arrow_bit_identical_to_expression_path(spark, clustered):
+    """The Arrow scorer must reproduce the interpreted-fold results EXACTLY
+    (same rounded score, same rank, same tiebreaks) — that is the contract
+    that lets oracled queries switch to it without touching their SQL twins.
+    np.cumsum is a sequential prefix sum, so every dot is the same IEEE-754
+    op sequence as zip_with/aggregate; a matmul would not be."""
+    from yaml_pipe_spark.operators.similarity import knn_join_arrow
+
+    corpus, _, q, exact = clustered
+    got = sorted(
+        map(
+            tuple,
+            knn_join_arrow(q, corpus, k=K)
+            .select("qid", "vec_id", "rank", "score")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, exact.select("qid", "vec_id", "rank", "score").collect())
+    )
+    assert got == want
+
+
+def test_knn_join_arrow_guards_large_query_side(spark, clustered):
+    corpus, _, q, _ = clustered
+    with pytest.raises(ValueError, match="collects the query side"):
+        from yaml_pipe_spark.operators.similarity import knn_join_arrow
+
+        knn_join_arrow(q, corpus, k=K, max_query_rows=10)

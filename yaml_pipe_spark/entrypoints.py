@@ -1755,16 +1755,18 @@ ranked AS (
 SELECT qid, vec_id, CAST(rn AS BIGINT) AS rank, score
 FROM ranked WHERE rn <= 5
 """,
-    "Similarity join: top-5 neighbors per query row (DF x DF knn_join)",
+    "Similarity join: top-5 neighbors per query row, corpus-side Arrow "
+    "scoring (knn_join_arrow — each corpus vector crosses Arrow once, "
+    "bit-identical to the expression path; see tests/test_properties.py)",
 )
 def q_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yaml_pipe_spark.operators.similarity import knn_join
+    from yaml_pipe_spark.operators.similarity import knn_join_arrow
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
-    nn = knn_join(q, emb, k=5)
+    nn = knn_join_arrow(q, emb, k=5)
     return nn.select("qid", "vec_id", "rank", "score")
 
 
@@ -4449,7 +4451,7 @@ FROM j
 )
 def q_ann_recall_measured(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yaml_pipe_spark.operators.similarity import (
-        knn_join,
+        knn_join_arrow,
         recall_at_k,
         signlsh_knn_join,
     )
@@ -4462,7 +4464,10 @@ def q_ann_recall_measured(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 40).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
-    exact = knn_join(queries, emb, k=5)
+    # exact side = brute force over the full corpus: the Arrow scorer is the
+    # fast path (corpus vectors cross Arrow once, scored in numpy); the
+    # approx side stays the bucketed LSH equi-join it is measuring
+    exact = knn_join_arrow(queries, emb, k=5)
     approx = signlsh_knn_join(queries, emb, planes, k=5, multiprobe=False)
     return recall_at_k(approx, exact)
 
