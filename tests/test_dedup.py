@@ -123,3 +123,39 @@ def test_quadratic_cosine_pairs_is_gated(spark):
     )
     with _pytest.raises(ValueError, match="O\\(n\\^2\\)"):
         cosine_pairs(df)
+
+
+def test_df_guard_drops_boilerplate_shingle(spark):
+    """Default document-frequency cut: a shingle present in > max(floor(
+    0.005*n_docs), 50) docs leaves the inverted index, so docs whose ONLY
+    overlap is boilerplate never pair. 60 docs share one header line; each
+    doc's remaining text is unique."""
+    rows = [
+        (i, f"shared header boilerplate line unique{i} tail{i} words{i} here{i}")
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = token_shingles(docs, k=3)
+    # guarded default: the only shared shingles have df=60 > 50 -> no pairs
+    assert exact_jaccard_pairs(sh).count() == 0
+    # guard disabled: every pair shares the boilerplate shingles
+    unguarded = exact_jaccard_pairs(sh, df_max_frac=None)
+    assert unguarded.count() == 60 * 59 // 2
+
+
+def test_bucket_cap_drops_degenerate_lsh_bucket(spark):
+    """max_bucket_size keeps a hot band bucket from going quadratic: with
+    identical docs all bands collide, a cap below the group size drops the
+    buckets (and with ALL bands identical, recall for that blob is the
+    documented trade)."""
+    from yaml_pipe_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    rows = [(i, "identical boilerplate blob repeated every single time")
+            for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(token_shingles(docs, k=3))
+    assert lsh_candidate_pairs(sigs, max_bucket_size=10).count() == 0
+    assert lsh_candidate_pairs(sigs).count() == 20 * 19 // 2  # default 10k cap

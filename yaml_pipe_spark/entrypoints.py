@@ -732,21 +732,46 @@ _DK_BUCKETS = "\nUNION ALL\n".join(
     for b in range(4)
 )
 
+# Skew-guard twins (mirror operators/dedup.py defaults): LSH buckets larger
+# than 10k members are dropped before pairing; the inverted index keeps only
+# shingles with document frequency <= max(floor(0.005 * n_docs), 50). Inert
+# at test scale (no bucket nears 10k, df never exceeds 50), load-bearing at
+# 100 TB — expressed in BOTH engines so the twins stay semantically equal.
+_DK_DF_CUT = """
+thr AS (
+  SELECT greatest(CAST(floor(0.005 * count(DISTINCT doc_id)) AS BIGINT),
+                  50) AS t
+  FROM shingles
+),
+dfq AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY 1),
+shf AS (
+  SELECT s.doc_id, s.shingle
+  FROM shingles s JOIN dfq USING (shingle), thr
+  WHERE dfq.df <= thr.t
+)"""
+
 MINHASH_ORACLE = f"""
 WITH {_DK_SHINGLES},
+{_DK_DF_CUT},
 sigs AS (SELECT doc_id, {_DK_SIGS} FROM shingles GROUP BY doc_id),
-buckets AS ({_DK_BUCKETS}),
+buckets0 AS ({_DK_BUCKETS}),
+buckets AS (
+  SELECT doc_id, band_id, band_key FROM (
+    SELECT *, count(*) OVER (PARTITION BY band_id, band_key) AS bn
+    FROM buckets0
+  ) WHERE bn <= 10000
+),
 cands AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM buckets a
   JOIN buckets b ON a.band_id = b.band_id AND a.band_key = b.band_key
                AND a.doc_id < b.doc_id
 ),
-sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-  FROM shingles a
-  JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shf a
+  JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 vpairs AS (
@@ -795,11 +820,12 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     f"""
 WITH {_DK_SHINGLES},
-sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+{_DK_DF_CUT},
+sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-  FROM shingles a
-  JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shf a
+  JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 vpairs AS (
@@ -811,7 +837,8 @@ vpairs AS (
 )
 SELECT id_a, id_b, jaccard FROM vpairs WHERE jaccard >= 0.8
 """,
-    "Exact n-gram Jaccard similarity join via inverted index (no LSH)",
+    "Exact n-gram Jaccard similarity join via inverted index (no LSH); "
+    "document-frequency skew guard on by default, mirrored in the oracle",
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yaml_pipe_spark.operators.dedup import exact_jaccard_pairs, token_shingles

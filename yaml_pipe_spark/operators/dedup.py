@@ -103,18 +103,28 @@ def minhash_signatures(
     return shingles.groupBy(id_col).agg(*aggs)
 
 
+DEFAULT_MAX_BUCKET_SIZE = 10_000
+DEFAULT_DF_MAX_FRAC = 0.005
+DEFAULT_DF_MIN_CUT = 50
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
     n_hashes: int = 16,
     bands: int = 4,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing >= 1 LSH band bucket.
 
     band_key = md5(band || '|' || concat of the band's signature row); the
     pair join is an equi-join on (band_id, band_key). `max_bucket_size`
-    drops degenerate buckets before the join (quadratic blowup guard).
+    drops degenerate buckets before the join (quadratic blowup guard) — ON
+    by default (10k): one unguarded hot bucket (empty docs, boilerplate)
+    is quadratic, the first thing that falls over at 100 TB. The trade:
+    members of a dropped bucket can still pair through their other
+    `bands - 1` band buckets, so recall degrades gracefully and only for
+    degenerate near-identical blobs. Pass None to disable.
     """
     rows = n_hashes // bands
     band_cols = []
@@ -156,20 +166,45 @@ def exact_jaccard_pairs(
     candidates: DataFrame | None = None,
     id_col: str = "doc_id",
     df_max_freq: int | None = None,
+    df_max_frac: float | None = DEFAULT_DF_MAX_FRAC,
+    df_min_cut: int = DEFAULT_DF_MIN_CUT,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets: (id_a, id_b, jaccard).
 
     With `candidates`, verifies only those pairs (the LSH path). Without, it
     is the exact similarity join via inverted index: pairs sharing >= 1
-    shingle — never a cross join. `df_max_freq` applies the document-
-    frequency cut before pairing.
+    shingle — never a cross join.
+
+    The document-frequency skew guard is ON by default: a shingle kept in
+    the inverted index must appear in <= max(floor(df_max_frac * n_docs),
+    df_min_cut) documents (threshold computed inside the plan and
+    broadcast — no extra action). A boilerplate shingle in 1% of a 10^9-doc
+    corpus otherwise creates ~10^14 pairs in the shingle join, with or
+    without LSH candidates (the semi-join cut runs AFTER the pair
+    explosion). The floor keeps the cut inert at small corpora (df <= 50
+    never bites under ~10k docs); the fraction is what matters at scale.
+    Trade (documented, deliberate): sizes and intersections are computed on
+    the FILTERED shingle sets, i.e. jaccard over non-boilerplate shingles —
+    the standard web-dedup semantics. Absolute `df_max_freq` overrides;
+    `df_max_frac=None` disables.
     """
     sh = shingles
-    if df_max_freq is not None:
+    if df_max_freq is not None or df_max_frac is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
-        sh = (
-            sh.join(freq.filter(F.col("__df") <= df_max_freq), "shingle")
-            .select(id_col, "shingle")
+        if df_max_freq is not None:
+            kept = freq.filter(F.col("__df") <= df_max_freq)
+        else:
+            thr = sh.agg(
+                F.greatest(
+                    F.floor(F.lit(df_max_frac) * F.countDistinct(id_col)),
+                    F.lit(df_min_cut).cast("long"),
+                ).alias("__thr")
+            )
+            kept = freq.crossJoin(F.broadcast(thr)).filter(
+                F.col("__df") <= F.col("__thr")
+            )
+        sh = sh.join(kept.select("shingle"), "shingle").select(
+            id_col, "shingle"
         )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
@@ -205,10 +240,12 @@ def minhash_near_duplicates(
     n_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.8,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band ->
-    bucket-join -> exact-Jaccard verify -> threshold."""
+    bucket-join -> exact-Jaccard verify -> threshold. Both skew guards
+    (bucket cap here, document-frequency cut inside the verify step) are on
+    by default — see lsh_candidate_pairs / exact_jaccard_pairs."""
     shingles = token_shingles(df, text_col, id_col, k)
     sigs = minhash_signatures(shingles, id_col, n_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, n_hashes, bands, max_bucket_size)
