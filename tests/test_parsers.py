@@ -55,11 +55,120 @@ def test_parse_is_jvm_side(spark, corpus):
     assert "EvalPython" not in buf.getvalue()
 
 
-def test_import_gated_formats_raise(spark):
-    with pytest.raises(NotImplementedError, match="pypdf"):
+def test_binary_format_requires_raw_column(spark):
+    # pdf/docx parse the raw bytes — dispatching them without the binary
+    # column is a caller bug, not a silent NULL
+    with pytest.raises(ValueError, match="raw"):
         parse_by_extension(
             F.lit("x"), F.lit("pdf"), extensions=["txt", "pdf"]
         )
+
+
+# ---------------------------------------------------------------------------
+# Real binary formats: self-contained PDF / DOCX extraction goldens
+# ---------------------------------------------------------------------------
+
+
+def _mini_pdf() -> bytes:
+    """Two content streams — one FlateDecode, one raw — exercising Tj, TJ
+    kerning gaps, nested/escaped literal strings, octal escapes, hex
+    strings, and T* line moves."""
+    import zlib
+
+    s1 = b"BT 72 720 Td (Para one.) Tj T* (Line two \\(escaped\\)) Tj ET"
+    z1 = zlib.compress(s1)
+    s2 = (
+        b"BT 72 660 Td [(Sp) -250 (lit (nested) words)] TJ T* "
+        b"(caf\\351) Tj T* <48 49> Tj ET"
+    )
+    parts = [
+        b"%PDF-1.4\n",
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n",
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >>"
+        b"\nendobj\n",
+        b"4 0 obj\n<< /Length "
+        + str(len(z1)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n"
+        + z1
+        + b"\nendstream\nendobj\n",
+        b"5 0 obj\n<< /Length "
+        + str(len(s2)).encode()
+        + b" >>\nstream\n"
+        + s2
+        + b"\nendstream\nendobj\n",
+        b"trailer\n<< /Root 1 0 R >>\n%%EOF\n",
+    ]
+    return b"".join(parts)
+
+
+def _mini_docx() -> bytes:
+    import io
+    import zipfile
+
+    doc = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+        'wordprocessingml/2006/main"><w:body>'
+        "<w:p><w:r><w:t>Heading here</w:t></w:r></w:p>"
+        "<w:p/>"
+        "<w:p><w:r><w:t>Body with</w:t></w:r><w:r><w:t xml:space=\"preserve\">"
+        " two runs</w:t></w:r><w:r><w:tab/><w:t>tabbed</w:t></w:r></w:p>"
+        "</w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.'
+            'openxmlformats.org/package/2006/content-types"/>',
+        )
+        zf.writestr("word/document.xml", doc)
+    return buf.getvalue()
+
+
+def test_pdf_extractor_golden():
+    from yaml_pipe_spark.sources.pdf import extract_pdf_text
+
+    text = extract_pdf_text(_mini_pdf())
+    assert text == (
+        "Para one.\nLine two (escaped)\n"
+        "Sp lit (nested) words\ncafé\nHI"
+    )
+
+
+def test_docx_extractor_golden():
+    from yaml_pipe_spark.sources.docx import extract_docx_text
+
+    assert extract_docx_text(_mini_docx()) == (
+        "Heading here\n\nBody with two runs\ttabbed"
+    )
+
+
+def test_binary_formats_end_to_end(spark, tmp_path):
+    """pdf + docx through the full LocalFileSource parse path: binaryFile
+    scan -> extension dispatch -> pandas-UDF extract -> the same
+    blank-line element normalization text formats get."""
+    (tmp_path / "r.pdf").write_bytes(_mini_pdf())
+    (tmp_path / "w.docx").write_bytes(_mini_docx())
+    (tmp_path / "a.txt").write_text("Plain text.")
+    src = LocalFileSource(
+        str(tmp_path),
+        glob_pattern="**/*",
+        parse=True,
+        parse_extensions=["txt", "pdf", "docx"],
+    )
+    rows = {
+        r.source.rsplit("/", 1)[-1]: r.content
+        for r in src.load(spark).collect()
+    }
+    assert rows["a.txt"] == "Plain text."
+    assert rows["r.pdf"] == (
+        "Para one.\nLine two (escaped)\n"
+        "Sp lit (nested) words\ncafé\nHI"
+    )
+    # the empty w:p paragraph becomes a blank-line element boundary
+    assert rows["w.docx"] == "Heading here\n\nBody with two runs\ttabbed"
 
 
 def test_register_parser_extends_dispatch(spark):

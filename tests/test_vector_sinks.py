@@ -44,3 +44,122 @@ def test_all_sinks_expose_protocol_members():
     for name, cls in SINKS.items():
         for method in ("write", "read", "test_connection"):
             assert hasattr(cls, method), f"{name} missing {method}"
+
+
+# ---------------------------------------------------------------------------
+# HttpClient write path: per-partition batched adds, delete-by-source first
+# ---------------------------------------------------------------------------
+# The fake client logs every call as a file so calls made inside executor
+# Python workers (separate processes) are visible to the test. The factory
+# is a NESTED function: cloudpickle serializes it by value (code + inner
+# classes), since workers cannot import the tests module.
+
+import glob
+import json
+import os
+
+
+def _fake_factory(log_dir):
+    def factory():
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        class Col:
+            def delete(self, where):
+                p = _os.path.join(
+                    log_dir, f"delete_{_uuid.uuid4().hex}.json"
+                )
+                with open(p, "w") as f:
+                    _json.dump({"where": where}, f)
+
+            def add(self, ids, documents, embeddings, metadatas):
+                import glob as _glob
+
+                deletes = sorted(
+                    _json.load(open(p))["where"]["source"]
+                    for p in _glob.glob(
+                        _os.path.join(log_dir, "delete_*.json")
+                    )
+                )
+                p = _os.path.join(
+                    log_dir,
+                    f"add_{_os.getpid()}_{_uuid.uuid4().hex}.json",
+                )
+                with open(p, "w") as f:
+                    _json.dump(
+                        {
+                            "ids": ids,
+                            "documents": documents,
+                            "embeddings": embeddings,
+                            "metadatas": metadatas,
+                            "deletes_seen_first": deletes,
+                        },
+                        f,
+                    )
+
+        class Client:
+            def get_or_create_collection(self, name):
+                return Col()
+
+        return Client()
+
+    return factory
+
+
+def test_chroma_http_writes_per_partition(spark, tmp_path):
+    from yaml_pipe_spark.operators.vector_sinks import ChromaDBSink, content_id
+
+    log_dir = str(tmp_path)
+    rows = [
+        (f"s{i % 2}", f"text {i}", [float(i), 0.5]) for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, text string, embedding array<double>"
+    ).repartition(3)
+    nonempty = df.rdd.mapPartitions(lambda it: [1] if any(True for _ in it) else []).sum()
+
+    sink = ChromaDBSink(
+        "docs",
+        host="fake-host",
+        port=9999,
+        client_factory=_fake_factory(log_dir),
+    )
+    sink.write(df)
+
+    adds = [json.load(open(p)) for p in glob.glob(os.path.join(log_dir, "add_*.json"))]
+    # one add call per non-empty partition (batch_size is never hit at 6 rows)
+    assert len(adds) == nonempty >= 2
+    # idempotency: every partition's add observed BOTH source deletes already done
+    for a in adds:
+        assert a["deletes_seen_first"] == ["s0", "s1"]
+    # nothing lost or duplicated across partitions, ids are the stable hash
+    got = sorted(
+        (i, d, m["source"]) for a in adds
+        for i, d, m in zip(a["ids"], a["documents"], a["metadatas"])
+    )
+    want = sorted((content_id(s, t), t, s) for s, t, _ in rows)
+    assert got == want
+
+
+def test_chroma_partition_writer_batches(tmp_path):
+    from yaml_pipe_spark.operators.vector_sinks import chroma_partition_writer
+
+    log_dir = str(tmp_path)
+    writer = chroma_partition_writer(
+        "docs", "h", 1, batch_size=2,
+        client_factory=_fake_factory(log_dir),
+    )
+    rows = [
+        {"source": "s", "text": f"t{i}", "embedding": [0.1]} for i in range(5)
+    ]
+    writer(iter(rows))
+    adds = [json.load(open(p)) for p in glob.glob(os.path.join(log_dir, "add_*.json"))]
+    assert sorted(len(a["ids"]) for a in adds) == [1, 2, 2]
+    # empty partition never connects (lazy connect): no files written
+    writer2 = chroma_partition_writer(
+        "docs", "h", 1,
+        client_factory=_fake_factory(str(tmp_path / "none")),
+    )
+    writer2(iter([]))
+    assert not glob.glob(os.path.join(str(tmp_path / "none"), "*"))

@@ -1718,7 +1718,9 @@ WITH docs AS (
 ),
 cls AS (
   SELECT doc_id, text,
-         len(regexp_extract_all(text, '\n#{1,3} ')) >= 2 AS is_md
+         len(regexp_extract_all(text, '\n# ')) >= 2
+         OR len(regexp_extract_all(text, '\n## ')) >= 2
+         OR len(regexp_extract_all(text, '\n### ')) >= 2 AS is_md
   FROM docs
 ),
 md AS (

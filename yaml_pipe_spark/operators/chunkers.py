@@ -149,13 +149,19 @@ def markdown_chunks(
 # C3: adaptive dispatch
 # ---------------------------------------------------------------------------
 
-_MD_HINT_RE = r"\n#{1,3} "
+_MD_HINT_RES = (r"\n# ", r"\n## ", r"\n### ")
 
 
 def is_markdownish(col: Column) -> Column:
-    """Reference dispatch rule: >= 2 of "\\n# "/"\\n## "/"\\n### " present
-    (components/chunkers.py:161-171)."""
-    return F.size(F.regexp_extract_all(col, F.lit(_MD_HINT_RE), 0)) >= 2
+    """Reference dispatch rule, EXACT semantics (chunkers.py:161-171):
+    markdown iff >= 2 headers of the SAME level — count("\\n# ") >= 2 OR
+    count("\\n## ") >= 2 OR count("\\n### ") >= 2. One "#" plus one "##"
+    is NOT markdownish (and a header at position 0 has no leading newline,
+    so it never counts), matching the reference's substring counts."""
+    out = F.lit(False)
+    for pat in _MD_HINT_RES:
+        out = out | (F.size(F.regexp_extract_all(col, F.lit(pat), 0)) >= 2)
+    return out
 
 
 def adaptive_chunks(

@@ -11,14 +11,85 @@ against DuckDBSink (same protocol, same staged-batch upsert shape) and the
 config-key compatibility is tested by parsing the reference's own pipeline
 YAMLs (tests/test_vector_sinks.py).
 
-These stores are embedded/single-node: the write path necessarily funnels
-through the driver (collect per batch) — that is a property of the target
-store, not the pipeline; the 100 TB path is ParquetSink/BucketedTable.
+LanceDB and Chroma's PersistentClient are embedded/single-node: their write
+paths necessarily funnel through the driver (collect per batch) — a property
+of the target store, not the pipeline; the 100 TB path is
+ParquetSink/BucketedTable. Chroma's HttpClient is a REMOTE server, so that
+case writes per-partition (foreachPartition, batched `collection.add`) —
+executors talk to the store directly and the driver never materializes the
+batch. Delete-by-source still runs first, once, driver-side, preserving the
+reference's idempotency rule.
 """
 
 from __future__ import annotations
 
+import hashlib
+from typing import Callable
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def content_id(source: str, text: str) -> str:
+    """Stable chunk id: sha256 over (source, text) — identical across
+    re-runs so upserts are idempotent (reference sinks.py:131-141)."""
+    return hashlib.sha256(f"{source}\x1f{text}".encode()).hexdigest()
+
+
+def chroma_partition_writer(
+    collection_name: str,
+    host: str | None,
+    port: int | None,
+    batch_size: int = 1_000,
+    client_factory: Callable | None = None,
+) -> Callable:
+    """Build the foreachPartition callable for the HttpClient write path.
+
+    Runs on EXECUTORS: each partition opens its own connection (one client
+    per task, the store is remote) and streams `add` calls of at most
+    `batch_size` rows. No driver materialization, no cross-partition
+    coordination — delete-by-source already happened driver-side.
+    `client_factory` is the test seam; by default the worker imports
+    chromadb and dials host:port.
+    """
+
+    def write_partition(rows) -> None:
+        factory = client_factory
+        if factory is None:  # pragma: no cover - needs chromadb on workers
+            import chromadb
+
+            def factory():
+                return chromadb.HttpClient(host=host, port=port)
+
+        col = None
+        ids: list[str] = []
+        docs: list[str] = []
+        embs: list[list[float]] = []
+        metas: list[dict] = []
+
+        def flush():
+            nonlocal col
+            if not ids:
+                return
+            if col is None:  # connect lazily: empty partitions never dial
+                col = factory().get_or_create_collection(collection_name)
+            col.add(
+                ids=list(ids),
+                documents=list(docs),
+                embeddings=list(embs),
+                metadatas=list(metas),
+            )
+            ids.clear(), docs.clear(), embs.clear(), metas.clear()
+
+        for row in rows:
+            ids.append(content_id(row["source"], row["text"]))
+            docs.append(row["text"])
+            embs.append([float(x) for x in row["embedding"]])
+            metas.append({"source": row["source"]})
+            if len(ids) >= batch_size:
+                flush()
+        flush()
+
+    return write_partition
 
 
 def _require(module: str, pip_name: str):
@@ -74,31 +145,58 @@ class ChromaDBSink:
         path: str | None = None,
         host: str | None = None,
         port: int | None = None,
+        client_factory: Callable | None = None,
     ):
-        self._chromadb = _require("chromadb", "chromadb")
+        # client_factory is the dependency-injection seam (tests, custom
+        # auth); without it the real chromadb library is required up front
+        if client_factory is None:
+            self._chromadb = _require("chromadb", "chromadb")
         if path is None and host is None:
             raise ValueError("chromadb sink needs either path or host/port")
         self.collection_name = collection_name
         self.path, self.host, self.port = path, host, port
+        self._client_factory = client_factory
 
-    def _client(self):  # pragma: no cover - needs chromadb
-        if self.path is not None:
+    def _client(self):
+        if self._client_factory is not None:
+            return self._client_factory()
+        if self.path is not None:  # pragma: no cover - needs chromadb
             return self._chromadb.PersistentClient(path=self.path)
-        return self._chromadb.HttpClient(host=self.host, port=self.port)
+        return self._chromadb.HttpClient(  # pragma: no cover
+            host=self.host, port=self.port
+        )
 
-    def write(self, df: DataFrame) -> None:  # pragma: no cover - needs chromadb
-        import hashlib
-
+    def write(self, df: DataFrame) -> None:
+        # Idempotency first, once, driver-side: every source in the batch is
+        # deleted before any insert (reference sinks.py:121-129). The source
+        # list is tiny (distinct file paths), never the chunk rows.
         col = self._client().get_or_create_collection(self.collection_name)
+        if self.host is not None:
+            sources = [
+                r[0] for r in df.select("source").distinct().collect()
+            ]
+            for source in sources:
+                col.delete(where={"source": source})
+            # remote server: executors write their own partitions in
+            # batches — the driver never holds the chunk rows
+            df.select("source", "text", "embedding").foreachPartition(
+                chroma_partition_writer(
+                    self.collection_name,
+                    self.host,
+                    self.port,
+                    client_factory=self._client_factory,
+                )
+            )
+            return
+        # embedded PersistentClient: single-process local store, the
+        # driver-side collect is a property of the target
         pdf = df.toPandas()
         for source in pdf["source"].drop_duplicates().tolist():
             col.delete(where={"source": source})
-        ids = [
-            hashlib.sha256(f"{s}\x1f{t}".encode()).hexdigest()
-            for s, t in zip(pdf["source"], pdf["text"])
-        ]
         col.add(
-            ids=ids,
+            ids=[
+                content_id(s, t) for s, t in zip(pdf["source"], pdf["text"])
+            ],
             documents=pdf["text"].tolist(),
             embeddings=[list(map(float, v)) for v in pdf["embedding"]],
             metadatas=[{"source": s} for s in pdf["source"]],

@@ -63,7 +63,10 @@ class LocalFileSource:
             )
 
             content = parse_by_extension(
-                content, file_extension(F.col("path")), self.parse_extensions
+                content,
+                file_extension(F.col("path")),
+                self.parse_extensions,
+                raw=F.col("content"),
             )
         return (
             raw.select(

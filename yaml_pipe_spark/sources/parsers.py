@@ -11,9 +11,11 @@ codegen — no Python in the hot path for text formats.
 Element semantics for text formats mirror what unstructured does to .txt/.md:
 split on blank-line groups, trim each element, drop empties, re-join with
 "\\n\\n". Markdown title elements carry their text without the '#' markup.
-Binary formats (pdf/docx) are registered but import-gated: the registry is
-the extension point — plugging in a real parser is one `register_parser`
-call with a pandas-UDF column (the libraries are not in this container).
+Binary formats (pdf/docx) are REAL here too: self-contained pure-stdlib
+extractors (sources/pdf.py, sources/docx.py) run as Arrow pandas UDFs over
+the raw bytes, then share the text formats' element normalization. The
+registry stays the extension point — `register_parser(ext, fn, binary=True)`
+swaps in a library-backed parser for formats these extractors don't cover.
 
 Regex classes are spelled explicitly ([ \\t\\r\\n]) rather than \\s because
 Java regex and DuckDB's RE2 disagree on \\s (\\x0B), and the oracle SQL in
@@ -66,19 +68,53 @@ def parse_html(text: Column) -> Column:
     return parse_text(collapsed)
 
 
-def _import_gated(ext: str, module: str) -> Callable[[Column], Column]:
-    def parser(text: Column) -> Column:  # pragma: no cover - extension point
-        raise NotImplementedError(
-            f".{ext} parsing needs the '{module}' library (not in this "
-            f"container); register a pandas-UDF parser via register_parser()"
-        )
+def parse_pdf(raw: Column) -> Column:
+    """Real .pdf parsing over the raw binary column: the pure-stdlib
+    extractor (sources/pdf.py — BT/ET text operators, FlateDecode) runs as
+    an Arrow-batched pandas UDF, then the extracted text flows through the
+    SAME element normalization as .txt, so pdf output obeys the
+    reference's elements-joined-with-"\\n\\n" contract
+    (sources.py:92-93)."""
 
-    return parser
+    @F.pandas_udf("string", F.PandasUDFType.SCALAR)
+    def _extract(s):
+        from yaml_pipe_spark.sources.pdf import extract_pdf_text
+
+        def one(b):
+            if b is None:
+                return None
+            try:
+                return extract_pdf_text(bytes(b))
+            except Exception:
+                return None  # log-and-skip contract: unparseable -> NULL
+
+        return s.map(one)
+
+    return parse_text(_extract(raw))
+
+
+def parse_docx(raw: Column) -> Column:
+    """Real .docx parsing over the raw binary column (sources/docx.py:
+    zipfile + document.xml), then the standard element normalization."""
+
+    @F.pandas_udf("string", F.PandasUDFType.SCALAR)
+    def _extract(s):
+        from yaml_pipe_spark.sources.docx import extract_docx_text
+
+        def one(b):
+            if b is None:
+                return None
+            try:
+                return extract_docx_text(bytes(b))
+            except Exception:
+                return None
+
+        return s.map(one)
+
+    return parse_text(_extract(raw))
 
 
 # extension -> Column-expression parser over the UTF-8-decoded content.
-# Binary formats would parse the raw `content` bytes instead; their stub
-# entries mark the seam without claiming an implementation.
 PARSERS: dict[str, Callable[[Column], Column]] = {
     "txt": parse_text,
     "text": parse_text,
@@ -87,13 +123,30 @@ PARSERS: dict[str, Callable[[Column], Column]] = {
     "markdown": parse_markdown,
     "html": parse_html,
     "htm": parse_html,
-    "pdf": _import_gated("pdf", "pypdf"),
-    "docx": _import_gated("docx", "python-docx"),
+}
+
+# extension -> parser over the RAW BINARY content column (pandas UDF path —
+# binary formats cannot run as codegen expressions). Both entries are real,
+# self-contained implementations; swap in a library-backed UDF with
+# register_parser(ext, fn, binary=True) for exotic documents.
+BINARY_PARSERS: dict[str, Callable[[Column], Column]] = {
+    "pdf": parse_pdf,
+    "docx": parse_docx,
 }
 
 
-def register_parser(ext: str, parser: Callable[[Column], Column]) -> None:
-    PARSERS[ext.lower()] = parser
+def register_parser(
+    ext: str, parser: Callable[[Column], Column], binary: bool = False
+) -> None:
+    """Register a parser. Text parsers receive the UTF-8-decoded content
+    column; binary parsers (binary=True) receive the raw bytes column."""
+    e = ext.lower()
+    if binary:
+        BINARY_PARSERS[e] = parser
+        PARSERS.pop(e, None)
+    else:
+        PARSERS[e] = parser
+        BINARY_PARSERS.pop(e, None)
 
 
 def file_extension(path: Column) -> Column:
@@ -101,17 +154,30 @@ def file_extension(path: Column) -> Column:
 
 
 def parse_by_extension(
-    text: Column, ext: Column, extensions: list[str] | None = None
+    text: Column,
+    ext: Column,
+    extensions: list[str] | None = None,
+    raw: Column | None = None,
 ) -> Column:
     """CASE-WHEN dispatch over the registry; unknown extensions yield NULL
     (callers filter them out — the reference logs-and-skips parse failures,
     sources.py:98-100). `extensions` restricts the dispatch to formats the
-    caller expects, so import-gated stubs only fire when actually requested.
+    caller expects, so the pandas-UDF binary parsers only enter the plan
+    when actually requested. Binary formats need `raw` (the undecoded
+    content column); asking for one without it is an error.
     """
     exts = extensions if extensions is not None else ["txt", "md", "html"]
     expr = F.lit(None).cast("string")
     for e in reversed(exts):
-        if e not in PARSERS:
+        if e in BINARY_PARSERS:
+            if raw is None:
+                raise ValueError(
+                    f"extension {e!r} parses raw bytes; pass raw= (the "
+                    f"binary content column) to parse_by_extension"
+                )
+            expr = F.when(ext == e, BINARY_PARSERS[e](raw)).otherwise(expr)
+        elif e in PARSERS:
+            expr = F.when(ext == e, PARSERS[e](text)).otherwise(expr)
+        else:
             raise KeyError(f"no parser registered for extension {e!r}")
-        expr = F.when(ext == e, PARSERS[e](text)).otherwise(expr)
     return expr
