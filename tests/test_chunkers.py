@@ -81,13 +81,22 @@ def test_markdown_header_reset(spark):
 
 
 def test_adaptive_dispatch(spark):
-    # Reference dispatch: >=2 markdown headers -> markdown (chunkers.py:161-171)
+    # Reference dispatch (chunkers.py:161-171): markdown iff >=2 headers of
+    # the SAME level — count("\n# ")>=2 OR count("\n## ")>=2 OR
+    # count("\n### ")>=2. Doc 1 has two "\n## " occurrences -> markdown;
+    # doc 3 mixes one "# " and one "## " (plus a position-0 header with no
+    # leading newline) -> NOT markdown, the exact case the old any-level
+    # rule got wrong.
     df = spark.createDataFrame(
-        [(1, "intro\n" + MD_TEXT), (2, "plain prose with no headers at all")],
+        [
+            (1, "intro\n" + MD_TEXT + "\n\n## Header 3\n\nclosing notes"),
+            (2, "plain prose with no headers at all"),
+            (3, "intro\n" + MD_TEXT),
+        ],
         ["doc_id", "text"],
     )
     flags = df.select("doc_id", is_markdownish(F.col("text")).alias("md")).collect()
-    assert {r.doc_id: r.md for r in flags} == {1: True, 2: False}
+    assert {r.doc_id: r.md for r in flags} == {1: True, 2: False, 3: False}
     out = adaptive_chunks(df, chunk_size=20, chunk_overlap=5, id_cols=["doc_id"])
     rows = out.collect()
     md_rows = [r for r in rows if r.doc_id == 1]

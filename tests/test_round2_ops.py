@@ -109,7 +109,7 @@ def test_approx_distinct_within_bound(spark):
         r.event_type: r
         for r in _q("events_approx_distinct_bounded", spark).collect()
     }
-    assert out and all(r.approx_within_5pct for r in out.values())
+    assert out and all(r.approx_within_4sigma for r in out.values())
 
 
 def test_approx_quantile_within_bound(spark):

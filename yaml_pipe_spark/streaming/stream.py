@@ -193,11 +193,26 @@ def streaming_interval_join(
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming scan of the driver events table (nanos handled as in
-    tables.load_table)."""
+    """Streaming scan of the driver events table.
+
+    The file stream needs an explicit schema, and the driver's parquet
+    writer has stored `ts` three different ways across data generations
+    (TIMESTAMP(NANOS), tz-naive micros -> TIMESTAMP_NTZ, tz-aware micros ->
+    TIMESTAMP) — probe the footer with a zero-cost batch read and declare
+    the matching stream schema, then normalize to session-zoned TIMESTAMP
+    exactly as tables.load_table does for batch, so the batch oracles
+    transfer to the stream unchanged."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import os
+
+    probe = dict(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes
+    ).get("ts")
+    ts_decl = {"bigint": "long", "timestamp_ntz": "timestamp_ntz"}.get(
+        probe, "timestamp"
+    )
     schema = (
-        "event_id long, ts long, user_id long, event_type string, "
+        f"event_id long, ts {ts_decl}, user_id long, event_type string, "
         "value double, props string"
     )
     raw = (
@@ -205,7 +220,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_decl == "long":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def streaming_hopping_agg(
