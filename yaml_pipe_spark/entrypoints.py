@@ -4240,18 +4240,20 @@ SELECT round(
          / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct,
        CAST(count(*) AS BIGINT) AS n_items
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-WHERE l.l_shipdate >= DATE '2024-01-01'
-  AND l.l_shipdate < DATE '2024-07-01'
+WHERE l.l_shipdate >= DATE '1997-01-01'
+  AND l.l_shipdate < DATE '1997-07-01'
 """,
     "TPC-H Q14 analog: promo parts' share of revenue in a ship-date "
-    "window. Part is the broadcast dim; the conditional and total sums "
-    "come out of ONE partial+final aggregation pass (a single CASE inside "
-    "the same agg), not two scans.",
+    "window (the driver lineitem spans 1995-2001; an earlier draft "
+    "filtered on 2024 and silently aggregated zero rows). Part is the "
+    "broadcast dim; the conditional and total sums come out of ONE "
+    "partial+final aggregation pass (a single CASE inside the same agg), "
+    "not two scans.",
 )
 def q_rel_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("2024-01-01").cast("date"))
-        & (F.col("l_shipdate") < F.lit("2024-07-01").cast("date"))
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("date"))
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -4590,6 +4592,422 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-3 additions: remaining TPC-H-expressible analogs (Q7/Q10/Q15 over the
+# driver's column subset) + training-pipeline ops (int8 embedding
+# quantization, DSIR importance weights, event transition matrix).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_volume_shipping",
+    """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         l_extendedprice * (1 - l_discount) AS volume,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+)
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, l_year,
+       round(sum(volume), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM li
+JOIN supplier s ON li.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN orders o ON li.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE (sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+   OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3')
+GROUP BY sn.n_name, cn.n_name, l_year
+""",
+    "TPC-H Q7 analog (volume shipping): revenue between two nations by "
+    "ship year, both directions. Plan shape for 100 TB: the supplier side "
+    "is pre-filtered to the two nations and BROADCAST into the lineitem "
+    "scan (kills ~23/25 of lineitem rows before any shuffle); the "
+    "customer side joins orders->customer on the shuffle (customer is "
+    "SF-proportional, not broadcastable), and the only big-big exchange "
+    "is lineitem-orders on orderkey.",
+)
+def q_rel_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pair = ["NATION_3", "NATION_7"]
+    nat = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(pair))
+        .select("n_nationkey", "n_name")
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cus = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = li.select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        F.year("l_shipdate").cast("long").alias("l_year"),
+    )
+    # nation-pruned supplier broadcast BEFORE the orderkey shuffle
+    li = li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    ords = ords.join(cus, F.col("o_custkey") == F.col("c_custkey"))
+    j = li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+    j = j.filter(
+        (
+            (F.col("supp_nation") == pair[0])
+            & (F.col("cust_nation") == pair[1])
+        )
+        | (
+            (F.col("supp_nation") == pair[1])
+            & (F.col("cust_nation") == pair[0])
+        )
+    )
+    return j.groupBy("supp_nation", "cust_nation", "l_year").agg(
+        F.round(F.sum("volume"), 2).alias("revenue"),
+        F.count("*").cast("long").alias("n_items"),
+    )
+
+
+@register(
+    "rel_returned_item_revenue",
+    """
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= DATE '1997-01-01' AND o.o_orderdate < DATE '1997-04-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    "TPC-H Q10 analog (returned-item reporting): top 20 customers by "
+    "revenue lost to returns in one quarter. Both selective predicates "
+    "(order-date window, returnflag) reach their parquet scans as pushed "
+    "filters; the quarter of orders joins lineitem on the orderkey "
+    "shuffle; nation broadcasts; the final top-20 is "
+    "TakeOrderedAndProject on (rounded revenue DESC, custkey) — "
+    "deterministic across engines, no global sort.",
+)
+def q_rel_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ords = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    cus = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    j = (
+        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cus, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = j.groupBy("c_custkey", "c_name", "nation").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").cast("long").alias("n_items"),
+    )
+    return agg.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
+
+
+@register(
+    "rel_top_supplier",
+    """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_rev
+FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+""",
+    "TPC-H Q15 analog (top supplier): per-supplier quarterly revenue, "
+    "return the supplier(s) hitting the max. The rev aggregate is built "
+    "once and its exchange REUSED for the scalar max (diamond plan, one "
+    "lineitem scan); the max comes back as a broadcast 1-row join, and "
+    "the equality compares the same rounded value both engines computed. "
+    "supplier is the broadcast dim.",
+)
+def q_rel_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("__mx"))
+    top = rev.join(F.broadcast(mx)).filter(
+        F.col("total_rev") == F.col("__mx")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        F.broadcast(sup)
+        .join(top, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+_DK_QERR = (
+    "list_max(list_transform(generate_series(1, len(xd)), "
+    "i -> abs(xd[i] - round(xd[i] / sc) * sc)))"
+)
+
+
+@register(
+    "emb_int8_quant",
+    f"""
+WITH x AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, label, xd,
+         list_max(list_transform(xd, v -> abs(v))) AS mx
+  FROM x
+),
+sc AS (
+  SELECT vec_id, label, xd,
+         CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END AS sc
+  FROM s
+),
+e AS (
+  SELECT vec_id, label,
+         round({_DK_QERR}, 6) AS max_abs_err,
+         round({_dk_dot('xd', 'list_transform(xd, v -> round(v / sc) * sc)')}
+               / sqrt({_dk_dot('xd', 'xd')}
+                      * {_dk_dot('list_transform(xd, v -> round(v / sc) * sc)',
+                                 'list_transform(xd, v -> round(v / sc) * sc)')}),
+               6) AS cos_recon
+  FROM sc
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(max_abs_err), 6) AS avg_max_err,
+       round(max(max_abs_err), 6) AS worst_err,
+       round(min(cos_recon), 6) AS min_cos,
+       round(avg(cos_recon), 6) AS avg_cos
+FROM e GROUP BY label
+""",
+    "Symmetric int8 embedding quantization with reconstruction-quality "
+    "gates: per-vector scale = max|x|/127, q = round(x/scale), and the "
+    "oracle-checked outputs are the quantization error and cosine drift "
+    "per label bucket. This is the storage/serving compression path for "
+    "an embedding corpus (4x smaller vectors, ANN-compatible); at 100 TB "
+    "it is a narrow per-row map — no shuffle until the tiny label rollup. "
+    "All array math is the shared left-to-right double fold, so Spark and "
+    "DuckDB agree bit-for-bit before rounding.",
+)
+def q_emb_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.functions.vectors import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = F.col("embedding").cast("array<double>")
+    x = emb.select(
+        "vec_id", F.col("label").cast("long").alias("label"), xd.alias("xd")
+    )
+    mx = F.array_max(F.transform(F.col("xd"), lambda v: F.abs(v)))
+    x = x.withColumn(
+        "sc", F.when(mx == 0, F.lit(1.0)).otherwise(mx / F.lit(127.0))
+    )
+    recon = F.transform(
+        F.col("xd"), lambda v: F.round(v / F.col("sc")) * F.col("sc")
+    )
+    x = x.withColumn("recon", recon)
+    err = F.array_max(
+        F.zip_with(F.col("xd"), F.col("recon"), lambda a, b: F.abs(a - b))
+    )
+    cos = dot(F.col("xd"), F.col("recon")) / F.sqrt(
+        dot(F.col("xd"), F.col("xd"))
+        * dot(F.col("recon"), F.col("recon"))
+    )
+    e = x.select(
+        "label",
+        F.round(err, 6).alias("max_abs_err"),
+        F.round(cos, 6).alias("cos_recon"),
+    )
+    return e.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.round(F.avg("max_abs_err"), 6).alias("avg_max_err"),
+        F.round(F.max("max_abs_err"), 6).alias("worst_err"),
+        F.round(F.min("cos_recon"), 6).alias("min_cos"),
+        F.round(F.avg("cos_recon"), 6).alias("avg_cos"),
+    )
+
+
+# first md5 byte -> int in DuckDB (no conv()): the same strpos arithmetic the
+# sharding oracle uses, factored for reuse
+_DK_MD5_BYTE = (
+    "((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)"
+)
+
+
+@register(
+    "text_dsir_weight",
+    f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(regexp_extract_all(lower(text), '\\p{{L}}+')) AS tok
+  FROM documents
+),
+tb AS (SELECT doc_id, lang, {_DK_MD5_BYTE} AS b FROM toks),
+db AS (SELECT doc_id, lang, b, count(*) AS c_db FROM tb GROUP BY doc_id, lang, b),
+rb AS (SELECT b, sum(c_db) AS c_r FROM db GROUP BY b),
+tg AS (SELECT b, sum(c_db) AS c_t FROM db WHERE lang = 'en' GROUP BY b),
+tot AS (SELECT sum(c_r) AS n_r FROM rb),
+tott AS (SELECT sum(c_t) AS n_t FROM tg),
+w AS (
+  SELECT rb.b,
+         ln((COALESCE(tg.c_t, 0) + 1) / (tott.n_t + 256.0))
+         - ln((rb.c_r + 1) / (tot.n_r + 256.0)) AS w_b
+  FROM rb LEFT JOIN tg ON rb.b = tg.b, tot, tott
+)
+SELECT db.doc_id, db.lang,
+       round(sum(db.c_db * w.w_b), 4) AS dsir_logweight
+FROM db JOIN w ON db.b = w.b
+GROUP BY db.doc_id, db.lang
+""",
+    "DSIR-style importance weight (Xie et al. 2023, data selection via "
+    "importance resampling): hashed unigram bag-of-words LMs for the "
+    "target distribution (here: the 'en' slice) and the raw corpus, and "
+    "each doc scores log p_target(x) - log p_raw(x) over its 256 hash "
+    "buckets (md5 first byte, identical in both engines; add-1 "
+    "smoothing). Sampling prop. to exp(weight) recovers the DSIR "
+    "selection. Plan: ONE token shuffle into (doc,bucket) counts; both "
+    "LMs re-aggregate from those counts (exchange-reuse diamond) and "
+    "come back as a 256-row broadcast — the 100 TB cost is the token "
+    "count, everything downstream is constant-size.",
+)
+def q_text_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"\p{L}+"), F.lit(0))
+        ).alias("tok"),
+    )
+    toks = toks.filter(F.col("tok").isNotNull())
+    b = F.conv(F.substring(F.md5("tok"), 1, 2), 16, 10).cast("long")
+    db = (
+        toks.select("doc_id", "lang", b.alias("b"))
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count("*").alias("c_db"))
+    )
+    rb = db.groupBy("b").agg(F.sum("c_db").alias("c_r"))
+    tg = (
+        db.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.sum("c_db").alias("c_t"))
+    )
+    tot = rb.agg(F.sum("c_r").alias("n_r"))
+    tott = tg.agg(F.sum("c_t").alias("n_t"))
+    w = (
+        rb.join(tg, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tott))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("c_t"), F.lit(0)) + 1)
+                    / (F.col("n_t") + 256.0)
+                )
+                - F.log((F.col("c_r") + 1) / (F.col("n_r") + 256.0))
+            ).alias("w_b"),
+        )
+    )
+    return (
+        db.join(F.broadcast(w), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(F.sum(F.col("c_db") * F.col("w_b")), 4).alias(
+                "dsir_logweight"
+            )
+        )
+    )
+
+
+@register(
+    "events_transition_matrix",
+    """
+WITH seq AS (
+  SELECT user_id, event_type AS prev_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS next_type
+  FROM events
+)
+SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n,
+       round(count(*) / CAST(
+         sum(count(*)) OVER (PARTITION BY prev_type) AS DOUBLE), 4) AS p
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY prev_type, next_type
+""",
+    "First-order Markov transition matrix over user event sequences: "
+    "P(next event type | current), the standard behavioral-analytics "
+    "companion to the funnel/sessionize family. One shuffle on user_id "
+    "orders each user's history (ts with event_id tiebreak so "
+    "same-timestamp rows are deterministic); the type-pair rollup and "
+    "row-normalization windows both run on the tiny |types|^2 matrix.",
+)
+def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    agg = seq.groupBy("prev_type", "next_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    wnorm = W.partitionBy("prev_type")
+    return agg.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n") / F.sum("n").over(wnorm).cast("double"), 4
+        ).alias("p"),
+    )
+
+
 # The round driver validates a *prefix* of the queries() dict (rounds 1 and 2
 # each recorded exactly the first 50 entries in insertion order). DRIVER_ORDER
 # front-loads, in priority order:
@@ -4615,6 +5033,12 @@ DRIVER_ORDER: list[str] = [
     "multimodal_frame_sample",
     "stream_hopping_agg",
     # -- (3) new in round 3 (inserted as they are registered) --
+    "rel_volume_shipping",
+    "rel_returned_item_revenue",
+    "rel_top_supplier",
+    "emb_int8_quant",
+    "text_dsir_weight",
+    "events_transition_matrix",
     # -- (4) changed this round: re-validate against the new code/oracle --
     "rel_order_gaps",          # percentile thresholds now from the same scan
     "text_repetition",         # regression diagnosis may alter the plan
