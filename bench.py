@@ -18,6 +18,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import Window, functions as F
+
 from yaml_pipe_spark.entrypoints import REGISTRY
 from yaml_pipe_spark.session import get_spark
 
@@ -28,8 +30,32 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark("yaml-pipe-spark-bench")
 
-    # JVM/codegen warm-up on a trivial job so query 1 isn't charged for it.
+    # Warm-up: the first queries in sorted order would otherwise be charged
+    # for one-time session infrastructure — JVM/codegen JIT, the Python
+    # worker pool + Arrow serialization path (several registered queries use
+    # pandas UDFs), and the shuffle/window machinery. Touch each once on
+    # trivial data so per-query timings measure the QUERY, not session boot.
     spark.range(1000).selectExpr("sum(id)").collect()
+    import pandas as _pd
+
+    def _warm(it):
+        for b in it:
+            yield b
+
+    (
+        spark.range(100)
+        .mapInPandas(_warm, "id long")
+        .groupBy((F.col("id") % 4).alias("k"))
+        .agg(F.count("*"))
+        .collect()
+    )
+    (
+        spark.range(100)
+        .select("id", F.row_number().over(
+            Window.partitionBy(F.col("id") % 4).orderBy("id")).alias("rn"))
+        .join(spark.range(50), "id")
+        .collect()
+    )
 
     timings: dict[str, float] = {}
     for name in sorted(REGISTRY):

@@ -282,3 +282,71 @@ def test_disjunctive_predicates_pushed_to_both_scans(spark):
     pt = [l for l in pushed if "p_brand" in l]
     assert li and "Or(" in li[0]
     assert pt and "Or(" in pt[0]
+
+
+def test_volume_shipping_supplier_broadcast_before_shuffle(spark):
+    # Q7 analog: the nation-pruned supplier side must broadcast into the
+    # lineitem scan; the only big-big exchange is on the orderkey; both
+    # scan-level filters (ship-date window, nation names) are pushed
+    plan = _plan(_q("rel_volume_shipping", spark))
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual" in plan
+    assert any("n_name" in l and "In(" in l for l in plan.splitlines()
+               if "PushedFilters" in l)
+
+
+def test_returned_items_topk_and_pushdown(spark):
+    # Q10 analog: returnflag + date-window filters reach the scans; the
+    # top-20 compiles to TakeOrderedAndProject, never a global sort
+    plan = _plan(_q("rel_returned_item_revenue", spark))
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_top_supplier_single_lineitem_scan(spark):
+    # Q15 analog: the per-supplier revenue agg is built once and its
+    # exchange reused for the scalar max (diamond), not recomputed.
+    # (ReuseExchange unifies subtrees statically only with AQE off; with
+    # AQE on the same dedup happens at runtime.)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(_q("rel_top_supplier", spark), "simple")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    scans = [l for l in plan.splitlines()
+             if "FileScan" in l and "lineitem" in l]
+    assert len(scans) == 1, f"lineitem scanned {len(scans)}x"
+    assert "ReusedExchange" in plan
+
+
+def test_int8_quant_no_shuffle_before_label_rollup(spark):
+    # quantize/error math is a narrow per-row map: exactly ONE exchange
+    # (the final label rollup) and no Python nodes
+    plan = _plan(_q("emb_int8_quant", spark), "simple")
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") <= 2  # partial+final agg pair at most
+
+
+def test_dsir_single_token_shuffle(spark):
+    # DSIR: every LM branch re-aggregates from the (doc,bucket) counts —
+    # the token-level exchange must be REUSED, not recomputed per branch
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(_q("text_dsir_weight", spark), "simple")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    scans = [l for l in plan.splitlines()
+             if "FileScan" in l and "documents" in l]
+    assert len(scans) == 1, f"documents scanned {len(scans)}x"
+    assert "ReusedExchange" in plan
+    assert "EvalPython" not in plan
+
+
+def test_transition_matrix_user_partitioned_window(spark):
+    # the lead() window partitions by user_id (no global sort); the
+    # normalization window runs post-aggregation on the tiny matrix
+    plan = _plan(_q("events_transition_matrix", spark))
+    assert "partitionBy=[user_id]" in plan.replace(" ", "") or \
+        "hashpartitioning(user_id" in plan
+    assert "EvalPython" not in plan

@@ -4758,6 +4758,10 @@ def q_rel_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
+    # explicit null-filter: the supplier join would add isnotnull(l_suppkey)
+    # to ITS branch of the rev aggregate only, making the two rev subtrees
+    # differ and blocking ReuseExchange — i.e. a second full lineitem scan
+    li = li.filter(F.col("l_suppkey").isNotNull())
     rev = li.groupBy("l_suppkey").agg(
         F.round(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
@@ -4882,15 +4886,17 @@ WITH toks AS (
 ),
 tb AS (SELECT doc_id, lang, {_DK_MD5_BYTE} AS b FROM toks),
 db AS (SELECT doc_id, lang, b, count(*) AS c_db FROM tb GROUP BY doc_id, lang, b),
-rb AS (SELECT b, sum(c_db) AS c_r FROM db GROUP BY b),
-tg AS (SELECT b, sum(c_db) AS c_t FROM db WHERE lang = 'en' GROUP BY b),
-tot AS (SELECT sum(c_r) AS n_r FROM rb),
-tott AS (SELECT sum(c_t) AS n_t FROM tg),
+rb AS (
+  SELECT b, sum(c_db) AS c_r,
+         sum(CASE WHEN lang = 'en' THEN c_db ELSE 0 END) AS c_t
+  FROM db GROUP BY b
+),
+tot AS (SELECT sum(c_r) AS n_r, sum(c_t) AS n_t FROM rb),
 w AS (
   SELECT rb.b,
-         ln((COALESCE(tg.c_t, 0) + 1) / (tott.n_t + 256.0))
+         ln((rb.c_t + 1) / (tot.n_t + 256.0))
          - ln((rb.c_r + 1) / (tot.n_r + 256.0)) AS w_b
-  FROM rb LEFT JOIN tg ON rb.b = tg.b, tot, tott
+  FROM rb, tot
 )
 SELECT db.doc_id, db.lang,
        round(sum(db.c_db * w.w_b), 4) AS dsir_logweight
@@ -4921,33 +4927,30 @@ def q_text_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = toks.filter(F.col("tok").isNotNull())
     b = F.conv(F.substring(F.md5("tok"), 1, 2), 16, 10).cast("long")
+    # explicit null-filter on the bucket key: the final db->w join would
+    # otherwise add isnotnull(b) to only ITS branch of the db aggregate,
+    # splitting the diamond into two token shuffles (see unigram_logprob)
     db = (
         toks.select("doc_id", "lang", b.alias("b"))
+        .filter(F.col("b").isNotNull())
         .groupBy("doc_id", "lang", "b")
         .agg(F.count("*").alias("c_db"))
     )
-    rb = db.groupBy("b").agg(F.sum("c_db").alias("c_r"))
-    tg = (
-        db.filter(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.sum("c_db").alias("c_t"))
+    # both LMs in ONE conditional rollup (a lang='en' pre-filter would be
+    # pushed below db's aggregate into a second corpus scan)
+    rb = db.groupBy("b").agg(
+        F.sum("c_db").alias("c_r"),
+        F.sum(F.when(F.col("lang") == "en", F.col("c_db")).otherwise(0)).alias(
+            "c_t"
+        ),
     )
-    tot = rb.agg(F.sum("c_r").alias("n_r"))
-    tott = tg.agg(F.sum("c_t").alias("n_t"))
-    w = (
-        rb.join(tg, "b", "left")
-        .crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(tott))
-        .select(
-            "b",
-            (
-                F.log(
-                    (F.coalesce(F.col("c_t"), F.lit(0)) + 1)
-                    / (F.col("n_t") + 256.0)
-                )
-                - F.log((F.col("c_r") + 1) / (F.col("n_r") + 256.0))
-            ).alias("w_b"),
-        )
+    tot = rb.agg(F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t"))
+    w = rb.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("c_t") + 1) / (F.col("n_t") + 256.0))
+            - F.log((F.col("c_r") + 1) / (F.col("n_r") + 256.0))
+        ).alias("w_b"),
     )
     return (
         db.join(F.broadcast(w), "b")
@@ -4956,6 +4959,117 @@ def q_text_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("c_db") * F.col("w_b")), 4).alias(
                 "dsir_logweight"
             )
+        )
+    )
+
+
+@register(
+    "corpus_source_cap",
+    f"""
+WITH base AS (
+  SELECT doc_id, source, lang,
+         length(text) AS n_chars,
+         {_DK_NTOK} AS n_tokens,
+         {_DK_PUNCT} AS n_punct,
+         ({_dk_stop_hits()}) AS stop_hits
+  FROM documents
+),
+safe AS (
+  SELECT *, greatest(n_chars, 1) AS sc, greatest(n_tokens, 1) AS st FROM base
+),
+scored AS (
+  SELECT doc_id, source, lang,
+         round(least(n_tokens / 100.0, 1.0) * 0.25
+               + (1 - least(n_punct / sc * 4, 1.0)) * 0.25
+               + least(stop_hits / st * 3, 1.0) * 0.25
+               + least(n_tokens / sc * 6, 1.0) * 0.25, 4) AS quality_score
+  FROM safe
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY source ORDER BY quality_score DESC, doc_id) AS rn
+  FROM scored
+)
+SELECT source, doc_id, lang, quality_score, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 15
+""",
+    "Per-source document cap (the host-cap / domain-cap curation rule: no "
+    "single crawl host may dominate the mix): keep the best 15 docs per "
+    "source by the SAME composite quality score text_quality registers, "
+    "tiebroken on doc_id so the cut is deterministic. One window over a "
+    "source-partitioned shuffle; the quality signals are computed in the "
+    "same narrow scan pass. At 100 TB rank-within-source is exactly a "
+    "row_number over hashpartitioning(source) — no global ordering "
+    "anywhere.",
+)
+def q_corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from yaml_pipe_spark.operators.text_stats import text_statistics
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    scored = text_statistics(docs).select(
+        "doc_id", "source", "lang", "quality_score"
+    )
+    w = W.partitionBy("source").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 15)
+        .select("source", "doc_id", "lang", "quality_score", "rn")
+    )
+
+
+@register(
+    "corpus_holdout_split",
+    """
+WITH h AS (
+  SELECT lang, n_chars,
+         ((strpos('0123456789abcdef',
+                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+          + strpos('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS b
+  FROM documents
+),
+s AS (
+  SELECT lang, n_chars,
+         CASE WHEN b < 232 THEN 'train'
+              WHEN b < 244 THEN 'val'
+              ELSE 'test' END AS split
+  FROM h
+)
+SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+FROM s GROUP BY lang, split
+""",
+    "Deterministic train/val/test holdout: the first md5 byte of doc_id "
+    "buckets every document into ~90.6/4.7/4.7 — a pure narrow map, "
+    "stable across runs and machines, so re-ingesting the corpus can "
+    "never leak a val doc into train (the property random splits lose "
+    "the moment data is re-sharded). Per-(lang, split) doc and char "
+    "rollup is the audit output.",
+)
+def q_corpus_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("long")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "n_chars", h.alias("b")
+    )
+    split = (
+        F.when(F.col("b") < 232, "train")
+        .when(F.col("b") < 244, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("lang", "n_chars", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars_total"),
         )
     )
 
@@ -5039,6 +5153,8 @@ DRIVER_ORDER: list[str] = [
     "emb_int8_quant",
     "text_dsir_weight",
     "events_transition_matrix",
+    "corpus_source_cap",
+    "corpus_holdout_split",
     # -- (4) changed this round: re-validate against the new code/oracle --
     "rel_order_gaps",          # percentile thresholds now from the same scan
     "text_repetition",         # regression diagnosis may alter the plan
