@@ -350,3 +350,21 @@ def test_transition_matrix_user_partitioned_window(spark):
     assert "partitionBy=[user_id]" in plan.replace(" ", "") or \
         "hashpartitioning(user_id" in plan
     assert "EvalPython" not in plan
+
+
+def test_covariance_shuffles_partials_not_rows(spark):
+    # single-scan contract: the mean/cell branches consume the tiny
+    # localCheckpointed aggregate, so the FINAL plan reads no parquet at
+    # all — the corpus crossed the fold exactly once, upstream
+    plan = _plan(_q("emb_covariance", spark), "simple")
+    assert "Scan parquet" not in plan and "FileScan" not in plan
+    assert "ExistingRDD" in plan
+    # and the fold stage itself: pruned scan, no exchange below the fold
+    from yaml_pipe_spark.operators.emb_stats import covariance_partials
+    from yaml_pipe_spark.tables import load_table
+
+    parts = covariance_partials(load_table(spark, SF_SMALL, "embeddings"))
+    pplan = _plan(parts)
+    read = [l for l in pplan.splitlines() if "ReadSchema" in l][0]
+    assert "embedding" in read and "label" not in read and "vec_id" not in read
+    assert "MapInPandas" in pplan and "Exchange" not in pplan

@@ -4964,6 +4964,46 @@ def q_text_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_covariance",
+    """
+WITH x AS (
+  SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
+  FROM embeddings
+),
+dim AS (
+  SELECT UNNEST(generate_series(1, (SELECT max(len(xd)) FROM x))) AS p
+),
+cells AS (
+  SELECT i.p AS i, j.p AS j,
+         sum(x.xd[i.p] * x.xd[j.p]) AS ss,
+         sum(x.xd[i.p]) AS si,
+         sum(x.xd[j.p]) AS sj,
+         count(*) AS n
+  FROM x, dim i, dim j
+  WHERE i.p <= j.p
+  GROUP BY i.p, j.p
+)
+SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j,
+       round(ss / n - (si / n) * (sj / n), 6) AS cov
+FROM cells
+""",
+    "Distributed covariance of the embedding corpus (upper triangle, "
+    "0-based cells): the input to PCA whitening / dim-reduction before "
+    "ANN indexing. Spark side is the treeAggregate shape — one numpy "
+    "(n, sum, outer-sum) partial PER TASK via mapInPandas (d + d^2 "
+    "doubles of state however many rows the task holds), one tiny "
+    "shuffle of partials by cell position; row-scale data is never "
+    "shuffled. The oracle recomputes every cell from scratch; rounding "
+    "absorbs cross-partition float summation order (~1e-13 vs the 5e-7 "
+    "quantum).",
+)
+def q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.emb_stats import emb_covariance
+
+    return emb_covariance(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
     "corpus_source_cap",
     f"""
 WITH base AS (
@@ -5155,6 +5195,7 @@ DRIVER_ORDER: list[str] = [
     "events_transition_matrix",
     "corpus_source_cap",
     "corpus_holdout_split",
+    "emb_covariance",
     # -- (4) changed this round: re-validate against the new code/oracle --
     "rel_order_gaps",          # percentile thresholds now from the same scan
     "text_repetition",         # regression diagnosis may alter the plan
