@@ -131,6 +131,45 @@ def test_cli_surface(spark, workdir, capsys):
     assert not os.path.exists(workdir["sink"])
 
 
+def test_cli_sql(spark, capsys, tmp_path):
+    import json as _json
+
+    from tests.conftest import SF_SMALL
+    from yaml_pipe_spark import cli
+
+    assert (
+        cli.main(
+            [
+                "sql",
+                "SELECT lang, CAST(count(*) AS BIGINT) AS n "
+                "FROM documents GROUP BY lang ORDER BY lang",
+                "-d",
+                SF_SMALL,
+            ]
+        )
+        == 0
+    )
+    lines = [
+        _json.loads(l)
+        for l in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert {r["lang"] for r in lines} == {"en", "de", "es", "fr", "zh"}
+    assert all(r["n"] > 0 for r in lines)
+
+    # parquet output path skips driver materialization
+    out = str(tmp_path / "sqlout")
+    assert (
+        cli.main(
+            ["sql", "SELECT doc_id FROM documents", "-d", SF_SMALL, "-o", out]
+        )
+        == 0
+    )
+    assert spark.read.parquet(out).count() > 0
+
+    # analysis errors exit non-zero
+    assert cli.main(["sql", "SELECT nope FROM documents", "-d", SF_SMALL]) == 1
+
+
 def test_bucketed_join_has_no_shuffle(spark):
     """BucketedTable: two tables bucketed on the join key join with zero
     Exchange operators — the pay-shuffle-once-at-ingest layout that makes

@@ -193,6 +193,35 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_sql(args) -> int:
+    # ad-hoc SQL over the data directory: every table parquet in --data-dir
+    # is registered as a temp view (same loaders/timestamp normalization as
+    # the query registry), the statement runs through Catalyst, and rows
+    # stream to stdout as JSON lines (or parquet with --output — no driver
+    # materialization on that path).
+    from yaml_pipe_spark.tables import TABLE_NAMES, load_table
+
+    spark = _spark()
+    for name in TABLE_NAMES:
+        path = os.path.join(args.data_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            load_table(spark, args.data_dir, name).createOrReplaceTempView(
+                name
+            )
+    try:
+        df = spark.sql(args.query)
+    except Exception as ex:  # analysis errors -> honest non-zero exit
+        print(f"SQL error: {ex}", file=sys.stderr)
+        return 1
+    if args.output:
+        df.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"written": args.output}))
+        return 0
+    for row in df.limit(args.limit).collect():
+        print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="yaml-pipe-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -233,6 +262,17 @@ def main(argv: list[str] | None = None) -> int:
     ev.add_argument("-c", "--config", required=True)
     ev.add_argument("-k", type=int, default=5)
     ev.set_defaults(fn=cmd_eval)
+
+    q = sub.add_parser("sql", help="run SQL over the data-dir tables")
+    q.add_argument("query")
+    q.add_argument(
+        "-d",
+        "--data-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
+    q.add_argument("-o", "--output", help="write result parquet here")
+    q.add_argument("--limit", type=int, default=100)
+    q.set_defaults(fn=cmd_sql)
 
     args = p.parse_args(argv)
     try:
