@@ -241,6 +241,37 @@ def test_pipeline_filters_stage(spark, workdir):
     assert res2.skipped
 
 
+def test_holdout_and_source_cap_filters(spark):
+    from yaml_pipe_spark.plans.factory import (
+        HoldoutSplitFilter,
+        SourceCapFilter,
+    )
+
+    rows = [
+        (f"doc{i}", f"host{i % 3}", "useful words " * (5 + i % 7))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["item_id", "source", "content"])
+
+    splits = {
+        s: HoldoutSplitFilter(split=s).apply(df).count()
+        for s in ("train", "val", "test")
+    }
+    assert sum(splits.values()) == 30  # partition of the corpus
+    assert splits["train"] > splits["val"] + splits["test"]
+    # deterministic: same ids land in the same split every time
+    a = {r.item_id for r in HoldoutSplitFilter("val").apply(df).collect()}
+    b = {r.item_id for r in HoldoutSplitFilter("val").apply(df).collect()}
+    assert a == b
+    with pytest.raises(ValueError, match="unknown split"):
+        HoldoutSplitFilter(split="dev")
+
+    capped = SourceCapFilter(max_per_source=4).apply(df)
+    out = capped.groupBy("source").count().collect()
+    assert all(r["count"] <= 4 for r in out)
+    assert set(capped.columns) == {"item_id", "source", "content"}
+
+
 def test_no_state_run_is_single_action(spark, workdir, monkeypatch):
     # run-report counts come from Observation nodes resolved by the write
     # itself — a no-state run must never call count()/collect() (each one

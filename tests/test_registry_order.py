@@ -16,7 +16,17 @@ NEVER_DRIVER_CHECKED = {
 
 # Queries registered new in round 3 — no driver row exists yet, so they must
 # also sit inside the 50-entry prefix. Grow this set alongside the registry.
-ROUND3_NEW: set[str] = set()
+ROUND3_NEW: set[str] = {
+    "rel_volume_shipping",
+    "rel_returned_item_revenue",
+    "rel_top_supplier",
+    "emb_int8_quant",
+    "text_dsir_weight",
+    "events_transition_matrix",
+    "corpus_source_cap",
+    "corpus_holdout_split",
+    "emb_covariance",
+}
 
 
 def test_driver_order_is_valid():

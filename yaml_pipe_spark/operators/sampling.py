@@ -77,3 +77,26 @@ def shard_by_token_budget(
     return out.withColumn(
         "shard_id", F.floor((F.col("__cum") - F.col("n_tokens")) / budget)
     ).drop("__cum")
+
+
+def md5_byte(key: Column) -> Column:
+    """First md5 byte of the key as 0..255 — the deterministic bucket
+    primitive shared with the DuckDB oracles (strpos hex arithmetic)."""
+    return F.conv(
+        F.substring(F.md5(key.cast("string")), 1, 2), 16, 10
+    ).cast("long")
+
+
+def holdout_split(
+    key: Column, train_upto: int = 232, val_upto: int = 244
+) -> Column:
+    """'train' / 'val' / 'test' from the key's md5 byte: ~90.6/4.7/4.7 by
+    default. A pure narrow expression — the assignment survives resharding,
+    re-ingestion, and engine changes, which is the property a training
+    holdout must have (a random split leaks the moment data moves)."""
+    b = md5_byte(key)
+    return (
+        F.when(b < train_upto, "train")
+        .when(b < val_upto, "val")
+        .otherwise("test")
+    )

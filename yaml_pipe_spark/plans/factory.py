@@ -229,6 +229,80 @@ class BlocklistFilter:
         )
 
 
+class HoldoutSplitFilter:
+    """Keep only one deterministic md5 holdout split ('train'/'val'/'test');
+    narrow, reshard-proof (operators/sampling.py::holdout_split)."""
+
+    def __init__(
+        self,
+        split: str = "train",
+        key_col: str = "item_id",
+        train_upto: int = 232,
+        val_upto: int = 244,
+    ):
+        if split not in ("train", "val", "test"):
+            raise ValueError(f"unknown split: {split!r}")
+        self.split, self.key_col = split, key_col
+        self.train_upto, self.val_upto = train_upto, val_upto
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from yaml_pipe_spark.operators.sampling import holdout_split
+
+        return df.filter(
+            holdout_split(F.col(self.key_col), self.train_upto, self.val_upto)
+            == self.split
+        )
+
+
+class SourceCapFilter:
+    """Host-cap rule: keep at most `max_per_source` docs per source, best
+    quality_score first (doc-id tiebreak). One window over a
+    source-partitioned shuffle — mirrors the corpus_source_cap query."""
+
+    def __init__(
+        self,
+        max_per_source: int = 1000,
+        source_col: str = "source",
+        text_col: str = "content",
+        id_col: str = "item_id",
+    ):
+        self.max_per_source = max_per_source
+        self.source_col, self.text_col, self.id_col = (
+            source_col,
+            text_col,
+            id_col,
+        )
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window as W
+
+        from yaml_pipe_spark.operators.text_stats import text_statistics
+
+        stats = text_statistics(
+            df.withColumnRenamed(self.text_col, "text")
+        )
+        w = W.partitionBy(self.source_col).orderBy(
+            F.desc("quality_score"), F.asc(self.id_col)
+        )
+        kept = (
+            stats.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= self.max_per_source)
+            .drop("__rn")
+        )
+        extra = {
+            "n_chars",
+            "n_tokens",
+            "n_bpe_tokens",
+            "punct_ratio",
+            "digit_ratio",
+            "stopword_ratio",
+            "quality_score",
+        }
+        return kept.drop(
+            *[c for c in kept.columns if c in extra]
+        ).withColumnRenamed("text", self.text_col)
+
+
 class StratifiedSampleFilter:
     """Deterministic hash downsampling per stratum (narrow, reproducible)."""
 
@@ -263,6 +337,8 @@ FILTERS = {
     "quality": QualityFilter,
     "stratified_sample": StratifiedSampleFilter,
     "blocklist": BlocklistFilter,
+    "holdout_split": HoldoutSplitFilter,
+    "source_cap": SourceCapFilter,
 }
 CHUNKERS = {
     "fixed_window": FixedWindowChunker,
