@@ -26,6 +26,7 @@ ROUND3_NEW: set[str] = {
     "corpus_source_cap",
     "corpus_holdout_split",
     "emb_covariance",
+    "stream_watermark_dedup",
 }
 
 

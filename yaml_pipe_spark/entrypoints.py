@@ -2400,6 +2400,38 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_watermark_dedup",
+    """
+SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n
+FROM events GROUP BY event_type
+""",
+    "Streaming dropDuplicatesWithinWatermark: the stream is the events "
+    "source UNIONED WITH ITSELF (every event arrives exactly twice — the "
+    "at-least-once delivery failure mode), deduped on event_id with "
+    "watermark-bounded per-key state that is dropped once the duplicate "
+    "horizon passes (state scales with the horizon, not key cardinality). "
+    "The drained per-type counts must equal the batch DISTINCT counts — "
+    "a genuine end-to-end oracle for the dedup semantics.",
+)
+def q_stream_wm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.streaming.stream import (
+        stream_events,
+        streaming_dedup_within_watermark,
+    )
+
+    _STREAM_COUNTER[0] += 1
+    name = f"stream_wm_dedup_q{_STREAM_COUNTER[0]}"
+    ev = stream_events(spark, sf_dir)
+    doubled = ev.union(ev)
+    dd = streaming_dedup_within_watermark(doubled, ["event_id"])
+    _drain_to_memory(dd, "append", name)
+    return spark.sql(
+        f"SELECT event_type, CAST(count(*) AS BIGINT) AS n "
+        f"FROM {name} GROUP BY event_type"
+    )
+
+
+@register(
     "events_funnel",
     """
 WITH v AS (
@@ -5196,6 +5228,7 @@ DRIVER_ORDER: list[str] = [
     "corpus_source_cap",
     "corpus_holdout_split",
     "emb_covariance",
+    "stream_watermark_dedup",
     # -- (4) changed this round: re-validate against the new code/oracle --
     "rel_order_gaps",          # percentile thresholds now from the same scan
     "text_repetition",         # regression diagnosis may alter the plan

@@ -139,6 +139,23 @@ def streaming_dedup(
     return events.withWatermark(ts_col, watermark).dropDuplicates(keys)
 
 
+def streaming_dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """dropDuplicatesWithinWatermark: unlike plain dropDuplicates (state
+    kept until the key's event-time expires relative to the GLOBAL
+    watermark), state for a key here is dropped once the watermark passes
+    its first arrival + delay — the production choice for at-least-once
+    sources where duplicates only occur NEAR each other in time; state is
+    strictly bounded by (duplicate horizon), not (key cardinality)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def stateful_user_counter(
     events: DataFrame, key_col: str = "user_id", ts_col: str = "ts"
 ) -> DataFrame:
