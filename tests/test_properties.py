@@ -342,3 +342,27 @@ def test_merge_aggregates_equals_direct_agg(spark, events, cut, cut2):
     got = {(r.k, r.day): (r.n_events, r.sum_value) for r in twice.collect()}
     want = {(r.k, r.day): (r.n_events, r.sum_value) for r in direct.collect()}
     assert got == want
+
+
+@given(st.binary(min_size=0, max_size=2000))
+@settings(max_examples=200, deadline=None)
+def test_pdf_extractor_total_on_arbitrary_bytes(data):
+    """extract_pdf_text is TOTAL: any byte string (malformed xref, truncated
+    streams, garbage escapes) returns a str, never raises — a parser fed by
+    a crawl must not take down the executor on byte soup."""
+    from yaml_pipe_spark.sources.pdf import extract_pdf_text
+
+    out = extract_pdf_text(data)
+    assert isinstance(out, str)
+
+
+@given(st.binary(min_size=0, max_size=500))
+@settings(max_examples=100, deadline=None)
+def test_pdf_extractor_total_on_streamlike_bytes(data):
+    """Same totality with the bytes wrapped so the stream/BT scanners
+    actually engage (the hostile region is INSIDE content streams)."""
+    from yaml_pipe_spark.sources.pdf import extract_pdf_text
+
+    wrapped = b"<< /Length 9 >>\nstream\nBT " + data + b" ET\nendstream"
+    out = extract_pdf_text(wrapped)
+    assert isinstance(out, str)

@@ -134,8 +134,14 @@ def _block_text(block: bytes) -> str:
             push(_decode_string(raw))
             continue
         if c == 0x3C and i + 1 < n and block[i + 1] != 0x3C:  # <hex>
-            j = block.index(b">", i)
-            hx = re.sub(rb"\s", b"", block[i + 1 : j])
+            j = block.find(b">", i)
+            if j < 0:  # unterminated: consume to end, best-effort
+                j = n
+            # spec ignores whitespace; be lenient and drop any other
+            # non-hex byte too (a crawl corpus WILL contain them)
+            hx = bytes(
+                b for b in block[i + 1 : j] if b in b"0123456789abcdefABCDEF"
+            )
             if len(hx) % 2:
                 hx += b"0"
             push(_decode_string(bytes.fromhex(hx.decode())))
