@@ -159,3 +159,26 @@ def test_bucket_cap_drops_degenerate_lsh_bucket(spark):
     sigs = minhash_signatures(token_shingles(docs, k=3))
     assert lsh_candidate_pairs(sigs, max_bucket_size=10).count() == 0
     assert lsh_candidate_pairs(sigs).count() == 20 * 19 // 2  # default 10k cap
+
+
+def test_cosine_pairs_arrow_bit_identical_to_interpreted(spark):
+    """The Arrow scorer must reproduce the interpreted zip_with fold
+    EXACTLY — same pairs, same rounded scores — or the oracle contract
+    (and the recall ground truth) silently forks."""
+    from yaml_pipe_spark.operators.dedup import cosine_pairs, cosine_pairs_arrow
+    from tests.conftest import SF_SMALL
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    a = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_pairs(
+            emb, "vec_id", "embedding", threshold=0.4, allow_quadratic=True
+        ).collect()
+    }
+    b = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_pairs_arrow(
+            emb, "vec_id", "embedding", threshold=0.4
+        ).collect()
+    }
+    assert a == b and len(a) > 0

@@ -1023,17 +1023,16 @@ SELECT * FROM (
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 ) WHERE cosine >= 0.4
 """,
-    "Embedding-cosine near-dup pairs (brute-force baseline)",
+    "Embedding-cosine near-dup pairs (brute-force baseline, Arrow scorer)",
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yaml_pipe_spark.operators.dedup import cosine_pairs
+    from yaml_pipe_spark.operators.dedup import cosine_pairs_arrow
 
     emb = load_table(spark, sf_dir, "embeddings")
     # the declared exactness baseline (recall ground truth for the blocked
-    # twin below) — the ONLY sanctioned quadratic call site
-    return cosine_pairs(
-        emb, "vec_id", "embedding", threshold=0.4, allow_quadratic=True
-    )
+    # twin below) — still the sanctioned quadratic, now scored in numpy
+    # with the bit-exact cumsum contract (cosine_pairs_arrow docstring)
+    return cosine_pairs_arrow(emb, "vec_id", "embedding", threshold=0.4)
 
 
 # ---------------------------------------------------------------------------
@@ -5237,6 +5236,7 @@ DRIVER_ORDER: list[str] = [
     "ann_ivf_topk",
     "ann_recall_measured",
     "q1_topk_cosine",
+    "dedup_embedding_cosine",  # quadratic baseline switched to Arrow scorer
     "dedup_embedding_cosine_blocked",
     "dedup_minhash_lsh",       # skew guards defaulted on (oracle mirrors cut)
     "dedup_ngram_jaccard",
