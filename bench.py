@@ -66,21 +66,28 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_sec",
-                "value": total,
-                "unit": "sec",
-                # n_queries grows round over round as operators land — compare
-                # totals across rounds per shared query (the "queries" map),
-                # not by the raw total
-                "n_queries": len(timings),
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        # n_queries grows round over round as operators land — compare
+        # totals across rounds per shared query (the "queries" map),
+        # not by the raw total
+        "n_queries": len(timings),
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(payload))
+    # The driver's capture keeps only the LAST 2000 chars of stdout, which
+    # truncates the alphabetical queries map mid-way (BENCH_r01/r02 both
+    # recorded parsed=null + a tail starting around 'd'/'e') — persist the
+    # full record next to the code so per-query history survives intact.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_SELF.json"), "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # the printed line remains the contract
 
 
 if __name__ == "__main__":
