@@ -368,3 +368,14 @@ def test_covariance_shuffles_partials_not_rows(spark):
     read = [l for l in pplan.splitlines() if "ReadSchema" in l][0]
     assert "embedding" in read and "label" not in read and "vec_id" not in read
     assert "MapInPandas" in pplan and "Exchange" not in pplan
+
+
+def test_forecast_revenue_all_predicates_pushed(spark):
+    # Q6 analog: date window, discount band, and quantity cap ALL reach the
+    # scan; 2-column read; no exchange beyond the scalar agg pair
+    plan = _plan(_q("rel_forecast_revenue", spark))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed, frag
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" in read and "l_orderkey" not in read

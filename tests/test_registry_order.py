@@ -18,6 +18,7 @@ NEVER_DRIVER_CHECKED = {
 # also sit inside the 50-entry prefix. Grow this set alongside the registry.
 ROUND3_NEW: set[str] = {
     "rel_volume_shipping",
+    "rel_forecast_revenue",
     "rel_returned_item_revenue",
     "rel_top_supplier",
     "emb_int8_quant",

@@ -4712,6 +4712,39 @@ def q_rel_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_forecast_revenue",
+    """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    "TPC-H Q6 analog (forecasting revenue change): the canonical "
+    "pure-pushdown query — every predicate (date window, discount band, "
+    "quantity cap) reaches the parquet scan as a PushedFilter, the "
+    "projection is 2 columns of 11, and the whole plan is one partial+ "
+    "final agg with zero joins. The query Spark should execute at scan "
+    "speed; plan-asserted in test_plans.py.",
+)
+def q_rel_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+        ).alias("revenue_delta"),
+        F.count("*").cast("long").alias("n_items"),
+    )
+
+
+@register(
     "rel_returned_item_revenue",
     """
 SELECT c.c_custkey, c.c_name, n.n_name AS nation,
@@ -5219,6 +5252,7 @@ DRIVER_ORDER: list[str] = [
     "stream_hopping_agg",
     # -- (3) new in round 3 (inserted as they are registered) --
     "rel_volume_shipping",
+    "rel_forecast_revenue",
     "rel_returned_item_revenue",
     "rel_top_supplier",
     "emb_int8_quant",
