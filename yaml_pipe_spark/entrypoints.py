@@ -4712,6 +4712,41 @@ def q_rel_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_customer_distribution",
+    """
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+""",
+    "TPC-H Q13 analog (customer distribution): how many customers placed "
+    "how many (non-urgent) orders, zero-order customers included via the "
+    "LEFT join. Two-level aggregate: the first groupBy rides the "
+    "customer-key shuffle of the join; the second is a tiny histogram "
+    "rollup. count(o_orderkey) — not count(*) — is what makes the "
+    "no-order customer land in bucket 0 identically in both engines.",
+)
+def q_rel_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    ords = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per = (
+        cust.join(ords, cust.c_custkey == ords.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist")
+    ).select(F.col("c_count").cast("long").alias("c_count"), "custdist")
+
+
+@register(
     "rel_forecast_revenue",
     """
 SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta,
@@ -5253,6 +5288,7 @@ DRIVER_ORDER: list[str] = [
     # -- (3) new in round 3 (inserted as they are registered) --
     "rel_volume_shipping",
     "rel_forecast_revenue",
+    "rel_customer_distribution",
     "rel_returned_item_revenue",
     "rel_top_supplier",
     "emb_int8_quant",
