@@ -19,6 +19,7 @@ NEVER_DRIVER_CHECKED = {
 ROUND3_NEW: set[str] = {
     "rel_volume_shipping",
     "rel_forecast_revenue",
+    "rel_local_supplier_volume",
     "rel_customer_distribution",
     "rel_returned_item_revenue",
     "rel_top_supplier",

@@ -4712,6 +4712,65 @@ def q_rel_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_local_supplier_volume",
+    """
+SELECT n.n_name AS nation,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'EUROPE'
+  AND o.o_orderdate >= DATE '1997-01-01'
+  AND o.o_orderdate < DATE '1998-01-01'
+GROUP BY n.n_name
+""",
+    "TPC-H Q5 analog (local supplier volume): revenue where the customer "
+    "and the line's supplier share a nation, nations restricted to one "
+    "region. Differs from rel_nation_revenue by the LOCALITY predicate "
+    "(c_nationkey = s_nationkey) — supplier/nation/region broadcast, the "
+    "region filter prunes the supplier side BEFORE the fact joins, and "
+    "the only big-big exchange is orders⋈lineitem on orderkey.",
+)
+def q_rel_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    sup = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    ords = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    j = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+    )
+    return j.groupBy(F.col("n_name").alias("nation")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").cast("long").alias("n_items"),
+    )
+
+
+@register(
     "rel_customer_distribution",
     """
 WITH per_cust AS (
@@ -5287,6 +5346,7 @@ DRIVER_ORDER: list[str] = [
     "stream_hopping_agg",
     # -- (3) new in round 3 (inserted as they are registered) --
     "rel_volume_shipping",
+    "rel_local_supplier_volume",
     "rel_forecast_revenue",
     "rel_customer_distribution",
     "rel_returned_item_revenue",
