@@ -30,6 +30,7 @@ ROUND3_NEW: set[str] = {
     "corpus_holdout_split",
     "emb_covariance",
     "stream_watermark_dedup",
+    "events_forget_users",
 }
 
 

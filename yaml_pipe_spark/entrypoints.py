@@ -2399,6 +2399,57 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_forget_users",
+    """
+WITH del AS (SELECT DISTINCT user_id FROM events WHERE user_id % 29 = 0),
+kept AS (
+  SELECT e.* FROM events e LEFT JOIN del ON e.user_id = del.user_id
+  WHERE del.user_id IS NULL
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST((SELECT count(*) FROM events) - count(*) AS BIGINT) AS n_total_minus_kept,
+       CAST((SELECT count(*) FROM kept WHERE user_id % 29 = 0) AS BIGINT)
+         AS n_leaked
+FROM kept GROUP BY event_type
+""",
+    "Deletion-request propagation (right-to-be-forgotten): scrub every "
+    "event of the requested users via LEFT ANTI join and AUDIT the result "
+    "— per-type surviving counts plus an oracle-checked leak counter that "
+    "must be 0. The deletion list is a broadcast anti-join against the "
+    "fact scan (no shuffle of events); at 100 TB this composes with "
+    "dynamic partition overwrite so only partitions containing the users "
+    "rewrite. The n_total_minus_kept column pins the scrubbed volume.",
+)
+def q_events_forget_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    del_list = (
+        ev.filter(F.col("user_id") % 29 == 0).select("user_id").distinct()
+    )
+    kept = ev.join(
+        F.broadcast(del_list), "user_id", "left_anti"
+    )
+    total = ev.agg(F.count("*").alias("__total"))
+    leaked = kept.filter(F.col("user_id") % 29 == 0).agg(
+        F.count("*").alias("__leak")
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_kept"))
+        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(leaked))
+        .select(
+            "event_type",
+            "n_kept",
+            (F.col("__total") - F.col("n_kept"))
+            .cast("long")
+            .alias("n_total_minus_kept"),
+            F.col("__leak").cast("long").alias("n_leaked"),
+        )
+    )
+
+
+@register(
     "stream_watermark_dedup",
     """
 SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n
@@ -5358,6 +5409,7 @@ DRIVER_ORDER: list[str] = [
     "corpus_holdout_split",
     "emb_covariance",
     "stream_watermark_dedup",
+    "events_forget_users",
     # -- (4) changed this round: re-validate against the new code/oracle --
     "rel_order_gaps",          # percentile thresholds now from the same scan
     "text_repetition",         # regression diagnosis may alter the plan
