@@ -5385,6 +5385,15 @@ def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by bench.py and the local sf0.001/sf0.01/sf0.1 oracle-parity runs every
 # round). After round 3 the union of driver-green rows covers every query
 # registered through r3; keep rotating re-validations through the tail slots.
+#
+# ROUND-4 ROTATION NOTE: once CORRECTNESS_r03 lands, every query registered
+# through round 3 has a driver row. For round 4: (a) front any query
+# registered post-r03-freeze or whose code/oracle changes in round 4,
+# (b) then re-validate the r3-data-era rows most exposed to testdata
+# regeneration (the events/stream family — the driver regenerated parquet
+# mid-round-3 and may again), (c) pad with the oldest-validated entries
+# (r1-era rows now two data generations old). Keep ROUND3_NEW-style sets in
+# tests/test_registry_order.py in sync so the prefix invariant stays pinned.
 DRIVER_ORDER: list[str] = [
     "flagship",  # canary: the smoke-checked query stays first
     # -- (2) first driver row ever: post-r02-freeze queries --
