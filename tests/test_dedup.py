@@ -161,6 +161,70 @@ def test_bucket_cap_drops_degenerate_lsh_bucket(spark):
     assert lsh_candidate_pairs(sigs).count() == 20 * 19 // 2  # default 10k cap
 
 
+def test_candidate_cut_runs_below_pair_self_join(spark):
+    """With candidates, the id-level semi-joins must sit BELOW the
+    pair-generating shingle self-join (cutting its input), and the verify
+    result must equal the unfiltered exact join restricted to the
+    candidate pairs."""
+    from yaml_pipe_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sh = token_shingles(_docs(spark), k=3)
+    cands = lsh_candidate_pairs(minhash_signatures(sh))
+    verified = exact_jaccard_pairs(sh, candidates=cands)
+
+    plan = verified._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    self_join = next(
+        i
+        for i, l in enumerate(lines)
+        if "Join Inner" in l and "shingle" in l
+    )
+    semis_below = [
+        i for i, l in enumerate(lines) if "LeftSemi" in l and i > self_join
+    ]
+    assert len(semis_below) >= 2, plan  # one id-level cut per join side
+
+    got = {(r.id_a, r.id_b): r.jaccard for r in verified.collect()}
+    cand_set = {(r.id_a, r.id_b) for r in cands.collect()}
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in exact_jaccard_pairs(sh).collect()
+    }
+    assert got == {p: j for p, j in full.items() if p in cand_set}
+    assert len(got) > 0
+
+
+def test_cosine_pairs_zero_norm_opts_out_identically(spark):
+    """Zero-norm vectors have undefined cosine (0/0: DIVIDE_BY_ZERO under
+    ANSI Spark, NaN in numpy) — both the interpreted baseline and the
+    Arrow twin must apply the SAME explicit rule: the vector opts out of
+    pairing; everything else still pairs."""
+    from yaml_pipe_spark.operators.dedup import cosine_pairs, cosine_pairs_arrow
+
+    rows = [
+        (1, [0.0, 0.0, 0.0]),  # zero norm -> opts out
+        (2, [1.0, 0.0, 0.0]),
+        (3, [1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = {
+        (r.id_a, r.id_b)
+        for r in cosine_pairs(
+            emb, "vec_id", "embedding", threshold=0.5, allow_quadratic=True
+        ).collect()
+    }
+    b = {
+        (r.id_a, r.id_b)
+        for r in cosine_pairs_arrow(
+            emb, "vec_id", "embedding", threshold=0.5
+        ).collect()
+    }
+    assert a == b == {(2, 3)}
+
+
 def test_cosine_pairs_arrow_bit_identical_to_interpreted(spark):
     """The Arrow scorer must reproduce the interpreted zip_with fold
     EXACTLY — same pairs, same rounded scores — or the oracle contract

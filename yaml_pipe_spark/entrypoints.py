@@ -4783,9 +4783,13 @@ GROUP BY n.n_name
     "TPC-H Q5 analog (local supplier volume): revenue where the customer "
     "and the line's supplier share a nation, nations restricted to one "
     "region. Differs from rel_nation_revenue by the LOCALITY predicate "
-    "(c_nationkey = s_nationkey) — supplier/nation/region broadcast, the "
-    "region filter prunes the supplier side BEFORE the fact joins, and "
-    "the only big-big exchange is orders⋈lineitem on orderkey.",
+    "(c_nationkey = s_nationkey) — nation/region (constant-size) are "
+    "explicitly broadcast and prune the supplier side BEFORE the fact "
+    "joins; the pruned supplier table itself is SF-PROPORTIONAL (~5x "
+    "smaller than supplier), so it carries NO broadcast hint — AQE "
+    "broadcasts it when its runtime size fits and falls back to a "
+    "shuffle join at 100 TB. Big-big exchanges: lineitem⋈orders on "
+    "orderkey, then custkey.",
 )
 def q_rel_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").filter(
@@ -4808,7 +4812,7 @@ def q_rel_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
     j = (
-        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
@@ -5193,7 +5197,7 @@ cells AS (
   GROUP BY i.p, j.p
 )
 SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j,
-       round(ss / n - (si / n) * (sj / n), 6) AS cov
+       round(ss / n - (si / n) * (sj / n), 6) + 0.0 AS cov
 FROM cells
 """,
     "Distributed covariance of the embedding corpus (upper triangle, "

@@ -179,9 +179,10 @@ def exact_jaccard_pairs(
     the inverted index must appear in <= max(floor(df_max_frac * n_docs),
     df_min_cut) documents (threshold computed inside the plan and
     broadcast — no extra action). A boilerplate shingle in 1% of a 10^9-doc
-    corpus otherwise creates ~10^14 pairs in the shingle join, with or
-    without LSH candidates (the semi-join cut runs AFTER the pair
-    explosion). The floor keeps the cut inert at small corpora (df <= 50
+    corpus otherwise creates ~10^14 pairs in the shingle join; the
+    id-level candidate cut below shrinks the join input but cannot bound a
+    single hot shingle shared by the candidate docs themselves, so the df
+    guard stays load-bearing. The floor keeps the cut inert at small corpora (df <= 50
     never bites under ~10k docs); the fraction is what matters at scale.
     Trade (documented, deliberate): sizes and intersections are computed on
     the FILTERED shingle sets, i.e. jaccard over non-boilerplate shingles —
@@ -209,10 +210,24 @@ def exact_jaccard_pairs(
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    if candidates is not None:
+        # id-level cut BEFORE the pair-generating self-join: a shingle row
+        # for a doc that appears in no candidate pair can never contribute
+        # to a verified pair, so semi-joining each inverted-index side
+        # against its candidate id set shrinks the self-join input (and
+        # therefore the verify shuffle) — at extreme scale the candidate
+        # set is tiny relative to the corpus and this is the dominant cut.
+        # Per-doc shingle sizes are computed on the UNCUT (df-filtered) sh
+        # above, so jaccard semantics are unchanged: the id-level filter
+        # removes whole docs from pairing, never shingles from a doc.
+        a = a.join(candidates.select("id_a"), "id_a", "left_semi")
+        b = b.join(candidates.select("id_b"), "id_b", "left_semi")
     pair_shingles = a.join(b, "shingle").filter(F.col("id_a") < F.col("id_b"))
     if candidates is not None:
         # pair-level cut BEFORE the count agg so non-candidate pairs never
-        # enter the (id_a, id_b) shuffle
+        # enter the (id_a, id_b) shuffle (id-level membership is necessary
+        # but not sufficient: a and b may each be in SOME candidate pair
+        # without (a, b) being one)
         pair_shingles = pair_shingles.join(
             candidates.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
         )
@@ -389,6 +404,12 @@ def cosine_pairs(
     join, so nobody reaches the quadratic plan by default. At scale pass
     `block_col` (e.g. an LSH sign-bucket or cluster id) to turn it into an
     equi-join within blocks; see similarity.signlsh_knn_join for top-k.
+
+    Zero-norm vectors OPT OUT of pairing (filtered before the join): their
+    cosine is undefined (0/0 — DIVIDE_BY_ZERO under ANSI, NaN in numpy/
+    DuckDB, so any pass-through choice forks across engines). Same
+    precedent as too-short docs opting out of shingle dedup. The Arrow
+    twin applies the identical rule.
     """
     from yaml_pipe_spark.functions.vectors import dot, l2_norm_sq
 
@@ -412,13 +433,13 @@ def cosine_pairs(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
         l2_norm_sq(F.col(vec_col)).alias("__na"),
-    )
+    ).filter(F.col("__na") > 0)
     b = df.select(
         *([F.col(block_col).alias("__blk")] if block_col else []),
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
         l2_norm_sq(F.col(vec_col)).alias("__nb"),
-    )
+    ).filter(F.col("__nb") > 0)
     pairs = (a.join(b, keys) if keys else a.crossJoin(b)).filter(
         F.col("id_a") < F.col("id_b")
     )
@@ -493,7 +514,12 @@ def cosine_pairs_arrow(
                 c1 = min(c0 + csz, m)
                 prod = A[c0:c1, None, :] * V[None, :, :]
                 dots = np.cumsum(prod, axis=-1)[..., -1]
-                S = dots / np.sqrt(an[c0:c1, None] * vn[None, :])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    S = dots / np.sqrt(an[c0:c1, None] * vn[None, :])
+                # Zero-norm vectors opt out of pairing (cosine_pairs
+                # filters __na/__nb > 0 before its join); NaN scores from
+                # 0/0 correctly fail the >= comparison here, implementing
+                # the SAME rule rather than silently diverging from it.
                 keep = (S >= threshold - margin) & (
                     aid[c0:c1, None] < ids_all[None, :]
                 )

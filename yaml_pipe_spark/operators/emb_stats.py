@@ -107,10 +107,17 @@ def emb_covariance(
         .select(
             F.col("i").cast("long").alias("i"),
             F.col("j").cast("long").alias("j"),
-            F.round(
-                F.col("ss_sum") / F.col("n")
-                - (F.col("si") / F.col("n")) * (F.col("sj") / F.col("n")),
-                decimals,
+            (
+                F.round(
+                    F.col("ss_sum") / F.col("n")
+                    - (F.col("si") / F.col("n")) * (F.col("sj") / F.col("n")),
+                    decimals,
+                )
+                # IEEE -0.0 + 0.0 = +0.0: a cell whose true value is a tiny
+                # negative rounds to -0.0 in one engine and 0.0 in the other
+                # (round() preserves sign); normalizing here makes the
+                # formatted hash engine-independent.
+                + F.lit(0.0)
             ).alias("cov"),
         )
     )

@@ -278,29 +278,22 @@ class SourceCapFilter:
 
         from yaml_pipe_spark.operators.text_stats import text_statistics
 
-        stats = text_statistics(
-            df.withColumnRenamed(self.text_col, "text")
-        )
+        # No rename: text_statistics reads the text column in place, so an
+        # input that already has a 'text' column can't collide. The drop
+        # list is the columns the stats step ADDED (output minus input), so
+        # pre-existing user columns that happen to share a stats name
+        # survive (text_statistics overwrites same-name columns, which is
+        # documented behavior — but we never silently drop unrelated ones).
+        stats = text_statistics(df, text_col=self.text_col)
+        added = [c for c in stats.columns if c not in df.columns]
         w = W.partitionBy(self.source_col).orderBy(
             F.desc("quality_score"), F.asc(self.id_col)
         )
-        kept = (
+        return (
             stats.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= self.max_per_source)
-            .drop("__rn")
+            .drop("__rn", *added)
         )
-        extra = {
-            "n_chars",
-            "n_tokens",
-            "n_bpe_tokens",
-            "punct_ratio",
-            "digit_ratio",
-            "stopword_ratio",
-            "quality_score",
-        }
-        return kept.drop(
-            *[c for c in kept.columns if c in extra]
-        ).withColumnRenamed("text", self.text_col)
 
 
 class StratifiedSampleFilter:

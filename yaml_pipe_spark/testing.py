@@ -29,6 +29,13 @@ def _canon_cell(v: Any) -> str:
         if math.isnan(v):
             return "\\N"
         if v == int(v) and abs(v) < 1e15:
+            # Preserve the sign of zero: the driver's hasher formats -0.0
+            # and 0.0 differently, and collapsing both to "0" here masked a
+            # real driver mismatch in round 3 (emb_covariance). Keeping the
+            # sign distinct makes the local harness strictly at-least-as-
+            # strict as the driver.
+            if v == 0 and math.copysign(1.0, v) < 0:
+                return "-0"
             return str(int(v))
         return repr(v)
     if isinstance(v, (list, tuple)):
