@@ -390,6 +390,14 @@ def test_forget_users_anti_join_broadcasts(spark):
     assert "EvalPython" not in plan
 
 
+def test_pca_project_is_narrow_jvm_map(spark):
+    # projection onto literal components: no Python, no shuffle — the whole
+    # query is a codegen'd map over the embeddings scan
+    plan = _plan(_q("emb_pca_project", spark))
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan
+
+
 def test_round3_queries_stay_jvm_side(spark):
     # everything round-3 that claims pure-Catalyst must have no Python nodes
     for name in (

@@ -1,37 +1,34 @@
-"""The round driver validates a prefix of queries() (round 1 recorded exactly
-the first 50 entries) — DRIVER_ORDER must keep every not-yet-driver-green
-query family inside that prefix."""
+"""The round driver validates a prefix of queries() (each round records
+exactly the first 50 entries) — DRIVER_ORDER must keep every query that needs
+a fresh driver row this round inside that prefix."""
 
 from __future__ import annotations
 
 from yaml_pipe_spark.entrypoints import DRIVER_ORDER, REGISTRY, queries, oracle_sql
 
-# Queries with no driver CORRECTNESS row in r1 or r2 (registered after the
-# r02 prefix froze) — round 3 MUST front these for their first driver check.
-NEVER_DRIVER_CHECKED = {
-    "multimodal_frame_sample", "stream_hopping_agg", "corpus_curation_funnel",
-    "rel_disjunctive_revenue", "events_incremental_agg",
-    "rel_late_ship_orders", "rel_promo_revenue_pct",
+# New in round 4 or implementation/oracle changed in round 4: their prior
+# driver rows (r3's red emb_covariance included) describe code that no longer
+# exists, so round 4 MUST front them. Grow this set alongside the registry.
+ROUND4_MUST_FRONT: set[str] = {
+    "emb_covariance",
+    "emb_pca_project",
+    "multimodal_features",
+    "multimodal_real_decode",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_blocked",
+    "rel_local_supplier_volume",
 }
 
-# Queries registered new in round 3 — no driver row exists yet, so they must
-# also sit inside the 50-entry prefix. Grow this set alongside the registry.
-ROUND3_NEW: set[str] = {
-    "rel_volume_shipping",
-    "rel_forecast_revenue",
-    "rel_local_supplier_volume",
-    "rel_customer_distribution",
-    "rel_returned_item_revenue",
-    "rel_top_supplier",
-    "emb_int8_quant",
-    "text_dsir_weight",
-    "events_transition_matrix",
-    "corpus_source_cap",
-    "corpus_holdout_split",
-    "emb_covariance",
-    "stream_watermark_dedup",
-    "events_forget_users",
-}
+# The family most exposed to a driver-side testdata regeneration (it happened
+# mid-round-3): their green rows are tied to the current data generation, so
+# round 4 re-validates them while fresh.
+EVENTS_STREAM_REVALIDATE: set[str] = {
+    n for n in REGISTRY if n.startswith(("events_", "stream_"))
+} - {"stream_hopping_agg", "stream_watermark_dedup", "events_forget_users",
+     "events_transition_matrix", "events_incremental_agg",
+     "events_approx_distinct_bounded"}  # r3-prefix rows, already current-gen
 
 
 def test_driver_order_is_valid():
@@ -40,9 +37,9 @@ def test_driver_order_is_valid():
     assert not stale, f"DRIVER_ORDER names not in REGISTRY: {stale}"
 
 
-def test_unvalidated_queries_inside_driver_prefix():
+def test_round4_queries_inside_driver_prefix():
     prefix = set(list(queries())[:50])
-    missing = (NEVER_DRIVER_CHECKED | ROUND3_NEW) - prefix
+    missing = (ROUND4_MUST_FRONT | EVENTS_STREAM_REVALIDATE) - prefix
     assert not missing, f"still outside the 50-entry driver prefix: {missing}"
 
 

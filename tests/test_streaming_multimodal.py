@@ -101,11 +101,63 @@ def test_multimodal_features(spark):
     assert {r.item_id for r in fr} == {r.item_id for r in rows if r.modality == "video"}
 
 
-def test_multimodal_real_decode_is_marked(spark):
+def test_multimodal_real_decode_unknown_format_is_marked(spark):
     from yaml_pipe_spark.multimodal.binary import decode_payload
 
+    # \x89PNG... — a real format the stdlib can't decode stays the stub
     with pytest.raises(NotImplementedError, match="codec libraries"):
-        decode_payload(b"xx", "image", real_decode=True)
+        decode_payload(b"\x89PNG\r\n\x1a\n", "image", real_decode=True)
+
+
+def test_real_decode_bmp_golden():
+    """Decode a 2x1 24-bit BMP written out literally, byte by byte — not
+    via build_bmp, so builder and decoder are cross-checked independently."""
+    from yaml_pipe_spark.multimodal.binary import build_bmp, decode_payload
+
+    pixels = bytes([10, 20, 30, 40, 50, 60, 0, 0])  # 2 BGR px + 2 pad
+    golden = (
+        b"BM" + (54 + 8).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+        + (2).to_bytes(4, "little") + (1).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + (8).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2 + (0).to_bytes(4, "little") * 2
+        + pixels
+    )
+    w, h, nf, feat = decode_payload(golden, "image", real_decode=True)
+    assert (w, h, nf) == (2, 1, 1)
+    assert feat == [b / 255.0 for b in pixels]
+
+    # the builder's files round-trip through the same real decoder
+    for doc_id in (0, 7, 13):
+        w, h, nf, feat = decode_payload(
+            build_bmp(doc_id), "image", real_decode=True
+        )
+        assert (w, h, nf) == (2 + doc_id % 14, 1 + doc_id % 9, 1)
+        assert feat[0] == (doc_id % 256) / 255.0
+
+
+def test_real_decode_wav_golden():
+    from yaml_pipe_spark.multimodal.binary import build_wav, decode_payload
+
+    for doc_id in (1, 9, 55):
+        payload = build_wav(doc_id)
+        assert len(payload) == 44 + 16 + doc_id % 50  # PCM header + frames
+        rate, ch, nf, feat = decode_payload(payload, "audio", real_decode=True)
+        assert rate == 8000 + (doc_id % 8) * 1000
+        assert (ch, nf) == (1, 16 + doc_id % 50)
+        assert feat[0] == ((doc_id * 3) % 256) / 255.0
+
+
+def test_real_decode_ppm_golden():
+    from yaml_pipe_spark.multimodal.binary import decode_payload
+
+    rgb = bytes(range(18))  # 3x2 px * 3 bytes
+    w, h, nf, feat = decode_payload(
+        b"P6\n# a comment\n3 2\n255\n" + rgb, "image", real_decode=True
+    )
+    assert (w, h, nf) == (3, 2, 1)
+    assert feat == [b / 255.0 for b in rgb[:8]]
 
 
 def test_watermark_drops_late_data(spark):

@@ -2766,24 +2766,6 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT * FROM {name}")
 
 
-@register(
-    "multimodal_features",
-    None,
-    "Multimodal binary columns through Arrow mapInPandas feature extraction "
-    "(decode stubbed; schema/batch plumbing real), per-modality rollup",
-)
-def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yaml_pipe_spark.multimodal.binary import extract_features, synthetic_media
-
-    feats = extract_features(synthetic_media(spark, 300))
-    return feats.groupBy("modality").agg(
-        F.count("*").alias("n_items"),
-        F.sum("n_bytes").alias("total_bytes"),
-        F.round(F.avg("width"), 4).alias("avg_width"),
-        F.countDistinct("payload_sha").alias("n_unique_payloads"),
-    )
-
-
 def _dk_sha_byte(n: int) -> str:
     """Int value of byte `n` (0-based) of a sha256 hex digest column `h`."""
     return (
@@ -2817,6 +2799,96 @@ f AS (
   FROM d
 )
 """
+
+
+@register(
+    "multimodal_features",
+    f"""
+{_DK_MEDIA_DECODED}
+SELECT modality,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       round(avg(width), 4) AS avg_width,
+       CAST(sum({_dk_sha_byte(0)}) AS BIGINT) AS sum_feat_byte0,
+       CAST(count(DISTINCT h) AS BIGINT) AS n_unique_payloads
+FROM f GROUP BY modality
+""",
+    "Multimodal binary columns through Arrow mapInPandas feature "
+    "extraction, per-modality rollup INCLUDING the feature vector itself "
+    "(sum of feat[0] scaled back to its source byte): payloads are keyed "
+    "to `documents` so the oracle re-derives every decoded quantity — "
+    "formerly the suite's last rows-only batch query, now hash-matched.",
+)
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.multimodal.binary import (
+        extract_features,
+        media_from_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    feats = extract_features(media_from_documents(docs))
+    return feats.groupBy("modality").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.round(F.avg("width"), 4).alias("avg_width"),
+        F.sum(F.round(F.element_at("feat", 1) * 255).cast("long")).alias(
+            "sum_feat_byte0"
+        ),
+        F.countDistinct("payload_sha").cast("long").alias("n_unique_payloads"),
+    )
+
+
+@register(
+    "multimodal_real_decode",
+    """
+WITH g AS (
+  SELECT doc_id,
+         doc_id % 2 = 0 AS is_img,
+         2 + doc_id % 14 AS w,
+         1 + doc_id % 9 AS h,
+         ((3 * (2 + doc_id % 14) + 3) // 4) * 4 AS row_bytes,
+         16 + doc_id % 50 AS wav_frames
+  FROM documents
+)
+SELECT doc_id AS item_id,
+       CASE WHEN is_img THEN 'image' ELSE 'audio' END AS modality,
+       CAST(CASE WHEN is_img THEN 54 + row_bytes * h
+                 ELSE 44 + wav_frames END AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN is_img THEN w
+                 ELSE 8000 + (doc_id % 8) * 1000 END AS INT) AS width,
+       CAST(CASE WHEN is_img THEN h ELSE 1 END AS INT) AS height,
+       CAST(CASE WHEN is_img THEN 1 ELSE wav_frames END AS INT) AS n_frames,
+       CAST(CASE WHEN is_img THEN doc_id % 256
+                 ELSE (doc_id * 3) % 256 END AS BIGINT) AS feat_byte0
+FROM g
+""",
+    "REAL decode, end-to-end: complete BMP (even ids) and PCM WAV (odd "
+    "ids) files built byte-by-byte from integer formulas, decoded by the "
+    "real stdlib parsers behind decode_payload(real_decode=True) — BMP "
+    "header fields + pixel bytes, `wave`-module frame counts + PCM bytes. "
+    "The oracle recomputes size/dims/frame-count/first-sample from the "
+    "generating formulas, so a decoder bug (wrong offset, padding, "
+    "endianness) hash-mismatches. Closes the documented real_decode stub "
+    "for the stdlib-decodable container formats; JPEG/PNG/MP4 remain the "
+    "cluster-side extension point.",
+)
+def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.multimodal.binary import (
+        extract_features,
+        real_media_from_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    feats = extract_features(real_media_from_documents(docs), real_decode=True)
+    return feats.select(
+        "item_id",
+        "modality",
+        "n_bytes",
+        "width",
+        "height",
+        "n_frames",
+        F.round(F.element_at("feat", 1) * 255).cast("long").alias("feat_byte0"),
+    )
 
 
 @register(
@@ -5216,6 +5288,67 @@ def q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb_covariance(load_table(spark, sf_dir, "embeddings"))
 
 
+# PCA projection with FIXED literal components (same contract as
+# e_hash_embed): pca_fit's eigendecomposition is not SQL-expressible, so the
+# oracled query pins deterministic components/mean — exact binary rationals
+# (k/16, k/32) so the literals round-trip identically through Spark, the SQL
+# text, and DuckDB's parser — and both engines recompute the identical
+# centered left-to-right dot product per row. pca_fit itself stays covered
+# by numpy-parity unit tests (tests/test_emb_stats.py).
+_PCA_D = 64
+_PCA_K = 4
+_PCA_COMPONENTS = [
+    [((c * 37 + i * 11) % 19 - 9) / 16.0 for i in range(_PCA_D)]
+    for c in range(_PCA_K)
+]
+_PCA_MEAN = [((i * 7) % 23 - 11) / 32.0 for i in range(_PCA_D)]
+
+
+def _pca_oracle() -> str:
+    mean_sql = "[" + ", ".join(repr(m) for m in _PCA_MEAN) + "]"
+    comp_rows = ", ".join(
+        "(" + str(c + 1) + ", [" + ", ".join(repr(v) for v in comp) + "])"
+        for c, comp in enumerate(_PCA_COMPONENTS)
+    )
+    # centered[i] = CAST(x[i] AS DOUBLE) - mean[i]; value = dot(centered, comp)
+    dot_expr = (
+        "list_sum(list_transform(generate_series(1, len(e.embedding)), "
+        "i -> (CAST(e.embedding[i] AS DOUBLE) - m.mean[i]) * c.comp[i]))"
+    )
+    return f"""
+WITH m AS (SELECT {mean_sql} AS mean),
+c(comp_id, comp) AS (VALUES {comp_rows})
+SELECT e.vec_id, CAST(c.comp_id AS BIGINT) AS comp,
+       round({dot_expr}, 6) + 0.0 AS value
+FROM embeddings e, m, c
+"""
+
+
+@register(
+    "emb_pca_project",
+    _pca_oracle(),
+    "PCA projection (emb_stats.pca_project) onto pinned literal components: "
+    "centered per-row dot products, pure Catalyst (zip_with/aggregate "
+    "folds, components broadcast as plan literals) — narrow map, no "
+    "shuffle, no Python. The fit side (pca_fit) is numpy-parity "
+    "unit-tested; this query oracles the projection math bit-for-bit.",
+)
+def q_emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.emb_stats import pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = pca_project(emb, _PCA_COMPONENTS, _PCA_MEAN)
+    return (
+        out.select("vec_id", F.posexplode("pca").alias("__pos", "__raw"))
+        .select(
+            "vec_id",
+            (F.col("__pos") + 1).cast("long").alias("comp"),
+            # +0.0 normalizes a rounded -0.0 (same insurance as emb_covariance)
+            (F.round(F.col("__raw"), 6) + F.lit(0.0)).alias("value"),
+        )
+    )
+
+
 @register(
     "corpus_source_cap",
     f"""
@@ -5375,99 +5508,77 @@ def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The round driver validates a *prefix* of the queries() dict (rounds 1 and 2
-# each recorded exactly the first 50 entries in insertion order). DRIVER_ORDER
-# front-loads, in priority order:
+# The round driver validates a *prefix* of the queries() dict (each round
+# records exactly the first 50 entries in insertion order). After round 3 the
+# union of driver-green rows covers every query registered through r3
+# (CORRECTNESS_r01∪r02∪r03), so round 4 front-loads, in priority order:
 #   1. flagship (the smoke-checked canary),
-#   2. the 7 queries added after the r02 prefix froze — the only registry
-#      entries with no driver CORRECTNESS row in either prior round,
-#   3. every query registered new in round 3,
-#   4. queries whose implementation or oracle changed this round (their old
-#      green rows describe code that no longer exists — re-validate),
-#   5. r1-validated entries as padding (oldest validation first).
+#   2. queries NEW in round 4 or whose implementation/oracle CHANGED in
+#      round 4 — their old green rows (or red row, for emb_covariance)
+#      describe code that no longer exists,
+#   3. the events/stream family — the rows most exposed if the driver
+#      regenerates the parquet testdata again (it did mid-round-3; their
+#      current green rows are tied to the r3 data generation),
+#   4. padding with the OLDEST-validated entries (r1-era rows, now two data
+#      generations old).
 # Registry entries not listed here follow in registration order (still covered
 # by bench.py and the local sf0.001/sf0.01/sf0.1 oracle-parity runs every
-# round). After round 3 the union of driver-green rows covers every query
-# registered through r3; keep rotating re-validations through the tail slots.
-#
-# ROUND-4 ROTATION NOTE: once CORRECTNESS_r03 lands, every query registered
-# through round 3 has a driver row. For round 4: (a) front any query
-# registered post-r03-freeze or whose code/oracle changes in round 4,
-# (b) then re-validate the r3-data-era rows most exposed to testdata
-# regeneration (the events/stream family — the driver regenerated parquet
-# mid-round-3 and may again), (c) pad with the oldest-validated entries
-# (r1-era rows now two data generations old). Keep ROUND3_NEW-style sets in
-# tests/test_registry_order.py in sync so the prefix invariant stays pinned.
+# round). Keep the sets in tests/test_registry_order.py in sync so the prefix
+# invariant stays pinned.
 DRIVER_ORDER: list[str] = [
     "flagship",  # canary: the smoke-checked query stays first
-    # -- (2) first driver row ever: post-r02-freeze queries --
-    "rel_late_ship_orders",
-    "rel_promo_revenue_pct",
-    "rel_disjunctive_revenue",
-    "events_incremental_agg",
-    "corpus_curation_funnel",
-    "multimodal_frame_sample",
-    "stream_hopping_agg",
-    # -- (3) new in round 3 (inserted as they are registered) --
-    "rel_volume_shipping",
-    "rel_local_supplier_volume",
-    "rel_forecast_revenue",
-    "rel_customer_distribution",
-    "rel_returned_item_revenue",
-    "rel_top_supplier",
-    "emb_int8_quant",
-    "text_dsir_weight",
-    "events_transition_matrix",
-    "corpus_source_cap",
-    "corpus_holdout_split",
-    "emb_covariance",
-    "stream_watermark_dedup",
-    "events_forget_users",
-    # -- (4) changed this round: re-validate against the new code/oracle --
-    "rel_order_gaps",          # percentile thresholds now from the same scan
-    "text_repetition",         # regression diagnosis may alter the plan
-    "sim_knn_join",            # pair scoring vectorized (pandas_udf matmul)
-    "ann_signlsh_topk",
-    "ann_ivf_topk",
-    "ann_recall_measured",
-    "q1_topk_cosine",
-    "dedup_embedding_cosine",  # quadratic baseline switched to Arrow scorer
-    "dedup_embedding_cosine_blocked",
-    "dedup_minhash_lsh",       # skew guards defaulted on (oracle mirrors cut)
+    # -- (2) new in round 4, or code/oracle changed in round 4 --
+    "emb_covariance",          # r3's one red row: -0.0 normalized both sides
+    "emb_pca_project",         # new: PCA projection onto pinned components
+    "multimodal_features",     # upgraded rows-only -> fully oracled
+    "multimodal_real_decode",  # new: real stdlib BMP/WAV decode, oracled
+    "dedup_minhash_lsh",       # id-level candidate cut moved below self-join
     "dedup_ngram_jaccard",
-    "text_token_bpe",          # explicit whitespace class in both engines
-    "events_approx_distinct_bounded",  # widened sigma bound
-    "t3_state_merge",          # merge_aggregates rounding moved to query layer
-    # -- (5) padding: r1-validated, not seen by the driver since round 1 --
-    "s1_scan_nonempty",
-    "c1_fixed_chunk",
-    "c2_markdown_chunk",
-    "c3_adaptive_chunk",
-    "rel_pricing_summary",
-    "rel_top3_orders_per_priority",
-    "rel_nation_revenue",
-    "e_hash_embed",
-    "q2_hitrate",
-    "t2_changed_anti_join",
-    "s4_events_content",
-    "s2_normalize_lines",
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_cluster_resolution",
-    "dedup_levenshtein_verify",
-    "text_lang_id",
-    "text_quality",
-    "text_fingerprint",
-    "sample_stratified",
-    "shard_token_budget",
-    "text_tfidf_topterms",
+    "dedup_embedding_cosine",  # zero-norm opt-out rule in both scorers
+    "dedup_embedding_cosine_blocked",
+    "rel_local_supplier_volume",  # SF-proportional broadcast hint removed
+    # -- (3) events/stream family: re-validate on the current data generation --
     "events_tumbling_agg",
     "events_sessionize",
+    "events_props_extract",
     "events_asof_join",
-    "rel_shipping_priority",
-    "rel_moving_30d_revenue",
-    "rel_customers_without_orders",
+    "events_hopping_agg",
+    "events_props_json",
+    "events_session_window",
+    "events_funnel",
+    "events_retention_cohorts",
+    "events_time_weighted_avg",
+    "events_time_weighted_window",
+    "events_interval_join",
+    "events_decayed_score",
+    "events_rfm_segments",
+    "events_grouping_sets",
+    "events_anomaly_zscore",
+    "stream_session_window",
+    "stream_dedup_first_arrival",
+    "stream_interval_join",
+    "stream_stateful_counter",
+    "stream_tumbling_agg",
+    "stream_static_enrich",
+    # -- (4) padding: oldest driver validation first (r1-era rows) --
+    "s1_parse_dispatch",
+    "t4_timestamp_cursor",
+    "rel_pivot_status_priority",
+    "rel_rollup_lineitem",
+    "rel_orders_with_big_lineitems",
+    "rel_region_customer_rollup",
+    "rel_part_brand_stats",
+    "rel_cube_flag_status",
+    "rel_suppliers_above_avg",
+    "rel_set_ops",
+    "agg_salted_user_totals",
+    "rel_salted_join",
+    "rel_percentiles",
+    "rel_order_gaps",
+    "pipeline_full",
+    "dedup_drop_exact",
+    "dedup_levenshtein_verify",
+    "dedup_cluster_resolution",
 ]
 
 

@@ -67,15 +67,85 @@ def synthetic_media(spark: SparkSession, n: int = 100) -> DataFrame:
     return spark.range(n, numPartitions=n_parts).mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def _decode_bmp(payload: bytes):
+    """Real uncompressed-BMP decode, stdlib only: header fields per the
+    BITMAPINFOHEADER layout (Windows BMP spec), pixel data at the declared
+    offset. Returns (width, height, 1, first-8-pixel-byte features)."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    compression = int.from_bytes(payload[30:34], "little")
+    if compression != 0:
+        raise NotImplementedError("compressed BMP not supported")
+    pixels = payload[data_off:]
+    feat = [b / 255.0 for b in pixels[:8]]
+    return abs(width), abs(height), 1, feat
+
+
+def _decode_ppm(payload: bytes):
+    """Real binary-PPM (P6) decode: ASCII header 'P6\\n<w> <h>\\n<maxval>\\n'
+    then raw RGB bytes."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    parts: list[int] = []
+    i = 2
+    while len(parts) < 3 and i < len(payload):
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment line
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        parts.append(int(payload[i:j]))
+        i = j
+    width, height, _maxval = parts
+    pixels = payload[i + 1 :]
+    feat = [b / 255.0 for b in pixels[:8]]
+    return width, height, 1, feat
+
+
+def _decode_wav(payload: bytes):
+    """Real WAV decode via the stdlib `wave` module: returns
+    (framerate, n_channels, n_frames, first-8-PCM-byte features). Width and
+    height carry the audio analogue dims (sample rate / channel count) so
+    the one FEATURE_SCHEMA fits every modality."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_frames = w.getnframes()
+        pcm = w.readframes(min(8, n_frames))
+        return (
+            w.getframerate(),
+            w.getnchannels(),
+            n_frames,
+            [b / 255.0 for b in pcm[:8]],
+        )
+
+
 def decode_payload(payload: bytes, modality: str, real_decode: bool = False):
-    """Decode stub. With real_decode, this is where PIL/torchaudio/ffmpeg
-    plug in; in this container it raises. The fake path derives stable
-    pseudo-dimensions and features from the bytes themselves."""
+    """Payload decode. The real path handles the stdlib-decodable container
+    formats — uncompressed BMP, binary PPM, PCM WAV — by magic-byte
+    sniffing; everything else (JPEG/PNG/MP3/MP4...) still raises: that is
+    where PIL/torchaudio/ffmpeg plug in on a real cluster. The fake path
+    derives stable pseudo-dimensions and features from the bytes
+    themselves (deterministic, oracle-friendly)."""
     if real_decode:
+        if payload[:2] == b"BM":
+            return _decode_bmp(payload)
+        if payload[:2] == b"P6":
+            return _decode_ppm(payload)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return _decode_wav(payload)
         raise NotImplementedError(
-            "real decode requires codec libraries (PIL/torchaudio/ffmpeg) "
-            "not present in this container; install them on the cluster and "
-            "implement per-modality decoding here"
+            "real decode for this format requires codec libraries "
+            "(PIL/torchaudio/ffmpeg) not present in this container; install "
+            "them on the cluster and extend the sniffer here"
         )
     digest = hashlib.sha256(payload).digest()
     width = 16 + digest[0] % 240
@@ -131,6 +201,81 @@ def resize_stub(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame
     return df.withColumn("target_width", F.lit(width)).withColumn(
         "target_height", F.lit(height)
     )
+
+
+def build_bmp(doc_id: int) -> bytes:
+    """A complete, valid 24-bit uncompressed BMP built byte-by-byte:
+    width = 2 + doc_id % 14, height = 1 + doc_id % 9, pixel-array byte k
+    (padding included) = (doc_id + k) % 256. Every derived quantity is a
+    pure integer formula, so an external SQL engine can recompute the
+    decoder's outputs (size/width/height/first-pixel-byte) exactly."""
+    w = 2 + doc_id % 14
+    h = 1 + doc_id % 9
+    row = ((3 * w + 3) // 4) * 4  # 4-byte aligned rows, BMP spec
+    npix = row * h
+    size = 54 + npix
+    header = (
+        b"BM"
+        + size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")  # pixel data offset
+        + (40).to_bytes(4, "little")  # BITMAPINFOHEADER size
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # planes
+        + (24).to_bytes(2, "little")  # bpp
+        + (0).to_bytes(4, "little")  # BI_RGB (uncompressed)
+        + npix.to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2  # 72 DPI x/y
+        + (0).to_bytes(4, "little") * 2  # palette
+    )
+    pixels = bytes((doc_id + k) % 256 for k in range(npix))
+    return header + pixels
+
+
+def build_wav(doc_id: int) -> bytes:
+    """A valid 8-bit mono PCM WAV via the stdlib `wave` writer:
+    framerate = 8000 + (doc_id % 8) * 1000, n_frames = 16 + doc_id % 50,
+    sample byte k = (doc_id * 3 + k) % 256. File size is the standard
+    44-byte PCM header + n_frames bytes."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000 + (doc_id % 8) * 1000)
+        n = 16 + doc_id % 50
+        w.writeframes(bytes((doc_id * 3 + k) % 256 for k in range(n)))
+    return buf.getvalue()
+
+
+def real_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Real container files keyed to `documents`: even doc_id -> BMP image,
+    odd doc_id -> WAV audio, both built byte-by-byte from integer formulas
+    (build_bmp/build_wav) so the REAL decoders' outputs are recomputable by
+    an external SQL engine. Construction runs in the same Arrow mapInPandas
+    shape as any source-side media ingest."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "item_id": ids,
+                    "modality": [
+                        "image" if i % 2 == 0 else "audio" for i in ids
+                    ],
+                    "payload": [
+                        build_bmp(int(i)) if i % 2 == 0 else build_wav(int(i))
+                        for i in ids
+                    ],
+                    "meta": [{"origin": f"documents/{int(i)}"} for i in ids],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def media_from_documents(docs: DataFrame) -> DataFrame:
