@@ -127,6 +127,100 @@ def _mini_docx() -> bytes:
     return buf.getvalue()
 
 
+def _mini_eml() -> bytes:
+    """Multipart MIME with an RFC-2047 subject, a quoted-printable plain
+    part, a base64 html alternative, and a skipped attachment."""
+    import base64
+
+    html_b64 = base64.b64encode(
+        b"<html><body><p>HTML  body</p></body></html>"
+    ).decode()
+    return (
+        "Subject: =?utf-8?q?Caf=C3=A9_report?=\r\n"
+        "From: a@example.com\r\n"
+        "MIME-Version: 1.0\r\n"
+        'Content-Type: multipart/mixed; boundary="B1"\r\n'
+        "\r\n"
+        "--B1\r\n"
+        "Content-Type: text/plain; charset=utf-8\r\n"
+        "Content-Transfer-Encoding: quoted-printable\r\n"
+        "\r\n"
+        "Plain caf=C3=A9 body.\r\n"
+        "--B1\r\n"
+        "Content-Type: text/html; charset=utf-8\r\n"
+        "Content-Transfer-Encoding: base64\r\n"
+        "\r\n" + html_b64 + "\r\n"
+        "--B1\r\n"
+        "Content-Type: application/octet-stream\r\n"
+        'Content-Disposition: attachment; filename="x.bin"\r\n'
+        "\r\n"
+        "ignored\r\n"
+        "--B1--\r\n"
+    ).encode()
+
+
+def _mini_pptx() -> bytes:
+    """Two slides (zip order reversed vs slide order) + a notes part that
+    must be ignored."""
+    import io
+    import zipfile
+
+    def slide(paras: list[str]) -> str:
+        a = "http://schemas.openxmlformats.org/drawingml/2006/main"
+        body = "".join(
+            f'<a:p><a:r><a:t>{p}</a:t></a:r></a:p>' for p in paras
+        )
+        return (
+            f'<?xml version="1.0"?><p:sld xmlns:p="http://schemas.'
+            f'openxmlformats.org/presentationml/2006/main" xmlns:a="{a}">'
+            f"<p:cSld><p:spTree>{body}</p:spTree></p:cSld></p:sld>"
+        )
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("ppt/slides/slide2.xml", slide(["Second slide"]))
+        zf.writestr("ppt/slides/slide1.xml", slide(["Title one", "Bullet"]))
+        zf.writestr(
+            "ppt/notesSlides/notesSlide1.xml", slide(["speaker notes"])
+        )
+    return buf.getvalue()
+
+
+def test_eml_extractor_golden():
+    from yaml_pipe_spark.sources.eml import extract_eml_text
+
+    assert extract_eml_text(_mini_eml()) == (
+        "Café report\n\nPlain café body.\n\nHTML body"
+    )
+
+
+def test_pptx_extractor_golden():
+    from yaml_pipe_spark.sources.pptx import extract_pptx_text
+
+    # slides come out in slide-number order regardless of zip order; the
+    # notes part is out of scope
+    assert extract_pptx_text(_mini_pptx()) == (
+        "Title one\nBullet\n\nSecond slide"
+    )
+
+
+def test_eml_pptx_end_to_end(spark, tmp_path):
+    (tmp_path / "m.eml").write_bytes(_mini_eml())
+    (tmp_path / "d.pptx").write_bytes(_mini_pptx())
+    src = LocalFileSource(
+        str(tmp_path),
+        glob_pattern="**/*",
+        parse=True,
+        parse_extensions=["eml", "pptx"],
+    )
+    rows = {
+        r.source.rsplit("/", 1)[-1]: r.content
+        for r in src.load(spark).collect()
+    }
+    assert rows["m.eml"] == "Café report\n\nPlain café body.\n\nHTML body"
+    assert rows["d.pptx"] == "Title one\nBullet\n\nSecond slide"
+
+
 def test_pdf_extractor_golden():
     from yaml_pipe_spark.sources.pdf import extract_pdf_text
 

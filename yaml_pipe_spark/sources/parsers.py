@@ -114,6 +114,58 @@ def parse_docx(raw: Column) -> Column:
     return parse_text(_extract(raw))
 
 
+def _binary_extractor_parser(load_extractor: Callable[[], Callable[[bytes], str]]):
+    """Shared shape of every stdlib binary extractor: raw bytes -> text via
+    an Arrow-batched pandas UDF (log-and-skip on parse failure, mirroring
+    the reference's sources.py:98-100), then the common text-format element
+    normalization. `load_extractor` runs lazily on the executor so the
+    extractor module imports inside the worker."""
+
+    @F.pandas_udf("string", F.PandasUDFType.SCALAR)
+    def _extract(s):
+        fn = load_extractor()
+
+        def one(b):
+            if b is None:
+                return None
+            try:
+                return fn(bytes(b))
+            except Exception:
+                return None
+
+        return s.map(one)
+
+    def parser(raw: Column) -> Column:
+        return parse_text(_extract(raw))
+
+    return parser
+
+
+def parse_eml(raw: Column) -> Column:
+    """Real .eml parsing (sources/eml.py: stdlib email package — MIME walk,
+    RFC-2047 headers, quoted-printable/base64 bodies), then the standard
+    element normalization."""
+
+    def _load():
+        from yaml_pipe_spark.sources.eml import extract_eml_text
+
+        return extract_eml_text
+
+    return _binary_extractor_parser(_load)(raw)
+
+
+def parse_pptx(raw: Column) -> Column:
+    """Real .pptx parsing (sources/pptx.py: zipfile + slide XML `a:t`
+    runs), then the standard element normalization."""
+
+    def _load():
+        from yaml_pipe_spark.sources.pptx import extract_pptx_text
+
+        return extract_pptx_text
+
+    return _binary_extractor_parser(_load)(raw)
+
+
 # extension -> Column-expression parser over the UTF-8-decoded content.
 PARSERS: dict[str, Callable[[Column], Column]] = {
     "txt": parse_text,
@@ -132,6 +184,8 @@ PARSERS: dict[str, Callable[[Column], Column]] = {
 BINARY_PARSERS: dict[str, Callable[[Column], Column]] = {
     "pdf": parse_pdf,
     "docx": parse_docx,
+    "eml": parse_eml,
+    "pptx": parse_pptx,
 }
 
 
