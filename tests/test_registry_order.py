@@ -14,6 +14,9 @@ ROUND4_MUST_FRONT: set[str] = {
     "emb_pca_project",
     "multimodal_features",
     "multimodal_real_decode",
+    "corpus_pack_windows",
+    "dedup_substring_span",
+    "stream_interval_join_outer",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",

@@ -750,6 +750,60 @@ shf AS (
   WHERE dfq.df <= thr.t
 )"""
 
+_DK_GRAM8 = " || ' ' || ".join(f"t[i+{j}]" for j in range(8))
+
+SUBSTRING_SPAN_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh0 AS (
+  SELECT doc_id, UNNEST(generate_series(1, len(t) - 7)) AS i, t
+  FROM toks WHERE len(t) >= 8
+),
+grams AS (
+  SELECT DISTINCT doc_id, {_DK_GRAM8} AS g FROM sh0
+),
+thr AS (
+  SELECT greatest(CAST(floor(0.005 * count(DISTINCT doc_id)) AS BIGINT),
+                  50) AS t
+  FROM grams
+),
+dfq AS (SELECT g, count(*) AS df FROM grams GROUP BY 1),
+gf AS (
+  SELECT grams.doc_id, grams.g
+  FROM grams JOIN dfq USING (g), thr
+  WHERE dfq.df <= thr.t
+),
+own AS (SELECT g, min(doc_id) AS owner FROM gf GROUP BY g)
+SELECT gf.doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans
+FROM gf JOIN own USING (g)
+WHERE gf.doc_id > own.owner
+GROUP BY gf.doc_id
+"""
+
+
+@register(
+    "dedup_substring_span",
+    SUBSTRING_SPAN_ORACLE,
+    "Exact-substring contamination (dedup.substring_span_duplicates): docs "
+    "containing a >= 8-token span that also appears in a lower-id doc, "
+    "with the span count — the bucketed form of suffix-array substring "
+    "dedup (any repeated span shares its leading 8-gram, so the 8-gram "
+    "inverted index finds exactly the affected docs). One partial-min "
+    "shuffle builds the gram->owner index; the gram equi-join back never "
+    "explodes pairs. The shared df guard drops boilerplate grams above "
+    "max(0.5% of docs, 50) in both engines.",
+)
+def q_dedup_substring_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.dedup import substring_span_duplicates
+
+    return substring_span_duplicates(
+        load_table(spark, sf_dir, "documents"), k=8
+    )
+
+
 MINHASH_ORACLE = f"""
 WITH {_DK_SHINGLES},
 {_DK_DF_CUT},
@@ -2711,6 +2765,81 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("r_ts"),
     )
     joined = streaming_interval_join(p, v)
+    _drain_to_memory(joined, "append", name)
+    return spark.sql(
+        f"SELECT purchase_id, user_id, l_ts AS purchase_ts, "
+        f"view_id, r_ts AS view_ts FROM {name}"
+    )
+
+
+@register(
+    "stream_interval_join_outer",
+    """
+WITH wm AS (
+  SELECT least(
+           date_trunc('milliseconds',
+             max(CASE WHEN event_type = 'purchase' THEN ts END)),
+           date_trunc('milliseconds',
+             max(CASE WHEN event_type = 'view' THEN ts END))
+         ) - INTERVAL 2 HOUR AS w
+  FROM events
+),
+p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'),
+v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+      FROM events WHERE event_type = 'view'),
+j AS (
+  SELECT p.purchase_id, p.user_id, p.purchase_ts, v.view_id, v.view_ts
+  FROM p JOIN v ON p.user_id = v.user_id
+   AND v.view_ts >= p.purchase_ts - INTERVAL 1 HOUR
+   AND v.view_ts <= p.purchase_ts
+),
+un AS (
+  SELECT p.purchase_id, p.user_id, p.purchase_ts,
+         CAST(NULL AS BIGINT) AS view_id,
+         CAST(NULL AS TIMESTAMP) AS view_ts
+  FROM p, wm
+  WHERE p.purchase_ts < wm.w
+    AND NOT EXISTS (
+      SELECT 1 FROM v
+      WHERE v.user_id = p.user_id
+        AND v.view_ts >= p.purchase_ts - INTERVAL 1 HOUR
+        AND v.view_ts <= p.purchase_ts
+    )
+)
+SELECT * FROM j UNION ALL SELECT * FROM un
+""",
+    "Stream-stream LEFT OUTER interval join with two-sided watermarks: "
+    "matches emit eagerly; a purchase with no view in its 1h lookback "
+    "emits with nulls only once the GLOBAL watermark passes it. The "
+    "global watermark is the MIN of the per-side watermarks, and each "
+    "side's is computed post-filter (max PURCHASE ts / max VIEW ts, "
+    "millisecond-truncated, minus the 2h delay) — pinned empirically via "
+    "StreamingQueryProgress.eventTime and mirrored exactly in the "
+    "oracle's cutoff; no-data batches flush the final eviction wave. The "
+    "watermark semantics are themselves under test, not just the join.",
+)
+def q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.streaming.stream import (
+        stream_events,
+        streaming_interval_join,
+    )
+
+    _STREAM_COUNTER[0] += 1
+    name = f"stream_ij_outer_q{_STREAM_COUNTER[0]}"
+    ev1 = stream_events(spark, sf_dir)
+    ev2 = stream_events(spark, sf_dir)
+    p = ev1.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("l_ts"),
+    )
+    v = ev2.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("r_ts"),
+    )
+    joined = streaming_interval_join(p, v, how="left_outer")
     _drain_to_memory(joined, "append", name)
     return spark.sql(
         f"SELECT purchase_id, user_id, l_ts AS purchase_ts, "
@@ -5461,6 +5590,51 @@ def q_corpus_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_pack_windows",
+    f"""
+WITH t AS (
+  SELECT doc_id, CAST({_DK_NTOK} AS BIGINT) AS n FROM documents
+),
+nz AS (SELECT doc_id, n FROM t WHERE n > 0),
+o AS (
+  SELECT doc_id, n,
+         COALESCE(sum(n) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM nz
+),
+s AS (
+  SELECT n, CAST(off AS BIGINT) AS off,
+         CAST(off // 512 AS BIGINT) AS w0,
+         CAST((off + n - 1) // 512 AS BIGINT) AS w1
+  FROM o
+),
+x AS (
+  SELECT n, off, w0, UNNEST(generate_series(w0, w1)) AS win FROM s
+)
+SELECT CAST(win AS BIGINT) AS window_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN w0 = win THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_starting,
+       CAST(sum(least(off + n - 1, (win + 1) * 512 - 1)
+                - greatest(off, win * 512) + 1) AS BIGINT) AS n_tokens
+FROM x GROUP BY win
+""",
+    "Training-sequence packing audit (sampling.pack_windows): docs "
+    "concatenated in id order, chunked into 512-token context windows; "
+    "per-window doc count, starts, and fill — the boundary-crossing / "
+    "tail-fill accounting a trainer's loader needs. Scale: the running "
+    "token offset is a TWO-PASS cumsum (in-shard window + broadcast "
+    "per-shard exclusive prefix), so no corpus-wide single-reducer "
+    "Window.orderBy exists in the plan; the oracle recomputes the same "
+    "offsets with a plain global cumsum.",
+)
+def q_corpus_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.sampling import pack_windows
+
+    return pack_windows(load_table(spark, sf_dir, "documents"), ctx=512)
+
+
+@register(
     "events_transition_matrix",
     """
 WITH seq AS (
@@ -5532,6 +5706,9 @@ DRIVER_ORDER: list[str] = [
     "emb_pca_project",         # new: PCA projection onto pinned components
     "multimodal_features",     # upgraded rows-only -> fully oracled
     "multimodal_real_decode",  # new: real stdlib BMP/WAV decode, oracled
+    "corpus_pack_windows",     # new: packing audit, two-pass cumsum
+    "dedup_substring_span",    # new: exact-span contamination index
+    "stream_interval_join_outer",  # new: left-outer + pinned watermark
     "dedup_minhash_lsh",       # id-level candidate cut moved below self-join
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",  # zero-norm opt-out rule in both scorers
@@ -5576,9 +5753,6 @@ DRIVER_ORDER: list[str] = [
     "rel_percentiles",
     "rel_order_gaps",
     "pipeline_full",
-    "dedup_drop_exact",
-    "dedup_levenshtein_verify",
-    "dedup_cluster_resolution",
 ]
 
 

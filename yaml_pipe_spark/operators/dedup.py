@@ -382,6 +382,56 @@ def simhash_near_duplicates(
     )
 
 
+def substring_span_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    df_max_frac: float | None = DEFAULT_DF_MAX_FRAC,
+    df_min_cut: int = DEFAULT_DF_MIN_CUT,
+) -> DataFrame:
+    """Docs containing an exact >= k-token span that also appears in a
+    LOWER-id doc: (id_col, n_dup_spans) for the affected docs.
+
+    This is the bucketed approximation of suffix-array substring dedup
+    (the "dedup exact substrings >= 50 tokens" recipe from the training-
+    data literature): any repeated span of >= k tokens necessarily shares
+    its first k-token gram, so a k-gram inverted index finds exactly the
+    docs with a repeated span; n_dup_spans counts the doc's distinct
+    k-grams seen in earlier docs (a span of length L contributes L-k+1).
+    Lowest-id doc keeps the span (same keeper rule as exact dedup).
+
+    Scale: one shuffle to build the (gram -> min id) index via partial-min
+    agg (map-side combine), then an equi-join of grams against their
+    index row — never a pair explosion, O(total grams). The df guard from
+    exact_jaccard_pairs applies the same way: boilerplate grams above the
+    frequency cut opt out (documented trade; the guard is what survives a
+    hot header at 100 TB).
+    """
+    sh = token_shingles(df, text_col, id_col, k)
+    if df_max_frac is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+        thr = sh.agg(
+            F.greatest(
+                F.floor(F.lit(df_max_frac) * F.countDistinct(id_col)),
+                F.lit(df_min_cut).cast("long"),
+            ).alias("__thr")
+        )
+        kept = freq.crossJoin(F.broadcast(thr)).filter(
+            F.col("__df") <= F.col("__thr")
+        )
+        sh = sh.join(kept.select("shingle"), "shingle").select(
+            id_col, "shingle"
+        )
+    owner = sh.groupBy("shingle").agg(F.min(id_col).alias("__owner"))
+    return (
+        sh.join(owner, "shingle")
+        .filter(F.col(id_col) > F.col("__owner"))
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_dup_spans"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------

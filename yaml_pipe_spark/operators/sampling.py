@@ -79,6 +79,83 @@ def shard_by_token_budget(
     ).drop("__cum")
 
 
+def pack_windows(
+    df: DataFrame,
+    ctx: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_size: int = 4096,
+) -> DataFrame:
+    """GPT-style sequence-packing accounting: docs concatenated in id order
+    and chunked into fixed `ctx`-token context windows; returns per-window
+    occupancy — (window_id, n_docs, n_docs_starting, n_tokens) — the audit
+    a trainer's data loader needs (boundary-crossing rate, tail fill).
+
+    Scale design: the global running token offset is a TWO-PASS cumulative
+    sum — an in-shard window cumsum (shard = id div shard_size) plus a
+    broadcast exclusive prefix of per-shard totals — NOT one global
+    Window.orderBy, which would funnel the whole corpus through a single
+    reducer at 100 TB. The shard-prefix window does order globally, but
+    over n_docs/shard_size rows (one per shard), and its output joins back
+    as a broadcast. Zero-token docs occupy no window and are dropped up
+    front, mirroring the oracle's WHERE n > 0.
+    """
+    n_tok = F.size(tokens(F.col(text_col))).cast("long")
+    base = (
+        df.select(F.col(id_col).alias("id"), n_tok.alias("n"))
+        .filter(F.col("n") > 0)
+        .withColumn("shard", F.expr(f"id div {int(shard_size)}"))
+    )
+    wloc = (
+        W.partitionBy("shard")
+        .orderBy("id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = base.withColumn(
+        "local_prefix", F.coalesce(F.sum("n").over(wloc), F.lit(0))
+    )
+    wsh = W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
+    prefixes = (
+        base.groupBy("shard")
+        .agg(F.sum("n").alias("tot"))
+        .withColumn(
+            "shard_prefix", F.coalesce(F.sum("tot").over(wsh), F.lit(0))
+        )
+        .select("shard", "shard_prefix")
+    )
+    off = local.join(F.broadcast(prefixes), "shard").select(
+        "id",
+        "n",
+        (F.col("shard_prefix") + F.col("local_prefix")).alias("off"),
+    )
+    spans = off.select(
+        "id",
+        "n",
+        "off",
+        F.expr(f"off div {int(ctx)}").alias("w0"),
+        F.expr(f"(off + n - 1) div {int(ctx)}").alias("w1"),
+    )
+    exploded = spans.select(
+        "n",
+        "off",
+        "w0",
+        F.explode(F.sequence("w0", "w1")).alias("window_id"),
+    )
+    win_lo = F.col("window_id") * ctx
+    win_hi = (F.col("window_id") + 1) * ctx - 1
+    return exploded.groupBy("window_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("w0") == F.col("window_id")).cast("long")).alias(
+            "n_docs_starting"
+        ),
+        F.sum(
+            F.least(F.col("off") + F.col("n") - 1, win_hi)
+            - F.greatest(F.col("off"), win_lo)
+            + 1
+        ).alias("n_tokens"),
+    )
+
+
 def md5_byte(key: Column) -> Column:
     """First md5 byte of the key as 0..255 — the deterministic bucket
     primitive shared with the DuckDB oracles (strpos hex arithmetic)."""

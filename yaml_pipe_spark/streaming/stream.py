@@ -194,11 +194,20 @@ def streaming_interval_join(
     right_ts: str = "r_ts",
     interval: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner interval join: right rows within [left.ts -
-    interval, left.ts] of the same key. Watermarks on both sides bound the
-    join state (right rows older than left's watermark + interval are
-    evicted); inner-join matches emit as soon as both sides arrive."""
+    """Stream-stream interval join: right rows within [left.ts - interval,
+    left.ts] of the same key. Watermarks on both sides bound the join state
+    (right rows older than left's watermark + interval are evicted).
+
+    how="inner": matches emit as soon as both sides arrive.
+    how="left_outer": matches emit eagerly; an UNMATCHED left row emits
+    (with nulls) only once the watermark passes its event time — no
+    earlier match can still arrive — so left rows inside the final
+    watermark delay of stream end stay in state and never emit. Spark's
+    no-data batches (on by default) flush the eviction wave after the last
+    data batch; the batch oracle must mirror the `l_ts < max_ts -
+    watermark` cutoff for the null rows."""
     l = left.withWatermark(left_ts, watermark)
     r = right.withWatermark(right_ts, watermark)
     cond = (
@@ -206,7 +215,7 @@ def streaming_interval_join(
         & (r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {interval}"))
         & (r[right_ts] <= l[left_ts])
     )
-    return l.join(r, cond, "inner").drop(r[on])
+    return l.join(r, cond, how).drop(r[on])
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
