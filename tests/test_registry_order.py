@@ -17,6 +17,8 @@ ROUND4_MUST_FRONT: set[str] = {
     "corpus_pack_windows",
     "dedup_substring_span",
     "stream_interval_join_outer",
+    "dedup_containment",
+    "corpus_ngram_novelty",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",

@@ -76,6 +76,28 @@ def test_substring_span_duplicates(spark):
     assert out == {2: 2}
 
 
+def test_containment_catches_quote_jaccard_misses(spark):
+    """A short doc quoted verbatim inside a much longer one: containment of
+    the short side is 1.0 while Jaccard stays low — the asymmetric case
+    the containment measure exists for."""
+    from yaml_pipe_spark.operators.dedup import (
+        containment_pairs,
+        exact_jaccard_pairs,
+        token_shingles,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"filler{i}" for i in range(60))
+    rows = [(1, quote), (2, f"{filler} {quote} {filler} end words")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = token_shingles(docs, k=3)
+    cont = containment_pairs(sh).collect()[0]
+    jac = exact_jaccard_pairs(sh).collect()[0]
+    assert cont.cont_a == 1.0  # every shingle of doc 1 is inside doc 2
+    assert cont.cont_b < 0.15
+    assert jac.jaccard < 0.15  # jaccard alone would never flag this pair
+
+
 def test_substring_span_plan_never_explodes_pairs(spark):
     from yaml_pipe_spark.entrypoints import REGISTRY
     from tests.conftest import SF_SMALL

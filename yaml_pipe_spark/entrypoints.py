@@ -902,6 +902,105 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_jaccard_pairs(shingles).filter(F.col("jaccard") >= 0.8)
 
 
+@register(
+    "dedup_containment",
+    f"""
+WITH {_DK_SHINGLES},
+{_DK_DF_CUT},
+sigs AS (SELECT doc_id, {_DK_SIGS} FROM shingles GROUP BY doc_id),
+buckets0 AS ({_DK_BUCKETS}),
+buckets AS (
+  SELECT doc_id, band_id, band_key FROM (
+    SELECT *, count(*) OVER (PARTITION BY band_id, band_key) AS bn
+    FROM buckets0
+  ) WHERE bn <= 10000
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a
+  JOIN buckets b ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM shf a
+  JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+vpairs AS (
+  SELECT i.id_a, i.id_b,
+         round(i.inter / sa.n, 4) AS cont_a,
+         round(i.inter / sb.n, 4) AS cont_b
+  FROM inter i
+  JOIN cands c ON c.id_a = i.id_a AND c.id_b = i.id_b
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+)
+SELECT id_a, id_b, cont_a, cont_b FROM vpairs
+WHERE greatest(cont_a, cont_b) >= 0.8
+""",
+    "Broder containment near-dup (dedup.containment_pairs): |A∩B|/|A| per "
+    "direction over the LSH candidates — the ASYMMETRIC measure Jaccard "
+    "misses: a short doc quoted verbatim inside a long one scores "
+    "cont_short = 1.0 while Jaccard stays below any dedup threshold "
+    "(union dominated by the long doc). Same inverted-index verify core, "
+    "skew guards, and candidate cuts as the Jaccard path (shared "
+    "_pair_overlap).",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.dedup import (
+        containment_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        token_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = token_shingles(docs, "text", "doc_id", k=3)
+    cands = lsh_candidate_pairs(minhash_signatures(shingles))
+    return containment_pairs(shingles, cands).filter(
+        F.greatest(F.col("cont_a"), F.col("cont_b")) >= 0.8
+    )
+
+
+@register(
+    "corpus_ngram_novelty",
+    f"""
+WITH {_DK_SHINGLES},
+dfq AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY 1)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       round(sum(CASE WHEN dfq.df = 1 THEN 1 ELSE 0 END) / count(*), 4)
+         AS novelty
+FROM shingles s JOIN dfq USING (shingle)
+GROUP BY s.doc_id
+""",
+    "Per-doc n-gram novelty: the fraction of a doc's distinct 3-gram "
+    "shingles that appear NOWHERE else in the corpus — the diversity "
+    "signal curation uses to prefer novel docs when capping a source or "
+    "mixing domains (complement of the boilerplate/df signal the dedup "
+    "guards cut on). One df aggregation over the shingle exchange, "
+    "joined back and rolled up per doc; no pair joins at any scale.",
+)
+def q_corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.dedup import token_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = token_shingles(docs, "text", "doc_id", k=3)
+    dfq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    return (
+        sh.join(dfq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.round(
+                F.sum((F.col("df") == 1).cast("long")) / F.count("*"), 4
+            ).alias("novelty"),
+        )
+    )
+
+
 _DK_BIT = (
     "(2 * (((strpos('0123456789abcdef', substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1)"
     " // (CASE WHEN j % 4 = 0 THEN 8 WHEN j % 4 = 1 THEN 4"
@@ -5709,6 +5808,8 @@ DRIVER_ORDER: list[str] = [
     "corpus_pack_windows",     # new: packing audit, two-pass cumsum
     "dedup_substring_span",    # new: exact-span contamination index
     "stream_interval_join_outer",  # new: left-outer + pinned watermark
+    "dedup_containment",       # new: asymmetric containment over LSH cands
+    "corpus_ngram_novelty",    # new: df==1 novelty score per doc
     "dedup_minhash_lsh",       # id-level candidate cut moved below self-join
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",  # zero-norm opt-out rule in both scorers
@@ -5751,8 +5852,6 @@ DRIVER_ORDER: list[str] = [
     "agg_salted_user_totals",
     "rel_salted_join",
     "rel_percentiles",
-    "rel_order_gaps",
-    "pipeline_full",
 ]
 
 

@@ -189,6 +189,57 @@ def exact_jaccard_pairs(
     the standard web-dedup semantics. Absolute `df_max_freq` overrides;
     `df_max_frac=None` disables.
     """
+    overlap = _pair_overlap(
+        shingles, candidates, id_col, df_max_freq, df_max_frac, df_min_cut
+    )
+    return overlap.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+        ).alias("jaccard"),
+    )
+
+
+def containment_pairs(
+    shingles: DataFrame,
+    candidates: DataFrame | None = None,
+    id_col: str = "doc_id",
+    df_max_freq: int | None = None,
+    df_max_frac: float | None = DEFAULT_DF_MAX_FRAC,
+    df_min_cut: int = DEFAULT_DF_MIN_CUT,
+) -> DataFrame:
+    """Broder containment over shingle sets: (id_a, id_b, cont_a, cont_b)
+    with cont_a = |A∩B| / |A| (fraction of A's shingles inside B).
+
+    Containment is the ASYMMETRIC near-dup measure Jaccard misses: a short
+    doc fully quoted inside a long one has cont_short = 1.0 while Jaccard
+    stays low (the union is dominated by the long doc), so quote/subset
+    contamination passes a Jaccard threshold undetected. Same inverted-
+    index join, guards, and candidate cuts as exact_jaccard_pairs.
+    """
+    overlap = _pair_overlap(
+        shingles, candidates, id_col, df_max_freq, df_max_frac, df_min_cut
+    )
+    return overlap.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("inter") / F.col("na"), 4).alias("cont_a"),
+        F.round(F.col("inter") / F.col("nb"), 4).alias("cont_b"),
+    )
+
+
+def _pair_overlap(
+    shingles: DataFrame,
+    candidates: DataFrame | None,
+    id_col: str,
+    df_max_freq: int | None,
+    df_max_frac: float | None,
+    df_min_cut: int,
+) -> DataFrame:
+    """Shared verify core: (id_a, id_b, inter, na, nb) for pairs sharing
+    >= 1 (df-guarded) shingle — the plan shape documented on
+    exact_jaccard_pairs."""
     sh = shingles
     if df_max_freq is not None or df_max_frac is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
@@ -234,17 +285,7 @@ def exact_jaccard_pairs(
     inter = pair_shingles.groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
-    return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
-            ).alias("jaccard"),
-        )
-    )
+    return inter.join(na, "id_a").join(nb, "id_b")
 
 
 def minhash_near_duplicates(
