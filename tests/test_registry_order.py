@@ -19,6 +19,7 @@ ROUND4_MUST_FRONT: set[str] = {
     "stream_interval_join_outer",
     "dedup_containment",
     "corpus_ngram_novelty",
+    "ann_ivf_nprobe_curve",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",

@@ -4886,6 +4886,107 @@ def q_ann_recall_measured(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_nprobe_curve",
+    f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+axis AS (
+  SELECT e.vec_id, t.i,
+         round(CAST(e.embedding[t.i] AS DOUBLE)
+               / sqrt({_dk_dot('e.embedding', 'e.embedding')} * 1.0), 6)
+           AS sc
+  FROM e, (SELECT UNNEST(generate_series(1, 8)) AS i) t
+),
+assign AS (
+  SELECT vec_id, CAST(i - 1 AS BIGINT) AS cid FROM (
+    SELECT vec_id, i,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, i) AS rn
+    FROM axis) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM e WHERE vec_id < 20),
+np(np) AS (VALUES (1), (2), (4)),
+probes AS (
+  SELECT qid, np, CAST(i - 1 AS BIGINT) AS cid FROM (
+    SELECT q.qid, np.np, a.i,
+           row_number() OVER (PARTITION BY q.qid, np.np
+                              ORDER BY a.sc DESC, a.i) AS rn
+    FROM q JOIN axis a ON a.vec_id = q.qid CROSS JOIN np
+  ) WHERE rn <= np
+),
+scores AS (
+  SELECT q.qid, e.vec_id, round({_dk_cos('e.embedding', 'q.qv')}, 6) AS score
+  FROM e, q WHERE e.vec_id <> q.qid
+),
+exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, vec_id) AS rn
+    FROM scores) WHERE rn <= 5
+),
+approx AS (
+  SELECT np, qid, vec_id FROM (
+    SELECT p.np, sc.qid, sc.vec_id,
+           row_number() OVER (PARTITION BY p.np, sc.qid
+                              ORDER BY sc.score DESC, sc.vec_id) AS rn
+    FROM scores sc
+    JOIN assign a ON a.vec_id = sc.vec_id
+    JOIN probes p ON p.qid = sc.qid AND p.cid = a.cid
+  ) WHERE rn <= 5
+),
+j AS (
+  SELECT np.np, ex.qid,
+         CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+  FROM exact ex CROSS JOIN np
+  LEFT JOIN approx a
+    ON a.np = np.np AND a.qid = ex.qid AND a.vec_id = ex.vec_id
+)
+SELECT CAST(np AS BIGINT) AS nprobe,
+       round(avg(hit), 4) AS recall,
+       CAST(count(DISTINCT qid) AS BIGINT) AS n_queries,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(hit) AS BIGINT) AS n_hit
+FROM j GROUP BY np
+""",
+    "IVF recall-vs-nprobe tuning curve: recall@5 of the real ivf_knn_join "
+    "at nprobe 1/2/4 against the exact Arrow top-k, one row per setting — "
+    "the measurement that picks the probe budget before anyone trusts an "
+    "IVF index. Centroids are pinned to the first 8 axis unit vectors so "
+    "the oracle recomputes assignment (argmax rounded axis cosine, ties "
+    "to lowest cell) and probe order in closed form; production kmeans "
+    "centroids plug into the same operator (ann_ivf_topk).",
+)
+def q_ann_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from yaml_pipe_spark.operators.similarity import (
+        ivf_knn_join,
+        knn_join_arrow,
+        recall_at_k,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = emb.select(F.size("embedding").alias("d")).first().d
+    cdf = spark.createDataFrame(
+        [(i, [1.0 if j == i else 0.0 for j in range(dim)]) for i in range(8)],
+        "cid long, cv array<double>",
+    )
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    # the exact side is identical across the three curve points — top-k is
+    # 100 rows, so materialize once instead of re-running the brute-force
+    # scorer per branch
+    exact = knn_join_arrow(queries, emb, k=5).localCheckpoint()
+    curves = [
+        recall_at_k(
+            ivf_knn_join(queries, emb, cdf, k=5, nprobe=np), exact
+        ).select(F.lit(np).cast("long").alias("nprobe"), "*")
+        for np in (1, 2, 4)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), curves)
+
+
+@register(
     "text_unigram_logprob",
     r"""
 WITH toks AS (
@@ -5810,6 +5911,7 @@ DRIVER_ORDER: list[str] = [
     "stream_interval_join_outer",  # new: left-outer + pinned watermark
     "dedup_containment",       # new: asymmetric containment over LSH cands
     "corpus_ngram_novelty",    # new: df==1 novelty score per doc
+    "ann_ivf_nprobe_curve",    # new: recall-vs-nprobe tuning curve
     "dedup_minhash_lsh",       # id-level candidate cut moved below self-join
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",  # zero-norm opt-out rule in both scorers
@@ -5851,7 +5953,6 @@ DRIVER_ORDER: list[str] = [
     "rel_set_ops",
     "agg_salted_user_totals",
     "rel_salted_join",
-    "rel_percentiles",
 ]
 
 
