@@ -20,6 +20,8 @@ ROUND4_MUST_FRONT: set[str] = {
     "dedup_containment",
     "corpus_ngram_novelty",
     "ann_ivf_nprobe_curve",
+    "text_vocab_coverage",
+    "rel_join_key_skew",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",

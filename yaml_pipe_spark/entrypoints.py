@@ -1194,6 +1194,62 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+@register(
+    "text_vocab_coverage",
+    r"""
+WITH toks AS (
+  SELECT lang, UNNEST(list_filter(regexp_split_to_array(text, '\s+'),
+                                  x -> x <> '')) AS tok
+  FROM documents
+),
+lt AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY lang, tok),
+g AS (SELECT tok, sum(c) AS cg FROM lt GROUP BY tok),
+topv AS (SELECT tok FROM g ORDER BY cg DESC, tok LIMIT 1000)
+SELECT lt.lang,
+       CAST(sum(lt.c) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN topv.tok IS NOT NULL THEN lt.c ELSE 0 END)
+            AS BIGINT) AS n_covered,
+       round(sum(CASE WHEN topv.tok IS NOT NULL THEN lt.c ELSE 0 END)
+             / sum(lt.c), 4) AS coverage
+FROM lt LEFT JOIN topv ON lt.tok = topv.tok
+GROUP BY lt.lang
+""",
+    "Vocabulary coverage per language: the fraction of token occurrences "
+    "covered by the corpus's top-1000 tokens — the OOV-rate proxy that "
+    "decides tokenizer vocab sizing and flags languages a shared vocab "
+    "under-serves. One token shuffle; the top-V selection is "
+    "orderBy+limit (TakeOrderedAndProject — distributed top-k, never a "
+    "vocab-wide single-partition window) with a (count desc, token) "
+    "tiebreak pinned in both engines; the 1000-row vocab broadcasts back.",
+)
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    lt = toks.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    g = lt.groupBy("tok").agg(F.sum("c").alias("cg"))
+    topv = (
+        g.orderBy(F.col("cg").desc(), F.col("tok"))
+        .limit(1000)
+        .select("tok", F.lit(1).alias("__top"))
+    )
+    covered = F.sum(
+        F.when(F.col("__top") == 1, F.col("c")).otherwise(F.lit(0))
+    )
+    return (
+        lt.join(F.broadcast(topv), "tok", "left")
+        .groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            covered.cast("long").alias("n_covered"),
+            F.round(covered / F.sum("c"), 4).alias("coverage"),
+        )
+    )
+
+
 def _dk_occ(p: str, needle: str) -> str:
     n = needle.replace("'", "''")
     return f"((length({p}) - length(replace({p}, '{n}', ''))) // {len(needle)})"
@@ -2202,6 +2258,115 @@ def q_rel_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@register(
+    "rel_join_key_skew",
+    """
+WITH cnt_li AS (
+  SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1
+),
+cnt_ord AS (
+  SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1
+),
+m_li AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+         CAST(max(c) AS BIGINT) AS max_cnt FROM cnt_li
+),
+m_ord AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+         CAST(max(c) AS BIGINT) AS max_cnt FROM cnt_ord
+),
+h_li AS (SELECT c, count(*) AS f FROM cnt_li GROUP BY c),
+h_ord AS (SELECT c, count(*) AS f FROM cnt_ord GROUP BY c),
+cum_li AS (
+  SELECT c, sum(f) OVER (ORDER BY c) AS cum FROM h_li
+),
+cum_ord AS (
+  SELECT c, sum(f) OVER (ORDER BY c) AS cum FROM h_ord
+),
+p_li AS (
+  SELECT CAST(min(CASE WHEN cum >= ceil(0.5 * m.n_keys) THEN c END) AS BIGINT) AS p50_cnt,
+         CAST(min(CASE WHEN cum >= ceil(0.99 * m.n_keys) THEN c END) AS BIGINT) AS p99_cnt
+  FROM cum_li, m_li m
+),
+p_ord AS (
+  SELECT CAST(min(CASE WHEN cum >= ceil(0.5 * m.n_keys) THEN c END) AS BIGINT) AS p50_cnt,
+         CAST(min(CASE WHEN cum >= ceil(0.99 * m.n_keys) THEN c END) AS BIGINT) AS p99_cnt
+  FROM cum_ord, m_ord m
+)
+SELECT 'lineitem.l_orderkey' AS rel, m.n_keys, m.n_rows, m.max_cnt,
+       round(m.max_cnt / m.n_rows, 6) AS top1_share, p.p50_cnt, p.p99_cnt,
+       round(m.max_cnt / p.p50_cnt, 2) AS skew_ratio
+FROM m_li m, p_li p
+UNION ALL
+SELECT 'orders.o_custkey' AS rel, m.n_keys, m.n_rows, m.max_cnt,
+       round(m.max_cnt / m.n_rows, 6) AS top1_share, p.p50_cnt, p.p99_cnt,
+       round(m.max_cnt / p.p50_cnt, 2) AS skew_ratio
+FROM m_ord m, p_ord p
+""",
+    "Join-key skew audit for the two big-join key families: per key, row "
+    "counts roll into (n_keys, max, top-1 share, exact p50/p99 of the "
+    "per-key distribution, max/p50 skew ratio) — the measurement that "
+    "decides whether a join needs salting/AQE skew handling BEFORE it "
+    "falls over. The order statistics come from a count-of-counts "
+    "histogram cumulated over the tiny distinct-count frame (never a "
+    "window over all keys), so the audit itself scales to 100 TB; "
+    "kth-smallest with k = ceil(q * n_keys) is pinned identically in "
+    "both engines.",
+)
+def q_rel_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    def skew_row(df: DataFrame, key: str, label: str) -> DataFrame:
+        from pyspark.sql import Window as W
+
+        cnts = df.groupBy(F.col(key).alias("k")).agg(
+            F.count("*").alias("c")
+        )
+        hist = cnts.groupBy("c").agg(F.count("*").alias("f"))
+        cum = hist.withColumn(
+            "cum",
+            F.sum("f").over(
+                W.orderBy("c").rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+        stats = cnts.agg(
+            F.count("*").alias("n_keys"),
+            F.sum("c").alias("n_rows"),
+            F.max("c").alias("max_cnt"),
+        )
+        j = cum.crossJoin(F.broadcast(stats))
+        pct = j.agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(0.5 * F.col("n_keys")), F.col("c")
+                )
+            ).alias("p50_cnt"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(0.99 * F.col("n_keys")), F.col("c")
+                )
+            ).alias("p99_cnt"),
+        )
+        return stats.crossJoin(F.broadcast(pct)).select(
+            F.lit(label).alias("rel"),
+            F.col("n_keys").cast("long"),
+            F.col("n_rows").cast("long"),
+            F.col("max_cnt").cast("long"),
+            F.round(F.col("max_cnt") / F.col("n_rows"), 6).alias("top1_share"),
+            F.col("p50_cnt").cast("long"),
+            F.col("p99_cnt").cast("long"),
+            F.round(F.col("max_cnt") / F.col("p50_cnt"), 2).alias("skew_ratio"),
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    rows = [
+        skew_row(li, "l_orderkey", "lineitem.l_orderkey"),
+        skew_row(orders, "o_custkey", "orders.o_custkey"),
+    ]
+    return reduce(lambda a, b: a.unionByName(b), rows)
 
 
 # ---------------------------------------------------------------------------
@@ -5912,6 +6077,8 @@ DRIVER_ORDER: list[str] = [
     "dedup_containment",       # new: asymmetric containment over LSH cands
     "corpus_ngram_novelty",    # new: df==1 novelty score per doc
     "ann_ivf_nprobe_curve",    # new: recall-vs-nprobe tuning curve
+    "text_vocab_coverage",     # new: top-V OOV-rate proxy per lang
+    "rel_join_key_skew",       # new: exact per-key skew audit
     "dedup_minhash_lsh",       # id-level candidate cut moved below self-join
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",  # zero-norm opt-out rule in both scorers
@@ -5951,8 +6118,6 @@ DRIVER_ORDER: list[str] = [
     "rel_cube_flag_status",
     "rel_suppliers_above_avg",
     "rel_set_ops",
-    "agg_salted_user_totals",
-    "rel_salted_join",
 ]
 
 
