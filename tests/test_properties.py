@@ -366,3 +366,34 @@ def test_pdf_extractor_total_on_streamlike_bytes(data):
     wrapped = b"<< /Length 9 >>\nstream\nBT " + data + b" ET\nendstream"
     out = extract_pdf_text(wrapped)
     assert isinstance(out, str)
+
+
+@given(
+    ntoks=st.lists(st.integers(min_value=0, max_value=40), min_size=1,
+                   max_size=30),
+    ctx=st.integers(min_value=2, max_value=16),
+)
+@settings(**SETTINGS)
+def test_pack_windows_conservation(spark, ntoks, ctx):
+    """Packing conserves tokens and docs: per-window n_tokens sums to the
+    corpus total (each token lands in exactly one window), every window
+    except possibly the last is exactly full, and n_docs_starting sums to
+    the number of non-empty docs."""
+    from yaml_pipe_spark.operators.sampling import pack_windows
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(ntoks)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        (r.window_id, r.n_docs, r.n_docs_starting, r.n_tokens)
+        for r in pack_windows(docs, ctx=ctx, shard_size=7).collect()
+    )
+    total = sum(ntoks)
+    nonempty = sum(1 for n in ntoks if n > 0)
+    if total == 0:
+        assert out == []
+        return
+    assert sum(w[3] for w in out) == total
+    assert sum(w[2] for w in out) == nonempty
+    assert [w[0] for w in out] == list(range(len(out)))  # contiguous ids
+    assert all(w[3] == ctx for w in out[:-1])  # all but last exactly full
+    assert 0 < out[-1][3] <= ctx

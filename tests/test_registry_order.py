@@ -22,6 +22,8 @@ ROUND4_MUST_FRONT: set[str] = {
     "ann_ivf_nprobe_curve",
     "text_vocab_coverage",
     "rel_join_key_skew",
+    "events_funnel_time",
+    "rel_pareto_revenue",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",

@@ -2261,6 +2261,56 @@ def q_rel_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_pareto_revenue",
+    """
+WITH cust AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+thr AS (SELECT quantile_cont(cents, 0.99) AS t FROM cust)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CASE WHEN cents >= t THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_top,
+       round(sum(CASE WHEN cents >= t THEN cents ELSE 0 END)
+             / sum(cents), 6) AS top_share,
+       round(max(t) / 100, 2) AS threshold
+FROM cust, thr
+""",
+    "Pareto concentration: the share of total order revenue carried by "
+    "customers at or above the p99 per-customer spend — the concentration "
+    "number behind tiering and load-skew expectations. Per-customer spend "
+    "is summed in INTEGER CENTS so cross-partition float fold order can "
+    "never move a customer across the interpolated threshold (the classic "
+    "way this query flakes between engines); one customer-key shuffle, "
+    "3-value broadcast back.",
+)
+def q_rel_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        )
+    )
+    thr = cust.agg(F.percentile("cents", F.lit(0.99)).alias("t"))
+    j = cust.crossJoin(F.broadcast(thr))
+    return j.agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum((F.col("cents") >= F.col("t")).cast("long")).alias("n_top"),
+        F.round(
+            F.sum(
+                F.when(F.col("cents") >= F.col("t"), F.col("cents")).otherwise(
+                    F.lit(0)
+                )
+            )
+            / F.sum("cents"),
+            6,
+        ).alias("top_share"),
+        F.round(F.max("t") / 100, 2).alias("threshold"),
+    )
+
+
+@register(
     "rel_join_key_skew",
     """
 WITH cnt_li AS (
@@ -2850,6 +2900,90 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     nc = c.agg(F.count("*").alias("n_clicked_after_view"))
     np_ = p.agg(F.count("*").alias("n_purchased_after_click"))
     return nv.crossJoin(nc).crossJoin(np_)
+
+
+@register(
+    "events_funnel_time",
+    """
+WITH v AS (
+  SELECT user_id, min(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, v.v_ts, min(e.ts) AS c_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+  GROUP BY e.user_id, v.v_ts
+),
+p AS (
+  SELECT e.user_id, c.c_ts, min(e.ts) AS p_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+  GROUP BY e.user_id, c.c_ts
+),
+lat AS (
+  SELECT 'view_to_click' AS step,
+         epoch_us(c_ts) - epoch_us(v_ts) AS us
+  FROM c
+  UNION ALL
+  SELECT 'click_to_purchase' AS step,
+         epoch_us(p_ts) - epoch_us(c_ts) AS us
+  FROM p
+)
+SELECT step,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(quantile_cont(us, 0.5) / 1000000, 4) AS p50_sec,
+       round(quantile_cont(us, 0.9) / 1000000, 4) AS p90_sec
+FROM lat GROUP BY step
+""",
+    "Funnel conversion LATENCY: p50/p90 seconds from first view to first "
+    "subsequent click, and from that click to first subsequent purchase — "
+    "the time-to-convert companion of events_funnel's counts. Latencies "
+    "are integer microsecond diffs (identical in both engines) fed to the "
+    "interpolated percentile (Spark percentile = DuckDB quantile_cont, "
+    "the parity rel_percentiles already pins); per-step rows ride the "
+    "same user_id join shuffles as the funnel itself.",
+)
+def q_events_funnel_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id", "v_ts")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "c_ts"), "user_id")
+        .filter(F.col("ts") >= F.col("c_ts"))
+        .groupBy("user_id", "c_ts")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    lat = c.select(
+        F.lit("view_to_click").alias("step"),
+        (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("us"),
+    ).unionByName(
+        p.select(
+            F.lit("click_to_purchase").alias("step"),
+            (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("us"),
+        )
+    )
+    out = lat.groupBy("step").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.percentile("us", F.array(F.lit(0.5), F.lit(0.9))).alias("__q"),
+    )
+    return out.select(
+        "step",
+        "n_users",
+        F.round(F.element_at("__q", 1) / 1_000_000, 4).alias("p50_sec"),
+        F.round(F.element_at("__q", 2) / 1_000_000, 4).alias("p90_sec"),
+    )
 
 
 @register(
@@ -6079,6 +6213,8 @@ DRIVER_ORDER: list[str] = [
     "ann_ivf_nprobe_curve",    # new: recall-vs-nprobe tuning curve
     "text_vocab_coverage",     # new: top-V OOV-rate proxy per lang
     "rel_join_key_skew",       # new: exact per-key skew audit
+    "events_funnel_time",      # new: funnel step-latency percentiles
+    "rel_pareto_revenue",      # new: integer-cent Pareto concentration
     "dedup_minhash_lsh",       # id-level candidate cut moved below self-join
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",  # zero-norm opt-out rule in both scorers
@@ -6116,8 +6252,6 @@ DRIVER_ORDER: list[str] = [
     "rel_region_customer_rollup",
     "rel_part_brand_stats",
     "rel_cube_flag_status",
-    "rel_suppliers_above_avg",
-    "rel_set_ops",
 ]
 
 
