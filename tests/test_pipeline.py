@@ -272,6 +272,27 @@ def test_holdout_and_source_cap_filters(spark):
     assert set(capped.columns) == {"item_id", "source", "content"}
 
 
+def test_novelty_filter(spark):
+    from yaml_pipe_spark.plans.factory import NoveltyFilter
+
+    boiler = "the quick brown fox jumps over the lazy dog again"
+    rows = [
+        ("a", f"{boiler} with unique ending alpha beta gamma delta"),
+        ("b", f"{boiler} with unique ending epsilon zeta eta theta"),
+        ("c", "entirely original sentence about spark catalyst plans here"),
+        ("d", "hi"),  # too short to shingle: undefined novelty, kept
+    ]
+    df = spark.createDataFrame(rows, ["item_id", "content"])
+    kept = {
+        r.item_id for r in NoveltyFilter(min_novelty=0.6).apply(df).collect()
+    }
+    # a and b share the boilerplate span -> low novelty -> dropped;
+    # c is fully novel, d opts out
+    assert kept == {"c", "d"}
+    # a permissive threshold keeps everything
+    assert NoveltyFilter(min_novelty=0.0).apply(df).count() == 4
+
+
 def test_no_state_run_is_single_action(spark, workdir, monkeypatch):
     # run-report counts come from Observation nodes resolved by the write
     # itself — a no-state run must never call count()/collect() (each one

@@ -398,6 +398,24 @@ def test_pca_project_is_narrow_jvm_map(spark):
     assert "Exchange" not in plan
 
 
+def test_round4_queries_stay_jvm_side(spark):
+    # round-4 queries that claim pure Catalyst must have no Python nodes
+    for name in (
+        "corpus_pack_windows",
+        "dedup_substring_span",
+        "dedup_containment",
+        "corpus_ngram_novelty",
+        "text_vocab_coverage",
+        "rel_join_key_skew",
+        "events_funnel_time",
+        "rel_pareto_revenue",
+        "emb_pca_project",
+    ):
+        plan = _plan(_q(name, spark), "simple")
+        assert "EvalPython" not in plan, name
+        assert "FlatMapGroupsInPandas" not in plan, name
+
+
 def test_round3_queries_stay_jvm_side(spark):
     # everything round-3 that claims pure-Catalyst must have no Python nodes
     for name in (

@@ -317,6 +317,43 @@ class StratifiedSampleFilter:
         )
 
 
+class NoveltyFilter:
+    """Keep docs whose n-gram novelty (fraction of their distinct k-gram
+    shingles with corpus document-frequency 1) is at least `min_novelty` —
+    the corpus_ngram_novelty signal as a YAML pipeline curation rule.
+    Docs too short to shingle (< k tokens) have undefined novelty and are
+    KEPT (the same opt-out precedent as shingle dedup). One shingle
+    shuffle + df join, then a semi-join back on the id — no pair joins."""
+
+    def __init__(
+        self,
+        min_novelty: float = 0.5,
+        k: int = 3,
+        text_col: str = "content",
+        id_col: str = "item_id",
+    ):
+        self.min_novelty, self.k = min_novelty, k
+        self.text_col, self.id_col = text_col, id_col
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from yaml_pipe_spark.operators.dedup import token_shingles
+
+        sh = token_shingles(df, self.text_col, self.id_col, self.k)
+        dfq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+        low = (
+            sh.join(dfq, "shingle")
+            .groupBy(self.id_col)
+            .agg(
+                (
+                    F.sum((F.col("__df") == 1).cast("long")) / F.count("*")
+                ).alias("__nov")
+            )
+            .filter(F.col("__nov") < self.min_novelty)
+            .select(self.id_col)
+        )
+        return df.join(low, self.id_col, "left_anti")
+
+
 SOURCES = {
     "local_files": LocalFileSource,
     "parquet_documents": ParquetDocumentsSource,
@@ -332,6 +369,7 @@ FILTERS = {
     "blocklist": BlocklistFilter,
     "holdout_split": HoldoutSplitFilter,
     "source_cap": SourceCapFilter,
+    "novelty": NoveltyFilter,
 }
 CHUNKERS = {
     "fixed_window": FixedWindowChunker,
