@@ -24,6 +24,7 @@ ROUND4_MUST_FRONT: set[str] = {
     "rel_join_key_skew",
     "events_funnel_time",
     "rel_pareto_revenue",
+    "corpus_dedup_funnel",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",

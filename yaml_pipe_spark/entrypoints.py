@@ -1001,6 +1001,127 @@ def q_corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_dedup_funnel",
+    f"""
+WITH {_DK_SHINGLES},
+{_DK_DF_CUT},
+sigs AS (SELECT doc_id, {_DK_SIGS} FROM shingles GROUP BY doc_id),
+buckets0 AS ({_DK_BUCKETS}),
+buckets AS (
+  SELECT doc_id, band_id, band_key FROM (
+    SELECT *, count(*) OVER (PARTITION BY band_id, band_key) AS bn
+    FROM buckets0
+  ) WHERE bn <= 10000
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a
+  JOIN buckets b ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM shf a
+  JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+vpairs AS (
+  SELECT i.id_a, i.id_b,
+         round(i.inter / (sa.n + sb.n - i.inter), 4) AS jaccard,
+         round(i.inter / sa.n, 4) AS cont_a,
+         round(i.inter / sb.n, 4) AS cont_b
+  FROM inter i
+  JOIN cands c ON c.id_a = i.id_a AND c.id_b = i.id_b
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+),
+exact_losers AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn > 1
+),
+near_losers AS (SELECT DISTINCT id_b FROM vpairs WHERE jaccard >= 0.8),
+cont_losers AS (
+  SELECT DISTINCT id_b FROM vpairs WHERE greatest(cont_a, cont_b) >= 0.8
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_raw,
+       CAST(sum(CASE WHEN e.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_after_exact,
+       CAST(sum(CASE WHEN e.doc_id IS NULL AND n.id_b IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_after_neardup,
+       CAST(sum(CASE WHEN e.doc_id IS NULL AND n.id_b IS NULL
+                          AND c.id_b IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_after_containment
+FROM documents d
+LEFT JOIN exact_losers e ON e.doc_id = d.doc_id
+LEFT JOIN near_losers n ON n.id_b = d.doc_id
+LEFT JOIN cont_losers c ON c.id_b = d.doc_id
+GROUP BY d.lang
+""",
+    "End-to-end DEDUP funnel per language: raw -> after exact dedup "
+    "(lowest-id keeper per content hash) -> after near-dup (LSH-verified "
+    "jaccard >= 0.8, higher id dropped) -> after containment (either "
+    "direction >= 0.8) — the attrition report a corpus owner reads before "
+    "signing off a training mix, composing the three dedup families into "
+    "one decision layer (the dedup twin of corpus_curation_funnel). "
+    "Loser verdicts are global pair decisions applied in stage order; the "
+    "shingle index, LSH candidates, and verify core are SHARED DataFrames "
+    "across the jaccard and containment branches so their exchanges "
+    "reuse.",
+)
+def q_corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from yaml_pipe_spark.operators.dedup import (
+        containment_pairs,
+        exact_jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        token_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rn = F.row_number().over(
+        W.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    )
+    exact_losers = (
+        docs.withColumn("__rn", rn).filter(F.col("__rn") > 1).select("doc_id")
+    )
+    shingles = token_shingles(docs, "text", "doc_id", k=3)
+    cands = lsh_candidate_pairs(minhash_signatures(shingles))
+    near_losers = (
+        exact_jaccard_pairs(shingles, cands)
+        .filter(F.col("jaccard") >= 0.8)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    cont_losers = (
+        containment_pairs(shingles, cands)
+        .filter(F.greatest(F.col("cont_a"), F.col("cont_b")) >= 0.8)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    flags = (
+        docs.select("doc_id", "lang")
+        .join(exact_losers.withColumn("__xe", F.lit(1)), "doc_id", "left")
+        .join(near_losers.withColumn("__xn", F.lit(1)), "doc_id", "left")
+        .join(cont_losers.withColumn("__xc", F.lit(1)), "doc_id", "left")
+    )
+    alive_exact = F.col("__xe").isNull()
+    alive_near = alive_exact & F.col("__xn").isNull()
+    alive_cont = alive_near & F.col("__xc").isNull()
+    return flags.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_raw"),
+        F.sum(alive_exact.cast("long")).alias("n_after_exact"),
+        F.sum(alive_near.cast("long")).alias("n_after_neardup"),
+        F.sum(alive_cont.cast("long")).alias("n_after_containment"),
+    )
+
+
 _DK_BIT = (
     "(2 * (((strpos('0123456789abcdef', substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1)"
     " // (CASE WHEN j % 4 = 0 THEN 8 WHEN j % 4 = 1 THEN 4"
@@ -6215,6 +6336,7 @@ DRIVER_ORDER: list[str] = [
     "rel_join_key_skew",       # new: exact per-key skew audit
     "events_funnel_time",      # new: funnel step-latency percentiles
     "rel_pareto_revenue",      # new: integer-cent Pareto concentration
+    "corpus_dedup_funnel",     # new: staged dedup attrition report
     "dedup_minhash_lsh",       # id-level candidate cut moved below self-join
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",  # zero-norm opt-out rule in both scorers
@@ -6251,7 +6373,6 @@ DRIVER_ORDER: list[str] = [
     "rel_orders_with_big_lineitems",
     "rel_region_customer_rollup",
     "rel_part_brand_stats",
-    "rel_cube_flag_status",
 ]
 
 
