@@ -25,6 +25,7 @@ ROUND4_MUST_FRONT: set[str] = {
     "events_funnel_time",
     "rel_pareto_revenue",
     "corpus_dedup_funnel",
+    "multimodal_resize",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",

@@ -149,6 +149,43 @@ def test_real_decode_wav_golden():
         assert feat[0] == ((doc_id * 3) % 256) / 255.0
 
 
+def test_resize_bmp_golden():
+    """2x2 BMP with four distinct pixels resized to 1x1: nearest-neighbor
+    with floor mapping picks IMAGE pixel (0,0) — the top-left, which lives
+    in the stored BOTTOM row. A resize that ignored bottom-up storage
+    would return the bottom-left pixel instead."""
+    from yaml_pipe_spark.multimodal.binary import (
+        _decode_bmp,
+        build_bmp,
+        resize_bmp,
+    )
+
+    # stored rows (8 bytes each: 2 px * 3 + 2 pad): row0 = image row 1
+    pixels = bytes(
+        [1, 1, 1, 2, 2, 2, 0, 0]  # stored row 0: image row 1 -> px C, D
+        + [3, 3, 3, 4, 4, 4, 0, 0]  # stored row 1: image row 0 -> px A, B
+    )
+    src = (
+        b"BM" + (54 + 16).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+        + (2).to_bytes(4, "little") + (2).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + (16).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2 + (0).to_bytes(4, "little") * 2
+        + pixels
+    )
+    out = resize_bmp(src, 1, 1)
+    w, h, nf, feat = _decode_bmp(out)
+    assert (w, h) == (1, 1)
+    assert feat[:3] == [3 / 255.0] * 3  # image (0,0) = px A, not px C
+
+    # builder files roundtrip: dims stick, output is a valid BMP
+    big = resize_bmp(build_bmp(12), 7, 3)
+    w, h, nf, _ = _decode_bmp(big)
+    assert (w, h, nf) == (7, 3, 1)
+    assert len(big) == 54 + ((3 * 7 + 3) // 4) * 4 * 3
+
+
 def test_real_decode_ppm_golden():
     from yaml_pipe_spark.multimodal.binary import decode_payload
 

@@ -3540,6 +3540,56 @@ def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resize",
+    """
+WITH g AS (
+  SELECT doc_id,
+         1 + doc_id % 9 AS h0,
+         ((3 * (2 + doc_id % 14) + 3) // 4) * 4 AS stride
+  FROM documents WHERE doc_id % 2 = 0
+)
+SELECT doc_id AS item_id,
+       CAST(54 + 24 * 5 AS BIGINT) AS n_bytes,
+       CAST(8 AS INT) AS width,
+       CAST(5 AS INT) AS height,
+       -- the decoder reads the target's stored row 0 = target image
+       -- BOTTOM row (y_t = 4), nearest-neighbor-mapped to source image
+       -- row 4*h0//5, which sits at stored row h0-1-(4*h0//5)
+       CAST((doc_id + (h0 - 1 - (4 * h0 // 5)) * stride) % 256 AS BIGINT)
+         AS feat_byte0
+FROM g
+""",
+    "REAL image resize, roundtripped: every generated BMP is resized to "
+    "8x5 by the stdlib nearest-neighbor resizer (resize_bmp — sampling in "
+    "IMAGE space, so the bottom-up row order of both source and target is "
+    "handled), re-encoded as a complete BMP, and re-decoded by the real "
+    "parser. The oracle recomputes the output size from the BMP layout "
+    "formula and the first feature byte by replaying the full image-space "
+    "row mapping through BOTH bottom-up storages — exactly the check a "
+    "flipped-row resize bug fails.",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.multimodal.binary import (
+        extract_features,
+        real_media_from_documents,
+        resize_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = real_media_from_documents(docs).filter(
+        F.col("modality") == "image"
+    )
+    feats = extract_features(resize_media(media, 8, 5), real_decode=True)
+    return feats.select(
+        "item_id",
+        "n_bytes",
+        "width",
+        "height",
+        F.round(F.element_at("feat", 1) * 255).cast("long").alias("feat_byte0"),
+    )
+
+
+@register(
     "multimodal_decode_check",
     f"""
 {_DK_MEDIA_DECODED}
@@ -6326,6 +6376,7 @@ DRIVER_ORDER: list[str] = [
     "emb_pca_project",         # new: PCA projection onto pinned components
     "multimodal_features",     # upgraded rows-only -> fully oracled
     "multimodal_real_decode",  # new: real stdlib BMP/WAV decode, oracled
+    "multimodal_resize",       # new: real BMP resize roundtrip, oracled
     "corpus_pack_windows",     # new: packing audit, two-pass cumsum
     "dedup_substring_span",    # new: exact-span contamination index
     "stream_interval_join_outer",  # new: left-outer + pinned watermark
@@ -6372,7 +6423,6 @@ DRIVER_ORDER: list[str] = [
     "rel_rollup_lineitem",
     "rel_orders_with_big_lineitems",
     "rel_region_customer_rollup",
-    "rel_part_brand_stats",
 ]
 
 

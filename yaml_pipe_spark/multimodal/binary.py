@@ -203,6 +203,74 @@ def resize_stub(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame
     )
 
 
+def resize_bmp(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resize of an uncompressed 24-bit BMP, stdlib
+    only — a complete valid BMP comes back out. Sampling runs in IMAGE
+    space (BMP rows are stored bottom-up, so stored row r is image row
+    h-1-r on both sides); a resize that ignored the flip would sample the
+    wrong rows, which the oracle's first-pixel check catches."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    w0 = int.from_bytes(payload[18:22], "little", signed=True)
+    h0 = int.from_bytes(payload[22:26], "little", signed=True)
+    if int.from_bytes(payload[30:34], "little") != 0:
+        raise NotImplementedError("compressed BMP not supported")
+    w0, h0 = abs(w0), abs(h0)
+    src_stride = ((3 * w0 + 3) // 4) * 4
+    dst_stride = ((3 * width + 3) // 4) * 4
+    src = payload[data_off:]
+    out = bytearray(dst_stride * height)
+    for y_t in range(height):
+        y_s = y_t * h0 // height
+        srow = (h0 - 1 - y_s) * src_stride
+        drow = (height - 1 - y_t) * dst_stride
+        for x_t in range(width):
+            x_s = x_t * w0 // width
+            s = srow + 3 * x_s
+            d = drow + 3 * x_t
+            out[d : d + 3] = src[s : s + 3]
+    npix = len(out)
+    header = (
+        b"BM"
+        + (54 + npix).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little")
+        + height.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + npix.to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + bytes(out)
+
+
+def resize_media(
+    df: DataFrame, width: int = 224, height: int = 224
+) -> DataFrame:
+    """Resize every decodable image payload in place (same Arrow
+    mapInPandas shape as extract_features): BMP payloads go through the
+    real resize_bmp; other formats pass through untouched (their resize is
+    the cluster-side codec extension point)."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                resize_bmp(p, width, height)
+                if p is not None and p[:2] == b"BM"
+                else p
+                for p in pdf["payload"]
+            ]
+            yield pdf
+
+    return df.mapInPandas(run, MEDIA_SCHEMA)
+
+
 def build_bmp(doc_id: int) -> bytes:
     """A complete, valid 24-bit uncompressed BMP built byte-by-byte:
     width = 2 + doc_id % 14, height = 1 + doc_id % 9, pixel-array byte k
