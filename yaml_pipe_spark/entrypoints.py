@@ -987,7 +987,9 @@ def q_corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yaml_pipe_spark.operators.dedup import token_shingles
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = token_shingles(docs, "text", "doc_id", k=3)
+    # the shingle table feeds the df agg AND the join back — materialize
+    # once (same staged-pipeline rationale as _pair_overlap)
+    sh = token_shingles(docs, "text", "doc_id", k=3).localCheckpoint()
     dfq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     return (
         sh.join(dfq, "shingle")
@@ -1077,8 +1079,9 @@ def q_corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from yaml_pipe_spark.operators.dedup import (
-        containment_pairs,
-        exact_jaccard_pairs,
+        DEFAULT_DF_MAX_FRAC,
+        DEFAULT_DF_MIN_CUT,
+        _pair_overlap,
         lsh_candidate_pairs,
         minhash_signatures,
         token_shingles,
@@ -1093,15 +1096,28 @@ def q_corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shingles = token_shingles(docs, "text", "doc_id", k=3)
     cands = lsh_candidate_pairs(minhash_signatures(shingles))
+    # ONE verify pass feeds both metrics: jaccard and containment are two
+    # projections of the same (inter, na, nb) overlap, so the expensive
+    # inverted-index join runs once (overlap is candidate-pair-sized, so
+    # materializing it makes the two loser branches free)
+    overlap = _pair_overlap(
+        shingles, cands, "doc_id", None, DEFAULT_DF_MAX_FRAC,
+        DEFAULT_DF_MIN_CUT,
+    ).localCheckpoint()
+    jac = F.round(
+        F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+    )
+    cont = F.greatest(
+        F.round(F.col("inter") / F.col("na"), 4),
+        F.round(F.col("inter") / F.col("nb"), 4),
+    )
     near_losers = (
-        exact_jaccard_pairs(shingles, cands)
-        .filter(F.col("jaccard") >= 0.8)
+        overlap.filter(jac >= 0.8)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
     cont_losers = (
-        containment_pairs(shingles, cands)
-        .filter(F.greatest(F.col("cont_a"), F.col("cont_b")) >= 0.8)
+        overlap.filter(cont >= 0.8)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )

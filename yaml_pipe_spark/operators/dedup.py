@@ -239,8 +239,22 @@ def _pair_overlap(
 ) -> DataFrame:
     """Shared verify core: (id_a, id_b, inter, na, nb) for pairs sharing
     >= 1 (df-guarded) shingle — the plan shape documented on
-    exact_jaccard_pairs."""
-    sh = shingles
+    exact_jaccard_pairs.
+
+    STAGED MATERIALIZATION (localCheckpoint), deliberately: the shingle
+    table feeds the df-cut twice (freq, threshold) and the cut index
+    feeds THREE consumers (sizes, the a side, the b side); the candidate
+    set feeds three cuts. Without materialization Catalyst re-derives
+    each branch from the source — branch-specific filters make the
+    subtrees differ so ReuseExchange never unifies them, and the plan
+    re-scans and re-explodes the corpus once per consumer (measured:
+    12-18 source scans per dedup query at sf0.01; at 100 TB that is the
+    whole job done a dozen times). Writing each stage once and reading it
+    per consumer is the standard staged-pipeline design; the checkpoint
+    sizes are shingle-scale (index) and candidate-scale (pairs)."""
+    sh = shingles.localCheckpoint()
+    if candidates is not None:
+        candidates = candidates.localCheckpoint()
     if df_max_freq is not None or df_max_frac is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
         if df_max_freq is not None:
@@ -257,7 +271,7 @@ def _pair_overlap(
             )
         sh = sh.join(kept.select("shingle"), "shingle").select(
             id_col, "shingle"
-        )
+        ).localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -449,7 +463,10 @@ def substring_span_duplicates(
     frequency cut opt out (documented trade; the guard is what survives a
     hot header at 100 TB).
     """
-    sh = token_shingles(df, text_col, id_col, k)
+    # same staged-materialization rationale as _pair_overlap: the gram
+    # table feeds freq/threshold/cut, and the cut index feeds the owner
+    # agg AND the join back — materialize each stage once
+    sh = token_shingles(df, text_col, id_col, k).localCheckpoint()
     if df_max_frac is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
         thr = sh.agg(
@@ -463,7 +480,7 @@ def substring_span_duplicates(
         )
         sh = sh.join(kept.select("shingle"), "shingle").select(
             id_col, "shingle"
-        )
+        ).localCheckpoint()
     owner = sh.groupBy("shingle").agg(F.min(id_col).alias("__owner"))
     return (
         sh.join(owner, "shingle")

@@ -338,7 +338,10 @@ class NoveltyFilter:
     def apply(self, df: DataFrame) -> DataFrame:
         from yaml_pipe_spark.operators.dedup import token_shingles
 
-        sh = token_shingles(df, self.text_col, self.id_col, self.k)
+        # shingles feed the df agg and the join back: materialize once
+        sh = token_shingles(
+            df, self.text_col, self.id_col, self.k
+        ).localCheckpoint()
         dfq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
         low = (
             sh.join(dfq, "shingle")
