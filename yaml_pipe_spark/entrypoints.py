@@ -3014,10 +3014,15 @@ SELECT (SELECT count(*) FROM v) AS n_viewed,
 )
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # each stage frame feeds BOTH the next stage's join and its own count:
+    # without materialization the p branch re-runs v's and c's shuffles
+    # (plan-audited: 5 event scans -> 3 pruned ones). The frames are
+    # per-user minima — user-scale, the natural funnel staging table.
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("v_ts"))
+        .localCheckpoint()
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -3025,6 +3030,7 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") >= F.col("v_ts"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("c_ts"))
+        .localCheckpoint()
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -3088,12 +3094,15 @@ def q_events_funnel_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("v_ts"))
     )
+    # c feeds both the purchase stage and the latency union — materialize
+    # once (user-scale frame; same staging rationale as events_funnel)
     c = (
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(F.col("ts") >= F.col("v_ts"))
         .groupBy("user_id", "v_ts")
         .agg(F.min("ts").alias("c_ts"))
+        .localCheckpoint()
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -5445,6 +5454,7 @@ def q_ann_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
     from yaml_pipe_spark.operators.similarity import (
+        ivf_assign,
         ivf_knn_join,
         knn_join_arrow,
         recall_at_k,
@@ -5459,13 +5469,16 @@ def q_ann_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
-    # the exact side is identical across the three curve points — top-k is
-    # 100 rows, so materialize once instead of re-running the brute-force
-    # scorer per branch
+    # everything shared across the three curve points is materialized ONCE:
+    # the exact side (100 rows) and — the corpus-scale part — the centroid
+    # assignment; re-deriving the assignment per nprobe branch would run
+    # the dominant cost three times (plan-audited: 5 corpus scans -> 1)
     exact = knn_join_arrow(queries, emb, k=5).localCheckpoint()
+    assigned = ivf_assign(emb, cdf).localCheckpoint()
     curves = [
         recall_at_k(
-            ivf_knn_join(queries, emb, cdf, k=5, nprobe=np), exact
+            ivf_knn_join(queries, emb, cdf, k=5, nprobe=np, assigned=assigned),
+            exact,
         ).select(F.lit(np).cast("long").alias("nprobe"), "*")
         for np in (1, 2, 4)
     ]

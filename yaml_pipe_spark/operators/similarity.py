@@ -314,15 +314,21 @@ def ivf_knn_join(
     cvec_col: str = "cv",
     exclude_self: bool = True,
     score_decimals: int = 6,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Batch IVF: every query probes its `nprobe` nearest centroid cells;
     candidates come from one equi-join of (query, probe-cell) against the
     cell-assigned corpus — shuffle on cell id, never all-pairs. With the
     assignment written partitioned by cell, probes become partition-pruned
-    scans (see ivf_assign)."""
-    assigned = ivf_assign(
-        corpus, centroids, vec_col, id_col, cid_col, cvec_col, score_decimals
-    )
+    scans (see ivf_assign). Pass a precomputed (ideally materialized)
+    `assigned` frame when running several probe settings over the same
+    corpus — the assignment is the corpus-scale part, and re-deriving it
+    per setting multiplies the dominant cost (see ann_ivf_nprobe_curve)."""
+    if assigned is None:
+        assigned = ivf_assign(
+            corpus, centroids, vec_col, id_col, cid_col, cvec_col,
+            score_decimals,
+        )
     qprobe = (
         queries.crossJoin(F.broadcast(centroids))
         .withColumn(
