@@ -26,6 +26,7 @@ ROUND4_MUST_FRONT: set[str] = {
     "rel_pareto_revenue",
     "corpus_dedup_funnel",
     "multimodal_resize",
+    "emb_outlier_zscore",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",

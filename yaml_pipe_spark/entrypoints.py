@@ -6178,6 +6178,74 @@ def q_emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_outlier_zscore",
+    f"""
+WITH x AS (
+  SELECT vec_id, i,
+         CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings,
+       (SELECT UNNEST(generate_series(
+          1, (SELECT max(len(embedding)) FROM embeddings))) AS i) t
+),
+stats AS (
+  SELECT i, round(avg(v), 6) AS mu, round(avg(v * v), 6) AS m2
+  FROM x GROUP BY i
+),
+z AS (
+  SELECT x.vec_id,
+         (x.v - s.mu) * (x.v - s.mu)
+           / greatest(s.m2 - s.mu * s.mu, 1e-12) AS z2
+  FROM x JOIN stats s ON s.i = x.i
+),
+scored AS (
+  SELECT vec_id, round(sum(z2), 4) AS score FROM z GROUP BY vec_id
+)
+SELECT vec_id, score FROM scored
+ORDER BY score DESC, vec_id LIMIT 20
+""",
+    "Embedding outlier detection: per-dimension standardized squared "
+    "z-score summed per vector, top-20 most anomalous — the embedding-QA "
+    "gate that catches corrupt/degenerate vectors before they poison an "
+    "ANN index or a dedup threshold. Cross-engine float contract: the "
+    "per-dim mean and second moment are ROUNDED (6dp) before the z-score "
+    "uses them, so cross-partition summation-order noise (~1e-13) can "
+    "never leak into the score; the per-vector z2 fold is the exploded "
+    "(vec, dim) groupBy both engines share. One explode shuffle + a "
+    "64-row broadcast back; TakeOrderedAndProject top-20.",
+)
+def q_emb_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "__p", "v"
+        ),
+    ).select("vec_id", (F.col("__p") + 1).alias("i"), "v")
+    stats = x.groupBy("i").agg(
+        F.round(F.avg("v"), 6).alias("mu"),
+        F.round(F.avg(F.col("v") * F.col("v")), 6).alias("m2"),
+    )
+    z = x.join(F.broadcast(stats), "i").select(
+        "vec_id",
+        (
+            (F.col("v") - F.col("mu"))
+            * (F.col("v") - F.col("mu"))
+            # identical floor in the oracle: a constant dim (rounded
+            # variance 0) scores 0-ish instead of raising under ANSI
+            / F.greatest(
+                F.col("m2") - F.col("mu") * F.col("mu"), F.lit(1e-12)
+            )
+        ).alias("z2"),
+    )
+    return (
+        z.groupBy("vec_id")
+        .agg(F.round(F.sum("z2"), 4).alias("score"))
+        .orderBy(F.col("score").desc(), "vec_id")
+        .limit(20)
+    )
+
+
+@register(
     "corpus_source_cap",
     f"""
 WITH base AS (
@@ -6417,6 +6485,7 @@ DRIVER_ORDER: list[str] = [
     "events_funnel_time",      # new: funnel step-latency percentiles
     "rel_pareto_revenue",      # new: integer-cent Pareto concentration
     "corpus_dedup_funnel",     # new: staged dedup attrition report
+    "emb_outlier_zscore",      # new: embedding outlier QA gate
     "dedup_minhash_lsh",       # id-level candidate cut moved below self-join
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",  # zero-norm opt-out rule in both scorers
@@ -6451,7 +6520,6 @@ DRIVER_ORDER: list[str] = [
     "rel_pivot_status_priority",
     "rel_rollup_lineitem",
     "rel_orders_with_big_lineitems",
-    "rel_region_customer_rollup",
 ]
 
 
