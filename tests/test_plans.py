@@ -410,6 +410,7 @@ def test_round4_queries_stay_jvm_side(spark):
         "events_funnel_time",
         "rel_pareto_revenue",
         "emb_pca_project",
+        "emb_outlier_zscore",
     ):
         plan = _plan(_q(name, spark), "simple")
         assert "EvalPython" not in plan, name

@@ -397,3 +397,40 @@ def test_pack_windows_conservation(spark, ntoks, ctx):
     assert [w[0] for w in out] == list(range(len(out)))  # contiguous ids
     assert all(w[3] == ctx for w in out[:-1])  # all but last exactly full
     assert 0 < out[-1][3] <= ctx
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=12).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_containment_bounds_and_dominates_jaccard(spark, texts):
+    """For every pair: 0 < cont_a, cont_b <= 1, jaccard <= min(cont_a,
+    cont_b), and cont_a == inter/|A| recomputed from the shingle sets."""
+    from yaml_pipe_spark.operators.dedup import (
+        containment_pairs,
+        exact_jaccard_pairs,
+        token_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sh = token_shingles(df, k=3)
+    cont = {
+        (r.id_a, r.id_b): (r.cont_a, r.cont_b)
+        for r in containment_pairs(sh, df_max_frac=None).collect()
+    }
+    jac = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in exact_jaccard_pairs(sh, df_max_frac=None).collect()
+    }
+    assert set(cont) == set(jac)
+    for pair, (ca, cb) in cont.items():
+        assert 0 < ca <= 1 and 0 < cb <= 1
+        assert jac[pair] <= min(ca, cb) + 1e-9
