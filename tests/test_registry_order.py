@@ -27,6 +27,7 @@ ROUND4_MUST_FRONT: set[str] = {
     "corpus_dedup_funnel",
     "multimodal_resize",
     "emb_outlier_zscore",
+    "s1_parse_eml",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",

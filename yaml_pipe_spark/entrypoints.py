@@ -671,6 +671,70 @@ def q_s4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # S2: WebSource line normalization (sources.py:134-137)
+@register(
+    "s1_parse_eml",
+    f"""
+WITH built AS (
+  SELECT doc_id, lang,
+         'Doc ' || CAST(doc_id AS VARCHAR) || ' report' || e'\\n\\n' || text
+           AS joined
+  FROM documents
+),
+parsed AS (
+  SELECT doc_id, lang,
+         array_to_string({_DK_ELS.format(src="joined")}, e'\\n\\n') AS parsed
+  FROM built
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN length(parsed) > 0
+                     THEN len(string_split(parsed, e'\\n\\n')) ELSE 0 END)
+            AS BIGINT) AS n_elements,
+       CAST(count(DISTINCT md5(parsed)) AS BIGINT) AS n_uniq,
+       round(avg(length(parsed)), 4) AS avg_len
+FROM parsed GROUP BY lang
+""",
+    "S1 parse seam for .eml, ORACLE-CHECKED end to end (golden tests "
+    "already pin tricky MIME; this pins the whole distributed path): a "
+    "complete RFC-822 message is BUILT per doc in Catalyst (headers + "
+    "declared utf-8 text/plain body from the documents text, including "
+    "non-ASCII zh), the raw bytes run through the REAL stdlib email "
+    "extractor (subject element + decoded body) and the shared blank-line "
+    "normalization, and the oracle recomputes the expected parse as "
+    "elements of 'subject \\n\\n body' — a header-parse or "
+    "charset-decode bug hash-mismatches.",
+)
+def q_s1_parse_eml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.sources.parsers import parse_eml
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    raw = F.encode(
+        F.concat(
+            F.lit("Subject: Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit(" report\r\n"),
+            F.lit("From: gen@example.com\r\n"),
+            F.lit("MIME-Version: 1.0\r\n"),
+            F.lit("Content-Type: text/plain; charset=utf-8\r\n"),
+            F.lit("Content-Transfer-Encoding: 8bit\r\n\r\n"),
+            F.col("text"),
+        ),
+        "UTF-8",
+    )
+    parsed = docs.withColumn("parsed", parse_eml(raw))
+    n_els = F.when(
+        F.length("parsed") > 0, F.size(F.split(F.col("parsed"), "\n\n"))
+    ).otherwise(F.lit(0))
+    return parsed.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(n_els).cast("long").alias("n_elements"),
+        F.countDistinct(F.md5("parsed")).cast("long").alias("n_uniq"),
+        F.round(F.avg(F.length("parsed")), 4).alias("avg_len"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -6486,6 +6550,7 @@ DRIVER_ORDER: list[str] = [
     "rel_pareto_revenue",      # new: integer-cent Pareto concentration
     "corpus_dedup_funnel",     # new: staged dedup attrition report
     "emb_outlier_zscore",      # new: embedding outlier QA gate
+    "s1_parse_eml",            # new: MIME extractor oracled end-to-end
     "dedup_minhash_lsh",       # id-level candidate cut moved below self-join
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",  # zero-norm opt-out rule in both scorers
@@ -6519,7 +6584,6 @@ DRIVER_ORDER: list[str] = [
     "t4_timestamp_cursor",
     "rel_pivot_status_priority",
     "rel_rollup_lineitem",
-    "rel_orders_with_big_lineitems",
 ]
 
 
