@@ -28,6 +28,7 @@ ROUND4_MUST_FRONT: set[str] = {
     "multimodal_resize",
     "emb_outlier_zscore",
     "s1_parse_eml",
+    "s1_parse_pptx",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",

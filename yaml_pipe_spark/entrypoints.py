@@ -735,6 +735,82 @@ def q_s1_parse_eml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "s1_parse_pptx",
+    f"""
+WITH parsed AS (
+  SELECT doc_id, lang,
+         array_to_string({_DK_ELS.format(src="text")}, e'\\n\\n') AS parsed
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN length(parsed) > 0
+                     THEN len(string_split(parsed, e'\\n\\n')) ELSE 0 END)
+            AS BIGINT) AS n_elements,
+       CAST(count(DISTINCT md5(parsed)) AS BIGINT) AS n_uniq,
+       round(avg(length(parsed)), 4) AS avg_len
+FROM parsed GROUP BY lang
+""",
+    "S1 parse seam for .pptx, ORACLE-CHECKED end to end: a complete OOXML "
+    "presentation (zip + slide XML, document text as an escaped DrawingML "
+    "run) is built per doc in the same Arrow mapInPandas shape as any "
+    "binary ingest, the real zipfile+ElementTree extractor pulls the "
+    "slide text back out, and the shared blank-line normalization must "
+    "reproduce exactly the elements of the original text — a zip-layout, "
+    "XML-escaping, or run-joining bug hash-mismatches.",
+)
+def q_s1_parse_pptx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator
+
+    import pandas as pd
+
+    from yaml_pipe_spark.sources.parsers import parse_pptx
+
+    def build(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+        import zipfile
+        from xml.sax.saxutils import escape
+
+        a = "http://schemas.openxmlformats.org/drawingml/2006/main"
+        p = "http://schemas.openxmlformats.org/presentationml/2006/main"
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                xml = (
+                    f'<?xml version="1.0"?><p:sld xmlns:p="{p}" '
+                    f'xmlns:a="{a}"><p:cSld><p:spTree><a:p><a:r>'
+                    f'<a:t>{escape(text or "")}</a:t>'
+                    f"</a:r></a:p></p:spTree></p:cSld></p:sld>"
+                )
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w") as zf:
+                    zf.writestr("ppt/slides/slide1.xml", xml)
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "lang": pdf["lang"],
+                    "raw": payloads,
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    built = docs.mapInPandas(build, "doc_id long, lang string, raw binary")
+    parsed = built.withColumn("parsed", parse_pptx(F.col("raw")))
+    n_els = F.when(
+        F.length("parsed") > 0, F.size(F.split(F.col("parsed"), "\n\n"))
+    ).otherwise(F.lit(0))
+    return parsed.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(n_els).cast("long").alias("n_elements"),
+        F.countDistinct(F.md5("parsed")).cast("long").alias("n_uniq"),
+        F.round(F.avg(F.length("parsed")), 4).alias("avg_len"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -6551,6 +6627,7 @@ DRIVER_ORDER: list[str] = [
     "corpus_dedup_funnel",     # new: staged dedup attrition report
     "emb_outlier_zscore",      # new: embedding outlier QA gate
     "s1_parse_eml",            # new: MIME extractor oracled end-to-end
+    "s1_parse_pptx",           # new: OOXML extractor oracled end-to-end
     "dedup_minhash_lsh",       # id-level candidate cut moved below self-join
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",  # zero-norm opt-out rule in both scorers
@@ -6583,7 +6660,6 @@ DRIVER_ORDER: list[str] = [
     "s1_parse_dispatch",
     "t4_timestamp_cursor",
     "rel_pivot_status_priority",
-    "rel_rollup_lineitem",
 ]
 
 
