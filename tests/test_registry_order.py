@@ -29,6 +29,8 @@ ROUND4_MUST_FRONT: set[str] = {
     "emb_outlier_zscore",
     "s1_parse_eml",
     "s1_parse_pptx",
+    "s1_parse_docx",
+    "s1_parse_pdf",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",

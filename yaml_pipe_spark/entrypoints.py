@@ -723,16 +723,7 @@ def q_s1_parse_eml(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "UTF-8",
     )
-    parsed = docs.withColumn("parsed", parse_eml(raw))
-    n_els = F.when(
-        F.length("parsed") > 0, F.size(F.split(F.col("parsed"), "\n\n"))
-    ).otherwise(F.lit(0))
-    return parsed.groupBy("lang").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum(n_els).cast("long").alias("n_elements"),
-        F.countDistinct(F.md5("parsed")).cast("long").alias("n_uniq"),
-        F.round(F.avg(F.length("parsed")), 4).alias("avg_len"),
-    )
+    return _parse_rollup(docs.withColumn("parsed", parse_eml(raw)))
 
 
 @register(
@@ -799,7 +790,12 @@ def q_s1_parse_pptx(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "text"
     )
     built = docs.mapInPandas(build, "doc_id long, lang string, raw binary")
-    parsed = built.withColumn("parsed", parse_pptx(F.col("raw")))
+    return _parse_rollup(built.withColumn("parsed", parse_pptx(F.col("raw"))))
+
+
+def _parse_rollup(parsed: DataFrame) -> DataFrame:
+    """Shared rollup for the end-to-end parser oracles: per-lang doc,
+    element, distinct-hash, and length stats over a `parsed` column."""
     n_els = F.when(
         F.length("parsed") > 0, F.size(F.split(F.col("parsed"), "\n\n"))
     ).otherwise(F.lit(0))
@@ -809,6 +805,121 @@ def q_s1_parse_pptx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.md5("parsed")).cast("long").alias("n_uniq"),
         F.round(F.avg(F.length("parsed")), 4).alias("avg_len"),
     )
+
+
+_PARSE_ROUNDTRIP_ORACLE = f"""
+WITH parsed AS (
+  SELECT doc_id, lang,
+         array_to_string({_DK_ELS.format(src="text")}, e'\\n\\n') AS parsed
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN length(parsed) > 0
+                     THEN len(string_split(parsed, e'\\n\\n')) ELSE 0 END)
+            AS BIGINT) AS n_elements,
+       CAST(count(DISTINCT md5(parsed)) AS BIGINT) AS n_uniq,
+       round(avg(length(parsed)), 4) AS avg_len
+FROM parsed GROUP BY lang
+"""
+
+
+@register(
+    "s1_parse_docx",
+    _PARSE_ROUNDTRIP_ORACLE,
+    "S1 parse seam for .docx, ORACLE-CHECKED end to end: a complete OOXML "
+    "wordprocessing doc (zip + document.xml, the text as an escaped w:t "
+    "run) is built per doc, the real zipfile+ElementTree extractor pulls "
+    "it back out, and the normalization must reproduce the elements of "
+    "the original text exactly.",
+)
+def q_s1_parse_docx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator
+
+    import pandas as pd
+
+    from yaml_pipe_spark.sources.parsers import parse_docx
+
+    def build(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+        import zipfile
+        from xml.sax.saxutils import escape
+
+        w = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                xml = (
+                    f'<?xml version="1.0"?><w:document xmlns:w="{w}">'
+                    f'<w:body><w:p><w:r><w:t xml:space="preserve">'
+                    f'{escape(text or "")}</w:t></w:r></w:p>'
+                    f"</w:body></w:document>"
+                )
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w") as zf:
+                    zf.writestr("word/document.xml", xml)
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "lang": pdf["lang"],
+                 "raw": payloads}
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    built = docs.mapInPandas(build, "doc_id long, lang string, raw binary")
+    return _parse_rollup(built.withColumn("parsed", parse_docx(F.col("raw"))))
+
+
+@register(
+    "s1_parse_pdf",
+    _PARSE_ROUNDTRIP_ORACLE,
+    "S1 parse seam for .pdf, ORACLE-CHECKED end to end: a complete PDF "
+    "(catalog/pages/page objects + an uncompressed content stream whose "
+    "BT block carries the document text as a UTF-16BE hex string — the "
+    "encoding that survives any character, including zh) is built per "
+    "doc, the real stdlib extractor (stream walk, BT/ET operator parse, "
+    "hex-string + BOM decode) pulls the text back out, and the "
+    "normalization must reproduce the elements of the original text "
+    "exactly — an offset, operator-parse, or UTF-16 bug hash-mismatches.",
+)
+def q_s1_parse_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator
+
+    import pandas as pd
+
+    from yaml_pipe_spark.sources.parsers import parse_pdf
+
+    def build(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                hx = (
+                    b"\xfe\xff" + (text or "").encode("utf-16-be")
+                ).hex().encode()
+                body = b"BT <" + hx + b"> Tj ET"
+                parts = [
+                    b"%PDF-1.4\n",
+                    b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+                    b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\n"
+                    b"endobj\n",
+                    b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+                    b" >>\nendobj\n",
+                    b"4 0 obj\n<< /Length " + str(len(body)).encode()
+                    + b" >>\nstream\n" + body + b"\nendstream\nendobj\n",
+                    b"trailer\n<< /Root 1 0 R >>\n%%EOF\n",
+                ]
+                payloads.append(b"".join(parts))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "lang": pdf["lang"],
+                 "raw": payloads}
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    built = docs.mapInPandas(build, "doc_id long, lang string, raw binary")
+    return _parse_rollup(built.withColumn("parsed", parse_pdf(F.col("raw"))))
 
 
 # ---------------------------------------------------------------------------
@@ -6628,6 +6739,8 @@ DRIVER_ORDER: list[str] = [
     "emb_outlier_zscore",      # new: embedding outlier QA gate
     "s1_parse_eml",            # new: MIME extractor oracled end-to-end
     "s1_parse_pptx",           # new: OOXML extractor oracled end-to-end
+    "s1_parse_docx",           # new: wordprocessing roundtrip oracle
+    "s1_parse_pdf",            # new: PDF UTF-16BE roundtrip oracle
     "dedup_minhash_lsh",       # id-level candidate cut moved below self-join
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",  # zero-norm opt-out rule in both scorers
@@ -6656,10 +6769,8 @@ DRIVER_ORDER: list[str] = [
     "stream_stateful_counter",
     "stream_tumbling_agg",
     "stream_static_enrich",
-    # -- (4) padding: oldest driver validation first (r1-era rows) --
+    # -- (4) padding: oldest driver validation first (r1-era row) --
     "s1_parse_dispatch",
-    "t4_timestamp_cursor",
-    "rel_pivot_status_priority",
 ]
 
 
