@@ -31,6 +31,7 @@ ROUND4_MUST_FRONT: set[str] = {
     "s1_parse_pptx",
     "s1_parse_docx",
     "s1_parse_pdf",
+    "rel_revenue_trend",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",

@@ -2699,6 +2699,67 @@ def q_rel_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_revenue_trend",
+    """
+WITH daily AS (
+  SELECT o_orderpriority,
+         date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS x,
+         count(*) AS y
+  FROM orders GROUP BY 1, 2
+),
+m AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM daily GROUP BY 1
+)
+SELECT o_orderpriority,
+       n AS n_days,
+       round((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 8) AS slope,
+       round((sy - (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) * sx)
+             / n, 6) AS intercept
+FROM m
+""",
+    "Daily order-count trend per priority: ordinary-least-squares slope "
+    "and intercept computed from EXACT INTEGER MOMENTS (n, Σx, Σy, Σxy, "
+    "Σx² over day-index/count pairs) — integer sums are "
+    "summation-order-independent, so the regression is bit-deterministic "
+    "across engines and partitionings, unlike regr_slope over raw "
+    "doubles. The trend audit a pipeline owner reads for drift; two "
+    "aggregations, both riding one orders shuffle.",
+)
+def q_rel_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        "o_orderpriority",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).alias("x"),
+    ).agg(F.count("*").alias("y"))
+    m = daily.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * 1.0 / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        "o_orderpriority",
+        F.col("n").alias("n_days"),
+        F.round(slope, 8).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )
+
+
+@register(
     "rel_join_key_skew",
     """
 WITH cnt_li AS (
@@ -6741,6 +6802,7 @@ DRIVER_ORDER: list[str] = [
     "s1_parse_pptx",           # new: OOXML extractor oracled end-to-end
     "s1_parse_docx",           # new: wordprocessing roundtrip oracle
     "s1_parse_pdf",            # new: PDF UTF-16BE roundtrip oracle
+    "rel_revenue_trend",       # new: integer-moment OLS trend
     "dedup_minhash_lsh",       # id-level candidate cut moved below self-join
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",  # zero-norm opt-out rule in both scorers
@@ -6769,8 +6831,6 @@ DRIVER_ORDER: list[str] = [
     "stream_stateful_counter",
     "stream_tumbling_agg",
     "stream_static_enrich",
-    # -- (4) padding: oldest driver validation first (r1-era row) --
-    "s1_parse_dispatch",
 ]
 
 
