@@ -32,6 +32,8 @@ ROUND4_MUST_FRONT: set[str] = {
     "s1_parse_docx",
     "s1_parse_pdf",
     "rel_revenue_trend",
+    "text_dsir_weight",
+    "emb_dim_stats",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
@@ -46,7 +48,9 @@ EVENTS_STREAM_REVALIDATE: set[str] = {
     n for n in REGISTRY if n.startswith(("events_", "stream_"))
 } - {"stream_hopping_agg", "stream_watermark_dedup", "events_forget_users",
      "events_transition_matrix", "events_incremental_agg",
-     "events_approx_distinct_bounded"}  # r3-prefix rows, already current-gen
+     "events_approx_distinct_bounded",  # r3-prefix rows, already current-gen
+     "stream_tumbling_agg", "stream_static_enrich"}  # swapped out for the
+     # two round-4-changed queries (changed code outranks maybe-regen)
 
 
 def test_driver_order_is_valid():

@@ -4496,16 +4496,20 @@ WITH dims AS (
 )
 SELECT CAST(dim AS BIGINT) AS dim,
        CAST(count(*) AS BIGINT) AS n,
-       round(avg(v), 4) AS mean_v,
+       round(avg(v), 4) + 0.0 AS mean_v,
        round(stddev_samp(v), 4) AS std_v,
-       round(min(v), 4) AS min_v,
-       round(max(v), 4) AS max_v
+       round(min(v), 4) + 0.0 AS min_v,
+       round(max(v), 4) + 0.0 AS max_v
 FROM dims GROUP BY dim
 """,
     "Per-dimension corpus statistics over the embedding column (the "
     "normalize/whiten precursor for IVF centroid training): posexplode -> "
     "64-key agg; partial aggregation compresses the x64 row blowup back to "
-    "|dims| x |partitions| before the single shuffle",
+    "|dims| x |partitions| before the single shuffle. A near-zero mean "
+    "rounds to -0.0 in one engine and 0.0 in the other (caught by the "
+    "sf0.1 sweep after round 3's emb_covariance lesson) — the +0.0 on "
+    "every signed rounded column normalizes IEEE negative zero in both "
+    "engines.",
 )
 def q_emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("embedding")
@@ -4514,10 +4518,10 @@ def q_emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select((F.col("pos") + 1).cast("long").alias("dim"), "v")
     return dims.groupBy("dim").agg(
         F.count("*").cast("long").alias("n"),
-        F.round(F.avg("v"), 4).alias("mean_v"),
+        (F.round(F.avg("v"), 4) + F.lit(0.0)).alias("mean_v"),
         F.round(F.stddev_samp("v"), 4).alias("std_v"),
-        F.round(F.min("v"), 4).alias("min_v"),
-        F.round(F.max("v"), 4).alias("max_v"),
+        (F.round(F.min("v"), 4) + F.lit(0.0)).alias("min_v"),
+        (F.round(F.max("v"), 4) + F.lit(0.0)).alias("max_v"),
     )
 
 
@@ -6324,7 +6328,7 @@ w AS (
   FROM rb, tot
 )
 SELECT db.doc_id, db.lang,
-       round(sum(db.c_db * w.w_b), 4) AS dsir_logweight
+       round(sum(db.c_db * w.w_b), 4) + 0.0 AS dsir_logweight
 FROM db JOIN w ON db.b = w.b
 GROUP BY db.doc_id, db.lang
 """,
@@ -6381,7 +6385,10 @@ def q_text_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
         db.join(F.broadcast(w), "b")
         .groupBy("doc_id", "lang")
         .agg(
-            F.round(F.sum(F.col("c_db") * F.col("w_b")), 4).alias(
+            # +0.0 normalizes a rounded -0.0 (a doc whose log-ratio sums to
+            # a tiny negative — the hazard class emb_covariance hit in r3,
+            # caught here by the strict sf0.1 sweep)
+            (F.round(F.sum(F.col("c_db") * F.col("w_b")), 4) + F.lit(0.0)).alias(
                 "dsir_logweight"
             )
         )
@@ -6803,6 +6810,8 @@ DRIVER_ORDER: list[str] = [
     "s1_parse_docx",           # new: wordprocessing roundtrip oracle
     "s1_parse_pdf",            # new: PDF UTF-16BE roundtrip oracle
     "rel_revenue_trend",       # new: integer-moment OLS trend
+    "text_dsir_weight",        # changed: -0.0 normalization (sf0.1 catch)
+    "emb_dim_stats",           # changed: -0.0 normalization (sf0.1 catch)
     "dedup_minhash_lsh",       # id-level candidate cut moved below self-join
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",  # zero-norm opt-out rule in both scorers
@@ -6829,8 +6838,6 @@ DRIVER_ORDER: list[str] = [
     "stream_dedup_first_arrival",
     "stream_interval_join",
     "stream_stateful_counter",
-    "stream_tumbling_agg",
-    "stream_static_enrich",
 ]
 
 
