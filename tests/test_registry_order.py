@@ -34,6 +34,7 @@ ROUND4_MUST_FRONT: set[str] = {
     "rel_revenue_trend",
     "text_dsir_weight",
     "emb_dim_stats",
+    "stream_window_topk",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
@@ -49,8 +50,9 @@ EVENTS_STREAM_REVALIDATE: set[str] = {
 } - {"stream_hopping_agg", "stream_watermark_dedup", "events_forget_users",
      "events_transition_matrix", "events_incremental_agg",
      "events_approx_distinct_bounded",  # r3-prefix rows, already current-gen
-     "stream_tumbling_agg", "stream_static_enrich"}  # swapped out for the
-     # two round-4-changed queries (changed code outranks maybe-regen)
+     "stream_tumbling_agg", "stream_static_enrich",
+     "events_grouping_sets"}  # swapped out for round-4-changed/new queries
+     # (changed code outranks maybe-regen; union-green rows remain)
 
 
 def test_driver_order_is_valid():

@@ -3751,6 +3751,54 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT * FROM {name}")
 
 
+@register(
+    "stream_window_topk",
+    """
+WITH counts AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY window_start
+                               ORDER BY n_events DESC, event_type) AS rn
+  FROM counts
+)
+SELECT window_start, event_type, n_events, CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= 2
+""",
+    "Streaming windowed top-k: the watermarked tumbling aggregation runs "
+    "in the streaming runtime (complete-mode availableNow drain), and the "
+    "top-2 event types per hour are ranked over the drained state — the "
+    "trending-now pattern, with ranking deliberately OUTSIDE the stream "
+    "(Structured Streaming cannot run a ranking window on an unbounded "
+    "aggregate; the drained sink is where top-k belongs). Deterministic "
+    "(count desc, type) tiebreak; oracle recomputes windows, counts, and "
+    "ranks from the batch table.",
+)
+def q_stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.streaming.stream import (
+        stream_events,
+        streaming_tumbling_agg,
+    )
+
+    _STREAM_COUNTER[0] += 1
+    name = f"stream_window_topk_q{_STREAM_COUNTER[0]}"
+    agg = streaming_tumbling_agg(stream_events(spark, sf_dir))
+    _drain_to_memory(agg, "complete", name)
+    return spark.sql(
+        f"""
+        SELECT window_start, event_type, n_events, rank FROM (
+          SELECT window_start, event_type, n_events,
+                 CAST(row_number() OVER (
+                   PARTITION BY window_start
+                   ORDER BY n_events DESC, event_type) AS BIGINT) AS rank
+          FROM {name}
+        ) WHERE rank <= 2
+        """
+    )
+
+
 def _dk_sha_byte(n: int) -> str:
     """Int value of byte `n` (0-based) of a sha256 hex digest column `h`."""
     return (
@@ -6812,6 +6860,7 @@ DRIVER_ORDER: list[str] = [
     "rel_revenue_trend",       # new: integer-moment OLS trend
     "text_dsir_weight",        # changed: -0.0 normalization (sf0.1 catch)
     "emb_dim_stats",           # changed: -0.0 normalization (sf0.1 catch)
+    "stream_window_topk",      # new: windowed top-k over the drained state
     "dedup_minhash_lsh",       # id-level candidate cut moved below self-join
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",  # zero-norm opt-out rule in both scorers
@@ -6832,7 +6881,6 @@ DRIVER_ORDER: list[str] = [
     "events_interval_join",
     "events_decayed_score",
     "events_rfm_segments",
-    "events_grouping_sets",
     "events_anomaly_zscore",
     "stream_session_window",
     "stream_dedup_first_arrival",
