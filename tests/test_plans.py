@@ -436,3 +436,74 @@ def test_round3_queries_stay_jvm_side(spark):
         plan = _plan(_q(name, spark), "simple")
         assert "EvalPython" not in plan, name
         assert "FlatMapGroupsInPandas" not in plan, name
+
+
+def test_tpch_completion_queries_stay_jvm_side(spark):
+    # the round-4b TPC-H completion sweep is pure Catalyst end to end
+    for name in (
+        "rel_min_cost_supplier",
+        "rel_shipping_priority",
+        "rel_product_profit",
+        "rel_important_stock",
+        "rel_shipmode_priority",
+        "rel_parts_supplier_count",
+        "rel_promotion_suppliers",
+    ):
+        plan = _plan(_q(name, spark), "simple")
+        assert "EvalPython" not in plan, name
+        assert "FlatMapGroupsInPandas" not in plan, name
+
+
+def test_min_cost_supplier_part_filter_below_window(spark):
+    # Q2 analog: the 56-part dim must prune the pair aggregate BEFORE the
+    # per-part min window — at 100 TB windowing the unfiltered pair
+    # relation would be the dominant shuffle. Both part filters reach the
+    # scan; the window exchange partitions on l_partkey.
+    plan = _plan(_q("rel_min_cost_supplier", spark))
+    assert "EqualTo(p_type,LARGE)" in plan
+    assert "GreaterThanOrEqual(p_size,10)" in plan
+    assert "BroadcastHashJoin" in plan
+    # window runs after the pair agg: its exchange is on partkey only
+    assert "hashpartitioning(l_partkey" in plan
+
+
+def test_shipping_priority_topk_and_pushdown(spark):
+    # Q3 analog: date filters reach both scans; top-10 compiles to
+    # TakeOrderedAndProject, never a global sort
+    plan = _plan(_q("rel_shipping_priority", spark))
+    assert "TakeOrderedAndProject" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThan(l_shipdate" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_product_profit_part_pushdown_and_broadcast_dims(spark):
+    # Q9 analog: the %bolt% filter is pushed to the part scan as a
+    # substring predicate and every dim joins as broadcast
+    plan = _plan(_q("rel_product_profit", spark))
+    assert "StringContains(p_name,bolt)" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_important_stock_single_scan_diamond(spark):
+    # Q11 analog: the per-part value frame is built once; the scalar
+    # sum/count total must REUSE its exchange, not rescan lineitem
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(_q("rel_important_stock", spark), "simple")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    scans = [l for l in plan.splitlines()
+             if "FileScan" in l and "lineitem" in l]
+    assert len(scans) == 1, f"lineitem scanned {len(scans)}x"
+    assert "ReusedExchange" in plan
+
+
+def test_parts_supplier_count_anti_and_semi_joins(spark):
+    # Q16 analog: the negative-balance exclusion is a broadcast ANTI join;
+    # Q20 analog: the qualifying-supplier set joins as broadcast SEMI
+    plan16 = _plan(_q("rel_parts_supplier_count", spark), "simple")
+    assert "LeftAnti" in plan16
+    plan20 = _plan(_q("rel_promotion_suppliers", spark), "simple")
+    assert "LeftSemi" in plan20

@@ -32,6 +32,13 @@ ROUND4_MUST_FRONT: set[str] = {
     "s1_parse_docx",
     "s1_parse_pdf",
     "rel_revenue_trend",
+    "rel_min_cost_supplier",
+    "rel_shipping_priority",
+    "rel_product_profit",
+    "rel_important_stock",
+    "rel_shipmode_priority",
+    "rel_parts_supplier_count",
+    "rel_promotion_suppliers",
     "text_dsir_weight",
     "emb_dim_stats",
     "stream_window_topk",
@@ -51,8 +58,12 @@ EVENTS_STREAM_REVALIDATE: set[str] = {
      "events_transition_matrix", "events_incremental_agg",
      "events_approx_distinct_bounded",  # r3-prefix rows, already current-gen
      "stream_tumbling_agg", "stream_static_enrich",
-     "events_grouping_sets"}  # swapped out for round-4-changed/new queries
-     # (changed code outranks maybe-regen; union-green rows remain)
+     "events_grouping_sets",
+     # displaced by the 4b TPC-H completion sweep (new code outranks
+     # maybe-regen; their union-green r2/r3 rows remain on record):
+     "events_retention_cohorts", "events_time_weighted_window",
+     "events_interval_join", "events_decayed_score", "events_rfm_segments",
+     "events_anomaly_zscore", "stream_stateful_counter"}
 
 
 def test_driver_order_is_valid():
