@@ -283,3 +283,88 @@ def test_file_extension_extraction(spark):
     )
     vals = [r.e for r in df.select(file_extension(F.col("p")).alias("e")).collect()]
     assert vals == ["pdf", "", "gz"]
+
+
+def _mini_epub() -> bytes:
+    """Two spine chapters whose SPINE order reverses the zip/manifest
+    order, a nested OPF directory, a non-spine part that must be ignored,
+    and a chapter with no block markup (body-text fallback)."""
+    import io
+    import zipfile
+
+    container = (
+        '<?xml version="1.0"?>'
+        '<container version="1.0" xmlns="urn:oasis:names:tc:'
+        'opendocument:xmlns:container"><rootfiles>'
+        '<rootfile full-path="OEBPS/content.opf" '
+        'media-type="application/oebps-package+xml"/>'
+        "</rootfiles></container>"
+    )
+    opf = (
+        '<?xml version="1.0"?>'
+        '<package xmlns="http://www.idpf.org/2007/opf" version="3.0">'
+        "<manifest>"
+        '<item id="c2" href="text/ch2.xhtml" '
+        'media-type="application/xhtml+xml"/>'
+        '<item id="c1" href="text/ch1.xhtml" '
+        'media-type="application/xhtml+xml"/>'
+        '<item id="cover" href="cover.xhtml" '
+        'media-type="application/xhtml+xml"/>'
+        "</manifest>"
+        '<spine><itemref idref="c1"/><itemref idref="c2"/></spine>'
+        "</package>"
+    )
+    ch1 = (
+        '<?xml version="1.0"?>'
+        '<html xmlns="http://www.w3.org/1999/xhtml"><body>'
+        "<h1>Chapter One</h1><p>First <em>para</em>.</p>"
+        "<ul><li>item a</li></ul>"
+        "</body></html>"
+    )
+    ch2 = (  # no block elements: whole-body fallback
+        '<?xml version="1.0"?>'
+        '<html xmlns="http://www.w3.org/1999/xhtml"><body>'
+        "Bare body text</body></html>"
+    )
+    cover = (
+        '<?xml version="1.0"?>'
+        '<html xmlns="http://www.w3.org/1999/xhtml"><body>'
+        "<p>NOT IN SPINE</p></body></html>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", "application/epub+zip")
+        zf.writestr("META-INF/container.xml", container)
+        zf.writestr("OEBPS/content.opf", opf)
+        zf.writestr("OEBPS/text/ch2.xhtml", ch2)
+        zf.writestr("OEBPS/text/ch1.xhtml", ch1)
+        zf.writestr("OEBPS/cover.xhtml", cover)
+    return buf.getvalue()
+
+
+def test_epub_extractor_golden():
+    from yaml_pipe_spark.sources.epub import extract_epub_text
+
+    # chapters come out in SPINE order (c1 before c2 despite manifest/zip
+    # order); nested hrefs resolve against the OPF directory; the
+    # non-spine cover is skipped; ch2 falls back to bare body text
+    assert extract_epub_text(_mini_epub()) == (
+        "Chapter One\nFirst para.\nitem a\n\nBare body text"
+    )
+
+
+def test_epub_end_to_end(spark, tmp_path):
+    (tmp_path / "b.epub").write_bytes(_mini_epub())
+    src = LocalFileSource(
+        str(tmp_path),
+        glob_pattern="**/*",
+        parse=True,
+        parse_extensions=["epub"],
+    )
+    rows = {
+        r.source.rsplit("/", 1)[-1]: r.content
+        for r in src.load(spark).collect()
+    }
+    assert rows["b.epub"] == (
+        "Chapter One\nFirst para.\nitem a\n\nBare body text"
+    )

@@ -507,3 +507,26 @@ def test_parts_supplier_count_anti_and_semi_joins(spark):
     assert "LeftAnti" in plan16
     plan20 = _plan(_q("rel_promotion_suppliers", spark), "simple")
     assert "LeftSemi" in plan20
+
+
+def test_round4c_queries_stay_jvm_side(spark):
+    # segment dedup / temperature mix / matryoshka / PQ-ADC are pure
+    # Catalyst — no Python nodes anywhere
+    for name in (
+        "dedup_segment_exact",
+        "corpus_temperature_mix",
+        "emb_matryoshka_agreement",
+        "ann_pq_adc_topk",
+    ):
+        plan = _plan(_q(name, spark), "simple")
+        assert "EvalPython" not in plan, name
+        assert "FlatMapGroupsInPandas" not in plan, name
+
+
+def test_pq_and_matryoshka_single_qid_shuffle(spark):
+    # both rankings (ADC + exact / full + truncated) must ride ONE window
+    # exchange on qid — two sort orders over the same partitioning, never
+    # two shuffles of the pair relation
+    for name in ("ann_pq_adc_topk", "emb_matryoshka_agreement"):
+        plan = _plan(_q(name, spark), "simple")
+        assert plan.count("Exchange hashpartitioning(qid") == 1, name

@@ -39,6 +39,11 @@ ROUND4_MUST_FRONT: set[str] = {
     "rel_shipmode_priority",
     "rel_parts_supplier_count",
     "rel_promotion_suppliers",
+    "s1_parse_epub",
+    "dedup_segment_exact",
+    "corpus_temperature_mix",
+    "emb_matryoshka_agreement",
+    "ann_pq_adc_topk",
     "text_dsir_weight",
     "emb_dim_stats",
     "stream_window_topk",
@@ -63,7 +68,11 @@ EVENTS_STREAM_REVALIDATE: set[str] = {
      # maybe-regen; their union-green r2/r3 rows remain on record):
      "events_retention_cohorts", "events_time_weighted_window",
      "events_interval_join", "events_decayed_score", "events_rfm_segments",
-     "events_anomaly_zscore", "stream_stateful_counter"}
+     "events_anomaly_zscore", "stream_stateful_counter",
+     # displaced by the 4c wave (segment dedup / temperature mix / PQ /
+     # matryoshka / epub):
+     "events_funnel", "events_time_weighted_avg", "stream_session_window",
+     "stream_dedup_first_arrival", "stream_interval_join"}
 
 
 def test_driver_order_is_valid():

@@ -106,3 +106,123 @@ def test_substring_span_plan_never_explodes_pairs(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_segment_dedup_semantics(spark):
+    """Hand-built corpus, seg_words=2: a 2-token block shared verbatim by
+    two docs is boilerplate in both; everything else survives, and the
+    cleaned hash equals sha256 of the kept blocks re-joined in order."""
+    import hashlib
+
+    from yaml_pipe_spark.operators.dedup import segment_exact_dedup
+
+    rows = [
+        (1, "spam spam a b c d"),   # segs: "spam spam" | "a b" | "c d"
+        (2, "spam spam x y"),       # segs: "spam spam" | "x y"
+        (3, "u v w"),               # segs: "u v" | "w"  (all unique)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in segment_exact_dedup(docs, seg_words=2).collect()
+    }
+    assert (out[1].n_segments, out[1].n_dup_segments,
+            out[1].n_kept_tokens) == (3, 1, 4)
+    assert (out[2].n_segments, out[2].n_dup_segments,
+            out[2].n_kept_tokens) == (2, 1, 2)
+    assert (out[3].n_segments, out[3].n_dup_segments,
+            out[3].n_kept_tokens) == (2, 0, 3)
+    sha = lambda s: hashlib.sha256(s.encode()).hexdigest()  # noqa: E731
+    assert out[1].cleaned_hash == sha("a b c d")
+    assert out[2].cleaned_hash == sha("x y")
+    assert out[3].cleaned_hash == sha("u v w")
+
+
+def test_segment_dedup_fully_boilerplate_doc(spark):
+    """A doc made entirely of shared blocks cleans to the empty string."""
+    import hashlib
+
+    from yaml_pipe_spark.operators.dedup import segment_exact_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a b c d")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in segment_exact_dedup(docs, seg_words=2).collect()
+    }
+    empty = hashlib.sha256(b"").hexdigest()
+    assert out[1].cleaned_hash == empty and out[1].n_kept_tokens == 0
+    assert out[2].cleaned_hash == empty
+    # doc3 shares the "a b" block but keeps its unique "c d" tail
+    assert out[3].n_dup_segments == 1 and out[3].n_kept_tokens == 2
+
+
+def test_temperature_mix_upweights_low_resource(spark):
+    """alpha=0.5 mixing must give a LOW-resource stratum a keep-rate at
+    least as high as a high-resource one, rates stay in (0, 1], and the
+    sampled count never exceeds the stratum size."""
+    from yaml_pipe_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = {r.lang: r for r in temperature_mix(df, "lang", "doc_id").collect()}
+    assert out["small"].rate >= out["big"].rate
+    for r in out.values():
+        assert 0.0 < r.rate <= 1.0
+        assert 0 <= r.n_sampled <= r.n_docs
+    # q is a distribution over strata (rounding slack)
+    assert abs(sum(r.q_temp for r in out.values()) - 1.0) < 1e-4
+    # sqrt weighting: small keeps a larger SHARE of itself than big
+    assert (out["small"].n_sampled / out["small"].n_docs
+            >= out["big"].n_sampled / out["big"].n_docs)
+
+
+def test_sq2_codes_levels_and_adc(spark):
+    """Code assignment follows the closed-form floor rule (levels at
+    (-1.5,-0.5,0.5,1.5)/8, boundaries at -1/8, 0, 1/8) and ADC distance
+    of an exactly-representable level vector is 0."""
+    from yaml_pipe_spark.operators.similarity import (
+        sq2_adc_dist_sq,
+        sq2_codes,
+    )
+
+    vec = [-0.5, -0.1875, -0.125, -0.01, 0.0, 0.0625, 0.125, 0.9]
+    #      <-1/8  =level0  ==-1/8  bin1  ==0  =level2  ==1/8  >1/8
+    df = spark.createDataFrame([(vec,)], "v array<double>")
+    codes = df.select(sq2_codes(F.col("v")).alias("c")).first().c
+    assert codes == [0, 0, 1, 1, 2, 2, 3, 3]
+    # a vector sitting exactly on the reconstruction levels round-trips
+    levels = [(c - 1.5) / 8 for c in (0, 1, 2, 3, 3, 1, 0, 2)]
+    df2 = spark.createDataFrame([(levels,)], "v array<double>")
+    d = df2.select(
+        sq2_adc_dist_sq(F.col("v"), sq2_codes(F.col("v"))).alias("d")
+    ).first().d
+    assert d == 0.0
+
+
+def test_matryoshka_agreement_bounds(spark):
+    """Per-query overlap is within [0, 5]; a query's full_top1 matches the
+    exact knn_join rank-1 neighbor on the same corpus."""
+    from tests.conftest import SF_SMALL as sf_small
+
+    from yaml_pipe_spark.entrypoints import REGISTRY
+    from yaml_pipe_spark.operators.similarity import knn_join
+    from yaml_pipe_spark.tables import load_table
+
+    out = REGISTRY["emb_matryoshka_agreement"].fn(spark, sf_small).collect()
+    assert len(out) == 20
+    assert all(0 <= r.n_common <= 5 for r in out)
+    emb = load_table(spark, sf_small, "embeddings")
+    q = emb.filter(F.col("vec_id") == 3).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    nn1 = (
+        knn_join(q, corpus, k=1, exclude_self=False)
+        .first()
+    )
+    row3 = [r for r in out if r.qid == 3][0]
+    assert row3.full_top1 == nn1.vec_id

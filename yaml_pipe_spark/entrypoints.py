@@ -922,6 +922,75 @@ def q_s1_parse_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _parse_rollup(built.withColumn("parsed", parse_pdf(F.col("raw"))))
 
 
+@register(
+    "s1_parse_epub",
+    _PARSE_ROUNDTRIP_ORACLE,
+    "S1 parse seam for .epub, ORACLE-CHECKED end to end: a complete EPUB "
+    "container (zip with META-INF/container.xml -> OPF manifest/spine -> "
+    "an XHTML content document carrying the text as an escaped <p>) is "
+    "built per doc, the real zipfile+ElementTree extractor walks "
+    "container -> rootfile -> spine -> block elements to pull the text "
+    "back out, and the shared normalization must reproduce the elements "
+    "of the original text exactly — a container-path, spine-order, or "
+    "XHTML-walk bug hash-mismatches.",
+)
+def q_s1_parse_epub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator
+
+    import pandas as pd
+
+    from yaml_pipe_spark.sources.parsers import parse_epub
+
+    def build(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+        import zipfile
+        from xml.sax.saxutils import escape
+
+        container = (
+            '<?xml version="1.0"?>'
+            '<container version="1.0" xmlns="urn:oasis:names:tc:'
+            'opendocument:xmlns:container"><rootfiles>'
+            '<rootfile full-path="OEBPS/content.opf" '
+            'media-type="application/oebps-package+xml"/>'
+            "</rootfiles></container>"
+        )
+        opf = (
+            '<?xml version="1.0"?>'
+            '<package xmlns="http://www.idpf.org/2007/opf" version="3.0">'
+            "<manifest>"
+            '<item id="ch1" href="ch1.xhtml" '
+            'media-type="application/xhtml+xml"/>'
+            "</manifest>"
+            '<spine><itemref idref="ch1"/></spine></package>'
+        )
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                xhtml = (
+                    '<?xml version="1.0"?>'
+                    '<html xmlns="http://www.w3.org/1999/xhtml"><body>'
+                    f'<p>{escape(text or "")}</p>'
+                    "</body></html>"
+                )
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w") as zf:
+                    zf.writestr("mimetype", "application/epub+zip")
+                    zf.writestr("META-INF/container.xml", container)
+                    zf.writestr("OEBPS/content.opf", opf)
+                    zf.writestr("OEBPS/ch1.xhtml", xhtml)
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "lang": pdf["lang"],
+                 "raw": payloads}
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    built = docs.mapInPandas(build, "doc_id long, lang string, raw binary")
+    return _parse_rollup(built.withColumn("parsed", parse_epub(F.col("raw"))))
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -7278,6 +7347,272 @@ def q_rel_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_name", F.col("n_name").alias("nation"))
 
 
+# ---------------------------------------------------------------------------
+# Round 4c: C4-style segment dedup, temperature mixture sampling,
+# matryoshka truncation QA, and 2-bit scalar/product quantization ADC ANN.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_segment_exact",
+    """
+WITH base AS (SELECT doc_id AS id, string_split(text, ' ') AS tk
+              FROM documents),
+segs AS (
+  SELECT id, s, array_to_string(list_slice(tk, s, s + 15), ' ') AS seg
+  FROM (SELECT id, tk, UNNEST(generate_series(1, len(tk), 16)) AS s
+        FROM base)
+),
+counts AS (SELECT seg, count(DISTINCT id) AS ndocs FROM segs GROUP BY 1),
+marked AS (
+  SELECT g.id, g.s, g.seg, c.ndocs > 1 AS dup,
+         len(string_split(g.seg, ' ')) AS segtok
+  FROM segs g JOIN counts c USING (seg)
+)
+SELECT id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_segments,
+       CAST(sum(CASE WHEN dup THEN 0 ELSE segtok END) AS BIGINT)
+         AS n_kept_tokens,
+       sha256(coalesce(array_to_string(
+         list(seg ORDER BY s) FILTER (WHERE NOT dup), ' '), ''))
+         AS cleaned_hash
+FROM marked GROUP BY 1
+""",
+    "C4-style exact segment dedup (operators/dedup.py::segment_exact_dedup): "
+    "disjoint 16-token blocks, boilerplate = block text in >1 distinct doc; "
+    "the per-doc audit pins counts AND the sha256 of the cleaned "
+    "reconstruction, so a segmentation or ordering bug hash-mismatches. "
+    "Segment-keyed agg + join (one partitioning, reused), never a "
+    "doc-set-collecting window — the 100 TB-safe shape.",
+)
+def q_dedup_segment_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.dedup import segment_exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return segment_exact_dedup(docs, "text", "doc_id", seg_words=16)
+
+
+def _dk_hex4(key: str) -> str:
+    md5e = f"md5(CAST({key} AS VARCHAR))"
+    digs = [
+        f"(strpos('0123456789abcdef', substr({md5e}, {i}, 1)) - 1)"
+        for i in range(1, 5)
+    ]
+    return (
+        f"((({digs[0]} * 16 + {digs[1]}) * 16 + {digs[2]}) * 16 + {digs[3]})"
+    )
+
+
+@register(
+    "corpus_temperature_mix",
+    f"""
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+w AS (SELECT lang, n, sqrt(CAST(n AS DOUBLE)) AS wt FROM c),
+r AS (
+  SELECT lang, n,
+         round(wt / (SELECT sum(wt) FROM w), 6) AS q_temp,
+         round(least(1.0,
+                 (round(wt / (SELECT sum(wt) FROM w), 6)
+                  * ((SELECT sum(n) FROM c) * 0.5)) / n), 6) AS rate
+  FROM w
+),
+s AS (
+  SELECT d.lang, count(*) AS ns
+  FROM documents d JOIN r USING (lang)
+  WHERE {_dk_hex4('d.doc_id')} / 65536.0 < r.rate
+  GROUP BY 1
+)
+SELECT r.lang, CAST(r.n AS BIGINT) AS n_docs, r.q_temp, r.rate,
+       CAST(coalesce(s.ns, 0) AS BIGINT) AS n_sampled
+FROM r LEFT JOIN s USING (lang)
+""",
+    "Temperature-based language mixture (mT5/XLM-R alpha=0.5, "
+    "operators/sampling.py::temperature_mix): per-lang sampling weights "
+    "proportional to sqrt(share), scaled to a half-corpus budget, capped "
+    "at 1; the keep decision is the deterministic md5-16-bit uniform so "
+    "the oracle recomputes the EXACT sampled counts, not an expectation. "
+    "sqrt (IEEE-correctly-rounded) instead of arbitrary pow keeps the "
+    "weights engine-identical.",
+)
+def q_corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.sampling import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "doc_id")
+    return temperature_mix(docs, "lang", "doc_id", budget_frac=0.5)
+
+
+@register(
+    "emb_matryoshka_agreement",
+    f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20
+),
+c AS (
+  SELECT vec_id, embedding AS xv FROM embeddings WHERE vec_id >= 20
+),
+scored AS (
+  SELECT q.qid, c.vec_id,
+         round({_dk_cos('c.xv', 'q.qv')}, 6) AS s_full,
+         round({_dk_cos('list_slice(c.xv, 1, 16)',
+                        'list_slice(q.qv, 1, 16)')}, 6) AS s_16
+  FROM c, q
+),
+ranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY qid ORDER BY s_full DESC, vec_id) AS rf,
+    row_number() OVER (PARTITION BY qid ORDER BY s_16 DESC, vec_id) AS rt
+  FROM scored
+)
+SELECT qid,
+       CAST(sum(CASE WHEN rf <= 5 AND rt <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_common,
+       CAST(min(CASE WHEN rf = 1 THEN vec_id END) AS BIGINT) AS full_top1,
+       CAST(min(CASE WHEN rt = 1 THEN vec_id END) AS BIGINT) AS trunc_top1
+FROM ranked GROUP BY qid
+""",
+    "Matryoshka truncation QA: top-5 agreement between full-dim cosine "
+    "and first-16-dim cosine retrieval (MRL-style dimension truncation — "
+    "the gate before shipping truncated embeddings to a cheaper index). "
+    "Both rankings come out of ONE pair pass and ONE qid shuffle (two "
+    "sort orders over the same window partitioning); rounded scores with "
+    "vec_id tiebreaks keep both top-5 memberships engine-deterministic.",
+)
+def q_emb_matryoshka_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from yaml_pipe_spark.functions.vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = emb.filter(F.col("vec_id") >= 20).select(
+        "vec_id", F.col("embedding").alias("xv")
+    )
+    scored = c.join(F.broadcast(q), how="cross").select(
+        "qid",
+        "vec_id",
+        F.round(cosine(F.col("xv"), F.col("qv")), 6).alias("s_full"),
+        F.round(
+            cosine(F.slice(F.col("xv"), 1, 16), F.slice(F.col("qv"), 1, 16)),
+            6,
+        ).alias("s_16"),
+    )
+    wq = W.partitionBy("qid")
+    ranked = scored.select(
+        "qid",
+        "vec_id",
+        F.row_number()
+        .over(wq.orderBy(F.desc("s_full"), "vec_id"))
+        .alias("rf"),
+        F.row_number().over(wq.orderBy(F.desc("s_16"), "vec_id")).alias("rt"),
+    )
+    return ranked.groupBy("qid").agg(
+        F.sum(((F.col("rf") <= 5) & (F.col("rt") <= 5)).cast("int"))
+        .cast("long")
+        .alias("n_common"),
+        F.min(F.when(F.col("rf") == 1, F.col("vec_id")))
+        .cast("long")
+        .alias("full_top1"),
+        F.min(F.when(F.col("rt") == 1, F.col("vec_id")))
+        .cast("long")
+        .alias("trunc_top1"),
+    )
+
+
+@register(
+    "ann_pq_adc_topk",
+    f"""
+WITH q AS (
+  SELECT vec_id AS qid,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < 20
+),
+c AS (
+  SELECT vec_id,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xv,
+         list_transform(embedding, v -> least(greatest(
+           CAST(floor(CAST(v AS DOUBLE) * 8) AS BIGINT) + 2,
+           CAST(0 AS BIGINT)), CAST(3 AS BIGINT))) AS code
+  FROM embeddings WHERE vec_id >= 20
+),
+pairs AS (
+  SELECT q.qid, c.vec_id,
+         round(list_sum(list_transform(
+           list_transform(generate_series(1, len(q.qv)),
+                          i -> q.qv[i] - (CAST(c.code[i] AS DOUBLE) - 1.5)/8),
+           x -> x * x)), 6) AS adc_r,
+         round({_dk_cos('c.xv', 'q.qv')}, 6) AS score
+  FROM c, q
+),
+ranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY qid ORDER BY adc_r, vec_id) AS rank,
+    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS xr
+  FROM pairs
+)
+SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, adc_r,
+       CAST(CASE WHEN xr <= 5 THEN 1 ELSE 0 END AS BIGINT) AS hit
+FROM ranked WHERE rank <= 5
+""",
+    "Product-quantization ANN with asymmetric distance "
+    "(operators/similarity.py::sq2_codes/sq2_adc_dist_sq): the corpus is "
+    "compressed to pinned 2-bit-per-dim codes (16 codewords per 2-dim "
+    "subspace — 16x smaller scan/shuffle than float32) and ranked by "
+    "full-precision-query-vs-reconstruction distance; `hit` marks ADC "
+    "top-5 rows that are also exact-cosine top-5, so the oracle checks "
+    "codes, ADC values, ranking, AND the quantizer's retrieval quality "
+    "in one result. The closed-form floor assignment rule (no argmin "
+    "ties) and the shared left-to-right fold keep everything "
+    "engine-exact; both rankings ride one qid window shuffle.",
+)
+def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from yaml_pipe_spark.functions.vectors import cosine
+    from yaml_pipe_spark.operators.similarity import (
+        sq2_adc_dist_sq,
+        sq2_codes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = emb.filter(F.col("vec_id") >= 20).select(
+        "vec_id",
+        F.col("embedding").alias("xv"),
+        sq2_codes(F.col("embedding")).alias("code"),
+    )
+    pairs = c.join(F.broadcast(q), how="cross").select(
+        "qid",
+        "vec_id",
+        F.round(sq2_adc_dist_sq(F.col("qv"), F.col("code")), 6).alias(
+            "adc_r"
+        ),
+        F.round(cosine(F.col("xv"), F.col("qv")), 6).alias("score"),
+    )
+    wq = W.partitionBy("qid")
+    ranked = pairs.select(
+        "qid",
+        "vec_id",
+        "adc_r",
+        F.row_number().over(wq.orderBy("adc_r", "vec_id")).alias("rank"),
+        F.row_number()
+        .over(wq.orderBy(F.desc("score"), "vec_id"))
+        .alias("xr"),
+    )
+    return ranked.filter(F.col("rank") <= 5).select(
+        "qid",
+        F.col("rank").cast("long").alias("rank"),
+        "vec_id",
+        "adc_r",
+        (F.col("xr") <= 5).cast("long").alias("hit"),
+    )
+
+
 # The round driver validates a *prefix* of the queries() dict (each round
 # records exactly the first 50 entries in insertion order). After round 3 the
 # union of driver-green rows covers every query registered through r3
@@ -7327,6 +7662,11 @@ DRIVER_ORDER: list[str] = [
     "rel_shipmode_priority",   # new (4b): Q12 analog, CASE-sum pivot
     "rel_parts_supplier_count",  # new (4b): Q16 analog, anti-join
     "rel_promotion_suppliers",   # new (4b): Q20 analog, nested semi
+    "s1_parse_epub",           # new (4c): real EPUB extractor, oracled
+    "dedup_segment_exact",     # new (4c): C4-style segment dedup
+    "corpus_temperature_mix",  # new (4c): sqrt-temperature lang mixing
+    "emb_matryoshka_agreement",  # new (4c): MRL truncation QA gate
+    "ann_pq_adc_topk",         # new (4c): 2-bit PQ codes + ADC ranking
     "text_dsir_weight",        # changed: -0.0 normalization (sf0.1 catch)
     "emb_dim_stats",           # changed: -0.0 normalization (sf0.1 catch)
     "stream_window_topk",      # new: windowed top-k over the drained state
@@ -7343,11 +7683,6 @@ DRIVER_ORDER: list[str] = [
     "events_hopping_agg",
     "events_props_json",
     "events_session_window",
-    "events_funnel",
-    "events_time_weighted_avg",
-    "stream_session_window",
-    "stream_dedup_first_arrival",
-    "stream_interval_join",
 ]
 
 

@@ -747,3 +747,69 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("cluster_rep"))
+
+
+def segment_exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 16,
+) -> DataFrame:
+    """C4-style cross-document exact segment dedup with DETERMINISTIC
+    segmentation: each document splits into disjoint `seg_words`-token
+    blocks in order (last block may be short), and a block is boilerplate
+    iff its exact text occurs in more than one distinct document. Returns
+    the per-document audit a curation pipeline acts on:
+    (doc_id, n_segments, n_dup_segments, n_kept_tokens, cleaned_hash) —
+    cleaned_hash is sha256 of the surviving blocks re-joined in order, so
+    the oracle pins the reconstructed cleaned text, not just the counts.
+
+    C4 dedups on newline-delimited lines (Raffel et al. 2020 §2.2); the
+    corpus here is single-line, so the fixed token grid is the
+    deterministic stand-in — unlike sentence splitting it is
+    reshard-proof and engine-identical.
+
+    Scale shape: the segment->distinct-doc-count aggregate and the join
+    back are both keyed on the segment text (high cardinality, one
+    shuffle each; the join reuses the aggregate's partitioning). A
+    window-over-segment alternative would collect doc-id sets per
+    segment in executor memory — a hot boilerplate segment appearing in
+    millions of documents would blow that up, so the agg+join form is
+    the 100 TB-safe one. The per-doc rollup rides one shuffle on doc id;
+    collect_list there is bounded by a single document's segment count.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("tk")
+    )
+    n = int(seg_words)
+    seg_structs = F.expr(
+        f"transform(sequence(1, size(tk), {n}), "
+        f"s -> struct(s AS s, array_join(slice(tk, s, {n}), ' ') AS seg))"
+    )
+    segs = base.select("id", F.explode(seg_structs).alias("x")).select(
+        "id", F.col("x.s").alias("s"), F.col("x.seg").alias("seg")
+    )
+    counts = segs.groupBy("seg").agg(F.countDistinct("id").alias("ndocs"))
+    marked = segs.join(counts, "seg").select(
+        "id", "s", "seg", (F.col("ndocs") > 1).alias("dup")
+    )
+    kept_sorted = F.array_join(
+        F.transform(
+            F.filter(
+                F.array_sort(F.collect_list(F.struct("s", "seg", "dup"))),
+                lambda x: ~x["dup"],
+            ),
+            lambda x: x["seg"],
+        ),
+        " ",
+    )
+    return marked.groupBy(F.col("id").alias(id_col)).agg(
+        F.count("*").cast("long").alias("n_segments"),
+        F.sum(F.col("dup").cast("int")).cast("long").alias("n_dup_segments"),
+        F.sum(
+            F.when(F.col("dup"), 0).otherwise(
+                F.size(F.split(F.col("seg"), " "))
+            )
+        ).cast("long").alias("n_kept_tokens"),
+        F.sha2(kept_sorted, 256).alias("cleaned_hash"),
+    )

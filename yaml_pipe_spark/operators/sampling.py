@@ -177,3 +177,84 @@ def holdout_split(
         .when(b < val_upto, "val")
         .otherwise("test")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    budget_frac: float = 0.5,
+) -> DataFrame:
+    """Temperature-based mixture resampling audit (mT5/XLM-R style): the
+    sampling weight of stratum i is proportional to sqrt(n_i) — i.e.
+    p_i^alpha with alpha = 0.5 — which up-weights low-resource strata
+    relative to their natural share. Targets are scaled to a budget of
+    `budget_frac` * N documents, capped at keeping a stratum whole.
+
+    sqrt (not an arbitrary pow) keeps the weights IEEE-correctly-rounded
+    and therefore engine-identical; q/rate round to 6 decimals before the
+    keep test so the boundary is one shared number. The keep decision is
+    the deterministic md5 primitive every sampler here uses — uniform =
+    first-16-bits(md5(key)) / 65536, an exact dyadic double — so the
+    sample is reproducible across runs, reshards, and engines.
+
+    Returns (stratum, n_docs, q_temp, rate, n_sampled). Plan shape: the
+    stratum frame is |strata| rows (its sum/count total is a broadcast
+    1-row cross join); rates broadcast back onto the corpus for a narrow
+    filter — the corpus is scanned twice but both scans read only
+    (stratum, key) and the filter pass never shuffles.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("__n"))
+    w = counts.withColumn("__w", F.sqrt(F.col("__n").cast("double")))
+    # note: Spark resolution is case-insensitive by default, so the total
+    # must not be spelled "__N" (it would collide with per-stratum "__n")
+    tot = w.agg(F.sum("__w").alias("__sw"), F.sum("__n").alias("__ntot"))
+    rates = (
+        w.join(F.broadcast(tot))
+        .withColumn("q_temp", F.round(F.col("__w") / F.col("__sw"), 6))
+        .withColumn(
+            "rate",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    (
+                        F.col("q_temp")
+                        * (F.col("__ntot") * F.lit(float(budget_frac)))
+                    )
+                    / F.col("__n"),
+                ),
+                6,
+            ),
+        )
+        .select(
+            stratum_col,
+            F.col("__n").cast("long").alias("n_docs"),
+            "q_temp",
+            "rate",
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10
+        ).cast("double")
+        / F.lit(65536.0)
+    )
+    sampled = (
+        df.select(stratum_col, u.alias("__u"))
+        .join(F.broadcast(rates.select(stratum_col, "rate")), stratum_col)
+        .filter(F.col("__u") < F.col("rate"))
+        .groupBy(stratum_col)
+        .agg(F.count("*").alias("__ns"))
+    )
+    return (
+        rates.join(sampled, stratum_col, "left")
+        .select(
+            stratum_col,
+            "n_docs",
+            "q_temp",
+            "rate",
+            F.coalesce(F.col("__ns"), F.lit(0)).cast("long").alias(
+                "n_sampled"
+            ),
+        )
+    )

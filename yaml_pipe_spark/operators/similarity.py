@@ -569,3 +569,39 @@ def hit_rate(
         F.count("*").alias("total_questions"),
         F.sum("hit").alias("hits"),
     )
+
+
+def sq2_codes(vec: Column) -> Column:
+    """2-bit uniform scalar-quantization codes per component: level index
+    = clamp(floor(v*8) + 2, 0, 3), i.e. the nearest of the pinned levels
+    (-1.5, -0.5, 0.5, 1.5)/8 with a CLOSED-FORM assignment rule (no
+    argmin ties to adjudicate — the floor formula IS the contract, and it
+    is engine-exact because v*8 is a power-of-two scaling).
+
+    This is a product quantizer with a pinned uniform codebook: grouping
+    components in pairs gives 16 codewords per 2-dim subspace, and the
+    asymmetric (ADC) distance decomposes back to per-component lookups.
+    The payoff at 100 TB is the corpus representation: 2 bits/dim vs 32
+    (16x smaller scan/shuffle volume), with full-precision queries.
+    """
+    return F.transform(
+        vec.cast("array<double>"),
+        lambda v: F.least(F.greatest(F.floor(v * 8) + 2, F.lit(0)), F.lit(3)),
+    )
+
+
+def sq2_adc_dist_sq(qv: Column, codes: Column) -> Column:
+    """Asymmetric squared distance: full-precision query vs reconstructed
+    levels (code - 1.5)/8. Same left-to-right double fold as `dot`, so
+    the DuckDB twin (list_sum over the indexed diff-square list) is
+    bit-identical."""
+    diffs = F.zip_with(
+        qv.cast("array<double>"),
+        codes,
+        lambda a, c: a - (c - 1.5) / 8,
+    )
+    return F.aggregate(
+        F.transform(diffs, lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )

@@ -166,6 +166,19 @@ def parse_pptx(raw: Column) -> Column:
     return _binary_extractor_parser(_load)(raw)
 
 
+def parse_epub(raw: Column) -> Column:
+    """Real .epub parsing (sources/epub.py: zip container.xml -> OPF
+    manifest/spine -> XHTML block elements), then the standard element
+    normalization."""
+
+    def _load():
+        from yaml_pipe_spark.sources.epub import extract_epub_text
+
+        return extract_epub_text
+
+    return _binary_extractor_parser(_load)(raw)
+
+
 # extension -> Column-expression parser over the UTF-8-decoded content.
 PARSERS: dict[str, Callable[[Column], Column]] = {
     "txt": parse_text,
@@ -186,6 +199,7 @@ BINARY_PARSERS: dict[str, Callable[[Column], Column]] = {
     "docx": parse_docx,
     "eml": parse_eml,
     "pptx": parse_pptx,
+    "epub": parse_epub,
 }
 
 
