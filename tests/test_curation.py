@@ -121,3 +121,57 @@ def test_curation_funnel_registered_monotone(spark):
             r.n_total >= r.n_len >= r.n_alpha >= r.n_stop >= r.n_rep
             >= r.n_final
         )
+
+
+def test_segment_dedup_filter_component(spark):
+    """YAML `segment_dedup` rule: the shared 2-token block is cut from
+    both docs' content, a fully-boilerplate doc is dropped, unique
+    content is untouched."""
+    from yaml_pipe_spark.plans.config import ComponentSpec
+    from yaml_pipe_spark.plans.factory import build_component
+
+    f = build_component(
+        "filter", ComponentSpec(type="segment_dedup", config={"seg_words": 2})
+    )
+    df = spark.createDataFrame(
+        [
+            ("a", "spam spam x y", "s1"),
+            ("b", "spam spam p q r", "s2"),
+            ("c", "spam spam", "s3"),      # nothing survives -> dropped
+            ("d", "all mine here", "s4"),  # untouched
+        ],
+        "item_id string, content string, source string",
+    )
+    out = {r.item_id: (r.content, r.source) for r in f.apply(df).collect()}
+    assert out == {
+        "a": ("x y", "s1"),
+        "b": ("p q r", "s2"),
+        "d": ("all mine here", "s4"),
+    }
+
+
+def test_temperature_mix_filter_component(spark):
+    """YAML `temperature_mix` rule: deterministic (same keys kept on
+    re-run), budget-shaped (keeps roughly budget_frac overall), and the
+    low-resource stratum keeps a larger share of itself."""
+    from yaml_pipe_spark.plans.config import ComponentSpec
+    from yaml_pipe_spark.plans.factory import build_component
+
+    f = build_component(
+        "filter",
+        ComponentSpec(
+            type="temperature_mix",
+            config={"stratum_col": "lang", "budget_frac": 0.5},
+        ),
+    )
+    rows = [(str(i), "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "item_id string, lang string")
+    kept1 = sorted(r.item_id for r in f.apply(df).collect())
+    kept2 = sorted(r.item_id for r in f.apply(df).collect())
+    assert kept1 == kept2 and 0 < len(kept1) < 1000
+    share = {
+        lang: sum(1 for i in kept1 if (int(i) < 900) == (lang == "big"))
+        / (900 if lang == "big" else 100)
+        for lang in ("big", "small")
+    }
+    assert share["small"] >= share["big"]

@@ -778,21 +778,7 @@ def segment_exact_dedup(
     the 100 TB-safe one. The per-doc rollup rides one shuffle on doc id;
     collect_list there is bounded by a single document's segment count.
     """
-    base = df.select(
-        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("tk")
-    )
-    n = int(seg_words)
-    seg_structs = F.expr(
-        f"transform(sequence(1, size(tk), {n}), "
-        f"s -> struct(s AS s, array_join(slice(tk, s, {n}), ' ') AS seg))"
-    )
-    segs = base.select("id", F.explode(seg_structs).alias("x")).select(
-        "id", F.col("x.s").alias("s"), F.col("x.seg").alias("seg")
-    )
-    counts = segs.groupBy("seg").agg(F.countDistinct("id").alias("ndocs"))
-    marked = segs.join(counts, "seg").select(
-        "id", "s", "seg", (F.col("ndocs") > 1).alias("dup")
-    )
+    marked = segment_marked(df, text_col, id_col, seg_words)
     kept_sorted = F.array_join(
         F.transform(
             F.filter(
@@ -813,3 +799,54 @@ def segment_exact_dedup(
         ).cast("long").alias("n_kept_tokens"),
         F.sha2(kept_sorted, 256).alias("cleaned_hash"),
     )
+
+
+def segment_marked(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 16,
+) -> DataFrame:
+    """Shared first stage of segment dedup: (id, s, seg, dup) — every
+    disjoint `seg_words`-token block with its in-doc start position and
+    the cross-document boilerplate flag (exact text in >1 distinct doc).
+    Consumed by the audit rollup (segment_exact_dedup) and the content
+    rewrite (plans/factory.py SegmentDedupFilter)."""
+    base = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("tk")
+    )
+    n = int(seg_words)
+    seg_structs = F.expr(
+        f"transform(sequence(1, size(tk), {n}), "
+        f"s -> struct(s AS s, array_join(slice(tk, s, {n}), ' ') AS seg))"
+    )
+    segs = base.select("id", F.explode(seg_structs).alias("x")).select(
+        "id", F.col("x.s").alias("s"), F.col("x.seg").alias("seg")
+    )
+    counts = segs.groupBy("seg").agg(F.countDistinct("id").alias("ndocs"))
+    return segs.join(counts, "seg").select(
+        "id", "s", "seg", (F.col("ndocs") > 1).alias("dup")
+    )
+
+
+def segment_cleaned_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 16,
+) -> DataFrame:
+    """(id, cleaned) — each document's text with cross-document
+    boilerplate segments removed, blocks re-joined in order. Documents
+    whose every block is boilerplate come back with cleaned = ''."""
+    marked = segment_marked(df, text_col, id_col, seg_words)
+    kept_sorted = F.array_join(
+        F.transform(
+            F.filter(
+                F.array_sort(F.collect_list(F.struct("s", "seg", "dup"))),
+                lambda x: ~x["dup"],
+            ),
+            lambda x: x["seg"],
+        ),
+        " ",
+    )
+    return marked.groupBy(F.col("id")).agg(kept_sorted.alias("cleaned"))

@@ -204,6 +204,47 @@ def temperature_mix(
     filter — the corpus is scanned twice but both scans read only
     (stratum, key) and the filter pass never shuffles.
     """
+    rates = temperature_rates(df, stratum_col, budget_frac)
+    u = temperature_uniform(F.col(key_col))
+    sampled = (
+        df.select(stratum_col, u.alias("__u"))
+        .join(F.broadcast(rates.select(stratum_col, "rate")), stratum_col)
+        .filter(F.col("__u") < F.col("rate"))
+        .groupBy(stratum_col)
+        .agg(F.count("*").alias("__ns"))
+    )
+    return (
+        rates.join(sampled, stratum_col, "left")
+        .select(
+            stratum_col,
+            "n_docs",
+            "q_temp",
+            "rate",
+            F.coalesce(F.col("__ns"), F.lit(0)).cast("long").alias(
+                "n_sampled"
+            ),
+        )
+    )
+
+
+def temperature_uniform(key: Column) -> Column:
+    """uniform = first-16-bits(md5(key)) / 65536 — an exact dyadic double,
+    the shared keep-decision primitive of temperature sampling."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10).cast(
+            "double"
+        )
+        / F.lit(65536.0)
+    )
+
+
+def temperature_rates(
+    df: DataFrame,
+    stratum_col: str = "lang",
+    budget_frac: float = 0.5,
+) -> DataFrame:
+    """Per-stratum (stratum, n_docs, q_temp, rate) — the rate table
+    temperature sampling keys on; see temperature_mix for the contract."""
     counts = df.groupBy(stratum_col).agg(F.count("*").alias("__n"))
     w = counts.withColumn("__w", F.sqrt(F.col("__n").cast("double")))
     # note: Spark resolution is case-insensitive by default, so the total
@@ -233,28 +274,4 @@ def temperature_mix(
             "rate",
         )
     )
-    u = (
-        F.conv(
-            F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10
-        ).cast("double")
-        / F.lit(65536.0)
-    )
-    sampled = (
-        df.select(stratum_col, u.alias("__u"))
-        .join(F.broadcast(rates.select(stratum_col, "rate")), stratum_col)
-        .filter(F.col("__u") < F.col("rate"))
-        .groupBy(stratum_col)
-        .agg(F.count("*").alias("__ns"))
-    )
-    return (
-        rates.join(sampled, stratum_col, "left")
-        .select(
-            stratum_col,
-            "n_docs",
-            "q_temp",
-            "rate",
-            F.coalesce(F.col("__ns"), F.lit(0)).cast("long").alias(
-                "n_sampled"
-            ),
-        )
-    )
+    return rates

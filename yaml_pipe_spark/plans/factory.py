@@ -357,6 +357,72 @@ class NoveltyFilter:
         return df.join(low, self.id_col, "left_anti")
 
 
+class SegmentDedupFilter:
+    """C4-style boilerplate removal as a pipeline rule: disjoint
+    `seg_words`-token blocks whose exact text occurs in more than one
+    distinct document are cut from every document's content, and documents
+    that become empty are dropped. The REWRITING form of the
+    dedup_segment_exact audit query (operators/dedup.py:segment_marked) —
+    segment-keyed agg + join, never a doc-set-collecting window."""
+
+    def __init__(
+        self,
+        seg_words: int = 16,
+        text_col: str = "content",
+        id_col: str = "item_id",
+    ):
+        self.seg_words = seg_words
+        self.text_col, self.id_col = text_col, id_col
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from yaml_pipe_spark.operators.dedup import segment_cleaned_text
+
+        cleaned = segment_cleaned_text(
+            df, self.text_col, self.id_col, self.seg_words
+        ).withColumnRenamed("id", self.id_col)
+        return (
+            df.drop(self.text_col)
+            .join(cleaned, self.id_col)
+            .withColumnRenamed("cleaned", self.text_col)
+            .filter(F.length(F.trim(F.col(self.text_col))) > 0)
+        )
+
+
+class TemperatureMixFilter:
+    """Temperature-based stratum resampling (mT5/XLM-R alpha=0.5) as a
+    pipeline rule: per-stratum keep rates proportional to sqrt(share),
+    scaled to `budget_frac` of the corpus; the keep decision is the
+    deterministic md5-16-bit uniform, so re-runs and reshards keep
+    exactly the same documents (operators/sampling.py:temperature_rates)."""
+
+    def __init__(
+        self,
+        stratum_col: str = "lang",
+        key_col: str = "item_id",
+        budget_frac: float = 0.5,
+    ):
+        self.stratum_col, self.key_col = stratum_col, key_col
+        self.budget_frac = budget_frac
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from yaml_pipe_spark.operators.sampling import (
+            temperature_rates,
+            temperature_uniform,
+        )
+
+        rates = temperature_rates(df, self.stratum_col, self.budget_frac)
+        return (
+            df.join(
+                F.broadcast(rates.select(self.stratum_col, "rate")),
+                self.stratum_col,
+            )
+            .filter(
+                temperature_uniform(F.col(self.key_col)) < F.col("rate")
+            )
+            .drop("rate")
+        )
+
+
 SOURCES = {
     "local_files": LocalFileSource,
     "parquet_documents": ParquetDocumentsSource,
@@ -373,6 +439,8 @@ FILTERS = {
     "holdout_split": HoldoutSplitFilter,
     "source_cap": SourceCapFilter,
     "novelty": NoveltyFilter,
+    "segment_dedup": SegmentDedupFilter,
+    "temperature_mix": TemperatureMixFilter,
 }
 CHUNKERS = {
     "fixed_window": FixedWindowChunker,
