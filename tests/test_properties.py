@@ -434,3 +434,45 @@ def test_containment_bounds_and_dominates_jaccard(spark, texts):
     for pair, (ca, cb) in cont.items():
         assert 0 < ca <= 1 and 0 < cb <= 1
         assert jac[pair] <= min(ca, cb) + 1e-9
+
+
+WORD_TEXTS = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+        min_size=1,
+        max_size=40,
+    ).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=WORD_TEXTS)
+@settings(**SETTINGS)
+def test_segment_dedup_conservation_and_symmetry(spark, texts):
+    """Token conservation: kept tokens + tokens inside dup segments equal
+    the doc's token count; segment counts tile the doc (ceil(n/4) with
+    seg_words=4); and dup-ness is symmetric — a segment text flagged dup
+    in one doc is flagged in EVERY doc containing it (same grid slot or
+    not, as long as the block text matches)."""
+    from yaml_pipe_spark.operators.dedup import (
+        segment_exact_dedup,
+        segment_marked,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in segment_exact_dedup(df, seg_words=4).collect()}
+    for i, t in enumerate(texts):
+        n_tok = len(t.split(" "))
+        r = out[i]
+        assert r.n_segments == -(-n_tok // 4)
+        dup_tokens = n_tok - r.n_kept_tokens
+        assert 0 <= r.n_dup_segments <= r.n_segments
+        assert dup_tokens >= r.n_dup_segments  # every dup seg has >=1 token
+    marked = segment_marked(df, seg_words=4).collect()
+    flag_by_text: dict[str, set] = {}
+    for m in marked:
+        flag_by_text.setdefault(m.seg, set()).add(m.dup)
+    assert all(len(flags) == 1 for flags in flag_by_text.values())
