@@ -6902,7 +6902,7 @@ def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_min_cost_supplier",
     """
 WITH esup AS (
-  SELECT s.s_suppkey, s.s_name, round(s.s_acctbal, 2) AS s_acctbal,
+  SELECT s.s_suppkey, s.s_name, round(s.s_acctbal, 2) + 0.0 AS s_acctbal,
          n.n_name AS nation
   FROM supplier s
   JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -6961,7 +6961,9 @@ def q_rel_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_name",
-            F.round("s_acctbal", 2).alias("s_acctbal"),
+            # + 0.0 normalizes a possible -0.00 (suite-wide negative-zero
+            # insurance: the driver hash is sign-of-zero sensitive)
+            (F.round("s_acctbal", 2) + F.lit(0.0)).alias("s_acctbal"),
             F.col("n_name").alias("nation"),
         )
     )
