@@ -368,3 +368,79 @@ def test_epub_end_to_end(spark, tmp_path):
     assert rows["b.epub"] == (
         "Chapter One\nFirst para.\nitem a\n\nBare body text"
     )
+
+
+def _mini_odt() -> bytes:
+    """A heading, a paragraph with nested span + tab + multi-space + a
+    line break, and a footnote whose body must be skipped (its tail
+    kept)."""
+    import io
+    import zipfile
+
+    t = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+    content = (
+        '<?xml version="1.0"?>'
+        f'<office:document-content xmlns:office="urn:oasis:names:tc:'
+        f'opendocument:xmlns:office:1.0" xmlns:text="{t}">'
+        "<office:body><office:text>"
+        '<text:h text:outline-level="1">Title <text:span>here</text:span>'
+        "</text:h>"
+        "<text:p>col1<text:tab/>col2<text:line-break/>"
+        'a<text:s text:c="3"/>b'
+        "<text:note><text:note-body><text:p>skip me</text:p>"
+        "</text:note-body></text:note> tail</text:p>"
+        "<text:p/>"
+        "</office:text></office:body></office:document-content>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", "application/vnd.oasis.opendocument.text")
+        zf.writestr("content.xml", content)
+    return buf.getvalue()
+
+
+def test_odt_extractor_golden():
+    from yaml_pipe_spark.sources.odt import extract_odt_text
+
+    assert extract_odt_text(_mini_odt()) == (
+        "Title here\ncol1\tcol2\na   b tail"
+    )
+
+
+_MINI_RTF = (
+    rb"{\rtf1\ansi\deff0"
+    rb"{\fonttbl{\f0 Times New Roman;}}"
+    rb"{\colortbl;\red0\green0\blue0;}"
+    rb"{\info{\title secret title}}"
+    rb"{\*\generator SomeTool 1.0;}"
+    rb"\f0\fs24 Caf\'e9 body\par"
+    rb"Second\tab line\line with \u8212 ?dash\par"
+    rb"Braces \{x\} done}"
+)
+
+
+def test_rtf_extractor_golden():
+    from yaml_pipe_spark.sources.rtf import extract_rtf_text
+
+    # header destinations and \* groups vanish; \'e9 -> e-acute; 舒
+    # -> em dash with the "?" fallback consumed; escaped braces survive
+    assert extract_rtf_text(_MINI_RTF) == (
+        "Café body\nSecond\tline\nwith —dash\nBraces {x} done"
+    )
+
+
+def test_odt_rtf_end_to_end(spark, tmp_path):
+    (tmp_path / "a.odt").write_bytes(_mini_odt())
+    (tmp_path / "b.rtf").write_bytes(_MINI_RTF)
+    src = LocalFileSource(
+        str(tmp_path),
+        glob_pattern="**/*",
+        parse=True,
+        parse_extensions=["odt", "rtf"],
+    )
+    rows = {
+        r.source.rsplit("/", 1)[-1]: r.content
+        for r in src.load(spark).collect()
+    }
+    assert rows["a.odt"] == "Title here\ncol1\tcol2\na   b tail"
+    assert rows["b.rtf"] == "Café body\nSecond\tline\nwith —dash\nBraces {x} done"

@@ -179,6 +179,32 @@ def parse_epub(raw: Column) -> Column:
     return _binary_extractor_parser(_load)(raw)
 
 
+def parse_odt(raw: Column) -> Column:
+    """Real .odt parsing (sources/odt.py: zip content.xml -> text:p/text:h
+    paragraphs with tab/line-break/spaces expansion), then the standard
+    element normalization."""
+
+    def _load():
+        from yaml_pipe_spark.sources.odt import extract_odt_text
+
+        return extract_odt_text
+
+    return _binary_extractor_parser(_load)(raw)
+
+
+def parse_rtf(raw: Column) -> Column:
+    """Real .rtf parsing (sources/rtf.py: brace-group control-word stream
+    with destination skipping and cp1252/unicode escape decoding), then
+    the standard element normalization."""
+
+    def _load():
+        from yaml_pipe_spark.sources.rtf import extract_rtf_text
+
+        return extract_rtf_text
+
+    return _binary_extractor_parser(_load)(raw)
+
+
 # extension -> Column-expression parser over the UTF-8-decoded content.
 PARSERS: dict[str, Callable[[Column], Column]] = {
     "txt": parse_text,
@@ -200,6 +226,8 @@ BINARY_PARSERS: dict[str, Callable[[Column], Column]] = {
     "eml": parse_eml,
     "pptx": parse_pptx,
     "epub": parse_epub,
+    "odt": parse_odt,
+    "rtf": parse_rtf,
 }
 
 
