@@ -444,3 +444,78 @@ def test_odt_rtf_end_to_end(spark, tmp_path):
     }
     assert rows["a.odt"] == "Title here\ncol1\tcol2\na   b tail"
     assert rows["b.rtf"] == "Café body\nSecond\tline\nwith —dash\nBraces {x} done"
+
+
+def _mini_xlsx() -> bytes:
+    """Two sheets whose WORKBOOK order reverses the zip order; shared
+    plain + rich-run strings, an inline string, a formula string result,
+    raw numbers, and an empty row that must vanish."""
+    import io
+    import zipfile
+
+    m = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    r = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    pr = "http://schemas.openxmlformats.org/package/2006/relationships"
+    workbook = (
+        f'<?xml version="1.0"?><workbook xmlns="{m}" xmlns:r="{r}">'
+        '<sheets><sheet name="Data" sheetId="1" r:id="rId2"/>'
+        '<sheet name="Notes" sheetId="2" r:id="rId1"/></sheets></workbook>'
+    )
+    rels = (
+        f'<?xml version="1.0"?><Relationships xmlns="{pr}">'
+        '<Relationship Id="rId1" Type="x" Target="worksheets/sheet1.xml"/>'
+        '<Relationship Id="rId2" Type="x" Target="worksheets/sheet2.xml"/>'
+        "</Relationships>"
+    )
+    sst = (
+        f'<?xml version="1.0"?><sst xmlns="{m}" count="2" uniqueCount="2">'
+        "<si><t>name</t></si>"
+        "<si><r><t>rich </t></r><r><t>runs</t></r></si></sst>"
+    )
+    sheet_notes = (
+        f'<?xml version="1.0"?><worksheet xmlns="{m}"><sheetData>'
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>just a note</t></is>'
+        "</c></row></sheetData></worksheet>"
+    )
+    sheet_data = (
+        f'<?xml version="1.0"?><worksheet xmlns="{m}"><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c>'
+        '<c r="B1" t="s"><v>1</v></c></row>'
+        '<row r="2"/>'
+        '<row r="3"><c r="A3"><v>42</v></c>'
+        '<c r="B3" t="str"><v>=sum</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/worksheets/sheet1.xml", sheet_notes)
+        zf.writestr("xl/worksheets/sheet2.xml", sheet_data)
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/sharedStrings.xml", sst)
+    return buf.getvalue()
+
+
+def test_xlsx_extractor_golden():
+    from yaml_pipe_spark.sources.xlsx import extract_xlsx_text
+
+    # "Data" (rId2 -> sheet2) comes first per WORKBOOK order despite zip
+    # order; empty row dropped; shared + rich + formula + number cells
+    assert extract_xlsx_text(_mini_xlsx()) == (
+        "name\trich runs\n42\t=sum\n\njust a note"
+    )
+
+
+def test_xlsx_end_to_end(spark, tmp_path):
+    (tmp_path / "t.xlsx").write_bytes(_mini_xlsx())
+    src = LocalFileSource(
+        str(tmp_path),
+        glob_pattern="**/*",
+        parse=True,
+        parse_extensions=["xlsx"],
+    )
+    rows = {
+        r.source.rsplit("/", 1)[-1]: r.content
+        for r in src.load(spark).collect()
+    }
+    assert rows["t.xlsx"] == "name\trich runs\n42\t=sum\n\njust a note"

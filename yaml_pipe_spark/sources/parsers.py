@@ -192,6 +192,19 @@ def parse_odt(raw: Column) -> Column:
     return _binary_extractor_parser(_load)(raw)
 
 
+def parse_xlsx(raw: Column) -> Column:
+    """Real .xlsx parsing (sources/xlsx.py: workbook rels -> sheets in
+    order, shared/inline strings, tab-joined rows), then the standard
+    element normalization."""
+
+    def _load():
+        from yaml_pipe_spark.sources.xlsx import extract_xlsx_text
+
+        return extract_xlsx_text
+
+    return _binary_extractor_parser(_load)(raw)
+
+
 def parse_rtf(raw: Column) -> Column:
     """Real .rtf parsing (sources/rtf.py: brace-group control-word stream
     with destination skipping and cp1252/unicode escape decoding), then
@@ -228,6 +241,7 @@ BINARY_PARSERS: dict[str, Callable[[Column], Column]] = {
     "epub": parse_epub,
     "odt": parse_odt,
     "rtf": parse_rtf,
+    "xlsx": parse_xlsx,
 }
 
 
