@@ -519,3 +519,25 @@ def test_xlsx_end_to_end(spark, tmp_path):
         for r in src.load(spark).collect()
     }
     assert rows["t.xlsx"] == "name\trich runs\n42\t=sum\n\njust a note"
+
+
+def test_jsonl_parser_and_end_to_end(spark, tmp_path):
+    """JSONL: text field preferred, content fallback, malformed and
+    textless lines drop — all Catalyst, no UDF."""
+    raw = (
+        '{"text": "first doc", "meta": 1}\n'
+        '{"content": "fallback doc"}\n'
+        "not json at all\n"
+        '{"meta": "no text here"}\n'
+        "\n"
+        '{"text": "  third  "}\n'
+    )
+    (tmp_path / "d.jsonl").write_text(raw)
+    src = LocalFileSource(
+        str(tmp_path),
+        glob_pattern="**/*",
+        parse=True,
+        parse_extensions=["jsonl"],
+    )
+    rows = [r.content for r in src.load(spark).collect()]
+    assert rows == ["first doc\n\nfallback doc\n\nthird"]

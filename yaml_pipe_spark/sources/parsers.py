@@ -68,6 +68,27 @@ def parse_html(text: Column) -> Column:
     return parse_text(collapsed)
 
 
+def parse_jsonl(text: Column) -> Column:
+    """JSON-lines corpora (the lingua franca of training data): one JSON
+    object per line; each line contributes its `text` field (falling back
+    to `content`), non-string/missing lines drop, and the extracted texts
+    become the document's elements. Pure Catalyst — get_json_object per
+    line inside a higher-order transform, no UDF."""
+    lines = F.filter(
+        F.split(text, "\n"), lambda l: F.length(F.trim(l)) > 0
+    )
+    texts = F.transform(
+        lines,
+        lambda l: F.coalesce(
+            F.get_json_object(l, "$.text"), F.get_json_object(l, "$.content")
+        ),
+    )
+    kept = F.filter(
+        texts, lambda t: t.isNotNull() & (F.length(F.trim(t)) > 0)
+    )
+    return parse_text(F.array_join(kept, "\n\n"))
+
+
 def parse_pdf(raw: Column) -> Column:
     """Real .pdf parsing over the raw binary column: the pure-stdlib
     extractor (sources/pdf.py — BT/ET text operators, FlateDecode) runs as
@@ -227,6 +248,8 @@ PARSERS: dict[str, Callable[[Column], Column]] = {
     "markdown": parse_markdown,
     "html": parse_html,
     "htm": parse_html,
+    "jsonl": parse_jsonl,
+    "ndjson": parse_jsonl,
 }
 
 # extension -> parser over the RAW BINARY content column (pandas UDF path —
