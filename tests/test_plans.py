@@ -530,3 +530,19 @@ def test_pq_and_matryoshka_single_qid_shuffle(spark):
     for name in ("ann_pq_adc_topk", "emb_matryoshka_agreement"):
         plan = _plan(_q(name, spark), "simple")
         assert plan.count("Exchange hashpartitioning(qid") == 1, name
+
+
+def test_bigram_logprob_stays_jvm_and_single_token_shuffle(spark):
+    # bigram LM: no Python nodes; the LM and prev-marginal derive from the
+    # (doc, bigram) counts — with AQE off the dt exchange must be REUSED,
+    # not recomputed from a second corpus scan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(_q("text_bigram_logprob", spark), "simple")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "EvalPython" not in plan
+    scans = [l for l in plan.splitlines()
+             if "FileScan" in l and "documents" in l]
+    assert len(scans) == 1, f"documents scanned {len(scans)}x"
+    assert "ReusedExchange" in plan

@@ -75,6 +75,25 @@ EVENTS_STREAM_REVALIDATE: set[str] = {
      "stream_dedup_first_arrival", "stream_interval_join"}
 
 
+# Registered AFTER the round-4 prefix filled its 50 slots: locally verified
+# at sf0.01+sf0.1 (see ROUND4_NOTES session 2), to be FRONTED in round 5's
+# DRIVER_ORDER so the union-coverage discipline stays intact.
+ROUND5_QUEUE: set[str] = {
+    "multimodal_wav_resample",
+    "dedup_lsh_recall_audit",
+    "text_bigram_logprob",
+}
+
+
+def test_round5_queue_registered_and_oracled():
+    for name in ROUND5_QUEUE:
+        assert name in REGISTRY, name
+        assert REGISTRY[name].oracle is not None, name
+    # they must NOT displace round-4 rows from the 50-slot prefix
+    prefix = set(list(queries())[:50])
+    assert not (ROUND5_QUEUE & prefix)
+
+
 def test_driver_order_is_valid():
     assert len(DRIVER_ORDER) == len(set(DRIVER_ORDER)), "duplicates"
     stale = [n for n in DRIVER_ORDER if n not in REGISTRY]

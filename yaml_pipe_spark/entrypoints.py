@@ -4044,6 +4044,66 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_wav_resample",
+    """
+WITH g AS (
+  SELECT doc_id,
+         8000 + (doc_id % 8) * 1000 AS r0,
+         16 + doc_id % 50 AS n
+  FROM documents WHERE doc_id % 2 = 1
+),
+r AS (
+  SELECT doc_id, r0, n, GREATEST(1, (n * 4000) // r0) AS m FROM g
+)
+SELECT doc_id AS item_id,
+       CAST(44 + m AS BIGINT) AS n_bytes,
+       CAST(4000 AS INT) AS width,
+       CAST(1 AS INT) AS height,
+       CAST(m AS INT) AS n_frames,
+       CAST((doc_id * 3 + ((LEAST(m, 8) - 1) * r0) // 4000) % 256 AS BIGINT)
+         AS feat_last
+FROM r
+""",
+    "REAL audio resample, roundtripped (the audio twin of "
+    "multimodal_resize): every generated 8-bit mono PCM WAV is "
+    "resampled to 4 kHz by the stdlib nearest-neighbor resampler "
+    "(resample_wav — floor sample mapping in time), re-encoded as a "
+    "complete WAV, and re-decoded by the real `wave` parser. The oracle "
+    "recomputes the output length m = max(1, n*4000 // rate) and the "
+    "LAST probed PCM byte by replaying the sample mapping (position "
+    "least(m, 8) probes a non-trivial source index), so an off-by-one "
+    "in the rate ratio or a header/length bug hash-mismatches. "
+    "Registered after the round-4 50-slot driver prefix: locally "
+    "verified at sf0.01+sf0.1, queued for the round-5 driver front.",
+)
+def q_multimodal_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.multimodal.binary import (
+        extract_features,
+        real_media_from_documents,
+        resample_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = real_media_from_documents(docs).filter(
+        F.col("modality") == "audio"
+    )
+    feats = extract_features(resample_media(media, 4000), real_decode=True)
+    return feats.select(
+        "item_id",
+        "n_bytes",
+        "width",
+        "height",
+        "n_frames",
+        F.round(
+            F.element_at("feat", F.least(F.col("n_frames"), F.lit(8)))
+            * 255
+        )
+        .cast("long")
+        .alias("feat_last"),
+    )
+
+
+@register(
     "multimodal_decode_check",
     f"""
 {_DK_MEDIA_DECODED}
@@ -7613,6 +7673,173 @@ def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "adc_r",
         (F.col("xr") <= 5).cast("long").alias("hit"),
     )
+
+
+@register(
+    "text_bigram_logprob",
+    r"""
+WITH toks AS (
+  SELECT lang, doc_id, regexp_extract_all(lower(text), '\p{L}+') AS t
+  FROM documents
+),
+bg0 AS (
+  SELECT lang, doc_id, UNNEST(generate_series(1, len(t) - 1)) AS i, t
+  FROM toks WHERE len(t) >= 2
+),
+bgs AS (SELECT lang, doc_id, t[i] AS prev, t[i+1] AS cur FROM bg0),
+dt AS (
+  SELECT lang, doc_id, prev, cur, count(*) AS c_dt
+  FROM bgs GROUP BY 1, 2, 3, 4
+),
+lm AS (SELECT lang, prev, cur, sum(c_dt) AS c_bg FROM dt GROUP BY 1, 2, 3),
+pv AS (SELECT lang, prev, sum(c_bg) AS c_prev FROM lm GROUP BY 1, 2),
+lmj AS (
+  SELECT lm.lang, lm.prev, lm.cur,
+         log10(CAST(lm.c_bg AS DOUBLE))
+           - log10(CAST(pv.c_prev AS DOUBLE)) AS lp
+  FROM lm JOIN pv ON lm.lang = pv.lang AND lm.prev = pv.prev
+),
+doc AS (
+  SELECT dt.lang, dt.doc_id,
+         sum(dt.c_dt * lmj.lp) / sum(dt.c_dt) AS lp0
+  FROM dt JOIN lmj ON dt.lang = lmj.lang AND dt.prev = lmj.prev
+                  AND dt.cur = lmj.cur
+  GROUP BY 1, 2
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(lp0), 4) AS avg_logprob,
+       round(min(lp0), 4) AS min_logprob
+FROM doc GROUP BY lang
+""",
+    "Bigram-LM quality proxy — the conditional-probability extension of "
+    "text_unigram_logprob: per-lang P(cur | prev) trained on the corpus "
+    "itself (no smoothing needed: every scored bigram is in its own "
+    "training set), per-doc mean log10 probability, per-lang rollup. "
+    "Plan: one (doc, bigram) count shuffle; the bigram LM and the "
+    "prev-marginal both derive from it (vocabulary-sized aggs); the "
+    "conditional log-prob attaches at the LM level (vocab⋈vocab on "
+    "(lang, prev)) so the hot-prev skew never touches the doc-level "
+    "stream, which joins once on the full (lang, prev, cur) key. "
+    "Registered after the round-4 50-slot driver prefix: locally "
+    "verified at sf0.01+sf0.1, queued for the round-5 driver front.",
+)
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "text"
+    )
+    t = F.regexp_extract_all(F.lower("text"), F.lit(r"\p{L}+"), F.lit(0))
+    base = docs.select("lang", "doc_id", t.alias("t")).filter(
+        F.size("t") >= 2
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.struct(
+            F.get(F.col("t"), i - 1).alias("prev"),
+            F.get(F.col("t"), i).alias("cur"),
+        ),
+    )
+    bgs = base.select(
+        "lang", "doc_id", F.explode(grams).alias("g")
+    ).select("lang", "doc_id", F.col("g.prev"), F.col("g.cur"))
+    # explicit null-filters (same trick as text_unigram_logprob): the two
+    # joins push different isnotnull subsets into their dt branches (the
+    # lm⋈pv chain only needs (lang, prev); the doc join needs cur too),
+    # which would fork the subtrees and block ReuseExchange — a second
+    # full corpus scan
+    bgs = bgs.filter(
+        F.col("lang").isNotNull()
+        & F.col("prev").isNotNull()
+        & F.col("cur").isNotNull()
+    )
+    dt = bgs.groupBy("lang", "doc_id", "prev", "cur").agg(
+        F.count("*").alias("c_dt")
+    )
+    lm = dt.groupBy("lang", "prev", "cur").agg(F.sum("c_dt").alias("c_bg"))
+    pv = lm.groupBy("lang", "prev").agg(F.sum("c_bg").alias("c_prev"))
+    lmj = lm.join(pv, ["lang", "prev"]).select(
+        "lang",
+        "prev",
+        "cur",
+        (
+            F.log10(F.col("c_bg").cast("double"))
+            - F.log10(F.col("c_prev").cast("double"))
+        ).alias("lp"),
+    )
+    doc = (
+        dt.join(lmj, ["lang", "prev", "cur"])
+        .groupBy("lang", "doc_id")
+        .agg(
+            (F.sum(F.col("c_dt") * F.col("lp")) / F.sum("c_dt")).alias("lp0")
+        )
+    )
+    return doc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("lp0"), 4).alias("avg_logprob"),
+        F.round(F.min("lp0"), 4).alias("min_logprob"),
+    )
+
+
+@register(
+    "dedup_lsh_recall_audit",
+    f"""
+WITH {_DK_SHINGLES},
+{_DK_DF_CUT},
+sigs AS (SELECT doc_id, {_DK_SIGS} FROM shingles GROUP BY doc_id),
+buckets0 AS ({_DK_BUCKETS}),
+buckets AS (
+  SELECT doc_id, band_id, band_key FROM (
+    SELECT *, count(*) OVER (PARTITION BY band_id, band_key) AS bn
+    FROM buckets0
+  ) WHERE bn <= 10000
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a
+  JOIN buckets b ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM shf a
+  JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE round(i.inter / (sa.n + sb.n - i.inter), 4) >= 0.8
+),
+tcnt AS (SELECT count(*) AS n FROM truth),
+ccnt AS (SELECT count(*) AS n FROM cands),
+hcnt AS (
+  SELECT count(*) AS n FROM truth t
+  JOIN cands c ON t.id_a = c.id_a AND t.id_b = c.id_b
+)
+SELECT CAST(tcnt.n AS BIGINT) AS n_true_pairs,
+       CAST(ccnt.n AS BIGINT) AS n_candidates,
+       CAST(hcnt.n AS BIGINT) AS n_hit,
+       round(CASE WHEN tcnt.n = 0 THEN 1.0
+                  ELSE hcnt.n / CAST(tcnt.n AS DOUBLE) END, 4) AS recall
+FROM tcnt, ccnt, hcnt
+""",
+    "Measured recall of the MinHash-LSH candidate generator against the "
+    "exact inverted-index Jaccard pairs at 0.8 "
+    "(operators/dedup.py::lsh_recall_audit) — the dedup twin of "
+    "ann_recall_measured: closes the 'is the banding any good' loop with "
+    "a number the oracle recomputes end to end (signatures, banding, "
+    "bucket cap, exact truth set, intersection). The shingle frame is "
+    "materialized once and feeds both sides; truth/candidate frames are "
+    "checkpointed because each is consumed twice (count + semi-join). "
+    "Registered after the round-4 50-slot driver prefix: locally "
+    "verified at sf0.01+sf0.1, queued for the round-5 driver front.",
+)
+def q_dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.dedup import lsh_recall_audit
+
+    return lsh_recall_audit(load_table(spark, sf_dir, "documents"))
 
 
 # The round driver validates a *prefix* of the queries() dict (each round

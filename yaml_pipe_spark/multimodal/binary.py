@@ -271,6 +271,54 @@ def resize_media(
     return df.mapInPandas(run, MEDIA_SCHEMA)
 
 
+def resample_wav(payload: bytes, target_rate: int) -> bytes:
+    """REAL nearest-neighbor resample of an 8-bit mono PCM WAV, stdlib
+    only — a complete valid WAV at `target_rate` comes back out. Output
+    length m = max(1, n * target_rate // source_rate); output sample k
+    copies source sample k * source_rate // target_rate (the same floor
+    mapping the image resizer uses in time instead of space)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 1 or w.getnchannels() != 1:
+            raise NotImplementedError("only 8-bit mono PCM is stdlib-scope")
+        r0 = w.getframerate()
+        n = w.getnframes()
+        data = w.readframes(n)
+    m = max(1, (n * target_rate) // r0)
+    out = bytes(data[(k * r0) // target_rate] for k in range(m))
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(target_rate)
+        w.writeframes(out)
+    return buf.getvalue()
+
+
+def resample_media(df: DataFrame, target_rate: int = 4000) -> DataFrame:
+    """Resample every decodable audio payload in place (same Arrow
+    mapInPandas shape as extract_features): RIFF/WAVE payloads go through
+    the real resample_wav; other formats pass through untouched (their
+    resample is the cluster-side codec extension point)."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                resample_wav(p, target_rate)
+                if p is not None
+                and p[:4] == b"RIFF"
+                and p[8:12] == b"WAVE"
+                else p
+                for p in pdf["payload"]
+            ]
+            yield pdf
+
+    return df.mapInPandas(run, MEDIA_SCHEMA)
+
+
 def build_bmp(doc_id: int) -> bytes:
     """A complete, valid 24-bit uncompressed BMP built byte-by-byte:
     width = 2 + doc_id % 14, height = 1 + doc_id % 9, pixel-array byte k

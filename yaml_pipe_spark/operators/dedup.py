@@ -850,3 +850,58 @@ def segment_cleaned_text(
         " ",
     )
     return marked.groupBy(F.col("id")).agg(kept_sorted.alias("cleaned"))
+
+
+def lsh_recall_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Measured recall of the MinHash-LSH candidate generator against the
+    exact inverted-index Jaccard pairs at `threshold` — the dedup twin of
+    recall_at_k for ANN: the number that tells you whether the banding
+    parameters (n_hashes, bands) are missing real near-duplicates before
+    you ship the pipeline. Returns one row:
+    (n_true_pairs, n_candidates, n_hit, recall).
+
+    The shingle frame feeds both sides (truth and signatures), so it is
+    materialized once; truth and candidate frames are small (pairs above
+    threshold / banded collisions) and are checkpointed because each is
+    consumed twice (own count + the intersection semi-join).
+    """
+    shingles = token_shingles(df, text_col, id_col, k).localCheckpoint()
+    truth = (
+        exact_jaccard_pairs(shingles, id_col=id_col)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    cands = lsh_candidate_pairs(
+        minhash_signatures(shingles, id_col, n_hashes),
+        id_col,
+        n_hashes,
+        bands,
+    ).localCheckpoint()
+    hit = truth.join(cands, ["id_a", "id_b"], "left_semi")
+    nt = truth.agg(F.count("*").alias("n_true_pairs"))
+    nc = cands.agg(F.count("*").alias("n_candidates"))
+    nh = hit.agg(F.count("*").alias("n_hit"))
+    return (
+        nt.join(F.broadcast(nc))
+        .join(F.broadcast(nh))
+        .select(
+            F.col("n_true_pairs").cast("long").alias("n_true_pairs"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.round(
+                F.when(F.col("n_true_pairs") == 0, F.lit(1.0)).otherwise(
+                    F.col("n_hit") / F.col("n_true_pairs").cast("double")
+                ),
+                4,
+            ).alias("recall"),
+        )
+    )
