@@ -7780,6 +7780,50 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_lang_confusion",
+    f"""
+WITH p0 AS (SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents),
+s AS (SELECT doc_id, lang, {_dk_lang_scores()} FROM p0),
+pred AS (SELECT doc_id, lang, {_lang_case_sql()} AS lang_pred FROM s)
+SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n,
+       round(count(*) / CAST(sum(count(*)) OVER (PARTITION BY lang)
+                             AS DOUBLE), 4) AS share
+FROM pred GROUP BY 1, 2
+""",
+    "Language-ID confusion matrix: the n-gram-marker classifier's "
+    "predictions crossed with the ground-truth lang column, with each "
+    "row's share of its true language — the accuracy/confusion report "
+    "that turns text_lang_id from a black box into a measured component "
+    "(same closes-the-loop pattern as ann_recall_measured and "
+    "dedup_lsh_recall_audit). One narrow classify pass, one tiny "
+    "|langs|^2 rollup, row-normalization window on the matrix frame. "
+    "Registered after the round-4 50-slot driver prefix: locally "
+    "verified at sf0.01+sf0.1, queued for the round-5 driver front.",
+)
+def q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from yaml_pipe_spark.operators.text_stats import language_id
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    pred = docs.select(
+        "lang", language_id(F.col("text")).alias("lang_pred")
+    )
+    agg = pred.groupBy("lang", "lang_pred").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = W.partitionBy("lang")
+    return agg.select(
+        "lang",
+        "lang_pred",
+        "n",
+        F.round(
+            F.col("n") / F.sum("n").over(w).cast("double"), 4
+        ).alias("share"),
+    )
+
+
+@register(
     "dedup_lsh_recall_audit",
     f"""
 WITH {_DK_SHINGLES},
