@@ -541,3 +541,86 @@ def test_jsonl_parser_and_end_to_end(spark, tmp_path):
     )
     rows = [r.content for r in src.load(spark).collect()]
     assert rows == ["first doc\n\nfallback doc\n\nthird"]
+
+
+def test_epub_nested_blocks_emit_once():
+    """<ul><li><p>item</p></li></ul> must extract the passage ONCE (the
+    outermost block wins), not once per nested block level."""
+    import io
+    import zipfile
+
+    from yaml_pipe_spark.sources.epub import extract_epub_text
+
+    container = (
+        '<?xml version="1.0"?>'
+        '<container version="1.0" xmlns="urn:oasis:names:tc:'
+        'opendocument:xmlns:container"><rootfiles>'
+        '<rootfile full-path="c.opf" media-type="x"/>'
+        "</rootfiles></container>"
+    )
+    opf = (
+        '<?xml version="1.0"?>'
+        '<package xmlns="http://www.idpf.org/2007/opf" version="3.0">'
+        '<manifest><item id="a" href="a.xhtml" media-type="x"/></manifest>'
+        '<spine><itemref idref="a"/></spine></package>'
+    )
+    xhtml = (
+        '<?xml version="1.0"?>'
+        '<html xmlns="http://www.w3.org/1999/xhtml"><body>'
+        "<ul><li><p>item one</p></li><li>item two</li></ul>"
+        "</body></html>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("META-INF/container.xml", container)
+        zf.writestr("c.opf", opf)
+        zf.writestr("a.xhtml", xhtml)
+    assert extract_epub_text(buf.getvalue()) == "item one\nitem two"
+
+
+def test_rtf_unicode_fallback_control_word_consumed():
+    """\\uN followed by a control-word fallback (\\u8212\\emdash, the
+    standard writer-emitted pair) must emit the character ONCE."""
+    from yaml_pipe_spark.sources.rtf import extract_rtf_text
+
+    assert extract_rtf_text(
+        rb"{\rtf1 a\u8212\emdash  b}"
+    ) == "a— b"
+
+
+def test_xlsx_negative_shared_index_is_empty():
+    """A corrupt negative shared-string index must not wrap around to
+    the END of the table."""
+    from yaml_pipe_spark.sources.xlsx import extract_xlsx_text
+
+    import io
+    import zipfile
+
+    m = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    r = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    pr = "http://schemas.openxmlformats.org/package/2006/relationships"
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(
+            "xl/workbook.xml",
+            f'<workbook xmlns="{m}" xmlns:r="{r}"><sheets>'
+            f'<sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>',
+        )
+        zf.writestr(
+            "xl/_rels/workbook.xml.rels",
+            f'<Relationships xmlns="{pr}"><Relationship Id="rId1" '
+            f'Type="x" Target="worksheets/sheet1.xml"/></Relationships>',
+        )
+        zf.writestr(
+            "xl/sharedStrings.xml",
+            f'<sst xmlns="{m}"><si><t>only</t></si></sst>',
+        )
+        zf.writestr(
+            "xl/worksheets/sheet1.xml",
+            f'<worksheet xmlns="{m}"><sheetData>'
+            f'<row r="1"><c r="A1" t="s"><v>-1</v></c>'
+            f'<c r="B1" t="s"><v>0</v></c></row>'
+            f"</sheetData></worksheet>",
+        )
+    # A1's -1 renders empty (not the table's last string); B1 keeps "only"
+    assert extract_xlsx_text(buf.getvalue()) == "\tonly"

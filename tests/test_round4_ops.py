@@ -226,3 +226,43 @@ def test_matryoshka_agreement_bounds(spark):
     )
     row3 = [r for r in out if r.qid == 3][0]
     assert row3.full_top1 == nn1.vec_id
+
+
+def test_resample_wav_zero_frames():
+    """A valid zero-frame WAV resamples to a valid zero-frame WAV at the
+    target rate instead of crashing on the forced first sample."""
+    import io
+    import wave
+
+    from yaml_pipe_spark.multimodal.binary import resample_wav
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(b"")
+    out = resample_wav(buf.getvalue(), 4000)
+    with wave.open(io.BytesIO(out), "rb") as w:
+        assert w.getnframes() == 0 and w.getframerate() == 4000
+
+
+def test_temperature_mix_null_stratum_not_dropped(spark):
+    """Documents with a NULL stratum form a real rate group: the audit
+    counts their sample and the pipeline filter keeps its share of them
+    (a plain equi-join would silently drop every one)."""
+    from yaml_pipe_spark.operators.sampling import temperature_mix
+    from yaml_pipe_spark.plans.config import ComponentSpec
+    from yaml_pipe_spark.plans.factory import build_component
+
+    rows = [(i, "en" if i % 3 else None) for i in range(300)]
+    df = spark.createDataFrame(rows, "item_id long, lang string")
+    audit = {r.lang: r for r in temperature_mix(df, "lang", "item_id").collect()}
+    assert None in audit and audit[None].n_sampled > 0
+    f = build_component(
+        "filter",
+        ComponentSpec(type="temperature_mix", config={"stratum_col": "lang"}),
+    )
+    kept = f.apply(df).collect()
+    null_kept = sum(1 for r in kept if r.lang is None)
+    assert null_kept == audit[None].n_sampled > 0

@@ -286,8 +286,11 @@ def resample_wav(payload: bytes, target_rate: int) -> bytes:
         r0 = w.getframerate()
         n = w.getnframes()
         data = w.readframes(n)
-    m = max(1, (n * target_rate) // r0)
-    out = bytes(data[(k * r0) // target_rate] for k in range(m))
+    if n == 0:  # a valid zero-frame WAV resamples to zero frames
+        out = b""
+    else:
+        m = max(1, (n * target_rate) // r0)
+        out = bytes(data[(k * r0) // target_rate] for k in range(m))
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)

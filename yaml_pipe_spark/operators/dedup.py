@@ -749,6 +749,22 @@ def connected_components(
     return labels.select(F.col("node"), F.col("label").alias("cluster_rep"))
 
 
+def _kept_segments_expr():
+    """Aggregate expression shared by the audit hash and the rewriting
+    filter: the non-boilerplate segments of one document, re-joined in
+    grid order — ONE definition so the two consumers can never diverge."""
+    return F.array_join(
+        F.transform(
+            F.filter(
+                F.array_sort(F.collect_list(F.struct("s", "seg", "dup"))),
+                lambda x: ~x["dup"],
+            ),
+            lambda x: x["seg"],
+        ),
+        " ",
+    )
+
+
 def segment_exact_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -779,16 +795,7 @@ def segment_exact_dedup(
     collect_list there is bounded by a single document's segment count.
     """
     marked = segment_marked(df, text_col, id_col, seg_words)
-    kept_sorted = F.array_join(
-        F.transform(
-            F.filter(
-                F.array_sort(F.collect_list(F.struct("s", "seg", "dup"))),
-                lambda x: ~x["dup"],
-            ),
-            lambda x: x["seg"],
-        ),
-        " ",
-    )
+    kept_sorted = _kept_segments_expr()
     return marked.groupBy(F.col("id").alias(id_col)).agg(
         F.count("*").cast("long").alias("n_segments"),
         F.sum(F.col("dup").cast("int")).cast("long").alias("n_dup_segments"),
@@ -839,16 +846,7 @@ def segment_cleaned_text(
     boilerplate segments removed, blocks re-joined in order. Documents
     whose every block is boilerplate come back with cleaned = ''."""
     marked = segment_marked(df, text_col, id_col, seg_words)
-    kept_sorted = F.array_join(
-        F.transform(
-            F.filter(
-                F.array_sort(F.collect_list(F.struct("s", "seg", "dup"))),
-                lambda x: ~x["dup"],
-            ),
-            lambda x: x["seg"],
-        ),
-        " ",
-    )
+    kept_sorted = _kept_segments_expr()
     return marked.groupBy(F.col("id")).agg(kept_sorted.alias("cleaned"))
 
 

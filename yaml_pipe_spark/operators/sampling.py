@@ -206,15 +206,26 @@ def temperature_mix(
     """
     rates = temperature_rates(df, stratum_col, budget_frac)
     u = temperature_uniform(F.col(key_col))
+    # null-safe joins throughout: groupBy keeps a NULL stratum as a real
+    # group, so a plain equi-join would silently orphan its documents
+    rcol = rates.select(F.col(stratum_col).alias("__rs"), "rate")
     sampled = (
         df.select(stratum_col, u.alias("__u"))
-        .join(F.broadcast(rates.select(stratum_col, "rate")), stratum_col)
+        .join(
+            F.broadcast(rcol),
+            F.col(stratum_col).eqNullSafe(F.col("__rs")),
+        )
         .filter(F.col("__u") < F.col("rate"))
         .groupBy(stratum_col)
         .agg(F.count("*").alias("__ns"))
+        .select(F.col(stratum_col).alias("__ss"), "__ns")
     )
     return (
-        rates.join(sampled, stratum_col, "left")
+        rates.join(
+            sampled,
+            F.col(stratum_col).eqNullSafe(F.col("__ss")),
+            "left",
+        )
         .select(
             stratum_col,
             "n_docs",

@@ -411,15 +411,20 @@ class TemperatureMixFilter:
         )
 
         rates = temperature_rates(df, self.stratum_col, self.budget_frac)
+        # null-safe join: documents with a NULL stratum form a real rate
+        # group and must be sampled, not silently dropped
+        rcol = rates.select(
+            F.col(self.stratum_col).alias("__rs"), "rate"
+        )
         return (
             df.join(
-                F.broadcast(rates.select(self.stratum_col, "rate")),
-                self.stratum_col,
+                F.broadcast(rcol),
+                F.col(self.stratum_col).eqNullSafe(F.col("__rs")),
             )
             .filter(
                 temperature_uniform(F.col(self.key_col)) < F.col("rate")
             )
-            .drop("rate")
+            .drop("rate", "__rs")
         )
 
 

@@ -41,11 +41,20 @@ def _xhtml_paragraphs(data: bytes) -> list[str]:
     if body is None:
         body = root
     paras: list[str] = []
-    for el in body.iter():
-        if _localname(el.tag) in _BLOCK_TAGS:
-            text = "".join(el.itertext())
-            if text.strip():
-                paras.append(text)
+
+    def collect(node) -> None:
+        # an OUTERMOST block element emits its whole subtree's text and is
+        # not descended into — nested blocks (<li><p>..</p></li>) would
+        # otherwise double-emit the same passage
+        for child in node:
+            if _localname(child.tag) in _BLOCK_TAGS:
+                text = "".join(child.itertext())
+                if text.strip():
+                    paras.append(text)
+            else:
+                collect(child)
+
+    collect(body)
     if not paras:  # no block markup: fall back to the whole body text
         text = "".join(body.itertext())
         if text.strip():

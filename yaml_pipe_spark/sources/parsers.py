@@ -71,9 +71,13 @@ def parse_html(text: Column) -> Column:
 def parse_jsonl(text: Column) -> Column:
     """JSON-lines corpora (the lingua franca of training data): one JSON
     object per line; each line contributes its `text` field (falling back
-    to `content`), non-string/missing lines drop, and the extracted texts
-    become the document's elements. Pure Catalyst — get_json_object per
-    line inside a higher-order transform, no UDF."""
+    to `content`), and the extracted texts become the document's
+    elements. Lines whose object has neither field (including malformed
+    JSON) drop; a non-string `text` value is kept STRINGIFIED
+    (get_json_object returns the raw JSON text — `{"text": 42}` yields
+    element "42"), matching how lenient jsonl loaders coerce scalar
+    fields. Pure Catalyst — get_json_object per line inside a
+    higher-order transform, no UDF."""
     lines = F.filter(
         F.split(text, "\n"), lambda l: F.length(F.trim(l)) > 0
     )

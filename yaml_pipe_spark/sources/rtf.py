@@ -32,7 +32,7 @@ _SPECIAL = {
     b"lquote": "‘", b"rquote": "’",
     b"ldblquote": "“", b"rdblquote": "”",
     b"bullet": "•", b"emspace": " ", b"enspace": " ",
-    b"qmspace": " ", b"~": " ",
+    b"qmspace": " ",
 }
 
 
@@ -99,7 +99,13 @@ def extract_rtf_text(data: bytes) -> str:
                 elif word in _SKIP_DESTINATIONS:
                     skipping = True
                 elif word in _SPECIAL:
-                    if not skipping:
+                    # a text-producing control word counts as ONE \uN
+                    # fallback item: \u8212\emdash is the standard
+                    # writer-emitted pair, and emitting both would
+                    # duplicate the character
+                    if pending_uc_skip > 0:
+                        pending_uc_skip -= 1
+                    elif not skipping:
                         out.append(_SPECIAL[word])
                 # any other control word: formatting, ignore
                 i = m.end()

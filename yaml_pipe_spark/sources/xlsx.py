@@ -50,9 +50,12 @@ def _cell_text(c: ET.Element, shared: list[str]) -> str:
         return ""
     if ctype == "s":
         try:
-            return shared[int(v.text)]
-        except (ValueError, IndexError):
+            idx = int(v.text)
+        except ValueError:
             return ""
+        # explicit bounds check: a negative index in a corrupt file must
+        # not silently wrap to the END of the shared-string table
+        return shared[idx] if 0 <= idx < len(shared) else ""
     return v.text  # "n" number, "str" formula result, "b" boolean 0/1
 
 
