@@ -7903,6 +7903,12 @@ def q_dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by bench.py and the local sf0.001/sf0.01/sf0.1 oracle-parity runs every
 # round). Keep the sets in tests/test_registry_order.py in sync so the prefix
 # invariant stays pinned.
+# ROUND 5 NOTE: the 50 slots below are fully spent on round-4 rows. Four
+# queries added late in round 4 (tests/test_registry_order.py::ROUND5_QUEUE —
+# multimodal_wav_resample, dedup_lsh_recall_audit, text_bigram_logprob,
+# text_lang_confusion) are locally verified at sf0.01+sf0.1 but have NO
+# driver row yet: front them FIRST in round 5's rotation, before anything
+# else, so the union-coverage discipline stays intact.
 DRIVER_ORDER: list[str] = [
     "flagship",  # canary: the smoke-checked query stays first
     # -- (2) new in round 4, or code/oracle changed in round 4 --
