@@ -546,3 +546,11 @@ def test_bigram_logprob_stays_jvm_and_single_token_shuffle(spark):
              if "FileScan" in l and "documents" in l]
     assert len(scans) == 1, f"documents scanned {len(scans)}x"
     assert "ReusedExchange" in plan
+
+
+def test_pq_distortion_is_narrow_jvm_map(spark):
+    # codes + reconstruction + MSE + drift are one narrow Catalyst pass;
+    # the only exchange pair is the tiny label rollup
+    plan = _plan(_q("emb_pq_distortion", spark), "simple")
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") <= 2  # partial+final agg pair at most

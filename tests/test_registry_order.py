@@ -80,6 +80,8 @@ EVENTS_STREAM_REVALIDATE: set[str] = {
 # DRIVER_ORDER so the union-coverage discipline stays intact.
 ROUND5_QUEUE: set[str] = {
     "multimodal_wav_resample",
+    "dedup_minhash_band_curve",
+    "emb_pq_distortion",
     "text_lang_confusion",
     "dedup_lsh_recall_audit",
     "text_bigram_logprob",

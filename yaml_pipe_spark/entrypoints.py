@@ -7886,6 +7886,165 @@ def q_dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_recall_audit(load_table(spark, sf_dir, "documents"))
 
 
+def _dk_band_buckets(bands: int) -> str:
+    rows = 16 // bands
+    return "\nUNION ALL\n".join(
+        f"SELECT doc_id, {i} AS band_id, md5('{i}|' || "
+        + " || ".join(f"sig_{i * rows + r}" for r in range(rows))
+        + ") AS band_key FROM sigs"
+        for i in range(bands)
+    )
+
+
+def _dk_band_curve_oracle(bands_list=(2, 4, 8)) -> str:
+    per_band = []
+    selects = []
+    for b in bands_list:
+        per_band.append(
+            f"""
+bk0_{b} AS ({_dk_band_buckets(b)}),
+bk_{b} AS (
+  SELECT doc_id, band_id, band_key FROM (
+    SELECT *, count(*) OVER (PARTITION BY band_id, band_key) AS bn
+    FROM bk0_{b}
+  ) WHERE bn <= 10000
+),
+cd_{b} AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bk_{b} a
+  JOIN bk_{b} b ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+),
+cc_{b} AS (SELECT count(*) AS n FROM cd_{b}),
+hh_{b} AS (
+  SELECT count(*) AS n FROM truth t
+  JOIN cd_{b} c ON t.id_a = c.id_a AND t.id_b = c.id_b
+)"""
+        )
+        selects.append(
+            f"""
+SELECT CAST({b} AS BIGINT) AS bands,
+       CAST(cc_{b}.n AS BIGINT) AS n_candidates,
+       CAST(hh_{b}.n AS BIGINT) AS n_hit,
+       CAST(tcnt.n AS BIGINT) AS n_true_pairs,
+       round(CASE WHEN tcnt.n = 0 THEN 1.0
+                  ELSE hh_{b}.n / CAST(tcnt.n AS DOUBLE) END, 4) AS recall
+FROM cc_{b}, hh_{b}, tcnt"""
+        )
+    return (
+        f"""
+WITH {_DK_SHINGLES},
+{_DK_DF_CUT},
+sigs AS (SELECT doc_id, {_DK_SIGS} FROM shingles GROUP BY doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM shf a
+  JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE round(i.inter / (sa.n + sb.n - i.inter), 4) >= 0.8
+),
+tcnt AS (SELECT count(*) AS n FROM truth),"""
+        + ",".join(per_band)
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+@register(
+    "dedup_minhash_band_curve",
+    _dk_band_curve_oracle(),
+    "Band-budget tuning curve for MinHash-LSH "
+    "(operators/dedup.py::lsh_band_curve): recall and candidate volume "
+    "at 2/4/8 bands over 16 signatures against ONE exact truth set — "
+    "the dedup twin of ann_ivf_nprobe_curve: more bands = more "
+    "candidates and higher recall but a bigger verify join, and this "
+    "curve is how the operating point gets picked before a 100 TB run. "
+    "Shingles, signatures, and the truth set are materialized once and "
+    "shared across every configuration (same staged-materialization "
+    "discipline as the dedup funnel); the oracle recomputes all three "
+    "banded candidate sets and the recall arithmetic end to end. "
+    "Registered after the round-4 50-slot driver prefix: locally "
+    "verified at sf0.01+sf0.1, queued for the round-5 driver front.",
+)
+def q_dedup_minhash_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.dedup import lsh_band_curve
+
+    return lsh_band_curve(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "emb_pq_distortion",
+    f"""
+WITH c AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xv,
+         list_transform(embedding, v ->
+           (CAST(least(greatest(
+              CAST(floor(CAST(v AS DOUBLE) * 8) AS BIGINT) + 2,
+              CAST(0 AS BIGINT)), CAST(3 AS BIGINT)) AS DOUBLE)
+            - 1.5) / 8) AS rv
+  FROM embeddings
+),
+m AS (
+  SELECT label,
+         list_sum(list_transform(generate_series(1, len(xv)),
+                  i -> (xv[i] - rv[i]) * (xv[i] - rv[i]))) / len(xv) AS mse,
+         1 - {_dk_cos('xv', 'rv')} AS cosd
+  FROM c
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       round(avg(mse), 6) AS avg_mse,
+       round(max(mse), 6) AS max_mse,
+       round(avg(cosd), 6) AS avg_cos_drift
+FROM m GROUP BY label
+""",
+    "Quantization-distortion report for the 2-bit PQ codes "
+    "(operators/similarity.py::sq2_codes): per-label reconstruction MSE "
+    "and cosine drift between each embedding and its code "
+    "reconstruction — the distortion gate that complements "
+    "ann_pq_adc_topk's retrieval-hit view (emb_int8_quant's twin for "
+    "the product codebook). Pure Catalyst narrow map + one tiny label "
+    "rollup; every per-vector value is an exact shared fold, so the "
+    "oracle recomputes codes, reconstructions, MSE, and drift "
+    "identically. Registered after the round-4 50-slot driver prefix: "
+    "locally verified at sf0.01+sf0.1, queued for the round-5 driver "
+    "front.",
+)
+def q_emb_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.functions.vectors import cosine
+    from yaml_pipe_spark.operators.similarity import (
+        sq2_adc_dist_sq,
+        sq2_codes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("label").cast("long").alias("label"),
+        F.col("embedding").alias("xv"),
+        sq2_codes(F.col("embedding")).alias("code"),
+    )
+    recon = F.transform(F.col("code"), lambda c: (c - 1.5) / 8)
+    m = emb.select(
+        "label",
+        (
+            sq2_adc_dist_sq(F.col("xv"), F.col("code"))
+            / F.size("xv")
+        ).alias("mse"),
+        (F.lit(1) - cosine(F.col("xv"), recon)).alias("cosd"),
+    )
+    return m.groupBy("label").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("mse"), 6).alias("avg_mse"),
+        F.round(F.max("mse"), 6).alias("max_mse"),
+        F.round(F.avg("cosd"), 6).alias("avg_cos_drift"),
+    )
+
+
 # The round driver validates a *prefix* of the queries() dict (each round
 # records exactly the first 50 entries in insertion order). After round 3 the
 # union of driver-green rows covers every query registered through r3
@@ -7903,12 +8062,13 @@ def q_dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by bench.py and the local sf0.001/sf0.01/sf0.1 oracle-parity runs every
 # round). Keep the sets in tests/test_registry_order.py in sync so the prefix
 # invariant stays pinned.
-# ROUND 5 NOTE: the 50 slots below are fully spent on round-4 rows. Four
+# ROUND 5 NOTE: the 50 slots below are fully spent on round-4 rows. Six
 # queries added late in round 4 (tests/test_registry_order.py::ROUND5_QUEUE —
-# multimodal_wav_resample, dedup_lsh_recall_audit, text_bigram_logprob,
-# text_lang_confusion) are locally verified at sf0.01+sf0.1 but have NO
-# driver row yet: front them FIRST in round 5's rotation, before anything
-# else, so the union-coverage discipline stays intact.
+# multimodal_wav_resample, dedup_lsh_recall_audit, dedup_minhash_band_curve,
+# text_bigram_logprob, text_lang_confusion, emb_pq_distortion) are locally
+# verified at sf0.01+sf0.1 but have NO driver row yet: front them FIRST in
+# round 5's rotation, before anything else, so the union-coverage
+# discipline stays intact.
 DRIVER_ORDER: list[str] = [
     "flagship",  # canary: the smoke-checked query stays first
     # -- (2) new in round 4, or code/oracle changed in round 4 --

@@ -903,3 +903,62 @@ def lsh_recall_audit(
             ).alias("recall"),
         )
     )
+
+
+def lsh_band_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 16,
+    bands_list: tuple[int, ...] = (2, 4, 8),
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Recall of the MinHash-LSH candidate generator at several banding
+    configurations against ONE exact truth set — the band-budget tuning
+    curve (the dedup twin of the IVF nprobe curve): more bands with
+    fewer rows each = more candidates and higher recall but a bigger
+    verify join; the curve is how you pick the operating point before a
+    100 TB run. Returns one row per config:
+    (bands, n_candidates, n_hit, n_true_pairs, recall).
+
+    Shingles, signatures, and the truth set are each materialized once
+    and shared across every configuration; per-config candidate frames
+    are checkpointed because each is consumed twice (count + semi-join).
+    """
+    from functools import reduce
+
+    shingles = token_shingles(df, text_col, id_col, k).localCheckpoint()
+    truth = (
+        exact_jaccard_pairs(shingles, id_col=id_col)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    sigs = minhash_signatures(shingles, id_col, n_hashes).localCheckpoint()
+    nt = truth.agg(F.count("*").alias("n_true_pairs"))
+    rows = []
+    for b in bands_list:
+        cands = lsh_candidate_pairs(
+            sigs, id_col, n_hashes, b
+        ).localCheckpoint()
+        hit = truth.join(cands, ["id_a", "id_b"], "left_semi")
+        rows.append(
+            cands.agg(F.count("*").alias("n_candidates"))
+            .join(F.broadcast(hit.agg(F.count("*").alias("n_hit"))))
+            .join(F.broadcast(nt))
+            .select(
+                F.lit(int(b)).cast("long").alias("bands"),
+                F.col("n_candidates").cast("long").alias("n_candidates"),
+                F.col("n_hit").cast("long").alias("n_hit"),
+                F.col("n_true_pairs").cast("long").alias("n_true_pairs"),
+                F.round(
+                    F.when(F.col("n_true_pairs") == 0, F.lit(1.0)).otherwise(
+                        F.col("n_hit")
+                        / F.col("n_true_pairs").cast("double")
+                    ),
+                    4,
+                ).alias("recall"),
+            )
+        )
+    return reduce(lambda a, c: a.unionByName(c), rows)
