@@ -7482,13 +7482,13 @@ r AS (
 ),
 s AS (
   SELECT d.lang, count(*) AS ns
-  FROM documents d JOIN r USING (lang)
+  FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.lang
   WHERE {_dk_hex4('d.doc_id')} / 65536.0 < r.rate
   GROUP BY 1
 )
 SELECT r.lang, CAST(r.n AS BIGINT) AS n_docs, r.q_temp, r.rate,
        CAST(coalesce(s.ns, 0) AS BIGINT) AS n_sampled
-FROM r LEFT JOIN s USING (lang)
+FROM r LEFT JOIN s ON r.lang IS NOT DISTINCT FROM s.lang
 """,
     "Temperature-based language mixture (mT5/XLM-R alpha=0.5, "
     "operators/sampling.py::temperature_mix): per-lang sampling weights "

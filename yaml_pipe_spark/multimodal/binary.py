@@ -304,19 +304,24 @@ def resample_media(df: DataFrame, target_rate: int = 4000) -> DataFrame:
     """Resample every decodable audio payload in place (same Arrow
     mapInPandas shape as extract_features): RIFF/WAVE payloads go through
     the real resample_wav; other formats pass through untouched (their
-    resample is the cluster-side codec extension point)."""
+    resample is the cluster-side codec extension point). A WAV outside
+    resample_wav's stdlib scope (16-bit, stereo, truncated, …) also
+    passes through unchanged — one odd payload must not fail the whole
+    Spark task."""
+    import wave as _wave
+
+    def _maybe_resample(p):
+        if p is None or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+            return p
+        try:
+            return resample_wav(p, target_rate)
+        except (NotImplementedError, _wave.Error, EOFError):
+            return p
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             pdf = pdf.copy()
-            pdf["payload"] = [
-                resample_wav(p, target_rate)
-                if p is not None
-                and p[:4] == b"RIFF"
-                and p[8:12] == b"WAVE"
-                else p
-                for p in pdf["payload"]
-            ]
+            pdf["payload"] = [_maybe_resample(p) for p in pdf["payload"]]
             yield pdf
 
     return df.mapInPandas(run, MEDIA_SCHEMA)

@@ -45,7 +45,11 @@ def _xhtml_paragraphs(data: bytes) -> list[str]:
     def collect(node) -> None:
         # an OUTERMOST block element emits its whole subtree's text and is
         # not descended into — nested blocks (<li><p>..</p></li>) would
-        # otherwise double-emit the same passage
+        # otherwise double-emit the same passage. Bare text mixed into a
+        # non-block container (<body>intro<p>x</p></body>) is content too:
+        # node.text and each child's tail become their own paragraphs.
+        if node.text and node.text.strip():
+            paras.append(node.text)
         for child in node:
             if _localname(child.tag) in _BLOCK_TAGS:
                 text = "".join(child.itertext())
@@ -53,6 +57,8 @@ def _xhtml_paragraphs(data: bytes) -> list[str]:
                     paras.append(text)
             else:
                 collect(child)
+            if child.tail and child.tail.strip():
+                paras.append(child.tail)
 
     collect(body)
     if not paras:  # no block markup: fall back to the whole body text

@@ -96,6 +96,12 @@ def extract_rtf_text(data: bytes) -> str:
                     pending_uc_skip = uc
                 elif word == b"uc" and param is not None:
                     uc = int(param)
+                elif word == b"bin" and param is not None:
+                    # \binN: N RAW bytes follow the delimiter — they are
+                    # not RTF text, and a { } \ byte inside the run would
+                    # corrupt group state if scanned. Skip unconditionally.
+                    i = m.end() + max(0, int(param))
+                    continue
                 elif word in _SKIP_DESTINATIONS:
                     skipping = True
                 elif word in _SPECIAL:
