@@ -86,3 +86,68 @@ def test_epub_bare_body_text_kept_with_blocks():
         b"</body></html>"
     )
     assert _xhtml_paragraphs(xhtml) == ["intro", "x", "tail", "wrapped", "y"]
+
+
+# ------------------------------------------- incremental minhash dedup
+
+
+def test_incremental_minhash_dedup_and_idempotent_rerun(spark):
+    """A near-dup of a standing doc is dropped as dup_old, a near-dup
+    inside the increment as dup_new, novel docs kept; after
+    merge_band_state, re-running the SAME increment yields the same
+    verdicts (no self-pairing, no double-drop)."""
+    from yaml_pipe_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        merge_band_state,
+        minhash_band_state,
+        minhash_signatures,
+        lsh_band_table,
+        token_shingles,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    old_rows = [
+        (1, base + " lambda mu"),
+        (2, "one two three four five six seven eight nine ten"),
+    ]
+    new_rows = [
+        (10, base + " lambda nu"),  # near-dup of doc 1 -> dup_old
+        (11, "completely different words with no overlap at all here"),
+        (12, "completely different words with no overlap at all there"),
+        # 12 near-dups 11 (same snapshot) -> dup_new
+        (13, "tiny"),  # < k tokens: opts out -> kept
+    ]
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    state = minhash_band_state(old)
+    out = {
+        r["doc_id"]: (r["reason"], r["dup_of"])
+        for r in incremental_minhash_dedup(
+            new, state, old, threshold=0.7
+        ).collect()
+    }
+    assert out[10] == ("dup_old", 1)
+    assert out[11] == ("kept", None)
+    assert out[12] == ("dup_new", 11)
+    assert out[13] == ("kept", None)
+
+    # merge the increment's bands into the state; rerun -> same verdicts
+    new_bands = lsh_band_table(
+        minhash_signatures(token_shingles(new, "text", "doc_id"))
+    )
+    merged = merge_band_state(state, new_bands)
+    corpus2 = old.unionByName(new)
+    out2 = {
+        r["doc_id"]: (r["reason"], r["dup_of"])
+        for r in incremental_minhash_dedup(
+            new, merged, corpus2, threshold=0.7
+        ).collect()
+    }
+    assert out2 == out
+    # merge really superseded: one band-row set per id, no duplicates
+    # (doc 13 has < k tokens, so no shingles and no band rows: 5 ids)
+    n_ids = merged.select("doc_id").distinct().count()
+    assert n_ids == 5
+    assert merged.groupBy("doc_id", "band_id").count().filter(
+        "count > 1"
+    ).count() == 0

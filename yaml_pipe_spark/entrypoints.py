@@ -1190,6 +1190,104 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INCREMENTAL_MINHASH_ORACLE = f"""
+WITH {_DK_SHINGLES},
+spl AS (SELECT CAST(floor(0.8 * max(doc_id)) AS BIGINT) AS s FROM documents),
+sigs AS (SELECT doc_id, {_DK_SIGS} FROM shingles GROUP BY doc_id),
+buckets0 AS ({_DK_BUCKETS}),
+state AS (
+  SELECT doc_id, band_id, band_key FROM (
+    SELECT b.*, count(*) OVER (PARTITION BY band_id, band_key) AS bn
+    FROM buckets0 b, spl WHERE b.doc_id < spl.s
+  ) WHERE bn <= 10000
+),
+newb AS (
+  SELECT doc_id, band_id, band_key FROM (
+    SELECT b.*, count(*) OVER (PARTITION BY band_id, band_key) AS bn
+    FROM buckets0 b, spl WHERE b.doc_id >= spl.s
+  ) WHERE bn <= 10000
+),
+cands AS (
+  SELECT DISTINCT s.doc_id AS id_a, n.doc_id AS id_b
+  FROM newb n
+  JOIN state s ON n.band_id = s.band_id AND n.band_key = s.band_key
+             AND s.doc_id < n.doc_id
+  UNION
+  SELECT DISTINCT a.doc_id, b.doc_id
+  FROM newb a
+  JOIN newb b ON a.band_id = b.band_id AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+ash AS (SELECT doc_id, shingle FROM shingles
+        WHERE doc_id IN (SELECT id_a FROM cands)),
+bsh AS (SELECT doc_id, shingle FROM shingles
+        WHERE doc_id IN (SELECT id_b FROM cands)),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM ash a JOIN bsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+vp AS (
+  SELECT c.id_a, c.id_b,
+         round(i.inter / (sa.n + sb.n - i.inter), 4) AS j
+  FROM cands c
+  JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+  WHERE round(i.inter / (sa.n + sb.n - i.inter), 4) >= 0.8
+),
+best AS (SELECT id_b AS doc_id, min(id_a) AS dup_of FROM vp GROUP BY 1),
+bestj AS (
+  SELECT b.doc_id, b.dup_of, v.j
+  FROM best b JOIN vp v ON v.id_b = b.doc_id AND v.id_a = b.dup_of
+),
+newdocs AS (SELECT doc_id FROM documents, spl WHERE doc_id >= spl.s),
+incmin AS (SELECT min(doc_id) AS m FROM newdocs)
+SELECT nd.doc_id, bj.dup_of, bj.j AS jaccard,
+       CASE WHEN bj.dup_of IS NULL THEN 'kept'
+            WHEN bj.dup_of < (SELECT m FROM incmin) THEN 'dup_old'
+            ELSE 'dup_new' END AS reason
+FROM newdocs nd LEFT JOIN bestj bj USING (doc_id)
+"""
+
+
+@register(
+    "dedup_incremental_minhash",
+    INCREMENTAL_MINHASH_ORACLE,
+    "Incremental cross-snapshot near-dup (dedup.incremental_minhash_dedup): "
+    "the last 20% of doc_ids play the daily increment, the first 80% the "
+    "standing corpus whose persisted band table (minhash_band_state — the "
+    "MinHash analogue of the T2 ledger) is probed by ONE equi-join on "
+    "(band_id, band_key). Standing text is re-shingled only for candidate "
+    "ids (left-semi cut); verify is raw-shingle Jaccard (df stats are "
+    "whole-corpus quantities an increment cannot see — bucket caps on "
+    "both sides bound the blowup instead). Per-increment-doc verdict: "
+    "smallest lower-id partner wins, reason dup_old/dup_new/kept. The "
+    "operational mode at 100 TB: daily cost scales with the increment, "
+    "not the corpus.",
+)
+def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_band_state,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    split = docs.agg(
+        F.floor(0.8 * F.max("doc_id")).cast("long").alias("__s")
+    )
+    staged = docs.crossJoin(F.broadcast(split))
+    old = staged.filter(F.col("doc_id") < F.col("__s")).select(
+        "doc_id", "text"
+    )
+    new = staged.filter(F.col("doc_id") >= F.col("__s")).select(
+        "doc_id", "text"
+    )
+    state = minhash_band_state(old)
+    return incremental_minhash_dedup(new, state, old)
+
+
 @register(
     "dedup_ngram_jaccard",
     f"""

@@ -108,19 +108,24 @@ DEFAULT_DF_MAX_FRAC = 0.005
 DEFAULT_DF_MIN_CUT = 50
 
 
-def lsh_candidate_pairs(
+def lsh_band_table(
     sigs: DataFrame,
     id_col: str = "doc_id",
     n_hashes: int = 16,
     bands: int = 4,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
-    """Distinct candidate pairs (id_a < id_b) sharing >= 1 LSH band bucket.
+    """(id, band_id, band_key) — each doc's LSH band buckets, hot buckets
+    dropped. band_key = md5(band || '|' || concat of the band's signature
+    row). This frame is ALSO the persistable incremental-dedup state: write
+    it as a parquet table after a corpus build and equi-join the next
+    increment's bands against it (see incremental_minhash_dedup) — the
+    MinHash analogue of the T2 content-hash ledger
+    (reference utils/state_manager.py drives `has_changed` the same way,
+    sources.py:79-81).
 
-    band_key = md5(band || '|' || concat of the band's signature row); the
-    pair join is an equi-join on (band_id, band_key). `max_bucket_size`
-    drops degenerate buckets before the join (quadratic blowup guard) — ON
-    by default (10k): one unguarded hot bucket (empty docs, boilerplate)
+    `max_bucket_size` drops degenerate buckets (quadratic blowup guard) —
+    ON by default (10k): one unguarded hot bucket (empty docs, boilerplate)
     is quadratic, the first thing that falls over at 100 TB. The trade:
     members of a dropped bucket can still pair through their other
     `bands - 1` band buckets, so recall degrades gracefully and only for
@@ -147,6 +152,19 @@ def lsh_candidate_pairs(
             .filter(F.col("__n") <= max_bucket_size)
             .drop("__n")
         )
+    return buckets
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing >= 1 LSH band bucket:
+    the lsh_band_table self-equi-joined on (band_id, band_key)."""
+    buckets = lsh_band_table(sigs, id_col, n_hashes, bands, max_bucket_size)
     a = buckets.select(
         F.col("band_id"), F.col("band_key"), F.col(id_col).alias("id_a")
     )
@@ -321,6 +339,147 @@ def minhash_near_duplicates(
     cands = lsh_candidate_pairs(sigs, id_col, n_hashes, bands, max_bucket_size)
     verified = exact_jaccard_pairs(shingles, cands, id_col)
     return verified.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-snapshot) MinHash dedup
+# ---------------------------------------------------------------------------
+
+
+def minhash_band_state(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """The persistable LSH state for a standing corpus: (id, band_id,
+    band_key), hot buckets already excluded at build time. At 100 TB this
+    is written once per corpus build (bands * n_docs rows — tiny next to
+    the corpus) and every daily increment joins against it instead of
+    re-scanning 100 TB of standing text."""
+    shingles = token_shingles(docs, text_col, id_col, k)
+    sigs = minhash_signatures(shingles, id_col, n_hashes)
+    return lsh_band_table(sigs, id_col, n_hashes, bands, max_bucket_size)
+
+
+def merge_band_state(
+    prior_state: DataFrame, new_bands: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Upsert an increment's band rows into the standing state (same
+    supersede-by-id contract as state.merge_ledger): rows for re-ingested
+    ids are replaced wholesale, everything else carries over."""
+    kept = prior_state.join(
+        new_bands.select(id_col).distinct(), id_col, "left_anti"
+    )
+    return kept.unionByName(new_bands)
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    band_state: DataFrame,
+    corpus_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Dedup an increment against a standing corpus WITHOUT re-pairing the
+    standing corpus against itself — the operational mode at 100 TB, where
+    the daily increment is ~0.1% of the data and whole-corpus
+    minhash_near_duplicates would redo 99.9% of the work every day.
+
+    Contract (ids must be assigned so standing ids < increment ids, the
+    natural monotone-ingest layout):
+      1. shingle/sign/band ONLY the increment;
+      2. new-vs-old candidates = one equi-join of the increment's bands
+         against `band_state` on (band_id, band_key) — the standing corpus
+         TEXT is never scanned for candidate generation;
+      3. new-vs-new candidates = the usual banded self-join WITHIN the
+         increment;
+      4. exact-Jaccard verify re-shingles ONLY the standing docs that
+         appear as candidates (left-semi cut on `corpus_docs` before
+         tokenizing — candidate-scale, not corpus-scale);
+      5. verdict per increment doc: dropped iff a verified pair links it
+         to ANY lower-id doc; `dup_of` = the smallest such partner
+         (greedy min-id representative, the same rule the whole-corpus
+         path's keep-lowest-id resolution applies).
+
+    Verify uses RAW shingle sets (no document-frequency cut): the df
+    statistic is a whole-corpus quantity an increment cannot see, and the
+    hot-shingle blowup the cut guards against is already bounded here by
+    the band-bucket caps on both the state (build time) and the increment.
+
+    Returns one row PER INCREMENT DOC: (id, dup_of, jaccard, reason) with
+    reason in ('dup_old', 'dup_new', 'kept'); dup_of/jaccard are NULL for
+    kept docs. Re-running after merge_band_state is idempotent: a doc
+    never pairs with itself (strict id inequality), so verdicts are
+    stable.
+    """
+    new_shingles = token_shingles(new_docs, text_col, id_col, k)
+    new_sigs = minhash_signatures(new_shingles, id_col, n_hashes)
+    new_bands = lsh_band_table(
+        new_sigs, id_col, n_hashes, bands, max_bucket_size
+    )
+    # new-vs-old: increment bands probe the standing state. Alias the state
+    # id; the join key is (band_id, band_key), high-cardinality by design.
+    state = band_state.select(
+        F.col(id_col).alias("id_a"), "band_id", "band_key"
+    )
+    cands_old = (
+        new_bands.select("band_id", "band_key", F.col(id_col).alias("id_b"))
+        .join(state, ["band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    cands_new = lsh_candidate_pairs(
+        new_sigs, id_col, n_hashes, bands, max_bucket_size
+    )
+    cands = cands_old.unionByName(cands_new).distinct()
+    # verify: only candidate standing docs get re-shingled
+    cand_old_docs = corpus_docs.join(
+        cands.select(F.col("id_a").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    )
+    verify_shingles = new_shingles.unionByName(
+        token_shingles(cand_old_docs, text_col, id_col, k)
+    )
+    verified = exact_jaccard_pairs(
+        verify_shingles, cands, id_col, df_max_frac=None
+    ).filter(F.col("jaccard") >= threshold)
+    # verdict: smallest lower-id partner wins; struct-min keeps the
+    # (partner, jaccard) pair consistent in one aggregation
+    best = (
+        verified.groupBy(F.col("id_b").alias(id_col))
+        .agg(F.min(F.struct("id_a", "jaccard")).alias("__m"))
+        .select(
+            id_col,
+            F.col("__m.id_a").alias("dup_of"),
+            F.col("__m.jaccard").alias("jaccard"),
+        )
+    )
+    split = new_docs.agg(F.min(id_col).alias("__split"))
+    return (
+        new_docs.select(id_col)
+        .join(best, id_col, "left")
+        .crossJoin(F.broadcast(split))
+        .select(
+            id_col,
+            "dup_of",
+            "jaccard",
+            F.when(F.col("dup_of").isNull(), F.lit("kept"))
+            .when(F.col("dup_of") < F.col("__split"), F.lit("dup_old"))
+            .otherwise(F.lit("dup_new"))
+            .alias("reason"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
