@@ -151,3 +151,44 @@ def test_incremental_minhash_dedup_and_idempotent_rerun(spark):
     assert merged.groupBy("doc_id", "band_id").count().filter(
         "count > 1"
     ).count() == 0
+
+
+# ------------------------------------------------- real stdlib PNG decode
+
+
+def test_png_roundtrip_all_filters():
+    """build_png cycles filter types per scanline; decode_png must undo
+    None/Sub/Up/Average/Paeth exactly (h=9 docs exercise all five in one
+    image)."""
+    from yaml_pipe_spark.multimodal.binary import build_png, decode_png
+
+    for i in (0, 1, 5, 8, 13, 44, 125, 126):
+        w, h, pix = decode_png(build_png(i))
+        assert (w, h) == (2 + i % 14, 1 + i % 9)
+        assert pix == bytes(
+            (i + r * 31 + c * 7) % 256 for r in range(h) for c in range(3 * w)
+        )
+
+
+def test_png_out_of_scope_raises():
+    import zlib
+
+    from yaml_pipe_spark.multimodal.binary import build_png, decode_png
+
+    with pytest.raises(ValueError):
+        decode_png(b"notapng")
+    # flip color type to 6 (RGBA): out of stdlib scope
+    png = bytearray(build_png(3))
+    ihdr_off = 8 + 8  # sig + len/type
+    png[ihdr_off + 9] = 6
+    # CRC is now wrong but decode_png doesn't verify CRC; the IHDR gate fires
+    with pytest.raises(NotImplementedError):
+        decode_png(bytes(png))
+
+
+def test_png_decode_payload_sniff():
+    from yaml_pipe_spark.multimodal.binary import build_png, decode_payload
+
+    w, h, n_frames, feat = decode_payload(build_png(7), "image", real_decode=True)
+    assert (w, h, n_frames) == (2 + 7 % 14, 1 + 7 % 9)[0:2] + (1,)
+    assert feat[0] == (7 % 256) / 255.0

@@ -128,18 +128,111 @@ def _decode_wav(payload: bytes):
         )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, data) for each chunk; lengths/CRC per the PNG spec
+    layout (4-byte big-endian length, 4-byte type, data, 4-byte CRC)."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    i = 8
+    while i + 8 <= len(payload):
+        ln = int.from_bytes(payload[i : i + 4], "big")
+        typ = payload[i + 4 : i + 8]
+        yield typ, payload[i + 8 : i + 8 + ln]
+        i += 12 + ln
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes):
+    """REAL stdlib PNG decode for non-interlaced 8-bit RGB (color type 2):
+    chunk walk -> concat IDAT -> zlib inflate -> per-scanline unfiltering
+    with all five PNG filter types (None/Sub/Up/Average/Paeth, bpp=3).
+    Returns (width, height, decoded_pixel_bytes) where the pixel stream is
+    row-major RGB. Anything else (palette, alpha, 16-bit, interlaced)
+    raises — that is the cluster-side codec extension point."""
+    import zlib
+
+    ihdr = None
+    idat = b""
+    for typ, data in _png_chunks(payload):
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if ihdr is None or len(ihdr) < 13:
+        raise ValueError("PNG missing IHDR")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
+    if bit_depth != 8 or color_type != 2 or interlace != 0:
+        raise NotImplementedError(
+            "only non-interlaced 8-bit RGB PNG is stdlib-scope"
+        )
+    raw = zlib.decompress(idat)
+    stride, bpp = 3 * w, 3
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG scanline data has wrong length")
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _r in range(h):
+        ft = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ft == 1:  # Sub
+            for c in range(bpp, stride):
+                line[c] = (line[c] + line[c - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for c in range(stride):
+                line[c] = (line[c] + prev[c]) & 0xFF
+        elif ft == 3:  # Average
+            for c in range(stride):
+                a = line[c - bpp] if c >= bpp else 0
+                line[c] = (line[c] + ((a + prev[c]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for c in range(stride):
+                a = line[c - bpp] if c >= bpp else 0
+                cc = prev[c - bpp] if c >= bpp else 0
+                line[c] = (line[c] + _paeth(a, prev[c], cc)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out += line
+        prev = line
+    return w, h, bytes(out)
+
+
+def _decode_png_features(payload: bytes):
+    """decode_payload-shaped adapter: (width, height, 1, first-8-decoded-
+    pixel-byte features)."""
+    w, h, pix = decode_png(payload)
+    return w, h, 1, [b / 255.0 for b in pix[:8]]
+
+
 def decode_payload(payload: bytes, modality: str, real_decode: bool = False):
     """Payload decode. The real path handles the stdlib-decodable container
-    formats — uncompressed BMP, binary PPM, PCM WAV — by magic-byte
-    sniffing; everything else (JPEG/PNG/MP3/MP4...) still raises: that is
-    where PIL/torchaudio/ffmpeg plug in on a real cluster. The fake path
-    derives stable pseudo-dimensions and features from the bytes
-    themselves (deterministic, oracle-friendly)."""
+    formats — uncompressed BMP, binary PPM, non-interlaced 8-bit RGB PNG,
+    PCM WAV — by magic-byte sniffing; everything else (JPEG/MP3/MP4...)
+    still raises: that is where PIL/torchaudio/ffmpeg plug in on a real
+    cluster. The fake path derives stable pseudo-dimensions and features
+    from the bytes themselves (deterministic, oracle-friendly)."""
     if real_decode:
         if payload[:2] == b"BM":
             return _decode_bmp(payload)
         if payload[:2] == b"P6":
             return _decode_ppm(payload)
+        if payload[:8] == _PNG_SIG:
+            return _decode_png_features(payload)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return _decode_wav(payload)
         raise NotImplementedError(
@@ -373,6 +466,113 @@ def build_wav(doc_id: int) -> bytes:
         n = 16 + doc_id % 50
         w.writeframes(bytes((doc_id * 3 + k) % 256 for k in range(n)))
     return buf.getvalue()
+
+
+def build_png(doc_id: int) -> bytes:
+    """A complete, valid non-interlaced 8-bit RGB PNG built from integer
+    formulas: width = 2 + doc_id % 14, height = 1 + doc_id % 9, DECODED
+    pixel byte at row r, byte-column c is (doc_id + r*31 + c*7) % 256.
+    Scanline r is encoded with filter type r % 5, so a corpus of these
+    exercises ALL five PNG filters (None/Sub/Up/Average/Paeth) and any
+    unfiltering bug corrupts the recomputable pixel formulas."""
+    import zlib
+
+    w = 2 + doc_id % 14
+    h = 1 + doc_id % 9
+    stride, bpp = 3 * w, 3
+    raw = bytearray()
+    prev = bytes(stride)
+    for r in range(h):
+        line = bytes((doc_id + r * 31 + c * 7) % 256 for c in range(stride))
+        ft = r % 5
+        filtered = bytearray(stride)
+        for c in range(stride):
+            a = line[c - bpp] if c >= bpp else 0
+            b = prev[c]
+            cc = prev[c - bpp] if c >= bpp else 0
+            if ft == 0:
+                v = line[c]
+            elif ft == 1:
+                v = line[c] - a
+            elif ft == 2:
+                v = line[c] - b
+            elif ft == 3:
+                v = line[c] - ((a + b) >> 1)
+            else:
+                v = line[c] - _paeth(a, b, cc)
+            filtered[c] = v & 0xFF
+        raw.append(ft)
+        raw += filtered
+        prev = line
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + zlib.crc32(typ + data).to_bytes(4, "big")
+        )
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_media_from_documents(docs: DataFrame) -> DataFrame:
+    """One build_png payload per document row, through the same Arrow
+    mapInPandas ingest shape as real_media_from_documents."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "item_id": ids,
+                    "modality": ["image"] * len(ids),
+                    "payload": [build_png(int(i)) for i in ids],
+                    "meta": [{"origin": f"documents/{int(i)}"} for i in ids],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+PNG_REPORT_SCHEMA = (
+    "item_id long, width int, height int, n_bytes_decoded long, "
+    "sum_pixels long, feat_byte0 long, sum_first8 long"
+)
+
+
+def png_decode_report(df: DataFrame) -> DataFrame:
+    """Executor-side real PNG decode audit: every payload goes through the
+    full inflate+unfilter path and the report carries whole-image decoded
+    quantities (sum over EVERY pixel byte, not just a prefix), so a
+    single wrong byte anywhere in any scanline changes the output. Same
+    Arrow mapInPandas batch contract as extract_features."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                w, h, pix = decode_png(payload)
+                rows.append(
+                    {
+                        "item_id": int(item_id),
+                        "width": w,
+                        "height": h,
+                        "n_bytes_decoded": len(pix),
+                        "sum_pixels": sum(pix),
+                        "feat_byte0": pix[0],
+                        "sum_first8": sum(pix[:8]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, PNG_REPORT_SCHEMA)
 
 
 def real_media_from_documents(docs: DataFrame) -> DataFrame:
