@@ -192,3 +192,43 @@ def test_png_decode_payload_sniff():
     w, h, n_frames, feat = decode_payload(build_png(7), "image", real_decode=True)
     assert (w, h, n_frames) == (2 + 7 % 14, 1 + 7 % 9)[0:2] + (1,)
     assert feat[0] == (7 % 256) / 255.0
+
+
+# --------------------------------------------------- real BPE merge loop
+
+
+def test_bpe_encode_min_rank_iteration():
+    """Lowest-rank pair merges first; merged outputs feed later merges
+    ((t,h) -> (th,e); (i,n)+(ti,on) -> tion); left-to-right non-overlap
+    on repeated pairs."""
+    from yaml_pipe_spark.operators.text_stats import bpe_encode
+
+    assert bpe_encode("the") == ["the"]
+    assert bpe_encode("thing") == ["th", "ing"]
+    assert bpe_encode("tion") == ["tion"]
+    # in 'nation', (a,t) rank 9 consumes the t before (t,i) rank 12 can
+    # fire — min-rank order, not longest-match greed
+    assert bpe_encode("nation") == ["n", "at", "i", "on"]
+    assert bpe_encode("x") == ["x"]
+    assert bpe_encode("zz") == ["z", "z"]
+    # repeated pair run: (i,n) merges both occurrences in one pass
+    assert bpe_encode("ininin") == ["in", "in", "in"]
+    # merge output must NOT re-trigger its own rule mid-fold
+    assert bpe_encode("ththth") == ["th", "th", "th"]
+
+
+def test_bpe_token_stats_small(spark):
+    from yaml_pipe_spark.operators.text_stats import bpe_token_stats
+
+    df = spark.createDataFrame(
+        [("en", "the thing"), ("en", "the"), ("de", "zz")],
+        "lang string, text string",
+    )
+    rows = {r["lang"]: r for r in bpe_token_stats(df).collect()}
+    # en: words the(x2), thing(x1) -> tokens 1*2 + 2 = 4 over 3 occurrences
+    assert rows["en"]["n_word_occurrences"] == 3
+    assert rows["en"]["total_bpe_tokens"] == 4
+    assert rows["en"]["n_token_types"] == 3  # {the, th, ing}
+    # de: zz -> [z, z]: 2 tokens, 1 type
+    assert rows["de"]["total_bpe_tokens"] == 2
+    assert rows["de"]["n_token_types"] == 1

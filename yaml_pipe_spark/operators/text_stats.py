@@ -191,3 +191,113 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tfidf", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Real BPE encoding (pinned merges, vocabulary-level work)
+# ---------------------------------------------------------------------------
+
+# Pinned merge table in training order: every merge's output symbols are only
+# consumed by LATER merges (the invariant real BPE training produces), so the
+# min-rank iteration below is the standard GPT-2/HF encode loop. Kept small
+# and English-shaped on purpose — the algorithm, not the vocabulary, is the
+# deliverable; swap in a learned merges.txt on a real cluster.
+BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("e", "n"), ("a", "t"),
+    ("o", "r"), ("e", "s"), ("t", "i"), ("ti", "on"), ("in", "g"),
+    ("o", "u"), ("a", "r"), ("a", "l"), ("s", "t"), ("l", "e"),
+    ("m", "e"), ("d", "e"), ("c", "o"), ("co", "m"),
+]
+_BPE_RANK = {pair: i for i, pair in enumerate(BPE_MERGES)}
+
+
+def bpe_encode(word: str) -> list[str]:
+    """The real BPE merge loop: repeatedly find the LOWEST-rank adjacent
+    symbol pair present and merge its occurrences left-to-right
+    (non-overlapping) until no pair is in the table. The per-rank pass is
+    a fold — merge when the accumulator's last symbol equals l and the
+    incoming symbol equals r — which is exactly the left-to-right
+    non-overlap semantics ('aaaaa' with merge (a,a) -> [aa, aa, a]) and
+    is mirrored verbatim by the oracle's list_reduce."""
+    syms = list(word)
+    while len(syms) > 1:
+        best = None
+        for i in range(len(syms) - 1):
+            r = _BPE_RANK.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best):
+                best = r
+        if best is None:
+            break
+        lft, rgt = BPE_MERGES[best]
+        out: list[str] = []
+        for x in syms:
+            if out and out[-1] == lft and x == rgt:
+                out[-1] = lft + rgt
+            else:
+                out.append(x)
+        syms = out
+    return syms
+
+
+def bpe_token_stats(
+    df: DataFrame, text_col: str = "text", lang_col: str = "lang"
+) -> DataFrame:
+    """Per-language BPE token accounting with the REAL merge loop.
+
+    Scale design: the iterative encode runs once per DISTINCT word
+    (vocabulary-level work — Heaps' law keeps the vocab tiny relative to
+    a 100 TB corpus), in one Arrow mapInPandas pass; occurrence counts
+    join back against it. The corpus-scale operations are all Catalyst:
+    regexp word extraction, explode, two keyed aggregations.
+    """
+    from yaml_pipe_spark.session import spread_for_expansion
+
+    words = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z]+"), F.lit(0)
+    )
+    occ = spread_for_expansion(df).select(
+        F.col(lang_col).alias("lang"), F.explode(words).alias("word")
+    )
+    counts = occ.groupBy("lang", "word").agg(F.count("*").alias("occ"))
+    vocab = counts.select("word").distinct()
+
+    import pandas as pd
+
+    def encode_batch(it):
+        for pdf in it:
+            encoded = [bpe_encode(w) for w in pdf["word"]]
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "n_bpe": [len(t) for t in encoded],
+                    "toks": encoded,
+                }
+            )
+
+    enc = vocab.mapInPandas(
+        encode_batch, "word string, n_bpe int, toks array<string>"
+    ).localCheckpoint()  # two consumers (stats join + type explode)
+
+    joined = counts.join(enc, "word")
+    stats = joined.groupBy("lang").agg(
+        F.sum("occ").cast("long").alias("n_word_occurrences"),
+        F.sum(F.col("occ") * F.col("n_bpe")).cast("long").alias(
+            "total_bpe_tokens"
+        ),
+    )
+    types = (
+        joined.select("lang", F.explode("toks").alias("tok"))
+        .distinct()
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_token_types"))
+    )
+    return stats.join(types, "lang").select(
+        "lang",
+        "n_word_occurrences",
+        "total_bpe_tokens",
+        F.round(
+            F.col("total_bpe_tokens") / F.col("n_word_occurrences"), 4
+        ).alias("avg_bpe_per_word"),
+        "n_token_types",
+    )
