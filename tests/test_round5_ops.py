@@ -232,3 +232,75 @@ def test_bpe_token_stats_small(spark):
     # de: zz -> [z, z]: 2 tokens, 1 type
     assert rows["de"]["total_bpe_tokens"] == 2
     assert rows["de"]["n_token_types"] == 1
+
+
+# -------------------------------------------------------- IVF-PQ composed
+
+
+def test_ivfpq_recall_floor_clustered(spark):
+    """On a clustered corpus the composed IVF-PQ (coarse prune + 2-bit
+    ADC + exact re-rank) must keep recall@5 >= 0.8 — the PQ stage may
+    only cost recall that the re-rank window cannot recover."""
+    import numpy as np
+
+    from yaml_pipe_spark.operators.similarity import (
+        ivfpq_topk,
+        knn_join,
+        recall_at_k,
+    )
+
+    rng = np.random.RandomState(11)
+    dim, n, ncl = 32, 400, 10
+    centers = rng.standard_normal((ncl, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.randint(0, ncl, n)
+    vecs = centers[labels] + 0.08 * rng.standard_normal((n, dim))
+    # keep components inside the sq2 quantizer's representable range
+    vecs = np.clip(vecs, -0.45, 0.45)
+    corpus = spark.createDataFrame(
+        [(int(i), [float(x) for x in np.round(v, 6)]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    cents = spark.createDataFrame(
+        [(int(c), [float(x) for x in np.round(np.clip(v, -0.45, 0.45), 6)])
+         for c, v in enumerate(centers)],
+        "cid long, cv array<double>",
+    )
+    q = corpus.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    exact = knn_join(q, corpus, k=5, id_col="vec_id")
+    # exact excludes self; ivfpq does not — ask for 6, drop the self row,
+    # leaving 5 comparable neighbors. The saturating 2-bit quantizer makes
+    # the ADC ordering coarse on cluster-scale components, so the refine
+    # window does the recall work (the standard IVF-PQ trade: scan cheap,
+    # re-rank wide).
+    approx = ivfpq_topk(q, corpus, cents, k=6, nprobe=3, rerank_m=60)
+    approx = approx.filter(F.col("qid") != F.col("vec_id"))
+    r = recall_at_k(approx, exact).collect()[0]
+    corpus.unpersist()
+    assert r.n_queries == 50
+    assert r.recall >= 0.8, f"ivfpq recall@5={r.recall}"
+
+
+def test_ivfpq_plan_shape(spark):
+    """The ADC scan must reach the code table through an equi-join on the
+    cell id (partition-prunable at scale), never a cartesian product
+    against the corpus; the only Cross joins are against broadcast
+    centroid/query frames."""
+    from tests.conftest import SF_SMALL
+    from yaml_pipe_spark.entrypoints import REGISTRY
+
+    import contextlib, io
+
+    df = REGISTRY["ann_ivfpq_topk"].fn(spark, SF_SMALL)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "Join [cid" in plan or "Join [cid".replace(" ", "") in plan.replace(" ", "")
+    # every Cross join is a broadcast nested-loop against a tiny frame
+    for line in plan.splitlines():
+        if "Cross" in line:
+            assert "BroadcastNestedLoopJoin" in line, line

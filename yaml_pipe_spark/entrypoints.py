@@ -7910,6 +7910,142 @@ def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANN_IVFPQ_ORACLE = f"""
+WITH c AS (
+  SELECT vec_id - 20 AS cid, embedding AS cv
+  FROM embeddings WHERE vec_id >= 20 AND vec_id < 28
+),
+x AS (
+  SELECT vec_id, embedding AS xv,
+         list_transform(embedding, v -> least(greatest(
+           CAST(floor(CAST(v AS DOUBLE) * 8) AS BIGINT) + 2,
+           CAST(0 AS BIGINT)), CAST(3 AS BIGINT))) AS code
+  FROM embeddings WHERE vec_id >= 20
+),
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT x.vec_id, c.cid,
+           row_number() OVER (PARTITION BY x.vec_id
+             ORDER BY round({_dk_cos('x.xv', 'c.cv')}, 6) DESC, c.cid) AS rn
+    FROM x, c
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20
+),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY round({_dk_cos('q.qv', 'c.cv')}, 6) DESC, c.cid) AS rn
+    FROM q, c
+  ) WHERE rn <= 2
+),
+adc AS (
+  SELECT p.qid, a.vec_id,
+         round(list_sum(list_transform(
+           list_transform(generate_series(1, len(q.qv)),
+             i -> CAST(q.qv[i] AS DOUBLE)
+                  - (CAST(x.code[i] AS DOUBLE) - 1.5) / 8),
+           y -> y * y)), 6) AS adc_r
+  FROM probes p
+  JOIN asg a ON a.cid = p.cid
+  JOIN x ON x.vec_id = a.vec_id
+  JOIN q ON q.qid = p.qid
+),
+topm AS (
+  SELECT qid, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY adc_r, vec_id) AS ar
+    FROM adc
+  ) WHERE ar <= 20
+),
+rer AS (
+  SELECT t.qid, t.vec_id, round({_dk_cos('x.xv', 'q.qv')}, 6) AS score
+  FROM topm t
+  JOIN x ON x.vec_id = t.vec_id
+  JOIN q ON q.qid = t.qid
+),
+final AS (
+  SELECT qid, vec_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, vec_id) AS rank
+  FROM rer
+),
+exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, x.vec_id,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY round({_dk_cos('x.xv', 'q.qv')}, 6) DESC, x.vec_id)
+             AS rn
+    FROM x, q
+  ) WHERE rn <= 5
+)
+SELECT f.qid, CAST(f.rank AS BIGINT) AS rank, f.vec_id, f.score,
+       CAST(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS hit
+FROM final f
+LEFT JOIN exact e ON e.qid = f.qid AND e.vec_id = f.vec_id
+WHERE f.rank <= 5
+"""
+
+
+@register(
+    "ann_ivfpq_topk",
+    ANN_IVFPQ_ORACLE,
+    "IVF-PQ composed (similarity.ivfpq_topk) — the actual 100 TB ANN "
+    "layout, closing VERDICT r4 ask #6: coarse-quantize the corpus into "
+    "8 cells AND 2-bit PQ codes at index-build time; each query probes "
+    "its 2 nearest cells, ranks ONLY the probed cells' CODE rows by "
+    "asymmetric distance (16x smaller scan, partition-pruned by cid), "
+    "then the ADC top-20 ids join back to full-precision vectors for the "
+    "exact cosine re-rank that yields the final top-5. `hit` marks rows "
+    "that are also in the brute-force exact top-5, so the oracle "
+    "recomputes assignment, probes, codes, ADC ranking, re-rank AND the "
+    "composed index's retrieval quality in one result.",
+)
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from yaml_pipe_spark.functions.vectors import cosine
+    from yaml_pipe_spark.operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    corp = emb.filter(F.col("vec_id") >= 20).select("vec_id", "embedding")
+    cents = emb.filter(
+        (F.col("vec_id") >= 20) & (F.col("vec_id") < 28)
+    ).select(
+        (F.col("vec_id") - 20).alias("cid"), F.col("embedding").alias("cv")
+    )
+    final = ivfpq_topk(q, corp, cents, k=5, nprobe=2, rerank_m=20)
+    exact = (
+        corp.join(F.broadcast(q), how="cross")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("__s"),
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.desc("__s"), "vec_id")
+            ),
+        )
+        .filter(F.col("__rn") <= 5)
+        .select("qid", "vec_id", F.lit(1).alias("__hit"))
+    )
+    return final.join(exact, ["qid", "vec_id"], "left").select(
+        "qid",
+        "rank",
+        "vec_id",
+        "score",
+        F.coalesce(F.col("__hit"), F.lit(0)).cast("long").alias("hit"),
+    )
+
+
 @register(
     "text_bigram_logprob",
     r"""

@@ -605,3 +605,101 @@ def sq2_adc_dist_sq(qv: Column, codes: Column) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    rerank_m: int = 20,
+    query_id: str = "qid",
+    query_vec: str = "qv",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cid_col: str = "cid",
+    cvec_col: str = "cv",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """IVF-PQ, composed: the actual 100 TB ANN layout.
+
+    Index build (once per corpus): assign every vector to its nearest
+    centroid (ivf_assign) AND compress it to 2-bit codes (sq2_codes); the
+    serving index is (id, cid, code) — 16x smaller than float32, written
+    partitioned by cid.
+
+    Query path, three cost tiers:
+      1. coarse probe — each query picks `nprobe` cells against the
+         broadcast centroids (k x dim work, no corpus touch);
+      2. ADC scan — candidates come from ONE equi-join of (query, cell)
+         against the CODE table, ranked by asymmetric distance: the only
+         corpus-scale step reads nprobe/n_cells of the corpus at 2
+         bits/dim (partition-pruned when the index is written by cid);
+      3. exact re-rank — only the ADC top-`rerank_m` ids join BACK to the
+         full-precision vectors (candidate-scale random access, the
+         standard refine step that restores exactness at the top).
+
+    Returns (query_id, id_col, rank, score): rank by exact cosine within
+    the re-ranked set, ties to the lower id.
+    """
+    coded = corpus.select(
+        id_col, vec_col, sq2_codes(F.col(vec_col)).alias("__code")
+    )
+    assigned = ivf_assign(
+        coded, centroids, vec_col, id_col, cid_col, cvec_col, score_decimals
+    )
+    index = assigned.select(id_col, cid_col, "__code")
+    qprobe = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "__s",
+            F.round(cosine(F.col(query_vec), F.col(cvec_col)), score_decimals),
+        )
+        .withColumn(
+            "__pr",
+            F.row_number().over(
+                W.partitionBy(query_id).orderBy(
+                    F.col("__s").desc(), F.col(cid_col)
+                )
+            ),
+        )
+        .filter(F.col("__pr") <= nprobe)
+        .select(query_id, query_vec, cid_col)
+    )
+    adc = index.join(qprobe, cid_col).select(
+        query_id,
+        id_col,
+        query_vec,
+        F.round(
+            sq2_adc_dist_sq(F.col(query_vec), F.col("__code")), score_decimals
+        ).alias("adc_r"),
+    )
+    top_m = (
+        adc.withColumn(
+            "__ar",
+            F.row_number().over(
+                W.partitionBy(query_id).orderBy("adc_r", id_col)
+            ),
+        )
+        .filter(F.col("__ar") <= rerank_m)
+        .select(query_id, id_col, query_vec)
+    )
+    rerank = top_m.join(corpus.select(id_col, vec_col), id_col).select(
+        query_id,
+        id_col,
+        F.round(
+            cosine(F.col(vec_col), F.col(query_vec)), score_decimals
+        ).alias("score"),
+    )
+    return (
+        rerank.withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                W.partitionBy(query_id).orderBy(F.col("score").desc(), id_col)
+            )
+            .cast("long"),
+        )
+        .filter(F.col("rank") <= k)
+    )
