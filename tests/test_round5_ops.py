@@ -304,3 +304,38 @@ def test_ivfpq_plan_shape(spark):
     for line in plan.splitlines():
         if "Cross" in line:
             assert "BroadcastNestedLoopJoin" in line, line
+
+
+# ------------------------------------------------------ explain CLI command
+
+
+def test_explain_cli_registered_query(spark, capsys):
+    from yaml_pipe_spark import cli
+    from tests.conftest import SF_SMALL
+
+    rc = cli.main(
+        ["explain", "rel_pricing_summary", "-d", SF_SMALL, "-m", "formatted"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "PushedFilters" in out and "HashAggregate" in out
+
+
+def test_explain_cli_sql_and_errors(spark, capsys):
+    from yaml_pipe_spark import cli
+    from tests.conftest import SF_SMALL
+
+    rc = cli.main(
+        ["explain", "SELECT count(*) FROM lineitem", "--sql", "-d", SF_SMALL]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and "HashAggregate" in out
+
+    assert cli.main(["explain", "no_such_query", "-d", SF_SMALL]) == 1
+    err = capsys.readouterr().err
+    assert "unknown query" in err
+    # near-miss hint
+    assert cli.main(["explain", "pricing_summary", "-d", SF_SMALL]) == 1
+    assert "did you mean" in capsys.readouterr().err
+    # broken SQL is an honest non-zero
+    assert cli.main(["explain", "SELEC 1", "--sql", "-d", SF_SMALL]) == 1

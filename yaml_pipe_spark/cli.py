@@ -222,6 +222,40 @@ def cmd_sql(args) -> int:
     return 0
 
 
+def cmd_explain(args) -> int:
+    # the user-facing twin of tests/test_plans.py: print the Catalyst plan
+    # for any registered query (or an ad-hoc SQL statement with --sql) so
+    # pushdown/broadcast/shuffle behavior can be inspected without writing
+    # a test. `explain <query>` resolves against the same registry the
+    # driver validates.
+    from yaml_pipe_spark.entrypoints import REGISTRY
+
+    spark = _spark()
+    if args.sql:
+        from yaml_pipe_spark.tables import TABLE_NAMES, load_table
+
+        for name in TABLE_NAMES:
+            path = os.path.join(args.data_dir, f"{name}.parquet")
+            if os.path.exists(path):
+                load_table(spark, args.data_dir, name).createOrReplaceTempView(
+                    name
+                )
+        try:
+            df = spark.sql(args.target)
+        except Exception as ex:
+            print(f"SQL error: {ex}", file=sys.stderr)
+            return 1
+    else:
+        if args.target not in REGISTRY:
+            close = [n for n in sorted(REGISTRY) if args.target in n]
+            hint = f" (did you mean: {', '.join(close[:5])}?)" if close else ""
+            print(f"unknown query: {args.target}{hint}", file=sys.stderr)
+            return 1
+        df = REGISTRY[args.target].fn(spark, args.data_dir)
+    df.explain(args.mode)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="yaml-pipe-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -273,6 +307,24 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("-o", "--output", help="write result parquet here")
     q.add_argument("--limit", type=int, default=100)
     q.set_defaults(fn=cmd_sql)
+
+    ex = sub.add_parser(
+        "explain", help="print the Catalyst plan for a registered query"
+    )
+    ex.add_argument("target", help="registered query name (or SQL with --sql)")
+    ex.add_argument("--sql", action="store_true", help="target is a SQL string")
+    ex.add_argument(
+        "-m",
+        "--mode",
+        default="formatted",
+        choices=["simple", "extended", "codegen", "cost", "formatted"],
+    )
+    ex.add_argument(
+        "-d",
+        "--data-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
+    ex.set_defaults(fn=cmd_explain)
 
     args = p.parse_args(argv)
     try:
