@@ -6,78 +6,9 @@ from __future__ import annotations
 
 from yaml_pipe_spark.entrypoints import DRIVER_ORDER, REGISTRY, queries, oracle_sql
 
-# New in round 4 or implementation/oracle changed in round 4: their prior
-# driver rows (r3's red emb_covariance included) describe code that no longer
-# exists, so round 4 MUST front them. Grow this set alongside the registry.
-ROUND4_MUST_FRONT: set[str] = {
-    "emb_covariance",
-    "emb_pca_project",
-    "multimodal_features",
-    "multimodal_real_decode",
-    "corpus_pack_windows",
-    "dedup_substring_span",
-    "stream_interval_join_outer",
-    "dedup_containment",
-    "corpus_ngram_novelty",
-    "ann_ivf_nprobe_curve",
-    "text_vocab_coverage",
-    "rel_join_key_skew",
-    "events_funnel_time",
-    "rel_pareto_revenue",
-    "corpus_dedup_funnel",
-    "multimodal_resize",
-    "emb_outlier_zscore",
-    "s1_parse_eml",
-    "s1_parse_pptx",
-    "s1_parse_docx",
-    "s1_parse_pdf",
-    "rel_revenue_trend",
-    "rel_min_cost_supplier",
-    "rel_shipping_priority",
-    "rel_product_profit",
-    "rel_important_stock",
-    "rel_shipmode_priority",
-    "rel_parts_supplier_count",
-    "rel_promotion_suppliers",
-    "s1_parse_epub",
-    "dedup_segment_exact",
-    "corpus_temperature_mix",
-    "emb_matryoshka_agreement",
-    "ann_pq_adc_topk",
-    "text_dsir_weight",
-    "emb_dim_stats",
-    "stream_window_topk",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_blocked",
-    "rel_local_supplier_volume",
-}
-
-# The family most exposed to a driver-side testdata regeneration (it happened
-# mid-round-3): their green rows are tied to the current data generation, so
-# round 4 re-validates them while fresh.
-EVENTS_STREAM_REVALIDATE: set[str] = {
-    n for n in REGISTRY if n.startswith(("events_", "stream_"))
-} - {"stream_hopping_agg", "stream_watermark_dedup", "events_forget_users",
-     "events_transition_matrix", "events_incremental_agg",
-     "events_approx_distinct_bounded",  # r3-prefix rows, already current-gen
-     "stream_tumbling_agg", "stream_static_enrich",
-     "events_grouping_sets",
-     # displaced by the 4b TPC-H completion sweep (new code outranks
-     # maybe-regen; their union-green r2/r3 rows remain on record):
-     "events_retention_cohorts", "events_time_weighted_window",
-     "events_interval_join", "events_decayed_score", "events_rfm_segments",
-     "events_anomaly_zscore", "stream_stateful_counter",
-     # displaced by the 4c wave (segment dedup / temperature mix / PQ /
-     # matryoshka / epub):
-     "events_funnel", "events_time_weighted_avg", "stream_session_window",
-     "stream_dedup_first_arrival", "stream_interval_join"}
-
-
-# Registered AFTER the round-4 prefix filled its 50 slots: locally verified
-# at sf0.01+sf0.1 (see ROUND4_NOTES session 2), to be FRONTED in round 5's
-# DRIVER_ORDER so the union-coverage discipline stays intact.
+# Round-4's queue: registered after r4's 50-slot prefix was spent, locally
+# verified but never driver-sampled — round 5 MUST front them so the union
+# of driver rows covers every registered query again.
 ROUND5_QUEUE: set[str] = {
     "multimodal_wav_resample",
     "dedup_minhash_band_curve",
@@ -87,26 +18,120 @@ ROUND5_QUEUE: set[str] = {
     "text_bigram_logprob",
 }
 
+# New in round 5, or implementation/oracle changed in round 5: prior driver
+# rows (if any) describe code that no longer exists.
+ROUND5_MUST_FRONT: set[str] = ROUND5_QUEUE | {
+    # new operators
+    "dedup_incremental_minhash",
+    "multimodal_png_decode",
+    "text_bpe_encode",
+    "ann_ivfpq_topk",
+    # changed code/oracle (ADVICE r4 fixes + lsh_band_table refactor)
+    "s1_parse_epub",
+    "corpus_temperature_mix",
+    "dedup_minhash_lsh",
+    "dedup_containment",
+}
 
-def test_round5_queue_registered_and_oracled():
-    for name in ROUND5_QUEUE:
+# Oldest rotation debt: every query whose latest driver row is from ROUND 1
+# (three data-generations old). Verified against CORRECTNESS_r01..r04 when
+# this rotation was built.
+ROUND1_GENERATION: set[str] = {
+    "dedup_cluster_resolution",
+    "dedup_drop_exact",
+    "dedup_levenshtein_verify",
+    "dedup_simhash_pairs",
+    "rel_cube_flag_status",
+    "rel_customers_without_orders",
+    "rel_moving_30d_revenue",
+    "rel_orders_with_big_lineitems",
+    "rel_part_brand_stats",
+    "rel_pivot_status_priority",
+    "rel_region_customer_rollup",
+    "rel_rollup_lineitem",
+    "rel_set_ops",
+    "rel_suppliers_above_avg",
+    "sample_stratified",
+    "shard_token_budget",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality",
+    "text_tfidf_topterms",
+}
+
+# Round-2-generation rows that fit the remaining slots this round. The rest
+# of the r2 cohort (25 queries — events/stream family and the remaining
+# rel_/text_ rows) is the ROUND6 queue below.
+ROUND2_REFRESH_NOW: set[str] = {
+    "rel_percentiles",
+    "pipeline_full",
+    "e_hash_embed",
+    "agg_salted_user_totals",
+    "corpus_mix_weights",
+    "rel_approx_quantile_bounded",
+    "rel_market_share",
+    "rel_large_volume_customers",
+    "rel_salted_join",
+    "rel_scd2_history",
+    "s1_parse_dispatch",
+    "t4_timestamp_cursor",
+    "sample_weighted",
+    "text_entropy",
+    "text_decontaminate",
+}
+
+# Still r2-generation after round 5 — front these in ROUND 6 (oldest debt
+# first), before anything merely stale from r3.
+ROUND6_QUEUE: set[str] = {
+    "c1_recursive_chunk",
+    "events_anomaly_zscore",
+    "events_decayed_score",
+    "events_funnel",
+    "events_grouping_sets",
+    "events_interval_join",
+    "events_retention_cohorts",
+    "events_rfm_segments",
+    "events_time_weighted_avg",
+    "events_time_weighted_window",
+    "multimodal_decode_check",
+    "rel_nation_balance_fulljoin",
+    "rel_pivot_status_priority",  # refreshed r5; keep only if regressed
+    "rel_price_histogram",
+    "rel_sales_opportunity",
+    "rel_small_qty_revenue",
+    "rel_waiting_suppliers",
+    "stream_dedup_first_arrival",
+    "stream_interval_join",
+    "stream_session_window",
+    "stream_stateful_counter",
+    "stream_static_enrich",
+    "stream_tumbling_agg",
+    "text_blocklist_filter",
+    "text_pii_redact",
+    "text_shared_ngrams",
+    "text_unigram_logprob",
+}
+
+
+def test_round5_front_sets_inside_driver_prefix():
+    prefix = set(list(queries())[:50])
+    missing = (
+        ROUND5_MUST_FRONT | ROUND1_GENERATION | ROUND2_REFRESH_NOW
+    ) - prefix
+    assert not missing, f"outside the 50-entry driver prefix: {missing}"
+
+
+def test_round5_new_queries_registered_and_oracled():
+    for name in ROUND5_MUST_FRONT:
         assert name in REGISTRY, name
         assert REGISTRY[name].oracle is not None, name
-    # they must NOT displace round-4 rows from the 50-slot prefix
-    prefix = set(list(queries())[:50])
-    assert not (ROUND5_QUEUE & prefix)
 
 
 def test_driver_order_is_valid():
     assert len(DRIVER_ORDER) == len(set(DRIVER_ORDER)), "duplicates"
     stale = [n for n in DRIVER_ORDER if n not in REGISTRY]
     assert not stale, f"DRIVER_ORDER names not in REGISTRY: {stale}"
-
-
-def test_round4_queries_inside_driver_prefix():
-    prefix = set(list(queries())[:50])
-    missing = (ROUND4_MUST_FRONT | EVENTS_STREAM_REVALIDATE) - prefix
-    assert not missing, f"still outside the 50-entry driver prefix: {missing}"
+    assert len(DRIVER_ORDER) == 50, "the driver validates exactly 50"
 
 
 def test_every_registry_entry_is_emitted():

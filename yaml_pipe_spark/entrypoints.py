@@ -8417,82 +8417,82 @@ def q_emb_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The round driver validates a *prefix* of the queries() dict (each round
-# records exactly the first 50 entries in insertion order). After round 3 the
-# union of driver-green rows covers every query registered through r3
-# (CORRECTNESS_r01∪r02∪r03), so round 4 front-loads, in priority order:
+# records exactly the first 50 entries in insertion order). Round 5 rotation,
+# in priority order:
 #   1. flagship (the smoke-checked canary),
-#   2. queries NEW in round 4 or whose implementation/oracle CHANGED in
-#      round 4 — their old green rows (or red row, for emb_covariance)
-#      describe code that no longer exists,
-#   3. the events/stream family — the rows most exposed if the driver
-#      regenerates the parquet testdata again (it did mid-round-3; their
-#      current green rows are tied to the r3 data generation),
-#   4. padding with the OLDEST-validated entries (r1-era rows, now two data
-#      generations old).
+#   2. the ROUND5_QUEUE — six queries registered after round 4's prefix was
+#      spent, locally verified but never driver-sampled; their rows restore
+#      158-of-158 (now 162) union coverage,
+#   3. queries NEW in round 5 or whose implementation/oracle CHANGED in
+#      round 5 (ADVICE fixes + the lsh_band_table refactor),
+#   4. the OLDEST debt: every row whose latest driver validation is round 1
+#      (three data-generations old),
+#   5. round-2-generation rows filling the remaining slots; the rest of the
+#      r2 cohort is pinned as tests/test_registry_order.py::ROUND6_QUEUE and
+#      must head round 6's rotation.
 # Registry entries not listed here follow in registration order (still covered
 # by bench.py and the local sf0.001/sf0.01/sf0.1 oracle-parity runs every
 # round). Keep the sets in tests/test_registry_order.py in sync so the prefix
 # invariant stays pinned.
-# ROUND 5 NOTE: the 50 slots below are fully spent on round-4 rows. Six
-# queries added late in round 4 (tests/test_registry_order.py::ROUND5_QUEUE —
-# multimodal_wav_resample, dedup_lsh_recall_audit, dedup_minhash_band_curve,
-# text_bigram_logprob, text_lang_confusion, emb_pq_distortion) are locally
-# verified at sf0.01+sf0.1 but have NO driver row yet: front them FIRST in
-# round 5's rotation, before anything else, so the union-coverage
-# discipline stays intact.
 DRIVER_ORDER: list[str] = [
     "flagship",  # canary: the smoke-checked query stays first
-    # -- (2) new in round 4, or code/oracle changed in round 4 --
-    "emb_covariance",          # r3's one red row: -0.0 normalized both sides
-    "emb_pca_project",         # new: PCA projection onto pinned components
-    "multimodal_features",     # upgraded rows-only -> fully oracled
-    "multimodal_real_decode",  # new: real stdlib BMP/WAV decode, oracled
-    "multimodal_resize",       # new: real BMP resize roundtrip, oracled
-    "corpus_pack_windows",     # new: packing audit, two-pass cumsum
-    "dedup_substring_span",    # new: exact-span contamination index
-    "stream_interval_join_outer",  # new: left-outer + pinned watermark
-    "dedup_containment",       # new: asymmetric containment over LSH cands
-    "corpus_ngram_novelty",    # new: df==1 novelty score per doc
-    "ann_ivf_nprobe_curve",    # new: recall-vs-nprobe tuning curve
-    "text_vocab_coverage",     # new: top-V OOV-rate proxy per lang
-    "rel_join_key_skew",       # new: exact per-key skew audit
-    "events_funnel_time",      # new: funnel step-latency percentiles
-    "rel_pareto_revenue",      # new: integer-cent Pareto concentration
-    "corpus_dedup_funnel",     # new: staged dedup attrition report
-    "emb_outlier_zscore",      # new: embedding outlier QA gate
-    "s1_parse_eml",            # new: MIME extractor oracled end-to-end
-    "s1_parse_pptx",           # new: OOXML extractor oracled end-to-end
-    "s1_parse_docx",           # new: wordprocessing roundtrip oracle
-    "s1_parse_pdf",            # new: PDF UTF-16BE roundtrip oracle
-    "rel_revenue_trend",       # new: integer-moment OLS trend
-    "rel_min_cost_supplier",   # new (4b): Q2 analog, correlated min
-    "rel_shipping_priority",   # new (4b): Q3 analog, integer-cent top-k
-    "rel_product_profit",      # new (4b): Q9 analog, floor-cents profit
-    "rel_important_stock",     # new (4b): Q11 analog, scalar threshold
-    "rel_shipmode_priority",   # new (4b): Q12 analog, CASE-sum pivot
-    "rel_parts_supplier_count",  # new (4b): Q16 analog, anti-join
-    "rel_promotion_suppliers",   # new (4b): Q20 analog, nested semi
-    "s1_parse_epub",           # new (4c): real EPUB extractor, oracled
-    "dedup_segment_exact",     # new (4c): C4-style segment dedup
-    "corpus_temperature_mix",  # new (4c): sqrt-temperature lang mixing
-    "emb_matryoshka_agreement",  # new (4c): MRL truncation QA gate
-    "ann_pq_adc_topk",         # new (4c): 2-bit PQ codes + ADC ranking
-    "text_dsir_weight",        # changed: -0.0 normalization (sf0.1 catch)
-    "emb_dim_stats",           # changed: -0.0 normalization (sf0.1 catch)
-    "stream_window_topk",      # new: windowed top-k over the drained state
-    "dedup_minhash_lsh",       # id-level candidate cut moved below self-join
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",  # zero-norm opt-out rule in both scorers
-    "dedup_embedding_cosine_blocked",
-    "rel_local_supplier_volume",  # SF-proportional broadcast hint removed
-    # -- (3) events/stream family: re-validate on the current data generation --
-    "events_tumbling_agg",
-    "events_sessionize",
-    "events_props_extract",
-    "events_asof_join",
-    "events_hopping_agg",
-    "events_props_json",
-    "events_session_window",
+    # -- (1) the ROUND5_QUEUE: locally verified in r4, never driver-sampled;
+    #        their rows restore 158/158 union coverage (VERDICT r5 ask #1) --
+    "multimodal_wav_resample",
+    "dedup_lsh_recall_audit",
+    "dedup_minhash_band_curve",
+    "text_bigram_logprob",
+    "text_lang_confusion",
+    "emb_pq_distortion",
+    # -- (2) NEW in round 5 --
+    "dedup_incremental_minhash",  # cross-snapshot dedup vs persisted bands
+    "multimodal_png_decode",      # real zlib+unfilter PNG decode
+    "text_bpe_encode",            # real min-rank BPE merge loop
+    "ann_ivfpq_topk",             # IVF-PQ composed index
+    # -- (3) code or oracle CHANGED in round 5 --
+    "s1_parse_epub",          # extractor keeps bare mixed-content text now
+    "corpus_temperature_mix",  # oracle joins made null-safe (ADVICE r4)
+    "dedup_minhash_lsh",      # band-table construction factored out
+    "dedup_containment",      # (lsh_band_table); family representatives
+    # -- (4) OLDEST rotation debt: every row whose last driver validation
+    #        is round 1 (three data-generations old; VERDICT r5 ask #2) --
+    "dedup_cluster_resolution",
+    "dedup_drop_exact",
+    "dedup_levenshtein_verify",
+    "dedup_simhash_pairs",
+    "rel_cube_flag_status",
+    "rel_customers_without_orders",
+    "rel_moving_30d_revenue",
+    "rel_orders_with_big_lineitems",
+    "rel_part_brand_stats",
+    "rel_pivot_status_priority",
+    "rel_region_customer_rollup",
+    "rel_rollup_lineitem",
+    "rel_set_ops",
+    "rel_suppliers_above_avg",
+    "sample_stratified",
+    "shard_token_budget",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality",
+    "text_tfidf_topterms",
+    # -- (5) round-2-generation rows, oldest-first fill of the remaining
+    #        slots (the rest of the r2 cohort follows in round 6) --
+    "rel_percentiles",
+    "pipeline_full",
+    "e_hash_embed",
+    "agg_salted_user_totals",
+    "corpus_mix_weights",
+    "rel_approx_quantile_bounded",
+    "rel_market_share",
+    "rel_large_volume_customers",
+    "rel_salted_join",
+    "rel_scd2_history",
+    "s1_parse_dispatch",
+    "t4_timestamp_cursor",
+    "sample_weighted",
+    "text_entropy",
+    "text_decontaminate",
 ]
 
 
