@@ -26,6 +26,11 @@ ROUND5_MUST_FRONT: set[str] = ROUND5_QUEUE | {
     "multimodal_png_decode",
     "text_bpe_encode",
     "ann_ivfpq_topk",
+    "text_gopher_quality",
+    "text_repetition_ratios",
+    "corpus_gopher_funnel",
+    "corpus_ccnet_buckets",
+    "corpus_split_leakage_audit",
     # changed code/oracle (ADVICE r4 fixes + lsh_band_table refactor)
     "s1_parse_epub",
     "corpus_temperature_mix",
@@ -73,16 +78,18 @@ ROUND2_REFRESH_NOW: set[str] = {
     "rel_large_volume_customers",
     "rel_salted_join",
     "rel_scd2_history",
-    "s1_parse_dispatch",
-    "t4_timestamp_cursor",
-    "sample_weighted",
-    "text_entropy",
-    "text_decontaminate",
 }
 
 # Still r2-generation after round 5 — front these in ROUND 6 (oldest debt
 # first), before anything merely stale from r3.
 ROUND6_QUEUE: set[str] = {
+    # displaced from the r5 prefix by the round-5b quality/curation queries
+    # (new code outranks refresh):
+    "s1_parse_dispatch",
+    "t4_timestamp_cursor",
+    "sample_weighted",
+    "text_entropy",
+    "text_decontaminate",
     "c1_recursive_chunk",
     "events_anomaly_zscore",
     "events_decayed_score",

@@ -8046,10 +8046,11 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_bigram_logprob",
-    r"""
-WITH toks AS (
+# Shared by text_bigram_logprob (per-lang rollup) and corpus_ccnet_buckets
+# (per-lang perplexity terciles): per-doc mean bigram log10-probability under
+# the corpus's own per-language bigram LM (operators/text_stats.py::
+# bigram_doc_logprob is the Spark twin — change them together).
+_DK_BIGRAM_DOC = r"""toks AS (
   SELECT lang, doc_id, regexp_extract_all(lower(text), '\p{L}+') AS t
   FROM documents
 ),
@@ -8076,7 +8077,12 @@ doc AS (
   FROM dt JOIN lmj ON dt.lang = lmj.lang AND dt.prev = lmj.prev
                   AND dt.cur = lmj.cur
   GROUP BY 1, 2
-)
+)"""
+
+
+@register(
+    "text_bigram_logprob",
+    "WITH " + _DK_BIGRAM_DOC + """
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        round(avg(lp0), 4) AS avg_logprob,
        round(min(lp0), 4) AS min_logprob
@@ -8095,54 +8101,12 @@ FROM doc GROUP BY lang
     "verified at sf0.01+sf0.1, queued for the round-5 driver front.",
 )
 def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.text_stats import bigram_doc_logprob
+
     docs = load_table(spark, sf_dir, "documents").select(
         "lang", "doc_id", "text"
     )
-    t = F.regexp_extract_all(F.lower("text"), F.lit(r"\p{L}+"), F.lit(0))
-    base = docs.select("lang", "doc_id", t.alias("t")).filter(
-        F.size("t") >= 2
-    )
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size("t") - 1),
-        lambda i: F.struct(
-            F.get(F.col("t"), i - 1).alias("prev"),
-            F.get(F.col("t"), i).alias("cur"),
-        ),
-    )
-    bgs = base.select(
-        "lang", "doc_id", F.explode(grams).alias("g")
-    ).select("lang", "doc_id", F.col("g.prev"), F.col("g.cur"))
-    # explicit null-filters (same trick as text_unigram_logprob): the two
-    # joins push different isnotnull subsets into their dt branches (the
-    # lm⋈pv chain only needs (lang, prev); the doc join needs cur too),
-    # which would fork the subtrees and block ReuseExchange — a second
-    # full corpus scan
-    bgs = bgs.filter(
-        F.col("lang").isNotNull()
-        & F.col("prev").isNotNull()
-        & F.col("cur").isNotNull()
-    )
-    dt = bgs.groupBy("lang", "doc_id", "prev", "cur").agg(
-        F.count("*").alias("c_dt")
-    )
-    lm = dt.groupBy("lang", "prev", "cur").agg(F.sum("c_dt").alias("c_bg"))
-    pv = lm.groupBy("lang", "prev").agg(F.sum("c_bg").alias("c_prev"))
-    lmj = lm.join(pv, ["lang", "prev"]).select(
-        "lang",
-        "prev",
-        "cur",
-        (
-            F.log10(F.col("c_bg").cast("double"))
-            - F.log10(F.col("c_prev").cast("double"))
-        ).alias("lp"),
-    )
-    doc = (
-        dt.join(lmj, ["lang", "prev", "cur"])
-        .groupBy("lang", "doc_id")
-        .agg(
-            (F.sum(F.col("c_dt") * F.col("lp")) / F.sum("c_dt")).alias("lp0")
-        )
-    )
+    doc = bigram_doc_logprob(docs)
     return doc.groupBy("lang").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.round(F.avg("lp0"), 4).alias("avg_logprob"),
@@ -8416,6 +8380,389 @@ def q_emb_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# Round 5: heuristic quality curation (Gopher rules, repetition signals,
+# staged quality funnel), CCNet-style perplexity bucketing, and the
+# leakage-safe train/valid split audit. The reference stops at chunk/embed
+# (components/chunkers.py, embedders.py); these are the curation stages a
+# 100 TB corpus build runs in front of it (SURVEY §2.9 north-star scope).
+# ---------------------------------------------------------------------------
+
+# DuckDB twins of operators/quality.py — change them together.
+_DK_GOPHER = r"""gt AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+gc AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,
+         list_sum(list_transform(t, x -> length(x))) AS word_chars,
+         len(list_filter(t, x -> regexp_matches(x, '\p{L}'))) AS alpha_words,
+         (CAST(list_contains(t, 'the') AS INT)
+          + CAST(list_contains(t, 'and') AS INT)
+          + CAST(list_contains(t, 'of') AS INT)
+          + CAST(list_contains(t, 'is') AS INT)) AS stop_distinct
+  FROM gt
+),
+g0 AS (
+  SELECT doc_id, n_words, stop_distinct,
+         CASE WHEN n_words > 0
+              THEN word_chars / CAST(n_words AS DOUBLE) ELSE 0.0 END AS mwl,
+         CASE WHEN n_words > 0
+              THEN alpha_words / CAST(n_words AS DOUBLE) ELSE 0.0 END AS alpha
+  FROM gc
+),
+gflags AS (
+  SELECT doc_id, n_words, mwl, alpha, stop_distinct,
+         CAST(n_words BETWEEN 50 AND 100000 AS INT) AS pass_words,
+         CAST(mwl BETWEEN 3 AND 10 AS INT) AS pass_mean_word_len,
+         CAST(alpha >= 0.8 AS INT) AS pass_alpha,
+         CAST(stop_distinct >= 1 AS INT) AS pass_stop
+  FROM g0
+)"""
+
+_DK_REP = r"""rt AS (
+  SELECT doc_id, CAST(length(text) AS DOUBLE) AS n_chars,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+rg AS (
+  SELECT doc_id, n_chars, 2 AS n, array_to_string(t[i:i+1], ' ') AS gram
+  FROM (SELECT doc_id, n_chars, t,
+               UNNEST(generate_series(1, len(t) - 1)) AS i
+        FROM rt WHERE len(t) >= 2)
+  UNION ALL
+  SELECT doc_id, n_chars, 3 AS n, array_to_string(t[i:i+2], ' ') AS gram
+  FROM (SELECT doc_id, n_chars, t,
+               UNNEST(generate_series(1, len(t) - 2)) AS i
+        FROM rt WHERE len(t) >= 3)
+),
+rcnt AS (
+  SELECT doc_id, n, gram, count(*) AS c, max(n_chars) AS n_chars
+  FROM rg GROUP BY 1, 2, 3
+),
+rtop AS (
+  SELECT doc_id, n, c AS top_c, gram AS top_gram FROM rcnt
+  QUALIFY row_number() OVER (PARTITION BY doc_id, n
+                             ORDER BY c DESC, gram DESC) = 1
+),
+rdup AS (
+  SELECT doc_id, n,
+         sum(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END) AS dup_chars,
+         max(n_chars) AS n_chars
+  FROM rcnt GROUP BY 1, 2
+),
+rpern AS (
+  SELECT d.doc_id, d.n, t.top_c, t.top_gram, d.dup_chars, d.n_chars
+  FROM rdup d JOIN rtop t USING (doc_id, n)
+),
+rdoc0 AS (
+  SELECT doc_id,
+    max(CASE WHEN n = 2
+        THEN round(top_c * length(top_gram) / n_chars, 4) END) AS top2_frac,
+    max(CASE WHEN n = 3
+        THEN round(top_c * length(top_gram) / n_chars, 4) END) AS top3_frac,
+    max(CASE WHEN n = 2
+        THEN round(dup_chars / n_chars, 4) END) AS dup2_frac
+  FROM rpern GROUP BY 1
+),
+rdoc AS (
+  SELECT b.doc_id, coalesce(top2_frac, 0.0) AS top2_frac,
+         coalesce(top3_frac, 0.0) AS top3_frac,
+         coalesce(dup2_frac, 0.0) AS dup2_frac
+  FROM documents b LEFT JOIN rdoc0 USING (doc_id)
+)"""
+
+
+@register(
+    "text_gopher_quality",
+    "WITH " + _DK_GOPHER + """
+SELECT doc_id, n_words,
+       round(mwl, 4) AS mean_word_len,
+       round(alpha, 4) AS alpha_word_ratio,
+       stop_distinct, pass_words, pass_mean_word_len, pass_alpha, pass_stop,
+       pass_words * pass_mean_word_len * pass_alpha * pass_stop
+         AS gopher_pass
+FROM gflags
+""",
+    "Gopher document-quality rules (Rae et al. 2021 Appendix A1, the "
+    "filter set RedPajama/Dolma reuse): per-doc word-count bounds, "
+    "mean-word-length bounds, alphabetic-word ratio, required-stopword "
+    "presence, plus per-rule pass flags and the conjunction. Pure "
+    "Catalyst narrow projection — no shuffle, codegen'd, "
+    "pushdown-friendly (operators/quality.py::gopher_quality_signals; "
+    "the flags compare unrounded doubles so the oracle recomputes the "
+    "exact same boundary decisions).",
+)
+def q_text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.quality import gopher_quality_signals
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return gopher_quality_signals(docs)
+
+
+@register(
+    "text_repetition_ratios",
+    "WITH " + _DK_REP + """
+SELECT doc_id, top2_frac, top3_frac, dup2_frac FROM rdoc
+""",
+    "Gopher repetition rules: fraction of characters in the most frequent "
+    "word 2-/3-gram and in word 2-grams occurring twice or more "
+    "(operators/quality.py::repetition_signals; Gopher's n=5..10 "
+    "duplicated-gram rule never fires on these short synthetic docs, so "
+    "the duplicate rule runs at n=2 where it bites — each occurrence "
+    "contributes length(gram) chars, a documented deviation from the "
+    "paper's count-each-char-once rule). One explode + one "
+    "(doc, n, gram) count shuffle + one per-doc rollup; ties on the top "
+    "gram break toward the lexicographically largest gram in both "
+    "engines ((count, gram) struct max vs ORDER BY c DESC, gram DESC).",
+)
+def q_text_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.quality import repetition_signals
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_signals(docs)
+
+
+@register(
+    "corpus_gopher_funnel",
+    "WITH " + _DK_GOPHER + ",\n" + _DK_REP + """,
+j AS (
+  SELECT g.doc_id, g.pass_words, g.pass_mean_word_len, g.pass_alpha,
+         g.pass_stop, r.dup2_frac
+  FROM gflags g JOIN rdoc r USING (doc_id)
+),
+a AS (
+  SELECT count(*) AS s_raw,
+    count(*) FILTER (WHERE pass_words = 1) AS s_word_count,
+    count(*) FILTER (WHERE pass_words = 1 AND pass_mean_word_len = 1)
+      AS s_mean_word_len,
+    count(*) FILTER (WHERE pass_words = 1 AND pass_mean_word_len = 1
+                       AND pass_alpha = 1) AS s_alpha_ratio,
+    count(*) FILTER (WHERE pass_words = 1 AND pass_mean_word_len = 1
+                       AND pass_alpha = 1 AND pass_stop = 1) AS s_stopwords,
+    count(*) FILTER (WHERE pass_words = 1 AND pass_mean_word_len = 1
+                       AND pass_alpha = 1 AND pass_stop = 1
+                       AND dup2_frac <= 0.30) AS s_repetition
+  FROM j
+)
+SELECT CAST(0 AS INT) AS stage_idx, 'raw' AS stage,
+       CAST(s_raw AS BIGINT) AS n_docs,
+       round(s_raw / CAST(s_raw AS DOUBLE), 4) AS retention FROM a
+UNION ALL SELECT 1, 'word_count', CAST(s_word_count AS BIGINT),
+       round(s_word_count / CAST(s_raw AS DOUBLE), 4) FROM a
+UNION ALL SELECT 2, 'mean_word_len', CAST(s_mean_word_len AS BIGINT),
+       round(s_mean_word_len / CAST(s_raw AS DOUBLE), 4) FROM a
+UNION ALL SELECT 3, 'alpha_ratio', CAST(s_alpha_ratio AS BIGINT),
+       round(s_alpha_ratio / CAST(s_raw AS DOUBLE), 4) FROM a
+UNION ALL SELECT 4, 'stopwords', CAST(s_stopwords AS BIGINT),
+       round(s_stopwords / CAST(s_raw AS DOUBLE), 4) FROM a
+UNION ALL SELECT 5, 'repetition', CAST(s_repetition AS BIGINT),
+       round(s_repetition / CAST(s_raw AS DOUBLE), 4) FROM a
+""",
+    "Staged quality-attrition report: documents surviving each Gopher "
+    "rule applied cumulatively, ending with the dup2<=0.30 repetition "
+    "cut — the quality twin of corpus_dedup_funnel "
+    "(operators/quality.py::gopher_funnel). Both signal frames join "
+    "once on doc_id and collapse to ONE aggregate row fanned out with "
+    "stack() — no per-stage rescans of the corpus.",
+)
+def q_corpus_gopher_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.quality import gopher_funnel
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return gopher_funnel(docs)
+
+
+@register(
+    "corpus_ccnet_buckets",
+    "WITH " + _DK_BIGRAM_DOC + """,
+r AS (SELECT lang, doc_id, round(lp0, 6) AS lp0r FROM doc),
+b AS (
+  SELECT lang, doc_id, lp0r,
+         ntile(3) OVER (PARTITION BY lang
+                        ORDER BY lp0r DESC, doc_id) AS trc
+  FROM r
+)
+SELECT lang,
+       CASE trc WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(lp0r), 4) AS avg_lp,
+       round(min(lp0r), 4) AS min_lp
+FROM b GROUP BY 1, 2
+""",
+    "CCNet-style quality bucketing (Wenzek et al. 2020): score every "
+    "document with the per-language bigram LM "
+    "(text_stats.bigram_doc_logprob, the engine's KenLM stand-in), then "
+    "split each language into head/middle/tail perplexity terciles — "
+    "the pre-filter CCNet/CCNet-descendant corpora ship with. The "
+    "per-doc logprob is rounded to 6dp BEFORE the tercile ordering in "
+    "both engines so boundary membership never hinges on "
+    "last-ulp summation differences; doc_id breaks exact ties. One "
+    "bigram diamond + one per-lang window + one tiny rollup.",
+)
+def q_corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from yaml_pipe_spark.operators.text_stats import bigram_doc_logprob
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "text"
+    )
+    doc = bigram_doc_logprob(docs).select(
+        "lang", "doc_id", F.round("lp0", 6).alias("lp0r")
+    )
+    w = W.partitionBy("lang").orderBy(
+        F.col("lp0r").desc(), F.col("doc_id")
+    )
+    b = doc.withColumn("trc", F.ntile(3).over(w))
+    bucket = (
+        F.when(F.col("trc") == 1, F.lit("head"))
+        .when(F.col("trc") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return b.groupBy("lang", bucket.alias("bucket")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("lp0r"), 4).alias("avg_lp"),
+        F.round(F.min("lp0r"), 4).alias("min_lp"),
+    )
+
+
+@register(
+    "corpus_split_leakage_audit",
+    f"""
+WITH RECURSIVE {_SIMHASH_PAIR_CTES},
+p AS (SELECT id_a, id_b FROM ham WHERE hamming <= 3),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM p
+  UNION
+  SELECT id_b AS a, id_a AS b FROM p
+),
+reach(n, m) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+),
+cc AS (SELECT n AS doc_id, min(m) AS cluster_rep FROM reach GROUP BY n),
+labeled AS (
+  SELECT d.doc_id, coalesce(cc.cluster_rep, d.doc_id) AS cluster_key
+  FROM documents d LEFT JOIN cc USING (doc_id)
+),
+splits AS (
+  SELECT 'by_doc_hash' AS strategy, doc_id,
+         {_dk_byte0("CAST(doc_id AS VARCHAR)")} < 0.8 * 256 AS in_train
+  FROM labeled
+  UNION ALL
+  SELECT 'by_cluster_hash' AS strategy, doc_id,
+         {_dk_byte0("CAST(cluster_key AS VARCHAR)")} < 0.8 * 256 AS in_train
+  FROM labeled
+),
+counts AS (
+  SELECT strategy,
+         CAST(count(*) FILTER (WHERE in_train) AS BIGINT) AS n_train,
+         CAST(count(*) FILTER (WHERE NOT in_train) AS BIGINT) AS n_valid
+  FROM splits GROUP BY 1
+),
+leaks AS (
+  SELECT sa.strategy,
+         sum(CASE WHEN sa.in_train <> sb.in_train THEN 1 ELSE 0 END)
+           AS leaked
+  FROM p
+  JOIN splits sa ON sa.doc_id = p.id_a
+  JOIN splits sb ON sb.doc_id = p.id_b AND sb.strategy = sa.strategy
+  GROUP BY 1
+)
+SELECT c.strategy, c.n_train, c.n_valid,
+       CAST(coalesce(l.leaked, 0) AS BIGINT) AS leaked_pairs
+FROM counts c LEFT JOIN leaks l USING (strategy)
+""",
+    "Leakage-safe train/valid split audit: the same deterministic 80/20 "
+    "hash split keyed two ways — by doc_id (naive) and by near-dup "
+    "cluster representative (SimHash pairs -> connected components, the "
+    "dedup_cluster_resolution machinery) — reporting, for each "
+    "strategy, the split sizes and the number of near-duplicate pairs "
+    "straddling the boundary. Splitting by cluster key drives "
+    "leaked_pairs to zero BY CONSTRUCTION (every member hashes the "
+    "same rep), which is why eval decontamination splits by cluster, "
+    "never by document (operators/sampling.py::hash_sample_flag is the "
+    "shared split primitive). Pair frame and labeled frame are "
+    "localCheckpointed once and reused by both strategies.",
+)
+def q_corpus_split_leakage_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from yaml_pipe_spark.operators.dedup import (
+        connected_components,
+        simhash_fingerprints,
+        simhash_near_duplicates,
+    )
+    from yaml_pipe_spark.operators.sampling import hash_sample_flag
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = simhash_fingerprints(docs, "text", "doc_id")
+    prs = (
+        simhash_near_duplicates(
+            fps, "doc_id", bits=64, bands=4, max_hamming=3
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)  # feeds CC + both strategies' leak joins
+    )
+    cc = connected_components(prs)
+    labeled = (
+        docs.select("doc_id")
+        .join(cc, docs["doc_id"] == cc["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_rep", "doc_id").alias("cluster_key"),
+        )
+        .localCheckpoint(eager=True)  # consumed by both strategies
+    )
+    rate = F.lit(0.8)
+
+    def strategy_frame(key_col: str, name: str) -> DataFrame:
+        split = labeled.select(
+            "doc_id",
+            hash_sample_flag(F.col(key_col), rate).alias("in_train"),
+        )
+        counts = split.agg(
+            F.sum(F.col("in_train").cast("long")).alias("n_train"),
+            F.sum((~F.col("in_train")).cast("long")).alias("n_valid"),
+        )
+        leaks = (
+            prs.join(
+                split.select(
+                    F.col("doc_id").alias("id_a"),
+                    F.col("in_train").alias("ta"),
+                ),
+                "id_a",
+            )
+            .join(
+                split.select(
+                    F.col("doc_id").alias("id_b"),
+                    F.col("in_train").alias("tb"),
+                ),
+                "id_b",
+            )
+            .agg(
+                F.coalesce(
+                    F.sum((F.col("ta") != F.col("tb")).cast("long")),
+                    F.lit(0),
+                ).alias("leaked_pairs")
+            )
+        )
+        return counts.crossJoin(leaks).select(
+            F.lit(name).alias("strategy"), "n_train", "n_valid",
+            "leaked_pairs",
+        )
+
+    return strategy_frame("doc_id", "by_doc_hash").unionByName(
+        strategy_frame("cluster_key", "by_cluster_hash")
+    )
+
+
 # The round driver validates a *prefix* of the queries() dict (each round
 # records exactly the first 50 entries in insertion order). Round 5 rotation,
 # in priority order:
@@ -8449,6 +8796,11 @@ DRIVER_ORDER: list[str] = [
     "multimodal_png_decode",      # real zlib+unfilter PNG decode
     "text_bpe_encode",            # real min-rank BPE merge loop
     "ann_ivfpq_topk",             # IVF-PQ composed index
+    "text_gopher_quality",        # Gopher quality rules + pass flags
+    "text_repetition_ratios",     # top/dup n-gram char fractions
+    "corpus_gopher_funnel",       # staged quality attrition report
+    "corpus_ccnet_buckets",       # per-lang bigram-LM perplexity terciles
+    "corpus_split_leakage_audit", # doc-hash vs cluster-hash split leakage
     # -- (3) code or oracle CHANGED in round 5 --
     "s1_parse_epub",          # extractor keeps bare mixed-content text now
     "corpus_temperature_mix",  # oracle joins made null-safe (ADVICE r4)
@@ -8488,12 +8840,11 @@ DRIVER_ORDER: list[str] = [
     "rel_large_volume_customers",
     "rel_salted_join",
     "rel_scd2_history",
-    "s1_parse_dispatch",
-    "t4_timestamp_cursor",
-    "sample_weighted",
-    "text_entropy",
-    "text_decontaminate",
 ]
+# Displaced to round 6 by the five round-5b quality/curation queries (new
+# code outranks refresh): s1_parse_dispatch, t4_timestamp_cursor,
+# sample_weighted, text_entropy, text_decontaminate — all pinned in
+# tests/test_registry_order.py::ROUND6_QUEUE.
 
 
 def _ordered_names() -> list[str]:

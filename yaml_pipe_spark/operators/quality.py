@@ -1,0 +1,261 @@
+"""Heuristic document-quality filters for training-data curation.
+
+North-star extension (absent in the reference, which stops at chunk/embed —
+SURVEY §2.9): the rule families every large-scale LLM corpus pipeline runs
+before dedup/tokenization, re-expressed as pure Catalyst plans:
+
+- Gopher quality rules (Rae et al. 2021, "Scaling Language Models: Methods,
+  Analysis & Insights from Training Gopher", Appendix A1; also used by
+  RedPajama/Dolma): word-count bounds, mean-word-length bounds, fraction of
+  words containing an alphabetic character, required-stopword presence.
+- Gopher repetition rules: fraction of characters contained in the most
+  frequent word n-gram, and in word n-grams occurring more than once.
+
+Parameter defaults are tuned so every rule bites on the synthetic testdata
+(documents are short word-soup: ~10-100 words, no newlines or punctuation):
+the stopword rule uses the engine's `en` marker set with min_distinct=1
+(the Gopher paper requires >=2 of an 8-word list, but only "the" exists as a
+standalone token in this corpus), and the duplicated-n-gram rule uses n=2
+(Gopher uses n in 5..10, which never repeats within these short documents).
+Occurrence counting deviation, documented: Gopher counts each character once
+even when overlapping n-gram occurrences cover it multiple times; here every
+occurrence contributes length(gram) characters — simpler, still monotone in
+repetitiveness, and exactly SQL-oracle-expressible.
+
+Scale shape: the quality signals are a stateless narrow projection (no
+shuffle, codegen'd, fully pushdown-friendly). The repetition signals are one
+explode + one (doc_id, n, gram) count shuffle + one (doc_id) rollup — the
+same diamond as the bigram LM in text_stats, keyed by high-cardinality
+(doc, gram) so no hot reducer at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from yaml_pipe_spark.functions.text import tokens
+
+# Engine-canonical English stopword tokens (text_stats.LANG_MARKERS["en"],
+# unpadded). The Gopher rule is parameterized — swap in the paper's 8-word
+# list ("the be to of and that have with", min_distinct=2) for real corpora.
+GOPHER_STOP_TOKENS: list[str] = ["the", "and", "of", "is"]
+
+
+def gopher_quality_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_ratio: float = 0.8,
+    stop_tokens: list[str] | None = None,
+    min_stop_distinct: int = 1,
+) -> DataFrame:
+    """Per-document Gopher quality signals + per-rule pass flags (int 0/1).
+
+    Columns: id, n_words, mean_word_len, alpha_word_ratio (both rounded to
+    4 for display; the flags compare the unrounded doubles), stop_distinct,
+    pass_words/pass_mean_word_len/pass_alpha/pass_stop, gopher_pass.
+    """
+    stop_tokens = GOPHER_STOP_TOKENS if stop_tokens is None else stop_tokens
+    t = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), t.alias("t"))
+    counts = base.select(
+        id_col,
+        F.size("t").cast("long").alias("n_words"),
+        F.aggregate(
+            "t", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("word_chars"),
+        F.size(F.filter("t", lambda x: x.rlike(r"\p{L}")))
+        .cast("long")
+        .alias("alpha_words"),
+        sum(
+            (F.array_contains("t", w).cast("int") for w in stop_tokens),
+            F.lit(0),
+        ).alias("stop_distinct"),
+    )
+    nw = F.col("n_words").cast("double")
+    mwl = F.when(F.col("n_words") > 0, F.col("word_chars") / nw).otherwise(
+        F.lit(0.0)
+    )
+    alpha = F.when(F.col("n_words") > 0, F.col("alpha_words") / nw).otherwise(
+        F.lit(0.0)
+    )
+    flags = counts.select(
+        id_col,
+        "n_words",
+        F.round(mwl, 4).alias("mean_word_len"),
+        F.round(alpha, 4).alias("alpha_word_ratio"),
+        "stop_distinct",
+        (
+            (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+        )
+        .cast("int")
+        .alias("pass_words"),
+        ((mwl >= min_mean_word_len) & (mwl <= max_mean_word_len))
+        .cast("int")
+        .alias("pass_mean_word_len"),
+        (alpha >= min_alpha_ratio).cast("int").alias("pass_alpha"),
+        (F.col("stop_distinct") >= min_stop_distinct)
+        .cast("int")
+        .alias("pass_stop"),
+    )
+    return flags.withColumn(
+        "gopher_pass",
+        (
+            F.col("pass_words")
+            * F.col("pass_mean_word_len")
+            * F.col("pass_alpha")
+            * F.col("pass_stop")
+        ).cast("int"),
+    )
+
+
+def _gram_structs(n: int) -> Column:
+    """Array of (n, gram) structs: all word n-grams joined with ' '."""
+    return F.when(
+        F.size("t") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - (n - 1)),
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                F.array_join(F.slice("t", i, n), " ").alias("gram"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple[int, ...] = (2, 3),
+    dup_n: int = 2,
+) -> DataFrame:
+    """Per-document Gopher repetition signals over word n-grams.
+
+    top{n}_frac = chars of the most frequent n-gram (count * length, ties
+    broken toward the lexicographically largest gram — both engines order
+    by (count, gram)) / length(text); dup{n}_frac = chars of all n-grams
+    occurring >= 2 times / length(text). Documents shorter than n words
+    score 0.0. One explode over all requested n, one (id, n, gram) count
+    shuffle, one per-id rollup.
+    """
+    all_ns = sorted(set(top_ns) | {dup_n})
+    base = df.select(
+        F.col(id_col),
+        F.length(text_col).cast("double").alias("n_chars"),
+        tokens(F.col(text_col)).alias("t"),
+    )
+    exploded = base.select(
+        id_col,
+        "n_chars",
+        F.explode(F.concat(*[_gram_structs(n) for n in all_ns])).alias("g"),
+    ).select(
+        id_col, "n_chars", F.col("g.n").alias("n"), F.col("g.gram").alias("gram")
+    )
+    counted = exploded.groupBy(id_col, "n", "gram").agg(
+        F.count("*").alias("c"), F.max("n_chars").alias("n_chars")
+    )
+    per_n = counted.groupBy(id_col, "n").agg(
+        F.max("c").alias("top_c"),
+        F.max_by("gram", F.struct(F.col("c"), F.col("gram"))).alias(
+            "top_gram"
+        ),
+        F.sum(
+            F.when(
+                F.col("c") >= 2, F.col("c") * F.length("gram")
+            ).otherwise(F.lit(0))
+        ).alias("dup_chars"),
+        F.max("n_chars").alias("n_chars"),
+    )
+    aggs = [
+        F.max(
+            F.when(
+                F.col("n") == n,
+                F.round(
+                    F.col("top_c") * F.length("top_gram") / F.col("n_chars"),
+                    4,
+                ),
+            )
+        ).alias(f"top{n}_frac")
+        for n in top_ns
+    ] + [
+        F.max(
+            F.when(
+                F.col("n") == dup_n,
+                F.round(F.col("dup_chars") / F.col("n_chars"), 4),
+            )
+        ).alias(f"dup{dup_n}_frac")
+    ]
+    doc = per_n.groupBy(id_col).agg(*aggs)
+    out_cols = [f"top{n}_frac" for n in top_ns] + [f"dup{dup_n}_frac"]
+    return (
+        df.select(id_col)
+        .join(doc, id_col, "left")
+        .select(
+            id_col,
+            *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in out_cols],
+        )
+    )
+
+
+def gopher_funnel(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dup2_max: float = 0.30,
+    **gopher_kwargs,
+) -> DataFrame:
+    """Staged quality-attrition report: how many documents survive each
+    Gopher rule applied cumulatively, ending with the repetition cut.
+
+    Columns: stage_idx, stage, n_docs, retention (share of raw, 4dp).
+    One pass over the joined signal frames (a single agg row fanned out
+    with stack — no per-stage rescans).
+    """
+    flags = gopher_quality_signals(
+        df, text_col, id_col, **gopher_kwargs
+    ).select(
+        id_col, "pass_words", "pass_mean_word_len", "pass_alpha", "pass_stop"
+    )
+    rep = repetition_signals(df, text_col, id_col).select(
+        id_col, "dup2_frac"
+    )
+    j = flags.join(rep, id_col)
+    stages = [
+        ("raw", F.lit(True)),
+        ("word_count", F.col("pass_words") == 1),
+        ("mean_word_len", F.col("pass_mean_word_len") == 1),
+        ("alpha_ratio", F.col("pass_alpha") == 1),
+        ("stopwords", F.col("pass_stop") == 1),
+        ("repetition", F.col("dup2_frac") <= dup2_max),
+    ]
+    cum = F.lit(True)
+    sums = []
+    for name, cond in stages:
+        cum = cum & cond
+        sums.append(
+            F.sum(cum.cast("long")).alias(f"s_{name}")
+        )
+    agg = j.agg(*sums)
+    stack_args = []
+    for i, (name, _) in enumerate(stages):
+        stack_args.append(
+            f"{i}, '{name}', s_{name}, "
+            f"round(s_{name} / CAST(s_raw AS DOUBLE), 4)"
+        )
+    return agg.select(
+        F.expr(
+            f"stack({len(stages)}, {', '.join(stack_args)}) "
+            "AS (stage_idx, stage, n_docs, retention)"
+        )
+    ).select(
+        F.col("stage_idx").cast("int"),
+        "stage",
+        F.col("n_docs").cast("long"),
+        "retention",
+    )

@@ -301,3 +301,65 @@ def bpe_token_stats(
         ).alias("avg_bpe_per_word"),
         "n_token_types",
     )
+
+
+def bigram_doc_logprob(docs: DataFrame) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    per-language bigram LM: (lang, doc_id, lp0 double).
+
+    The KenLM-style quality signal used by CCNet-family pipelines, trained
+    on the corpus itself so no smoothing is needed (every scored bigram is
+    in its own training set). Shared core of text_bigram_logprob (per-lang
+    rollup) and corpus_ccnet_buckets (per-lang perplexity terciles).
+
+    Plan: one (doc, bigram) count shuffle; the LM and the prev-marginal
+    both derive from it (vocabulary-sized aggs); the conditional log-prob
+    attaches at the LM level (vocab-vs-vocab join on (lang, prev)) so the
+    hot-prev skew never touches the doc-level stream, which joins once on
+    the full (lang, prev, cur) key.
+    """
+    t = F.regexp_extract_all(F.lower("text"), F.lit(r"\p{L}+"), F.lit(0))
+    base = docs.select("lang", "doc_id", t.alias("t")).filter(
+        F.size("t") >= 2
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.struct(
+            F.get(F.col("t"), i - 1).alias("prev"),
+            F.get(F.col("t"), i).alias("cur"),
+        ),
+    )
+    bgs = base.select(
+        "lang", "doc_id", F.explode(grams).alias("g")
+    ).select("lang", "doc_id", F.col("g.prev"), F.col("g.cur"))
+    # explicit null-filters (same trick as text_unigram_logprob): the two
+    # joins push different isnotnull subsets into their dt branches (the
+    # lm⋈pv chain only needs (lang, prev); the doc join needs cur too),
+    # which would fork the subtrees and block ReuseExchange — a second
+    # full corpus scan
+    bgs = bgs.filter(
+        F.col("lang").isNotNull()
+        & F.col("prev").isNotNull()
+        & F.col("cur").isNotNull()
+    )
+    dt = bgs.groupBy("lang", "doc_id", "prev", "cur").agg(
+        F.count("*").alias("c_dt")
+    )
+    lm = dt.groupBy("lang", "prev", "cur").agg(F.sum("c_dt").alias("c_bg"))
+    pv = lm.groupBy("lang", "prev").agg(F.sum("c_bg").alias("c_prev"))
+    lmj = lm.join(pv, ["lang", "prev"]).select(
+        "lang",
+        "prev",
+        "cur",
+        (
+            F.log10(F.col("c_bg").cast("double"))
+            - F.log10(F.col("c_prev").cast("double"))
+        ).alias("lp"),
+    )
+    return (
+        dt.join(lmj, ["lang", "prev", "cur"])
+        .groupBy("lang", "doc_id")
+        .agg(
+            (F.sum(F.col("c_dt") * F.col("lp")) / F.sum("c_dt")).alias("lp0")
+        )
+    )
