@@ -149,3 +149,27 @@ def test_funnel_is_single_pass(spark):
     # gopher flags branch + repetition gram branch + the narrow doc_id-only
     # coalescing branch — never a per-stage rescan (6 stages, 3 scans)
     assert plan.count("Scan parquet") <= 3
+
+
+def test_zipf_fit_slopes_negative(spark):
+    rows = REGISTRY["text_zipf_fit"].fn(spark, SF_SMALL).collect()
+    assert rows and all(r["zipf_slope"] < 0 for r in rows)
+    assert all(r["n_types"] > 1 for r in rows)
+
+
+def test_epoch_schedule_invariants(spark):
+    rows = REGISTRY["corpus_epoch_schedule"].fn(spark, SF_SMALL).collect()
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r["epochs_capped"] <= 4.0
+        assert r["epochs_capped"] <= r["epochs"]
+        # temperature flattening: every lang's target is positive
+        assert r["target_tokens"] > 0
+
+
+def test_partition_skew_audit_shares(spark):
+    rows = REGISTRY["sink_partition_skew_audit"].fn(spark, SF_SMALL).collect()
+    assert abs(sum(r["pct_of_total"] for r in rows) - 1.0) < 1e-3
+    mean = sum(r["est_bytes"] for r in rows) / len(rows)
+    for r in rows:
+        assert r["small_flag"] == int(r["est_bytes"] < 0.5 * mean)

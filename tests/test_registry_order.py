@@ -31,6 +31,10 @@ ROUND5_MUST_FRONT: set[str] = ROUND5_QUEUE | {
     "corpus_gopher_funnel",
     "corpus_ccnet_buckets",
     "corpus_split_leakage_audit",
+    "multimodal_gif_decode",
+    "text_zipf_fit",
+    "corpus_epoch_schedule",
+    "sink_partition_skew_audit",
     # changed code/oracle (ADVICE r4 fixes + lsh_band_table refactor)
     "s1_parse_epub",
     "corpus_temperature_mix",
@@ -74,17 +78,17 @@ ROUND2_REFRESH_NOW: set[str] = {
     "agg_salted_user_totals",
     "corpus_mix_weights",
     "rel_approx_quantile_bounded",
-    "rel_market_share",
-    "rel_large_volume_customers",
-    "rel_salted_join",
-    "rel_scd2_history",
 }
 
 # Still r2-generation after round 5 — front these in ROUND 6 (oldest debt
 # first), before anything merely stale from r3.
 ROUND6_QUEUE: set[str] = {
-    # displaced from the r5 prefix by the round-5b quality/curation queries
-    # (new code outranks refresh):
+    # displaced from the r5 prefix by the round-5b/5c waves (new code
+    # outranks refresh):
+    "rel_market_share",
+    "rel_large_volume_customers",
+    "rel_salted_join",
+    "rel_scd2_history",
     "s1_parse_dispatch",
     "t4_timestamp_cursor",
     "sample_weighted",

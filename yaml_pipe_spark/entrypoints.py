@@ -4084,6 +4084,60 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_gif_decode",
+    """
+WITH g AS (
+  SELECT doc_id, 3 + doc_id % 13 AS w, 2 + doc_id % 7 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, UNNEST(generate_series(0, w*h - 1)) AS k FROM g
+),
+v AS (
+  SELECT doc_id, w, h, k,
+         (doc_id + (k // w) * 5 + (k % w) * 3) % 4 AS idx
+  FROM px
+),
+e AS (
+  SELECT doc_id, w, h, k, idx,
+         (doc_id + idx * 17) % 256 + (doc_id * 2 + idx * 29) % 256
+           + (doc_id * 3 + idx * 41) % 256 AS rgb
+  FROM v
+)
+SELECT doc_id AS item_id,
+       CAST(max(w) AS INT) AS width,
+       CAST(max(h) AS INT) AS height,
+       CAST(count(*) AS BIGINT) AS n_pixels,
+       CAST(sum(idx) AS BIGINT) AS sum_indices,
+       CAST(sum(rgb) AS BIGINT) AS sum_rgb,
+       CAST(max(CASE WHEN k = 0 THEN idx END) AS BIGINT) AS first_index
+FROM e GROUP BY doc_id
+""",
+    "REAL stdlib GIF decode, end-to-end (multimodal.decode_gif): one "
+    "valid single-frame GIF87a per document with a 4-color global "
+    "palette, pixel indices LZW-compressed by a from-scratch "
+    "variable-width GIF-LZW codec (the decoder is validated against a "
+    "published real-world GIF LZW stream, not just its own encoder — "
+    "tests/test_gif_decode.py). Executors parse the container, "
+    "concatenate sub-blocks, and run the full clear/EOI/width-growth "
+    "decompression; the report sums EVERY decoded palette index and "
+    "palette-expanded RGB byte, and the oracle recomputes all of it "
+    "from the generating formulas — one wrong index anywhere in the "
+    "stream hash-mismatches. Completes the stdlib multimodal family "
+    "(BMP/PPM/PNG/WAV/GIF); animation/interlacing/local palettes stay "
+    "behind the documented codec extension point.",
+)
+def q_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.multimodal.binary import (
+        gif_decode_report,
+        gif_media_from_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return gif_decode_report(gif_media_from_documents(docs))
+
+
+
+@register(
     "multimodal_real_decode",
     """
 WITH g AS (
@@ -8763,6 +8817,221 @@ def q_corpus_split_leakage_audit(
     )
 
 
+
+
+@register(
+    "text_zipf_fit",
+    r"""
+WITH wx AS (
+  SELECT lang, UNNEST(regexp_extract_all(lower(text), '\p{L}+')) AS word
+  FROM documents WHERE lang IS NOT NULL
+),
+cnt AS (SELECT lang, word, count(*) AS c FROM wx GROUP BY 1, 2),
+rk AS (
+  SELECT lang, c,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY c DESC, word) AS rank
+  FROM cnt
+),
+xy AS (
+  SELECT lang, log10(CAST(rank AS DOUBLE)) AS x,
+         log10(CAST(c AS DOUBLE)) AS y
+  FROM rk
+),
+m AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM xy GROUP BY 1
+)
+SELECT lang, n_types,
+       round(CASE WHEN n_types * sxx - sx * sx <> 0
+                  THEN (n_types * sxy - sx * sy)
+                       / (n_types * sxx - sx * sx) END, 4) AS zipf_slope,
+       round(CASE WHEN n_types * sxx - sx * sx <> 0
+                  THEN (sy - (n_types * sxy - sx * sy)
+                             / (n_types * sxx - sx * sx) * sx)
+                       / n_types END, 4) AS zipf_intercept
+FROM m
+""",
+    "Zipf's-law fit per language: OLS slope/intercept of log10(frequency) "
+    "vs log10(rank) over the full word-frequency table — the corpus-"
+    "health audit that flags synthetic or boilerplate-heavy text (natural "
+    "language sits near slope -1; word soup flattens). Ranking ties "
+    "break on the word string identically in both engines; one "
+    "(lang, word) count shuffle + one per-lang window + a tiny moment "
+    "rollup, same OLS-from-moments shape as rel_revenue_trend.",
+)
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    t = F.regexp_extract_all(F.lower("text"), F.lit(r"\p{L}+"), F.lit(0))
+    words = (
+        docs.filter(F.col("lang").isNotNull())
+        .select("lang", F.explode(t).alias("word"))
+    )
+    cnt = words.groupBy("lang", "word").agg(F.count("*").alias("c"))
+    rk = cnt.withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("lang").orderBy(F.col("c").desc(), "word")
+        ),
+    )
+    xy = rk.select(
+        "lang",
+        F.log10(F.col("rank").cast("double")).alias("x"),
+        F.log10(F.col("c").cast("double")).alias("y"),
+    )
+    m = xy.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    denom = F.col("n_types") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (
+        F.col("n_types") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / denom
+    return m.select(
+        "lang",
+        "n_types",
+        F.round(F.when(denom != 0, slope), 4).alias("zipf_slope"),
+        F.round(
+            F.when(
+                denom != 0,
+                (F.col("sy") - slope * F.col("sx")) / F.col("n_types"),
+            ),
+            4,
+        ).alias("zipf_intercept"),
+    )
+
+
+@register(
+    "corpus_epoch_schedule",
+    r"""
+WITH t AS (
+  SELECT lang, doc_id,
+         len(list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> x <> '')) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM t GROUP BY 1
+),
+w AS (SELECT lang, n_docs, n_tokens,
+             sqrt(CAST(n_tokens AS DOUBLE)) AS wt FROM c),
+r AS (
+  SELECT lang, n_docs, n_tokens,
+         round(wt / (SELECT sum(wt) FROM w), 6) AS weight,
+         (SELECT sum(n_tokens) FROM c) * 2 AS budget
+  FROM w
+)
+SELECT lang, n_docs, n_tokens, weight,
+       CAST(floor(weight * budget) AS BIGINT) AS target_tokens,
+       round(floor(weight * budget) / CAST(n_tokens AS DOUBLE), 4)
+         AS epochs,
+       least(round(floor(weight * budget) / CAST(n_tokens AS DOUBLE), 4),
+             4.0) AS epochs_capped
+FROM r
+""",
+    "Epoch/repeat schedule for temperature mixing: per-language token "
+    "counts, sqrt-temperature weights (same alpha=0.5 family as "
+    "corpus_temperature_mix), a 2x-corpus token budget, and the derived "
+    "repeat factor per language with the standard <=4-epoch cap from "
+    "data-mixing practice — the accounting a trainer consumes to decide "
+    "how many passes of each subset fill the budget. Weight rounded to "
+    "6dp before the budget multiply and floor'd to integer tokens so "
+    "both engines derive identical schedules.",
+)
+def q_corpus_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    c = docs.select(
+        "lang", F.size(tokens(F.col("text"))).alias("n_tok")
+    ).groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+    tot = c.agg(
+        F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("swt"),
+        (F.sum("n_tokens") * 2).cast("long").alias("budget"),
+    )
+    r = c.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.sqrt(F.col("n_tokens").cast("double")) / F.col("swt"), 6
+        ).alias("weight"),
+        "budget",
+    )
+    target = F.floor(F.col("weight") * F.col("budget"))
+    epochs = F.round(target / F.col("n_tokens").cast("double"), 4)
+    return r.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "weight",
+        target.cast("long").alias("target_tokens"),
+        epochs.alias("epochs"),
+        F.least(epochs, F.lit(4.0)).alias("epochs_capped"),
+    )
+
+
+@register(
+    "sink_partition_skew_audit",
+    """
+WITH p AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS est_bytes
+  FROM documents GROUP BY 1, 2
+),
+t AS (SELECT sum(est_bytes) AS total, avg(est_bytes) AS mean_bytes FROM p)
+SELECT p.lang, p.source, p.n_docs, p.est_bytes,
+       round(p.est_bytes / CAST(t.total AS DOUBLE), 6) AS pct_of_total,
+       CAST(p.est_bytes < 0.5 * t.mean_bytes AS INT) AS small_flag
+FROM p, t
+""",
+    "Pre-write layout audit for a dynamic-partition parquet sink: "
+    "per-(lang, source) partition sizes (n_chars as the byte proxy), "
+    "share of total, and a small-partition flag at half the mean — the "
+    "check that catches the small-files problem BEFORE a 100 TB write "
+    "fans out into millions of tiny objects (the fix being partition "
+    "coalescing or a coarser partition spec, operators/sinks.py). One "
+    "tiny two-level rollup + a broadcast scalar join.",
+)
+def q_sink_partition_skew_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "source", "n_chars"
+    )
+    p = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("est_bytes"),
+    )
+    t = p.agg(
+        F.sum("est_bytes").alias("total"),
+        F.avg("est_bytes").alias("mean_bytes"),
+    )
+    return p.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "est_bytes",
+        F.round(
+            F.col("est_bytes") / F.col("total").cast("double"), 6
+        ).alias("pct_of_total"),
+        (F.col("est_bytes") < 0.5 * F.col("mean_bytes"))
+        .cast("int")
+        .alias("small_flag"),
+    )
+
+
 # The round driver validates a *prefix* of the queries() dict (each round
 # records exactly the first 50 entries in insertion order). Round 5 rotation,
 # in priority order:
@@ -8801,6 +9070,10 @@ DRIVER_ORDER: list[str] = [
     "corpus_gopher_funnel",       # staged quality attrition report
     "corpus_ccnet_buckets",       # per-lang bigram-LM perplexity terciles
     "corpus_split_leakage_audit", # doc-hash vs cluster-hash split leakage
+    "multimodal_gif_decode",      # real variable-width LZW GIF decode
+    "text_zipf_fit",              # per-lang Zipf OLS corpus-health audit
+    "corpus_epoch_schedule",      # temperature-mix repeat-factor schedule
+    "sink_partition_skew_audit",  # small-files audit before partitioned write
     # -- (3) code or oracle CHANGED in round 5 --
     "s1_parse_epub",          # extractor keeps bare mixed-content text now
     "corpus_temperature_mix",  # oracle joins made null-safe (ADVICE r4)
@@ -8836,11 +9109,11 @@ DRIVER_ORDER: list[str] = [
     "agg_salted_user_totals",
     "corpus_mix_weights",
     "rel_approx_quantile_bounded",
-    "rel_market_share",
-    "rel_large_volume_customers",
-    "rel_salted_join",
-    "rel_scd2_history",
 ]
+# Displaced to round 6 by the round-5c wave (new code outranks refresh):
+# rel_market_share, rel_large_volume_customers, rel_salted_join,
+# rel_scd2_history — pinned in tests/test_registry_order.py::ROUND6_QUEUE
+# with the 5b displacements.
 # Displaced to round 6 by the five round-5b quality/curation queries (new
 # code outranks refresh): s1_parse_dispatch, t4_timestamp_cursor,
 # sample_weighted, text_entropy, text_decontaminate — all pinned in
