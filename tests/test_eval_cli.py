@@ -57,3 +57,27 @@ sink:
         assert cli.main(["eval", ds, "-c", cfg, "-k", "1"]) == 0
         out = json.loads(capsys.readouterr().out)
         assert out["hit_rate"] == 100.0 and out["hits"] == 2
+
+
+def test_audit_cli(spark, capsys):
+    import json as _json
+
+    from tests.conftest import SF_SMALL
+    from yaml_pipe_spark import cli
+
+    rc = cli.main(
+        ["audit", "--only", "quality_funnel,partition_skew,zipf", "-d", SF_SMALL]
+    )
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0 and len(out) == 3
+    payloads = [_json.loads(line) for line in out]
+    assert [p["audit"] for p in payloads] == [
+        "quality_funnel", "partition_skew", "zipf",
+    ]
+    funnel = payloads[0]["rows"]
+    assert funnel[0]["stage"] == "raw" and funnel[0]["retention"] == 1.0
+    assert all(p["rows"] for p in payloads)
+
+    # unknown audit key is an honest non-zero with the available list
+    assert cli.main(["audit", "--only", "nope", "-d", SF_SMALL]) == 1
+    assert "available:" in capsys.readouterr().err
