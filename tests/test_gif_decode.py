@@ -102,3 +102,14 @@ def test_gif_report_query_is_arrow_batched(spark):
         w, h = 3 + item_id % 13, 2 + item_id % 7
         assert (row["width"], row["height"]) == (w, h)
         assert row["n_pixels"] == w * h
+
+
+def test_decode_gif_skips_extension_blocks():
+    # splice a GIF89a graphic-control extension between the color table
+    # and the image descriptor: the parser must skip it and decode the
+    # same pixels
+    g = build_gif(9)
+    idx = g.index(0x2C, 13)  # image descriptor offset
+    gce = bytes([0x21, 0xF9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00])
+    spliced = b"GIF89a" + g[6:idx] + gce + g[idx:]
+    assert decode_gif(spliced) == decode_gif(g)
