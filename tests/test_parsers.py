@@ -624,3 +624,70 @@ def test_xlsx_negative_shared_index_is_empty():
         )
     # A1's -1 renders empty (not the table's last string); B1 keeps "only"
     assert extract_xlsx_text(buf.getvalue()) == "\tonly"
+
+
+def test_warc_extractor_golden():
+    import gzip
+
+    from yaml_pipe_spark.sources.warc import extract_warc_text
+
+    def rec(rtype, payload, extra=b""):
+        return (
+            b"WARC/1.0\r\nWARC-Type: " + rtype + b"\r\n" + extra
+            + b"Content-Length: " + str(len(payload)).encode()
+            + b"\r\n\r\n" + payload + b"\r\n\r\n"
+        )
+
+    body = "hello wörld 中文".encode("utf-8")
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" + body
+    raw = (
+        rec(b"warcinfo", b"software: t\r\n")
+        + rec(b"request", b"GET / HTTP/1.1\r\n\r\n")
+        + rec(b"response", http, b"WARC-Target-URI: http://x/1\r\n")
+        + rec(b"response", http)
+    )
+    expected = "hello wörld 中文\n\nhello wörld 中文"
+    assert extract_warc_text(raw) == expected
+    # gzip wrapper sniffed transparently (the .warc.gz shape)
+    assert extract_warc_text(gzip.compress(raw, mtime=0)) == expected
+    # payload bytes that LOOK like a header must not desync the framing:
+    # Content-Length accounting, not scanning, delimits records
+    tricky = rec(b"response", http + b"\r\n\r\nWARC/1.0\r\nfake: x")
+    assert extract_warc_text(tricky).startswith("hello")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="Content-Length"):
+        extract_warc_text(b"WARC/1.0\r\nWARC-Type: response\r\n\r\nx")
+    chunked = rec(
+        b"response",
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n5\r\nhello\r\n0\r\n\r\n",
+    )
+    with _pytest.raises(NotImplementedError, match="chunked"):
+        extract_warc_text(chunked)
+
+
+def test_tar_extractor_golden():
+    from yaml_pipe_spark.sources.tar import build_tar, extract_tar_text
+
+    t = build_tar(
+        {
+            "b.txt": "second".encode(),
+            "a.txt": "first".encode(),
+            "img.png": b"\x89PNG....",
+            "meta.json": b"{}",
+        }
+    )
+    # text members only, name order regardless of insertion order
+    assert extract_tar_text(t) == "first\n\nsecond"
+    # deterministic builder: identical inputs -> identical bytes
+    assert t == build_tar(
+        {
+            "b.txt": "second".encode(),
+            "a.txt": "first".encode(),
+            "img.png": b"\x89PNG....",
+            "meta.json": b"{}",
+        }
+    )
+    # gzip variant transparently handled by tarfile r:*
+    assert extract_tar_text(build_tar({"a.txt": b"hi"}, gz=True)) == "hi"

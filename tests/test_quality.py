@@ -173,3 +173,37 @@ def test_partition_skew_audit_shares(spark):
     mean = sum(r["est_bytes"] for r in rows) / len(rows)
     for r in rows:
         assert r["small_flag"] == int(r["est_bytes"] < 0.5 * mean)
+
+
+def test_cms_overestimates_and_bounds(spark):
+    rows = REGISTRY["events_cms_heavy_hitters"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["overestimate"] >= 0  # CMS never underestimates
+        assert r["cms_est"] >= r["exact_n"]
+        assert r["bound_ok"] == 1
+
+
+def test_quality_thresholds_ordered(spark):
+    rows = REGISTRY["text_quality_thresholds"].fn(spark, SF_SMALL).collect()
+    for r in rows:
+        assert r["p50_dup2"] <= r["p90_dup2"]
+        assert r["p50_words"] <= r["p90_words"]
+
+
+def test_ivf_cell_balance_sums(spark):
+    rows = REGISTRY["emb_ivf_cell_balance"].fn(spark, SF_SMALL).collect()
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-3
+    mean = sum(r["n_vectors"] for r in rows) / len(rows)
+    for r in rows:
+        assert r["skewed"] == int(r["n_vectors"] > 2 * mean)
+
+
+def test_dup_rate_by_source_normalized(spark):
+    rows = (
+        REGISTRY["corpus_dup_rate_by_source"].fn(spark, SF_SMALL).collect()
+    )
+    assert rows
+    for r in rows:
+        assert r["src_a"] <= r["src_b"]  # ordered pair normalization
+        assert r["n_pairs"] > 0

@@ -83,6 +83,15 @@ ROUND2_REFRESH_NOW: set[str] = {
 # Still r2-generation after round 5 — front these in ROUND 6 (oldest debt
 # first), before anything merely stale from r3.
 ROUND6_QUEUE: set[str] = {
+    # registered after the round-5 prefix was spent (5e wave), locally
+    # verified at sf0.01+sf0.1 but never driver-sampled — these outrank
+    # everything else in round 6:
+    "events_cms_heavy_hitters",
+    "text_quality_thresholds",
+    "corpus_dup_rate_by_source",
+    "emb_ivf_cell_balance",
+    "s1_parse_warc",
+    "s1_parse_tar",
     # displaced from the r5 prefix by the round-5b/5c waves (new code
     # outranks refresh):
     "rel_market_share",

@@ -9032,6 +9032,401 @@ def q_sink_partition_skew_audit(
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# Round 5e: distributed-sketch heavy hitters, threshold calibration,
+# dup-mass attribution, IVF cell-balance audit. Registered after the
+# round-5 50-slot driver prefix (locally verified at sf0.01+sf0.1);
+# fronted in ROUND 6 per tests/test_registry_order.py::ROUND6_QUEUE.
+# ---------------------------------------------------------------------------
+
+
+def _dk_byte0_of(expr: str) -> str:
+    md5e = f"md5({expr})"
+    return (
+        f"((strpos('0123456789abcdef', substr({md5e}, 1, 1)) - 1) * 16 + "
+        f"(strpos('0123456789abcdef', substr({md5e}, 2, 1)) - 1))"
+    )
+
+
+@register(
+    "events_cms_heavy_hitters",
+    f"""
+WITH pu AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+hx AS (
+  SELECT user_id, n, i,
+         {_dk_byte0_of("CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")} % 64 AS b
+  FROM pu, (SELECT UNNEST(generate_series(0, 3)) AS i)
+),
+cms AS (SELECT i, b, sum(n) AS c FROM hx GROUP BY 1, 2),
+tk AS (SELECT user_id, n FROM pu ORDER BY n DESC, user_id LIMIT 10),
+est AS (
+  SELECT t.user_id, t.n, min(c.c) AS cms_est
+  FROM tk t
+  JOIN hx h ON h.user_id = t.user_id
+  JOIN cms c ON c.i = h.i AND c.b = h.b
+  GROUP BY 1, 2
+),
+tot AS (SELECT count(*) AS total FROM events)
+SELECT user_id, CAST(n AS BIGINT) AS exact_n,
+       CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - n AS BIGINT) AS overestimate,
+       CAST(cms_est - n <= greatest(1, CAST(floor(0.05 * total) AS BIGINT))
+            AS INT) AS bound_ok
+FROM est, tot
+""",
+    "Count-min-sketch heavy hitters with a measured error bound: a 4x64 "
+    "CMS built as plain aggregates (seeded md5 bucket hashes, the "
+    "cross-engine hash family from functions/hashing.py), the exact "
+    "top-10 users joined back through the sketch, and the classic "
+    "overestimate-only guarantee checked row by row (est >= exact, "
+    "excess <= ~epsilon*N) — the third mergeable-sketch gate next to "
+    "the HLL and GK ones (events_approx_distinct_bounded, "
+    "rel_approx_quantile_bounded). Scale shape: the sketch builds from "
+    "the PER-USER count frame (high-cardinality first-stage agg with "
+    "map-side combine), so the 256-cell rollup never sees raw events; "
+    "at 100 TB the 4x64 table is the only state two clusters need to "
+    "exchange to merge their sketches.",
+)
+def q_events_cms_heavy_hitters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from yaml_pipe_spark.functions.hashing import (
+        hex_pair_to_int,
+        md5_seeded,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    pu = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(3)),
+        lambda i: F.struct(
+            i.alias("i"),
+            (
+                hex_pair_to_int(
+                    md5_seeded(F.col("user_id").cast("string"), i), 1
+                )
+                % 64
+            ).alias("b"),
+        ),
+    )
+    hx = pu.select(
+        "user_id", "n", F.explode(hashes).alias("h")
+    ).select("user_id", "n", F.col("h.i").alias("i"), F.col("h.b").alias("b"))
+    cms = hx.groupBy("i", "b").agg(F.sum("n").alias("c"))
+    tk = pu.orderBy(F.col("n").desc(), "user_id").limit(10)
+    est = (
+        tk.join(hx.select("user_id", "i", "b"), "user_id")
+        .join(F.broadcast(cms), ["i", "b"])
+        .groupBy("user_id", "n")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    tot = ev.agg(F.count("*").alias("total"))
+    return est.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        F.col("n").cast("long").alias("exact_n"),
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") - F.col("n")).cast("long").alias("overestimate"),
+        (
+            (F.col("cms_est") - F.col("n"))
+            <= F.greatest(
+                F.lit(1).cast("long"),
+                F.floor(0.05 * F.col("total")).cast("long"),
+            )
+        )
+        .cast("int")
+        .alias("bound_ok"),
+    )
+
+
+@register(
+    "text_quality_thresholds",
+    "WITH " + _DK_REP + r""",
+nw AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                              x -> x <> '')) AS DOUBLE) AS n_words
+  FROM documents
+),
+j AS (
+  SELECT nw.lang, nw.n_words, r.dup2_frac
+  FROM nw JOIN rdoc r USING (doc_id)
+)
+SELECT lang,
+       round(quantile_cont(CAST(round(dup2_frac * 10000) AS BIGINT), 0.5)
+             / 10000.0, 6) AS p50_dup2,
+       round(quantile_cont(CAST(round(dup2_frac * 10000) AS BIGINT), 0.9)
+             / 10000.0, 6) AS p90_dup2,
+       round(quantile_cont(n_words, 0.5), 4) AS p50_words,
+       round(quantile_cont(n_words, 0.9), 4) AS p90_words
+FROM j GROUP BY lang
+""",
+    "Quality-threshold calibration: per-language exact interpolated "
+    "percentiles of the repetition signal and document length — the "
+    "data-driven grounding for the funnel's cut points (pick the p90 of "
+    "dup2_frac instead of guessing 0.30). Same percentile "
+    "array-of-fractions buffer as rel_percentiles. The dup2 percentile "
+    "interpolates over the EXACT integer domain (x10000 of the "
+    "4dp-rounded signal) because midpoints of adjacent integers are "
+    "exactly representable: with double-domain interpolation an "
+    "even-count group can land on a half-point the two engines round "
+    "apart (the sf0.1 sweep caught exactly that).",
+)
+def q_text_quality_thresholds(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from yaml_pipe_spark.functions.text import tokens
+    from yaml_pipe_spark.operators.quality import repetition_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep = repetition_signals(docs.select("doc_id", "text")).select(
+        "doc_id", "dup2_frac"
+    )
+    nw = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens(F.col("text"))).cast("double").alias("n_words"),
+    )
+    j = nw.join(rep, "doc_id")
+    out = j.groupBy("lang").agg(
+        F.percentile(
+            F.round(F.col("dup2_frac") * 10000).cast("long"),
+            F.array(F.lit(0.5), F.lit(0.9)),
+        ).alias("__d"),
+        F.percentile(
+            "n_words", F.array(F.lit(0.5), F.lit(0.9))
+        ).alias("__w"),
+    )
+    return out.select(
+        "lang",
+        F.round(F.element_at("__d", 1) / 10000.0, 6).alias("p50_dup2"),
+        F.round(F.element_at("__d", 2) / 10000.0, 6).alias("p90_dup2"),
+        F.round(F.element_at("__w", 1), 4).alias("p50_words"),
+        F.round(F.element_at("__w", 2), 4).alias("p90_words"),
+    )
+
+
+@register(
+    "corpus_dup_rate_by_source",
+    f"""
+WITH p AS ({MINHASH_ORACLE}),
+ds AS (SELECT doc_id, source FROM documents),
+j AS (
+  SELECT least(a.source, b.source) AS src_a,
+         greatest(a.source, b.source) AS src_b
+  FROM p
+  JOIN ds a ON a.doc_id = p.id_a
+  JOIN ds b ON b.doc_id = p.id_b
+)
+SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
+FROM j GROUP BY 1, 2
+""",
+    "Near-dup mass attribution: verified MinHash pairs rolled up by "
+    "normalized source pair (least/greatest, so intra-source dup shows "
+    "on the diagonal) — the corpus report that says WHERE duplication "
+    "comes from, which decides crawl-source pruning before anyone "
+    "spends a 100 TB dedup pass. The pair frame is the standard banded "
+    "join; source attachment is two broadcast-size dimension joins.",
+)
+def q_corpus_dup_rate_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from yaml_pipe_spark.operators.dedup import minhash_near_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        docs, "text", "doc_id", k=3, n_hashes=16, bands=4, threshold=0.8
+    ).select("id_a", "id_b")
+    ds = docs.select("doc_id", "source")
+    j = (
+        pairs.join(
+            ds.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("sa")
+            ),
+            "id_a",
+        )
+        .join(
+            ds.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("sb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+    )
+    return j.groupBy("src_a", "src_b").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+
+
+@register(
+    "emb_ivf_cell_balance",
+    f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+),
+a AS (
+  SELECT e.vec_id, c.cid,
+         round({_dk_cos('e.embedding', 'c.cv')}, 6) AS s
+  FROM embeddings e, c
+),
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY s DESC, cid) AS rn
+    FROM a
+  ) WHERE rn = 1
+),
+sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_vectors FROM asg GROUP BY 1),
+t AS (SELECT avg(n_vectors) AS mean_n, sum(n_vectors) AS total FROM sz)
+SELECT sz.cid, sz.n_vectors,
+       round(sz.n_vectors / CAST(t.total AS DOUBLE), 6) AS share,
+       round(sz.n_vectors / t.mean_n, 4) AS imbalance,
+       CAST(sz.n_vectors > 2 * t.mean_n AS INT) AS skewed
+FROM sz, t
+""",
+    "IVF cell-balance audit: per-cell population, share, and imbalance "
+    "factor vs the mean cell, with a 2x-mean skew flag — the "
+    "partition-health check for the IVF/IVF-PQ serving layout (a hot "
+    "cell is a hot partition: probe latency and shuffle skew both "
+    "follow it; the fix is re-clustering or cell splitting). Same "
+    "pinned-centroid assignment as ann_ivf_topk so the oracle "
+    "recomputes the argmax with the identical (score, cid) tiebreak.",
+)
+def q_emb_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.similarity import ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    asg = ivf_assign(emb, centroids)
+    sz = asg.groupBy("cid").agg(
+        F.count("*").cast("long").alias("n_vectors")
+    )
+    t = sz.agg(
+        F.avg("n_vectors").alias("mean_n"),
+        F.sum("n_vectors").alias("total"),
+    )
+    return sz.crossJoin(F.broadcast(t)).select(
+        "cid",
+        "n_vectors",
+        F.round(
+            F.col("n_vectors") / F.col("total").cast("double"), 6
+        ).alias("share"),
+        F.round(F.col("n_vectors") / F.col("mean_n"), 4).alias("imbalance"),
+        (F.col("n_vectors") > 2 * F.col("mean_n"))
+        .cast("int")
+        .alias("skewed"),
+    )
+
+
+
+
+@register(
+    "s1_parse_warc",
+    _PARSE_ROUNDTRIP_ORACLE,
+    "S1 parse seam for .warc.gz, ORACLE-CHECKED end to end: a complete "
+    "gzipped WARC file per doc (warcinfo record + a response record whose "
+    "payload is a full HTTP message carrying the text as its UTF-8 body, "
+    "ISO 28500 framing with exact Content-Length accounting), the real "
+    "stdlib extractor (sources/warc.py: gzip sniff, record walk, "
+    "non-response skip, HTTP header strip) pulls the text back out, and "
+    "the normalization must reproduce the elements of the original text "
+    "exactly — the Common Crawl ingest format, so a framing or "
+    "byte-accounting bug here is a 100 TB ingest bug.",
+)
+def q_s1_parse_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import gzip
+    from typing import Iterator
+
+    import pandas as pd
+
+    from yaml_pipe_spark.sources.parsers import parse_warc
+
+    def build(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        def rec(rtype: bytes, payload: bytes, extra: bytes = b"") -> bytes:
+            return (
+                b"WARC/1.0\r\nWARC-Type: " + rtype + b"\r\n" + extra
+                + b"Content-Length: " + str(len(payload)).encode()
+                + b"\r\n\r\n" + payload + b"\r\n\r\n"
+            )
+
+        for pdf in it:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                body = (text or "").encode("utf-8")
+                http = (
+                    b"HTTP/1.1 200 OK\r\n"
+                    b"Content-Type: text/plain; charset=utf-8\r\n\r\n"
+                    + body
+                )
+                raw = rec(b"warcinfo", b"software: yaml-pipe-spark\r\n") + rec(
+                    b"response",
+                    http,
+                    b"WARC-Target-URI: http://corpus/doc/"
+                    + str(int(doc_id)).encode() + b"\r\n",
+                )
+                payloads.append(gzip.compress(raw, mtime=0))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "lang": pdf["lang"],
+                 "raw": payloads}
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    built = docs.mapInPandas(build, "doc_id long, lang string, raw binary")
+    return _parse_rollup(built.withColumn("parsed", parse_warc(F.col("raw"))))
+
+
+@register(
+    "s1_parse_tar",
+    _PARSE_ROUNDTRIP_ORACLE,
+    "S1 parse seam for .tar, ORACLE-CHECKED end to end: a deterministic "
+    "tar archive per doc (pinned mtime/uid, a text member carrying the "
+    "document plus a json sidecar the extractor must skip — the "
+    "WebDataset sample layout), the real stdlib extractor "
+    "(sources/tar.py: tarfile walk, name-ordered text members) pulls the "
+    "text back out, and the normalization must reproduce the elements of "
+    "the original text exactly.",
+)
+def q_s1_parse_tar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator
+
+    import pandas as pd
+
+    from yaml_pipe_spark.sources.parsers import parse_tar
+    from yaml_pipe_spark.sources.tar import build_tar
+
+    def build(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            payloads = [
+                build_tar(
+                    {
+                        f"{int(doc_id):08d}.txt": (text or "").encode(
+                            "utf-8"
+                        ),
+                        f"{int(doc_id):08d}.json": b'{"source": "tar"}',
+                    }
+                )
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "lang": pdf["lang"],
+                 "raw": payloads}
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    built = docs.mapInPandas(build, "doc_id long, lang string, raw binary")
+    return _parse_rollup(built.withColumn("parsed", parse_tar(F.col("raw"))))
+
+
 # The round driver validates a *prefix* of the queries() dict (each round
 # records exactly the first 50 entries in insertion order). Round 5 rotation,
 # in priority order:

@@ -243,6 +243,33 @@ def parse_rtf(raw: Column) -> Column:
     return _binary_extractor_parser(_load)(raw)
 
 
+def parse_warc(raw: Column) -> Column:
+    """Real .warc / .warc.gz parsing (sources/warc.py: record walk,
+    response-record HTTP body extraction, gzip sniff), then the standard
+    element normalization."""
+
+    def _load():
+        from yaml_pipe_spark.sources.warc import extract_warc_text
+
+        return extract_warc_text
+
+    return _binary_extractor_parser(_load)(raw)
+
+
+def parse_tar(raw: Column) -> Column:
+    """Real .tar / .tar.gz parsing (sources/tar.py: text members in name
+    order, WebDataset-style sidecar skipping), then the standard element
+    normalization."""
+
+    def _load():
+        from yaml_pipe_spark.sources.tar import extract_tar_text
+
+        return extract_tar_text
+
+    return _binary_extractor_parser(_load)(raw)
+
+
+
 # extension -> Column-expression parser over the UTF-8-decoded content.
 PARSERS: dict[str, Callable[[Column], Column]] = {
     "txt": parse_text,
@@ -269,6 +296,8 @@ BINARY_PARSERS: dict[str, Callable[[Column], Column]] = {
     "odt": parse_odt,
     "rtf": parse_rtf,
     "xlsx": parse_xlsx,
+    "warc": parse_warc,
+    "tar": parse_tar,
 }
 
 
