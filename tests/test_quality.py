@@ -207,3 +207,67 @@ def test_dup_rate_by_source_normalized(spark):
     for r in rows:
         assert r["src_a"] <= r["src_b"]  # ordered pair normalization
         assert r["n_pairs"] > 0
+
+
+def test_bottom_k_sketch_take_ordered_not_global_window(spark):
+    df = REGISTRY["sample_bottom_k_sketch"].fn(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan  # never a global row_number
+    row = df.collect()[0]
+    assert row["est_distinct"] > 0 and row["bound_ok"] == 1
+
+
+def test_equidepth_histogram_depths(spark):
+    rows = sorted(
+        REGISTRY["rel_equidepth_histogram"].fn(spark, SF_SMALL).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert [r["bucket"] for r in rows] == list(range(8))
+    assert abs(sum(r["depth_share"] for r in rows) - 1.0) < 1e-3
+    # equi-depth: every bucket within 3x of the 1/8 ideal even at sf0.001
+    for r in rows:
+        assert 0.02 < r["depth_share"] < 0.40
+    # ranges are ordered and non-overlapping
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi_cents"] <= b["lo_cents"]
+
+
+def test_holdout_ppl_worse_than_self_trained(spark):
+    held = {
+        r["lang"]: r["avg_logprob"]
+        for r in REGISTRY["text_bigram_holdout_ppl"].fn(spark, SF_SMALL).collect()
+    }
+    self_tr = {
+        r["lang"]: r["avg_logprob"]
+        for r in REGISTRY["text_bigram_logprob"].fn(spark, SF_SMALL).collect()
+    }
+    # held-out scoring with smoothing must be no better (lower logprob)
+    # than scoring docs with an LM trained on themselves
+    for lang in held:
+        assert held[lang] <= self_tr[lang] + 1e-9
+
+
+def test_ivfpq_residual_shares_shape_with_plain(spark):
+    plain = REGISTRY["ann_ivfpq_topk"].fn(spark, SF_SMALL)
+    resid = REGISTRY["ann_ivfpq_residual_topk"].fn(spark, SF_SMALL)
+    assert plain.columns == resid.columns
+    rows = resid.collect()
+    assert rows and all(1 <= r["rank"] <= 5 for r in rows)
+    # ranks are dense per query
+    per_q: dict = {}
+    for r in rows:
+        per_q.setdefault(r["qid"], []).append(r["rank"])
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_top_paths_take_ordered(spark):
+    df = REGISTRY["events_top_paths"].fn(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 10
+    counts = [r["n_users"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(1 <= len(r["path"].split(">")) <= 3 for r in rows)

@@ -92,6 +92,11 @@ ROUND6_QUEUE: set[str] = {
     "emb_ivf_cell_balance",
     "s1_parse_warc",
     "s1_parse_tar",
+    "sample_bottom_k_sketch",
+    "rel_equidepth_histogram",
+    "text_bigram_holdout_ppl",
+    "ann_ivfpq_residual_topk",
+    "events_top_paths",
     # displaced from the r5 prefix by the round-5b/5c waves (new code
     # outranks refresh):
     "rel_market_share",

@@ -9042,6 +9042,16 @@ def q_sink_partition_skew_audit(
 # ---------------------------------------------------------------------------
 
 
+
+def _dk_hex4_at(key_hex: str, start: int) -> str:
+    digs = [
+        f"(strpos('0123456789abcdef', substr({key_hex}, {start + i}, 1)) - 1)"
+        for i in range(4)
+    ]
+    return (
+        f"((({digs[0]} * 16 + {digs[1]}) * 16 + {digs[2]}) * 16 + {digs[3]})"
+    )
+
 def _dk_byte0_of(expr: str) -> str:
     md5e = f"md5({expr})"
     return (
@@ -9425,6 +9435,511 @@ def q_s1_parse_tar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     built = docs.mapInPandas(build, "doc_id long, lang string, raw binary")
     return _parse_rollup(built.withColumn("parsed", parse_tar(F.col("raw"))))
+
+
+
+
+@register(
+    "sample_bottom_k_sketch",
+    f"""
+WITH h AS (
+  SELECT DISTINCT md5(text) AS hx FROM documents
+),
+f AS (
+  SELECT hx,
+         ({_dk_hex4_at('hx', 1)} * 65536.0 + {_dk_hex4_at('hx', 5)})
+           / 4294967296.0 AS frac
+  FROM (SELECT md5(hx) AS hx FROM h)
+),
+rk AS (
+  SELECT frac, row_number() OVER (ORDER BY frac, hx) AS rn FROM f
+),
+kth AS (SELECT frac AS kth FROM rk WHERE rn = 32),
+ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_distinct FROM h)
+SELECT CAST(32 AS BIGINT) AS k,
+       round(kth.kth, 6) AS kth_min_frac,
+       CAST(round(31 / kth.kth) AS BIGINT) AS est_distinct,
+       ex.exact_distinct,
+       round(abs(round(31 / kth.kth) - ex.exact_distinct)
+             / CAST(ex.exact_distinct AS DOUBLE), 4) AS rel_error,
+       CAST(abs(round(31 / kth.kth) - ex.exact_distinct)
+            <= 0.5 * ex.exact_distinct AS INT) AS bound_ok
+FROM kth, ex
+""",
+    "Bottom-k (KMV) distinct-count sketch with a measured error: hash "
+    "every distinct document content to a uniform fraction (md5-derived, "
+    "the cross-engine hash family), keep the k=32 smallest, estimate "
+    "distinct = (k-1)/kth_min — the mergeable sketch behind "
+    "theta/KMV engines, validated against the exact count in the same "
+    "query (fourth sketch gate after HLL, GK, and CMS). Scale shape: "
+    "the k smallest hashes come from a TakeOrdered-style total order "
+    "over DISTINCT hashes (cardinality of the sketch input is the "
+    "distinct set, already one hash-shuffle); two sketches merge by "
+    "keeping the k smallest of the union — the property that lets "
+    "every partition sketch independently.",
+)
+def q_sample_bottom_k_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from yaml_pipe_spark.functions.hashing import hex_pair_to_int
+
+    k = 32
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(F.md5("text").alias("hx")).distinct()
+    hh = h.select(F.md5("hx").alias("hx"))
+    frac = (
+        (
+            (
+                (hex_pair_to_int(F.col("hx"), 1) * 256
+                 + hex_pair_to_int(F.col("hx"), 3)) * 256
+                + hex_pair_to_int(F.col("hx"), 5)
+            ) * 256
+            + hex_pair_to_int(F.col("hx"), 7)
+        )
+        / F.lit(4294967296.0)
+    )
+    f = hh.select(F.col("hx"), frac.alias("frac"))
+    # k smallest via TakeOrderedAndProject (per-partition heap, k rows to
+    # the driver side of the exchange) — NEVER a global row_number window,
+    # which would serialize the whole distinct set on one reducer
+    kth = (
+        f.orderBy("frac", "hx").limit(k).agg(F.max("frac").alias("frac"))
+    )
+    ex = h.agg(F.count("*").cast("long").alias("exact_distinct"))
+    est = F.round(F.lit(k - 1) / F.col("frac"))
+    return kth.crossJoin(F.broadcast(ex)).select(
+        F.lit(k).cast("long").alias("k"),
+        F.round("frac", 6).alias("kth_min_frac"),
+        est.cast("long").alias("est_distinct"),
+        "exact_distinct",
+        F.round(
+            F.abs(est - F.col("exact_distinct"))
+            / F.col("exact_distinct").cast("double"),
+            4,
+        ).alias("rel_error"),
+        (
+            F.abs(est - F.col("exact_distinct"))
+            <= 0.5 * F.col("exact_distinct")
+        )
+        .cast("int")
+        .alias("bound_ok"),
+    )
+
+
+@register(
+    "rel_equidepth_histogram",
+    """
+WITH c AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+b AS (
+  SELECT quantile_cont(cents, 0.125) AS q1, quantile_cont(cents, 0.25) AS q2,
+         quantile_cont(cents, 0.375) AS q3, quantile_cont(cents, 0.5) AS q4,
+         quantile_cont(cents, 0.625) AS q5, quantile_cont(cents, 0.75) AS q6,
+         quantile_cont(cents, 0.875) AS q7
+  FROM c
+),
+a AS (
+  SELECT CASE
+           WHEN cents <= q1 THEN 0 WHEN cents <= q2 THEN 1
+           WHEN cents <= q3 THEN 2 WHEN cents <= q4 THEN 3
+           WHEN cents <= q5 THEN 4 WHEN cents <= q6 THEN 5
+           WHEN cents <= q7 THEN 6 ELSE 7 END AS bucket,
+         cents
+  FROM c, b
+),
+t AS (SELECT count(*) AS total FROM c)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(cents) AS BIGINT) AS lo_cents,
+       CAST(max(cents) AS BIGINT) AS hi_cents,
+       round(count(*) / CAST(t.total AS DOUBLE), 4) AS depth_share
+FROM a, t GROUP BY bucket, t.total
+""",
+    "Equi-depth histogram over order totals — the optimizer statistic "
+    "CBO range-pruning and skew decisions derive from: 8 buckets with "
+    "interpolated octile boundaries, per-bucket row counts and value "
+    "ranges, each bucket's share of rows close to 1/8 by construction. "
+    "Boundaries interpolate over EXACT integer cents (floor(x*100)) so "
+    "no midpoint can round apart across engines (same domain trick as "
+    "text_quality_thresholds); assignment is a broadcast of 7 scalars "
+    "onto a narrow scan — one shuffle for the bucket rollup.",
+)
+def q_rel_equidepth_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.select(
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    fr = [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]
+    b = c.agg(
+        F.percentile("cents", F.array(*[F.lit(x) for x in fr])).alias("__q")
+    )
+    a = c.crossJoin(F.broadcast(b))
+    bucket = F.lit(7)
+    for i in range(6, -1, -1):
+        bucket = F.when(
+            F.col("cents") <= F.element_at("__q", i + 1), F.lit(i)
+        ).otherwise(bucket)
+    t = c.agg(F.count("*").alias("total"))
+    return (
+        a.select(bucket.alias("bucket"), "cents")
+        .crossJoin(F.broadcast(t))
+        .groupBy("bucket", "total")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("cents").cast("long").alias("lo_cents"),
+            F.max("cents").cast("long").alias("hi_cents"),
+        )
+        .select(
+            F.col("bucket").cast("int"),
+            "n_rows",
+            "lo_cents",
+            "hi_cents",
+            F.round(
+                F.col("n_rows") / F.col("total").cast("double"), 4
+            ).alias("depth_share"),
+        )
+    )
+
+
+@register(
+    "text_bigram_holdout_ppl",
+    r"""
+WITH toks AS (
+  SELECT lang, doc_id, regexp_extract_all(lower(text), '\p{L}+') AS t,
+""" + f"""
+         {_dk_byte0("CAST(doc_id AS VARCHAR)")} < 0.8 * 256 AS in_train
+""" + r"""
+  FROM documents
+),
+bg0 AS (
+  SELECT lang, doc_id, in_train,
+         UNNEST(generate_series(1, len(t) - 1)) AS i, t
+  FROM toks WHERE len(t) >= 2
+),
+bgs AS (SELECT lang, doc_id, in_train, t[i] AS prev, t[i+1] AS cur
+        FROM bg0),
+lm AS (
+  SELECT lang, prev, cur, count(*) AS c_bg
+  FROM bgs WHERE in_train GROUP BY 1, 2, 3
+),
+pv AS (SELECT lang, prev, sum(c_bg) AS c_prev FROM lm GROUP BY 1, 2),
+vocab AS (
+  SELECT lang, CAST(count(DISTINCT cur) AS BIGINT) AS v
+  FROM bgs WHERE in_train GROUP BY 1
+),
+vd AS (
+  SELECT b.lang, b.doc_id, b.prev, b.cur, count(*) AS c_dt
+  FROM bgs b WHERE NOT in_train GROUP BY 1, 2, 3, 4
+),
+scored AS (
+  SELECT vd.lang, vd.doc_id, vd.c_dt,
+         log10((coalesce(lm.c_bg, 0) + 1.0)
+               / (coalesce(pv.c_prev, 0) + vocab.v)) AS lp
+  FROM vd
+  JOIN vocab ON vd.lang = vocab.lang
+  LEFT JOIN pv ON vd.lang = pv.lang AND vd.prev = pv.prev
+  LEFT JOIN lm ON vd.lang = lm.lang AND vd.prev = lm.prev
+              AND vd.cur = lm.cur
+),
+doc AS (
+  SELECT lang, doc_id, sum(c_dt * lp) / sum(c_dt) AS lp0
+  FROM scored GROUP BY 1, 2
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_valid_docs,
+       round(avg(lp0), 4) AS avg_logprob,
+       round(min(lp0), 4) AS min_logprob
+FROM doc GROUP BY lang
+""",
+    "Held-out bigram perplexity with Laplace smoothing: the LM trains "
+    "ONLY on the deterministic 80% hash split and scores only the 20% "
+    "valid docs, P(cur|prev) = (c+1)/(c_prev+V) with V = the train "
+    "vocabulary — the methodologically honest version of "
+    "text_bigram_logprob/corpus_ccnet_buckets, whose self-trained "
+    "scores can never see an unseen bigram. Laplace keeps every "
+    "probability strictly positive and deterministic (integer counts "
+    "both sides of the division), so unseen bigrams and even unseen "
+    "prev-words score exactly 1/(0+V) identically in both engines. "
+    "Plan: the train LM and valid doc counts derive from ONE (lang, "
+    "doc, bigram) lineage forked by a narrow hash flag; vocab and "
+    "marginals are vocabulary-sized; the doc-level stream joins once "
+    "on the full key.",
+)
+def q_text_bigram_holdout_ppl(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from yaml_pipe_spark.operators.sampling import hash_sample_flag
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "text"
+    )
+    t = F.regexp_extract_all(F.lower("text"), F.lit(r"\p{L}+"), F.lit(0))
+    base = docs.select(
+        "lang",
+        "doc_id",
+        t.alias("t"),
+        hash_sample_flag(F.col("doc_id"), F.lit(0.8)).alias("in_train"),
+    ).filter(F.size("t") >= 2)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.struct(
+            F.get(F.col("t"), i - 1).alias("prev"),
+            F.get(F.col("t"), i).alias("cur"),
+        ),
+    )
+    bgs = (
+        base.select(
+            "lang", "doc_id", "in_train", F.explode(grams).alias("g")
+        )
+        .select(
+            "lang", "doc_id", "in_train",
+            F.col("g.prev"), F.col("g.cur"),
+        )
+        .filter(
+            F.col("lang").isNotNull()
+            & F.col("prev").isNotNull()
+            & F.col("cur").isNotNull()
+        )
+    )
+    train = bgs.filter(F.col("in_train"))
+    lm = train.groupBy("lang", "prev", "cur").agg(
+        F.count("*").alias("c_bg")
+    )
+    pv = lm.groupBy("lang", "prev").agg(F.sum("c_bg").alias("c_prev"))
+    vocab = train.groupBy("lang").agg(
+        F.countDistinct("cur").cast("long").alias("v")
+    )
+    vd = (
+        bgs.filter(~F.col("in_train"))
+        .groupBy("lang", "doc_id", "prev", "cur")
+        .agg(F.count("*").alias("c_dt"))
+    )
+    scored = (
+        vd.join(F.broadcast(vocab), "lang")
+        .join(pv, ["lang", "prev"], "left")
+        .join(lm, ["lang", "prev", "cur"], "left")
+        .select(
+            "lang",
+            "doc_id",
+            "c_dt",
+            F.log10(
+                (F.coalesce(F.col("c_bg"), F.lit(0)) + 1.0)
+                / (F.coalesce(F.col("c_prev"), F.lit(0)) + F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    doc = scored.groupBy("lang", "doc_id").agg(
+        (F.sum(F.col("c_dt") * F.col("lp")) / F.sum("c_dt")).alias("lp0")
+    )
+    return doc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_valid_docs"),
+        F.round(F.avg("lp0"), 4).alias("avg_logprob"),
+        F.round(F.min("lp0"), 4).alias("min_logprob"),
+    )
+
+
+
+
+ANN_IVFPQ_RESIDUAL_ORACLE = f"""
+WITH c AS (
+  SELECT vec_id - 20 AS cid, embedding AS cv
+  FROM embeddings WHERE vec_id >= 20 AND vec_id < 28
+),
+x0 AS (
+  SELECT vec_id, embedding AS xv FROM embeddings WHERE vec_id >= 20
+),
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT x0.vec_id, c.cid,
+           row_number() OVER (PARTITION BY x0.vec_id
+             ORDER BY round({_dk_cos('x0.xv', 'c.cv')}, 6) DESC, c.cid) AS rn
+    FROM x0, c
+  ) WHERE rn = 1
+),
+x AS (
+  SELECT x0.vec_id, x0.xv, asg.cid,
+         list_transform(generate_series(1, len(x0.xv)),
+           i -> least(greatest(
+             CAST(floor((CAST(x0.xv[i] AS DOUBLE)
+                         - CAST(c.cv[i] AS DOUBLE)) * 8) AS BIGINT) + 2,
+             CAST(0 AS BIGINT)), CAST(3 AS BIGINT))) AS code
+  FROM x0 JOIN asg ON asg.vec_id = x0.vec_id
+          JOIN c ON c.cid = asg.cid
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20
+),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY round({_dk_cos('q.qv', 'c.cv')}, 6) DESC, c.cid) AS rn
+    FROM q, c
+  ) WHERE rn <= 2
+),
+adc AS (
+  SELECT p.qid, x.vec_id,
+         round(list_sum(list_transform(
+           list_transform(generate_series(1, len(q.qv)),
+             i -> (CAST(q.qv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+                  - (CAST(x.code[i] AS DOUBLE) - 1.5) / 8),
+           y -> y * y)), 6) AS adc_r
+  FROM probes p
+  JOIN c ON c.cid = p.cid
+  JOIN x ON x.cid = p.cid
+  JOIN q ON q.qid = p.qid
+),
+topm AS (
+  SELECT qid, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY adc_r, vec_id) AS ar
+    FROM adc
+  ) WHERE ar <= 20
+),
+rer AS (
+  SELECT t.qid, t.vec_id, round({_dk_cos('x.xv', 'q.qv')}, 6) AS score
+  FROM topm t
+  JOIN x ON x.vec_id = t.vec_id
+  JOIN q ON q.qid = t.qid
+),
+final AS (
+  SELECT qid, vec_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, vec_id) AS rank
+  FROM rer
+),
+exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, x.vec_id,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY round({_dk_cos('x.xv', 'q.qv')}, 6) DESC, x.vec_id)
+             AS rn
+    FROM x, q
+  ) WHERE rn <= 5
+)
+SELECT f.qid, CAST(f.rank AS BIGINT) AS rank, f.vec_id, f.score,
+       CAST(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS hit
+FROM final f
+LEFT JOIN exact e ON e.qid = f.qid AND e.vec_id = f.vec_id
+WHERE f.rank <= 5
+"""
+
+
+@register(
+    "ann_ivfpq_residual_topk",
+    ANN_IVFPQ_RESIDUAL_ORACLE,
+    "IVF-PQ with RESIDUAL quantization "
+    "(similarity.ivfpq_residual_topk) — the faithful production layout "
+    "(Jégou et al. 2011): codes quantize v - centroid(cell), queries "
+    "compare their per-cell residual against the reconstructions. The "
+    "residual codebook step is MEASURED, not assumed: the testbed's "
+    "residual range is wider than raw (pinned-vector centroids, |r| "
+    "p90 0.26 vs 0.21), yet the range-matched wider step ranked WORSE "
+    "(hit 0.24 vs 0.32 at sf0.1) — clipping tails preserves ADC "
+    "ordering better, so the residual quantizer keeps scale=8 (see "
+    "similarity.sq2_residual_codes). Same cost tiers and join shape as "
+    "ann_ivfpq_topk (the comparison pair); `hit` marks exact-top-5 "
+    "membership so both variants' retrieval quality is measured side "
+    "by side in CORRECTNESS.",
+)
+def q_ann_ivfpq_residual_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from yaml_pipe_spark.functions.vectors import cosine
+    from yaml_pipe_spark.operators.similarity import ivfpq_residual_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    corp = emb.filter(F.col("vec_id") >= 20).select("vec_id", "embedding")
+    cents = emb.filter(
+        (F.col("vec_id") >= 20) & (F.col("vec_id") < 28)
+    ).select(
+        (F.col("vec_id") - 20).alias("cid"), F.col("embedding").alias("cv")
+    )
+    final = ivfpq_residual_topk(q, corp, cents, k=5, nprobe=2, rerank_m=20)
+    exact = (
+        corp.join(F.broadcast(q), how="cross")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("__s"),
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.desc("__s"), "vec_id")
+            ),
+        )
+        .filter(F.col("__rn") <= 5)
+        .select("qid", "vec_id", F.lit(1).alias("__hit"))
+    )
+    return final.join(exact, ["qid", "vec_id"], "left").select(
+        "qid",
+        "rank",
+        "vec_id",
+        "score",
+        F.coalesce(F.col("__hit"), F.lit(0)).cast("long").alias("hit"),
+    )
+
+
+@register(
+    "events_top_paths",
+    """
+WITH o AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+paths AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM o WHERE rn <= 3 GROUP BY user_id
+),
+cnt AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM paths GROUP BY 1
+)
+SELECT path, n_users FROM cnt ORDER BY n_users DESC, path LIMIT 10
+""",
+    "User-journey mining: each user's first three events (ordered by "
+    "ts with event_id tiebreak) joined into a path string, top-10 "
+    "paths by user count — the funnel-discovery complement of "
+    "events_funnel (which checks ONE hypothesized path; this surfaces "
+    "which paths exist). One per-user window shuffle, a path rollup on "
+    "a high-cardinality key, TakeOrderedAndProject for the top-10.",
+)
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    o = ev.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("user_id").orderBy("ts", "event_id")
+        ),
+    ).filter(F.col("rn") <= 3)
+    paths = o.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    cnt = paths.groupBy("path").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    return cnt.orderBy(F.col("n_users").desc(), "path").limit(10)
 
 
 # The round driver validates a *prefix* of the queries() dict (each round
