@@ -271,6 +271,11 @@ AUDIT_QUERIES: dict[str, str] = {
     "split_leakage": "corpus_split_leakage_audit",
     "partition_skew": "sink_partition_skew_audit",
     "zipf": "text_zipf_fit",
+    "cell_balance": "emb_ivf_cell_balance",
+    "dup_by_source": "corpus_dup_rate_by_source",
+    "quality_thresholds": "text_quality_thresholds",
+    "cms_heavy_hitters": "events_cms_heavy_hitters",
+    "distinct_sketch": "sample_bottom_k_sketch",
 }
 
 
