@@ -135,7 +135,7 @@ def test_incremental_minhash_dedup_and_idempotent_rerun(spark):
     new_bands = lsh_band_table(
         minhash_signatures(token_shingles(new, "text", "doc_id"))
     )
-    merged = merge_band_state(state, new_bands)
+    merged = merge_band_state(state, new_bands, new_ids=new)
     corpus2 = old.unionByName(new)
     out2 = {
         r["doc_id"]: (r["reason"], r["dup_of"])
@@ -148,6 +148,18 @@ def test_incremental_minhash_dedup_and_idempotent_rerun(spark):
     # (doc 13 has < k tokens, so no shingles and no band rows: 5 ids)
     n_ids = merged.select("doc_id").distinct().count()
     assert n_ids == 5
+
+    # supersede-by-id holds even when the re-ingested text yields ZERO
+    # band rows: re-ingest doc 1 as an under-k-token doc -> its stale
+    # bands must be evicted, not kept advertising the old content
+    reingest = spark.createDataFrame(
+        [(1, "tiny")], "doc_id long, text string"
+    )
+    re_bands = lsh_band_table(
+        minhash_signatures(token_shingles(reingest, "text", "doc_id"))
+    )
+    merged2 = merge_band_state(merged, re_bands, new_ids=reingest)
+    assert merged2.filter("doc_id = 1").count() == 0
     assert merged.groupBy("doc_id", "band_id").count().filter(
         "count > 1"
     ).count() == 0

@@ -360,3 +360,29 @@ def test_streaming_agg_on_rocksdb_state_store(spark):
         assert got == want
     finally:
         spark.conf.set(key, prev)
+
+
+def test_resample_passthrough_survives_truncated_data_chunk(spark):
+    """A WAV whose header is intact but whose data chunk is shorter than
+    its declared size must pass through unchanged (IndexError inside
+    resample_wav), not kill the stage — the review-confirmed gap in the
+    round-5 passthrough fix."""
+    from yaml_pipe_spark.multimodal.binary import (
+        MEDIA_SCHEMA,
+        build_wav,
+        resample_media,
+    )
+
+    good = build_wav(1)
+    truncated = good[:50]  # header parses; readframes comes up short
+    df = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(good), {}),
+            (2, "audio", bytearray(truncated), {}),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["item_id"]: bytes(r["payload"])
+            for r in resample_media(df).collect()}
+    assert rows[2] == truncated  # untouched passthrough
+    assert rows[1] != good  # the good one actually resampled

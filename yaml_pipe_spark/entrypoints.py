@@ -9052,21 +9052,13 @@ def _dk_hex4_at(key_hex: str, start: int) -> str:
         f"((({digs[0]} * 16 + {digs[1]}) * 16 + {digs[2]}) * 16 + {digs[3]})"
     )
 
-def _dk_byte0_of(expr: str) -> str:
-    md5e = f"md5({expr})"
-    return (
-        f"((strpos('0123456789abcdef', substr({md5e}, 1, 1)) - 1) * 16 + "
-        f"(strpos('0123456789abcdef', substr({md5e}, 2, 1)) - 1))"
-    )
-
-
 @register(
     "events_cms_heavy_hitters",
     f"""
 WITH pu AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
 hx AS (
   SELECT user_id, n, i,
-         {_dk_byte0_of("CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")} % 64 AS b
+         {_dk_byte0("CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")} % 64 AS b
   FROM pu, (SELECT UNNEST(generate_series(0, 3)) AS i)
 ),
 cms AS (SELECT i, b, sum(n) AS c FROM hx GROUP BY 1, 2),
@@ -9501,9 +9493,16 @@ def q_sample_bottom_k_sketch(
     f = hh.select(F.col("hx"), frac.alias("frac"))
     # k smallest via TakeOrderedAndProject (per-partition heap, k rows to
     # the driver side of the exchange) — NEVER a global row_number window,
-    # which would serialize the whole distinct set on one reducer
+    # which would serialize the whole distinct set on one reducer. With
+    # fewer than k distinct hashes the sketch is undefined: emit ZERO
+    # rows, exactly like the oracle's row_number-=-k filter (a max over
+    # the short set would grossly overestimate instead of degrading).
     kth = (
-        f.orderBy("frac", "hx").limit(k).agg(F.max("frac").alias("frac"))
+        f.orderBy("frac", "hx")
+        .limit(k)
+        .agg(F.max("frac").alias("frac"), F.count("*").alias("__n"))
+        .filter(F.col("__n") == k)
+        .drop("__n")
     )
     ex = h.agg(F.count("*").cast("long").alias("exact_distinct"))
     est = F.round(F.lit(k - 1) / F.col("frac"))

@@ -411,7 +411,14 @@ def resample_media(df: DataFrame, target_rate: int = 4000) -> DataFrame:
             return p
         try:
             return resample_wav(p, target_rate)
-        except (NotImplementedError, _wave.Error, EOFError):
+        except (
+            NotImplementedError,  # documented non-stdlib scope
+            _wave.Error,          # malformed header
+            EOFError,             # header truncated mid-field
+            IndexError,           # data chunk shorter than its declared size
+            ZeroDivisionError,    # crafted fmt chunk with framerate 0
+            ValueError,           # other stdlib-parse rejections
+        ):
             return p
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -155,16 +155,13 @@ def lsh_band_table(
     return buckets
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame,
-    id_col: str = "doc_id",
-    n_hashes: int = 16,
-    bands: int = 4,
-    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+def band_table_pairs(
+    buckets: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Distinct candidate pairs (id_a < id_b) sharing >= 1 LSH band bucket:
-    the lsh_band_table self-equi-joined on (band_id, band_key)."""
-    buckets = lsh_band_table(sigs, id_col, n_hashes, bands, max_bucket_size)
+    """Distinct candidate pairs (id_a < id_b) sharing >= 1 band bucket:
+    a band table self-equi-joined on (band_id, band_key). Callers that
+    already hold a band table (incremental dedup, persisted state) use
+    this directly instead of re-deriving the table from signatures."""
     a = buckets.select(
         F.col("band_id"), F.col("band_key"), F.col(id_col).alias("id_a")
     )
@@ -177,6 +174,19 @@ def lsh_candidate_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing >= 1 LSH band bucket:
+    the lsh_band_table self-equi-joined on (band_id, band_key)."""
+    buckets = lsh_band_table(sigs, id_col, n_hashes, bands, max_bucket_size)
+    return band_table_pairs(buckets, id_col)
 
 
 def exact_jaccard_pairs(
@@ -366,14 +376,23 @@ def minhash_band_state(
 
 
 def merge_band_state(
-    prior_state: DataFrame, new_bands: DataFrame, id_col: str = "doc_id"
+    prior_state: DataFrame,
+    new_bands: DataFrame,
+    id_col: str = "doc_id",
+    new_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Upsert an increment's band rows into the standing state (same
     supersede-by-id contract as state.merge_ledger): rows for re-ingested
-    ids are replaced wholesale, everything else carries over."""
-    kept = prior_state.join(
-        new_bands.select(id_col).distinct(), id_col, "left_anti"
-    )
+    ids are replaced wholesale, everything else carries over. Pass
+    `new_ids` (the increment's FULL id frame) so an id whose new text
+    yields ZERO band rows — under-k-token or emptied doc — still evicts
+    its stale rows; keying the eviction off `new_bands` alone would keep
+    advertising bands for content that no longer exists."""
+    keys = (
+        new_ids.select(id_col) if new_ids is not None
+        else new_bands.select(id_col)
+    ).distinct()
+    kept = prior_state.join(keys, id_col, "left_anti")
     return kept.unionByName(new_bands)
 
 
@@ -438,9 +457,7 @@ def incremental_minhash_dedup(
         .select("id_a", "id_b")
         .distinct()
     )
-    cands_new = lsh_candidate_pairs(
-        new_sigs, id_col, n_hashes, bands, max_bucket_size
-    )
+    cands_new = band_table_pairs(new_bands, id_col)
     cands = cands_old.unionByName(cands_new).distinct()
     # verify: only candidate standing docs get re-shingled
     cand_old_docs = corpus_docs.join(

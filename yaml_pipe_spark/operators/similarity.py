@@ -607,104 +607,6 @@ def sq2_adc_dist_sq(qv: Column, codes: Column, scale: int = 8) -> Column:
     )
 
 
-def ivfpq_topk(
-    queries: DataFrame,
-    corpus: DataFrame,
-    centroids: DataFrame,
-    k: int = 5,
-    nprobe: int = 2,
-    rerank_m: int = 20,
-    query_id: str = "qid",
-    query_vec: str = "qv",
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    cid_col: str = "cid",
-    cvec_col: str = "cv",
-    score_decimals: int = 6,
-) -> DataFrame:
-    """IVF-PQ, composed: the actual 100 TB ANN layout.
-
-    Index build (once per corpus): assign every vector to its nearest
-    centroid (ivf_assign) AND compress it to 2-bit codes (sq2_codes); the
-    serving index is (id, cid, code) — 16x smaller than float32, written
-    partitioned by cid.
-
-    Query path, three cost tiers:
-      1. coarse probe — each query picks `nprobe` cells against the
-         broadcast centroids (k x dim work, no corpus touch);
-      2. ADC scan — candidates come from ONE equi-join of (query, cell)
-         against the CODE table, ranked by asymmetric distance: the only
-         corpus-scale step reads nprobe/n_cells of the corpus at 2
-         bits/dim (partition-pruned when the index is written by cid);
-      3. exact re-rank — only the ADC top-`rerank_m` ids join BACK to the
-         full-precision vectors (candidate-scale random access, the
-         standard refine step that restores exactness at the top).
-
-    Returns (query_id, id_col, rank, score): rank by exact cosine within
-    the re-ranked set, ties to the lower id.
-    """
-    coded = corpus.select(
-        id_col, vec_col, sq2_codes(F.col(vec_col)).alias("__code")
-    )
-    assigned = ivf_assign(
-        coded, centroids, vec_col, id_col, cid_col, cvec_col, score_decimals
-    )
-    index = assigned.select(id_col, cid_col, "__code")
-    qprobe = (
-        queries.crossJoin(F.broadcast(centroids))
-        .withColumn(
-            "__s",
-            F.round(cosine(F.col(query_vec), F.col(cvec_col)), score_decimals),
-        )
-        .withColumn(
-            "__pr",
-            F.row_number().over(
-                W.partitionBy(query_id).orderBy(
-                    F.col("__s").desc(), F.col(cid_col)
-                )
-            ),
-        )
-        .filter(F.col("__pr") <= nprobe)
-        .select(query_id, query_vec, cid_col)
-    )
-    adc = index.join(qprobe, cid_col).select(
-        query_id,
-        id_col,
-        query_vec,
-        F.round(
-            sq2_adc_dist_sq(F.col(query_vec), F.col("__code")), score_decimals
-        ).alias("adc_r"),
-    )
-    top_m = (
-        adc.withColumn(
-            "__ar",
-            F.row_number().over(
-                W.partitionBy(query_id).orderBy("adc_r", id_col)
-            ),
-        )
-        .filter(F.col("__ar") <= rerank_m)
-        .select(query_id, id_col, query_vec)
-    )
-    rerank = top_m.join(corpus.select(id_col, vec_col), id_col).select(
-        query_id,
-        id_col,
-        F.round(
-            cosine(F.col(vec_col), F.col(query_vec)), score_decimals
-        ).alias("score"),
-    )
-    return (
-        rerank.withColumn(
-            "rank",
-            F.row_number()
-            .over(
-                W.partitionBy(query_id).orderBy(F.col("score").desc(), id_col)
-            )
-            .cast("long"),
-        )
-        .filter(F.col("rank") <= k)
-    )
-
-
 def sq2_residual_codes(
     vec: Column, cvec: Column, scale: int = 8
 ) -> Column:
@@ -732,43 +634,22 @@ def sq2_residual_codes(
     )
 
 
-def ivfpq_residual_topk(
+def _coarse_probes(
     queries: DataFrame,
-    corpus: DataFrame,
     centroids: DataFrame,
-    k: int = 5,
-    nprobe: int = 2,
-    rerank_m: int = 20,
-    query_id: str = "qid",
-    query_vec: str = "qv",
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    cid_col: str = "cid",
-    cvec_col: str = "cv",
-    score_decimals: int = 6,
+    nprobe: int,
+    query_id: str,
+    query_vec: str,
+    cid_col: str,
+    cvec_col: str,
+    score_decimals: int,
+    with_residual: bool = False,
 ) -> DataFrame:
-    """IVF-PQ with residual quantization — the production refinement of
-    ivfpq_topk. Index build: assign each vector to its cell, then code
-    the RESIDUAL v - centroid(cell). Query path: per probed cell the
-    query's residual qv - centroid is formed once (a |probes|-sized
-    narrow map), and the ADC scan compares query-residual to code
-    reconstruction — identical join shape and cost tiers to the plain
-    variant, strictly better reconstruction per bit."""
-    assigned = ivf_assign(
-        corpus.select(id_col, vec_col),
-        centroids,
-        vec_col,
-        id_col,
-        cid_col,
-        cvec_col,
-        score_decimals,
-    )
-    index = assigned.join(F.broadcast(centroids), cid_col).select(
-        id_col,
-        cid_col,
-        sq2_residual_codes(F.col(vec_col), F.col(cvec_col)).alias("__code"),
-    )
-    qprobe = (
+    """Per-query nprobe nearest cells against the broadcast centroids
+    (k x dim work, no corpus touch). With `with_residual`, also carries
+    the query's per-cell residual qv - centroid as `__adcq` — otherwise
+    `__adcq` is the raw query vector. Shared by both IVF-PQ variants."""
+    probed = (
         queries.crossJoin(F.broadcast(centroids))
         .withColumn(
             "__s",
@@ -783,23 +664,47 @@ def ivfpq_residual_topk(
             ),
         )
         .filter(F.col("__pr") <= nprobe)
-        .select(
-            query_id,
-            query_vec,
-            cid_col,
-            F.zip_with(
-                F.col(query_vec).cast("array<double>"),
-                F.col(cvec_col).cast("array<double>"),
-                lambda a, b: a - b,
-            ).alias("__qres"),
-        )
     )
+    adcq = (
+        F.zip_with(
+            F.col(query_vec).cast("array<double>"),
+            F.col(cvec_col).cast("array<double>"),
+            lambda a, b: a - b,
+        )
+        if with_residual
+        else F.col(query_vec).cast("array<double>")
+    )
+    return probed.select(
+        query_id, query_vec, cid_col, adcq.alias("__adcq")
+    )
+
+
+def _pq_serve(
+    corpus: DataFrame,
+    index: DataFrame,
+    qprobe: DataFrame,
+    scale: int,
+    k: int,
+    rerank_m: int,
+    query_id: str,
+    query_vec: str,
+    vec_col: str,
+    id_col: str,
+    cid_col: str,
+    score_decimals: int,
+) -> DataFrame:
+    """The shared IVF-PQ query path: ADC scan over the probed cells'
+    code rows (one equi-join on the cell id — the only corpus-scale
+    step, at 2 bits/dim), ADC top-m cut, exact cosine re-rank of the
+    survivors, dense rank with ties to the lower id. Both the raw and
+    residual variants feed this with their own (index, qprobe) pair so
+    tie-breaking/rounding/rerank semantics can never diverge."""
     adc = index.join(qprobe, cid_col).select(
         query_id,
         id_col,
         query_vec,
         F.round(
-            sq2_adc_dist_sq(F.col("__qres"), F.col("__code"), scale=8),
+            sq2_adc_dist_sq(F.col("__adcq"), F.col("__code"), scale=scale),
             score_decimals,
         ).alias("adc_r"),
     )
@@ -830,4 +735,102 @@ def ivfpq_residual_topk(
             .cast("long"),
         )
         .filter(F.col("rank") <= k)
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    rerank_m: int = 20,
+    query_id: str = "qid",
+    query_vec: str = "qv",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cid_col: str = "cid",
+    cvec_col: str = "cv",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """IVF-PQ, composed: the actual 100 TB ANN layout.
+
+    Index build (once per corpus): assign every vector to its nearest
+    centroid (ivf_assign) AND compress it to 2-bit codes (sq2_codes); the
+    serving index is (id, cid, code) — 16x smaller than float32, written
+    partitioned by cid.
+
+    Query path, three cost tiers (shared _pq_serve):
+      1. coarse probe — each query picks `nprobe` cells against the
+         broadcast centroids (k x dim work, no corpus touch);
+      2. ADC scan — candidates come from ONE equi-join of (query, cell)
+         against the CODE table, ranked by asymmetric distance: the only
+         corpus-scale step reads nprobe/n_cells of the corpus at 2
+         bits/dim (partition-pruned when the index is written by cid);
+      3. exact re-rank — only the ADC top-`rerank_m` ids join BACK to the
+         full-precision vectors (candidate-scale random access, the
+         standard refine step that restores exactness at the top).
+
+    Returns (query_id, id_col, rank, score): rank by exact cosine within
+    the re-ranked set, ties to the lower id.
+    """
+    coded = corpus.select(
+        id_col, vec_col, sq2_codes(F.col(vec_col)).alias("__code")
+    )
+    assigned = ivf_assign(
+        coded, centroids, vec_col, id_col, cid_col, cvec_col, score_decimals
+    )
+    index = assigned.select(id_col, cid_col, "__code")
+    qprobe = _coarse_probes(
+        queries, centroids, nprobe, query_id, query_vec, cid_col,
+        cvec_col, score_decimals, with_residual=False,
+    )
+    return _pq_serve(
+        corpus, index, qprobe, 8, k, rerank_m,
+        query_id, query_vec, vec_col, id_col, cid_col, score_decimals,
+    )
+
+
+def ivfpq_residual_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    rerank_m: int = 20,
+    query_id: str = "qid",
+    query_vec: str = "qv",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cid_col: str = "cid",
+    cvec_col: str = "cv",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """IVF-PQ with residual quantization — the production refinement of
+    ivfpq_topk. Index build: assign each vector to its cell, then code
+    the RESIDUAL v - centroid(cell) (codebook step measured, see
+    sq2_residual_codes). Query path: identical shared _pq_serve tiers;
+    the coarse probe additionally forms each query's per-cell residual
+    once (a |probes|-sized narrow map) as the ADC comparison vector."""
+    assigned = ivf_assign(
+        corpus.select(id_col, vec_col),
+        centroids,
+        vec_col,
+        id_col,
+        cid_col,
+        cvec_col,
+        score_decimals,
+    )
+    index = assigned.join(F.broadcast(centroids), cid_col).select(
+        id_col,
+        cid_col,
+        sq2_residual_codes(F.col(vec_col), F.col(cvec_col)).alias("__code"),
+    )
+    qprobe = _coarse_probes(
+        queries, centroids, nprobe, query_id, query_vec, cid_col,
+        cvec_col, score_decimals, with_residual=True,
+    )
+    return _pq_serve(
+        corpus, index, qprobe, 8, k, rerank_m,
+        query_id, query_vec, vec_col, id_col, cid_col, score_decimals,
     )
