@@ -1,0 +1,130 @@
+"""Persisted IVF-PQ index lifecycle: build-once/serve-many parity with the
+in-query path, serve-plan shape (no re-encode, no index-side shuffle,
+pruned scans), and staleness/rebuild semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from yaml_pipe_spark.operators.ann_index import IvfPqIndexStore
+from yaml_pipe_spark.operators.similarity import ivfpq_topk
+
+
+def _frames(spark, n=60, dim=8, seed=3):
+    rng = np.random.RandomState(seed)
+    vecs = rng.randn(n, dim).astype("float64") * 0.1
+    corpus = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(c, vecs[c * 7].tolist()) for c in range(4)],
+        "cid long, cv array<double>",
+    )
+    qs = spark.createDataFrame(
+        [(100 + j, (vecs[j * 11] + 0.01).tolist()) for j in range(3)],
+        "qid long, qv array<double>",
+    )
+    return corpus, cents, qs
+
+
+def test_persisted_serve_matches_in_query_build(spark, tmp_path):
+    corpus, cents, qs = _frames(spark)
+    store = IvfPqIndexStore(str(tmp_path / "idx"))
+    assert store.build_if_stale(corpus, cents) is True
+    got = sorted(
+        store.serve(qs, k=5, nprobe=2, rerank_m=20).collect(),
+        key=lambda r: (r["qid"], r["rank"]),
+    )
+    want = sorted(
+        ivfpq_topk(qs, corpus, cents, k=5, nprobe=2, rerank_m=20).collect(),
+        key=lambda r: (r["qid"], r["rank"]),
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_serve_plan_reads_index_without_reencode_or_index_shuffle(
+    spark, tmp_path
+):
+    import contextlib
+    import io
+    import re
+
+    corpus, cents, qs = _frames(spark)
+    store = IvfPqIndexStore(str(tmp_path / "idx"))
+    store.build(corpus, cents)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        store.serve(qs, k=5, nprobe=2, rerank_m=20).explain("simple")
+    plan = buf.getvalue()
+    # codes come off disk: the closed-form assignment/encode expression
+    # (floor(v * 8)) must appear nowhere in the serve plan
+    assert "floor(" not in plan.lower()
+    # the three persisted tables are scanned, plus one extra scan of the
+    # TINY centroids table inside the dynamic-pruning subquery
+    assert plan.count("FileScan parquet") == 4
+    # identify scans by ReadSchema (Location paths get truncated): one
+    # codes scan, one vectors scan, two (tiny) centroids scans
+    codes_lines = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "code:array" in ln
+    ]
+    vec_lines = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "embedding:array" in ln
+    ]
+    assert len(codes_lines) == 1 and len(vec_lines) == 1
+    # the probed-cells join partition-prunes the codes scan at runtime:
+    # only nprobe/n_cells of the 2-bit index is ever read
+    assert "dynamicpruningexpression" in codes_lines[0]
+    # the ADC join streams the codes scan against the BROADCAST probe set
+    assert "BroadcastHashJoin" in plan
+    # index (codes) side never shuffles: the only way it could is an
+    # Exchange hash-partitioned on the cid join key
+    assert not re.search(r"Exchange hashpartitioning\(cid", plan)
+    # the re-rank broadcasts the top-m candidate set (BuildLeft), never
+    # the full-precision vectors table: the vectors scan's parent join
+    # must build its LEFT side
+    rerank_joins = [
+        ln for ln in plan.splitlines()
+        if "BroadcastHashJoin [vec_id" in ln
+    ]
+    assert rerank_joins and all("BuildLeft" in ln for ln in rerank_joins)
+
+
+def test_rebuild_only_when_stale(spark, tmp_path):
+    corpus, cents, qs = _frames(spark)
+    store = IvfPqIndexStore(str(tmp_path / "idx"))
+    assert store.is_stale(corpus) is True  # no index yet
+    assert store.build_if_stale(corpus, cents) is True
+    assert store.is_stale(corpus) is False
+    assert store.build_if_stale(corpus, cents) is False  # no rebuild
+
+    # corpus moved on -> stale; rebuild; serve sees the new vector
+    extra = spark.createDataFrame(
+        [(999, [0.09] * 8)], "vec_id long, embedding array<double>"
+    )
+    corpus2 = corpus.unionByName(extra)
+    assert store.is_stale(corpus2) is True
+    assert store.build_if_stale(corpus2, cents) is True
+    ids = {
+        r["vec_id"]
+        for r in store.serve(qs, k=60, nprobe=4, rerank_m=100).collect()
+    }
+    assert 999 in ids
+
+    # params change -> stale even with an identical corpus
+    store8 = IvfPqIndexStore(str(tmp_path / "idx"), scale=4)
+    assert store8.is_stale(corpus2) is True
+
+
+def test_version_pin_skips_fingerprint(spark, tmp_path):
+    """With a snapshot version the staleness check is metadata-only —
+    the production mode where the metastore names the corpus snapshot."""
+    corpus, cents, _ = _frames(spark)
+    store = IvfPqIndexStore(str(tmp_path / "idx"))
+    store.build(corpus, cents, version="snap-1")
+    assert store.is_stale(corpus, version="snap-1") is False
+    assert store.is_stale(corpus, version="snap-2") is True

@@ -54,6 +54,30 @@ def test_lzw_roundtrip_crosses_width_boundaries():
         assert _lzw_decode(_lzw_encode(seq, mcs), mcs, len(seq)) == seq
 
 
+def test_lzw_dictionary_caps_at_4096_codes():
+    """A stream with far more than ~4070 novel substrings must roundtrip:
+    encoder and decoder both freeze the dictionary at GIF's 12-bit cap
+    (4096 codes) instead of assigning codes that width 12 cannot carry."""
+    from yaml_pipe_spark.multimodal.binary import _LZW_MAX_CODES
+
+    assert _LZW_MAX_CODES == 4096
+    # pseudo-random bytes keep LZW match lengths short, so ~20k symbols
+    # generate well over 4096 dictionary entries without the cap
+    seq = [(i * 197 + (i * i) % 251 + (i // 7) * 31) % 256 for i in range(20000)]
+    # confirm the stream really would overflow an uncapped dictionary
+    d, w, novel = set(bytes([i]) for i in range(256)), b"", 0
+    for px in seq:
+        wk = w + bytes([px])
+        if wk in d:
+            w = wk
+        else:
+            d.add(wk)
+            novel += 1
+            w = bytes([px])
+    assert 256 + 2 + novel > 4096
+    assert _lzw_decode(_lzw_encode(seq, 8), 8, len(seq)) == seq
+
+
 def test_build_gif_roundtrip_formulas():
     for doc_id in (0, 1, 7, 13, 55, 91, 255, 1000):
         w, h, idx, pal = decode_gif(build_gif(doc_id))

@@ -312,6 +312,61 @@ def test_no_state_run_is_single_action(spark, workdir, monkeypatch):
     assert not res.skipped
 
 
+def test_crash_between_write_and_commit_converges(spark, workdir, monkeypatch):
+    """Exactly-once commit proof (SURVEY §3.1 step 5 / VERDICT r5 ask #6).
+
+    The commit protocol is: idempotent data write (dynamic partition
+    overwrite) FIRST, state-table commit SECOND. A crash between the two
+    leaves the sink ahead of the state; the replay must (a) re-detect the
+    item as changed (state is the source of truth for incrementality),
+    (b) overwrite the same partition with identical rows — converging to
+    the exact corpus a crash-free run produces, with no duplicates."""
+    from yaml_pipe_spark.plans.factory import ParquetStateBackend
+
+    spec = _spec(workdir)
+    run_pipeline(spark, spec)
+    sink = build_component("sink", spec.sink)
+
+    def snapshot():
+        return sorted(
+            (r["source"], r["chunk_index"], r["text"])
+            for r in sink.read(spark)
+            .select("source", "chunk_index", "text")
+            .collect()
+        )
+
+    # change one file, then crash AFTER the data write, BEFORE the commit
+    _write(os.path.join(workdir["data"], "a.txt"), "delta " * 25)
+    real_commit = ParquetStateBackend.commit
+
+    def crash(self, processed, s):
+        raise RuntimeError("simulated crash between sink write and commit")
+
+    monkeypatch.setattr(ParquetStateBackend, "commit", crash)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        run_pipeline(spark, spec)
+    after_crash = snapshot()
+    monkeypatch.setattr(ParquetStateBackend, "commit", real_commit)
+
+    # replay: the stale state must re-flag a.txt as changed (no silent skip)
+    res = run_pipeline(spark, spec)
+    assert res.n_changed == 1 and not res.skipped
+    after_replay = snapshot()
+    # convergence: the replay rewrote the same partition with the same rows
+    assert after_replay == after_crash
+    a_rows = [r for r in after_replay if "a.txt" in r[0]]
+    assert a_rows and all("delta" in r[2] for r in a_rows)
+    # no duplicate (source, chunk_index) keys anywhere
+    keys = [(s, i) for s, i, _ in after_replay]
+    assert len(keys) == len(set(keys))
+
+    # and the commit landed: a third run is a clean no-op
+    res3 = run_pipeline(spark, spec)
+    assert res3.skipped and res3.n_changed == 0
+
+
 DUCKDB_CONFIG_TMPL = CONFIG_TMPL.replace(
     'type: parquet\n  config: {{path: "{sink}"}}',
     'type: duckdb\n  config: {{db_path: "{sink}.duckdb"}}',

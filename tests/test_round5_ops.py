@@ -121,24 +121,29 @@ def test_incremental_minhash_dedup_and_idempotent_rerun(spark):
     new = spark.createDataFrame(new_rows, "doc_id long, text string")
     state = minhash_band_state(old)
     out = {
-        r["doc_id"]: (r["reason"], r["dup_of"])
+        r["doc_id"]: (r["reason"], r["dup_of"], r["jaccard"])
         for r in incremental_minhash_dedup(
             new, state, old, threshold=0.7
         ).collect()
     }
-    assert out[10] == ("dup_old", 1)
-    assert out[11] == ("kept", None)
-    assert out[12] == ("dup_new", 11)
-    assert out[13] == ("kept", None)
+    assert out[10][:2] == ("dup_old", 1)
+    assert out[11][:2] == ("kept", None)
+    assert out[12][:2] == ("dup_new", 11)
+    assert out[13][:2] == ("kept", None)
+    # jaccard is a set ratio: never above 1.0
+    assert all(j is None or j <= 1.0 for (_, _, j) in out.values())
 
     # merge the increment's bands into the state; rerun -> same verdicts
+    # AND the same jaccard values: in rerun mode corpus2 contains the
+    # increment, and re-shingling those ids used to double-count shingle
+    # rows, inflating na/inter (jaccard > 1.0 on borderline pairs)
     new_bands = lsh_band_table(
         minhash_signatures(token_shingles(new, "text", "doc_id"))
     )
     merged = merge_band_state(state, new_bands, new_ids=new)
     corpus2 = old.unionByName(new)
     out2 = {
-        r["doc_id"]: (r["reason"], r["dup_of"])
+        r["doc_id"]: (r["reason"], r["dup_of"], r["jaccard"])
         for r in incremental_minhash_dedup(
             new, merged, corpus2, threshold=0.7
         ).collect()
@@ -233,7 +238,7 @@ def test_bpe_token_stats_small(spark):
     from yaml_pipe_spark.operators.text_stats import bpe_token_stats
 
     df = spark.createDataFrame(
-        [("en", "the thing"), ("en", "the"), ("de", "zz")],
+        [("en", "the thing"), ("en", "the"), ("de", "zz"), (None, "the")],
         "lang string, text string",
     )
     rows = {r["lang"]: r for r in bpe_token_stats(df).collect()}
@@ -244,6 +249,10 @@ def test_bpe_token_stats_small(spark):
     # de: zz -> [z, z]: 2 tokens, 1 type
     assert rows["de"]["total_bpe_tokens"] == 2
     assert rows["de"]["n_token_types"] == 1
+    # NULL lang is reported under the 'und' sentinel, not silently dropped
+    assert rows["und"]["n_word_occurrences"] == 1
+    assert rows["und"]["total_bpe_tokens"] == 1
+    assert set(rows) == {"en", "de", "und"}
 
 
 # -------------------------------------------------------- IVF-PQ composed

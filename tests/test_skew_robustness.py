@@ -1,0 +1,151 @@
+"""Skew robustness: the dedup guard rails measured on a deliberately skewed
+corpus (Zipf sources, hot boilerplate shingles) instead of only asserted on
+uniform synthetic data. Structural pins are deterministic; the wall-clock pin
+uses min-of-2 warm runs with a drift-tolerant bound."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_MEDIUM
+from yaml_pipe_spark.operators.dedup import (
+    exact_jaccard_pairs,
+    minhash_near_duplicates,
+    token_shingles,
+)
+from yaml_pipe_spark.operators.skew import skewed_documents
+from yaml_pipe_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    docs = load_table(spark, SF_MEDIUM, "documents").select("doc_id", "text")
+    uniform = docs.localCheckpoint()
+    skewed = skewed_documents(docs).localCheckpoint()
+    return uniform, skewed
+
+
+def test_skewed_corpus_shape(spark, corpora):
+    _, skewed = corpora
+    n = skewed.count()
+    top = (
+        skewed.groupBy("source")
+        .count()
+        .orderBy(F.desc("count"))
+        .limit(1)
+        .collect()[0]
+    )
+    # Zipf head: the hottest source holds >30% of the corpus
+    assert top["source"] == "src_1" and top["count"] > 0.3 * n
+    # hot boilerplate: the shared suffix is in ~30% of documents
+    n_hot = skewed.filter(
+        F.col("text").contains("subscribe to our newsletter")
+    ).count()
+    assert 0.25 * n < n_hot < 0.35 * n
+
+
+def test_df_guard_bounds_hot_shingle_pairs(spark, corpora):
+    """The document-frequency cut must keep the skewed corpus's candidate
+    pair volume at uniform-corpus scale; with the guard OFF the boilerplate
+    shingles (df ~ 0.3n) explode the inverted index quadratically."""
+    uniform, skewed = corpora
+    sh_u = token_shingles(uniform, "text", "doc_id")
+    sh_s = token_shingles(skewed, "text", "doc_id")
+    pairs_uniform = exact_jaccard_pairs(sh_u).count()
+    pairs_guarded = exact_jaccard_pairs(sh_s).count()
+    pairs_unguarded = exact_jaccard_pairs(sh_s, df_max_frac=None).count()
+    # guard on: skew adds no quadratic pair mass (same corpus + suffix)
+    assert pairs_guarded <= max(4 * pairs_uniform, pairs_uniform + 50)
+    # guard off: the boilerplate cohort alone contributes its quadratic
+    # C(n_hot, 2) pair mass (each hot pair shares the full suffix) — the
+    # term that scales as (0.3 n)^2 while the guarded count scales ~n
+    n_hot = skewed.filter(
+        F.col("text").contains("subscribe to our newsletter")
+    ).count()
+    quad = n_hot * (n_hot - 1) // 2
+    assert pairs_unguarded - pairs_guarded >= 0.5 * quad
+
+
+def test_guarded_dedup_cost_stays_near_uniform(spark, corpora):
+    """VERDICT r5 ask #5's pin: with the default guards on, the full
+    MinHash-LSH near-dup pass over the SKEWED corpus costs about the same
+    as over the uniform corpus (the guards absorb the skew). min-of-2 warm
+    runs; bound 1.5x with a small absolute floor for timer noise."""
+    uniform, skewed = corpora
+
+    def cost(df):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            minhash_near_duplicates(df, "text", "doc_id").count()
+            best = min(best, time.monotonic() - t0)
+        return best
+
+    cost(uniform)  # warm the JVM/code paths once
+    t_uniform = cost(uniform)
+    t_skewed = cost(skewed)
+    assert t_skewed <= max(1.5 * t_uniform, t_uniform + 2.0), (
+        f"guarded skewed run {t_skewed:.2f}s vs uniform {t_uniform:.2f}s"
+    )
+
+
+def test_aqe_splits_zipf_source_join(spark, corpora):
+    """The Zipf source key through a sort-merge join: AQE must split the
+    hot src_1 partition (skew=true) — the runtime backstop when a corpus
+    join is keyed by the skewed source column itself."""
+    _, skewed = corpora
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # the dim must be a PLAIN shuffled relation (localCheckpoint):
+        # an aggregate between the shuffle and the join's Sort breaks the
+        # SMJ(Sort(shuffle), Sort(shuffle)) pattern OptimizeSkewedJoin
+        # matches, and the rule silently bails
+        dim = (
+            skewed.select("source")
+            .distinct()
+            .withColumn("weight", F.crc32("source") % 100)
+            .localCheckpoint()
+        )
+        # blow the 500-doc corpus up to ~200k incompressible rows: the
+        # splitter works at mapper-block granularity and needs real bytes
+        # behind the hot key before it splits (empirically ~200k rows at
+        # this width on this Spark; smaller volumes just coalesce)
+        # spread the fact side over several mappers first: skew splitting
+        # works at mapper-block granularity, and a single-split parquet
+        # scan feeding the join shuffle leaves the hot partition as ONE
+        # unsplittable block
+        fat = (
+            skewed.repartition(8)
+            .withColumn(
+                "__i", F.explode(F.sequence(F.lit(1), F.lit(400)))
+            )
+            .withColumn("text", F.md5(F.concat("text", "__i")))
+            .select("source", "text")
+        )
+        j = (
+            fat.join(dim, "source")
+            .groupBy()
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("weight").alias("w"),
+                F.sum(F.length("text")).alias("chars"),
+            )
+        )
+        j.collect()
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)

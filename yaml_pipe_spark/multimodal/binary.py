@@ -652,6 +652,13 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
 
 _GIF_SIGS = (b"GIF87a", b"GIF89a")
 
+# GIF codes are at most 12 bits wide: once the dictionary holds 4096 entries
+# no further codes are assignable (giflib's LZ_MAX_CODE). Encoder and decoder
+# both freeze the dictionary at this size (giflib's deferred-clear behavior);
+# without the cap a stream with >~4070 novel substrings would be assigned
+# codes >= 4096 that cannot be represented at width 12.
+_LZW_MAX_CODES = 4096
+
 
 def _lzw_encode(indices: list[int], mcs: int) -> bytes:
     """GIF-variant LZW compress of palette indices, LSB-first bit packing.
@@ -679,8 +686,9 @@ def _lzw_encode(indices: list[int], mcs: int) -> bytes:
             w = wk
         else:
             emit(d[w])
-            d[wk] = avail
-            avail += 1
+            if avail < _LZW_MAX_CODES:  # dictionary frozen at the 12-bit cap
+                d[wk] = avail
+                avail += 1
             w = bytes([px])
     emit(d[w])
     emit(eoi)
@@ -748,8 +756,8 @@ def _lzw_decode(data: bytes, mcs: int, n_expected: int) -> list[int]:
         else:
             raise ValueError(f"bad LZW code {code} (table size {len(table)})")
         out += entry
-        if prev is not None:
-            table.append(prev + entry[:1])
+        if prev is not None and len(table) < _LZW_MAX_CODES:
+            table.append(prev + entry[:1])  # mirror the encoder's 12-bit cap
         prev = entry
     return list(out)
 

@@ -1,0 +1,245 @@
+"""Persisted IVF-PQ index lifecycle — build once, serve many (SURVEY §2.7).
+
+The reference separates index building from querying: `core/pipeline.py`
+builds the LanceDB table once, `core/evaluation.py:44-64` opens the standing
+table and only runs searches against it. The in-query `ivfpq_topk` collapses
+that split (it re-assigns and re-encodes the corpus inside every query) —
+fine for an oracle query, wrong for production, where the corpus-scale
+assign+encode must be paid once per corpus snapshot and amortized over every
+search.
+
+`IvfPqIndexStore` is the Spark-native build/serve split:
+
+  build  — one corpus pass: IVF-assign every vector to its nearest pinned
+           centroid AND compress it to 2-bit PQ codes; persist
+             <base>/centroids  (k x dim, tiny)
+             <base>/codes      (id, code) parquet PARTITIONED BY cid
+             <base>/vectors    (id, full-precision vector) parquet
+             <base>/meta       (one row: corpus fingerprint + build params)
+  serve  — reads only the persisted tables. The coarse probe touches the
+           broadcast centroids; the ADC scan joins the BROADCAST probe set
+           against the codes table, so the index side has NO shuffle and —
+           because the codes are laid out by cid — only the probed cells'
+           files are read (partition pruning, nprobe/n_cells of 2-bit data).
+           Exact re-rank joins the broadcast ADC top-m back to the vectors
+           table. Identical `_pq_serve` semantics to the in-query path, so
+           a persisted serve is value-equal to a fresh build.
+
+Layout note: the codes table is hive-PARTITIONED by cid rather than
+bucketed (`operators/sinks.py::BucketedTable`): bucketing pre-shuffles for
+equi-joins between two large tables, but the serve-side join partner (the
+probe set) is queries x nprobe rows and always broadcast — what the index
+needs is *pruning*, and directory-partitioning by cid is what turns a probe
+into a subset scan. (See `tests/test_ann_recall.py::
+test_ivf_assignment_partition_pruned_probe` for the pruning assertion.)
+
+Staleness: `build` stamps the corpus fingerprint (row count + a sum of
+per-row xxhash64 over id and vector — order-insensitive, computed in one
+cheap aggregate) and the build params into <base>/meta. `build_if_stale`
+rebuilds iff the fingerprint or params changed; callers with a snapshot
+version string can pass `version=` to skip the fingerprint scan entirely
+(the metastore-driven production mode).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from yaml_pipe_spark.operators.similarity import (
+    _coarse_probes,
+    _pq_serve,
+    ivf_assign,
+    sq2_codes,
+)
+
+
+class IvfPqIndexStore:
+    """Build-once / serve-many persisted IVF-PQ index at `base_path`."""
+
+    def __init__(
+        self,
+        base_path: str,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        cid_col: str = "cid",
+        cvec_col: str = "cv",
+        scale: int = 8,
+        score_decimals: int = 6,
+    ):
+        self.base_path = base_path
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.cid_col = cid_col
+        self.cvec_col = cvec_col
+        self.scale = scale
+        self.score_decimals = score_decimals
+
+    # -- paths ----------------------------------------------------------
+    @property
+    def centroids_path(self) -> str:
+        return os.path.join(self.base_path, "centroids")
+
+    @property
+    def codes_path(self) -> str:
+        return os.path.join(self.base_path, "codes")
+
+    @property
+    def vectors_path(self) -> str:
+        return os.path.join(self.base_path, "vectors")
+
+    @property
+    def meta_path(self) -> str:
+        return os.path.join(self.base_path, "meta")
+
+    # -- fingerprint ----------------------------------------------------
+    def _fingerprint(self, corpus: DataFrame) -> tuple[int, int]:
+        """(n_rows, order-insensitive content hash) in ONE aggregate —
+        a single narrow corpus scan, the cheap end of staleness checks."""
+        h = F.xxhash64(F.col(self.id_col), F.col(self.vec_col))
+        # bit_xor is order-insensitive and cannot overflow (sum would, under
+        # ANSI); ids are unique so cancellation needs identical (id, vec)
+        # rows, which the count catches
+        row = corpus.agg(
+            F.count("*").cast("long").alias("n"),
+            F.coalesce(F.bit_xor(h), F.lit(0)).cast("long").alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    def _read_meta(self, spark: SparkSession) -> dict | None:
+        try:
+            rows = spark.read.parquet(self.meta_path).collect()
+        except Exception:
+            return None
+        return rows[0].asDict() if rows else None
+
+    # -- lifecycle ------------------------------------------------------
+    def build(
+        self,
+        corpus: DataFrame,
+        centroids: DataFrame,
+        version: str | None = None,
+    ) -> None:
+        """One corpus pass: assign + encode, then persist all four tables.
+
+        The assign/encode job is embarrassingly parallel (centroids are
+        broadcast; the only shuffle is ivf_assign's groupBy on the vector
+        id) and the codes write is partitioned by cid so serves prune."""
+        spark = corpus.sparkSession
+        corpus = corpus.select(self.id_col, self.vec_col)
+        coded = ivf_assign(
+            corpus,
+            centroids,
+            self.vec_col,
+            self.id_col,
+            self.cid_col,
+            self.cvec_col,
+            self.score_decimals,
+        ).select(
+            self.id_col,
+            self.cid_col,
+            sq2_codes(F.col(self.vec_col)).alias("code"),
+        )
+        coded.write.mode("overwrite").partitionBy(self.cid_col).parquet(
+            self.codes_path
+        )
+        corpus.write.mode("overwrite").parquet(self.vectors_path)
+        centroids.write.mode("overwrite").parquet(self.centroids_path)
+        if version is None:
+            n, h = self._fingerprint(corpus)
+        else:
+            n, h = -1, -1
+        spark.createDataFrame(
+            [(n, h, version, self.scale, self.score_decimals)],
+            "fp_n long, fp_h long, version string, scale int, "
+            "score_decimals int",
+        ).coalesce(1).write.mode("overwrite").parquet(self.meta_path)
+
+    def is_stale(
+        self, corpus: DataFrame, version: str | None = None
+    ) -> bool:
+        """True iff no index exists, build params changed, or the corpus
+        moved on (by `version` when given, else by fingerprint scan)."""
+        meta = self._read_meta(corpus.sparkSession)
+        if meta is None:
+            return True
+        if (
+            meta["scale"] != self.scale
+            or meta["score_decimals"] != self.score_decimals
+        ):
+            return True
+        if version is not None:
+            return meta["version"] != version
+        n, h = self._fingerprint(corpus.select(self.id_col, self.vec_col))
+        return (meta["fp_n"], meta["fp_h"]) != (n, h)
+
+    def build_if_stale(
+        self,
+        corpus: DataFrame,
+        centroids: DataFrame,
+        version: str | None = None,
+    ) -> bool:
+        """Rebuild when stale; returns whether a rebuild ran."""
+        if not self.is_stale(corpus, version):
+            return False
+        self.build(corpus, centroids, version)
+        return True
+
+    # -- serve ----------------------------------------------------------
+    def serve(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        nprobe: int = 2,
+        rerank_m: int = 20,
+        query_id: str = "qid",
+        query_vec: str = "qv",
+    ) -> DataFrame:
+        """Top-k from the PERSISTED tables only — no assign/encode rerun.
+
+        Plan contract (asserted in tests/test_ann_index.py): exactly three
+        parquet scans (centroids, codes, vectors); the probe set joins the
+        codes scan as the BROADCAST side, so the index never shuffles; the
+        closed-form code assignment (`floor(v*8)`) appears nowhere in the
+        serve plan because codes come off disk."""
+        spark = queries.sparkSession
+        centroids = spark.read.parquet(self.centroids_path)
+        codes = spark.read.parquet(self.codes_path).withColumnRenamed(
+            "code", "__code"
+        )
+        vectors = spark.read.parquet(self.vectors_path)
+        qprobe = _coarse_probes(
+            queries,
+            centroids,
+            nprobe,
+            query_id,
+            query_vec,
+            self.cid_col,
+            self.cvec_col,
+            self.score_decimals,
+            with_residual=False,
+        )
+        # match the hive-inferred partition-column dtype (int) on the probe
+        # side so the equi-join needs no cast above the pruned codes scan
+        qprobe = qprobe.withColumn(
+            self.cid_col,
+            F.col(self.cid_col).cast(
+                dict(codes.dtypes)[self.cid_col]
+            ),
+        )
+        return _pq_serve(
+            vectors,
+            codes,
+            F.broadcast(qprobe),
+            self.scale,
+            k,
+            rerank_m,
+            query_id,
+            query_vec,
+            self.vec_col,
+            self.id_col,
+            self.cid_col,
+            self.score_decimals,
+        )

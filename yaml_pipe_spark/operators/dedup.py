@@ -459,11 +459,19 @@ def incremental_minhash_dedup(
     )
     cands_new = band_table_pairs(new_bands, id_col)
     cands = cands_old.unionByName(cands_new).distinct()
-    # verify: only candidate standing docs get re-shingled
-    cand_old_docs = corpus_docs.join(
-        cands.select(F.col("id_a").alias(id_col)).distinct(),
-        id_col,
-        "left_semi",
+    # verify: only candidate standing docs get re-shingled. Increment ids are
+    # excluded FIRST: in the rerun-after-merge_band_state mode corpus_docs
+    # already contains the increment, and re-shingling those ids would union
+    # duplicate shingle rows into verify_shingles, inflating set sizes and
+    # intersections (jaccard could exceed 1.0 and borderline pairs could
+    # flip) — breaking the idempotent-rerun contract below.
+    cand_old_docs = (
+        corpus_docs.join(new_docs.select(id_col), id_col, "left_anti")
+        .join(
+            cands.select(F.col("id_a").alias(id_col)).distinct(),
+            id_col,
+            "left_semi",
+        )
     )
     verify_shingles = new_shingles.unionByName(
         token_shingles(cand_old_docs, text_col, id_col, k)
@@ -1099,10 +1107,16 @@ def lsh_band_curve(
     (bands, n_candidates, n_hit, n_true_pairs, recall).
 
     Shingles, signatures, and the truth set are each materialized once
-    and shared across every configuration; per-config candidate frames
-    are checkpointed because each is consumed twice (count + semi-join).
+    and shared across every configuration — and (r6) the configurations
+    themselves ride ONE multi-band pass: every config's band rows stack
+    into a single (cfg, band_id, band_key) table, so the bucket-cap
+    window, the candidate self-join, the distinct, and the truth
+    semi-join each run once over the stacked keys instead of once per
+    config (values identical — cfg is part of every join/window key).
     """
     from functools import reduce
+
+    from pyspark.sql import Window as W
 
     shingles = token_shingles(df, text_col, id_col, k).localCheckpoint()
     truth = (
@@ -1112,29 +1126,63 @@ def lsh_band_curve(
         .localCheckpoint()
     )
     sigs = minhash_signatures(shingles, id_col, n_hashes).localCheckpoint()
-    nt = truth.agg(F.count("*").alias("n_true_pairs"))
-    rows = []
-    for b in bands_list:
-        cands = lsh_candidate_pairs(
-            sigs, id_col, n_hashes, b
-        ).localCheckpoint()
-        hit = truth.join(cands, ["id_a", "id_b"], "left_semi")
-        rows.append(
-            cands.agg(F.count("*").alias("n_candidates"))
-            .join(F.broadcast(hit.agg(F.count("*").alias("n_hit"))))
-            .join(F.broadcast(nt))
-            .select(
-                F.lit(int(b)).cast("long").alias("bands"),
-                F.col("n_candidates").cast("long").alias("n_candidates"),
-                F.col("n_hit").cast("long").alias("n_hit"),
-                F.col("n_true_pairs").cast("long").alias("n_true_pairs"),
-                F.round(
-                    F.when(F.col("n_true_pairs") == 0, F.lit(1.0)).otherwise(
-                        F.col("n_hit")
-                        / F.col("n_true_pairs").cast("double")
-                    ),
-                    4,
-                ).alias("recall"),
-            )
+    nt = truth.agg(F.count("*").cast("long").alias("n_true_pairs"))
+    stacked = reduce(
+        lambda a, c: a.unionByName(c),
+        [
+            lsh_band_table(
+                sigs, id_col, n_hashes, b, max_bucket_size=None
+            ).withColumn("cfg", F.lit(int(b)))
+            for b in bands_list
+        ],
+    )
+    wcap = W.partitionBy("cfg", "band_id", "band_key")
+    buckets = (
+        stacked.withColumn("__n", F.count("*").over(wcap))
+        .filter(F.col("__n") <= DEFAULT_MAX_BUCKET_SIZE)
+        .drop("__n")
+    )
+    pa = buckets.select(
+        "cfg", "band_id", "band_key", F.col(id_col).alias("id_a")
+    )
+    pb = buckets.select(
+        "cfg", "band_id", "band_key", F.col(id_col).alias("id_b")
+    )
+    cands = (
+        pa.join(pb, ["cfg", "band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("cfg", "id_a", "id_b")
+        .distinct()
+        .localCheckpoint()  # consumed twice: count + truth semi-join
+    )
+    ncand = cands.groupBy("cfg").agg(
+        F.count("*").cast("long").alias("n_candidates")
+    )
+    nhit = (
+        cands.join(truth, ["id_a", "id_b"], "left_semi")
+        .groupBy("cfg")
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    cfgs = df.sparkSession.createDataFrame(
+        [(int(b),) for b in bands_list], "cfg int"
+    )
+    return (
+        cfgs.join(F.broadcast(ncand), "cfg", "left")
+        .join(F.broadcast(nhit), "cfg", "left")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            F.col("cfg").cast("long").alias("bands"),
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias(
+                "n_candidates"
+            ),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            "n_true_pairs",
+            F.round(
+                F.when(F.col("n_true_pairs") == 0, F.lit(1.0)).otherwise(
+                    F.coalesce("n_hit", F.lit(0))
+                    / F.col("n_true_pairs").cast("double")
+                ),
+                4,
+            ).alias("recall"),
         )
-    return reduce(lambda a, c: a.unionByName(c), rows)
+    )

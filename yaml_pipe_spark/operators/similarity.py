@@ -329,10 +329,45 @@ def ivf_knn_join(
             corpus, centroids, vec_col, id_col, cid_col, cvec_col,
             score_decimals,
         )
+    scored = ivf_scored_candidates(
+        queries, centroids, assigned, nprobe, query_id, query_vec, vec_col,
+        id_col, cid_col, cvec_col, exclude_self, score_decimals,
+    )
+    w = W.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .drop("probe_rank")
+    )
+
+
+def ivf_scored_candidates(
+    queries: DataFrame,
+    centroids: DataFrame,
+    assigned: DataFrame,
+    nprobe: int,
+    query_id: str = "qid",
+    query_vec: str = "qv",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cid_col: str = "cid",
+    cvec_col: str = "cv",
+    exclude_self: bool = True,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """The IVF candidate-scoring stage alone: (query_id, id_col, score,
+    probe_rank), where probe_rank is the rank of the candidate's CELL in
+    the query's probe order. Because probe sets nest (the nprobe=1 cells
+    are a prefix of the nprobe=4 order), scoring ONCE at the largest
+    setting and filtering `probe_rank <= np` per branch reproduces every
+    smaller setting exactly — ann_ivf_nprobe_curve materializes this frame
+    once instead of re-running the corpus-scale score join per curve
+    point."""
     qprobe = (
         queries.crossJoin(F.broadcast(centroids))
         .withColumn(
-            "__s", F.round(cosine(F.col(query_vec), F.col(cvec_col)), score_decimals)
+            "__s",
+            F.round(cosine(F.col(query_vec), F.col(cvec_col)), score_decimals),
         )
         .withColumn(
             "__pr",
@@ -343,7 +378,7 @@ def ivf_knn_join(
             ),
         )
         .filter(F.col("__pr") <= nprobe)
-        .select(query_id, query_vec, cid_col)
+        .select(query_id, query_vec, cid_col, "__pr")
     )
     # same per-pair-fold reduction as knn_join/signlsh_knn_join: one
     # interpreted dot per candidate pair, self-norms once per row
@@ -352,20 +387,16 @@ def ivf_knn_join(
     )
     if exclude_self:
         pairs = pairs.filter(F.col(id_col) != F.col(query_id))
-    scored = pairs.withColumn(
-        "score",
+    return pairs.select(
+        query_id,
+        id_col,
         F.round(
             cosine_with_norms(
                 F.col(vec_col), F.col(query_vec), F.col("__cn"), F.col("__qn")
             ),
             score_decimals,
-        ),
-    )
-    w = W.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .drop(query_vec, vec_col, cid_col, "__cn", "__qn")
+        ).alias("score"),
+        F.col("__pr").alias("probe_rank"),
     )
 
 
@@ -718,7 +749,10 @@ def _pq_serve(
         .filter(F.col("__ar") <= rerank_m)
         .select(query_id, id_col, query_vec)
     )
-    rerank = top_m.join(corpus.select(id_col, vec_col), id_col).select(
+    # top_m is provably queries x rerank_m rows — broadcast it so the
+    # full-precision corpus never shuffles (size estimation alone would
+    # pick the corpus as the build side on small inputs and SMJ at scale)
+    rerank = F.broadcast(top_m).join(corpus.select(id_col, vec_col), id_col).select(
         query_id,
         id_col,
         F.round(

@@ -62,6 +62,58 @@ def salted_aggregate(
     )
 
 
+def skewed_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_sources: int = 50,
+    boilerplate_frac_mod: int = 10,
+    boilerplate_hits: int = 3,
+    boilerplate: str = (
+        "subscribe to our newsletter today for updates offers and news "
+        "from our team delivered directly to your inbox every week"
+    ),
+) -> DataFrame:
+    """A deliberately SKEWED derivative of a documents frame, for measuring
+    the dedup/LSH guard rails on adversarial—but realistic—corpora. Pure
+    deterministic Catalyst (md5-derived randomness), so every engine
+    recomputes the identical corpus:
+
+    - Zipf-like `source`: u = (first md5 word of the id)/2^32 in (0,1],
+      k = least(ceil(1/u) - 1 clamped to >= 1, n_sources) ->
+      P(k) = 1/(k(k+1)) ~ 1/k^2: source 'src_1' holds ~half the corpus
+      (the hot-partition / hot-join-key case).
+    - Hot boilerplate: docs with id % boilerplate_frac_mod <
+      boilerplate_hits get a shared boilerplate suffix appended — its
+      shingles then appear in ~1/3 of ALL documents, the exact hot-shingle
+      blowup the document-frequency cut in exact_jaccard_pairs guards
+      against (one such shingle in f*n docs creates (f*n)^2/2 candidate
+      pairs if unguarded).
+
+    Used by tests/test_skew_robustness.py and the PERF.md skew table;
+    production corpora hit the same shapes via CDN boilerplate, cookie
+    banners, and crawler source imbalance.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967296.0)
+    k = F.least(
+        F.greatest(F.ceil(1.0 / u) - 1, F.lit(1)), F.lit(n_sources)
+    ).cast("int")
+    hot = (F.col(id_col) % boilerplate_frac_mod) < boilerplate_hits
+    return docs.select(
+        F.col(id_col),
+        F.concat(F.lit("src_"), k).alias("source"),
+        F.when(
+            hot, F.concat(F.col(text_col), F.lit(" " + boilerplate))
+        )
+        .otherwise(F.col(text_col))
+        .alias(text_col),
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

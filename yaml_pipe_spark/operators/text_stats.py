@@ -256,8 +256,13 @@ def bpe_token_stats(
     words = F.regexp_extract_all(
         F.lower(F.col(text_col)), F.lit("[a-z]+"), F.lit(0)
     )
+    # NULL lang coalesces to the 'und' sentinel (ISO 639 undetermined) so
+    # the cohort stays in the token accounting instead of being silently
+    # dropped by the inner lang joins below — same null-safe-lang policy as
+    # corpus_temperature_mix. The oracle applies the identical coalesce.
     occ = spread_for_expansion(df).select(
-        F.col(lang_col).alias("lang"), F.explode(words).alias("word")
+        F.coalesce(F.col(lang_col), F.lit("und")).alias("lang"),
+        F.explode(words).alias("word"),
     )
     counts = occ.groupBy("lang", "word").agg(F.count("*").alias("occ"))
     vocab = counts.select("word").distinct()

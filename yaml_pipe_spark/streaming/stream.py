@@ -73,6 +73,133 @@ def run_streaming_pipeline(
     q.awaitTermination()
 
 
+def run_incremental_dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id long, text string",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming incremental near-dup: each micro-batch of documents dedups
+    against the STANDING corpus via the persisted MinHash band state, then
+    appends its own bands/docs to that state — dedup.incremental_minhash_dedup
+    composed with the streaming runtime through foreachBatch. This is the
+    reference's run-ledger (utils/state_manager.py:155-196) elevated to its
+    streaming end-state: the checkpoint tracks which files were processed,
+    the band state tracks what the corpus contains.
+
+    State layout under `state_dir`:
+      bands/     the persisted (id, band_id, band_key) LSH state
+      corpus/    standing documents, hive-partitioned by __snap
+      verdicts/  per-doc (id, dup_of, jaccard, reason), partitioned by __snap
+
+    Idempotent rerun by construction: every batch derives its partition key
+    __snap = min(id) from CONTENT (epoch ids are not stable across
+    checkpoint resets), verdicts/corpus use dynamic partition overwrite, the
+    band merge supersedes by id, and incremental_minhash_dedup's verdicts
+    are stable when the corpus already contains the increment (the
+    re-shingle path excludes increment ids) — so a crash between any two
+    writes, followed by a replay of the batch, converges to the same state.
+
+    Scale: per batch, ONE equi-join of the increment's bands against the
+    band state and a candidate-scale verify — cost tracks the increment,
+    never the standing corpus; the state table is bands x n_docs rows (tiny
+    next to the corpus text).
+    """
+    import os
+
+    from yaml_pipe_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        lsh_band_table,
+        merge_band_state,
+        minhash_signatures,
+        token_shingles,
+    )
+
+    bands_path = os.path.join(state_dir, "bands")
+    corpus_path = os.path.join(state_dir, "corpus")
+    verdicts_path = os.path.join(state_dir, "verdicts")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        batch = batch_df.select(id_col, text_col).localCheckpoint()
+        row = batch.agg(F.min(id_col).alias("m")).collect()[0]
+        if row["m"] is None:
+            return
+        snap = int(row["m"])
+        if os.path.isdir(corpus_path):
+            corpus = spark.read.parquet(corpus_path).select(id_col, text_col)
+        else:
+            corpus = batch.limit(0)
+        if os.path.isdir(bands_path):
+            state = spark.read.parquet(bands_path)
+        else:
+            state = lsh_band_table(
+                minhash_signatures(
+                    token_shingles(batch.limit(0), text_col, id_col, k),
+                    id_col,
+                    n_hashes,
+                ),
+                id_col,
+                n_hashes,
+                bands,
+            )
+        verdicts = incremental_minhash_dedup(
+            batch,
+            state,
+            corpus,
+            text_col,
+            id_col,
+            k=k,
+            n_hashes=n_hashes,
+            bands=bands,
+            threshold=threshold,
+        )
+        (
+            verdicts.withColumn("__snap", F.lit(snap))
+            .write.mode("overwrite")
+            .partitionBy("__snap")
+            .parquet(verdicts_path)
+        )
+        (
+            batch.withColumn("__snap", F.lit(snap))
+            .write.mode("overwrite")
+            .partitionBy("__snap")
+            .parquet(corpus_path)
+        )
+        new_bands = lsh_band_table(
+            minhash_signatures(
+                token_shingles(batch, text_col, id_col, k), id_col, n_hashes
+            ),
+            id_col,
+            n_hashes,
+            bands,
+        )
+        merged = merge_band_state(
+            state, new_bands, id_col, new_ids=batch
+        ).localCheckpoint()  # materialize before overwriting its own source
+        merged.write.mode("overwrite").parquet(bands_path)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def streaming_tumbling_agg(
     events: DataFrame,
     ts_col: str = "ts",
