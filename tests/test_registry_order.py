@@ -30,6 +30,9 @@ ROUND6_MUST_FRONT: set[str] = ROUND6_QUEUE | {
     # new operators
     "ann_index_persisted",        # persisted IVF-PQ lifecycle
     "stream_incremental_dedup",   # streaming band-state dedup
+    "corpus_url_canonical_dedup",  # URL canonicalization + dedup
+    "text_encoding_scrub",         # encoding-anomaly repair
+    "sql_udtf_chunk",              # registered Python UDTF surface
     # changed code/oracle (ADVICE r5 fixes + audit-drift rewrites)
     "dedup_incremental_minhash",
     "text_bpe_encode",
@@ -69,14 +72,14 @@ ROUND2_REFRESH_NOW: set[str] = {
     "rel_waiting_suppliers",
     "stream_dedup_first_arrival",
     "stream_interval_join",
-    "stream_session_window",
-    "stream_stateful_counter",
-    "stream_static_enrich",
 }
 
 # Still r2-generation after round 6 (did not fit the 50 slots) — front these
 # in ROUND 7 before anything merely stale from r3.
 ROUND7_QUEUE: set[str] = {
+    "stream_session_window",
+    "stream_stateful_counter",
+    "stream_static_enrich",
     "stream_tumbling_agg",
     "text_blocklist_filter",
     "text_pii_redact",

@@ -1,0 +1,90 @@
+"""URL canonicalization and encoding-anomaly scrub unit tests."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from yaml_pipe_spark.functions.urls import canonicalize_url
+from yaml_pipe_spark.operators.quality import (
+    MOJIBAKE_MAP,
+    encoding_anomaly_scrub,
+)
+
+
+def _canon(spark, url):
+    return (
+        spark.createDataFrame([(url,)], "u string")
+        .select(canonicalize_url(F.col("u")).alias("c"))
+        .collect()[0]["c"]
+    )
+
+
+def test_canonicalize_url_rules(spark):
+    cases = {
+        # www + mixed case + port + fragment + trailing slash
+        "https://WWW.Site.Example.com:443/a/b/#frag":
+            "https://site.example.com/a/b",
+        # tracking params dropped, survivors sorted
+        "https://site.example.com/p?utm_source=x&b=2&a=1&fbclid=z":
+            "https://site.example.com/p?a=1&b=2",
+        # all params tracking -> no '?'
+        "https://site.example.com/p?utm_campaign=x&gclid=1&ref=home":
+            "https://site.example.com/p",
+        # scheme lowercased, root path kept bare
+        "HTTPS://site.example.com/":
+            "https://site.example.com",
+        # www only stripped as a PREFIX label
+        "https://wwwx.example.com/p":
+            "https://wwwx.example.com/p",
+    }
+    for raw, want in cases.items():
+        assert _canon(spark, raw) == want, raw
+
+
+def test_encoding_scrub_counts_and_repair(spark):
+    rows = [
+        (1, "clean ascii text"),
+        (2, "cafÃ© and cafÃ© twice"),          # 2x mojibake é
+        (3, "donâ€™t"),                     # cp1252 ’ mojibake
+        (4, "lost�bytes�here"),                     # 2x U+FFFD
+        (5, "price 100"),                      # NBSP
+        (6, "bell\x07and\x1fcontrols"),             # 2x C0 controls
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in encoding_anomaly_scrub(df).collect()}
+    assert 1 not in out  # clean docs are not flagged
+    assert out[2]["n_mojibake"] == 2
+    assert out[3]["n_mojibake"] == 1
+    assert out[4]["n_replacement"] == 2
+    assert out[5]["n_nbsp"] == 1
+    assert out[6]["n_control"] == 2
+    # the repair itself: hash must equal sha256 of the hand-fixed text
+    assert (
+        out[2]["cleaned_hash"]
+        == hashlib.sha256("café and café twice".encode()).hexdigest()
+    )
+    assert (
+        out[3]["cleaned_hash"]
+        == hashlib.sha256("don’t".encode()).hexdigest()
+    )
+    assert (
+        out[4]["cleaned_hash"]
+        == hashlib.sha256("lostbyteshere".encode()).hexdigest()
+    )
+    assert (
+        out[5]["cleaned_hash"]
+        == hashlib.sha256("price 100".encode()).hexdigest()
+    )
+    assert (
+        out[6]["cleaned_hash"]
+        == hashlib.sha256("bellandcontrols".encode()).hexdigest()
+    )
+
+
+def test_mojibake_map_is_true_double_encoding():
+    """Every map entry must be the EXACT cp1252/latin-1 misdecode of its
+    repaired form — the map is a fact about encodings, not a guess."""
+    for bad, good in MOJIBAKE_MAP:
+        assert good.encode("utf-8").decode("cp1252", errors="strict") == bad

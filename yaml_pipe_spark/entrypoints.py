@@ -10064,6 +10064,222 @@ def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cnt.orderBy(F.col("n_users").desc(), "path").limit(10)
 
 
+# Deterministic synthetic raw URL per document (the documents table has no
+# URL column; same derivation trick as media_from_documents): three raw
+# spellings of the same logical URL — www.+mixed-case host, host:443, plain
+# host — plus tracking params in two orders and an occasional fragment /
+# trailing slash, so canonicalization has real work to do and collisions are
+# guaranteed (host = id%5, page = id%7, id-param = id%3 -> every 105 ids
+# share a canonical URL).
+_URL_EXPR = """
+concat(
+  'https://',
+  CASE WHEN doc_id % 3 = 0 THEN concat('www.SITE', CAST(doc_id % 5 AS STRING), '.example.com')
+       WHEN doc_id % 3 = 1 THEN concat('site', CAST(doc_id % 5 AS STRING), '.EXAMPLE.com:443')
+       ELSE concat('site', CAST(doc_id % 5 AS STRING), '.example.com') END,
+  '/docs/page-', CAST(doc_id % 7 AS STRING),
+  CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
+  CASE WHEN doc_id % 2 = 0
+       THEN concat('?utm_source=feed&id=', CAST(doc_id % 3 AS STRING))
+       ELSE concat('?id=', CAST(doc_id % 3 AS STRING), '&utm_campaign=x') END,
+  CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END
+)
+"""
+
+_DK_URL_EXPR = _URL_EXPR.replace("AS STRING", "AS VARCHAR")
+
+
+@register(
+    "corpus_url_canonical_dedup",
+    f"""
+WITH raw AS (SELECT doc_id, {_DK_URL_EXPR} AS url FROM documents),
+parts AS (
+  SELECT doc_id, url,
+         regexp_replace(lower(regexp_extract(url, '^[a-z]+://([^/?#:]+)', 1)),
+                        '^www\\.', '') AS host,
+         regexp_replace(regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1),
+                        '/$', '') AS path,
+         coalesce(regexp_extract(url, '\\?([^#]*)', 1), '') AS q
+  FROM raw
+),
+canon AS (
+  SELECT doc_id, host,
+         concat('https://', host, path,
+                CASE WHEN cq = '' THEN '' ELSE concat('?', cq) END) AS curl
+  FROM (
+    SELECT doc_id, host, path,
+           array_to_string(list_sort(list_filter(string_split(q, '&'),
+             p -> p <> '' AND NOT regexp_matches(p,
+                    '^(utm_[a-z]+|fbclid|gclid|ref)='))), '&') AS cq
+    FROM parts
+  )
+)
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT curl) AS BIGINT) AS n_canonical,
+       CAST(count(*) - count(DISTINCT curl) AS BIGINT) AS n_url_dups,
+       round((count(*) - count(DISTINCT curl)) * 1.0 / count(*), 4)
+         AS dup_rate,
+       min(curl) AS sample_canonical
+FROM canon GROUP BY host
+""",
+    "URL canonicalization + URL-level dedup (functions/urls.py::"
+    "canonicalize_url) — the crawl-curation step that runs BEFORE any "
+    "content dedup: scheme/host lowercased, www. and port stripped, "
+    "fragment dropped, utm_*/fbclid/gclid/ref tracking params removed, "
+    "surviving params sorted, trailing slash stripped. Three raw "
+    "spellings of each logical URL (www+mixed case, :443, plain; two "
+    "param orders; fragments) are derived deterministically per doc_id, "
+    "and the per-host rollup reports how much of the fetch list "
+    "collapses (n_url_dups / dup_rate) — the fetch-budget decision "
+    "input. Pure Catalyst (parse_url + regexp/array ops in codegen, no "
+    "UDF): a narrow projection plus one host-keyed shuffle; the oracle "
+    "re-implements the parse with regexps and recomputes every "
+    "canonical form.",
+)
+def q_corpus_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.functions.urls import canonical_host, canonicalize_url
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_URL_EXPR).alias("url")
+    )
+    canon = docs.select(
+        canonical_host(F.col("url")).alias("host"),
+        canonicalize_url(F.col("url")).alias("curl"),
+    )
+    return canon.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("curl").cast("long").alias("n_canonical"),
+        (F.count("*") - F.countDistinct("curl")).cast("long").alias(
+            "n_url_dups"
+        ),
+        F.round(
+            (F.count("*") - F.countDistinct("curl")) / F.count("*"), 4
+        ).alias("dup_rate"),
+        F.min("curl").alias("sample_canonical"),
+    )
+
+
+# Deterministic encoding-damage injection for the scrub query: each clause
+# appends a distinct anomaly class to a doc_id-keyed slice of the corpus
+# (clauses stack for ids hitting several moduli). The suffix literals are
+# Python constants so the Spark expression and the DuckDB oracle embed
+# byte-identical UTF-8.
+_ENC_SUFFIXES = (
+    (13, " cafÃ© menu"),       # mojibake 'Ã©' (é double-encoded)
+    (17, " donâ€™t miss"),  # mojibake 'â€™' (cp1252 ’)
+    (19, " data�loss"),             # U+FFFD replacement char
+    (23, " price 100"),             # NBSP
+    (29, " bellring"),             # C0 control (BEL)
+)
+
+
+def _enc_concat() -> str:
+    parts = ["text"]
+    for mod, suffix in _ENC_SUFFIXES:
+        lit = suffix.replace("'", "''")
+        parts.append(
+            f"CASE WHEN doc_id % {mod} = 0 THEN '{lit}' ELSE '' END"
+        )
+    return "concat(" + ", ".join(parts) + ")"
+
+
+@register(
+    "text_encoding_scrub",
+    f"""
+WITH damaged AS (SELECT doc_id, {_enc_concat()} AS text FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST((length(text) - length(replace(text, 'Ã©', ''))) / 2
+            + (length(text) - length(replace(text, 'Ã¤', ''))) / 2
+            + (length(text) - length(replace(text, 'â€™', ''))) / 3
+           AS BIGINT) AS n_mojibake,
+         CAST(length(text) - length(replace(text, '�', ''))
+           AS BIGINT) AS n_replacement,
+         CAST(length(text) - length(replace(text, ' ', ''))
+           AS BIGINT) AS n_nbsp,
+         CAST(length(regexp_replace(text,
+              '[^\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'))
+           AS BIGINT) AS n_control,
+         sha256(regexp_replace(
+           replace(replace(replace(replace(replace(text,
+             'Ã©', 'é'), 'Ã¤', 'ä'), 'â€™', '’'),
+             ' ', ' '), '�', ''),
+           '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'))
+           AS cleaned_hash
+  FROM damaged
+)
+SELECT doc_id, n_mojibake, n_replacement, n_nbsp, n_control, cleaned_hash
+FROM m
+WHERE n_mojibake > 0 OR n_replacement > 0 OR n_nbsp > 0 OR n_control > 0
+""",
+    "Encoding-anomaly detect + repair (operators/quality.py::"
+    "encoding_anomaly_scrub) — the ingest-hygiene pass every crawl corpus "
+    "needs: mojibake from the classic UTF-8-as-Latin-1 double-encode "
+    "repaired via a pinned auditable map (the ftfy core trick), U+FFFD "
+    "replacement chars dropped (bytes already lost), NBSP normalized, "
+    "C0 controls stripped. Five anomaly classes are injected "
+    "deterministically by doc_id modulus, and the per-doc report pins "
+    "counts per class AND the sha256 of the repaired text, so the oracle "
+    "re-runs the whole repair under the same pinned fix order. Pure "
+    "Catalyst fixed-string replaces + one char-class regexp in codegen — "
+    "narrow projection, no shuffle, no UDF.",
+)
+def q_text_encoding_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.quality import encoding_anomaly_scrub
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_enc_concat()).alias("text")
+    )
+    return encoding_anomaly_scrub(docs)
+
+
+@register(
+    "sql_udtf_chunk",
+    """
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  WHERE length(trim(text)) > 0 AND doc_id % 7 = 0
+),
+starts AS (
+  SELECT doc_id, text,
+         UNNEST(generate_series(1, length(text), 48)) AS s
+  FROM base
+)
+SELECT doc_id,
+       CAST((s - 1) / 48 + 1 AS BIGINT) AS chunk_index,
+       substr(text, s, 64) AS chunk
+FROM starts
+""",
+    "Python UDTF registration surface (functions/udtfs.py, closing the "
+    "SURVEY §2.9 'UDTF registration' gap): the fixed-window chunker "
+    "registered as a named SQL table function and invoked via LATERAL "
+    "from spark.sql — the reference's hardcoded chunk expansion made a "
+    "first-class, composable table function. Arrow-batched (useArrow); "
+    "semantics mirror operators/chunkers.py::fixed_window_chunks exactly, "
+    "so the fixed-window DuckDB twin oracles the registered surface end "
+    "to end. Documented slow path: anything Catalyst-expressible stays "
+    "Catalyst (the production chunkers are plan-asserted UDF-free); this "
+    "surface is for expansions that genuinely need Python.",
+)
+def q_sql_udtf_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from yaml_pipe_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    path = os.path.join(sf_dir, "documents.parquet")
+    spark.read.parquet(path).createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_index, c.chunk
+        FROM __udtf_docs d,
+        LATERAL fixed_window_chunks(d.text, 64, 16) c
+        WHERE d.doc_id % 7 = 0
+        """
+    )
+
+
 # The round driver validates a *prefix* of the queries() dict (each round
 # records exactly the first 50 entries in insertion order). Round 6 rotation,
 # in priority order:
@@ -10102,6 +10318,9 @@ DRIVER_ORDER: list[str] = [
     # -- (2) NEW in round 6 --
     "ann_index_persisted",        # build-once/serve-many persisted IVF-PQ
     "stream_incremental_dedup",   # foreachBatch band-state dedup stream
+    "corpus_url_canonical_dedup", # URL canonicalization + fetch-list dedup
+    "text_encoding_scrub",        # mojibake/NBSP/FFFD/control repair
+    "sql_udtf_chunk",             # registered Python UDTF surface
     # -- (3) code or oracle CHANGED in round 6 --
     "dedup_incremental_minhash",  # ADVICE: rerun re-shingle exclusion
     "text_bpe_encode",            # ADVICE: NULL lang -> 'und' sentinel
@@ -10138,11 +10357,10 @@ DRIVER_ORDER: list[str] = [
     "rel_waiting_suppliers",
     "stream_dedup_first_arrival",
     "stream_interval_join",
-    "stream_session_window",
-    "stream_stateful_counter",
-    "stream_static_enrich",
 ]
-# Still r2-generation after round 6 (did not fit the 50 slots):
+# Still r2-generation after round 6 (displaced by the three 6b queries —
+# new code outranks refresh — or never fitting the 50 slots):
+# stream_session_window, stream_stateful_counter, stream_static_enrich,
 # stream_tumbling_agg, text_blocklist_filter, text_pii_redact,
 # text_shared_ngrams, text_unigram_logprob — pinned as
 # tests/test_registry_order.py::ROUND7_QUEUE; front them in round 7.

@@ -259,3 +259,83 @@ def gopher_funnel(
         F.col("n_docs").cast("long"),
         "retention",
     )
+
+
+# ---------------------------------------------------------------------------
+# Encoding-anomaly scrub (mojibake repair)
+# ---------------------------------------------------------------------------
+
+# Pinned double-encoding repair map — the ftfy core trick for the classic
+# UTF-8-bytes-read-as-Latin-1/cp1252 confusion, reduced to an explicit
+# auditable table (a production scrub extends this list; the MECHANISM —
+# fixed-string multi-replace inside codegen — is the 100 TB-relevant part).
+MOJIBAKE_MAP: tuple[tuple[str, str], ...] = (
+    ("Ã©", "é"),        # 'Ã©'  -> é
+    ("Ã¤", "ä"),        # 'Ã¤'  -> ä
+    ("â€™", "’"),  # 'â€™' -> ’
+)
+
+# C0/C1 controls except \t \n \r — never legitimate in corpus text
+CONTROL_RE = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+REPLACEMENT_CHAR = "�"
+NBSP = " "
+
+
+def _count_occurrences(col: Column, needle: str) -> Column:
+    """Occurrences of a fixed string, via length arithmetic (both engines
+    count CHARACTERS, so the twin is exact and no regex escaping is
+    needed for arbitrary unicode needles)."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+def encoding_anomaly_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Detect and repair encoding damage: mojibake (double-encoded UTF-8,
+    repaired via the pinned MOJIBAKE_MAP), U+FFFD replacement characters
+    (dropped — the bytes are already lost), NBSP (normalized to space),
+    and C0/C1 control characters (dropped). Returns ONE ROW PER FLAGGED
+    DOCUMENT: (id, n_mojibake, n_replacement, n_nbsp, n_control,
+    cleaned_hash) where cleaned_hash = sha256 of the repaired text under
+    the pinned fix order map -> NBSP -> U+FFFD -> controls.
+
+    Every anomaly class is a real ingest failure mode at crawl scale
+    (mixed-charset origins, lossy transcodes, binary spill into text).
+    Pure Catalyst: fixed-string replaces + one character-class regexp in
+    whole-stage codegen, then a narrow filter — no UDF, no shuffle.
+    """
+    t = F.col(text_col)
+    n_moji = None
+    for bad, _ in MOJIBAKE_MAP:
+        c = _count_occurrences(t, bad)
+        n_moji = c if n_moji is None else n_moji + c
+    n_repl = _count_occurrences(t, REPLACEMENT_CHAR)
+    n_nbsp = _count_occurrences(t, NBSP)
+    n_ctrl = F.coalesce(
+        F.length(F.regexp_replace(t, f"[^{CONTROL_RE[1:-1]}]", "")),
+        F.lit(0),
+    ).cast("long")
+    cleaned = t
+    for bad, good in MOJIBAKE_MAP:
+        cleaned = F.replace(cleaned, F.lit(bad), F.lit(good))
+    cleaned = F.replace(cleaned, F.lit(NBSP), F.lit(" "))
+    cleaned = F.replace(cleaned, F.lit(REPLACEMENT_CHAR), F.lit(""))
+    cleaned = F.regexp_replace(cleaned, CONTROL_RE, "")
+    out = df.select(
+        F.col(id_col),
+        n_moji.alias("n_mojibake"),
+        n_repl.alias("n_replacement"),
+        n_nbsp.alias("n_nbsp"),
+        n_ctrl.alias("n_control"),
+        F.sha2(cleaned, 256).alias("cleaned_hash"),
+    )
+    return out.filter(
+        (F.col("n_mojibake") > 0)
+        | (F.col("n_replacement") > 0)
+        | (F.col("n_nbsp") > 0)
+        | (F.col("n_control") > 0)
+    )

@@ -57,9 +57,22 @@ def spread_for_expansion(df):
     under-partitioned (e.g., a small compressed parquet arriving as one scan
     split) — the guard keeps well-partitioned cluster-scale inputs
     shuffle-free while rescuing the pathological case where a cheap scan
-    feeds an expensive expansion (token/shingle explode) on one core."""
+    feeds an expensive expansion (token/shingle explode) on one core.
+
+    Partitioning is probed via `inputFiles()` (logical-plan file listing):
+    unlike the previous `df.rdd.getNumPartitions()`, this never forces
+    physical planning + RDD DAG conversion on the driver. The file count
+    under-estimates splits for huge files (one file > maxPartitionBytes
+    scans as many tasks), but the rescue only FIRES when the count is
+    small, which is exactly the small-files case it exists for. Frames
+    with no file lineage (in-memory test frames, post-shuffle results)
+    are left alone — parallelize/shuffle already spread them."""
     sc = df.sparkSession.sparkContext
     par = sc.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 <= par:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    if 0 < n_files * 2 <= par:
         return df.repartition(par)
     return df
