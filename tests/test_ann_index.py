@@ -128,3 +128,68 @@ def test_version_pin_skips_fingerprint(spark, tmp_path):
     store.build(corpus, cents, version="snap-1")
     assert store.is_stale(corpus, version="snap-1") is False
     assert store.is_stale(corpus, version="snap-2") is True
+
+
+def test_stream_serve_matches_batch_and_replays_idempotently(
+    spark, tmp_path
+):
+    """serve_query_stream: a multi-batch drain produces exactly the batch
+    serve results for every query; replaying a drained batch (fresh
+    checkpoint) overwrites its own partition with identical rows."""
+    import os
+    import shutil
+    import time
+
+    from yaml_pipe_spark.operators.ann_index import serve_query_stream
+
+    corpus, cents, qs = _frames(spark)
+    store = IvfPqIndexStore(str(tmp_path / "idx"))
+    store.build(corpus, cents)
+
+    # stage the 3 queries as TWO files with ordered mtimes -> two batches
+    qrows = qs.collect()
+    inp = str(tmp_path / "queries")
+    os.makedirs(inp)
+    for i, chunk in enumerate((qrows[:2], qrows[2:])):
+        part = str(tmp_path / f"__q{i}")
+        spark.createDataFrame(
+            chunk, "qid long, qv array<double>"
+        ).coalesce(1).write.parquet(part)
+        src = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+        dst = os.path.join(inp, f"q{i}.parquet")
+        shutil.copy(os.path.join(part, src), dst)
+        os.utime(dst, (time.time() + i, time.time() + i))
+
+    res = str(tmp_path / "results")
+    serve_query_stream(
+        spark, store, inp, res, str(tmp_path / "ck1"),
+        max_files_per_trigger=1,
+    )
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(res)
+        .select("qid", "rank", "vec_id", "score")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in store.serve(qs, k=5, nprobe=2, rerank_m=20)
+        .select("qid", "rank", "vec_id", "score")
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+    # replay with a fresh checkpoint and the SAME batch split (crash
+    # replay re-reads the same offsets): partitions overwrite themselves,
+    # same rows, no duplicates
+    serve_query_stream(
+        spark, store, inp, res, str(tmp_path / "ck2"),
+        max_files_per_trigger=1,
+    )
+    again = sorted(
+        tuple(r)
+        for r in spark.read.parquet(res)
+        .select("qid", "rank", "vec_id", "score")
+        .collect()
+    )
+    assert again == got

@@ -33,6 +33,8 @@ ROUND6_MUST_FRONT: set[str] = ROUND6_QUEUE | {
     "corpus_url_canonical_dedup",  # URL canonicalization + dedup
     "text_encoding_scrub",         # encoding-anomaly repair
     "sql_udtf_chunk",              # registered Python UDTF surface
+    "stream_ann_serve",            # streamed persisted-index serve
+    "quality_score_calibration",   # rule->score distillation curve
     # changed code/oracle (ADVICE r5 fixes + audit-drift rewrites)
     "dedup_incremental_minhash",
     "text_bpe_encode",
@@ -70,13 +72,13 @@ ROUND2_REFRESH_NOW: set[str] = {
     "rel_sales_opportunity",
     "rel_small_qty_revenue",
     "rel_waiting_suppliers",
-    "stream_dedup_first_arrival",
-    "stream_interval_join",
 }
 
 # Still r2-generation after round 6 (did not fit the 50 slots) — front these
 # in ROUND 7 before anything merely stale from r3.
 ROUND7_QUEUE: set[str] = {
+    "stream_dedup_first_arrival",
+    "stream_interval_join",
     "stream_session_window",
     "stream_stateful_counter",
     "stream_static_enrich",

@@ -10280,6 +10280,165 @@ def q_sql_udtf_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_ann_serve",
+    ANN_INDEX_PERSISTED_ORACLE,
+    "The ANN production loop closed end to end (operators/ann_index.py::"
+    "serve_query_stream): the IVF-PQ index is built ONCE into the "
+    "persisted store, then the queries arrive as a file STREAM and each "
+    "micro-batch runs the identical three-tier serve (broadcast probes, "
+    "dynamic-partition-pruned 2-bit ADC scan, broadcast top-m re-rank) "
+    "through foreachBatch, landing in a content-keyed dynamic-overwrite "
+    "results table. One drained batch equals the batch serve exactly, so "
+    "the oracle is the persisted-index oracle unchanged; replay "
+    "idempotency and multi-batch equivalence are unit-tested in "
+    "tests/test_ann_index.py.",
+)
+def q_stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from yaml_pipe_spark.operators.ann_index import (
+        IvfPqIndexStore,
+        serve_query_stream,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    corp = emb.filter(F.col("vec_id") >= 20).select("vec_id", "embedding")
+    cents = emb.filter(
+        (F.col("vec_id") >= 20) & (F.col("vec_id") < 28)
+    ).select(
+        (F.col("vec_id") - 20).alias("cid"), F.col("embedding").alias("cv")
+    )
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    store = IvfPqIndexStore(
+        os.path.join("spark-warehouse", f"ann_ivfpq_index_{sf_name}")
+    )
+    store.build_if_stale(corp, cents)
+    base = os.path.join("spark-warehouse", f"stream_ann_serve_{sf_name}")
+    shutil.rmtree(base, ignore_errors=True)  # fresh drain every invocation
+    q.coalesce(1).write.parquet(os.path.join(base, "queries"))
+    serve_query_stream(
+        spark,
+        store,
+        os.path.join(base, "queries"),
+        os.path.join(base, "results"),
+        os.path.join(base, "ckpt"),
+    )
+    return spark.read.parquet(os.path.join(base, "results")).select(
+        "qid", "rank", "vec_id", "score"
+    )
+
+
+@register(
+    "quality_score_calibration",
+    "WITH " + _DK_GOPHER + """,
+scored AS (
+  SELECT doc_id,
+         round(0.5 * round(alpha, 4)
+               + 0.3 * least(n_words, 100) / 100.0
+               + 0.2 * least(stop_distinct, 5) / 5.0, 6) AS score,
+         pass_words * pass_mean_word_len * pass_alpha * pass_stop AS truth
+  FROM gflags
+),
+taus(tau) AS (VALUES (0.3), (0.5), (0.6), (0.7), (0.85)),
+agg AS (
+  SELECT t.tau,
+         CAST(sum(CASE WHEN s.score >= t.tau THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pred,
+         CAST(sum(CASE WHEN s.score >= t.tau AND s.truth = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(s.truth) AS BIGINT) AS n_pos,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM scored s CROSS JOIN taus t GROUP BY t.tau
+),
+pr AS (
+  SELECT tau, n_pred, tp, n_pos, n_docs,
+         round(CASE WHEN n_pred = 0 THEN 0.0
+                    ELSE tp / CAST(n_pred AS DOUBLE) END, 4) AS precision,
+         round(CASE WHEN n_pos = 0 THEN 0.0
+                    ELSE tp / CAST(n_pos AS DOUBLE) END, 4) AS recall
+  FROM agg
+)
+SELECT tau, n_pred, tp, n_pos, n_docs, precision, recall,
+       round(CASE WHEN precision + recall = 0 THEN 0.0
+                  ELSE 2 * precision * recall / (precision + recall) END, 4)
+         AS f1
+FROM pr
+""",
+    "Quality-score calibration curve — the measurement that gates "
+    "replacing the Gopher RULE CONJUNCTION with a cheap continuous "
+    "score (the classifier-distillation step every curation pipeline "
+    "eventually takes): a pinned composite score (alpha ratio + clamped "
+    "word count + clamped stopword count) is thresholded at five "
+    "operating points and scored against the full rule conjunction as "
+    "pseudo-truth, reporting n_pred/tp/precision/recall/f1 per "
+    "threshold. f1 is computed from the ROUNDED precision/recall so "
+    "boundary arithmetic is engine-exact. One narrow scoring pass, one "
+    "explode over five literals, one tiny tau-keyed rollup.",
+)
+def q_quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.quality import gopher_quality_signals
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = gopher_quality_signals(docs)
+    scored = sig.select(
+        F.round(
+            0.5 * F.col("alpha_word_ratio")
+            + 0.3 * F.least(F.col("n_words"), F.lit(100)) / 100.0
+            + 0.2 * F.least(F.col("stop_distinct"), F.lit(5)) / 5.0,
+            6,
+        ).alias("score"),
+        F.col("gopher_pass").alias("truth"),
+    )
+    taus = F.explode(
+        F.array(*[F.lit(t) for t in (0.3, 0.5, 0.6, 0.7, 0.85)])
+    ).alias("tau")
+    per = scored.select("score", "truth", taus)
+    agg = per.groupBy("tau").agg(
+        F.sum((F.col("score") >= F.col("tau")).cast("int"))
+        .cast("long")
+        .alias("n_pred"),
+        F.sum(
+            ((F.col("score") >= F.col("tau")) & (F.col("truth") == 1)).cast(
+                "int"
+            )
+        )
+        .cast("long")
+        .alias("tp"),
+        F.sum("truth").cast("long").alias("n_pos"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    p = F.when(F.col("n_pred") == 0, F.lit(0.0)).otherwise(
+        F.col("tp") / F.col("n_pred").cast("double")
+    )
+    r = F.when(F.col("n_pos") == 0, F.lit(0.0)).otherwise(
+        F.col("tp") / F.col("n_pos").cast("double")
+    )
+    out = agg.select(
+        "tau",
+        "n_pred",
+        "tp",
+        "n_pos",
+        "n_docs",
+        F.round(p, 4).alias("precision"),
+        F.round(r, 4).alias("recall"),
+    )
+    f1 = F.when(
+        F.col("precision") + F.col("recall") == 0, F.lit(0.0)
+    ).otherwise(
+        2
+        * F.col("precision")
+        * F.col("recall")
+        / (F.col("precision") + F.col("recall"))
+    )
+    return out.withColumn("f1", F.round(f1, 4))
+
+
 # The round driver validates a *prefix* of the queries() dict (each round
 # records exactly the first 50 entries in insertion order). Round 6 rotation,
 # in priority order:
@@ -10321,6 +10480,8 @@ DRIVER_ORDER: list[str] = [
     "corpus_url_canonical_dedup", # URL canonicalization + fetch-list dedup
     "text_encoding_scrub",        # mojibake/NBSP/FFFD/control repair
     "sql_udtf_chunk",             # registered Python UDTF surface
+    "stream_ann_serve",           # streamed serve off the persisted index
+    "quality_score_calibration",  # rule->score distillation curve
     # -- (3) code or oracle CHANGED in round 6 --
     "dedup_incremental_minhash",  # ADVICE: rerun re-shingle exclusion
     "text_bpe_encode",            # ADVICE: NULL lang -> 'und' sentinel
@@ -10355,14 +10516,13 @@ DRIVER_ORDER: list[str] = [
     "rel_sales_opportunity",
     "rel_small_qty_revenue",
     "rel_waiting_suppliers",
-    "stream_dedup_first_arrival",
-    "stream_interval_join",
 ]
-# Still r2-generation after round 6 (displaced by the three 6b queries —
+# Still r2-generation after round 6 (displaced by the five 6b/6c queries —
 # new code outranks refresh — or never fitting the 50 slots):
-# stream_session_window, stream_stateful_counter, stream_static_enrich,
-# stream_tumbling_agg, text_blocklist_filter, text_pii_redact,
-# text_shared_ngrams, text_unigram_logprob — pinned as
+# stream_dedup_first_arrival, stream_interval_join, stream_session_window,
+# stream_stateful_counter, stream_static_enrich, stream_tumbling_agg,
+# text_blocklist_filter, text_pii_redact, text_shared_ngrams,
+# text_unigram_logprob — pinned as
 # tests/test_registry_order.py::ROUND7_QUEUE; front them in round 7.
 
 

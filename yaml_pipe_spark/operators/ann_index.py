@@ -243,3 +243,64 @@ class IvfPqIndexStore:
             self.cid_col,
             self.score_decimals,
         )
+
+
+def serve_query_stream(
+    spark: SparkSession,
+    store: IvfPqIndexStore,
+    input_dir: str,
+    results_dir: str,
+    checkpoint_dir: str,
+    schema: str = "qid long, qv array<double>",
+    k: int = 5,
+    nprobe: int = 2,
+    rerank_m: int = 20,
+    query_id: str = "qid",
+    query_vec: str = "qv",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """The ANN production loop closed: a STREAM of queries served against
+    the persisted index — build once (IvfPqIndexStore.build), then every
+    query micro-batch runs the same three-tier serve (broadcast probes,
+    pruned 2-bit ADC scan, broadcast re-rank) via foreachBatch and lands
+    in `results_dir` partitioned by a content-derived batch key.
+
+    Idempotency matches run_incremental_dedup_stream: the partition key
+    __snap = min(query id) of the batch is content-derived (epoch ids are
+    not replay-stable) and the write is a dynamic partition overwrite, so
+    a crash-replay of a drained batch overwrites its own partition with
+    identical rows. The contract is per BATCH SPLIT — exactly what crash
+    replay re-reads from the checkpoint's offsets; re-draining the same
+    input under a different split keys different partitions and needs a
+    fresh results_dir. The serve itself is stateless over the index,
+    which only changes through build_if_stale, between drains.
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        batch = batch_df.select(query_id, query_vec).localCheckpoint()
+        row = batch.agg(F.min(query_id).alias("m")).collect()[0]
+        if row["m"] is None:
+            return
+        out = store.serve(
+            batch, k=k, nprobe=nprobe, rerank_m=rerank_m,
+            query_id=query_id, query_vec=query_vec,
+        )
+        (
+            out.withColumn("__snap", F.lit(int(row["m"])))
+            .write.mode("overwrite")
+            .partitionBy("__snap")
+            .parquet(results_dir)
+        )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.parquet(input_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
