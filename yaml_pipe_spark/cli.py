@@ -276,6 +276,12 @@ AUDIT_QUERIES: dict[str, str] = {
     "quality_thresholds": "text_quality_thresholds",
     "cms_heavy_hitters": "events_cms_heavy_hitters",
     "distinct_sketch": "sample_bottom_k_sketch",
+    # round-6 additions
+    "url_dedup": "corpus_url_canonical_dedup",
+    "encoding_scrub": "text_encoding_scrub",
+    "quality_calibration": "quality_score_calibration",
+    "nprobe_curve": "ann_ivf_nprobe_curve",
+    "band_curve": "dedup_minhash_band_curve",
 }
 
 
