@@ -193,3 +193,61 @@ def test_stream_serve_matches_batch_and_replays_idempotently(
         .collect()
     )
     assert again == got
+
+
+def test_rebuild_clears_emptied_cell_partitions(spark, tmp_path):
+    """The codes write pins partitionOverwriteMode=static per-write: under
+    the session's dynamic default, a rebuild whose corpus empties an IVF
+    cell would keep that cell's old codes directory and serve deleted
+    vectors."""
+    import os
+
+    corpus, cents, qs = _frames(spark)
+    store = IvfPqIndexStore(str(tmp_path / "idx"))
+    store.build(corpus, cents)
+    cells = {
+        d for d in os.listdir(store.codes_path) if d.startswith("cid=")
+    }
+    assert len(cells) >= 2
+    # keep only the vectors of ONE cell -> every other cell empties
+    # (materialize the kept ids BEFORE rebuilding over the same path)
+    from pyspark.sql import functions as F2
+
+    probe = spark.read.parquet(store.codes_path)
+    one_cell = probe.select("cid").distinct().orderBy("cid").first()["cid"]
+    keep_ids = [
+        r["vec_id"]
+        for r in probe.filter(F2.col("cid") == one_cell)
+        .select("vec_id")
+        .collect()
+    ]
+    corpus2 = corpus.filter(F2.col("vec_id").isin(keep_ids))
+    assert store.build_if_stale(corpus2, cents) is True
+    cells2 = {
+        d for d in os.listdir(store.codes_path) if d.startswith("cid=")
+    }
+    assert cells2 == {f"cid={one_cell}"}, cells2
+    # serve never returns a deleted vector
+    kept_ids = {r["vec_id"] for r in corpus2.select("vec_id").collect()}
+    served = {
+        r["vec_id"]
+        for r in store.serve(qs, k=60, nprobe=4, rerank_m=100).collect()
+    }
+    assert served <= kept_ids and served
+
+
+def test_centroid_change_marks_index_stale(spark, tmp_path):
+    """A refit coarse quantizer invalidates every code: is_stale must see
+    a centroid change even when the corpus fingerprint is unchanged."""
+    from pyspark.sql import functions as F2
+
+    corpus, cents, _ = _frames(spark)
+    store = IvfPqIndexStore(str(tmp_path / "idx"))
+    store.build(corpus, cents)
+    assert store.is_stale(corpus, centroids=cents) is False
+    new_cents = cents.withColumn(
+        "cv", F2.transform("cv", lambda v: v * 2.0)
+    )
+    assert store.is_stale(corpus, centroids=new_cents) is True
+    # and without the centroids argument the check is corpus-only
+    assert store.is_stale(corpus) is False

@@ -60,9 +60,9 @@ def _stage(spark, tmp_path, snapshots, preload):
         shutil.copy(os.path.join(part, src), dst)
         os.utime(dst, (time.time() + i, time.time() + i))
     state = os.path.join(base, "state")
-    minhash_band_state(_df(spark, preload)).write.parquet(
-        os.path.join(state, "bands")
-    )
+    from yaml_pipe_spark.streaming.stream import commit_band_state
+
+    commit_band_state(minhash_band_state(_df(spark, preload)), state)
     (
         _df(spark, preload).withColumn("__snap", F.lit(-1))
         .write.partitionBy("__snap")
@@ -109,10 +109,10 @@ def test_rerun_after_state_merge_is_idempotent(spark, tmp_path):
     ck1 = os.path.join(base, "ckpt1")
     run_incremental_dedup_stream(spark, inp, state, ck1, threshold=0.7)
     first = _collect_verdicts(spark, state)
+    from yaml_pipe_spark.streaming.stream import read_band_state
+
     bands_first = sorted(
-        tuple(r) for r in spark.read.parquet(
-            os.path.join(state, "bands")
-        ).collect()
+        tuple(r) for r in read_band_state(spark, state).collect()
     )
     # replay with a fresh checkpoint: the batch reprocesses against a state
     # that ALREADY contains the increment
@@ -121,9 +121,7 @@ def test_rerun_after_state_merge_is_idempotent(spark, tmp_path):
     )
     second = _collect_verdicts(spark, state)
     bands_second = sorted(
-        tuple(r) for r in spark.read.parquet(
-            os.path.join(state, "bands")
-        ).collect()
+        tuple(r) for r in read_band_state(spark, state).collect()
     )
     assert second == first
     assert bands_second == bands_first
@@ -147,3 +145,41 @@ def test_checkpoint_skips_processed_files(spark, tmp_path):
         for f in fs
     )
     assert mtime2 == mtime
+
+
+def test_commit_band_state_crash_leaves_prior_generation_current(
+    spark, tmp_path
+):
+    """The pointer-swap commit: a failed generation write must leave the
+    previous generation current and intact (a plain directory overwrite
+    would have deleted it before crashing)."""
+    import pytest
+
+    from yaml_pipe_spark.streaming.stream import (
+        commit_band_state,
+        read_band_state,
+    )
+
+    state = str(tmp_path / "st")
+    df1 = spark.createDataFrame(
+        [(1, 0, "k")], "doc_id long, band_id int, band_key string"
+    )
+    commit_band_state(df1, state)
+    # a generation whose evaluation raises mid-write
+    bad = spark.createDataFrame([(0,)], "band_id int").selectExpr(
+        "CAST(1 AS LONG) AS doc_id",
+        "band_id",
+        "CAST(assert_true(band_id > 0) AS STRING) AS band_key",
+    )
+    with pytest.raises(Exception):
+        commit_band_state(bad, state)
+    cur = read_band_state(spark, state)
+    assert [tuple(r) for r in cur.collect()] == [(1, 0, "k")]
+    # further commits succeed and GC bounds the generation count
+    commit_band_state(df1, state)
+    commit_band_state(df1, state)
+    vs = [d for d in os.listdir(state) if d.startswith("bands_v")]
+    assert len(vs) <= 3  # current + predecessor (+ one failed leftover max)
+    assert [tuple(r) for r in read_band_state(spark, state).collect()] == [
+        (1, 0, "k")
+    ]

@@ -88,3 +88,54 @@ def test_mojibake_map_is_true_double_encoding():
     repaired form — the map is a fact about encodings, not a guess."""
     for bad, good in MOJIBAKE_MAP:
         assert good.encode("utf-8").decode("cp1252", errors="strict") == bad
+
+
+def test_udtf_blank_skip_matches_non_empty_semantics(spark):
+    """The registered UDTF's blank-skip must be functions.text.non_empty
+    exactly: ASCII-whitespace-only docs are skipped, but an NBSP-only doc
+    is NOT blank (Python .strip() would wrongly skip it)."""
+    from yaml_pipe_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, "\n\t \r"), (2, " "), (3, "ok")], "doc_id long, text string"
+    ).createOrReplaceTempView("__udtf_blank_probe")
+    rows = spark.sql(
+        """
+        SELECT d.doc_id, c.chunk
+        FROM __udtf_blank_probe d,
+        LATERAL fixed_window_chunks(d.text, 8, 2) c
+        """
+    ).collect()
+    got = {r["doc_id"] for r in rows}
+    assert got == {2, 3}
+
+
+def test_spread_probe_classifies_both_directions(spark, tmp_path):
+    """The split estimate must (a) fire for small single-split parquet,
+    (b) NOT fire for a frame whose estimated splits already cover half
+    the parallelism, and (c) leave file-less frames alone."""
+    from yaml_pipe_spark.session import _size_bytes, spread_for_expansion
+
+    assert _size_bytes("128MB") == 128 << 20
+    assert _size_bytes("4m") == 4 << 20
+    assert _size_bytes("134217728") == 134217728
+
+    small = str(tmp_path / "small")
+    spark.range(100).coalesce(1).write.parquet(small)
+    df = spark.read.parquet(small)
+    # tiny single file -> est 1 split -> rescue fires
+    assert spread_for_expansion(df) is not df
+    # a frame with no file lineage is untouched
+    mem = spark.createDataFrame([(1,)], "x int")
+    assert spread_for_expansion(mem) is mem
+    # shrink maxPartitionBytes so the same file estimates as many splits
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    prev_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "64")
+        spark.conf.set("spark.sql.files.openCostInBytes", "64")
+        assert spread_for_expansion(df) is df  # est splits >> parallelism/2
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+        spark.conf.set("spark.sql.files.openCostInBytes", prev_open)

@@ -1330,7 +1330,9 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is the exact two-snapshot batch computation
     new.coalesce(1).write.parquet(os.path.join(base, "input"))
     # preload the standing state the way a corpus build would have left it
-    minhash_band_state(old).write.parquet(os.path.join(base, "state", "bands"))
+    from yaml_pipe_spark.streaming.stream import commit_band_state
+
+    commit_band_state(minhash_band_state(old), os.path.join(base, "state"))
     (
         old.withColumn("__snap", F.lit(-1))
         .write.partitionBy("__snap")
@@ -10239,7 +10241,7 @@ def q_text_encoding_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH base AS (
   SELECT doc_id, text FROM documents
-  WHERE length(trim(text)) > 0 AND doc_id % 7 = 0
+  WHERE length(trim(text, e' \\n\\r\\t')) > 0 AND doc_id % 7 = 0
 ),
 starts AS (
   SELECT doc_id, text,

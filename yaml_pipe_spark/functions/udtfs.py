@@ -33,7 +33,11 @@ class FixedWindowChunksUDTF:
     start 1, 1+step, ... <= length(text), step = size - overlap."""
 
     def eval(self, text: str, chunk_size: int, chunk_overlap: int):
-        if text is None or not text.strip():
+        # blank-skip predicate = functions.text.non_empty EXACTLY (btrim of
+        # space/\n/\r/\t — not Python .strip(), which trims ALL unicode
+        # whitespace and would diverge from the Catalyst chunkers and the
+        # DuckDB twin on NBSP/vertical-tab-only documents)
+        if text is None or not text.strip(" \n\r\t"):
             return
         if chunk_overlap >= chunk_size:
             raise ValueError("chunk_overlap must be < chunk_size")

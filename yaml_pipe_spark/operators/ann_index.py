@@ -95,18 +95,25 @@ class IvfPqIndexStore:
         return os.path.join(self.base_path, "meta")
 
     # -- fingerprint ----------------------------------------------------
-    def _fingerprint(self, corpus: DataFrame) -> tuple[int, int]:
+    @staticmethod
+    def _fp_of(df: DataFrame, *cols: str) -> tuple[int, int]:
         """(n_rows, order-insensitive content hash) in ONE aggregate —
-        a single narrow corpus scan, the cheap end of staleness checks."""
-        h = F.xxhash64(F.col(self.id_col), F.col(self.vec_col))
+        a single narrow scan, the cheap end of staleness checks."""
+        h = F.xxhash64(*[F.col(c) for c in cols])
         # bit_xor is order-insensitive and cannot overflow (sum would, under
         # ANSI); ids are unique so cancellation needs identical (id, vec)
         # rows, which the count catches
-        row = corpus.agg(
+        row = df.agg(
             F.count("*").cast("long").alias("n"),
             F.coalesce(F.bit_xor(h), F.lit(0)).cast("long").alias("h"),
         ).collect()[0]
         return int(row["n"]), int(row["h"])
+
+    def _fingerprint(self, corpus: DataFrame) -> tuple[int, int]:
+        return self._fp_of(corpus, self.id_col, self.vec_col)
+
+    def _centroid_fingerprint(self, centroids: DataFrame) -> tuple[int, int]:
+        return self._fp_of(centroids, self.cid_col, self.cvec_col)
 
     def _read_meta(self, spark: SparkSession) -> dict | None:
         try:
@@ -142,8 +149,16 @@ class IvfPqIndexStore:
             self.cid_col,
             sq2_codes(F.col(self.vec_col)).alias("code"),
         )
-        coded.write.mode("overwrite").partitionBy(self.cid_col).parquet(
-            self.codes_path
+        # STATIC overwrite, pinned per-write: the session default here (and
+        # in any pipeline session) is partitionOverwriteMode=dynamic, under
+        # which a rebuild would only replace partitions present in the NEW
+        # data — an IVF cell emptied by the corpus change would keep
+        # advertising its old codes and serve deleted vectors
+        (
+            coded.write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy(self.cid_col)
+            .parquet(self.codes_path)
         )
         corpus.write.mode("overwrite").parquet(self.vectors_path)
         centroids.write.mode("overwrite").parquet(self.centroids_path)
@@ -151,17 +166,23 @@ class IvfPqIndexStore:
             n, h = self._fingerprint(corpus)
         else:
             n, h = -1, -1
+        cn, ch = self._centroid_fingerprint(centroids)
         spark.createDataFrame(
-            [(n, h, version, self.scale, self.score_decimals)],
-            "fp_n long, fp_h long, version string, scale int, "
-            "score_decimals int",
+            [(n, h, cn, ch, version, self.scale, self.score_decimals)],
+            "fp_n long, fp_h long, cfp_n long, cfp_h long, version string, "
+            "scale int, score_decimals int",
         ).coalesce(1).write.mode("overwrite").parquet(self.meta_path)
 
     def is_stale(
-        self, corpus: DataFrame, version: str | None = None
+        self,
+        corpus: DataFrame,
+        version: str | None = None,
+        centroids: DataFrame | None = None,
     ) -> bool:
-        """True iff no index exists, build params changed, or the corpus
-        moved on (by `version` when given, else by fingerprint scan)."""
+        """True iff no index exists, build params changed, the CENTROIDS
+        changed (a refit coarse quantizer invalidates every code), or the
+        corpus moved on (by `version` when given, else by fingerprint
+        scan)."""
         meta = self._read_meta(corpus.sparkSession)
         if meta is None:
             return True
@@ -170,6 +191,12 @@ class IvfPqIndexStore:
             or meta["score_decimals"] != self.score_decimals
         ):
             return True
+        if centroids is not None:
+            cn, ch = self._centroid_fingerprint(centroids)
+            # metas written before the centroid fingerprint existed force a
+            # rebuild rather than silently serving an unverifiable index
+            if (meta.get("cfp_n"), meta.get("cfp_h")) != (cn, ch):
+                return True
         if version is not None:
             return meta["version"] != version
         n, h = self._fingerprint(corpus.select(self.id_col, self.vec_col))
@@ -182,7 +209,7 @@ class IvfPqIndexStore:
         version: str | None = None,
     ) -> bool:
         """Rebuild when stale; returns whether a rebuild ran."""
-        if not self.is_stale(corpus, version):
+        if not self.is_stale(corpus, version, centroids=centroids):
             return False
         self.build(corpus, centroids, version)
         return True

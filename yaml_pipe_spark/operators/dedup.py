@@ -407,6 +407,8 @@ def incremental_minhash_dedup(
     bands: int = 4,
     threshold: float = 0.8,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    new_shingles: DataFrame | None = None,
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup an increment against a standing corpus WITHOUT re-pairing the
     standing corpus against itself — the operational mode at 100 TB, where
@@ -440,11 +442,16 @@ def incremental_minhash_dedup(
     never pairs with itself (strict id inequality), so verdicts are
     stable.
     """
-    new_shingles = token_shingles(new_docs, text_col, id_col, k)
-    new_sigs = minhash_signatures(new_shingles, id_col, n_hashes)
-    new_bands = lsh_band_table(
-        new_sigs, id_col, n_hashes, bands, max_bucket_size
-    )
+    # callers that ALSO need the increment's shingles/bands (the streaming
+    # loop shingles once, dedups, then merges the same bands into state)
+    # pass them in so the dominant per-increment cost is paid once
+    if new_shingles is None:
+        new_shingles = token_shingles(new_docs, text_col, id_col, k)
+    if new_bands is None:
+        new_sigs = minhash_signatures(new_shingles, id_col, n_hashes)
+        new_bands = lsh_band_table(
+            new_sigs, id_col, n_hashes, bands, max_bucket_size
+        )
     # new-vs-old: increment bands probe the standing state. Alias the state
     # id; the join key is (band_id, band_key), high-cardinality by design.
     state = band_state.select(

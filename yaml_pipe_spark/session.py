@@ -52,6 +52,21 @@ def get_spark(
     return spark
 
 
+_SIZE_SUFFIX = {
+    "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30, "t": 1 << 40, "tb": 1 << 40, "b": 1,
+}
+
+
+def _size_bytes(v: str) -> int:
+    """Spark size-conf string ('134217728', '128MB', '4m', '1g') -> bytes."""
+    s = str(v).strip().lower()
+    for suf in sorted(_SIZE_SUFFIX, key=len, reverse=True):
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)])) * _SIZE_SUFFIX[suf]
+    return int(float(s))
+
+
 def spread_for_expansion(df):
     """Round-robin repartition a DataFrame to full parallelism IFF it is
     under-partitioned (e.g., a small compressed parquet arriving as one scan
@@ -61,18 +76,40 @@ def spread_for_expansion(df):
 
     Partitioning is probed via `inputFiles()` (logical-plan file listing):
     unlike the previous `df.rdd.getNumPartitions()`, this never forces
-    physical planning + RDD DAG conversion on the driver. The file count
-    under-estimates splits for huge files (one file > maxPartitionBytes
-    scans as many tasks), but the rescue only FIRES when the count is
-    small, which is exactly the small-files case it exists for. Frames
-    with no file lineage (in-memory test frames, post-shuffle results)
-    are left alone — parallelize/shuffle already spread them."""
-    sc = df.sparkSession.sparkContext
-    par = sc.defaultParallelism
+    physical planning + RDD DAG conversion on the driver. The SPLIT count
+    is then estimated with FilePartition's own arithmetic —
+    ceil((bytes + n_files * openCost) / maxPartitionBytes) — so one huge
+    splittable file (many scan tasks, never repartition) and many tiny
+    bin-packed files (few scan tasks, do repartition) are both classified
+    correctly; a raw file count gets BOTH cases wrong. File sizes come
+    from the local filesystem; for non-local URIs (no cheap size probe
+    from Python) and frames with no file lineage (in-memory frames,
+    post-shuffle results) the frame is left alone — parallelize/shuffle
+    already spread those, and a cluster-store scan arrives with real
+    splits."""
+    import os
+
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
     try:
-        n_files = len(df.inputFiles())
+        files = df.inputFiles()
     except Exception:
         return df
-    if 0 < n_files * 2 <= par:
+    if not files:
+        return df
+    total = 0
+    for f in files:
+        path = f.removeprefix("file:")
+        if not os.path.isfile(path):
+            return df  # non-local store: no cheap size probe, leave as-is
+        total += os.path.getsize(path)
+    max_split = _size_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    open_cost = _size_bytes(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+    )
+    est_splits = max(1, -(-(total + len(files) * open_cost) // max_split))
+    if est_splits * 2 <= par:
         return df.repartition(par)
     return df

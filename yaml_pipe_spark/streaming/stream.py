@@ -73,6 +73,54 @@ def run_streaming_pipeline(
     q.awaitTermination()
 
 
+def commit_band_state(df: DataFrame, state_dir: str, name: str = "bands"):
+    """Commit a band-state generation ATOMICALLY: write to a fresh
+    `{name}_v{k}` directory, then swap the single `{name}.current` pointer
+    file via os.replace (atomic on POSIX). A crash anywhere before the
+    pointer swap leaves the previous generation fully intact and current —
+    a plain `mode("overwrite")` on one directory would delete the standing
+    state before rewriting it, and a mid-write crash would truncate the
+    corpus's entire LSH state with no error on replay. The previous
+    generation is kept for one cycle (crash forensics), older ones are
+    GC'd. LOCAL FILESYSTEM ONLY (os/shutil pointer ops — the same
+    documented boundary as sinks.compact_parquet); production state tables
+    use a transactional format's commit instead."""
+    import os
+    import shutil
+
+    os.makedirs(state_dir, exist_ok=True)
+    vs = sorted(
+        (
+            d for d in os.listdir(state_dir)
+            if d.startswith(f"{name}_v") and d.split("_v")[-1].isdigit()
+        ),
+        key=lambda d: int(d.split("_v")[-1]),
+    )
+    nxt = (int(vs[-1].split("_v")[-1]) + 1) if vs else 1
+    target = f"{name}_v{nxt}"
+    df.write.mode("overwrite").parquet(os.path.join(state_dir, target))
+    tmp = os.path.join(state_dir, f".{name}.current.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(target)
+    os.replace(tmp, os.path.join(state_dir, f"{name}.current"))
+    for old in vs[:-1]:  # keep the direct predecessor, GC the rest
+        shutil.rmtree(os.path.join(state_dir, old), ignore_errors=True)
+
+
+def read_band_state(
+    spark: SparkSession, state_dir: str, name: str = "bands"
+) -> DataFrame | None:
+    """Resolve the `{name}.current` pointer; None if no state committed."""
+    import os
+
+    ptr = os.path.join(state_dir, f"{name}.current")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr, encoding="utf-8") as f:
+        version = f.read().strip()
+    return spark.read.parquet(os.path.join(state_dir, version))
+
+
 def run_incremental_dedup_stream(
     spark: SparkSession,
     input_dir: str,
@@ -96,17 +144,21 @@ def run_incremental_dedup_stream(
     the band state tracks what the corpus contains.
 
     State layout under `state_dir`:
-      bands/     the persisted (id, band_id, band_key) LSH state
+      bands_v{k}/ + bands.current   pointer-committed LSH state generations
+                                    (commit_band_state: write-new-then-swap,
+                                    never overwrite the live generation)
       corpus/    standing documents, hive-partitioned by __snap
       verdicts/  per-doc (id, dup_of, jaccard, reason), partitioned by __snap
 
     Idempotent rerun by construction: every batch derives its partition key
     __snap = min(id) from CONTENT (epoch ids are not stable across
     checkpoint resets), verdicts/corpus use dynamic partition overwrite, the
-    band merge supersedes by id, and incremental_minhash_dedup's verdicts
-    are stable when the corpus already contains the increment (the
-    re-shingle path excludes increment ids) — so a crash between any two
-    writes, followed by a replay of the batch, converges to the same state.
+    band state commits via atomic pointer swap (a crash mid-write leaves the
+    prior generation current and intact), the band merge supersedes by id,
+    and incremental_minhash_dedup's verdicts are stable when the corpus
+    already contains the increment (the re-shingle path excludes increment
+    ids) — so a crash between or during any writes, followed by a replay of
+    the batch, converges to the same state.
 
     Scale: per batch, ONE equi-join of the increment's bands against the
     band state and a candidate-scale verify — cost tracks the increment,
@@ -123,7 +175,6 @@ def run_incremental_dedup_stream(
         token_shingles,
     )
 
-    bands_path = os.path.join(state_dir, "bands")
     corpus_path = os.path.join(state_dir, "corpus")
     verdicts_path = os.path.join(state_dir, "verdicts")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -138,19 +189,21 @@ def run_incremental_dedup_stream(
             corpus = spark.read.parquet(corpus_path).select(id_col, text_col)
         else:
             corpus = batch.limit(0)
-        if os.path.isdir(bands_path):
-            state = spark.read.parquet(bands_path)
-        else:
-            state = lsh_band_table(
-                minhash_signatures(
-                    token_shingles(batch.limit(0), text_col, id_col, k),
-                    id_col,
-                    n_hashes,
-                ),
-                id_col,
-                n_hashes,
-                bands,
-            )
+        # the increment's shingles/bands are the dominant per-batch cost:
+        # compute them ONCE, feed the same frames to the dedup (verify +
+        # candidate generation) and to the state merge
+        shingles = token_shingles(
+            batch, text_col, id_col, k
+        ).localCheckpoint()
+        new_bands = lsh_band_table(
+            minhash_signatures(shingles, id_col, n_hashes),
+            id_col,
+            n_hashes,
+            bands,
+        ).localCheckpoint()
+        state = read_band_state(spark, state_dir)
+        if state is None:
+            state = new_bands.limit(0)
         verdicts = incremental_minhash_dedup(
             batch,
             state,
@@ -161,6 +214,8 @@ def run_incremental_dedup_stream(
             n_hashes=n_hashes,
             bands=bands,
             threshold=threshold,
+            new_shingles=shingles,
+            new_bands=new_bands,
         )
         (
             verdicts.withColumn("__snap", F.lit(snap))
@@ -174,18 +229,8 @@ def run_incremental_dedup_stream(
             .partitionBy("__snap")
             .parquet(corpus_path)
         )
-        new_bands = lsh_band_table(
-            minhash_signatures(
-                token_shingles(batch, text_col, id_col, k), id_col, n_hashes
-            ),
-            id_col,
-            n_hashes,
-            bands,
-        )
-        merged = merge_band_state(
-            state, new_bands, id_col, new_ids=batch
-        ).localCheckpoint()  # materialize before overwriting its own source
-        merged.write.mode("overwrite").parquet(bands_path)
+        merged = merge_band_state(state, new_bands, id_col, new_ids=batch)
+        commit_band_state(merged, state_dir)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
