@@ -554,3 +554,68 @@ def test_pq_distortion_is_narrow_jvm_map(spark):
     plan = _plan(_q("emb_pq_distortion", spark), "simple")
     assert "EvalPython" not in plan
     assert plan.count("Exchange") <= 2  # partial+final agg pair at most
+
+
+def test_analyze_column_stats_flip_filtered_dim_to_broadcast(spark):
+    """The table-statistics workflow at 100 TB: without stats, a SELECTIVE
+    filter on a physically-large dim is costed at full file size and the
+    join plans as SortMergeJoin; after ANALYZE ... FOR COLUMNS, CBO
+    estimates the filter's output and flips the same query to a broadcast
+    join. This is the operational reason a production deployment runs
+    ANALYZE after large loads — AQE can only rescue at runtime, the
+    static plan is stats-driven."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F2
+
+    import shutil
+
+    prev_cbo = spark.conf.get("spark.sql.cbo.enabled")
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # the in-memory catalog forgets tables across sessions but their
+    # warehouse directories persist — clear both forms
+    spark.sql("DROP TABLE IF EXISTS __cbo_dim")
+    spark.sql("DROP TABLE IF EXISTS __cbo_fact")
+    shutil.rmtree("spark-warehouse/__cbo_dim", ignore_errors=True)
+    shutil.rmtree("spark-warehouse/__cbo_fact", ignore_errors=True)
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "262144")
+        spark.range(0, 300_000).selectExpr(
+            "id AS k",
+            "id % 1000 AS grp",
+            "concat(md5(cast(id as string)), md5(cast(id+1 as string)))"
+            " AS name",
+        ).write.mode("overwrite").saveAsTable("__cbo_dim")
+        spark.range(0, 400_000).selectExpr(
+            "id", "id % 300000 AS k"
+        ).write.mode("overwrite").saveAsTable("__cbo_fact")
+
+        def shape():
+            dim = spark.table("__cbo_dim").filter("grp = 7")
+            q = (
+                spark.table("__cbo_fact")
+                .join(dim, "k")
+                .groupBy()
+                .agg(F2.count("*"))
+            )
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                q.explain("simple")
+            return buf.getvalue()
+
+        before = shape()
+        assert "SortMergeJoin" in before and "BroadcastHashJoin" not in before
+        spark.sql(
+            "ANALYZE TABLE __cbo_dim COMPUTE STATISTICS FOR COLUMNS "
+            "grp, k, name"
+        )
+        spark.sql("ANALYZE TABLE __cbo_fact COMPUTE STATISTICS")
+        after = shape()
+        assert "BroadcastHashJoin" in after
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
+        spark.sql("DROP TABLE IF EXISTS __cbo_dim")
+        spark.sql("DROP TABLE IF EXISTS __cbo_fact")

@@ -139,3 +139,40 @@ def test_spread_probe_classifies_both_directions(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
         spark.conf.set("spark.sql.files.openCostInBytes", prev_open)
+
+
+def test_canonicalize_url_is_idempotent_over_the_synthetic_space(spark):
+    """canonicalize(canonicalize(u)) == canonicalize(u) for every raw form
+    the registered query derives — canonical outputs must be fixed points
+    (a second pass through a normalizing proxy must not change them)."""
+    from yaml_pipe_spark.entrypoints import _URL_EXPR
+
+    urls = (
+        spark.range(0, 500)
+        .selectExpr("id AS doc_id")
+        .selectExpr(f"{_URL_EXPR} AS url")
+    )
+    once = urls.select(canonicalize_url(F.col("url")).alias("c1"))
+    twice = once.select(
+        "c1", canonicalize_url(F.col("c1")).alias("c2")
+    )
+    assert twice.filter(F.col("c1") != F.col("c2")).count() == 0
+
+
+def test_encoding_scrub_is_idempotent(spark):
+    """Scrubbing already-scrubbed text must flag nothing: the repaired
+    corpus is a fixed point of the repair."""
+    from yaml_pipe_spark.operators.quality import encoding_anomaly_scrub
+
+    rows = [
+        (1, "cafÃ© and donâ€™t and lost�bytes"),
+        (2, "price 100 with bell\x07"),
+        (3, "Ã¤rger twice Ã¤"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cleaned = encoding_anomaly_scrub(df, include_text=True).select(
+        "doc_id", F.col("cleaned_text").alias("text")
+    )
+    assert cleaned.count() == 3  # all three were flagged
+    again = encoding_anomaly_scrub(cleaned)
+    assert again.count() == 0

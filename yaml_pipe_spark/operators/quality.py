@@ -293,7 +293,10 @@ def _count_occurrences(col: Column, needle: str) -> Column:
 
 
 def encoding_anomaly_scrub(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    include_text: bool = False,
 ) -> DataFrame:
     """Detect and repair encoding damage: mojibake (double-encoded UTF-8,
     repaired via the pinned MOJIBAKE_MAP), U+FFFD replacement characters
@@ -325,6 +328,7 @@ def encoding_anomaly_scrub(
     cleaned = F.replace(cleaned, F.lit(NBSP), F.lit(" "))
     cleaned = F.replace(cleaned, F.lit(REPLACEMENT_CHAR), F.lit(""))
     cleaned = F.regexp_replace(cleaned, CONTROL_RE, "")
+    extra = [cleaned.alias("cleaned_text")] if include_text else []
     out = df.select(
         F.col(id_col),
         n_moji.alias("n_mojibake"),
@@ -332,6 +336,7 @@ def encoding_anomaly_scrub(
         n_nbsp.alias("n_nbsp"),
         n_ctrl.alias("n_control"),
         F.sha2(cleaned, 256).alias("cleaned_hash"),
+        *extra,
     )
     return out.filter(
         (F.col("n_mojibake") > 0)
