@@ -10441,6 +10441,224 @@ def q_quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("f1", F.round(f1, 4))
 
 
+@register(
+    "q2_ranking_metrics",
+    f"""
+WITH q AS (
+  SELECT vec_id AS qid, label AS expected, embedding AS qv
+  FROM embeddings WHERE vec_id < 20
+),
+scored AS (
+  SELECT q.qid, q.expected, e.vec_id, e.label,
+         round({_dk_cos('e.embedding', 'q.qv')}, 6) AS score
+  FROM embeddings e, q WHERE e.vec_id <> q.qid
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY score DESC, vec_id) AS rn
+  FROM scored
+),
+nrel AS (
+  SELECT q.qid, least(count(*), 10) AS n_rel
+  FROM q JOIN embeddings e
+    ON e.label = q.expected AND e.vec_id <> q.qid
+  GROUP BY q.qid
+),
+perq AS (
+  SELECT qid,
+         coalesce(max(CASE WHEN label = expected
+                           THEN 1.0 / rn END), 0.0) AS rr,
+         list_sum(list(CASE WHEN label = expected
+                            THEN 1.0 / log2(rn + 1) ELSE 0.0 END
+                       ORDER BY rn)) AS dcg,
+         sum(CASE WHEN label = expected THEN 1 ELSE 0 END) / 10.0 AS p10
+  FROM ranked WHERE rn <= 10 GROUP BY qid
+),
+m AS (
+  SELECT p.qid,
+         round(p.rr, 6) AS rr,
+         round(CASE WHEN n.n_rel = 0 THEN 0.0
+                    ELSE p.dcg / list_sum(list_transform(
+                      generate_series(1, CAST(n.n_rel AS BIGINT)),
+                      i -> 1.0 / log2(i + 1))) END, 6) AS ndcg,
+         round(p.p10, 6) AS p10
+  FROM perq p JOIN nrel n ON n.qid = p.qid
+)
+SELECT round(avg(rr), 4) AS mrr,
+       round(avg(ndcg), 4) AS ndcg_at_10,
+       round(avg(p10), 4) AS precision_at_10,
+       CAST(count(*) AS BIGINT) AS n_queries
+FROM m
+""",
+    "The standard IR metrics the reference's hit-rate eval "
+    "(core/evaluation.py:66-109) stops short of: MRR, NDCG@10, and "
+    "precision@10 of the exact cosine ranking against label relevance — "
+    "the numbers a retrieval deployment actually reports. Per-query DCG "
+    "is an ORDERED fold over the rank-sorted gain list in both engines "
+    "(ascending-rank left-to-right sum), ideal DCG uses the true per-"
+    "label relevant count capped at the cutoff, and every per-query "
+    "metric is rounded before the mean so boundary arithmetic is "
+    "engine-exact. One broadcast pair scan + one qid window — the same "
+    "plan family as q2_hitrate.",
+)
+def q_q2_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from yaml_pipe_spark.operators.similarity import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("expected"),
+        F.col("embedding").alias("qv"),
+    )
+    nn = knn_join(q, emb, k=10)
+    rel = (F.col("label") == F.col("expected")).cast("int")
+    perq = nn.groupBy("qid").agg(
+        F.coalesce(
+            F.max(F.when(rel == 1, 1.0 / F.col("rank"))), F.lit(0.0)
+        ).alias("rr"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("rank"),
+                        F.when(rel == 1, 1.0 / F.log2(F.col("rank") + 1))
+                        .otherwise(F.lit(0.0))
+                        .alias("g"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["g"],
+        ).alias("dcg"),
+        (F.sum(rel) / F.lit(10.0)).alias("p10"),
+    )
+    nrel = (
+        q.alias("q")
+        .join(
+            emb.alias("e"),
+            (F.col("e.label") == F.col("q.expected"))
+            & (F.col("e.vec_id") != F.col("q.qid")),
+        )
+        .groupBy("q.qid")
+        .agg(F.least(F.count("*"), F.lit(10)).alias("n_rel"))
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.col("n_rel").cast("long")),
+        F.lit(0.0),
+        lambda acc, i: acc + 1.0 / F.log2(i + 1),
+    )
+    m = perq.join(nrel, "qid").select(
+        F.round("rr", 6).alias("rr"),
+        F.round(
+            F.when(F.col("n_rel") == 0, F.lit(0.0)).otherwise(
+                F.col("dcg") / idcg
+            ),
+            6,
+        ).alias("ndcg"),
+        F.round("p10", 6).alias("p10"),
+    )
+    return m.agg(
+        F.round(F.avg("rr"), 4).alias("mrr"),
+        F.round(F.avg("ndcg"), 4).alias("ndcg_at_10"),
+        F.round(F.avg("p10"), 4).alias("precision_at_10"),
+        F.count("*").cast("long").alias("n_queries"),
+    )
+
+
+@register(
+    "dedup_lsh_scurve",
+    f"""
+WITH {_DK_SHINGLES},
+{_DK_DF_CUT},
+sigs AS (SELECT doc_id, {_DK_SIGS} FROM shingles GROUP BY doc_id),
+buckets0 AS ({_DK_BUCKETS}),
+buckets AS (
+  SELECT doc_id, band_id, band_key FROM (
+    SELECT *, count(*) OVER (PARTITION BY band_id, band_key) AS bn
+    FROM buckets0
+  ) WHERE bn <= 10000
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a
+  JOIN buckets b ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM shf a
+  JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.id_a, i.id_b,
+         round(i.inter / (sa.n + sb.n - i.inter), 4) AS j
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+),
+dec AS (
+  SELECT p.id_a, p.id_b, p.j,
+         CAST(least(floor(p.j * 10), 9) AS BIGINT) AS decile,
+         round(1 - pow(1 - pow(p.j, 4), 4), 6) AS theory,
+         CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_cand
+  FROM pairs p
+  LEFT JOIN cands c ON c.id_a = p.id_a AND c.id_b = p.id_b
+)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(is_cand) AS BIGINT) AS n_candidates,
+       round(avg(CAST(is_cand AS DOUBLE)), 4) AS measured_rate,
+       round(avg(theory), 4) AS theory_rate
+FROM dec GROUP BY decile
+""",
+    "The MinHash-LSH S-curve, measured against its closed form: for every "
+    "shingle-sharing pair (the exact inverted-index pair set), the "
+    "probability the banding scheme (16 signatures, 4 bands of 4 rows) "
+    "surfaces it as a candidate is theoretically 1-(1-j^4)^4; this audit "
+    "buckets pairs by jaccard decile and reports measured candidate rate "
+    "next to the mean theoretical rate — the textbook figure (MMDS "
+    "ch. 3) as an oracled table, and the design justification behind "
+    "dedup_minhash_band_curve's banding budget. Shares the dedup "
+    "family's staged shapes: one shingle frame, one inverted-index pair "
+    "join (df-cut on), one banded self-join, then a decile rollup.",
+)
+def q_dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.dedup import (
+        exact_jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        token_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = token_shingles(docs, "text", "doc_id").localCheckpoint()
+    pairs = exact_jaccard_pairs(shingles)
+    cands = lsh_candidate_pairs(
+        minhash_signatures(shingles), "doc_id", 16, 4
+    ).withColumn("__c", F.lit(1))
+    dec = pairs.join(cands, ["id_a", "id_b"], "left").select(
+        F.least(F.floor(F.col("jaccard") * 10), F.lit(9))
+        .cast("long")
+        .alias("decile"),
+        F.round(
+            1 - F.pow(1 - F.pow(F.col("jaccard"), 4), 4), 6
+        ).alias("theory"),
+        F.coalesce(F.col("__c"), F.lit(0)).alias("is_cand"),
+    )
+    return dec.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("is_cand").cast("long").alias("n_candidates"),
+        F.round(F.avg(F.col("is_cand").cast("double")), 4).alias(
+            "measured_rate"
+        ),
+        F.round(F.avg("theory"), 4).alias("theory_rate"),
+    )
+
+
 # The round driver validates a *prefix* of the queries() dict (each round
 # records exactly the first 50 entries in insertion order). Round 6 rotation,
 # in priority order:
@@ -10484,6 +10702,8 @@ DRIVER_ORDER: list[str] = [
     "sql_udtf_chunk",             # registered Python UDTF surface
     "stream_ann_serve",           # streamed serve off the persisted index
     "quality_score_calibration",  # rule->score distillation curve
+    "q2_ranking_metrics",         # MRR / NDCG@10 / P@10 eval metrics
+    "dedup_lsh_scurve",           # banding S-curve: theory vs measured
     # -- (3) code or oracle CHANGED in round 6 --
     "dedup_incremental_minhash",  # ADVICE: rerun re-shingle exclusion
     "text_bpe_encode",            # ADVICE: NULL lang -> 'und' sentinel
@@ -10516,11 +10736,10 @@ DRIVER_ORDER: list[str] = [
     "rel_nation_balance_fulljoin",
     "rel_price_histogram",
     "rel_sales_opportunity",
-    "rel_small_qty_revenue",
-    "rel_waiting_suppliers",
 ]
-# Still r2-generation after round 6 (displaced by the five 6b/6c queries —
+# Still r2-generation after round 6 (displaced by the 6b/6c/6d queries —
 # new code outranks refresh — or never fitting the 50 slots):
+# rel_small_qty_revenue, rel_waiting_suppliers,
 # stream_dedup_first_arrival, stream_interval_join, stream_session_window,
 # stream_stateful_counter, stream_static_enrich, stream_tumbling_agg,
 # text_blocklist_filter, text_pii_redact, text_shared_ngrams,
