@@ -251,3 +251,46 @@ def test_centroid_change_marks_index_stale(spark, tmp_path):
     assert store.is_stale(corpus, centroids=new_cents) is True
     # and without the centroids argument the check is corpus-only
     assert store.is_stale(corpus) is False
+
+
+def test_append_equals_full_rebuild_and_fingerprint_composes(
+    spark, tmp_path
+):
+    """Incremental maintenance: build on 40 vectors + append 20 must serve
+    IDENTICALLY to a full build on all 60, and the XOR fingerprint must
+    compose so is_stale(full corpus) is False after the append chain."""
+    corpus, cents, qs = _frames(spark)
+    head = corpus.filter(F.col("vec_id") < 40)
+    tail1 = corpus.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 50))
+    tail2 = corpus.filter(F.col("vec_id") >= 50)
+
+    inc_store = IvfPqIndexStore(str(tmp_path / "inc"))
+    inc_store.build(head, cents)
+    inc_store.append(tail1)
+    inc_store.append(tail2)
+    full_store = IvfPqIndexStore(str(tmp_path / "full"))
+    full_store.build(corpus, cents)
+
+    got = sorted(
+        tuple(r)
+        for r in inc_store.serve(qs, k=5, nprobe=2, rerank_m=20)
+        .select("qid", "rank", "vec_id", "score")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in full_store.serve(qs, k=5, nprobe=2, rerank_m=20)
+        .select("qid", "rank", "vec_id", "score")
+        .collect()
+    )
+    assert got == want and len(got) > 0
+    # fingerprint composition: the appended index IS the full corpus
+    assert inc_store.is_stale(corpus) is False
+    assert inc_store.is_stale(corpus, centroids=cents) is False
+    # and a genuinely different corpus still reads stale
+    assert inc_store.is_stale(head) is True
+
+    # append before build is an error, not a silent partial index
+    empty_store = IvfPqIndexStore(str(tmp_path / "none"))
+    with pytest.raises(ValueError):
+        empty_store.append(tail1)

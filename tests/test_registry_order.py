@@ -37,6 +37,7 @@ ROUND6_MUST_FRONT: set[str] = ROUND6_QUEUE | {
     "quality_score_calibration",   # rule->score distillation curve
     "q2_ranking_metrics",          # MRR / NDCG@10 / P@10 eval metrics
     "dedup_lsh_scurve",            # banding S-curve theory-vs-measured
+    "ann_index_incremental",       # append-only ANN index maintenance
     # changed code/oracle (ADVICE r5 fixes + audit-drift rewrites)
     "dedup_incremental_minhash",
     "text_bpe_encode",
@@ -71,12 +72,12 @@ ROUND2_REFRESH_NOW: set[str] = {
     "multimodal_decode_check",
     "rel_nation_balance_fulljoin",
     "rel_price_histogram",
-    "rel_sales_opportunity",
 }
 
 # Still r2-generation after round 6 (did not fit the 50 slots) — front these
 # in ROUND 7 before anything merely stale from r3.
 ROUND7_QUEUE: set[str] = {
+    "rel_sales_opportunity",
     "rel_small_qty_revenue",
     "rel_waiting_suppliers",
     "stream_dedup_first_arrival",

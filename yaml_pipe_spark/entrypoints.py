@@ -10659,6 +10659,60 @@ def q_dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_index_incremental",
+    ANN_INDEX_PERSISTED_ORACLE,
+    "Incremental ANN index maintenance (IvfPqIndexStore.append) — the "
+    "daily-increment mode that completes the build/serve split: the index "
+    "is built on the standing 80% of vectors, the last 20% arrive as an "
+    "increment that is assigned + 2-bit-encoded against the PERSISTED "
+    "centroids only (no corpus rescan) and appended into the existing "
+    "cid partitions; the corpus fingerprint composes incrementally "
+    "because it is a bit_xor fold (order-free over disjoint row sets), so "
+    "staleness stays exact across append chains. Serving the appended "
+    "index is value-identical to a full rebuild (unit-pinned), so the "
+    "oracle is the persisted-index oracle unchanged. Centroids are "
+    "frozen by contract — a coarse-quantizer refit must rebuild "
+    "(enforced by the centroid fingerprint).",
+)
+def q_ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from yaml_pipe_spark.operators.ann_index import IvfPqIndexStore
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    corp = emb.filter(F.col("vec_id") >= 20).select("vec_id", "embedding")
+    cents = emb.filter(
+        (F.col("vec_id") >= 20) & (F.col("vec_id") < 28)
+    ).select(
+        (F.col("vec_id") - 20).alias("cid"), F.col("embedding").alias("cv")
+    )
+    split = corp.agg(
+        F.floor(0.8 * F.max("vec_id")).cast("long").alias("__s")
+    )
+    staged = corp.crossJoin(F.broadcast(split))
+    standing = staged.filter(F.col("vec_id") < F.col("__s")).select(
+        "vec_id", "embedding"
+    )
+    increment = staged.filter(F.col("vec_id") >= F.col("__s")).select(
+        "vec_id", "embedding"
+    )
+    base = os.path.join(
+        "spark-warehouse",
+        f"ann_ivfpq_inc_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)  # exercise the full chain
+    store = IvfPqIndexStore(base)
+    store.build(standing, cents)
+    store.append(increment)
+    assert store.is_stale(corp) is False  # the XOR fingerprint composed
+    return store.serve(q, k=5, nprobe=2, rerank_m=20)
+
+
 # The round driver validates a *prefix* of the queries() dict (each round
 # records exactly the first 50 entries in insertion order). Round 6 rotation,
 # in priority order:
@@ -10704,6 +10758,7 @@ DRIVER_ORDER: list[str] = [
     "quality_score_calibration",  # rule->score distillation curve
     "q2_ranking_metrics",         # MRR / NDCG@10 / P@10 eval metrics
     "dedup_lsh_scurve",           # banding S-curve: theory vs measured
+    "ann_index_incremental",      # append-only ANN index maintenance
     # -- (3) code or oracle CHANGED in round 6 --
     "dedup_incremental_minhash",  # ADVICE: rerun re-shingle exclusion
     "text_bpe_encode",            # ADVICE: NULL lang -> 'und' sentinel
@@ -10735,11 +10790,10 @@ DRIVER_ORDER: list[str] = [
     "multimodal_decode_check",
     "rel_nation_balance_fulljoin",
     "rel_price_histogram",
-    "rel_sales_opportunity",
 ]
 # Still r2-generation after round 6 (displaced by the 6b/6c/6d queries —
 # new code outranks refresh — or never fitting the 50 slots):
-# rel_small_qty_revenue, rel_waiting_suppliers,
+# rel_sales_opportunity, rel_small_qty_revenue, rel_waiting_suppliers,
 # stream_dedup_first_arrival, stream_interval_join, stream_session_window,
 # stream_stateful_counter, stream_static_enrich, stream_tumbling_agg,
 # text_blocklist_filter, text_pii_redact, text_shared_ngrams,

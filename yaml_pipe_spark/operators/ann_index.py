@@ -214,6 +214,74 @@ class IvfPqIndexStore:
         self.build(corpus, centroids, version)
         return True
 
+    def append(
+        self, increment: DataFrame, version: str | None = None
+    ) -> None:
+        """Incremental index maintenance — the daily-increment mode: assign
+        + encode ONLY the increment against the PERSISTED centroids and
+        append its code/vector rows into the existing tables; no corpus
+        rescan, no rebuild. Cost tracks the increment, exactly like
+        incremental_minhash_dedup on the text side.
+
+        The corpus fingerprint updates INCREMENTALLY and stays exact:
+        count adds and the content hash is a bit_xor fold, which is
+        order-free and composes over disjoint row sets — after any append
+        chain, is_stale(full_corpus) still compares equal iff the indexed
+        rows are exactly the corpus rows. (This is why the fingerprint is
+        XOR, not a sum.)
+
+        Contract: increment ids must be NEW — appending an already-indexed
+        id duplicates its rows (and flips its hash back OUT of the
+        fingerprint, so the next is_stale correctly reports the corruption
+        rather than masking it). Re-ingestion of changed rows goes through
+        build(). Centroids are frozen by design: a coarse-quantizer refit
+        invalidates every code and must rebuild (is_stale's centroid
+        fingerprint enforces this).
+        """
+        spark = increment.sparkSession
+        meta = self._read_meta(spark)
+        if meta is None:
+            raise ValueError("append() requires an existing index; build() first")
+        centroids = spark.read.parquet(self.centroids_path)
+        inc = increment.select(self.id_col, self.vec_col)
+        coded = ivf_assign(
+            inc,
+            centroids,
+            self.vec_col,
+            self.id_col,
+            self.cid_col,
+            self.cvec_col,
+            self.score_decimals,
+        ).select(
+            self.id_col,
+            self.cid_col,
+            sq2_codes(F.col(self.vec_col)).alias("code"),
+        )
+        coded.write.mode("append").partitionBy(self.cid_col).parquet(
+            self.codes_path
+        )
+        inc.write.mode("append").parquet(self.vectors_path)
+        if meta["fp_n"] >= 0:
+            n, h = self._fp_of(inc, self.id_col, self.vec_col)
+            fp_n, fp_h = meta["fp_n"] + n, meta["fp_h"] ^ h
+        else:
+            fp_n, fp_h = -1, -1  # version-managed index stays version-managed
+        spark.createDataFrame(
+            [
+                (
+                    fp_n,
+                    fp_h,
+                    meta["cfp_n"],
+                    meta["cfp_h"],
+                    version if version is not None else meta["version"],
+                    self.scale,
+                    self.score_decimals,
+                )
+            ],
+            "fp_n long, fp_h long, cfp_n long, cfp_h long, version string, "
+            "scale int, score_decimals int",
+        ).coalesce(1).write.mode("overwrite").parquet(self.meta_path)
+
     # -- serve ----------------------------------------------------------
     def serve(
         self,
