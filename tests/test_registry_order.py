@@ -77,6 +77,13 @@ ROUND2_REFRESH_NOW: set[str] = {
 # Still r2-generation after round 6 (did not fit the 50 slots) — front these
 # in ROUND 7 before anything merely stale from r3.
 ROUND7_QUEUE: set[str] = {
+    # registered after round 6's 50-slot prefix was spent (6e wave) —
+    # locally oracle-parity green, need driver rows in round 7
+    "text_bloom_decontaminate",
+    "corpus_snapshot_psi",
+    "layout_zorder_locality",
+    "dedup_canonical_quality",
+    # displaced round-2-generation refresh rows
     "rel_sales_opportunity",
     "rel_small_qty_revenue",
     "rel_waiting_suppliers",
