@@ -83,6 +83,10 @@ ROUND7_QUEUE: set[str] = {
     "corpus_snapshot_psi",
     "layout_zorder_locality",
     "dedup_canonical_quality",
+    # 6f wave: lexical retrieval + snapshot ops
+    "q3_bm25_topk",
+    "q3_hybrid_rrf",
+    "corpus_snapshot_churn",
     # displaced round-2-generation refresh rows
     "rel_sales_opportunity",
     "rel_small_qty_revenue",

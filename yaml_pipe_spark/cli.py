@@ -282,6 +282,12 @@ AUDIT_QUERIES: dict[str, str] = {
     "quality_calibration": "quality_score_calibration",
     "nprobe_curve": "ann_ivf_nprobe_curve",
     "band_curve": "dedup_minhash_band_curve",
+    # 6e/6f additions
+    "bloom_fp": "text_bloom_decontaminate",
+    "snapshot_psi": "corpus_snapshot_psi",
+    "zorder_locality": "layout_zorder_locality",
+    "snapshot_churn": "corpus_snapshot_churn",
+    "self_retrieval": "q3_bm25_topk",
 }
 
 

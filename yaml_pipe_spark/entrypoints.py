@@ -11343,6 +11343,307 @@ def q_dedup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Lexical-retrieval core shared by q3_bm25_topk and q3_hybrid_rrf (and their
+# oracles): token stats, tf-idf-selected pseudo-queries (the top-3 most
+# discriminative terms of every 97th doc — known-item search, so the source
+# doc's self-retrieval rank is a built-in sanity signal), and the candidate
+# grid of docs sharing at least one query term with tf=0 rows preserved
+# (query-likelihood needs the smoothing-only contribution of absent terms).
+_DK_RETRIEVAL_CORE = r"""toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\p{L}+')) AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+cf AS (SELECT tok, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY 1),
+ctot AS (SELECT sum(dl) AS c FROM dl),
+qtf AS (
+  SELECT tf.doc_id AS qid, tf.tok, tf.tf,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * ln(s.n_docs * 1.0 / c.df) DESC, tf.tok
+         ) AS rn
+  FROM tf JOIN cf c USING (tok) CROSS JOIN stats s
+  WHERE tf.doc_id % 97 = 0 AND len(tf.tok) >= 4
+),
+qterms AS (SELECT qid, tok FROM qtf WHERE rn <= 3),
+cand AS (SELECT DISTINCT q.qid, t.doc_id FROM qterms q JOIN tf t USING (tok)),
+grid AS (SELECT c.qid, c.doc_id, q.tok FROM cand c JOIN qterms q USING (qid)),
+g AS (
+  SELECT grid.qid, grid.doc_id, grid.tok, coalesce(t.tf, 0) AS tf
+  FROM grid LEFT JOIN tf t
+    ON grid.doc_id = t.doc_id AND grid.tok = t.tok
+),
+sc AS (
+  SELECT g.qid, g.doc_id,
+         sum(ln(1 + (s.n_docs - c.df + 0.5) / (c.df + 0.5))
+             * g.tf * 2.2
+             / (g.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS bm25,
+         sum(ln((g.tf + 300.0 * c.cf / ct.c) / (d.dl + 300.0))) AS ql
+  FROM g
+  JOIN dl d ON g.doc_id = d.doc_id
+  JOIN cf c ON g.tok = c.tok
+  CROSS JOIN stats s CROSS JOIN ctot ct
+  GROUP BY 1, 2
+)"""
+
+
+@register(
+    "q3_bm25_topk",
+    f"""
+WITH {_DK_RETRIEVAL_CORE},
+r AS (SELECT qid, doc_id, round(bm25, 4) AS score FROM sc),
+rk AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM r
+)
+SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, score,
+       CAST(CASE WHEN doc_id = qid THEN 1 ELSE 0 END AS BIGINT) AS is_self
+FROM rk WHERE rank <= 10
+""",
+    "BM25 top-10 lexical retrieval (Robertson/Sparck Jones; the Lucene "
+    "ln(1+(N-df+0.5)/(df+0.5)) idf and k1=1.2/b=0.75 length-normalized "
+    "tf) — the lexical side every RAG stack runs next to its vector "
+    "index. Pseudo-queries are each 97th doc's top-3 tf-idf terms, so "
+    "posting lists stay short by construction and the source doc's "
+    "self-retrieval flag is a built-in relevance sanity check. Plan: "
+    "ONE token shuffle feeds tf/dl/df/cf as an exchange-reuse diamond; "
+    "scoring touches only the inverted-index candidates (docs sharing "
+    "a query term), never the corpus; scores round before ranking so "
+    "rank membership is engine-exact. At 100 TB this is the "
+    "impact-ordered posting join: candidates ~ sum of 3 short posting "
+    "lists per query, top-k per query is a bounded window.",
+)
+def q_q3_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from yaml_pipe_spark.operators.retrieval import bm25_ql_scores
+
+    sc = bm25_ql_scores(load_table(spark, sf_dir, "documents"))
+    r = sc.select("qid", "doc_id", F.round("bm25", 4).alias("score"))
+    rk = r.withColumn(
+        "rank",
+        F.row_number()
+        .over(W.partitionBy("qid").orderBy(F.desc("score"), "doc_id"))
+        .cast("long"),
+    )
+    return rk.filter(F.col("rank") <= 10).select(
+        "qid",
+        "rank",
+        "doc_id",
+        "score",
+        (F.col("doc_id") == F.col("qid")).cast("long").alias("is_self"),
+    )
+
+
+@register(
+    "q3_hybrid_rrf",
+    f"""
+WITH {_DK_RETRIEVAL_CORE},
+rb AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(bm25, 4) DESC, doc_id) AS r_bm25
+  FROM sc
+),
+rq AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(ql, 4) DESC, doc_id) AS r_ql
+  FROM sc
+),
+fused AS (
+  SELECT rb.qid, rb.doc_id, rb.r_bm25, rq.r_ql,
+         round(1.0 / (60 + rb.r_bm25) + 1.0 / (60 + rq.r_ql), 6) AS rrf
+  FROM rb JOIN rq ON rb.qid = rq.qid AND rb.doc_id = rq.doc_id
+),
+rk AS (
+  SELECT qid, doc_id, r_bm25, r_ql, rrf,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY rrf DESC, doc_id) AS rank
+  FROM fused
+)
+SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id,
+       CAST(r_bm25 AS BIGINT) AS r_bm25, CAST(r_ql AS BIGINT) AS r_ql, rrf
+FROM rk WHERE rank <= 10
+""",
+    "Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009, "
+    "k=60) of two lexical systems over one candidate pool: BM25 and a "
+    "Dirichlet-smoothed query-likelihood LM (mu=300; absent query terms "
+    "contribute their smoothing-only mass, which is why the candidate "
+    "grid keeps tf=0 rows). RRF fuses RANKS, not scores, so the two "
+    "incomparable score scales need no calibration — the same fusion "
+    "production stacks use for lexical+vector hybrid (swap either arm "
+    "for ann_index_persisted's serve to get that). Both rankings come "
+    "off ONE shared scoring aggregate (exchange reuse), ranks are "
+    "integer-exact, and the fused top-10 is a bounded per-query window.",
+)
+def q_q3_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from yaml_pipe_spark.operators.retrieval import bm25_ql_scores
+
+    sc = bm25_ql_scores(load_table(spark, sf_dir, "documents"))
+    rb = sc.withColumn(
+        "r_bm25",
+        F.row_number().over(
+            W.partitionBy("qid").orderBy(
+                F.desc(F.round("bm25", 4)), F.col("doc_id")
+            )
+        ),
+    )
+    both = rb.withColumn(
+        "r_ql",
+        F.row_number().over(
+            W.partitionBy("qid").orderBy(
+                F.desc(F.round("ql", 4)), F.col("doc_id")
+            )
+        ),
+    )
+    fused = both.select(
+        "qid",
+        "doc_id",
+        "r_bm25",
+        "r_ql",
+        F.round(
+            1.0 / (60 + F.col("r_bm25")) + 1.0 / (60 + F.col("r_ql")), 6
+        ).alias("rrf"),
+    )
+    rk = fused.withColumn(
+        "rank",
+        F.row_number()
+        .over(W.partitionBy("qid").orderBy(F.desc("rrf"), "doc_id"))
+        .cast("long"),
+    )
+    return rk.filter(F.col("rank") <= 10).select(
+        "qid",
+        "rank",
+        "doc_id",
+        F.col("r_bm25").cast("long").alias("r_bm25"),
+        F.col("r_ql").cast("long").alias("r_ql"),
+        "rrf",
+    )
+
+
+@register(
+    "corpus_snapshot_churn",
+    """
+WITH b0 AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 13 = 0
+              THEN substr(text, 1, greatest(len(text) - 7, 1)) || ' [rev2]'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 17 <> 0
+),
+b AS (
+  SELECT doc_id, source, text FROM b0
+  UNION ALL
+  SELECT doc_id + 1000000, source, text FROM documents WHERE doc_id % 19 = 0
+),
+d AS (
+  SELECT coalesce(a.source, b.source) AS source,
+         CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+),
+per AS (
+  SELECT source,
+         sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS n_added,
+         sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS n_removed,
+         sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS n_changed,
+         sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)
+           AS n_unchanged
+  FROM d GROUP BY 1
+)
+SELECT source,
+       CAST(n_added AS BIGINT) AS n_added,
+       CAST(n_removed AS BIGINT) AS n_removed,
+       CAST(n_changed AS BIGINT) AS n_changed,
+       CAST(n_unchanged AS BIGINT) AS n_unchanged,
+       round((n_added + n_removed + n_changed) * 1.0
+             / (n_added + n_removed + n_changed + n_unchanged), 4)
+         AS churn_rate
+FROM per GROUP BY 1, 2, 3, 4, 5, 6
+""",
+    "Snapshot-diff churn accounting — the daily ops report between two "
+    "corpus snapshots (operators/state.py::has_changed generalized from "
+    "a changed-only anti-join to the full 3-way diff): ONE full-outer "
+    "hash join on doc_id classifies every doc added / removed / changed "
+    "(content-hash compare) / unchanged, rolled up per source with a "
+    "churn rate. Snapshot B is derived deterministically (every 17th "
+    "doc deleted, every 13th revised, every 19th re-keyed as new) so "
+    "both engines diff identical inputs. At 100 TB this is one "
+    "co-partitionable join on the primary key — the cheap daily check "
+    "that catches a silently truncated crawl before it trains.",
+)
+def q_corpus_snapshot_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    revised = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(
+            F.substring(
+                "text", 1, F.greatest(F.length("text") - 7, F.lit(1))
+            ),
+            F.lit(" [rev2]"),
+        ),
+    ).otherwise(F.col("text"))
+    b0 = docs.filter(F.col("doc_id") % 17 != 0).select(
+        "doc_id", "source", revised.alias("text")
+    )
+    added = docs.filter(F.col("doc_id") % 19 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "source", "text"
+    )
+    b = b0.unionAll(added)
+    a = docs.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("source").alias("a_source"),
+        F.md5("text").alias("a_h"),
+    )
+    bb = b.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("source").alias("b_source"),
+        F.md5("text").alias("b_h"),
+    )
+    d = a.join(bb, a.a_id == bb.b_id, "full_outer").select(
+        F.coalesce("a_source", "b_source").alias("source"),
+        F.when(F.col("a_id").isNull(), F.lit("added"))
+        .when(F.col("b_id").isNull(), F.lit("removed"))
+        .when(F.col("a_h") != F.col("b_h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+    per = d.groupBy("source").agg(
+        F.sum((F.col("status") == "added").cast("long")).alias("n_added"),
+        F.sum((F.col("status") == "removed").cast("long")).alias(
+            "n_removed"
+        ),
+        F.sum((F.col("status") == "changed").cast("long")).alias(
+            "n_changed"
+        ),
+        F.sum((F.col("status") == "unchanged").cast("long")).alias(
+            "n_unchanged"
+        ),
+    )
+    moved = F.col("n_added") + F.col("n_removed") + F.col("n_changed")
+    return per.select(
+        "source",
+        "n_added",
+        "n_removed",
+        "n_changed",
+        "n_unchanged",
+        F.round(moved / (moved + F.col("n_unchanged")), 4).alias(
+            "churn_rate"
+        ),
+    )
+
+
 # The round driver validates a *prefix* of the queries() dict (each round
 # records exactly the first 50 entries in insertion order). Round 6 rotation,
 # in priority order:
