@@ -87,6 +87,10 @@ ROUND7_QUEUE: set[str] = {
     "q3_bm25_topk",
     "q3_hybrid_rrf",
     "corpus_snapshot_churn",
+    # 6g wave: graph centrality + persisted lexical index
+    "graph_pagerank_centrality",
+    "q3_bm25_index_persisted",
+    "q3_hybrid_lexical_vector",
     # displaced round-2-generation refresh rows
     "rel_sales_opportunity",
     "rel_small_qty_revenue",

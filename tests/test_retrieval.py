@@ -80,3 +80,68 @@ def test_bm25_tf0_rows_do_not_score(spark):
     row = sc[(sc.qid == 97) & (sc.doc_id == 5)]
     assert len(row) == 1 and float(row.bm25.iloc[0]) > 0
     assert float(row.ql.iloc[0]) < 0
+
+
+class TestBm25IndexStore:
+    def _docs(self, spark, n=30):
+        words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+        rows = [
+            (i, " ".join(words[(i + j) % len(words)] for j in range(8)))
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_append_serve_equals_full_rebuild(self, spark, tmp_path):
+        """Every persisted statistic is additive, so build(80)+append(20)
+        must serve byte-identical rankings to build(100)."""
+        from yaml_pipe_spark.operators.retrieval import Bm25IndexStore
+
+        docs = self._docs(spark)
+        full = Bm25IndexStore(str(tmp_path / "full"))
+        full.build(docs)
+        inc = Bm25IndexStore(str(tmp_path / "inc"))
+        inc.build(docs.filter("doc_id < 24"))
+        inc.append(docs.filter("doc_id >= 24"))
+        a = sorted(map(tuple, full.serve(k=10).collect()))
+        b = sorted(map(tuple, inc.serve(k=10).collect()))
+        assert a == b and len(a) > 0
+        assert inc.is_stale(docs) is False
+
+    def test_staleness_and_amortization(self, spark, tmp_path):
+        from yaml_pipe_spark.operators.retrieval import Bm25IndexStore
+
+        docs = self._docs(spark)
+        st = Bm25IndexStore(str(tmp_path / "ix"))
+        assert st.is_stale(docs) is True  # no index yet
+        assert st.build_if_stale(docs) is True
+        assert st.build_if_stale(docs) is False  # fingerprint fresh
+        changed = docs.withColumn(
+            "text", F.concat_ws(" ", "text", "text")
+        )
+        assert st.is_stale(changed) is True
+
+    def test_half_appended_crash_reads_stale(self, spark, tmp_path):
+        """If append dies between the tf write and the meta stamp, the
+        fingerprint no longer matches the full corpus -> is_stale is True
+        and the caller's clean-rebuild path fires (never double-appends)."""
+        from yaml_pipe_spark.operators.retrieval import (
+            Bm25IndexStore,
+            _index_frames,
+        )
+
+        docs = self._docs(spark)
+        st = Bm25IndexStore(str(tmp_path / "ix"))
+        st.build(docs.filter("doc_id < 24"))
+        # simulate the crash: tf rows of the increment land, meta does not
+        tf_i, _ = _index_frames(docs.filter("doc_id >= 24"))
+        tf_i.write.mode("append").parquet(st.tf_path)
+        assert st.is_stale(docs) is True
+
+    def test_version_skips_fingerprint_scan(self, spark, tmp_path):
+        from yaml_pipe_spark.operators.retrieval import Bm25IndexStore
+
+        docs = self._docs(spark)
+        st = Bm25IndexStore(str(tmp_path / "ix"))
+        st.build(docs, version="snap-1")
+        assert st.is_stale(docs, version="snap-1") is False
+        assert st.is_stale(docs, version="snap-2") is True

@@ -11343,15 +11343,19 @@ def q_dedup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Lexical-retrieval core shared by q3_bm25_topk and q3_hybrid_rrf (and their
-# oracles): token stats, tf-idf-selected pseudo-queries (the top-3 most
+# Lexical-retrieval core shared by q3_bm25_topk / q3_hybrid_rrf /
+# q3_bm25_index_persisted / q3_hybrid_lexical_vector (and their oracles):
+# token stats, tf-idf-selected pseudo-queries (the top-3 most
 # discriminative terms of every 97th doc — known-item search, so the source
 # doc's self-retrieval rank is a built-in sanity signal), and the candidate
 # grid of docs sharing at least one query term with tf=0 rows preserved
 # (query-likelihood needs the smoothing-only contribution of absent terms).
-_DK_RETRIEVAL_CORE = r"""toks AS (
-  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\p{L}+')) AS tok
-  FROM documents
+# `src` parametrizes the corpus (the hybrid query restricts documents to
+# the embedded subset so both arms rank the same universe).
+def _dk_retrieval_core(src: str = "documents") -> str:
+    return rf"""toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\p{{L}}+')) AS tok
+  FROM {src}
 ),
 tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
 dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
@@ -11387,6 +11391,9 @@ sc AS (
   CROSS JOIN stats s CROSS JOIN ctot ct
   GROUP BY 1, 2
 )"""
+
+
+_DK_RETRIEVAL_CORE = _dk_retrieval_core()
 
 
 @register(
@@ -11641,6 +11648,296 @@ def q_corpus_snapshot_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(moved / (moved + F.col("n_unchanged")), 4).alias(
             "churn_rate"
         ),
+    )
+
+
+@register(
+    "graph_pagerank_centrality",
+    f"""
+WITH {_SIMHASH_PAIR_CTES},
+p AS (SELECT id_a, id_b FROM ham WHERE hamming <= 3),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM p
+  UNION
+  SELECT id_b AS a, id_a AS b FROM p
+),
+deg AS (SELECT a AS node, count(*) AS deg FROM edges GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM deg),
+pr0 AS (SELECT node, deg, 1.0 / n AS pr FROM deg, nn),
+it1 AS (
+  SELECT e.b AS node, sum(p.pr / p.deg) AS s
+  FROM edges e JOIN pr0 p ON e.a = p.node GROUP BY 1
+),
+pr1 AS (
+  SELECT d.node, d.deg,
+         {1.0 - 0.85!r} / nn.n + 0.85 * coalesce(it1.s, 0.0) AS pr
+  FROM deg d CROSS JOIN nn LEFT JOIN it1 ON d.node = it1.node
+),
+it2 AS (
+  SELECT e.b AS node, sum(p.pr / p.deg) AS s
+  FROM edges e JOIN pr1 p ON e.a = p.node GROUP BY 1
+),
+pr2 AS (
+  SELECT d.node, d.deg,
+         {1.0 - 0.85!r} / nn.n + 0.85 * coalesce(it2.s, 0.0) AS pr
+  FROM deg d CROSS JOIN nn LEFT JOIN it2 ON d.node = it2.node
+),
+it3 AS (
+  SELECT e.b AS node, sum(p.pr / p.deg) AS s
+  FROM edges e JOIN pr2 p ON e.a = p.node GROUP BY 1
+),
+pr3 AS (
+  SELECT d.node, d.deg,
+         {1.0 - 0.85!r} / nn.n + 0.85 * coalesce(it3.s, 0.0) AS pr
+  FROM deg d CROSS JOIN nn LEFT JOIN it3 ON d.node = it3.node
+)
+SELECT node AS doc_id, CAST(deg AS BIGINT) AS degree,
+       round(pr, 6) AS pagerank
+FROM pr3
+""",
+    "PageRank centrality over the SimHash near-dup graph "
+    "(operators/graph.py) — the canonical-template detector on top of "
+    "cluster resolution: a boilerplate page cloned across many hosts "
+    "accumulates centrality mass a raw degree count under-ranks, and "
+    "sorting clusters by their most-central member surfaces the "
+    "template worth blocklisting at the source. Three fixed damped "
+    "iterations (d=0.85; every node of the undirected graph has "
+    "degree >= 1, so no dangling-mass term), each ONE join + ONE "
+    "aggregate shuffle with lineage cut per round — the same "
+    "iterative-loop discipline as connected_components, and at 100 TB "
+    "the same cost shape: proportional to the PAIR graph, which the "
+    "banding guards keep orders of magnitude below the corpus. The "
+    "oracle unrolls the identical three rounds as chained CTEs; the "
+    "teleport constant is the same repr'd double in both engines.",
+)
+def q_graph_pagerank_centrality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from yaml_pipe_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_near_duplicates,
+    )
+    from yaml_pipe_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = simhash_fingerprints(docs, "text", "doc_id")
+    prs = simhash_near_duplicates(
+        fps, "doc_id", bits=64, bands=4, max_hamming=3
+    )
+    return pagerank(prs, iterations=3, damping=0.85).select(
+        F.col("node").alias("doc_id"), "degree", "pagerank"
+    )
+
+
+_BM25_TOPK_ORACLE = f"""
+WITH {_DK_RETRIEVAL_CORE},
+r AS (SELECT qid, doc_id, round(bm25, 4) AS score FROM sc),
+rk AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM r
+)
+SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, score,
+       CAST(CASE WHEN doc_id = qid THEN 1 ELSE 0 END AS BIGINT) AS is_self
+FROM rk WHERE rank <= 10
+"""
+
+
+@register(
+    "q3_bm25_index_persisted",
+    _BM25_TOPK_ORACLE,
+    "Build-once/serve-many persisted BM25 index with append-only "
+    "maintenance (operators/retrieval.py::Bm25IndexStore) — the lexical "
+    "twin of ann_index_persisted/ann_index_incremental, closing the "
+    "build/serve split on the retrieval arm: the index is built on the "
+    "standing 80% of docs, the last 20% arrive as an increment that is "
+    "tokenized ALONE — its tf/dl rows append, the vocabulary df/cf "
+    "stats merge additively (one vocab-sized full-outer join, no corpus "
+    "rescan; committed as a pointer-swapped generation), and "
+    "n_docs/total_tokens/the bit_xor fingerprint compose exactly over "
+    "disjoint doc sets. Because every persisted statistic is additive, "
+    "serving the appended index is value-identical to a full-corpus "
+    "recompute — the oracle IS q3_bm25_topk's oracle unchanged. Serve "
+    "reads ONLY the persisted tables (qterms from stored tf/cf, global "
+    "stats from the meta scalars). The chain runs only when the "
+    "full-corpus fingerprint is stale (the production amortization); "
+    "the fresh chain is exercised by fresh sf0.01 driver runs and "
+    "tests/test_retrieval.py.",
+)
+def q_q3_bm25_index_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+
+    from yaml_pipe_spark.operators.retrieval import Bm25IndexStore
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    split = docs.agg(
+        F.floor(0.8 * F.max("doc_id")).cast("long").alias("__s")
+    )
+    staged = docs.crossJoin(F.broadcast(split))
+    standing = staged.filter(F.col("doc_id") < F.col("__s")).select(
+        "doc_id", "text"
+    )
+    increment = staged.filter(F.col("doc_id") >= F.col("__s")).select(
+        "doc_id", "text"
+    )
+    base = os.path.join(
+        "spark-warehouse",
+        f"bm25_index_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    store = Bm25IndexStore(base)
+    if store.is_stale(docs):
+        # a half-appended crash leaves the composed fingerprint stale —
+        # restart from a clean directory, never double-append
+        shutil.rmtree(base, ignore_errors=True)
+        store.build(standing)
+        store.append(increment)
+    assert store.is_stale(docs) is False  # additive stats composed
+    return store.serve(k=10)
+
+
+_DK_EMB_DOCS = (
+    "(SELECT d.doc_id, d.text FROM documents d "
+    "JOIN embeddings x ON d.doc_id = x.vec_id) __d"
+)
+
+
+@register(
+    "q3_hybrid_lexical_vector",
+    f"""
+WITH {_dk_retrieval_core(_DK_EMB_DOCS)},
+rb AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(bm25, 4) DESC, doc_id) AS r_lex
+  FROM sc
+),
+rbc AS (SELECT qid, doc_id, r_lex FROM rb WHERE r_lex <= 100),
+qv AS (
+  SELECT DISTINCT q.qid, e.embedding AS qe
+  FROM (SELECT DISTINCT qid FROM qterms) q
+  JOIN embeddings e ON e.vec_id = q.qid
+),
+vs AS (
+  SELECT qv.qid, e.vec_id AS doc_id,
+         round({_dk_cos('e.embedding', 'qv.qe')}, 6) AS cos
+  FROM qv JOIN embeddings e ON TRUE
+),
+rv AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, doc_id) AS r_vec
+  FROM vs
+),
+rvc AS (SELECT qid, doc_id, r_vec FROM rv WHERE r_vec <= 100),
+fused AS (
+  SELECT coalesce(rbc.qid, rvc.qid) AS qid,
+         coalesce(rbc.doc_id, rvc.doc_id) AS doc_id,
+         coalesce(rbc.r_lex, 0) AS r_lex,
+         coalesce(rvc.r_vec, 0) AS r_vec,
+         round(
+           (CASE WHEN rbc.r_lex IS NULL
+                 THEN 0.0 ELSE 1.0 / (60 + rbc.r_lex) END)
+           + (CASE WHEN rvc.r_vec IS NULL
+                   THEN 0.0 ELSE 1.0 / (60 + rvc.r_vec) END), 6) AS rrf
+  FROM rbc FULL OUTER JOIN rvc
+    ON rbc.qid = rvc.qid AND rbc.doc_id = rvc.doc_id
+),
+rk AS (
+  SELECT qid, doc_id, r_lex, r_vec, rrf,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY rrf DESC, doc_id) AS rank
+  FROM fused
+)
+SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id,
+       CAST(r_lex AS BIGINT) AS r_lex, CAST(r_vec AS BIGINT) AS r_vec, rrf
+FROM rk WHERE rank <= 10
+""",
+    "TRUE lexical+vector hybrid retrieval — the production RAG serving "
+    "pattern end to end: over the embedded subset of the corpus (both "
+    "arms must rank the same universe), arm 1 is BM25 and arm 2 is exact "
+    "embedding cosine from the query doc's own vector; each arm keeps "
+    "its top-100, reciprocal-rank fusion (k=60) merges the UNION of "
+    "candidate lists — a doc missing from one arm contributes zero from "
+    "it, the standard convention — and the fused top-10 ships. Ranks "
+    "are integer-exact, per-arm scores round before ranking. Plan: the "
+    "lexical arm is the checkpointed inverted-index pipeline; the "
+    "vector arm broadcasts the ~queries-sized vector set against the "
+    "embedding table (swap in ann_index_persisted.serve for the 100 TB "
+    "corpus — the fusion is rank-based, so the arm is pluggable).",
+)
+def q_q3_hybrid_lexical_vector(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from yaml_pipe_spark.functions.vectors import cosine
+    from yaml_pipe_spark.operators.retrieval import bm25_ql_scores
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs_e = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id")), "doc_id"
+    )
+    sc = bm25_ql_scores(docs_e)
+    rb = sc.withColumn(
+        "r_lex",
+        F.row_number().over(
+            W.partitionBy("qid").orderBy(
+                F.desc(F.round("bm25", 4)), F.col("doc_id")
+            )
+        ),
+    ).filter(F.col("r_lex") <= 100).select("qid", "doc_id", "r_lex")
+    qv = (
+        sc.select("qid")
+        .distinct()
+        .join(emb, F.col("qid") == F.col("vec_id"))
+        .select("qid", F.col("embedding").alias("qe"))
+    )
+    vs = F.broadcast(qv).crossJoin(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    ).select(
+        "qid",
+        "doc_id",
+        F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("cos"),
+    )
+    rv = vs.withColumn(
+        "r_vec",
+        F.row_number().over(
+            W.partitionBy("qid").orderBy(F.desc("cos"), F.col("doc_id"))
+        ),
+    ).filter(F.col("r_vec") <= 100).select("qid", "doc_id", "r_vec")
+    fused = rb.join(rv, ["qid", "doc_id"], "full_outer").select(
+        "qid",
+        "doc_id",
+        F.coalesce("r_lex", F.lit(0)).alias("r_lex"),
+        F.coalesce("r_vec", F.lit(0)).alias("r_vec"),
+        F.round(
+            F.when(
+                F.col("r_lex").isNull(), F.lit(0.0)
+            ).otherwise(1.0 / (60 + F.col("r_lex")))
+            + F.when(
+                F.col("r_vec").isNull(), F.lit(0.0)
+            ).otherwise(1.0 / (60 + F.col("r_vec"))),
+            6,
+        ).alias("rrf"),
+    )
+    rk = fused.withColumn(
+        "rank",
+        F.row_number()
+        .over(W.partitionBy("qid").orderBy(F.desc("rrf"), "doc_id"))
+        .cast("long"),
+    )
+    return rk.filter(F.col("rank") <= 10).select(
+        "qid",
+        "rank",
+        "doc_id",
+        F.col("r_lex").cast("long").alias("r_lex"),
+        F.col("r_vec").cast("long").alias("r_vec"),
+        "rrf",
     )
 
 

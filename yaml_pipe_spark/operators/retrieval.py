@@ -36,12 +36,11 @@ TERMS_PER_QUERY = 3
 MIN_TERM_LEN = 4
 
 
-def bm25_ql_scores(
+def _index_frames(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """(qid, doc_id, bm25, ql) — unrounded scores for every candidate doc
-    of every pseudo-query; callers round before ranking so rank membership
-    is engine-exact."""
+) -> tuple[DataFrame, DataFrame]:
+    """(tf, dl) — the inverted index and doc-length table, one token
+    explode each; tf is also where df/cf derive from."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
@@ -50,21 +49,25 @@ def bm25_ql_scores(
             )
         ).alias("tok"),
     )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    return tf, dl
+
+
+def bm25_ql_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(qid, doc_id, bm25, ql) — unrounded scores for every candidate doc
+    of every pseudo-query; callers round before ranking so rank membership
+    is engine-exact."""
     # tf IS the inverted index and dl the doc-length table: materialize each
     # ONCE (localCheckpoint, the staged-materialization pattern of
     # operators/dedup.py) — five consumers derive from them below, and
     # without the cut Catalyst re-explodes the whole corpus per consumer.
-    # In production these two are persisted tables built per snapshot.
-    tf = (
-        toks.groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("tf"))
-        .localCheckpoint()
-    )
-    dl = (
-        toks.groupBy("doc_id")
-        .agg(F.count("*").alias("dl"))
-        .localCheckpoint()
-    )
+    # Bm25IndexStore is the persisted-table form of the same split.
+    tf, dl = _index_frames(docs, id_col, text_col)
+    tf = tf.localCheckpoint()
+    dl = dl.localCheckpoint()
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
@@ -72,7 +75,18 @@ def bm25_ql_scores(
         F.count("*").alias("df"), F.sum("tf").alias("cf")
     )
     ctot = dl.agg(F.sum("dl").alias("c"))
+    return _score_core(tf, dl, cf, stats, ctot)
 
+
+def _score_core(
+    tf: DataFrame,
+    dl: DataFrame,
+    cf: DataFrame,
+    stats: DataFrame,
+    ctot: DataFrame,
+) -> DataFrame:
+    """BM25 + query-likelihood scores off index FRAMES only (no corpus
+    access) — shared by the in-query path and the persisted-index serve."""
     qtf = (
         tf.filter(
             (F.col("doc_id") % QUERY_EVERY == 0)
@@ -131,3 +145,232 @@ def bm25_ql_scores(
         F.sum(idf * tf_norm).alias("bm25"),
         F.sum(ql_term).alias("ql"),
     )
+
+
+class Bm25IndexStore:
+    """Build-once / serve-many persisted BM25 index — the lexical twin of
+    operators/ann_index.py::IvfPqIndexStore, completing the build/serve
+    split on the retrieval arm the reference leaves implicit (its LanceDB
+    table is built once in core/pipeline.py and only queried afterwards).
+
+    Layout under base_path:
+      tf/          (doc_id, tok, tf) parquet — the inverted index
+      dl/          (doc_id, dl) parquet — doc lengths
+      cf_v{k}/ + cf.current — (tok, df, cf) vocabulary stats, committed as
+                   pointer-swapped GENERATIONS (streaming.stream.
+                   commit_band_state): the append-path merge READS the live
+                   cf table, and a plain overwrite of a directory being
+                   read both breaks lineage and is not crash-atomic
+      meta/        one row: corpus fingerprint (count + bit_xor(xxhash64)),
+                   n_docs, total_tokens, params
+
+    append(increment) tokenizes ONLY the increment: tf/dl rows append,
+    df/cf merge ADDITIVELY (full-outer sum with the live generation — the
+    one vocabulary-sized join, orders of magnitude below a corpus rescan),
+    and n_docs / total_tokens / the XOR fingerprint compose exactly over
+    disjoint doc sets, so is_stale(full corpus) compares equal after any
+    append chain iff the indexed docs are exactly the corpus docs. Serving
+    an appended index is value-identical to a full rebuild because every
+    persisted statistic is additive. A crash mid-append leaves the
+    fingerprint stale; callers restart from a clean directory (same
+    contract as the ANN store — see ann_index_incremental).
+    """
+
+    def __init__(
+        self,
+        base_path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        self.base_path = base_path
+        self.id_col = id_col
+        self.text_col = text_col
+
+    @property
+    def tf_path(self) -> str:
+        import os
+
+        return os.path.join(self.base_path, "tf")
+
+    @property
+    def dl_path(self) -> str:
+        import os
+
+        return os.path.join(self.base_path, "dl")
+
+    @property
+    def meta_path(self) -> str:
+        import os
+
+        return os.path.join(self.base_path, "meta")
+
+    # -- fingerprint (same construction as IvfPqIndexStore) --------------
+    def _fingerprint(self, docs: DataFrame) -> tuple[int, int]:
+        h = F.xxhash64(F.col(self.id_col), F.col(self.text_col))
+        row = docs.agg(
+            F.count("*").cast("long").alias("n"),
+            F.coalesce(F.bit_xor(h), F.lit(0)).cast("long").alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    def _read_meta(self, spark) -> dict | None:
+        try:
+            rows = spark.read.parquet(self.meta_path).collect()
+        except Exception:
+            return None
+        return rows[0].asDict() if rows else None
+
+    def _write_meta(
+        self,
+        spark,
+        fp: tuple[int, int],
+        n_docs: int,
+        total_tokens: int,
+        version: str | None,
+    ) -> None:
+        spark.createDataFrame(
+            [(fp[0], fp[1], n_docs, total_tokens, version)],
+            "fp_n long, fp_h long, n_docs long, total_tokens long, "
+            "version string",
+        ).coalesce(1).write.mode("overwrite").parquet(self.meta_path)
+
+    # -- lifecycle --------------------------------------------------------
+    def build(self, docs: DataFrame, version: str | None = None) -> None:
+        """One corpus pass: tokenize, persist the index tables, stamp the
+        fingerprint. tf/dl each one aggregate shuffle; cf derives from tf
+        without touching the corpus again."""
+        from yaml_pipe_spark.streaming.stream import commit_band_state
+
+        spark = docs.sparkSession
+        docs = docs.select(self.id_col, self.text_col)
+        tf, dl = _index_frames(docs, self.id_col, self.text_col)
+        tf = tf.localCheckpoint()
+        dl = dl.localCheckpoint()
+        tf.write.mode("overwrite").parquet(self.tf_path)
+        dl.write.mode("overwrite").parquet(self.dl_path)
+        cf = tf.groupBy("tok").agg(
+            F.count("*").alias("df"), F.sum("tf").alias("cf")
+        )
+        commit_band_state(cf, self.base_path, name="cf")
+        tot = dl.agg(
+            F.count("*").cast("long").alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("t"),
+        ).collect()[0]
+        fp = (-1, -1) if version is not None else self._fingerprint(docs)
+        self._write_meta(
+            spark, fp, int(tot["n"]), int(tot["t"]), version
+        )
+
+    def is_stale(
+        self, docs: DataFrame, version: str | None = None
+    ) -> bool:
+        meta = self._read_meta(docs.sparkSession)
+        if meta is None:
+            return True
+        if version is not None:
+            return meta["version"] != version
+        n, h = self._fingerprint(docs.select(self.id_col, self.text_col))
+        return (meta["fp_n"], meta["fp_h"]) != (n, h)
+
+    def build_if_stale(
+        self, docs: DataFrame, version: str | None = None
+    ) -> bool:
+        if not self.is_stale(docs, version):
+            return False
+        self.build(docs, version)
+        return True
+
+    def append(
+        self, increment: DataFrame, version: str | None = None
+    ) -> None:
+        """Tokenize ONLY the increment, append its tf/dl rows, merge the
+        vocabulary stats additively, compose the fingerprint. Increment ids
+        must be NEW (re-appending an indexed id XORs its hash back out, so
+        the next is_stale reports the corruption instead of masking it)."""
+        from yaml_pipe_spark.streaming.stream import (
+            commit_band_state,
+            read_band_state,
+        )
+
+        spark = increment.sparkSession
+        meta = self._read_meta(spark)
+        if meta is None:
+            raise ValueError(
+                "append() requires an existing index; build() first"
+            )
+        inc = increment.select(self.id_col, self.text_col)
+        tf_i, dl_i = _index_frames(inc, self.id_col, self.text_col)
+        tf_i = tf_i.localCheckpoint()
+        dl_i = dl_i.localCheckpoint()
+        tf_i.write.mode("append").parquet(self.tf_path)
+        dl_i.write.mode("append").parquet(self.dl_path)
+        cf_old = read_band_state(spark, self.base_path, name="cf")
+        cf_i = tf_i.groupBy("tok").agg(
+            F.count("*").alias("df_i"), F.sum("tf").alias("cf_i")
+        )
+        merged = cf_old.join(cf_i, "tok", "full_outer").select(
+            "tok",
+            (
+                F.coalesce("df", F.lit(0)) + F.coalesce("df_i", F.lit(0))
+            ).alias("df"),
+            (
+                F.coalesce("cf", F.lit(0)) + F.coalesce("cf_i", F.lit(0))
+            ).alias("cf"),
+        )
+        commit_band_state(merged, self.base_path, name="cf")
+        tot = dl_i.agg(
+            F.count("*").cast("long").alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("t"),
+        ).collect()[0]
+        if version is not None:
+            fp = (-1, -1)
+        else:
+            n_i, h_i = self._fingerprint(inc)
+            fp = (meta["fp_n"] + n_i, meta["fp_h"] ^ h_i)
+        self._write_meta(
+            spark,
+            fp,
+            int(meta["n_docs"]) + int(tot["n"]),
+            int(meta["total_tokens"]) + int(tot["t"]),
+            version,
+        )
+
+    def serve(self, k: int = 10) -> DataFrame:
+        """BM25 top-k for the standard pseudo-query set off the PERSISTED
+        tables only — no corpus access, no tokenization: qterms come from
+        the stored tf/cf, global stats from the meta scalars (avgdl =
+        total_tokens/n_docs is double division, bit-identical to the
+        in-query avg aggregate). Values equal the in-query q3_bm25_topk."""
+        from pyspark.sql import SparkSession, Window as W
+
+        spark = SparkSession.getActiveSession()
+        meta = self._read_meta(spark)
+        if meta is None:
+            raise ValueError("no index at %s" % self.base_path)
+        from yaml_pipe_spark.streaming.stream import read_band_state
+
+        tf = spark.read.parquet(self.tf_path)
+        dl = spark.read.parquet(self.dl_path)
+        cf = read_band_state(spark, self.base_path, name="cf")
+        n_docs, total = int(meta["n_docs"]), int(meta["total_tokens"])
+        stats = spark.createDataFrame(
+            [(n_docs, total / n_docs)], "n_docs long, avgdl double"
+        )
+        ctot = spark.createDataFrame([(total,)], "c long")
+        sc = _score_core(tf, dl, cf, stats, ctot)
+        r = sc.select(
+            "qid", "doc_id", F.round("bm25", 4).alias("score")
+        )
+        rk = r.withColumn(
+            "rank",
+            F.row_number()
+            .over(W.partitionBy("qid").orderBy(F.desc("score"), "doc_id"))
+            .cast("long"),
+        )
+        return rk.filter(F.col("rank") <= k).select(
+            "qid",
+            "rank",
+            "doc_id",
+            "score",
+            (F.col("doc_id") == F.col("qid")).cast("long").alias("is_self"),
+        )
