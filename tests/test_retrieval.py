@@ -145,3 +145,33 @@ class TestBm25IndexStore:
         st.build(docs, version="snap-1")
         assert st.is_stale(docs, version="snap-1") is False
         assert st.is_stale(docs, version="snap-2") is True
+
+    def test_serve_on_empty_corpus_returns_empty(self, spark, tmp_path):
+        """n_docs == 0 meta serves an empty ranking, not ZeroDivisionError."""
+        from yaml_pipe_spark.operators.retrieval import Bm25IndexStore
+
+        docs = spark.createDataFrame(
+            [(1, "12345 67890")], ["doc_id", "text"]
+        )  # digits only: zero \p{L} tokens -> empty index
+        st = Bm25IndexStore(str(tmp_path / "ix"))
+        st.build(docs)
+        out = st.serve(k=10)
+        assert out.count() == 0
+        assert out.columns == ["qid", "rank", "doc_id", "score", "is_self"]
+
+    def test_append_version_mode_mismatch_raises(self, spark, tmp_path):
+        """Mixing fingerprint-mode appends into a version-built index (or
+        vice versa) must fail loudly, not stamp a garbage fingerprint."""
+        import pytest as _pytest
+
+        from yaml_pipe_spark.operators.retrieval import Bm25IndexStore
+
+        docs = self._docs(spark)
+        st = Bm25IndexStore(str(tmp_path / "ix"))
+        st.build(docs.filter("doc_id < 24"), version="snap-1")
+        with _pytest.raises(ValueError, match="staleness mode"):
+            st.append(docs.filter("doc_id >= 24"))  # no version
+        st2 = Bm25IndexStore(str(tmp_path / "ix2"))
+        st2.build(docs.filter("doc_id < 24"))
+        with _pytest.raises(ValueError, match="staleness mode"):
+            st2.append(docs.filter("doc_id >= 24"), version="snap-2")

@@ -94,20 +94,12 @@ class IvfPqIndexStore:
     def meta_path(self) -> str:
         return os.path.join(self.base_path, "meta")
 
-    # -- fingerprint ----------------------------------------------------
+    # -- fingerprint (shared with Bm25IndexStore via index_meta) ---------
     @staticmethod
     def _fp_of(df: DataFrame, *cols: str) -> tuple[int, int]:
-        """(n_rows, order-insensitive content hash) in ONE aggregate —
-        a single narrow scan, the cheap end of staleness checks."""
-        h = F.xxhash64(*[F.col(c) for c in cols])
-        # bit_xor is order-insensitive and cannot overflow (sum would, under
-        # ANSI); ids are unique so cancellation needs identical (id, vec)
-        # rows, which the count catches
-        row = df.agg(
-            F.count("*").cast("long").alias("n"),
-            F.coalesce(F.bit_xor(h), F.lit(0)).cast("long").alias("h"),
-        ).collect()[0]
-        return int(row["n"]), int(row["h"])
+        from yaml_pipe_spark.operators.index_meta import fingerprint_of
+
+        return fingerprint_of(df, *cols)
 
     def _fingerprint(self, corpus: DataFrame) -> tuple[int, int]:
         return self._fp_of(corpus, self.id_col, self.vec_col)
@@ -116,11 +108,9 @@ class IvfPqIndexStore:
         return self._fp_of(centroids, self.cid_col, self.cvec_col)
 
     def _read_meta(self, spark: SparkSession) -> dict | None:
-        try:
-            rows = spark.read.parquet(self.meta_path).collect()
-        except Exception:
-            return None
-        return rows[0].asDict() if rows else None
+        from yaml_pipe_spark.operators.index_meta import read_meta
+
+        return read_meta(spark, self.meta_path)
 
     # -- lifecycle ------------------------------------------------------
     def build(

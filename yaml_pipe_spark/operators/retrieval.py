@@ -147,6 +147,26 @@ def _score_core(
     )
 
 
+def rank_bm25_topk(sc: DataFrame, k: int = 10) -> DataFrame:
+    """(qid, rank, doc_id, score, is_self) — round-before-rank BM25 top-k;
+    the ONE ranking convention shared by q3_bm25_topk and the persisted
+    store's serve(), whose contract is value-equality with it."""
+    r = sc.select("qid", "doc_id", F.round("bm25", 4).alias("score"))
+    rk = r.withColumn(
+        "rank",
+        F.row_number()
+        .over(W.partitionBy("qid").orderBy(F.desc("score"), "doc_id"))
+        .cast("long"),
+    )
+    return rk.filter(F.col("rank") <= k).select(
+        "qid",
+        "rank",
+        "doc_id",
+        "score",
+        (F.col("doc_id") == F.col("qid")).cast("long").alias("is_self"),
+    )
+
+
 class Bm25IndexStore:
     """Build-once / serve-many persisted BM25 index — the lexical twin of
     operators/ann_index.py::IvfPqIndexStore, completing the build/serve
@@ -204,21 +224,16 @@ class Bm25IndexStore:
 
         return os.path.join(self.base_path, "meta")
 
-    # -- fingerprint (same construction as IvfPqIndexStore) --------------
+    # -- fingerprint/meta: SHARED construction with IvfPqIndexStore ------
     def _fingerprint(self, docs: DataFrame) -> tuple[int, int]:
-        h = F.xxhash64(F.col(self.id_col), F.col(self.text_col))
-        row = docs.agg(
-            F.count("*").cast("long").alias("n"),
-            F.coalesce(F.bit_xor(h), F.lit(0)).cast("long").alias("h"),
-        ).collect()[0]
-        return int(row["n"]), int(row["h"])
+        from yaml_pipe_spark.operators.index_meta import fingerprint_of
+
+        return fingerprint_of(docs, self.id_col, self.text_col)
 
     def _read_meta(self, spark) -> dict | None:
-        try:
-            rows = spark.read.parquet(self.meta_path).collect()
-        except Exception:
-            return None
-        return rows[0].asDict() if rows else None
+        from yaml_pipe_spark.operators.index_meta import read_meta
+
+        return read_meta(spark, self.meta_path)
 
     def _write_meta(
         self,
@@ -298,6 +313,14 @@ class Bm25IndexStore:
             raise ValueError(
                 "append() requires an existing index; build() first"
             )
+        if (meta["version"] is None) != (version is None):
+            # composing a real fingerprint with the version-mode (-1,-1)
+            # sentinel would stamp garbage meta; fail at the caller's bug
+            raise ValueError(
+                "append() staleness mode must match the build: the index "
+                f"was built with version={meta['version']!r}, append got "
+                f"version={version!r}"
+            )
         inc = increment.select(self.id_col, self.text_col)
         tf_i, dl_i = _index_frames(inc, self.id_col, self.text_col)
         tf_i = tf_i.localCheckpoint()
@@ -349,28 +372,20 @@ class Bm25IndexStore:
             raise ValueError("no index at %s" % self.base_path)
         from yaml_pipe_spark.streaming.stream import read_band_state
 
+        n_docs, total = int(meta["n_docs"]), int(meta["total_tokens"])
+        if n_docs == 0:
+            # an indexed corpus with zero tokenized docs has no rankings —
+            # an empty frame, not a ZeroDivisionError from total/n_docs
+            return spark.createDataFrame(
+                [],
+                "qid long, rank long, doc_id long, score double, "
+                "is_self long",
+            )
         tf = spark.read.parquet(self.tf_path)
         dl = spark.read.parquet(self.dl_path)
         cf = read_band_state(spark, self.base_path, name="cf")
-        n_docs, total = int(meta["n_docs"]), int(meta["total_tokens"])
         stats = spark.createDataFrame(
             [(n_docs, total / n_docs)], "n_docs long, avgdl double"
         )
         ctot = spark.createDataFrame([(total,)], "c long")
-        sc = _score_core(tf, dl, cf, stats, ctot)
-        r = sc.select(
-            "qid", "doc_id", F.round("bm25", 4).alias("score")
-        )
-        rk = r.withColumn(
-            "rank",
-            F.row_number()
-            .over(W.partitionBy("qid").orderBy(F.desc("score"), "doc_id"))
-            .cast("long"),
-        )
-        return rk.filter(F.col("rank") <= k).select(
-            "qid",
-            "rank",
-            "doc_id",
-            "score",
-            (F.col("doc_id") == F.col("qid")).cast("long").alias("is_self"),
-        )
+        return rank_bm25_topk(_score_core(tf, dl, cf, stats, ctot), k)
