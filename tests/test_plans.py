@@ -619,3 +619,43 @@ def test_analyze_column_stats_flip_filtered_dim_to_broadcast(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
         spark.sql("DROP TABLE IF EXISTS __cbo_dim")
         spark.sql("DROP TABLE IF EXISTS __cbo_fact")
+
+
+def test_bm25_serve_plan_reads_checkpointed_index_once(spark):
+    """The BM25 scoring plan must consume the localCheckpoint-materialized
+    tf/dl tables, never re-explode the corpus per consumer: zero parquet
+    re-scans of documents inside the serve plan, and the bounded aggregate
+    count (5 exchanges, was 17 before the cut)."""
+    plan = _plan(_q("q3_bm25_topk", spark), "simple")
+    assert "Scan parquet" not in plan  # everything derives from the index
+    assert plan.count("Exchange hashpartitioning") <= 6
+
+
+def test_bloom_probe_is_broadcast(spark):
+    """The bloom bit set (<= m rows by construction) must broadcast; the
+    probe side may never shuffle against the train corpus."""
+    plan = _plan(_q("text_bloom_decontaminate", spark), "simple")
+    assert "BroadcastHashJoin [pos" in plan.replace("L]", "]").replace(
+        "#", " #"
+    ) or "BroadcastHashJoin" in plan
+    # the bits->probe join must not be a sort-merge join on pos
+    assert "SortMergeJoin [pos" not in plan
+
+
+def test_hybrid_vector_arm_broadcasts_queries(spark):
+    """The vector arm is queries x corpus with the QUERY side broadcast —
+    a BroadcastNestedLoopJoin over the tiny side, never a shuffled
+    cartesian."""
+    plan = _plan(_q("q3_hybrid_lexical_vector", spark), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_pagerank_iterations_cut_lineage(spark):
+    """Each PageRank round localCheckpoints, so the final plan depends on
+    materialized RDDs, not a 3-round join tower over the raw pair plan."""
+    plan = _plan(_q("graph_pagerank_centrality", spark), "simple")
+    assert "Scan ExistingRDD" in plan
+    # the simhash pair generation (posexplode of documents) must NOT
+    # appear in the final iteration's plan — it was cut rounds ago
+    assert "posexplode" not in plan
