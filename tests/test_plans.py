@@ -659,3 +659,32 @@ def test_pagerank_iterations_cut_lineage(spark):
     # the simhash pair generation (posexplode of documents) must NOT
     # appear in the final iteration's plan — it was cut rounds ago
     assert "posexplode" not in plan
+
+
+def test_semdedup_pairs_are_blocked_not_cartesian(spark):
+    """SemDeDup's only cross joins are the broadcast centroid assignment
+    and broadcast scalar frames — the pair stage must be a cid equi-join,
+    never a shuffled cartesian over the corpus."""
+    plan = _plan(_q("dedup_semantic_cluster", spark), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the k x dim centroid side
+
+
+def test_nb_distill_model_broadcasts_to_scoring(spark):
+    """The fitted NB weight table (vocab-sized) must broadcast into the
+    test-split scoring join; the corpus token stream may never shuffle
+    against the model."""
+    plan = _plan(_q("quality_nb_distill", spark), "simple")
+    assert "CartesianProduct" not in plan
+    # the test-split scoring join consumes the model via broadcast hash
+    # (the vocab-grid BUILD join may legitimately sort-merge: it is
+    # model-sized on both sides and runs once at train time)
+    assert "BroadcastHashJoin [tok" in plan
+
+
+def test_doremi_normalization_has_no_global_window(spark):
+    """DoReMi's share/weight normalizations are broadcast scalar
+    aggregates; a partitionBy()-less window over the source frame would
+    be the single-partition trap."""
+    plan = _plan(_q("corpus_doremi_weights", spark), "simple")
+    assert "Window [" not in plan

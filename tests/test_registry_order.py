@@ -91,6 +91,11 @@ ROUND7_QUEUE: set[str] = {
     "graph_pagerank_centrality",
     "q3_bm25_index_persisted",
     "q3_hybrid_lexical_vector",
+    # 6h wave: curation algorithms from the published-pipeline canon
+    "dedup_semantic_cluster",
+    "quality_nb_distill",
+    "corpus_doremi_weights",
+    "corpus_ppl_quality_corr",
     # displaced round-2-generation refresh rows
     "rel_sales_opportunity",
     "rel_small_qty_revenue",

@@ -11939,6 +11939,324 @@ def q_q3_hybrid_lexical_vector(
     )
 
 
+# ---------------------------------------------------------------------------
+# 6h wave: SemDeDup, NB quality distillation, DoReMi mixture weights,
+# perplexity-vs-quality correlation — registered after the round-6 50-slot
+# prefix was spent; queued for the round-7 driver front (ROUND7_QUEUE).
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_ORACLE = f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+),
+a AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         round({_dk_cos('e.embedding', 'c.cv')}, 6) AS s
+  FROM embeddings e, c
+),
+asg AS (
+  SELECT vec_id, embedding, cid, s AS centroid_sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY s DESC, cid) AS rn
+    FROM a
+  ) WHERE rn = 1
+),
+p AS (
+  SELECT * FROM (
+    SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+           round({_dk_cos('x.embedding', 'y.embedding')}, 6) AS cosine
+    FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
+  ) WHERE cosine >= 0.4
+),
+e AS (
+  SELECT id_a AS x, id_b AS y FROM p
+  UNION ALL
+  SELECT id_b AS x, id_a AS y FROM p
+),
+ej AS (
+  SELECT e.x, e.y, cx.centroid_sim AS cs_x, cy.centroid_sim AS cs_y
+  FROM e JOIN asg cx ON cx.vec_id = e.x JOIN asg cy ON cy.vec_id = e.y
+),
+dom AS (
+  SELECT x, y, cs_y FROM ej
+  WHERE cs_y < cs_x OR (cs_y = cs_x AND y < x)
+),
+best AS (
+  SELECT x, y AS dropped_for FROM (
+    SELECT x, y, row_number() OVER (PARTITION BY x
+                                    ORDER BY cs_y, y) AS rn
+    FROM dom
+  ) WHERE rn = 1
+)
+SELECT a2.vec_id, a2.cid, a2.centroid_sim + 0.0 AS centroid_sim,
+       CAST(CASE WHEN b.dropped_for IS NULL THEN 1 ELSE 0 END AS INT) AS kept,
+       b.dropped_for
+FROM asg a2 LEFT JOIN best b ON b.x = a2.vec_id
+"""
+
+
+@register(
+    "dedup_semantic_cluster",
+    SEMDEDUP_ORACLE,
+    "SemDeDup (Abbas et al. 2023): cluster embeddings to pinned centroids "
+    "(the IVF coarse quantizer doubles as the clustering — one k-means "
+    "serves ANN and semantic dedup), prune near-duplicates WITHIN each "
+    "cluster keeping the member farthest from its centroid. The keep rule "
+    "is the order-free dominance relaxation of the paper's greedy "
+    "(centroid_sim ASC, id ASC priority), deterministic in both engines. "
+    "Scale: broadcast centroid assignment, cid-blocked equi-join pairs "
+    "(never global quadratic), edge-keyed dominance rollup. Registered "
+    "after the round-6 50-slot prefix: locally verified at sf0.01+sf0.1, "
+    "queued for the round-7 driver front.",
+)
+def q_dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.dedup import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    return semdedup(emb, cents, threshold=0.4)
+
+
+NB_DISTILL_ORACLE = f"""
+WITH {_DK_GOPHER},
+lbl AS (
+  SELECT doc_id,
+         pass_words * pass_mean_word_len * pass_alpha * pass_stop AS y
+  FROM gflags
+),
+toks AS (
+  SELECT d.doc_id, l.y,
+         CASE WHEN {_dk_byte0("CAST(d.doc_id AS VARCHAR)")} < 0.8 * 256
+              THEN 1 ELSE 0 END AS train,
+         UNNEST(list_filter(regexp_split_to_array(d.text, '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents d JOIN lbl l USING (doc_id)
+),
+tf AS (
+  SELECT doc_id, y, train, tok, count(*) AS tf FROM toks GROUP BY 1, 2, 3, 4
+),
+ct AS (SELECT tok, y, sum(tf) AS c FROM tf WHERE train = 1 GROUP BY 1, 2),
+vocab AS (SELECT DISTINCT tok FROM ct),
+grid AS (
+  SELECT v.tok, cls.y, coalesce(ct.c, 0) AS c
+  FROM vocab v CROSS JOIN (SELECT 0 AS y UNION ALL SELECT 1) cls
+  LEFT JOIN ct ON ct.tok = v.tok AND ct.y = cls.y
+),
+consts AS (
+  SELECT coalesce(sum(CASE WHEN y = 1 THEN c END), 0) AS tot1,
+         coalesce(sum(CASE WHEN y = 0 THEN c END), 0) AS tot0,
+         (SELECT count(*) FROM vocab) AS v,
+         (SELECT count(DISTINCT doc_id) FROM tf
+          WHERE train = 1 AND y = 1) AS nd1,
+         (SELECT count(DISTINCT doc_id) FROM tf
+          WHERE train = 1 AND y = 0) AS nd0
+  FROM grid
+),
+wts AS (
+  SELECT g.tok,
+         round(log10((sum(CASE WHEN g.y = 1 THEN g.c END) + 1)
+                     / CAST(c.tot1 + c.v AS DOUBLE))
+               - log10((sum(CASE WHEN g.y = 0 THEN g.c END) + 1)
+                       / CAST(c.tot0 + c.v AS DOUBLE)), 6) AS w
+  FROM grid g, consts c GROUP BY g.tok, c.tot1, c.tot0, c.v
+),
+pw AS (
+  SELECT round(log10(CAST(nd1 + 1 AS DOUBLE))
+               - log10(CAST(nd0 + 1 AS DOUBLE)), 6) AS pw
+  FROM consts
+),
+sc AS (
+  SELECT t.doc_id, t.y, sum(t.tf * w.w) AS s
+  FROM tf t JOIN wts w USING (tok) WHERE t.train = 0 GROUP BY 1, 2
+),
+td AS (SELECT DISTINCT doc_id, y FROM tf WHERE train = 0),
+mg AS (
+  SELECT td.doc_id, td.y,
+         round(coalesce(sc.s, 0.0) + pw.pw, 6) AS margin
+  FROM td LEFT JOIN sc USING (doc_id, y), pw
+),
+pr AS (
+  SELECT CAST(y AS BIGINT) AS gopher_label,
+         CAST(margin >= 0 AS BIGINT) AS pred
+  FROM mg
+)
+SELECT gopher_label, pred, CAST(count(*) AS BIGINT) AS n_docs,
+       round(count(*) / CAST(sum(count(*)) OVER (PARTITION BY gopher_label)
+                             AS DOUBLE), 4) AS share
+FROM pr GROUP BY 1, 2
+"""
+
+
+@register(
+    "quality_nb_distill",
+    NB_DISTILL_ORACLE,
+    "Quality-classifier distillation (the CCNet/fastText stage, Wenzek "
+    "et al. 2020 / Joulin et al. 2017): multinomial Naive Bayes over "
+    "whitespace tokens, teacher = the Gopher rule conjunction, trained "
+    "closed-form on the hash-80% split and reported as the held-out "
+    "confusion matrix. NB over token counts IS a linear classifier "
+    "(per-token weight = Laplace-smoothed log-likelihood ratio), so both "
+    "training and inference are DataFrame aggregates: one (doc, token) "
+    "count shuffle, vocabulary-sized model aggregates, broadcast V x 1 "
+    "weight join for scoring. Weights and margins round to 6dp before "
+    "every sum/sign so the verdict never hinges on float summation order. "
+    "Registered after the round-6 50-slot prefix: locally verified at "
+    "sf0.01+sf0.1, queued for the round-7 driver front.",
+)
+def q_quality_nb_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.classifier import nb_quality_distill
+    from yaml_pipe_spark.operators.quality import gopher_quality_signals
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    labels = gopher_quality_signals(docs).select("doc_id", "gopher_pass")
+    return nb_quality_distill(docs, labels)
+
+
+DOREMI_ORACLE = r"""
+WITH toks AS (
+  SELECT source, doc_id, regexp_extract_all(lower(text), '\p{L}+') AS t
+  FROM documents
+),
+bg0 AS (
+  SELECT source, doc_id, UNNEST(generate_series(1, len(t) - 1)) AS i, t
+  FROM toks WHERE len(t) >= 2
+),
+bgs AS (SELECT source, doc_id, t[i] AS prev, t[i+1] AS cur FROM bg0),
+dt AS (
+  SELECT source, doc_id, prev, cur, count(*) AS c_dt
+  FROM bgs GROUP BY 1, 2, 3, 4
+),
+lm_s AS (
+  SELECT source, prev, cur, sum(c_dt) AS c_bg FROM dt GROUP BY 1, 2, 3
+),
+pv_s AS (SELECT source, prev, sum(c_bg) AS c_prev FROM lm_s GROUP BY 1, 2),
+lp_s AS (
+  SELECT lm_s.source, lm_s.prev, lm_s.cur,
+         log10(CAST(c_bg AS DOUBLE)) - log10(CAST(c_prev AS DOUBLE)) AS lps
+  FROM lm_s JOIN pv_s ON lm_s.source = pv_s.source AND lm_s.prev = pv_s.prev
+),
+lm_g AS (SELECT prev, cur, sum(c_bg) AS g_bg FROM lm_s GROUP BY 1, 2),
+pv_g AS (SELECT prev, sum(g_bg) AS g_prev FROM lm_g GROUP BY 1),
+lp_g AS (
+  SELECT lm_g.prev, lm_g.cur,
+         log10(CAST(g_bg AS DOUBLE)) - log10(CAST(g_prev AS DOUBLE)) AS lpg
+  FROM lm_g JOIN pv_g ON lm_g.prev = pv_g.prev
+),
+doc AS (
+  SELECT dt.source, dt.doc_id,
+         round(sum(dt.c_dt * (lp_s.lps - lp_g.lpg)) / sum(dt.c_dt), 6) AS exc
+  FROM dt
+  JOIN lp_s ON dt.source = lp_s.source AND dt.prev = lp_s.prev
+           AND dt.cur = lp_s.cur
+  JOIN lp_g ON dt.prev = lp_g.prev AND dt.cur = lp_g.cur
+  GROUP BY 1, 2
+),
+src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         round(avg(exc), 6) + 0.0 AS excess_loss
+  FROM doc GROUP BY 1
+),
+w AS (
+  SELECT source, n_docs, excess_loss,
+         n_docs / CAST(sum(n_docs) OVER () AS DOUBLE) AS share0,
+         (n_docs / CAST(sum(n_docs) OVER () AS DOUBLE))
+           * exp(2.0 * excess_loss) AS un
+  FROM src
+)
+SELECT source, n_docs, round(share0, 6) AS baseline_share, excess_loss,
+       round(un / sum(un) OVER (), 6) AS weight
+FROM w
+"""
+
+
+@register(
+    "corpus_doremi_weights",
+    DOREMI_ORACLE,
+    "DoReMi-style domain reweighting (Xu et al. 2023): per-source excess "
+    "loss of the corpus-wide bigram LM over a source-specialized one, "
+    "mapped through the paper's exponentiated-gradient step "
+    "w(s) ~ share(s) * exp(eta * excess(s)) — the deterministic "
+    "specialist-vs-generalist analog of the Group-DRO proxy/reference "
+    "pair, so mixture weights are measurable without model training. ONE "
+    "(doc, bigram) shuffle; the corpus LM aggregates FROM the source LM "
+    "(no second scan); the weight normalization is a window over the "
+    "|sources|-row frame. Registered after the round-6 50-slot prefix: "
+    "locally verified at sf0.01+sf0.1, queued for the round-7 driver "
+    "front.",
+)
+def q_corpus_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.sampling import doremi_source_weights
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "text"
+    )
+    return doremi_source_weights(docs)
+
+
+@register(
+    "corpus_ppl_quality_corr",
+    "WITH " + _DK_BIGRAM_DOC + f""",
+q AS (
+  SELECT doc_id,
+         round(least({_DK_NTOK} / 100.0, 1.0) * 0.25
+               + (1 - least({_DK_PUNCT} / greatest(length(text), 1) * 4,
+                            1.0)) * 0.25
+               + least(({_dk_stop_hits()})
+                       / greatest({_DK_NTOK}, 1) * 3, 1.0) * 0.25
+               + least({_DK_NTOK} / CAST(greatest(length(text), 1)
+                                         AS DOUBLE) * 6, 1.0) * 0.25,
+               4) AS quality_score
+  FROM documents
+),
+j AS (
+  SELECT doc.lang, round(doc.lp0, 6) AS lp, q.quality_score AS qs
+  FROM doc JOIN q USING (doc_id)
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       round(corr(lp, qs), 4) + 0.0 AS corr_lp_quality,
+       round(avg(lp), 4) + 0.0 AS avg_lp,
+       round(avg(qs), 4) AS avg_quality
+FROM j GROUP BY lang
+""",
+    "Perplexity-vs-quality link audit: Pearson correlation per language "
+    "between the bigram-LM doc logprob (the CCNet signal) and the "
+    "composite heuristic quality score (the Gopher-style signal) — the "
+    "measured answer to 'do our two quality filters agree, and where?', "
+    "same closes-the-loop family as quality_score_calibration and "
+    "text_lang_confusion. Reuses the bigram diamond + the narrow quality "
+    "projection; the rollup is |langs| rows. lp0 rounds to 6dp before "
+    "the correlation so both engines correlate identical inputs. "
+    "Registered after the round-6 50-slot prefix: locally verified at "
+    "sf0.01+sf0.1, queued for the round-7 driver front.",
+)
+def q_corpus_ppl_quality_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.text_stats import (
+        bigram_doc_logprob,
+        text_statistics,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lp = bigram_doc_logprob(docs.select("lang", "doc_id", "text")).select(
+        "lang", "doc_id", F.round("lp0", 6).alias("lp")
+    )
+    qs = text_statistics(docs.select("doc_id", "text")).select(
+        "doc_id", F.col("quality_score").alias("qs")
+    )
+    j = lp.join(qs, "doc_id")
+    return j.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        # + 0.0 normalizes a possible -0.0 near-zero correlation / mean
+        # (suite-wide negative-zero contract)
+        (F.round(F.corr("lp", "qs"), 4) + F.lit(0.0)).alias(
+            "corr_lp_quality"
+        ),
+        (F.round(F.avg("lp"), 4) + F.lit(0.0)).alias("avg_lp"),
+        F.round(F.avg("qs"), 4).alias("avg_quality"),
+    )
+
+
 # The round driver validates a *prefix* of the queries() dict (each round
 # records exactly the first 50 entries in insertion order). Round 6 rotation,
 # in priority order:

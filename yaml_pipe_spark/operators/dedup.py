@@ -1193,3 +1193,108 @@ def lsh_band_curve(
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-then-prune semantic deduplication
+# ---------------------------------------------------------------------------
+
+
+def semdedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    clustering embeddings, then pruning near-duplicates WITHIN each cluster,
+    keeping the member farthest from its centroid.
+
+    Distinct from the sign-LSH blocked pairs (`cosine_pairs(block_col=)`):
+    the paper's pipeline is (1) k-means cluster, (2) all-pairs cosine inside
+    each cluster only, (3) for every duplicate group keep the example with
+    the LOWEST cosine to the cluster centroid (farthest = most informative,
+    per the paper's ablation). Step 3 is sequential-greedy in the paper;
+    here it is the order-free relaxation standard for SQL engines: x is
+    dropped iff SOME same-cluster neighbor y with cosine(x, y) >= threshold
+    precedes it in keep-priority order (centroid_sim ASC, id ASC). The
+    relaxation can drop slightly more than the greedy chain (a dropped y
+    still shields x) — deterministic, one-pass, and the direction is safe
+    for dedup (never keeps two near-duplicates).
+
+    `centroids` is a (cid, cv) frame — `kmeans_fit` output, or any pinned
+    coarse quantizer (the IVF centroids double here, so one clustering
+    serves both ANN serving and semantic dedup).
+
+    Returns one row per input vector:
+    (id, cid, centroid_sim, kept INT, dropped_for nullable id) where
+    dropped_for is the highest-priority dominating neighbor.
+
+    Scale (100 TB): assignment is one narrow pass against broadcast
+    centroids (k x dim); pairing is cosine_pairs' equi-join blocked by cid
+    — never a global quadratic; the dominance resolution is one edge-keyed
+    rollup. Cluster size is the knob: pick k ~ N / target_cluster_size
+    (the paper uses ~50k clusters for LAION-scale); a runaway cluster is an
+    assignment-skew problem, surfaced by emb_ivf_cell_balance.
+    """
+    from yaml_pipe_spark.functions.vectors import cosine
+
+    cdf = F.broadcast(centroids.select("cid", "cv"))
+    scored = df.select(id_col, vec_col).crossJoin(cdf).withColumn(
+        "__s", F.round(cosine(F.col(vec_col), F.col("cv")), sim_decimals)
+    )
+    # argmax centroid, ties to the lowest cid — same contract as the IVF
+    # assignment (row_number ORDER BY s DESC, cid in the oracle)
+    asg = (
+        scored.groupBy(id_col, vec_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__s").alias("s"), (-F.col("cid")).alias("nc")
+                )
+            ).alias("m")
+        )
+        .select(
+            id_col,
+            vec_col,
+            (-F.col("m.nc")).cast("long").alias("cid"),
+            F.col("m.s").alias("centroid_sim"),
+        )
+    )
+    pairs = cosine_pairs(
+        asg,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        block_col="cid",
+        score_decimals=sim_decimals,
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("x"), F.col("id_b").alias("y")
+    ).unionAll(pairs.select(F.col("id_b").alias("x"), F.col("id_a").alias("y")))
+    cs = asg.select(id_col, "cid", "centroid_sim")
+    ex = edges.join(
+        cs.select(F.col(id_col).alias("x"), F.col("centroid_sim").alias("cs_x")),
+        "x",
+    ).join(
+        cs.select(F.col(id_col).alias("y"), F.col("centroid_sim").alias("cs_y")),
+        "y",
+    )
+    dom = ex.filter(
+        (F.col("cs_y") < F.col("cs_x"))
+        | ((F.col("cs_y") == F.col("cs_x")) & (F.col("y") < F.col("x")))
+    )
+    best = dom.groupBy("x").agg(
+        F.min_by("y", F.struct("cs_y", "y")).alias("dropped_for")
+    )
+    return cs.join(best, cs[id_col] == best.x, "left").select(
+        id_col,
+        "cid",
+        # IEEE -0.0 + 0.0 = +0.0: a tiny-negative cosine rounds to -0.0,
+        # which is hash-visible (suite-wide negative-zero contract)
+        (F.col("centroid_sim") + F.lit(0.0)).alias("centroid_sim"),
+        F.col("dropped_for").isNull().cast("int").alias("kept"),
+        "dropped_for",
+    )

@@ -286,3 +286,127 @@ def temperature_rates(
         )
     )
     return rates
+
+
+def doremi_source_weights(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eta: float = 2.0,
+) -> DataFrame:
+    """DoReMi-style domain reweighting (Xu et al. 2023, arXiv:2305.10429),
+    the deterministic single-shot analog: upweight sources where a generic
+    (corpus-wide) language model underperforms a source-specialized one.
+
+    DoReMi trains a proxy model with Group DRO to find domain weights
+    maximizing per-domain excess loss over a reference model. Model
+    training is out of scope for a SQL-checkable engine, so both models
+    here are the engine's bigram LMs (text_stats.bigram_doc_logprob
+    machinery): reference = trained on the whole corpus, specialist =
+    trained per source. excess(s) = avg over s's docs of
+    (lp_source - lp_corpus) >= 0 measures how much head-room the generic
+    model leaves on that source — DoReMi's excess-loss signal with the
+    proxy/reference pair replaced by specialist/generalist LMs. The new
+    mixture is the exponentiated-gradient step the paper uses:
+    w(s) proportional to share(s) * exp(eta * excess(s)), normalized.
+
+    Determinism contract (shared by the oracle): per-doc excess rounds to
+    6dp before the per-source mean; the mean rounds to 6dp before exp();
+    weights round to 6dp after normalizing.
+
+    Returns one row per source:
+    (source, n_docs BIGINT, baseline_share, excess_loss, weight DOUBLE).
+
+    Scale: ONE (doc, bigram) count shuffle; the source LM aggregates from
+    it and the corpus LM aggregates from the source LM (vocab-sized, no
+    second corpus scan); per-doc scoring joins the doc-gram stream once on
+    the full (source, prev, cur) key; the final frame is |sources| rows,
+    normalized with a window over itself.
+    """
+    t = F.regexp_extract_all(F.lower(text_col), F.lit(r"\p{L}+"), F.lit(0))
+    base = docs.select(source_col, id_col, t.alias("t")).filter(
+        F.size("t") >= 2
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.struct(
+            F.get(F.col("t"), i - 1).alias("prev"),
+            F.get(F.col("t"), i).alias("cur"),
+        ),
+    )
+    bgs = (
+        base.select(source_col, id_col, F.explode(grams).alias("g"))
+        .select(source_col, id_col, F.col("g.prev"), F.col("g.cur"))
+        .filter(
+            F.col(source_col).isNotNull()
+            & F.col("prev").isNotNull()
+            & F.col("cur").isNotNull()
+        )
+    )
+    dt = bgs.groupBy(source_col, id_col, "prev", "cur").agg(
+        F.count("*").alias("c_dt")
+    )
+    lm_s = dt.groupBy(source_col, "prev", "cur").agg(
+        F.sum("c_dt").alias("c_bg")
+    )
+    pv_s = lm_s.groupBy(source_col, "prev").agg(F.sum("c_bg").alias("c_prev"))
+    lp_s = lm_s.join(pv_s, [source_col, "prev"]).select(
+        source_col,
+        "prev",
+        "cur",
+        (
+            F.log10(F.col("c_bg").cast("double"))
+            - F.log10(F.col("c_prev").cast("double"))
+        ).alias("lps"),
+    )
+    # corpus-wide LM derives from the source LM — no second corpus scan
+    lm_g = lm_s.groupBy("prev", "cur").agg(F.sum("c_bg").alias("g_bg"))
+    pv_g = lm_g.groupBy("prev").agg(F.sum("g_bg").alias("g_prev"))
+    lp_g = lm_g.join(pv_g, "prev").select(
+        "prev",
+        "cur",
+        (
+            F.log10(F.col("g_bg").cast("double"))
+            - F.log10(F.col("g_prev").cast("double"))
+        ).alias("lpg"),
+    )
+    doc = (
+        dt.join(lp_s, [source_col, "prev", "cur"])
+        .join(lp_g, ["prev", "cur"])
+        .groupBy(source_col, id_col)
+        .agg(
+            F.round(
+                F.sum(F.col("c_dt") * (F.col("lps") - F.col("lpg")))
+                / F.sum("c_dt"),
+                6,
+            ).alias("exc")
+        )
+    )
+    src = doc.groupBy(source_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        # + 0.0 normalizes a possible -0.0 (a tiny-negative mean excess
+        # rounds to -0.0, which is hash-visible); exp(-0.0) == exp(0.0)
+        # so the weight itself is unaffected
+        (F.round(F.avg("exc"), 6) + F.lit(0.0)).alias("excess_loss"),
+    )
+    # normalizations via broadcast one-row aggregates (the scalar-subquery
+    # shape), not a partitionBy()-less window — same values, no
+    # single-partition WindowExec over the source frame
+    tot = src.agg(F.sum("n_docs").alias("__td"))
+    w0 = (
+        src.crossJoin(F.broadcast(tot))
+        .withColumn("__share", F.col("n_docs") / F.col("__td"))
+        .withColumn(
+            "__un",
+            F.col("__share") * F.exp(F.lit(eta) * F.col("excess_loss")),
+        )
+    )
+    tot2 = w0.agg(F.sum("__un").alias("__tu"))
+    return w0.crossJoin(F.broadcast(tot2)).select(
+        source_col,
+        "n_docs",
+        F.round(F.col("__share"), 6).alias("baseline_share"),
+        "excess_loss",
+        F.round(F.col("__un") / F.col("__tu"), 6).alias("weight"),
+    )
