@@ -662,12 +662,12 @@ def test_pagerank_iterations_cut_lineage(spark):
 
 
 def test_semdedup_pairs_are_blocked_not_cartesian(spark):
-    """SemDeDup's only cross joins are the broadcast centroid assignment
-    and broadcast scalar frames — the pair stage must be a cid equi-join,
-    never a shuffled cartesian over the corpus."""
+    """SemDeDup's centroid assignment is a literal argmax projection (no
+    join of ANY kind against the corpus) and the pair stage is a cid
+    equi-join — never a cartesian or row-multiplying nested loop."""
     plan = _plan(_q("dedup_semantic_cluster", spark), "simple")
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" in plan  # the k x dim centroid side
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_nb_distill_model_broadcasts_to_scoring(spark):

@@ -96,6 +96,7 @@ ROUND7_QUEUE: set[str] = {
     "quality_nb_distill",
     "corpus_doremi_weights",
     "corpus_ppl_quality_corr",
+    "sample_kcenter_coreset",
     # displaced round-2-generation refresh rows
     "rel_sales_opportunity",
     "rel_small_qty_revenue",

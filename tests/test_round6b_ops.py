@@ -184,3 +184,46 @@ def test_doremi_identical_sources_keep_their_shares(spark):
     for s in ("s1", "s2"):
         assert out[s]["excess_loss"] == 0.0
         assert abs(out[s]["weight"] - out[s]["baseline_share"]) < 1e-5
+
+
+# ------------------------------------------------------- k-center coreset
+
+
+def test_kcenter_picks_maxmin_and_radius_shrinks(spark):
+    from yaml_pipe_spark.operators.sampling import kcenter_coreset
+
+    # four directions at increasing angles from e1; greedy from id 1 (e1)
+    # must pick the opposite pole (id 4) next, then the midpoints
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.92, 0.39]),   # ~23 deg
+            (3, [0.38, 0.92]),   # ~67 deg
+            (4, [0.0, 1.0]),     # 90 deg — farthest from e1
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = kcenter_coreset(emb, k=3).collect()
+    steps = {r["step"]: r for r in rows}
+    assert steps[1]["center_id"] == 1
+    assert steps[2]["center_id"] == 4
+    assert steps[3]["center_id"] in (2, 3)
+    radii = [steps[s]["radius"] for s in (1, 2, 3)]
+    assert radii == sorted(radii, reverse=True)
+    assert radii[2] < radii[0]
+
+
+def test_kcenter_deterministic_tiebreak_lowest_id(spark):
+    from yaml_pipe_spark.operators.sampling import kcenter_coreset
+
+    # two identical candidates equidistant from the start: lowest id wins
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (5, [0.0, 1.0]),
+            (9, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["step"]: r for r in kcenter_coreset(emb, k=2).collect()}
+    assert rows[2]["center_id"] == 5

@@ -12257,6 +12257,64 @@ def q_corpus_ppl_quality_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dk_kcenter_step(prev_d: str, prev_c: str, step: int) -> str:
+    """One unrolled greedy k-center round: pick argmax(mind) from the
+    previous distance frame, then fold its distance in with least()."""
+    return f"""
+c{step} AS (
+  SELECT vec_id AS cid, embedding AS cv FROM {prev_d}
+  ORDER BY mind DESC, vec_id LIMIT 1
+),
+d{step} AS (
+  SELECT d.vec_id, d.embedding,
+         least(d.mind,
+               round(1 - {_dk_cos('d.embedding', 'c.cv')}, 6)) AS mind
+  FROM {prev_d} d, c{step} c
+),
+r{step} AS (SELECT max(mind) AS radius FROM d{step})"""
+
+
+KCENTER_ORACLE = f"""
+WITH c1 AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  ORDER BY vec_id LIMIT 1
+),
+d1 AS (
+  SELECT e.vec_id, e.embedding,
+         round(1 - {_dk_cos('e.embedding', 'c.cv')}, 6) AS mind
+  FROM embeddings e, c1 c
+),
+r1 AS (SELECT max(mind) AS radius FROM d1),
+{_dk_kcenter_step('d1', 'c1', 2)},
+{_dk_kcenter_step('d2', 'c2', 3)},
+{_dk_kcenter_step('d3', 'c3', 4)}
+SELECT 1 AS step, c1.cid AS center_id, r1.radius FROM c1, r1
+UNION ALL SELECT 2, c2.cid, r2.radius FROM c2, r2
+UNION ALL SELECT 3, c3.cid, r3.radius FROM c3, r3
+UNION ALL SELECT 4, c4.cid, r4.radius FROM c4, r4
+"""
+
+
+@register(
+    "sample_kcenter_coreset",
+    KCENTER_ORACLE,
+    "Greedy k-center coreset selection (Sener & Savarese 2018): k=4 "
+    "diversity-first centers over the embedding corpus, each round adding "
+    "the point with max-min cosine distance to the chosen set, plus the "
+    "per-step coverage radius (the k-center objective curve). The driver "
+    "holds only the k x dim centers; every round is one narrow "
+    "literal-distance projection + one max/max_by aggregate — k columnar "
+    "scans, zero shuffles, nothing corpus-sized collected. Registered "
+    "after the round-6 50-slot prefix: locally verified at sf0.01+sf0.1, "
+    "queued for the round-7 driver front.",
+)
+def q_sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.sampling import kcenter_coreset
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kcenter_coreset(emb, k=4)
+
+
 # The round driver validates a *prefix* of the queries() dict (each round
 # records exactly the first 50 entries in insertion order). Round 6 rotation,
 # in priority order:

@@ -77,11 +77,20 @@ def nb_quality_distill(
     ).groupBy(id_col, "__y", "__train", "tok").agg(
         F.count("*").alias("tf")
     )
+    # the (doc, token, tf) feature frame feeds four consumers (train
+    # counts, train doc counts, test scoring, test doc roster) and every
+    # model-constant subtree below re-references it multiplicatively —
+    # materialize it once (it is the tokenized feature table a production
+    # pipeline persists anyway) so the corpus is scanned exactly once
+    tf = tf.localCheckpoint()
     train = tf.filter(F.col("__train") == 1)
 
     # class-conditional token counts over the FULL train vocab grid
     # (missing (tok, class) cells count 0 via the left join + coalesce)
+    # — vocab-sized; checkpointed so the scalar/grid math re-aggregates a
+    # model-sized frame, not the feature frame
     ct = train.groupBy("tok", "__y").agg(F.sum("tf").alias("c"))
+    ct = ct.localCheckpoint()
     vocab = ct.select("tok").distinct()
     classes = docs.sparkSession.createDataFrame(
         [(0,), (1,)], "__y int"

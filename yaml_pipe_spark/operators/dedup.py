@@ -1232,64 +1232,92 @@ def semdedup(
     (id, cid, centroid_sim, kept INT, dropped_for nullable id) where
     dropped_for is the highest-priority dominating neighbor.
 
-    Scale (100 TB): assignment is one narrow pass against broadcast
-    centroids (k x dim); pairing is cosine_pairs' equi-join blocked by cid
-    — never a global quadratic; the dominance resolution is one edge-keyed
-    rollup. Cluster size is the knob: pick k ~ N / target_cluster_size
-    (the paper uses ~50k clusters for LAION-scale); a runaway cluster is an
-    assignment-skew problem, surfaced by emb_ivf_cell_balance.
+    Scale (100 TB): the centroid matrix (k x dim — the k-means contract)
+    is collected once and compiled into a LITERAL argmax projection, so
+    assignment is a zero-shuffle narrow pass: no crossJoin row blowup, no
+    (id, vector) groupBy pushing every embedding through an exchange.
+    centroid_sim rides along into the pair join, so the corpus frame is
+    referenced exactly three times (pair build side, pair probe side,
+    output), each a narrow columnar scan. Pairing is an equi-join blocked
+    by cid — never a global quadratic; dominance resolution is one
+    candidate-keyed rollup. Cluster size is the knob: pick
+    k ~ N / target_cluster_size (the paper uses ~50k clusters for
+    LAION-scale); a runaway cluster is an assignment-skew problem,
+    surfaced by emb_ivf_cell_balance.
     """
-    from yaml_pipe_spark.functions.vectors import cosine
+    from yaml_pipe_spark.functions.vectors import cosine, dot, l2_norm_sq
 
-    cdf = F.broadcast(centroids.select("cid", "cv"))
-    scored = df.select(id_col, vec_col).crossJoin(cdf).withColumn(
-        "__s", F.round(cosine(F.col(vec_col), F.col("cv")), sim_decimals)
+    crows = centroids.select("cid", "cv").collect()  # k x dim only
+    structs = F.array(
+        *[
+            F.struct(
+                F.round(
+                    cosine(F.col(vec_col), F.lit([float(x) for x in r["cv"]])),
+                    sim_decimals,
+                ).alias("s"),
+                F.lit(-int(r["cid"])).alias("nc"),
+            )
+            for r in crows
+        ]
     )
-    # argmax centroid, ties to the lowest cid — same contract as the IVF
-    # assignment (row_number ORDER BY s DESC, cid in the oracle)
-    asg = (
-        scored.groupBy(id_col, vec_col)
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("__s").alias("s"), (-F.col("cid")).alias("nc")
-                )
-            ).alias("m")
+    # argmax centroid, ties to the lowest cid — array_max over (s, -cid)
+    # structs, the same contract as the IVF assignment (row_number
+    # ORDER BY s DESC, cid in the oracle)
+    m = F.array_max(structs)
+    asg = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        (-m.getField("nc")).cast("long").alias("cid"),
+        m.getField("s").alias("centroid_sim"),
+    )
+    # blocked pair join with centroid_sim carried on BOTH sides (inlined
+    # cosine_pairs: precomputed squared norms, zero-norm opt-out, spread
+    # repartition for small inputs) — no post-hoc sim-lookup joins
+    par = df.sparkSession.sparkContext.defaultParallelism
+    a = asg.repartition(par).select(
+        "cid",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        l2_norm_sq(F.col(vec_col)).alias("__na"),
+        F.col("centroid_sim").alias("cs_a"),
+    ).filter(F.col("__na") > 0)
+    b = asg.select(
+        "cid",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        l2_norm_sq(F.col(vec_col)).alias("__nb"),
+        F.col("centroid_sim").alias("cs_b"),
+    ).filter(F.col("__nb") > 0)
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / F.sqrt(F.col("__na") * F.col("__nb")),
+                sim_decimals,
+            ),
         )
-        .select(
-            id_col,
-            vec_col,
-            (-F.col("m.nc")).cast("long").alias("cid"),
-            F.col("m.s").alias("centroid_sim"),
-        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "cs_a", "id_b", "cs_b")
     )
-    pairs = cosine_pairs(
-        asg,
-        id_col=id_col,
-        vec_col=vec_col,
-        threshold=threshold,
-        block_col="cid",
-        score_decimals=sim_decimals,
+    # every near-dup pair has exactly ONE dominated side (keep-priority is
+    # a total order), so the dominance edge derives in a single pass over
+    # pairs — no both-direction unionAll that would evaluate the pair join
+    # twice
+    a_wins = (F.col("cs_a") < F.col("cs_b")) | (
+        (F.col("cs_a") == F.col("cs_b")) & (F.col("id_a") < F.col("id_b"))
     )
-    edges = pairs.select(
-        F.col("id_a").alias("x"), F.col("id_b").alias("y")
-    ).unionAll(pairs.select(F.col("id_b").alias("x"), F.col("id_a").alias("y")))
-    cs = asg.select(id_col, "cid", "centroid_sim")
-    ex = edges.join(
-        cs.select(F.col(id_col).alias("x"), F.col("centroid_sim").alias("cs_x")),
-        "x",
-    ).join(
-        cs.select(F.col(id_col).alias("y"), F.col("centroid_sim").alias("cs_y")),
-        "y",
-    )
-    dom = ex.filter(
-        (F.col("cs_y") < F.col("cs_x"))
-        | ((F.col("cs_y") == F.col("cs_x")) & (F.col("y") < F.col("x")))
+    dom = pairs.select(
+        F.when(a_wins, F.col("id_b")).otherwise(F.col("id_a")).alias("x"),
+        F.when(a_wins, F.col("id_a")).otherwise(F.col("id_b")).alias("y"),
+        F.when(a_wins, F.col("cs_a")).otherwise(F.col("cs_b")).alias("cs_y"),
     )
     best = dom.groupBy("x").agg(
         F.min_by("y", F.struct("cs_y", "y")).alias("dropped_for")
     )
-    return cs.join(best, cs[id_col] == best.x, "left").select(
+    return asg.join(best, asg[id_col] == best.x, "left").select(
         id_col,
         "cid",
         # IEEE -0.0 + 0.0 = +0.0: a tiny-negative cosine rounds to -0.0,

@@ -390,6 +390,11 @@ def doremi_source_weights(
         # so the weight itself is unaffected
         (F.round(F.avg("exc"), 6) + F.lit(0.0)).alias("excess_loss"),
     )
+    # cut lineage at the |sources|-row frame: the two scalar
+    # normalizations below reference it multiplicatively (src, tot(src),
+    # w0(src,tot), tot2(w0), final(w0,tot2)) and would re-derive the whole
+    # corpus diamond 4x without this
+    src = src.localCheckpoint()
     # normalizations via broadcast one-row aggregates (the scalar-subquery
     # shape), not a partitionBy()-less window — same values, no
     # single-partition WindowExec over the source frame
@@ -409,4 +414,75 @@ def doremi_source_weights(
         F.round(F.col("__share"), 6).alias("baseline_share"),
         "excess_loss",
         F.round(F.col("__un") / F.col("__tu"), 6).alias("weight"),
+    )
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dist_decimals: int = 6,
+) -> DataFrame:
+    """Greedy k-center coreset selection (Sener & Savarese 2018, the
+    core-set approach to data selection): pick k examples maximizing
+    coverage of the embedding space — each round adds the point FARTHEST
+    (max-min cosine distance) from the centers chosen so far. The greedy
+    chain is a 2-approximation of the optimal k-center cover, and the
+    published recipe for diversity-first subset selection.
+
+    Deterministic contract (shared by the oracle): center 1 = lowest id;
+    d(x, c) = round(1 - cosine(x, c), dist_decimals); the min-distance
+    column updates by least(); the next center is argmax(min_dist) with
+    ties to the lowest id.
+
+    Returns k rows: (step, center_id, radius) where radius = the k-center
+    objective (max over the corpus of its distance to the nearest chosen
+    center) AFTER adding that step's center — the coverage curve that
+    tells you where extra centers stop paying.
+
+    Scale (100 TB): the driver holds only the k x dim chosen centers
+    (same contract as kmeans_fit). Each round is ONE action: a narrow
+    projection tower over the scan (chosen centers are compiled in as
+    literals — no join, no shuffle) reduced by a single
+    max / max_by(struct) aggregate, so the total cost is k columnar
+    scans with map-side-combined aggregation and nothing corpus-sized is
+    ever materialized, shuffled, or collected.
+    """
+    from yaml_pipe_spark.functions.vectors import cosine
+
+    spark = df.sparkSession
+    base = df.select(id_col, vec_col)
+    first = base.orderBy(F.col(id_col)).limit(1).collect()[0]
+    centers = [(1, int(first[0]), [float(x) for x in first[1]])]
+
+    def _dist(cv: list[float]):
+        return F.round(
+            F.lit(1.0) - cosine(F.col(vec_col), F.lit(cv)), dist_decimals
+        )
+
+    cur = base.withColumn("__mind", _dist(centers[0][2]))
+    out_rows = []
+    for step in range(1, k + 1):
+        agg = cur.agg(
+            F.max("__mind").alias("radius"),
+            F.max_by(
+                F.struct(
+                    F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")
+                ),
+                F.struct(F.col("__mind"), (-F.col(id_col)).alias("ni")),
+            ).alias("nxt"),
+        ).collect()[0]
+        out_rows.append(
+            (step, centers[-1][1], float(agg["radius"]))
+        )
+        if step < k:
+            nxt = agg["nxt"]
+            cv = [float(x) for x in nxt["nv"]]
+            centers.append((step + 1, int(nxt["nid"]), cv))
+            cur = cur.withColumn(
+                "__mind", F.least(F.col("__mind"), _dist(cv))
+            )
+    return spark.createDataFrame(
+        out_rows, "step long, center_id long, radius double"
     )
