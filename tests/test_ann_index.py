@@ -294,3 +294,23 @@ def test_append_equals_full_rebuild_and_fingerprint_composes(
     empty_store = IvfPqIndexStore(str(tmp_path / "none"))
     with pytest.raises(ValueError):
         empty_store.append(tail1)
+
+
+def test_ivfpq_append_version_mode_mismatch_raises(spark, tmp_path):
+    """Mixing fingerprint-mode appends into a version-built IVF-PQ index
+    (or vice versa) must fail loudly — otherwise the old version stamp
+    survives while the indexed rows move on, and a later
+    is_stale(corpus, version=old) reports fresh for a drifted index.
+    (ADVICE r6: mirror Bm25IndexStore.append's guard.)"""
+    corpus, cents, _ = _frames(spark)
+    head = corpus.filter(F.col("vec_id") < 40)
+    tail = corpus.filter(F.col("vec_id") >= 40)
+
+    st = IvfPqIndexStore(str(tmp_path / "v"))
+    st.build(head, cents, version="snap-1")
+    with pytest.raises(ValueError, match="staleness mode"):
+        st.append(tail)  # no version into a version-built index
+    st2 = IvfPqIndexStore(str(tmp_path / "fp"))
+    st2.build(head, cents)
+    with pytest.raises(ValueError, match="staleness mode"):
+        st2.append(tail, version="snap-2")

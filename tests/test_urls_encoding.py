@@ -176,3 +176,34 @@ def test_encoding_scrub_is_idempotent(spark):
     assert cleaned.count() == 3  # all three were flagged
     again = encoding_anomaly_scrub(cleaned)
     assert again.count() == 0
+
+
+def test_canonicalize_url_passes_malformed_through(spark):
+    """Scheme-less / unparseable URLs must survive as their raw spelling,
+    not collapse into one NULL canonical key (which countDistinct would
+    then ignore, inflating dup rates on real crawl input). ADVICE r6."""
+    rows = [
+        ("no-scheme.example.com/a",),
+        ("not a url at all",),
+        ("https://ok.example.com/a/",),
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    out = df.select(
+        "url", canonicalize_url(F.col("url")).alias("c")
+    ).collect()
+    got = {r["url"]: r["c"] for r in out}
+    assert got["no-scheme.example.com/a"] == "no-scheme.example.com/a"
+    assert got["not a url at all"] == "not a url at all"
+    assert got["https://ok.example.com/a/"] == "https://ok.example.com/a"
+
+
+def test_spread_probe_decodes_percent_encoded_paths(spark, tmp_path):
+    """inputFiles() percent-encodes URIs; a local dir with a space must
+    still classify as local and take the rescue repartition. ADVICE r6."""
+    from yaml_pipe_spark.session import spread_for_expansion
+
+    small = str(tmp_path / "with space")
+    spark.range(100).coalesce(1).write.parquet(small)
+    df = spark.read.parquet(small)
+    assert any("%20" in f for f in df.inputFiles()), "precondition"
+    assert spread_for_expansion(df) is not df

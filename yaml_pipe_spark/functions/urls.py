@@ -2,7 +2,7 @@
 URL-level dedup (a Common-Crawl-scale pipeline dedups fetch lists and
 post-fetch records on the canonical URL long before any content dedup).
 
-Pure Catalyst column expressions (parse_url + regexp/array ops inside
+Pure Catalyst column expressions (try_parse_url + regexp/array ops inside
 whole-stage codegen — no UDF), so the same definition canonicalizes
 10^11 URLs as a narrow projection on the scan. Every rule is mirrored
 one-to-one by the DuckDB oracle in entrypoints.py (corpus_url_canonical_
@@ -31,13 +31,13 @@ def canonical_host(url: Column) -> Column:
     """Lowercased host, one leading `www.` stripped, port dropped
     (parse_url HOST already excludes the port)."""
     return F.regexp_replace(
-        F.lower(F.parse_url(url, F.lit("HOST"))), "^www\\.", ""
+        F.lower(F.try_parse_url(url, F.lit("HOST"))), "^www\\.", ""
     )
 
 
 def canonical_query(url: Column) -> Column:
     """Tracking params dropped, the rest sorted bytewise; '' if none."""
-    q = F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit(""))
+    q = F.coalesce(F.try_parse_url(url, F.lit("QUERY")), F.lit(""))
     kept = F.array_sort(
         F.filter(
             F.split(q, "&"),
@@ -48,16 +48,24 @@ def canonical_query(url: Column) -> Column:
 
 
 def canonicalize_url(url: Column) -> Column:
-    """The full canonical form (see module docstring for the rules)."""
-    scheme = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
+    """The full canonical form (see module docstring for the rules).
+
+    Scheme-less / unparseable URLs (try_parse_url yields NULL scheme or
+    host; the non-try parse_url would THROW and kill the whole scan on one
+    bad row) pass through RAW instead of null-propagating: collapsing every
+    malformed URL into one NULL canonical key would make countDistinct
+    ignore them and inflate dup rates on real crawl input."""
+    scheme = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
+    host = canonical_host(url)
     path = F.regexp_replace(
-        F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("")), "/$", ""
+        F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit("")), "/$", ""
     )
     q = canonical_query(url)
-    return F.concat(
+    canon = F.concat(
         scheme,
         F.lit("://"),
-        canonical_host(url),
+        host,
         path,
         F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
     )
+    return F.when(scheme.isNull() | host.isNull(), url).otherwise(canon)

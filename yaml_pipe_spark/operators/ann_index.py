@@ -33,9 +33,11 @@ needs is *pruning*, and directory-partitioning by cid is what turns a probe
 into a subset scan. (See `tests/test_ann_recall.py::
 test_ivf_assignment_partition_pruned_probe` for the pruning assertion.)
 
-Staleness: `build` stamps the corpus fingerprint (row count + a sum of
-per-row xxhash64 over id and vector — order-insensitive, computed in one
-cheap aggregate) and the build params into <base>/meta. `build_if_stale`
+Staleness: `build` stamps the corpus fingerprint (row count + a bit_xor
+fold of per-row xxhash64 over id and vector — order-insensitive, computed
+in one cheap aggregate; XOR, not a sum, so append() can compose it
+incrementally over disjoint row sets) and the build params into
+<base>/meta. `build_if_stale`
 rebuilds iff the fingerprint or params changed; callers with a snapshot
 version string can pass `version=` to skip the fingerprint scan entirely
 (the metastore-driven production mode).
@@ -232,6 +234,14 @@ class IvfPqIndexStore:
         meta = self._read_meta(spark)
         if meta is None:
             raise ValueError("append() requires an existing index; build() first")
+        if (meta["version"] is None) != (version is None):
+            # composing a real fingerprint with the version-mode (-1,-1)
+            # sentinel would stamp garbage meta; fail at the caller's bug
+            raise ValueError(
+                "append() staleness mode must match the build: the index "
+                f"was built with version={meta['version']!r}, append got "
+                f"version={version!r}"
+            )
         centroids = spark.read.parquet(self.centroids_path)
         inc = increment.select(self.id_col, self.vec_col)
         coded = ivf_assign(

@@ -898,7 +898,12 @@ def connected_components(
     def _sized(df: DataFrame) -> DataFrame:
         # coalesce when shrinking (narrow); repartition when the measured
         # edge count demands more partitions than AQE's byte-based coalesce
-        # left us (one shuffle that right-sizes every subsequent round)
+        # left us (one shuffle that right-sizes every subsequent round).
+        # `.rdd` here is deliberate (unlike session.spread_for_expansion,
+        # which probes file scans): both callers pass frames that are —
+        # or are one narrow step from — an eager localCheckpoint, so the
+        # DAG conversion is driver-side planning only, and there is no
+        # file listing to probe instead.
         cur = df.rdd.getNumPartitions()
         if n_parts < cur:
             df = df.coalesce(n_parts)

@@ -88,6 +88,7 @@ def spread_for_expansion(df):
     already spread those, and a cluster-store scan arrives with real
     splits."""
     import os
+    from urllib.parse import unquote, urlparse
 
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
@@ -99,7 +100,11 @@ def spread_for_expansion(df):
         return df
     total = 0
     for f in files:
-        path = f.removeprefix("file:")
+        # inputFiles() returns percent-encoded URIs — decode before the
+        # isfile probe or local paths with spaces/non-ASCII silently take
+        # the non-local early return and skip the rescue repartition.
+        parsed = urlparse(f)
+        path = unquote(parsed.path) if parsed.scheme else unquote(f)
         if not os.path.isfile(path):
             return df  # non-local store: no cheap size probe, leave as-is
         total += os.path.getsize(path)
