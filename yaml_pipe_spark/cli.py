@@ -120,16 +120,25 @@ def cmd_clean(args) -> int:
 def cmd_eval(args) -> int:
     # reference cli.py:198-213 + evaluation.py:66-109: JSONL of
     # {question, expected_source}; hit iff any top-k result's source matches.
+    # With a `retriever:` key the candidates come from the spec's persisted
+    # index (retrievers.py) in ONE batch plan; the default ExactRetriever
+    # is the old knn_join path verbatim.
     from pyspark.sql import functions as F
 
-    from yaml_pipe_spark.operators.similarity import hit_rate, knn_join
+    from yaml_pipe_spark.operators.similarity import hit_rate
     from yaml_pipe_spark.plans.factory import build_component
+    from yaml_pipe_spark.retrievers import ExactRetriever, with_stable_id
 
     spec = load_config(args.config)
     spark = _spark()
     sink = build_component("sink", spec.sink)
     embedder = build_component("embedder", spec.embedder)
-    corpus = sink.read(spark)
+    retriever = (
+        build_component("retriever", spec.retriever)
+        if spec.retriever is not None
+        else ExactRetriever()
+    )
+    corpus = with_stable_id(sink.read(spark))
 
     questions = spark.read.json(args.dataset)
     if "question" not in questions.columns:
@@ -139,21 +148,21 @@ def cmd_eval(args) -> int:
         return 0
     q = embedder.apply(questions, "question").select(
         F.col("question").alias("qid"),
+        F.col("question").alias("qtext"),
         F.col("expected_source").alias("expected"),
         F.col("embedding").alias("qv"),
     )
-    # stable candidate id: knn_join breaks score ties on id_col, so the id
-    # must be deterministic across runs (monotonically_increasing_id is
-    # partition-layout-dependent and would make tied top-k nondeterministic)
-    corpus_k = corpus.select(
-        F.col("source").alias("cand_source"),
-        F.sha2(F.concat_ws("\x1f", F.col("source"), F.col("text")), 256).alias(
-            "cid"
-        ),
-        "embedding",
+    nn = retriever.topk(corpus, q, k=args.k).join(
+        corpus.select("__id", F.col("source").alias("cand_source")), "__id"
     )
-    nn = knn_join(
-        q, corpus_k, k=args.k, id_col="cid", exclude_self=False
+    # LEFT join from the question set: an approximate/lexical retriever can
+    # return zero candidates for a question, which must count as a miss,
+    # not silently shrink total_questions
+    nn = q.select("qid", "expected").join(nn, "qid", "left")
+    # NULL candidate (no results) must compare as a miss, not null-propagate
+    # through hit_rate's max/avg
+    nn = nn.withColumn(
+        "cand_source", F.coalesce("cand_source", F.lit("\x00no-result"))
     )
     res = hit_rate(nn, "qid", "expected", "cand_source").collect()[0]
     print(

@@ -109,7 +109,24 @@ def _score_core(
     qterms = qtf.filter(F.col("rn") <= TERMS_PER_QUERY).select(
         F.col("doc_id").alias("qid"), "tok"
     )
+    return score_qterms(qterms, tf, dl, cf, stats, ctot)
 
+
+def score_qterms(
+    qterms: DataFrame,
+    tf: DataFrame,
+    dl: DataFrame,
+    cf: DataFrame,
+    stats: DataFrame,
+    ctot: DataFrame,
+) -> DataFrame:
+    """BM25 + query-likelihood scores for an ARBITRARY (qid, tok) query-term
+    frame off index frames only — the generic core under _score_core's
+    pseudo-query derivation, and the free-text serve path the CLI
+    retrievers (yaml_pipe_spark/retrievers.py) use against a persisted
+    Bm25IndexStore: qterms is queries x terms (tiny), candidates come from
+    ONE equi-join against the inverted index, and the index never
+    shuffles."""
     cand = (
         qterms.join(tf.select("tok", "doc_id"), "tok")
         .select("qid", "doc_id")

@@ -36,6 +36,12 @@ class PipelineSpec(BaseModel):
     # ordered list of document-level filters (dedup / quality / sampling)
     # applied between change detection and chunking.
     filters: list[ComponentSpec] = Field(default_factory=list)
+    # Optional serving strategy (yaml_pipe_spark/retrievers.py): exact
+    # (default) | ivfpq | bm25 | hybrid_rrf. When set, run_pipeline builds/
+    # refreshes the persisted index after the sink write and `search`/`eval`
+    # serve from it — the reference's build-once/query-many split
+    # (core/pipeline.py:101-127 vs core/evaluation.py:44-64) made explicit.
+    retriever: Optional[ComponentSpec] = None
 
 
 def parse_config(text: str) -> PipelineSpec:

@@ -467,6 +467,8 @@ SINKS = {
 }
 STATE_BACKENDS = {"parquet": ParquetStateBackend}
 
+from yaml_pipe_spark.retrievers import RETRIEVERS  # noqa: E402
+
 _REGISTRIES = {
     "source": SOURCES,
     "chunker": CHUNKERS,
@@ -474,6 +476,7 @@ _REGISTRIES = {
     "sink": SINKS,
     "state_manager": STATE_BACKENDS,
     "filter": FILTERS,
+    "retriever": RETRIEVERS,
 }
 
 

@@ -124,4 +124,12 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec) -> PipelineResult:
         if n_changed > 0:
             state.commit(changed.select("item_id", "content_hash"), spark)
         changed.unpersist()
+
+    if spec.retriever is not None:
+        # the reference's build-once step (core/pipeline.py:101-127) made
+        # explicit: refresh the persisted serving index off what the sink
+        # now holds. Staleness is fingerprint-gated inside the store, so a
+        # run that changed nothing costs one narrow aggregate here.
+        retriever = build_component("retriever", spec.retriever)
+        retriever.build(sink.read(spark))
     return PipelineResult(n_loaded, n_changed, n_chunks, skipped=n_changed == 0)

@@ -1,0 +1,242 @@
+"""User-surface retrievers — the build-once/query-many split on the
+pipeline spec (VERDICT r6 ask #2).
+
+The reference splits index build (core/pipeline.py:101-127, the LanceDB
+table write) from query (core/evaluation.py:44-64, app.py:53-61) but offers
+only one retrieval strategy: exact cosine against the whole store. This
+module exposes the engine's persisted index stores on the same user
+surface: a `retriever:` key in the pipeline YAML selects the serving
+strategy, `run_pipeline` builds/refreshes the index right after the sink
+write (fingerprint-gated, so an unchanged corpus costs one aggregate), and
+`search` / `eval` serve from the persisted tables.
+
+    retriever:
+      type: ivfpq            # exact | ivfpq | bm25 | hybrid_rrf
+      config:
+        path: ./yamlpipe_index
+        n_cells: 8
+        nprobe: 2
+
+Contract shared by all retrievers:
+  build(corpus)              corpus = the sink frame (source, text,
+                             embedding); idempotent via index staleness
+  topk(corpus, queries, k)   queries = (qid, qtext, qv) with one row per
+                             query — BATCH-shaped, so `eval` over a
+                             thousand questions is one plan, not a loop;
+                             returns (qid, __id, rank, score)
+
+Row identity: chunks have no natural key, so every retriever keys on
+__id = sha2(source \\x1f text) — the same stable-tiebreak convention
+cmd_eval always used; ids are content-stable across runs and partition
+layouts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+TOKEN_RE = r"\p{L}+"  # same tokenization as the BM25 index build
+
+
+def with_stable_id(corpus: DataFrame) -> DataFrame:
+    """Content-stable row id (sha2 over source+text) — deterministic across
+    runs/partitionings, unlike monotonically_increasing_id."""
+    return corpus.withColumn(
+        "__id",
+        F.sha2(F.concat_ws("\x1f", F.col("source"), F.col("text")), 256),
+    )
+
+
+class ExactRetriever:
+    """Exact cosine over the whole sink — the reference's strategy and the
+    default when the spec has no `retriever:` key. Nothing to build."""
+
+    def build(self, corpus: DataFrame) -> None:
+        return None
+
+    def topk(self, corpus: DataFrame, queries: DataFrame, k: int) -> DataFrame:
+        from yaml_pipe_spark.operators.similarity import knn_join
+
+        c = with_stable_id(corpus).select("__id", "embedding")
+        nn = knn_join(
+            queries.select("qid", "qv"),
+            c,
+            k=k,
+            id_col="__id",
+            exclude_self=False,
+        )
+        return nn.select("qid", "__id", "rank", "score")
+
+
+class IvfPqRetriever:
+    """Serve from a persisted IVF-PQ store (operators/ann_index.py).
+
+    build() derives deterministic coarse centroids (the n_cells rows with
+    the smallest xxhash64(__id) — a TakeOrdered, never a global sort) and
+    delegates to IvfPqIndexStore.build_if_stale; an unchanged corpus +
+    centroid set re-serves with zero build work."""
+
+    def __init__(
+        self,
+        path: str,
+        n_cells: int = 8,
+        nprobe: int = 2,
+        rerank_m: int = 20,
+    ):
+        from yaml_pipe_spark.operators.ann_index import IvfPqIndexStore
+
+        self.n_cells = n_cells
+        self.nprobe = nprobe
+        self.rerank_m = rerank_m
+        self.store = IvfPqIndexStore(path, id_col="__id")
+
+    def _frames(self, corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
+        vecs = with_stable_id(corpus).select("__id", "embedding")
+        seeds = (
+            vecs.withColumn("__h", F.xxhash64("__id"))
+            .orderBy("__h")
+            .limit(self.n_cells)
+        )
+        cents = seeds.select(
+            (F.row_number().over(W.orderBy("__h")) - 1)
+            .cast("long")
+            .alias("cid"),
+            F.col("embedding").alias("cv"),
+        )
+        return vecs, cents
+
+    def build(self, corpus: DataFrame) -> None:
+        vecs, cents = self._frames(corpus)
+        self.store.build_if_stale(vecs, cents)
+
+    def topk(self, corpus: DataFrame, queries: DataFrame, k: int) -> DataFrame:
+        out = self.store.serve(
+            queries.select("qid", "qv"),
+            k=k,
+            nprobe=self.nprobe,
+            rerank_m=self.rerank_m,
+        )
+        return out.select("qid", "__id", "rank", "score")
+
+
+class Bm25Retriever:
+    """Free-text lexical serve from a persisted BM25 inverted index
+    (operators/retrieval.py::Bm25IndexStore): query terms tokenize with
+    the SAME \\p{L}+ expression the index build used (Spark-side, zero
+    tokenizer drift), candidates come from one qterms⋈tf equi-join, and
+    scoring is retrieval.score_qterms — the identical core the oracled
+    q3_bm25_* queries pin."""
+
+    def __init__(self, path: str, score_decimals: int = 6):
+        from yaml_pipe_spark.operators.retrieval import Bm25IndexStore
+
+        self.store = Bm25IndexStore(path, id_col="__id", text_col="text")
+        self.score_decimals = score_decimals
+
+    def build(self, corpus: DataFrame) -> None:
+        docs = with_stable_id(corpus).select("__id", "text")
+        self.store.build_if_stale(docs)
+
+    def topk(self, corpus: DataFrame, queries: DataFrame, k: int) -> DataFrame:
+        from yaml_pipe_spark.operators.retrieval import score_qterms
+        from yaml_pipe_spark.streaming.stream import read_band_state
+
+        spark = corpus.sparkSession
+        meta = self.store._read_meta(spark)
+        if meta is None:
+            raise ValueError(
+                f"no BM25 index at {self.store.base_path}; run the "
+                "pipeline (or build()) first"
+            )
+        n_docs, total = int(meta["n_docs"]), int(meta["total_tokens"])
+        if n_docs == 0:
+            return spark.createDataFrame(
+                [], "qid long, __id string, rank long, score double"
+            )
+        tf = spark.read.parquet(self.store.tf_path)
+        dl = spark.read.parquet(self.store.dl_path)
+        cf = read_band_state(spark, self.store.base_path, name="cf")
+        stats = spark.createDataFrame(
+            [(n_docs, total / n_docs)], "n_docs long, avgdl double"
+        )
+        ctot = spark.createDataFrame([(total,)], "c long")
+        qterms = queries.select(
+            "qid",
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("qtext")), F.lit(TOKEN_RE), F.lit(0)
+                )
+            ).alias("tok"),
+        ).distinct()
+        scored = score_qterms(qterms, tf, dl, cf, stats, ctot)
+        w = W.partitionBy("qid").orderBy(F.desc("bm25"), F.col("doc_id"))
+        return (
+            scored.withColumn(
+                "rank", F.row_number().over(w).cast("long")
+            )
+            .filter(F.col("rank") <= k)
+            .select(
+                "qid",
+                F.col("doc_id").alias("__id"),
+                "rank",
+                F.round("bm25", self.score_decimals).alias("score"),
+            )
+        )
+
+
+class HybridRrfRetriever:
+    """Reciprocal-rank fusion of the persisted lexical and vector arms:
+    score = sum over arms of 1/(rrf_k + rank). Rank-based, so the arms'
+    score scales never need calibrating; both serve from their persisted
+    stores."""
+
+    def __init__(
+        self,
+        vector: dict | None = None,
+        lexical: dict | None = None,
+        rrf_k: int = 60,
+    ):
+        self.vector = IvfPqRetriever(**(vector or {}))
+        self.lexical = Bm25Retriever(**(lexical or {}))
+        self.rrf_k = rrf_k
+
+    def build(self, corpus: DataFrame) -> None:
+        self.vector.build(corpus)
+        self.lexical.build(corpus)
+
+    def topk(self, corpus: DataFrame, queries: DataFrame, k: int) -> DataFrame:
+        v = self.vector.topk(corpus, queries, k).select(
+            "qid", "__id", F.col("rank").alias("rv")
+        )
+        l = self.lexical.topk(corpus, queries, k).select(
+            "qid", "__id", F.col("rank").alias("rl")
+        )
+        fused = (
+            v.join(l, ["qid", "__id"], "full")
+            .withColumn(
+                "score",
+                F.round(
+                    F.coalesce(1.0 / (self.rrf_k + F.col("rv")), F.lit(0.0))
+                    + F.coalesce(
+                        1.0 / (self.rrf_k + F.col("rl")), F.lit(0.0)
+                    ),
+                    6,
+                ),
+            )
+        )
+        w = W.partitionBy("qid").orderBy(F.desc("score"), F.col("__id"))
+        return (
+            fused.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("qid", "__id", "rank", "score")
+        )
+
+
+RETRIEVERS = {
+    "exact": ExactRetriever,
+    "ivfpq": IvfPqRetriever,
+    "bm25": Bm25Retriever,
+    "hybrid_rrf": HybridRrfRetriever,
+}

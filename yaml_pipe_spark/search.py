@@ -20,27 +20,29 @@ from yaml_pipe_spark.plans.factory import build_component
 def search_corpus(
     spark: SparkSession, spec: PipelineSpec, query: str, k: int = 3
 ) -> DataFrame:
-    """Top-k (rank, source, text, score) for a free-text query."""
-    from yaml_pipe_spark.operators.similarity import topk_cosine
+    """Top-k (rank, source, text, score) for a free-text query.
+
+    With no `retriever:` key the exact path runs unchanged; with one, the
+    query serves from the spec's persisted index (retrievers.py) — the
+    reference's query-many half, now strategy-selectable from YAML."""
+    from yaml_pipe_spark.retrievers import ExactRetriever, with_stable_id
 
     embedder = build_component("embedder", spec.embedder)
     sink = build_component("sink", spec.sink)
+    retriever = (
+        build_component("retriever", spec.retriever)
+        if spec.retriever is not None
+        else ExactRetriever()
+    )
 
-    qdf = spark.createDataFrame([(query,)], "question string")
-    qv = embedder.apply(qdf, "question").select(
-        F.col("embedding").alias("qv")
+    qdf = spark.createDataFrame([(0, query)], "qid long, qtext string")
+    queries = embedder.apply(qdf, "qtext").select(
+        "qid", "qtext", F.col("embedding").alias("qv")
     )
-    corpus = sink.read(spark).withColumn(
-        # stable rank tiebreak (same convention as cmd_eval)
-        "__id",
-        F.sha2(F.concat_ws("\x1f", F.col("source"), F.col("text")), 256),
-    )
-    top = topk_cosine(corpus, qv, k=k, id_col="__id")
-    # ranking the k returned rows is driver-cheap; the heavy lifting was the
-    # TakeOrderedAndProject above
-    rank = F.row_number().over(
-        W.orderBy(F.col("score").desc(), F.col("__id"))
-    )
-    return top.select(
-        rank.cast("long").alias("rank"), "source", "text", "score"
+    corpus = with_stable_id(sink.read(spark))
+    top = retriever.topk(corpus, queries, k=k)
+    return (
+        top.join(corpus.select("__id", "source", "text"), "__id")
+        .select("rank", "source", "text", "score")
+        .orderBy("rank")
     )
