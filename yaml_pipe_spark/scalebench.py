@@ -1,0 +1,165 @@
+"""Scale-growth measurement harness (VERDICT r6 ask #5).
+
+The 100 TB story rested on plan shapes plus fixed-size sf0.1 timings; this
+harness measures how the HEAVY operator families actually grow: each family
+runs on deterministic synthetic corpora (operators/scalegen.py — constant
+near-dup density, fixed vocabulary, fixed cluster structure) at two sizes,
+and the empirical scaling exponent is
+
+    alpha = ln(t_big / t_small) / ln(n_big / n_small)
+
+so alpha ~ 1 is linear, 2 quadratic. Guarded paths must stay near-linear:
+scripts/scale_growth.py records the 5k -> 50k (10x) table for PERF.md, and
+tests/test_scale_growth.py pins alpha <= 1.3 at a smaller, CI-sized pair.
+
+Inputs are eagerly localCheckpointed before the clock starts, so generator
+cost never leaks into an operator's exponent; every family takes min-of-N
+reps (scheduling jitter is one-sided noise).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from yaml_pipe_spark.operators.scalegen import (
+    synthetic_documents,
+    synthetic_embeddings,
+)
+
+
+def _fam_minhash_lsh(spark, docs, emb, tmp):
+    from yaml_pipe_spark.operators.dedup import minhash_near_duplicates
+
+    return minhash_near_duplicates(
+        docs, "text", "doc_id", k=3, n_hashes=16, bands=4, threshold=0.8
+    ).count()
+
+
+def _fam_simhash_cc(spark, docs, emb, tmp):
+    from yaml_pipe_spark.operators.dedup import (
+        connected_components,
+        simhash_fingerprints,
+        simhash_near_duplicates,
+    )
+
+    fps = simhash_fingerprints(docs, "text", "doc_id")
+    prs = simhash_near_duplicates(
+        fps, "doc_id", bits=64, bands=4, max_hamming=3
+    )
+    return connected_components(prs).count()
+
+
+def _fam_bm25_build_serve(spark, docs, emb, tmp):
+    from yaml_pipe_spark.operators.retrieval import Bm25IndexStore
+
+    store = Bm25IndexStore(os.path.join(tmp, "bm25"))
+    store.build(docs.select("doc_id", "text"))
+    return store.serve(k=10).count()
+
+
+def _fam_ivfpq_build_serve(spark, docs, emb, tmp):
+    from yaml_pipe_spark.operators.ann_index import IvfPqIndexStore
+
+    cents = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    qs = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    store = IvfPqIndexStore(os.path.join(tmp, "ivfpq"))
+    store.build(emb, cents)
+    return store.serve(qs, k=5, nprobe=4, rerank_m=20).count()
+
+
+def _fam_bloom_decontaminate(spark, docs, emb, tmp):
+    from yaml_pipe_spark.operators.bloom import bloom_bits, bloom_flag
+
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.filter(
+                    F.sequence(
+                        F.lit(0),
+                        F.size(F.split("text", " ")) - 3,
+                    ),
+                    lambda i: i % 7 == F.lit(0),
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.split("text", " "), i + 1, 3)
+                ),
+            )
+        ).alias("gram"),
+    )
+    train = grams.filter(F.col("doc_id") % 11 == 0).select("gram").distinct()
+    probe = grams.filter(F.col("doc_id") % 11 != 0)
+    bits = bloom_bits(train)
+    return bloom_flag(probe.select("gram").distinct(), bits).count()
+
+
+FAMILIES = {
+    "minhash_lsh_pairs": _fam_minhash_lsh,
+    "simhash_cc": _fam_simhash_cc,
+    "bm25_build_serve": _fam_bm25_build_serve,
+    "ivfpq_build_serve": _fam_ivfpq_build_serve,
+    "bloom_decontaminate": _fam_bloom_decontaminate,
+}
+
+
+def corpus_at(spark: SparkSession, n_docs: int) -> tuple[DataFrame, DataFrame]:
+    """Eagerly materialized (docs, embeddings) at size n — one embedding
+    per doc, so both modalities scale together."""
+    from yaml_pipe_spark.session import spread_for_expansion
+
+    docs = spread_for_expansion(
+        synthetic_documents(spark, n_docs)
+    ).localCheckpoint(eager=True)
+    emb = spread_for_expansion(
+        synthetic_embeddings(spark, max(64, n_docs))
+    ).localCheckpoint(eager=True)
+    return docs, emb
+
+
+def run_scale_growth(
+    spark: SparkSession,
+    tmp: str,
+    sizes: tuple[int, int] = (5000, 50000),
+    reps: int = 2,
+    families: dict | None = None,
+) -> dict:
+    """{family: {n_small, n_big, t_small, t_big, rows_small, rows_big,
+    alpha}} with min-of-`reps` timings."""
+    import math
+
+    fams = families or FAMILIES
+    n1, n2 = sizes
+    data = {n: corpus_at(spark, n) for n in sizes}
+    out = {}
+    for name, fn in fams.items():
+        res = {}
+        for n in sizes:
+            docs, emb = data[n]
+            best, rows = None, None
+            for r in range(reps):
+                t = os.path.join(tmp, f"{name}_{n}_{r}")
+                os.makedirs(t, exist_ok=True)
+                t0 = time.monotonic()
+                rows = fn(spark, docs, emb, t)
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+            res[n] = (best, rows)
+        (t1, r1), (t2, r2) = res[n1], res[n2]
+        out[name] = {
+            "n_small": n1,
+            "n_big": n2,
+            "t_small": round(t1, 3),
+            "t_big": round(t2, 3),
+            "rows_small": r1,
+            "rows_big": r2,
+            "alpha": round(math.log(t2 / t1) / math.log(n2 / n1), 3),
+        }
+    return out
