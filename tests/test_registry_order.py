@@ -39,6 +39,8 @@ ROUND7_QUEUE: set[str] = {
 ROUND7_MUST_FRONT: set[str] = ROUND7_QUEUE | {
     # new operators
     "graph_store_persisted",       # persisted pair-graph store audit
+    "dedup_fuzzy_decontaminate",   # MinHash fuzzy benchmark decontamination
+    "stream_bm25_append",          # streaming BM25 index maintenance
     # code changed (ADVICE r6 fixes)
     "corpus_url_canonical_dedup",  # malformed-URL passthrough
     "ann_index_incremental",       # append version-mode guard

@@ -1194,6 +1194,124 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_fuzzy_decontaminate",
+    f"""
+WITH {_DK_SHINGLES},
+{_DK_DF_CUT},
+sigs AS (SELECT doc_id, {_DK_SIGS} FROM shingles GROUP BY doc_id),
+buckets0 AS ({_DK_BUCKETS}),
+buckets AS (
+  SELECT doc_id, band_id, band_key FROM (
+    SELECT *, count(*) OVER (PARTITION BY band_id, band_key) AS bn
+    FROM buckets0
+  ) WHERE bn <= 10000
+),
+cands AS (
+  SELECT DISTINCT least(c.doc_id, b.doc_id) AS id_a,
+                  greatest(c.doc_id, b.doc_id) AS id_b
+  FROM buckets c
+  JOIN buckets b ON c.band_id = b.band_id AND c.band_key = b.band_key
+  WHERE c.doc_id % 7 <> 0 AND b.doc_id % 7 = 0
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM shf a
+  JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+vp AS (
+  SELECT i.id_a, i.id_b,
+         round(i.inter / (sa.n + sb.n - i.inter), 4) AS j
+  FROM inter i
+  JOIN cands c ON c.id_a = i.id_a AND c.id_b = i.id_b
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE round(i.inter / (sa.n + sb.n - i.inter), 4) >= 0.8
+),
+mapped AS (
+  SELECT CASE WHEN id_a % 7 = 0 THEN id_b ELSE id_a END AS doc_id,
+         CASE WHEN id_a % 7 = 0 THEN id_a ELSE id_b END AS bench_id, j
+  FROM vp
+),
+best AS (SELECT doc_id, min(bench_id) AS contaminated_by
+         FROM mapped GROUP BY 1)
+SELECT b.doc_id, b.contaminated_by, m.j AS jaccard
+FROM best b
+JOIN mapped m ON m.doc_id = b.doc_id AND m.bench_id = b.contaminated_by
+""",
+    "FUZZY benchmark decontamination — the published-canon complement of "
+    "the exact n-gram gate (text_decontaminate) and the Bloom gate "
+    "(text_bloom_decontaminate): paraphrased or lightly-edited eval "
+    "items slip exact-match filters, so production pipelines (GPT-3 "
+    "appendix C, Llama 2) ALSO drop training docs whose MinHash "
+    "collides with any benchmark doc at high Jaccard. Every 7th doc "
+    "plays the held-out benchmark; the corpus is banded ONCE (one "
+    "signature pass, bucket cap over the full population), the "
+    "benchmark-vs-corpus candidate set is ONE equi-join between the "
+    "two strata of the same band table — never benchmark x corpus — "
+    "and the df-guarded exact-Jaccard verify (>= 0.8) runs only on "
+    "candidate pairs. Output: one row per contaminated training doc "
+    "with its smallest contaminating benchmark id. At 100 TB the "
+    "benchmark side is tiny and the cost is the corpus banding pass "
+    "the dedup pipeline already pays — decontamination rides the "
+    "same index.",
+)
+def q_dedup_fuzzy_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from yaml_pipe_spark.operators.dedup import (
+        exact_jaccard_pairs,
+        lsh_band_table,
+        minhash_signatures,
+        token_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_bench = F.col("doc_id") % 7 == 0
+    sh = token_shingles(docs, "text", "doc_id")
+    bands_all = lsh_band_table(
+        minhash_signatures(sh, "doc_id", 16), "doc_id", 16, 4
+    )
+    cands = (
+        bands_all.filter(~is_bench)
+        .select("band_id", "band_key", F.col("doc_id").alias("__c"))
+        .join(
+            bands_all.filter(is_bench).select(
+                "band_id", "band_key", F.col("doc_id").alias("__b")
+            ),
+            ["band_id", "band_key"],
+        )
+        .select(
+            F.least("__c", "__b").alias("id_a"),
+            F.greatest("__c", "__b").alias("id_b"),
+        )
+        .distinct()
+    )
+    verified = exact_jaccard_pairs(sh, cands, "doc_id").filter(
+        F.col("jaccard") >= 0.8
+    )
+    mapped = verified.select(
+        F.when(F.col("id_a") % 7 == 0, F.col("id_b"))
+        .otherwise(F.col("id_a"))
+        .alias("doc_id"),
+        F.when(F.col("id_a") % 7 == 0, F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("bench_id"),
+        "jaccard",
+    )
+    return (
+        mapped.groupBy("doc_id")
+        .agg(F.min(F.struct("bench_id", "jaccard")).alias("__m"))
+        .select(
+            "doc_id",
+            F.col("__m.bench_id").alias("contaminated_by"),
+            F.col("__m.jaccard").alias("jaccard"),
+        )
+    )
+
+
 INCREMENTAL_MINHASH_ORACLE = f"""
 WITH {_DK_SHINGLES},
 spl AS (SELECT CAST(floor(0.8 * max(doc_id)) AS BIGINT) AS s FROM documents),
@@ -11795,6 +11913,60 @@ def q_q3_bm25_index_persisted(
     return store.serve(k=10)
 
 
+@register(
+    "stream_bm25_append",
+    _BM25_TOPK_ORACLE,
+    "Streaming BM25 index maintenance (streaming.run_bm25_append_stream) "
+    "— the lexical twin of stream_ann_serve/stream_incremental_dedup, "
+    "closing the build-once/maintain-forever lifecycle on the retrieval "
+    "arm: the standing 80% of doc_ids build the persisted index, the "
+    "last 20% arrive as a file-stream increment, and foreachBatch "
+    "APPENDS each micro-batch (tf/dl rows append; df/cf merge "
+    "additively through pointer-committed generations; n_docs/"
+    "total_tokens/XOR fingerprint compose over disjoint doc sets). "
+    "Because every persisted statistic is additive, the drained serve "
+    "is value-identical to a full rebuild on the union — the oracle is "
+    "_BM25_TOPK_ORACLE unchanged. At-least-once replay is guarded by "
+    "per-batch applied markers; the one unguarded crash window "
+    "(between append and marker) is DETECTED by the stale composed "
+    "fingerprint, same contract as the batch append.",
+)
+def q_stream_bm25_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from yaml_pipe_spark.operators.retrieval import Bm25IndexStore
+    from yaml_pipe_spark.streaming.stream import run_bm25_append_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    split = docs.agg(
+        F.floor(0.8 * F.max("doc_id")).cast("long").alias("__s")
+    )
+    staged = docs.crossJoin(F.broadcast(split))
+    standing = staged.filter(F.col("doc_id") < F.col("__s")).select(
+        "doc_id", "text"
+    )
+    increment = staged.filter(F.col("doc_id") >= F.col("__s")).select(
+        "doc_id", "text"
+    )
+    base = os.path.join(
+        "spark-warehouse",
+        f"stream_bm25_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)  # fresh drain every invocation
+    store = Bm25IndexStore(os.path.join(base, "index"))
+    store.build(standing)
+    # the increment arrives as ONE file -> one micro-batch
+    increment.coalesce(1).write.parquet(os.path.join(base, "input"))
+    run_bm25_append_stream(
+        spark,
+        os.path.join(base, "input"),
+        store,
+        os.path.join(base, "ckpt"),
+    )
+    return store.serve(k=10)
+
+
 _DK_EMB_DOCS = (
     "(SELECT d.doc_id, d.text FROM documents d "
     "JOIN embeddings x ON d.doc_id = x.vec_id) __d"
@@ -12354,6 +12526,8 @@ DRIVER_ORDER: list[str] = [
     "sample_kcenter_coreset",     # k-center coreset selection
     # -- (2) NEW in round 7 --
     "graph_store_persisted",      # persisted pair-graph store audit
+    "dedup_fuzzy_decontaminate",  # MinHash fuzzy benchmark decontamination
+    "stream_bm25_append",         # streaming BM25 index maintenance
     # -- (3) code CHANGED in round 7 --
     "corpus_url_canonical_dedup", # ADVICE: malformed-URL passthrough
     "ann_index_incremental",      # ADVICE: append version-mode guard

@@ -245,6 +245,63 @@ def run_incremental_dedup_stream(
     q.awaitTermination()
 
 
+def run_bm25_append_stream(
+    spark: SparkSession,
+    input_dir: str,
+    store,
+    checkpoint_dir: str,
+    schema: str = "doc_id long, text string",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming BM25 index maintenance: each micro-batch of documents
+    appends into a persisted Bm25IndexStore — the lexical twin of the
+    streaming ANN serve / incremental-dedup loops, closing the
+    build-once/maintain-forever lifecycle on the retrieval arm. Because
+    every persisted BM25 statistic is ADDITIVE (tf/dl rows append, df/cf
+    merge as sums, n_docs/total_tokens/fingerprint compose over disjoint
+    doc sets), a drained stream serves value-identically to a full rebuild
+    on the union — the property the oracled stream_bm25_append query pins.
+
+    Exactly-once posture (documented, same contract as the batch append):
+    the checkpoint gives at-least-once foreachBatch delivery, and append()
+    itself is NOT idempotent, so each applied batch writes an
+    `applied/batch_<epoch>` marker AFTER its append and replays skip
+    marked batches. The unguarded window is a crash BETWEEN append and
+    marker — exactly the batch-append crash window — and it is DETECTED,
+    not masked: the composed XOR fingerprint goes stale and
+    `is_stale(corpus)` tells the caller to rebuild from a clean directory
+    (operators/retrieval.py::Bm25IndexStore docstring).
+
+    Scale: per batch, tokenize ONLY the increment; the one index-sized
+    operation is the additive df/cf merge (vocabulary-scale, pointer-
+    committed generations) — cost tracks the increment, never the corpus.
+    """
+    import os
+
+    applied_dir = os.path.join(store.base_path, "applied")
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        marker = os.path.join(applied_dir, f"batch_{epoch_id}")
+        if os.path.isdir(marker):
+            return  # replay of an already-applied batch
+        store.append(batch_df.select("doc_id", "text").localCheckpoint())
+        os.makedirs(marker, exist_ok=True)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def streaming_tumbling_agg(
     events: DataFrame,
     ts_col: str = "ts",
