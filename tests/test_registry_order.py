@@ -69,9 +69,10 @@ ROUND2_REFRESH_NOW: set[str] = {
     "text_unigram_logprob",
 }
 
-# Still r3-generation after round 7 (whatever round-3 rows do not fit the 50
-# slots) — front the remainder in round 8 before anything merely stale from
-# r4. Computed, not hand-pinned: every r3 row NOT in the final prefix.
+# The round-3-generation refresh rows LISTED in DRIVER_ORDER's fill section:
+# best-effort — whichever fall outside the final 50-entry prefix (new code
+# outranks refresh) stay r3-generation and must front in round 8 before
+# anything merely stale from r4.
 ROUND3_FILL: set[str] = {
     "s1_scan_nonempty",
     "s2_normalize_lines",
@@ -117,9 +118,10 @@ def test_driver_order_is_valid():
     assert len(DRIVER_ORDER) == len(set(DRIVER_ORDER)), "duplicates"
     stale = [n for n in DRIVER_ORDER if n not in REGISTRY]
     assert not stale, f"DRIVER_ORDER names not in REGISTRY: {stale}"
-    # the driver validates exactly 50; listing a few extra fill rows is fine
-    # (they simply fall outside the prefix) but the must-front sets are not
-    assert len(DRIVER_ORDER) >= 50, "the driver validates exactly 50"
+    # the driver validates exactly the FIRST 50 queries() entries; listing
+    # extra fill rows past that is fine (they fall outside the prefix), but
+    # DRIVER_ORDER must at least cover the whole prefix
+    assert len(DRIVER_ORDER) >= 50, "DRIVER_ORDER shorter than the prefix"
 
 
 def test_register_rejects_duplicate_names():

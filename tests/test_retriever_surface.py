@@ -245,3 +245,61 @@ def test_cmd_eval_serves_from_retriever(spark, workdir, tmp_path, capsys):
     assert out["total_questions"] == 3
     assert out["hits"] == 2
     assert out["hit_rate"] == pytest.approx(100 * 2 / 3, abs=0.01)
+
+
+def test_duplicate_chunks_index_once_and_serve_once(spark, tmp_path):
+    """Identical (source, text) rows share __id; indexing both would skew
+    BM25 tf/dl, duplicate vector-serve ranks, and let the XOR fingerprint
+    cancel duplicate pairs (round-7 review finding) — every retriever
+    build/serve path dedups to one row per id."""
+    from yaml_pipe_spark.retrievers import Bm25Retriever, IvfPqRetriever
+
+    rows = [
+        ("a.txt", "zebra savanna stripes gallop", [0.1, 0.9, 0.2, 0.1]),
+        ("a.txt", "zebra savanna stripes gallop", [0.1, 0.9, 0.2, 0.1]),
+        ("b.txt", "ocean coral reef tide", [0.9, 0.1, 0.1, 0.2]),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "source string, text string, embedding array<double>"
+    )
+    q = spark.createDataFrame(
+        [(0, "zebra savanna stripes", [0.1, 0.9, 0.2, 0.1])],
+        "qid long, qtext string, qv array<double>",
+    )
+    bm = Bm25Retriever(str(tmp_path / "lex"))
+    bm.build(corpus)
+    got = bm.topk(corpus, q, k=5).collect()
+    assert len({r["__id"] for r in got}) == len(got)  # no duplicate ids
+    # tf/dl counted the duplicate pair once: n_docs == 2 distinct ids
+    assert int(bm.store._read_meta(spark)["n_docs"]) == 2
+
+    iv = IvfPqRetriever(str(tmp_path / "vec"), n_cells=2, nprobe=2)
+    iv.build(corpus)
+    got = iv.topk(corpus, q, k=5).collect()
+    assert len({r["__id"] for r in got}) == len(got)
+    # a corpus differing only in duplicate multiplicity is the SAME set:
+    # the index must still read fresh (set semantics, not row semantics)
+    tripled = corpus.union(corpus.limit(1))
+    vecs, cents = iv._frames(tripled)
+    assert iv.store.is_stale(vecs, centroids=cents) is False
+
+
+def test_bm25_empty_index_preserves_qid_type(spark, tmp_path):
+    """The zero-token-corpus early return must carry the CALLER's qid
+    dtype (cmd_eval passes string qids) — a hardcoded bigint frame would
+    break the eval left-join under ANSI (round-7 review finding)."""
+    from yaml_pipe_spark.retrievers import Bm25Retriever
+
+    corpus = spark.createDataFrame(
+        [("n.txt", "12345 67890 11 22", [0.1, 0.2])],
+        "source string, text string, embedding array<double>",
+    )
+    bm = Bm25Retriever(str(tmp_path / "lex0"))
+    bm.build(corpus)  # \\p{L}+ finds no tokens -> n_docs == 0
+    q = spark.createDataFrame(
+        [("what is it", "what is it", [0.1, 0.2])],
+        "qid string, qtext string, qv array<double>",
+    )
+    out = bm.topk(corpus, q, k=3)
+    assert out.count() == 0
+    assert dict(out.dtypes)["qid"] == "string"

@@ -207,3 +207,21 @@ def test_spread_probe_decodes_percent_encoded_paths(spark, tmp_path):
     df = spark.read.parquet(small)
     assert any("%20" in f for f in df.inputFiles()), "precondition"
     assert spread_for_expansion(df) is not df
+
+
+def test_spread_probe_never_touches_local_fs_for_remote_uris(
+    spark, tmp_path, monkeypatch
+):
+    """A non-file scheme must early-return even when the URI's PATH
+    component happens to exist locally — probing it would size the split
+    estimate with an unrelated local file (round-7 review finding)."""
+    from yaml_pipe_spark.session import spread_for_expansion
+
+    local = str(tmp_path / "decoy")
+    spark.range(100).coalesce(1).write.parquet(local)
+    df = spark.read.parquet(local)
+    part = df.inputFiles()[0].removeprefix("file:")
+    assert __import__("os").path.isfile(part)
+    # same path, remote scheme: must be left alone (no repartition)
+    monkeypatch.setattr(df, "inputFiles", lambda: [f"s3a://bucket{part}"])
+    assert spread_for_expansion(df) is df

@@ -127,7 +127,7 @@ def cmd_eval(args) -> int:
 
     from yaml_pipe_spark.operators.similarity import hit_rate
     from yaml_pipe_spark.plans.factory import build_component
-    from yaml_pipe_spark.retrievers import ExactRetriever, with_stable_id
+    from yaml_pipe_spark.retrievers import ExactRetriever, unique_by_id
 
     spec = load_config(args.config)
     spark = _spark()
@@ -138,7 +138,7 @@ def cmd_eval(args) -> int:
         if spec.retriever is not None
         else ExactRetriever()
     )
-    corpus = with_stable_id(sink.read(spark))
+    corpus = unique_by_id(sink.read(spark))
 
     questions = spark.read.json(args.dataset)
     if "question" not in questions.columns:
@@ -181,7 +181,8 @@ def cmd_eval(args) -> int:
 
 def cmd_search(args) -> int:
     # reference app.py:35-61 Searcher surface as a command: embed the query
-    # with the pipeline's embedder, exact top-k against the sink
+    # with the pipeline's embedder, serve via the spec's retriever (exact
+    # by default; persisted IVF-PQ/BM25/hybrid stores when configured)
     from yaml_pipe_spark.search import search_corpus
 
     spec = load_config(args.config)

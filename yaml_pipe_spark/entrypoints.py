@@ -12580,8 +12580,9 @@ DRIVER_ORDER: list[str] = [
 # rel_late_ship_orders, rel_nation_revenue, rel_order_gaps,
 # rel_promo_revenue_pct, rel_returned_item_revenue,
 # rel_top3_orders_per_priority, rel_volume_shipping, text_token_bpe —
-# pinned as tests/test_registry_order.py::ROUND8_QUEUE; front the remainder
-# in round 8.
+# tracked by tests/test_registry_order.py::ROUND3_FILL (the fill rows listed
+# above; whichever fall outside the final 50-entry prefix stay r3-generation
+# and front in round 8).
 
 
 def _ordered_names() -> list[str]:

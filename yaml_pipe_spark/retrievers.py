@@ -33,7 +33,7 @@ layouts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -42,11 +42,25 @@ TOKEN_RE = r"\p{L}+"  # same tokenization as the BM25 index build
 
 def with_stable_id(corpus: DataFrame) -> DataFrame:
     """Content-stable row id (sha2 over source+text) — deterministic across
-    runs/partitionings, unlike monotonically_increasing_id."""
+    runs/partitionings, unlike monotonically_increasing_id. NOT unique when
+    the sink holds byte-identical (source, text) rows — index-building
+    callers must go through `unique_by_id`."""
     return corpus.withColumn(
         "__id",
         F.sha2(F.concat_ws("\x1f", F.col("source"), F.col("text")), 256),
     )
+
+
+def unique_by_id(corpus: DataFrame) -> DataFrame:
+    """with_stable_id + one row per id. Identical chunks (same source AND
+    text — boilerplate, repeated windows) share an id; indexing both would
+    double BM25 tf/dl under one doc while meta counts rows, return the
+    same id at two ranks from the vector store, AND let the XOR corpus
+    fingerprint cancel duplicate pairs (corpora {A,A,B} and {B} hash
+    equal), masking staleness. Every retriever build/serve/join therefore
+    works on the DEDUPED frame — an index stores a set, and identical
+    rows are one result."""
+    return with_stable_id(corpus).dropDuplicates(["__id"])
 
 
 class ExactRetriever:
@@ -59,7 +73,7 @@ class ExactRetriever:
     def topk(self, corpus: DataFrame, queries: DataFrame, k: int) -> DataFrame:
         from yaml_pipe_spark.operators.similarity import knn_join
 
-        c = with_stable_id(corpus).select("__id", "embedding")
+        c = unique_by_id(corpus).select("__id", "embedding")
         nn = knn_join(
             queries.select("qid", "qv"),
             c,
@@ -93,7 +107,7 @@ class IvfPqRetriever:
         self.store = IvfPqIndexStore(path, id_col="__id")
 
     def _frames(self, corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
-        vecs = with_stable_id(corpus).select("__id", "embedding")
+        vecs = unique_by_id(corpus).select("__id", "embedding")
         seeds = (
             vecs.withColumn("__h", F.xxhash64("__id"))
             .orderBy("__h")
@@ -129,14 +143,13 @@ class Bm25Retriever:
     scoring is retrieval.score_qterms — the identical core the oracled
     q3_bm25_* queries pin."""
 
-    def __init__(self, path: str, score_decimals: int = 6):
+    def __init__(self, path: str):
         from yaml_pipe_spark.operators.retrieval import Bm25IndexStore
 
         self.store = Bm25IndexStore(path, id_col="__id", text_col="text")
-        self.score_decimals = score_decimals
 
     def build(self, corpus: DataFrame) -> None:
-        docs = with_stable_id(corpus).select("__id", "text")
+        docs = unique_by_id(corpus).select("__id", "text")
         self.store.build_if_stale(docs)
 
     def topk(self, corpus: DataFrame, queries: DataFrame, k: int) -> DataFrame:
@@ -152,8 +165,10 @@ class Bm25Retriever:
             )
         n_docs, total = int(meta["n_docs"]), int(meta["total_tokens"])
         if n_docs == 0:
+            qid_type = queries.schema["qid"].dataType.simpleString()
             return spark.createDataFrame(
-                [], "qid long, __id string, rank long, score double"
+                [],
+                f"qid {qid_type}, __id string, rank long, score double",
             )
         tf = spark.read.parquet(self.store.tf_path)
         dl = spark.read.parquet(self.store.dl_path)
@@ -170,7 +185,12 @@ class Bm25Retriever:
                 )
             ).alias("tok"),
         ).distinct()
-        scored = score_qterms(qterms, tf, dl, cf, stats, ctot)
+        scored = score_qterms(qterms, tf, dl, cf, stats, ctot).withColumn(
+            # round BEFORE ranking — the repo's pinned convention
+            # (rank_bm25_topk rounds to 4dp) so rank membership is exact
+            # and the YAML serve agrees with the persisted-store serve
+            "bm25", F.round("bm25", 4)
+        )
         w = W.partitionBy("qid").orderBy(F.desc("bm25"), F.col("doc_id"))
         return (
             scored.withColumn(
@@ -181,7 +201,7 @@ class Bm25Retriever:
                 "qid",
                 F.col("doc_id").alias("__id"),
                 "rank",
-                F.round("bm25", self.score_decimals).alias("score"),
+                F.col("bm25").alias("score"),
             )
         )
 

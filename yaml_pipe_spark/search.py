@@ -3,14 +3,15 @@ app.py:35-61: embed query -> top-k against the vector store).
 
 One function shared by the `search` CLI command and the dashboard
 (yaml_pipe_spark.app): build the configured embedder + sink, embed the
-query text the same way the pipeline embedded the chunks, exact cosine
-top-k. The corpus side streams through TakeOrderedAndProject — only k rows
-reach the driver, so the same call works against a corpus of any size."""
+query text the same way the pipeline embedded the chunks, then serve via
+the spec's retriever — exact cosine by default, or the persisted
+IVF-PQ / BM25 / hybrid-RRF stores when the YAML names one
+(yaml_pipe_spark/retrievers.py). Only k rows reach the driver either
+way, so the same call works against a corpus of any size."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from yaml_pipe_spark.plans.config import PipelineSpec
@@ -25,7 +26,7 @@ def search_corpus(
     With no `retriever:` key the exact path runs unchanged; with one, the
     query serves from the spec's persisted index (retrievers.py) — the
     reference's query-many half, now strategy-selectable from YAML."""
-    from yaml_pipe_spark.retrievers import ExactRetriever, with_stable_id
+    from yaml_pipe_spark.retrievers import ExactRetriever, unique_by_id
 
     embedder = build_component("embedder", spec.embedder)
     sink = build_component("sink", spec.sink)
@@ -39,7 +40,7 @@ def search_corpus(
     queries = embedder.apply(qdf, "qtext").select(
         "qid", "qtext", F.col("embedding").alias("qv")
     )
-    corpus = with_stable_id(sink.read(spark))
+    corpus = unique_by_id(sink.read(spark))
     top = retriever.topk(corpus, queries, k=k)
     return (
         top.join(corpus.select("__id", "source", "text"), "__id")

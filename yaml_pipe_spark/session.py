@@ -104,9 +104,15 @@ def spread_for_expansion(df):
         # isfile probe or local paths with spaces/non-ASCII silently take
         # the non-local early return and skip the rescue repartition.
         parsed = urlparse(f)
+        if parsed.scheme not in ("", "file"):
+            # non-local store (s3a/hdfs/...): no cheap size probe, and the
+            # URI's path component must never be probed against the LOCAL
+            # filesystem (a coincidentally-existing /tmp/... would drive
+            # the split estimate with an unrelated file's size)
+            return df
         path = unquote(parsed.path) if parsed.scheme else unquote(f)
         if not os.path.isfile(path):
-            return df  # non-local store: no cheap size probe, leave as-is
+            return df  # no size probe available, leave as-is
         total += os.path.getsize(path)
     max_split = _size_bytes(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
