@@ -105,3 +105,59 @@ def test_no_append_surface(spark):
     grow a misleading append() (incremental near-dup goes through the
     minhash band-state path)."""
     assert not hasattr(PairGraphStore, "append")
+
+
+def test_minhash_overlap_store_matches_direct(spark, tmp_path):
+    from yaml_pipe_spark.operators.dedup import (
+        DEFAULT_DF_MAX_FRAC,
+        DEFAULT_DF_MIN_CUT,
+        _pair_overlap,
+        lsh_candidate_pairs,
+        minhash_near_duplicates,
+        minhash_signatures,
+        token_shingles,
+    )
+    from yaml_pipe_spark.operators.pair_graph import MinHashOverlapStore
+
+    docs = _docs(spark)
+    store = MinHashOverlapStore(str(tmp_path / "mh"))
+    assert store.build_if_stale(docs) is True
+    assert store.build_if_stale(docs) is False  # fingerprint fresh
+
+    sh = token_shingles(docs, "text", "doc_id", 3)
+    cands = lsh_candidate_pairs(minhash_signatures(sh))
+    want = sorted(
+        tuple(r)
+        for r in _pair_overlap(
+            sh, cands, "doc_id", None, DEFAULT_DF_MAX_FRAC, DEFAULT_DF_MIN_CUT
+        ).collect()
+    )
+    got = sorted(tuple(r) for r in store.overlap(spark).collect())
+    assert got == want and len(got) > 0
+
+    # jaccard projection equals the full direct pipeline
+    want_j = sorted(
+        tuple(r)
+        for r in minhash_near_duplicates(
+            docs, "text", "doc_id", k=3, n_hashes=16, bands=4, threshold=0.8
+        ).collect()
+    )
+    got_j = sorted(
+        tuple(r) for r in store.jaccard_pairs(spark, 0.8).collect()
+    )
+    assert got_j == want_j and len(got_j) > 0
+
+    # param change -> stale
+    assert MinHashOverlapStore(str(tmp_path / "mh"), bands=8).is_stale(
+        docs
+    ) is True
+
+    # serve plan: a parquet scan + projection, no re-shingle
+    plan = (
+        store.jaccard_pairs(spark, 0.8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Generate" not in plan, plan
+    assert "md5" not in plan.lower(), plan

@@ -41,6 +41,8 @@ ROUND7_MUST_FRONT: set[str] = ROUND7_QUEUE | {
     "graph_store_persisted",       # persisted pair-graph store audit
     "dedup_fuzzy_decontaminate",   # MinHash fuzzy benchmark decontamination
     "stream_bm25_append",          # streaming BM25 index maintenance
+    "text_c4_filters",             # C4 line-level cleaning rules
+    "quality_rho_excess",          # RHO-style learnability scoring
     # code changed (ADVICE r6 fixes)
     "corpus_url_canonical_dedup",  # malformed-URL passthrough
     "ann_index_incremental",       # append version-mode guard
@@ -49,6 +51,11 @@ ROUND7_MUST_FRONT: set[str] = ROUND7_QUEUE | {
     "dedup_cluster_resolution",
     "dedup_levenshtein_verify",
     "corpus_split_leakage_audit",
+    # code changed (MinHash overlap store rebase)
+    "dedup_minhash_lsh",
+    "dedup_containment",
+    "corpus_dup_rate_by_source",
+    "corpus_dedup_funnel",
 }
 
 # Round-2-generation rows displaced from the r6 prefix (VERDICT r6 ask #1:

@@ -1186,12 +1186,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "MinHash+LSH near-dup: shingle->sign->band->bucket-join->verify",
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yaml_pipe_spark.operators.dedup import minhash_near_duplicates
-
-    docs = load_table(spark, sf_dir, "documents")
-    return minhash_near_duplicates(
-        docs, "text", "doc_id", k=3, n_hashes=16, bands=4, threshold=0.8
-    )
+    return _minhash_overlap_store(spark, sf_dir).jaccard_pairs(spark, 0.8)
 
 
 @register(
@@ -1261,36 +1256,15 @@ JOIN mapped m ON m.doc_id = b.doc_id AND m.bench_id = b.contaminated_by
 def q_dedup_fuzzy_decontaminate(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from yaml_pipe_spark.operators.dedup import (
-        exact_jaccard_pairs,
-        lsh_band_table,
-        minhash_signatures,
-        token_shingles,
-    )
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    is_bench = F.col("doc_id") % 7 == 0
-    sh = token_shingles(docs, "text", "doc_id")
-    bands_all = lsh_band_table(
-        minhash_signatures(sh, "doc_id", 16), "doc_id", 16, 4
-    )
-    cands = (
-        bands_all.filter(~is_bench)
-        .select("band_id", "band_key", F.col("doc_id").alias("__c"))
-        .join(
-            bands_all.filter(is_bench).select(
-                "band_id", "band_key", F.col("doc_id").alias("__b")
-            ),
-            ["band_id", "band_key"],
+    # the cross-strata candidates are a strata filter over the SAME
+    # standard-config candidate universe the overlap store persists, so
+    # decontamination is a projection of it — it rides the dedup index
+    verified = (
+        _minhash_overlap_store(spark, sf_dir)
+        .jaccard_pairs(spark, 0.8)
+        .filter(
+            (F.col("id_a") % 7 == 0) != (F.col("id_b") % 7 == 0)
         )
-        .select(
-            F.least("__c", "__b").alias("id_a"),
-            F.greatest("__c", "__b").alias("id_b"),
-        )
-        .distinct()
-    )
-    verified = exact_jaccard_pairs(sh, cands, "doc_id").filter(
-        F.col("jaccard") >= 0.8
     )
     mapped = verified.select(
         F.when(F.col("id_a") % 7 == 0, F.col("id_b"))
@@ -1550,19 +1524,14 @@ WHERE greatest(cont_a, cont_b) >= 0.8
     "_pair_overlap).",
 )
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yaml_pipe_spark.operators.dedup import (
-        containment_pairs,
-        lsh_candidate_pairs,
-        minhash_signatures,
-        token_shingles,
+    ov = _minhash_overlap_store(spark, sf_dir).overlap(spark)
+    out = ov.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("inter") / F.col("na"), 4).alias("cont_a"),
+        F.round(F.col("inter") / F.col("nb"), 4).alias("cont_b"),
     )
-
-    docs = load_table(spark, sf_dir, "documents")
-    shingles = token_shingles(docs, "text", "doc_id", k=3)
-    cands = lsh_candidate_pairs(minhash_signatures(shingles))
-    return containment_pairs(shingles, cands).filter(
-        F.greatest(F.col("cont_a"), F.col("cont_b")) >= 0.8
-    )
+    return out.filter(F.greatest(F.col("cont_a"), F.col("cont_b")) >= 0.8)
 
 
 @register(
@@ -1679,15 +1648,6 @@ GROUP BY d.lang
 def q_corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    from yaml_pipe_spark.operators.dedup import (
-        DEFAULT_DF_MAX_FRAC,
-        DEFAULT_DF_MIN_CUT,
-        _pair_overlap,
-        lsh_candidate_pairs,
-        minhash_signatures,
-        token_shingles,
-    )
-
     docs = load_table(spark, sf_dir, "documents")
     rn = F.row_number().over(
         W.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
@@ -1695,16 +1655,9 @@ def q_corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_losers = (
         docs.withColumn("__rn", rn).filter(F.col("__rn") > 1).select("doc_id")
     )
-    shingles = token_shingles(docs, "text", "doc_id", k=3)
-    cands = lsh_candidate_pairs(minhash_signatures(shingles))
-    # ONE verify pass feeds both metrics: jaccard and containment are two
-    # projections of the same (inter, na, nb) overlap, so the expensive
-    # inverted-index join runs once (overlap is candidate-pair-sized, so
-    # materializing it makes the two loser branches free)
-    overlap = _pair_overlap(
-        shingles, cands, "doc_id", None, DEFAULT_DF_MAX_FRAC,
-        DEFAULT_DF_MIN_CUT,
-    ).localCheckpoint()
+    # jaccard and containment are two projections of the same persisted
+    # (inter, na, nb) overlap — the store replaces the per-query verify
+    overlap = _minhash_overlap_store(spark, sf_dir).overlap(spark)
     jac = F.round(
         F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
     )
@@ -1821,6 +1774,28 @@ def _pair_graph_store(spark: SparkSession, sf_dir: str):
         os.path.join(
             "spark-warehouse",
             f"pair_graph_{os.path.basename(os.path.normpath(sf_dir))}",
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store.build_if_stale(docs)
+    return store
+
+
+# Shared persisted MinHash overlap (operators/pair_graph.py::
+# MinHashOverlapStore): five queries consume the same standard-config
+# verify frame — jaccard pairs, containment, per-source dup rate, the
+# dedup funnel, and fuzzy decontamination (a strata filter over the same
+# candidate universe). First query of a session builds once
+# (fingerprint-gated); the rest project the persisted overlap.
+def _minhash_overlap_store(spark: SparkSession, sf_dir: str):
+    import os
+
+    from yaml_pipe_spark.operators.pair_graph import MinHashOverlapStore
+
+    store = MinHashOverlapStore(
+        os.path.join(
+            "spark-warehouse",
+            f"minhash_overlap_{os.path.basename(os.path.normpath(sf_dir))}",
         )
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -2097,6 +2072,193 @@ _DK_PUNCT = (
 )
 _DK_DIGIT = "len(regexp_extract_all(text, '[0-9]'))"
 _DK_BPE = "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
+
+
+# Deterministic synthetic multi-line PAGE per document (documents.text is
+# single-line and never ends in terminal punctuation, so the C4 line rules
+# would be degenerate on it — same derivation trick as _URL_EXPR): five
+# lines mixing kept sentences, a too-short line, a javascript notice, a
+# lorem-ipsum tell, and a curly-brace template, keyed off doc_id moduli so
+# every rule path has real population. Identical expression text in both
+# engines.
+_C4_PAGE_EXPR = """
+concat_ws(chr(10),
+  concat(text, '.'),
+  CASE WHEN doc_id % 3 = 0 THEN 'too short.'
+       ELSE concat(substr(text, 1, 120), '!') END,
+  CASE WHEN doc_id % 4 = 0 THEN 'Please enable JavaScript to view this page.'
+       ELSE 'A second proper sentence with enough words appears here.' END,
+  CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum dolor sit amet consectetur.'
+       ELSE 'Closing remarks follow in this final proper sentence.' END,
+  CASE WHEN doc_id % 13 = 0 THEN 'function render() { return 1; }'
+       ELSE 'The very last line also ends with terminal punctuation.' END
+)
+"""
+
+
+@register(
+    "text_c4_filters",
+    f"""
+WITH pages AS (
+  SELECT doc_id, source, {_C4_PAGE_EXPR} AS page FROM documents
+),
+l0 AS (
+  SELECT doc_id, source, page,
+         list_filter(list_transform(string_split(page, chr(10)),
+                                    x -> trim(x)), l -> l <> '') AS ls
+  FROM pages
+),
+k AS (
+  SELECT doc_id, source, ls,
+         list_filter(ls, l -> regexp_matches(l, '[.!?"]$')
+             AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5
+             AND NOT contains(lower(l), 'javascript')) AS kept,
+         contains(lower(page), 'lorem ipsum') AS lorem,
+         contains(page, '{{') AS brace
+  FROM l0
+),
+d AS (
+  SELECT source, doc_id, len(kept) AS n_kept,
+         CASE WHEN len(ls) > 0
+              THEN round(len(kept) * 1.0 / len(ls), 4) ELSE 0.0 END
+           AS kept_ratio,
+         CASE WHEN len(kept) >= 3 AND NOT lorem AND NOT brace
+              THEN 1 ELSE 0 END AS c4_pass,
+         sha256(array_to_string(kept, chr(10))) AS cleaned_sha
+  FROM k
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(c4_pass) AS BIGINT) AS n_pass,
+       round(avg(kept_ratio), 4) AS avg_kept_ratio,
+       min(cleaned_sha) AS sample_sha
+FROM d GROUP BY source
+""",
+    "C4 line-level cleaning rules (Raffel et al. 2020 sec. 2.2; "
+    "operators/quality.py::c4_line_filters) — the rule bundle the "
+    "document-level Gopher rules stack on: keep lines ending in terminal "
+    "punctuation with >= 5 words and no 'javascript' mention; fail pages "
+    "containing 'lorem ipsum' or a curly brace. Signals are computed on a "
+    "deterministic multi-line page derived per doc (the raw documents "
+    "are single-line). The per-source rollup carries sha256 of each "
+    "cleaned page (min per source) so the oracle must reproduce the "
+    "TRANSFORMED text byte-exactly, not just the counts. Pure Catalyst: "
+    "one split + two array filters on the scan, one source-keyed "
+    "shuffle; at 100 TB the line filter is a narrow map exactly where "
+    "it must run.",
+)
+def q_text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.quality import c4_line_filters
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr(_C4_PAGE_EXPR).alias("page")
+    )
+    sig = c4_line_filters(docs, text_col="page")
+    j = sig.join(docs.select("doc_id", "source"), "doc_id")
+    return j.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("c4_pass").cast("long").alias("n_pass"),
+        F.round(F.avg("kept_ratio"), 4).alias("avg_kept_ratio"),
+        F.min("cleaned_sha").alias("sample_sha"),
+    )
+
+
+@register(
+    "quality_rho_excess",
+    r"""
+WITH toksr AS (
+  SELECT source, doc_id, regexp_extract_all(lower(text), '\p{L}+') AS t
+  FROM documents
+),
+base AS (SELECT source, doc_id, t FROM toksr WHERE len(t) >= 2),
+bg0 AS (
+  SELECT source, doc_id, UNNEST(generate_series(1, len(t) - 1)) AS i, t
+  FROM base
+),
+bgs AS (SELECT source, doc_id, t[i] AS prev, t[i+1] AS cur FROM bg0),
+dt AS (
+  SELECT source, doc_id, prev, cur, count(*) AS c
+  FROM bgs GROUP BY 1, 2, 3, 4
+),
+lmd AS (SELECT source, prev, cur, sum(c) AS cb FROM dt GROUP BY 1, 2, 3),
+pvd AS (SELECT source, prev, sum(cb) AS cp FROM lmd GROUP BY 1, 2),
+docd AS (
+  SELECT dt.source, dt.doc_id,
+         sum(dt.c * (log10(CAST(lmd.cb AS DOUBLE))
+                     - log10(CAST(pvd.cp AS DOUBLE)))) / sum(dt.c) AS lpd
+  FROM dt
+  JOIN lmd ON dt.source = lmd.source AND dt.prev = lmd.prev
+          AND dt.cur = lmd.cur
+  JOIN pvd ON dt.source = pvd.source AND dt.prev = pvd.prev
+  GROUP BY 1, 2
+),
+lmg AS (SELECT prev, cur, sum(c) AS cb FROM dt GROUP BY 1, 2),
+pvg AS (SELECT prev, sum(cb) AS cp FROM lmg GROUP BY 1),
+docg AS (
+  SELECT dt.doc_id,
+         sum(dt.c * (log10(CAST(lmg.cb AS DOUBLE))
+                     - log10(CAST(pvg.cp AS DOUBLE)))) / sum(dt.c) AS lpg
+  FROM dt
+  JOIN lmg ON dt.prev = lmg.prev AND dt.cur = lmg.cur
+  JOIN pvg ON dt.prev = pvg.prev
+  GROUP BY 1
+),
+ex AS (
+  SELECT d.source, d.doc_id, round(d.lpd - g.lpg, 4) AS excess
+  FROM docd d JOIN docg g USING (doc_id)
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY excess DESC, doc_id) AS rn
+  FROM ex
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(excess), 4) AS avg_excess,
+       round(max(excess), 4) AS max_excess,
+       min(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc
+FROM rk GROUP BY source
+""",
+    "RHO-style learnability scoring (Mindermann et al. 2022's reducible "
+    "holdout loss, in the LM-difference form DoGE/DSIR-family pipelines "
+    "use): per-doc excess log-probability = mean bigram logprob under "
+    "the doc's own DOMAIN (source) LM minus under the GENERAL pooled "
+    "LM. High excess = characteristic of its domain and cheap to learn "
+    "there; near-zero = generic mass the general model already covers; "
+    "strongly negative = off-domain noise. Both LMs come from the SAME "
+    "(doc, bigram) count frame via text_stats.bigram_doc_logprob "
+    "(group_col=source vs a constant), so the cost is two "
+    "vocabulary-sized LM joins over one shuffle lineage. Per-source "
+    "rollup: mean/max excess + the argmax doc (min-id ties) — the "
+    "per-domain selection anchor.",
+)
+def q_quality_rho_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from yaml_pipe_spark.operators.text_stats import bigram_doc_logprob
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    dom = bigram_doc_logprob(docs, group_col="source").select(
+        "source", "doc_id", F.col("lp0").alias("lpd")
+    )
+    gen = bigram_doc_logprob(
+        docs.withColumn("__g", F.lit("all")), group_col="__g"
+    ).select("doc_id", F.col("lp0").alias("lpg"))
+    ex = dom.join(gen, "doc_id").select(
+        "source",
+        "doc_id",
+        F.round(F.col("lpd") - F.col("lpg"), 4).alias("excess"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("source").orderBy(F.desc("excess"), F.col("doc_id"))
+    )
+    rk = ex.withColumn("rn", rn)
+    return rk.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("excess"), 4).alias("avg_excess"),
+        F.round(F.max("excess"), 4).alias("max_excess"),
+        F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keep_doc"),
+    )
 
 
 def _dk_stop_hits() -> str:
@@ -9491,12 +9653,12 @@ FROM j GROUP BY 1, 2
 def q_corpus_dup_rate_by_source(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from yaml_pipe_spark.operators.dedup import minhash_near_duplicates
-
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_near_duplicates(
-        docs, "text", "doc_id", k=3, n_hashes=16, bands=4, threshold=0.8
-    ).select("id_a", "id_b")
+    pairs = (
+        _minhash_overlap_store(spark, sf_dir)
+        .jaccard_pairs(spark, 0.8)
+        .select("id_a", "id_b")
+    )
     ds = docs.select("doc_id", "source")
     j = (
         pairs.join(
@@ -12536,6 +12698,8 @@ DRIVER_ORDER: list[str] = [
     "graph_store_persisted",      # persisted pair-graph store audit
     "dedup_fuzzy_decontaminate",  # MinHash fuzzy benchmark decontamination
     "stream_bm25_append",         # streaming BM25 index maintenance
+    "text_c4_filters",            # C4 line-level cleaning rules
+    "quality_rho_excess",         # RHO-style learnability scoring
     # -- (3) code CHANGED in round 7 --
     "corpus_url_canonical_dedup", # ADVICE: malformed-URL passthrough
     "ann_index_incremental",      # ADVICE: append version-mode guard
@@ -12543,6 +12707,10 @@ DRIVER_ORDER: list[str] = [
     "dedup_cluster_resolution",   # served from the pair-graph store
     "dedup_levenshtein_verify",   # pairs from the pair-graph store
     "corpus_split_leakage_audit", # pairs+labels from the store
+    "dedup_minhash_lsh",          # served from the MinHash overlap store
+    "dedup_containment",          # projection of the overlap store
+    "corpus_dup_rate_by_source",  # pairs from the overlap store
+    "corpus_dedup_funnel",        # overlap from the store
     # -- (4) round-2-generation refresh displaced from the r6 prefix --
     "rel_sales_opportunity",
     "rel_small_qty_revenue",

@@ -114,6 +114,78 @@ def gopher_quality_signals(
     )
 
 
+def c4_line_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """Per-document C4 cleaning signals (Raffel et al. 2020, section 2.2)
+    — the line-level rule bundle the Gopher document-level rules are
+    usually stacked on:
+
+    - a line is KEPT iff it ends in terminal punctuation (. ! ? \")
+      AND has >= `min_line_words` whitespace words AND does not mention
+      'javascript' (case-insensitive);
+    - the page fails outright if it contains 'lorem ipsum' or a curly
+      brace '{' anywhere (template/boilerplate tells);
+    - c4_pass = >= `min_kept_lines` kept lines and no page-level tell.
+
+    Columns: id, n_lines (non-blank), n_kept, kept_ratio (4dp),
+    has_lorem/has_brace (int), c4_pass (int), cleaned_sha (sha256 of the
+    kept lines joined by newline — pins the TRANSFORMATION, not just the
+    counts, so the oracle must reproduce the cleaned text byte-exactly).
+
+    Pure Catalyst: one split + two array filters per row, zero shuffles
+    until the caller aggregates — at 100 TB this is a narrow map on the
+    scan, exactly where a line-level filter must run.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), F.trim),
+        lambda l: l != F.lit(""),
+    )
+    word_ok = lambda l: (  # noqa: E731
+        F.size(F.filter(F.split(l, " "), lambda w: w != F.lit("")))
+        >= min_line_words
+    )
+    keep = lambda l: (  # noqa: E731
+        l.rlike('[.!?"]$')
+        & word_ok(l)
+        & ~F.lower(l).contains("javascript")
+    )
+    base = df.select(
+        F.col(id_col),
+        lines.alias("__lines"),
+        F.lower(F.col(text_col)).contains("lorem ipsum").alias("__lorem"),
+        F.col(text_col).contains("{").alias("__brace"),
+    )
+    kept = F.filter(F.col("__lines"), keep)
+    out = base.select(
+        id_col,
+        F.size("__lines").cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.round(
+            F.when(
+                F.size("__lines") > 0,
+                F.size(kept) / F.size("__lines").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("kept_ratio"),
+        F.col("__lorem").cast("int").alias("has_lorem"),
+        F.col("__brace").cast("int").alias("has_brace"),
+        (
+            (F.size(kept) >= min_kept_lines)
+            & ~F.col("__lorem")
+            & ~F.col("__brace")
+        )
+        .cast("int")
+        .alias("c4_pass"),
+        F.sha2(F.array_join(kept, "\n"), 256).alias("cleaned_sha"),
+    )
+    return out
+
+
 def _gram_structs(n: int) -> Column:
     """Array of (n, gram) structs: all word n-grams joined with ' '."""
     return F.when(

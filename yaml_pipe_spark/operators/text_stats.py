@@ -308,9 +308,14 @@ def bpe_token_stats(
     )
 
 
-def bigram_doc_logprob(docs: DataFrame) -> DataFrame:
+def bigram_doc_logprob(
+    docs: DataFrame, group_col: str = "lang"
+) -> DataFrame:
     """Per-document mean bigram log-probability under the corpus's own
-    per-language bigram LM: (lang, doc_id, lp0 double).
+    per-`group_col` bigram LM: (group_col, doc_id, lp0 double).
+    Default grouping is language (the CCNet shape); quality_rho_excess
+    re-groups by source and by a constant to difference the domain LM
+    against the general LM.
 
     The KenLM-style quality signal used by CCNet-family pipelines, trained
     on the corpus itself so no smoothing is needed (every scored bigram is
@@ -324,7 +329,7 @@ def bigram_doc_logprob(docs: DataFrame) -> DataFrame:
     the full (lang, prev, cur) key.
     """
     t = F.regexp_extract_all(F.lower("text"), F.lit(r"\p{L}+"), F.lit(0))
-    base = docs.select("lang", "doc_id", t.alias("t")).filter(
+    base = docs.select(group_col, "doc_id", t.alias("t")).filter(
         F.size("t") >= 2
     )
     grams = F.transform(
@@ -335,25 +340,25 @@ def bigram_doc_logprob(docs: DataFrame) -> DataFrame:
         ),
     )
     bgs = base.select(
-        "lang", "doc_id", F.explode(grams).alias("g")
-    ).select("lang", "doc_id", F.col("g.prev"), F.col("g.cur"))
+        group_col, "doc_id", F.explode(grams).alias("g")
+    ).select(group_col, "doc_id", F.col("g.prev"), F.col("g.cur"))
     # explicit null-filters (same trick as text_unigram_logprob): the two
     # joins push different isnotnull subsets into their dt branches (the
     # lm⋈pv chain only needs (lang, prev); the doc join needs cur too),
     # which would fork the subtrees and block ReuseExchange — a second
     # full corpus scan
     bgs = bgs.filter(
-        F.col("lang").isNotNull()
+        F.col(group_col).isNotNull()
         & F.col("prev").isNotNull()
         & F.col("cur").isNotNull()
     )
-    dt = bgs.groupBy("lang", "doc_id", "prev", "cur").agg(
+    dt = bgs.groupBy(group_col, "doc_id", "prev", "cur").agg(
         F.count("*").alias("c_dt")
     )
-    lm = dt.groupBy("lang", "prev", "cur").agg(F.sum("c_dt").alias("c_bg"))
-    pv = lm.groupBy("lang", "prev").agg(F.sum("c_bg").alias("c_prev"))
-    lmj = lm.join(pv, ["lang", "prev"]).select(
-        "lang",
+    lm = dt.groupBy(group_col, "prev", "cur").agg(F.sum("c_dt").alias("c_bg"))
+    pv = lm.groupBy(group_col, "prev").agg(F.sum("c_bg").alias("c_prev"))
+    lmj = lm.join(pv, [group_col, "prev"]).select(
+        group_col,
         "prev",
         "cur",
         (
@@ -362,8 +367,8 @@ def bigram_doc_logprob(docs: DataFrame) -> DataFrame:
         ).alias("lp"),
     )
     return (
-        dt.join(lmj, ["lang", "prev", "cur"])
-        .groupBy("lang", "doc_id")
+        dt.join(lmj, [group_col, "prev", "cur"])
+        .groupBy(group_col, "doc_id")
         .agg(
             (F.sum(F.col("c_dt") * F.col("lp")) / F.sum("c_dt")).alias("lp0")
         )
