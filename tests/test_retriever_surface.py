@@ -303,3 +303,47 @@ def test_bm25_empty_index_preserves_qid_type(spark, tmp_path):
     out = bm.topk(corpus, q, k=3)
     assert out.count() == 0
     assert dict(out.dtypes)["qid"] == "string"
+
+
+def test_incremental_run_refreshes_index_and_serves_new_doc(
+    spark, workdir
+):
+    """The full lifecycle: run builds the index; a NEW source file makes
+    the corpus fingerprint stale, so the next run rebuilds; search then
+    retrieves the new document from the persisted index."""
+    spec = _spec(workdir, BM25_YAML)
+    run_pipeline(spark, spec)
+    assert (
+        search_corpus(spark, spec, "glacier crevasse moraine", k=2).count()
+        == 0
+    )
+    with open(
+        os.path.join(workdir["data"], "glacier.txt"), "w", encoding="utf-8"
+    ) as f:
+        f.write("glacier crevasse moraine icefall serac " * 8)
+    run_pipeline(spark, spec)  # stale fingerprint -> rebuild
+    rows = search_corpus(spark, spec, "glacier crevasse moraine", k=2).collect()
+    assert rows and rows[0].source.endswith("glacier.txt")
+
+
+def test_cmd_clean_targets_retriever_indexes(spark, workdir, tmp_path, capsys):
+    from yaml_pipe_spark import cli
+
+    spec_yaml = CONFIG_TMPL.format(
+        retriever_yaml=HYBRID_YAML.format(**workdir), **workdir
+    )
+    cfg = tmp_path / "pipe.yaml"
+    cfg.write_text(spec_yaml)
+    run_pipeline(spark, parse_config(spec_yaml))
+    vec = os.path.join(workdir["index"], "vec")
+    lex = os.path.join(workdir["index"], "lex")
+    assert os.path.isdir(vec) and os.path.isdir(lex)
+
+    class A:
+        config = str(cfg)
+        yes = True
+
+    assert cli.cmd_clean(A) == 0
+    capsys.readouterr()
+    assert not os.path.exists(vec) and not os.path.exists(lex)
+    assert not os.path.exists(workdir["sink"])

@@ -97,13 +97,21 @@ def cmd_test_connection(args) -> int:
 def cmd_clean(args) -> int:
     # reference cli.py:167-195: delete state + sink dirs, with confirmation.
     # Sinks address their storage as either a directory (parquet `path`) or
-    # a single file (duckdb `db_path`).
+    # a single file (duckdb `db_path`). Retriever indexes are part of the
+    # pipeline's on-disk state too: the flat `path` key (ivfpq/bm25) or the
+    # nested per-arm paths (hybrid_rrf).
     spec = load_config(args.config)
     targets = [
         spec.sink.config.get("path") or spec.sink.config.get("db_path")
     ]
     if spec.state_manager is not None:
         targets.append(spec.state_manager.config.get("path"))
+    if spec.retriever is not None:
+        rc = spec.retriever.config
+        targets.append(rc.get("path"))
+        for arm in ("vector", "lexical"):
+            if isinstance(rc.get(arm), dict):
+                targets.append(rc[arm].get("path"))
     targets = [t for t in targets if t]
     if not args.yes:
         print(f"would delete: {targets} (pass --yes to confirm)")
