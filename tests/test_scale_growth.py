@@ -44,3 +44,27 @@ def test_pair_mass_grows_linearly_not_quadratically(growth):
 def test_wallclock_growth_is_near_linear(growth):
     for name, r in growth.items():
         assert r["alpha"] <= 1.3, (name, r)
+
+
+def test_generator_is_deterministic_across_sessions(spark):
+    """The scaling exponents are only comparable across runs/machines if
+    the corpus is BIT-IDENTICAL every time — pin the generator output
+    with golden content hashes (order-insensitive bit_xor of per-row
+    xxhash64), not just self-consistency within one session."""
+    from pyspark.sql import functions as F
+
+    from yaml_pipe_spark.operators.scalegen import (
+        synthetic_documents,
+        synthetic_embeddings,
+    )
+
+    d = synthetic_documents(spark, 200)
+    h = d.agg(F.bit_xor(F.xxhash64("doc_id", "text", "source"))).collect()[
+        0
+    ][0]
+    assert h == -4782318295758910632
+    e = synthetic_embeddings(spark, 100)
+    he = e.agg(
+        F.bit_xor(F.xxhash64("vec_id", F.col("embedding").cast("string")))
+    ).collect()[0][0]
+    assert he == 5558232363433561237
