@@ -104,6 +104,53 @@ ROUND3_FILL: set[str] = {
 }
 
 
+# Round-3-generation rows left WITHOUT a fresh row after round 7's 50-slot
+# prefix (every other registered query has a row from r4+ or sits in the
+# prefix) — round 8 must front these before anything merely stale from r4.
+ROUND8_QUEUE: set[str] = {
+    "ann_ivf_topk",
+    "ann_recall_measured",
+    "ann_signlsh_topk",
+    "c2_markdown_chunk",
+    "c3_adaptive_chunk",
+    "corpus_curation_funnel",
+    "corpus_holdout_split",
+    "corpus_source_cap",
+    "dedup_exact",
+    "dedup_simhash",
+    "emb_int8_quant",
+    "events_approx_distinct_bounded",
+    "events_forget_users",
+    "events_incremental_agg",
+    "events_transition_matrix",
+    "multimodal_frame_sample",
+    "q1_topk_cosine",
+    "q2_hitrate",
+    "rel_customer_distribution",
+    "rel_disjunctive_revenue",
+    "rel_forecast_revenue",
+    "rel_late_ship_orders",
+    "rel_nation_revenue",
+    "rel_order_gaps",
+    "rel_pricing_summary",
+    "rel_promo_revenue_pct",
+    "rel_returned_item_revenue",
+    "rel_top3_orders_per_priority",
+    "rel_top_supplier",
+    "rel_volume_shipping",
+    "sim_knn_join",
+    "stream_hopping_agg",
+    "stream_watermark_dedup",
+    "text_repetition",
+    "text_token_bpe",
+}
+
+
+def test_round8_queue_is_registered():
+    for name in ROUND8_QUEUE:
+        assert name in REGISTRY, name
+
+
 def test_round7_front_sets_inside_driver_prefix():
     prefix = set(list(queries())[:50])
     missing = (ROUND7_MUST_FRONT | ROUND2_REFRESH_NOW) - prefix
