@@ -104,3 +104,32 @@ def test_adaptive_dispatch(spark):
     assert any(r.header1 == "Header 1" for r in md_rows)
     assert all(r.header1 is None for r in fixed_rows)
     assert len(fixed_rows) >= 2
+
+
+def test_recursive_split_fixed_token_closed_form():
+    """The c1_recursive_chunk driver oracle's closed form: over the
+    deterministic fixed-token corpus (7-char md5 tokens, n = d%23+7 per
+    paragraph, p = d%3+1 paragraphs, size=50/overlap=10) the recursive
+    splitter emits, per paragraph, chunk k = tokens [5(k-1)+1, min(5k+1, n)].
+    Exhaustive over 500 doc_ids so the entrypoints oracle can reconstruct
+    the output in SQL."""
+    import hashlib
+    import math
+
+    def tok(d, j, i):
+        return hashlib.md5(f"{d}:{j}:{i}".encode()).hexdigest()[:7]
+
+    for d in range(500):
+        n = d % 23 + 7
+        p = d % 3 + 1
+        text = "\n\n".join(
+            " ".join(tok(d, j, i) for i in range(1, n + 1))
+            for j in range(1, p + 1)
+        )
+        m = 1 + math.ceil((n - 6) / 5)
+        want = [
+            " ".join(tok(d, j, i) for i in range(5 * (k - 1) + 1, min(5 * k + 1, n) + 1))
+            for j in range(1, p + 1)
+            for k in range(1, m + 1)
+        ]
+        assert recursive_split(text, 50, 10) == want, f"doc_id={d}"

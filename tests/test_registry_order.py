@@ -8,105 +8,10 @@ import pytest
 
 from yaml_pipe_spark.entrypoints import DRIVER_ORDER, REGISTRY, queries, oracle_sql
 
-# Round-6's queue: registered after r6's 50-slot prefix was spent (6e/6f/6g/6h
-# waves), locally verified + judge-parity green but never driver-sampled —
-# round 7 MUST front them so the union of driver rows covers every registered
-# query again (VERDICT r6 ask #1).
-ROUND7_QUEUE: set[str] = {
-    # 6e wave
-    "text_bloom_decontaminate",
-    "corpus_snapshot_psi",
-    "layout_zorder_locality",
-    "dedup_canonical_quality",
-    # 6f wave: lexical retrieval + snapshot ops
-    "q3_bm25_topk",
-    "q3_hybrid_rrf",
-    "corpus_snapshot_churn",
-    # 6g wave: graph centrality + persisted lexical index
-    "graph_pagerank_centrality",
-    "q3_bm25_index_persisted",
-    "q3_hybrid_lexical_vector",
-    # 6h wave: curation algorithms from the published-pipeline canon
-    "dedup_semantic_cluster",
-    "quality_nb_distill",
-    "corpus_doremi_weights",
-    "corpus_ppl_quality_corr",
-    "sample_kcenter_coreset",
-}
-
-# New in round 7, or implementation changed in round 7 (prior driver rows, if
-# any, describe code that no longer exists). Grown as round-7 waves land.
-ROUND7_MUST_FRONT: set[str] = ROUND7_QUEUE | {
-    # new operators
-    "graph_store_persisted",       # persisted pair-graph store audit
-    "dedup_fuzzy_decontaminate",   # MinHash fuzzy benchmark decontamination
-    "stream_bm25_append",          # streaming BM25 index maintenance
-    "text_c4_filters",             # C4 line-level cleaning rules
-    "quality_rho_excess",          # RHO-style learnability scoring
-    # code changed (ADVICE r6 fixes)
-    "corpus_url_canonical_dedup",  # malformed-URL passthrough
-    "ann_index_incremental",       # append version-mode guard
-    # code changed (pair-graph store rebase)
-    "dedup_simhash_pairs",
-    "dedup_cluster_resolution",
-    "dedup_levenshtein_verify",
-    "corpus_split_leakage_audit",
-    # code changed (MinHash overlap store rebase)
-    "dedup_minhash_lsh",
-    "dedup_containment",
-    "corpus_dup_rate_by_source",
-    "corpus_dedup_funnel",
-}
-
-# Round-2-generation rows displaced from the r6 prefix (VERDICT r6 ask #1:
-# after these, no green row is older than round 3).
-ROUND2_REFRESH_NOW: set[str] = {
-    "rel_sales_opportunity",
-    "rel_small_qty_revenue",
-    "rel_waiting_suppliers",
-    "stream_dedup_first_arrival",
-    "stream_interval_join",
-    "stream_session_window",
-    "stream_stateful_counter",
-    "stream_static_enrich",
-    "stream_tumbling_agg",
-    "text_blocklist_filter",
-    "text_pii_redact",
-    "text_shared_ngrams",
-    "text_unigram_logprob",
-}
-
-# The round-3-generation refresh rows LISTED in DRIVER_ORDER's fill section:
-# best-effort — whichever fall outside the final 50-entry prefix (new code
-# outranks refresh) stay r3-generation and must front in round 8 before
-# anything merely stale from r4.
-ROUND3_FILL: set[str] = {
-    "s1_scan_nonempty",
-    "s2_normalize_lines",
-    "s4_events_content",
-    "t2_changed_anti_join",
-    "t3_state_merge",
-    "c1_fixed_chunk",
-    "c2_markdown_chunk",
-    "c3_adaptive_chunk",
-    "dedup_exact",
-    "dedup_simhash",
-    "q1_topk_cosine",
-    "q2_hitrate",
-    "ann_signlsh_topk",
-    "ann_ivf_topk",
-    "sim_knn_join",
-    "text_repetition",
-    "rel_pricing_summary",
-    "rel_top_supplier",
-    "stream_watermark_dedup",
-    "multimodal_frame_sample",
-}
-
-
-# Round-3-generation rows left WITHOUT a fresh row after round 7's 50-slot
-# prefix (every other registered query has a row from r4+ or sits in the
-# prefix) — round 8 must front these before anything merely stale from r4.
+# Round-7's queue: the thirty-five round-3-generation rows whose newest driver
+# row was still r3 after round 7's 50-slot prefix was spent — round 8 MUST
+# front them so the oldest attestation anywhere in the registry is >= r4
+# (VERDICT r7 ask #1).
 ROUND8_QUEUE: set[str] = {
     "ann_ivf_topk",
     "ann_recall_measured",
@@ -145,26 +50,88 @@ ROUND8_QUEUE: set[str] = {
     "text_token_bpe",
 }
 
+# New in round 8, or implementation changed in round 8 (prior driver rows, if
+# any, describe code that no longer exists). Grown as round-8 waves land.
+ROUND8_MUST_FRONT: set[str] = ROUND8_QUEUE | {
+    "c1_recursive_chunk",  # oracle added (VERDICT r7 ask #3)
+}
+
+# Round-4-generation refresh rows LISTED in DRIVER_ORDER's fill section:
+# best-effort — whichever fall outside the final 50-entry prefix (new code
+# outranks refresh) stay r4-generation and must front in round 9 before
+# anything merely stale from r5.
+ROUND4_FILL: set[str] = {
+    "s1_parse_pdf",
+    "s1_parse_docx",
+    "s1_parse_eml",
+    "s1_parse_pptx",
+    "events_asof_join",
+    "events_sessionize",
+    "dedup_ngram_jaccard",
+    "dedup_segment_exact",
+    "emb_pca_project",
+    "rel_shipping_priority",
+    "multimodal_real_decode",
+    "stream_window_topk",
+    "rel_join_key_skew",
+    "text_dsir_weight",
+}
+
+# Round-4-generation rows left WITHOUT a fresh row after round 8's 50-slot
+# prefix — round 9 must front these (plus whatever ROUND4_FILL rows fell
+# outside the final prefix) before anything merely stale from r5.
+ROUND9_QUEUE: set[str] = {
+    "ann_pq_adc_topk",
+    "corpus_ngram_novelty",
+    "corpus_pack_windows",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_blocked",
+    "dedup_substring_span",
+    "emb_covariance",
+    "emb_dim_stats",
+    "emb_matryoshka_agreement",
+    "emb_outlier_zscore",
+    "events_funnel_time",
+    "events_hopping_agg",
+    "events_props_extract",
+    "events_props_json",
+    "events_session_window",
+    "events_tumbling_agg",
+    "multimodal_features",
+    "multimodal_resize",
+    "rel_important_stock",
+    "rel_local_supplier_volume",
+    "rel_min_cost_supplier",
+    "rel_pareto_revenue",
+    "rel_parts_supplier_count",
+    "rel_product_profit",
+    "rel_promotion_suppliers",
+    "rel_revenue_trend",
+    "rel_shipmode_priority",
+    "stream_interval_join_outer",
+    "text_vocab_coverage",
+}
+
 
 def test_round8_queue_is_registered():
-    for name in ROUND8_QUEUE:
+    for name in ROUND8_QUEUE | ROUND9_QUEUE:
         assert name in REGISTRY, name
 
 
-def test_round7_front_sets_inside_driver_prefix():
+def test_round8_front_sets_inside_driver_prefix():
     prefix = set(list(queries())[:50])
-    missing = (ROUND7_MUST_FRONT | ROUND2_REFRESH_NOW) - prefix
+    missing = ROUND8_MUST_FRONT - prefix
     assert not missing, f"outside the 50-entry driver prefix: {missing}"
 
 
-def test_round7_new_queries_registered_and_oracled():
-    for name in ROUND7_MUST_FRONT:
+def test_round8_front_queries_registered_and_oracled():
+    for name in ROUND8_MUST_FRONT:
         assert name in REGISTRY, name
         assert REGISTRY[name].oracle is not None, name
 
 
-def test_round3_fill_is_registered():
-    for name in ROUND3_FILL:
+def test_round4_fill_is_registered():
+    for name in ROUND4_FILL:
         assert name in REGISTRY, name
 
 

@@ -347,3 +347,51 @@ def test_cmd_clean_targets_retriever_indexes(spark, workdir, tmp_path, capsys):
     capsys.readouterr()
     assert not os.path.exists(vec) and not os.path.exists(lex)
     assert not os.path.exists(workdir["sink"])
+
+
+def test_search_raises_on_stale_index(spark, workdir):
+    """Serve-time staleness gate (ADVICE r7): a sink that moved on after
+    the index build (crash window, or `retriever:` added post-run) must
+    error loudly instead of quietly serving short/stale result lists."""
+    spec = _spec(workdir, BM25_YAML)
+    run_pipeline(spark, spec)
+    # grow the sink behind the index's back: write one more chunk row
+    # directly through the sink (no index refresh)
+    sink = build_component("sink", spec.sink)
+    extra = spark.createDataFrame(
+        [("late.txt", "glacier icefield crevasse " * 8, [0.0] * 8)],
+        "source string, text string, embedding array<double>",
+    )
+    sink.write(extra)
+    with pytest.raises(ValueError, match="stale or missing"):
+        search_corpus(spark, spec, "coral reef tide", k=2)
+
+
+def test_eval_raises_on_missing_index(spark, workdir, tmp_path):
+    """eval with a retriever key but no index on disk must fail with the
+    actionable message, not report a quietly-wrong hit rate."""
+    import argparse
+
+    from yaml_pipe_spark.cli import cmd_eval
+    from yaml_pipe_spark.plans.pipeline import run_pipeline as _run
+
+    spec = _spec(workdir)  # no retriever: builds only the sink
+    _run(spark, spec)
+    cfg = tmp_path / "cfg.yaml"
+    ry = BM25_YAML.format(**workdir)
+    cfg.write_text(CONFIG_TMPL.format(retriever_yaml=ry, **workdir))
+    ds = tmp_path / "qs.jsonl"
+    ds.write_text(json.dumps({"question": "coral", "expected_source": "x"}) + "\n")
+    with pytest.raises(ValueError, match="stale or missing"):
+        cmd_eval(argparse.Namespace(config=str(cfg), dataset=str(ds), k=2))
+
+
+def test_hybrid_rrf_missing_arm_config_is_a_config_error():
+    """ADVICE r7: omitting an arm's config must raise a descriptive
+    ValueError at build time, not a bare TypeError from the constructor."""
+    with pytest.raises(ValueError, match="'lexical' mapping with a 'path'"):
+        HybridRrfRetriever(vector={"path": "/tmp/v"})
+    with pytest.raises(ValueError, match="'vector' mapping with a 'path'"):
+        HybridRrfRetriever(lexical={"path": "/tmp/l"})
+    with pytest.raises(ValueError, match="hybrid_rrf"):
+        HybridRrfRetriever()

@@ -225,3 +225,22 @@ def test_spread_probe_never_touches_local_fs_for_remote_uris(
     # same path, remote scheme: must be left alone (no repartition)
     monkeypatch.setattr(df, "inputFiles", lambda: [f"s3a://bucket{part}"])
     assert spread_for_expansion(df) is df
+
+
+def test_spread_probe_schemeless_literal_percent_path(spark, tmp_path, monkeypatch):
+    """A SCHEME-LESS inputFiles entry is already a raw local path: a file
+    whose literal name contains a %-sequence must not be percent-decoded
+    into the wrong path (which would fail the isfile probe and silently
+    skip the rescue repartition). ADVICE r7."""
+    import os
+
+    from yaml_pipe_spark.session import spread_for_expansion
+
+    small = str(tmp_path / "x%20y")
+    spark.range(100).coalesce(1).write.parquet(small)
+    df = spark.read.parquet(small)
+    raw = [f.removeprefix("file:").replace("%2520", "%20") for f in df.inputFiles()]
+    assert all(os.path.isfile(p) for p in raw), "precondition"
+    assert any("%20" in p for p in raw), "precondition"
+    monkeypatch.setattr(df, "inputFiles", lambda: raw)
+    assert spread_for_expansion(df) is not df

@@ -135,7 +135,11 @@ def cmd_eval(args) -> int:
 
     from yaml_pipe_spark.operators.similarity import hit_rate
     from yaml_pipe_spark.plans.factory import build_component
-    from yaml_pipe_spark.retrievers import ExactRetriever, unique_by_id
+    from yaml_pipe_spark.retrievers import (
+        ExactRetriever,
+        ensure_fresh,
+        unique_by_id,
+    )
 
     spec = load_config(args.config)
     spark = _spark()
@@ -147,6 +151,9 @@ def cmd_eval(args) -> int:
         else ExactRetriever()
     )
     corpus = unique_by_id(sink.read(spark))
+    # serve-time staleness gate (ADVICE r7): eval against a stale index
+    # would quietly report the wrong hit rate
+    ensure_fresh(retriever, corpus)
 
     questions = spark.read.json(args.dataset)
     if "question" not in questions.columns:

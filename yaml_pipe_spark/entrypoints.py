@@ -20,7 +20,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable, Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from yaml_pipe_spark.functions.hashing import sha256_text
@@ -3594,23 +3594,92 @@ def q_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Rows-only queries (not SQL-expressible; driver records a weaker check):
-# C1 langchain-parity chunker (Python recursive splitter), streaming agg
-# (Structured Streaming runtime), multimodal features (binary mapInPandas)
+# C1 langchain-parity chunker. The recursive splitter is Python (pandas UDF)
+# and its output on arbitrary text is not SQL-expressible — arbitrary-text
+# parity stays golden-string pinned against the reference's chunks
+# (tests/test_chunkers.py vs reference tests/components/test_chunkers.py:19-26).
+# The driver row instead runs the REAL splitter over a deterministic
+# fixed-token corpus where the recursion collapses to a closed form the
+# oracle reconstructs exactly:
+#   - tokens are 7-char md5 prefixes (never contain whitespace), joined by
+#     single spaces into paragraphs of n = doc_id%23+7 tokens, p = doc_id%3+1
+#     paragraphs joined by "\n\n";
+#   - every paragraph is >= 55 chars > chunk_size=50, so the splitter always
+#     recurses paragraph -> (newline) -> word and never merges across
+#     paragraph boundaries;
+#   - with piece lengths 7/8/9 (first word, " word", "\n\nword") and
+#     chunk_size=50 / overlap=10, the merge loop admits exactly 6 tokens per
+#     chunk and keeps exactly 1 overlap token, i.e. chunk k of a paragraph
+#     covers tokens [5(k-1)+1, min(5k+1, n)] — verified exhaustively against
+#     recursive_split for 500 doc_ids (tests/test_chunkers.py).
 # ---------------------------------------------------------------------------
+
+C1_RECURSIVE_ORACLE = """
+WITH d AS (
+  SELECT doc_id, (doc_id % 23) + 7 AS n, (doc_id % 3) + 1 AS p
+  FROM documents
+),
+pj AS (
+  SELECT doc_id, n,
+         UNNEST(generate_series(1, p)) AS j,
+         1 + CAST(ceil((n - 6) / 5.0) AS BIGINT) AS m
+  FROM d
+),
+ck AS (
+  SELECT doc_id, n, j, m, UNNEST(generate_series(1, m)) AS k
+  FROM pj
+),
+s AS (
+  SELECT doc_id, (j - 1) * m + k AS chunk_index,
+         array_to_string(
+           list_transform(
+             generate_series(5 * (k - 1) + 1, least(5 * k + 1, n)),
+             i -> substr(md5(doc_id::VARCHAR || ':' || j::VARCHAR || ':'
+                             || i::VARCHAR), 1, 7)),
+           ' ') AS chunk
+  FROM ck
+)
+SELECT doc_id, chunk_index, sha256(chunk) AS chunk_hash,
+       CAST(length(chunk) AS BIGINT) AS chunk_len
+FROM s
+"""
 
 
 @register(
     "c1_recursive_chunk",
-    None,
-    "C1 parity chunker (langchain-style recursive splitter, pandas UDF); "
+    C1_RECURSIVE_ORACLE,
+    "C1 parity chunker (langchain-style recursive splitter, pandas UDF) run "
+    "over a deterministic fixed-token corpus whose paragraph->word recursion "
+    "the oracle reconstructs in closed form; arbitrary-text parity is "
     "golden-string validated in tests/test_chunkers.py",
 )
 def q_c1_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yaml_pipe_spark.operators.chunkers import recursive_character_chunks
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    out = recursive_character_chunks(docs, "text", chunk_size=200, chunk_overlap=40)
+    doc_id = F.col("doc_id")
+
+    def tok(j: Column, i: Column) -> Column:
+        key = F.concat_ws(
+            ":", doc_id.cast("string"), j.cast("string"), i.cast("string")
+        )
+        return F.substring(F.md5(key), 1, 7)
+
+    n = (doc_id % 23 + 7).cast("int")
+    p = (doc_id % 3 + 1).cast("int")
+
+    def para(j: Column) -> Column:
+        return F.array_join(
+            F.transform(F.sequence(F.lit(1), n), lambda i: tok(j, i)), " "
+        )
+
+    corpus = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn(
+            "text", F.array_join(F.transform(F.sequence(F.lit(1), p), para), "\n\n")
+        )
+    )
+    out = recursive_character_chunks(corpus, "text", chunk_size=50, chunk_overlap=10)
     return out.select(
         "doc_id",
         "chunk_index",
@@ -12656,109 +12725,79 @@ def q_sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The round driver validates a *prefix* of the queries() dict (each round
-# records exactly the first 50 entries in insertion order). Round 7 rotation,
+# records exactly the first 50 entries in insertion order). Round 8 rotation,
 # in priority order:
 #   1. flagship (the smoke-checked canary),
-#   2. the ROUND7_QUEUE head — fifteen queries registered after round 6's
-#      prefix was spent (6e/6f/6g/6h waves: Bloom gate, PSI/churn, z-order
-#      audit, canonical-quality, BM25 arm + persisted index + hybrids,
-#      PageRank, SemDeDup, NB distill, DoReMi, ppl-quality, k-center),
-#      locally verified + judge-parity green but never driver-sampled;
-#      their rows restore 207-of-207 union coverage (VERDICT r6 ask #1),
-#   3. queries NEW in round 7 (persisted pair-graph store),
-#   4. queries whose implementation CHANGED in round 7 (ADVICE fixes:
-#      canonicalize_url malformed-URL passthrough, IVF-PQ append
-#      version-mode guard; pair-graph-store rebase of the audit family),
-#   5. the OLDEST remaining debt: the thirteen round-2-generation rows
-#      displaced from the r6 prefix, then round-3-generation refresh rows
-#      as slots allow.
+#   2. the ROUND8_QUEUE — the thirty-five round-3-generation rows whose
+#      newest driver row is still r3 (VERDICT r7 ask #1: after these, the
+#      oldest attestation anywhere in the registry is >= r4),
+#   3. queries NEW in round 8 or whose implementation CHANGED in round 8
+#      (grows as round-8 waves land; each insertion pushes the last fill
+#      row past the 50-entry boundary),
+#   4. round-4-generation refresh fill, s1_parse_* first (they ride
+#      session.spread_for_expansion, touched by the round-8 ADVICE fix),
+#      then oldest-first as slots allow.
 # Registry entries not listed here follow in registration order (still covered
 # by bench.py and the local sf0.001/sf0.01/sf0.1 oracle-parity runs every
 # round). Keep the sets in tests/test_registry_order.py in sync so the prefix
 # invariant stays pinned.
 DRIVER_ORDER: list[str] = [
     "flagship",  # canary: the smoke-checked query stays first
-    # -- (1) the ROUND7_QUEUE head: registered after r6's prefix was spent --
-    "text_bloom_decontaminate",   # Bloom-filter decontamination gate
-    "corpus_snapshot_psi",        # PSI drift between snapshots
-    "layout_zorder_locality",     # z-order row-group pruning audit
-    "dedup_canonical_quality",    # quality-aware canonical selection
-    "q3_bm25_topk",               # BM25 lexical top-k
-    "q3_hybrid_rrf",              # RRF fusion of lexical + vector arms
-    "corpus_snapshot_churn",      # snapshot-over-snapshot churn
-    "graph_pagerank_centrality",  # PageRank over the near-dup graph
-    "q3_bm25_index_persisted",    # persisted BM25 inverted index
-    "q3_hybrid_lexical_vector",   # hybrid off both persisted indexes
-    "dedup_semantic_cluster",     # SemDeDup semantic dedup
-    "quality_nb_distill",         # NB quality-classifier distillation
-    "corpus_doremi_weights",      # DoReMi source reweighting
-    "corpus_ppl_quality_corr",    # ppl-vs-quality correlation audit
-    "sample_kcenter_coreset",     # k-center coreset selection
-    # -- (2) NEW in round 7 --
-    "graph_store_persisted",      # persisted pair-graph store audit
-    "dedup_fuzzy_decontaminate",  # MinHash fuzzy benchmark decontamination
-    "stream_bm25_append",         # streaming BM25 index maintenance
-    "text_c4_filters",            # C4 line-level cleaning rules
-    "quality_rho_excess",         # RHO-style learnability scoring
-    # -- (3) code CHANGED in round 7 --
-    "corpus_url_canonical_dedup", # ADVICE: malformed-URL passthrough
-    "ann_index_incremental",      # ADVICE: append version-mode guard
-    "dedup_simhash_pairs",        # served from the pair-graph store
-    "dedup_cluster_resolution",   # served from the pair-graph store
-    "dedup_levenshtein_verify",   # pairs from the pair-graph store
-    "corpus_split_leakage_audit", # pairs+labels from the store
-    "dedup_minhash_lsh",          # served from the MinHash overlap store
-    "dedup_containment",          # projection of the overlap store
-    "corpus_dup_rate_by_source",  # pairs from the overlap store
-    "corpus_dedup_funnel",        # overlap from the store
-    # -- (4) round-2-generation refresh displaced from the r6 prefix --
-    "rel_sales_opportunity",
-    "rel_small_qty_revenue",
-    "rel_waiting_suppliers",
-    "stream_dedup_first_arrival",
-    "stream_interval_join",
-    "stream_session_window",
-    "stream_stateful_counter",
-    "stream_static_enrich",
-    "stream_tumbling_agg",
-    "text_blocklist_filter",
-    "text_pii_redact",
-    "text_shared_ngrams",
-    "text_unigram_logprob",
-    # -- (5) round-3-generation refresh, oldest-first fill --
-    "s1_scan_nonempty",
-    "s2_normalize_lines",
-    "s4_events_content",
-    "t2_changed_anti_join",
-    "t3_state_merge",
-    "c1_fixed_chunk",
+    # -- (2) ROUND8_QUEUE: round-3-generation attestation debt, by family --
+    "ann_ivf_topk",
+    "ann_recall_measured",
+    "ann_signlsh_topk",
+    "q1_topk_cosine",
+    "q2_hitrate",
+    "sim_knn_join",
+    "emb_int8_quant",
     "c2_markdown_chunk",
     "c3_adaptive_chunk",
     "dedup_exact",
     "dedup_simhash",
-    "q1_topk_cosine",
-    "q2_hitrate",
-    "ann_signlsh_topk",
-    "ann_ivf_topk",
-    "sim_knn_join",
-    "text_repetition",
-    "rel_pricing_summary",
-    "rel_top_supplier",
-    "stream_watermark_dedup",
+    "corpus_curation_funnel",
+    "corpus_holdout_split",
+    "corpus_source_cap",
+    "events_approx_distinct_bounded",
+    "events_forget_users",
+    "events_incremental_agg",
+    "events_transition_matrix",
     "multimodal_frame_sample",
+    "rel_customer_distribution",
+    "rel_disjunctive_revenue",
+    "rel_forecast_revenue",
+    "rel_late_ship_orders",
+    "rel_nation_revenue",
+    "rel_order_gaps",
+    "rel_pricing_summary",
+    "rel_promo_revenue_pct",
+    "rel_returned_item_revenue",
+    "rel_top3_orders_per_priority",
+    "rel_top_supplier",
+    "rel_volume_shipping",
+    "stream_hopping_agg",
+    "stream_watermark_dedup",
+    "text_repetition",
+    "text_token_bpe",
+    # -- (3) NEW or CHANGED in round 8 --
+    "c1_recursive_chunk",  # oracle added (VERDICT r7 ask #3)
+    # -- (4) round-4-generation refresh fill (only entries inside the first
+    #        50 get a driver row; the rest stay r4 and queue for round 9) --
+    "s1_parse_pdf",
+    "s1_parse_docx",
+    "s1_parse_eml",
+    "s1_parse_pptx",
+    "events_asof_join",
+    "events_sessionize",
+    "dedup_ngram_jaccard",
+    "dedup_segment_exact",
+    "emb_pca_project",
+    "rel_shipping_priority",
+    "multimodal_real_decode",
+    "stream_window_topk",
+    "rel_join_key_skew",
+    "text_dsir_weight",
 ]
-# Still r3-generation after round 7 (did not fit the 50 slots):
-# ann_recall_measured, corpus_curation_funnel, corpus_holdout_split,
-# corpus_source_cap, dedup_cluster_resolution (r5), emb_int8_quant,
-# events_approx_distinct_bounded, events_forget_users,
-# events_incremental_agg, events_transition_matrix, q1 family rest,
-# rel_customer_distribution, rel_disjunctive_revenue, rel_forecast_revenue,
-# rel_late_ship_orders, rel_nation_revenue, rel_order_gaps,
-# rel_promo_revenue_pct, rel_returned_item_revenue,
-# rel_top3_orders_per_priority, rel_volume_shipping, text_token_bpe —
-# tracked by tests/test_registry_order.py::ROUND3_FILL (the fill rows listed
-# above; whichever fall outside the final 50-entry prefix stay r3-generation
-# and front in round 8).
 
 
 def _ordered_names() -> list[str]:

@@ -11,14 +11,16 @@ against DuckDBSink (same protocol, same staged-batch upsert shape) and the
 config-key compatibility is tested by parsing the reference's own pipeline
 YAMLs (tests/test_vector_sinks.py).
 
-LanceDB and Chroma's PersistentClient are embedded/single-node: their write
-paths necessarily funnel through the driver (collect per batch) — a property
-of the target store, not the pipeline; the 100 TB path is
-ParquetSink/BucketedTable. Chroma's HttpClient is a REMOTE server, so that
-case writes per-partition (foreachPartition, batched `collection.add`) —
-executors talk to the store directly and the driver never materializes the
-batch. Delete-by-source still runs first, once, driver-side, preserving the
-reference's idempotency rule.
+LanceDB writes go through a Spark-distributed parquet staging directory and
+stream into the store as an Arrow RecordBatchReader — the driver holds at
+most one Arrow batch, never the frame. Chroma's PersistentClient is
+embedded/single-process: its write path necessarily funnels through the
+driver — a property of the target store, not the pipeline; the 100 TB path
+is ParquetSink/BucketedTable. Chroma's HttpClient is a REMOTE server, so
+that case writes per-partition (foreachPartition, batched `collection.add`)
+— executors talk to the store directly and the driver never materializes
+the batch. Delete-by-source always runs first, once, driver-side,
+preserving the reference's idempotency rule.
 """
 
 from __future__ import annotations
@@ -105,33 +107,80 @@ def _require(module: str, pip_name: str):
 
 class LanceDBSink:
     """Reference LanceDBSink (sinks.py:33-103): delete-where-source, add,
-    schema migration handled by LanceDB's native schema evolution."""
+    schema migration handled by LanceDB's native schema evolution.
 
-    def __init__(self, uri: str, table_name: str):
-        self._lancedb = _require("lancedb", "lancedb")
+    The batch is staged as parquet by Spark (a DISTRIBUTED write, same
+    pattern as DuckDBSink) and then streamed into LanceDB as an Arrow
+    RecordBatchReader — the driver holds at most one Arrow batch at a time,
+    never the whole frame, so the adapter survives batches far larger than
+    driver memory. The staging directory lives beside the store (same
+    storage system, so executors can reach it on a real cluster) and is
+    removed after the load. `db_factory` is the dependency-injection seam
+    for tests; without it the real lancedb library is required up front.
+    """
+
+    def __init__(self, uri: str, table_name: str, db_factory: Callable | None = None):
+        if db_factory is None:
+            self._lancedb = _require("lancedb", "lancedb")
         self.uri = uri
         self.table_name = table_name
+        self._db_factory = db_factory
 
-    def write(self, df: DataFrame) -> None:  # pragma: no cover - needs lancedb
-        db = self._lancedb.connect(self.uri)
-        pdf = df.toPandas()
-        if self.table_name in db.table_names():
-            table = db.open_table(self.table_name)
-            sources = pdf["source"].drop_duplicates().tolist()
-            quoted = ", ".join("'" + s.replace("'", "''") + "'" for s in sources)
-            table.delete(f"source IN ({quoted})")
-            table.add(pdf)
-        else:
-            db.create_table(self.table_name, pdf)
+    def _db(self):
+        if self._db_factory is not None:
+            return self._db_factory()
+        return self._lancedb.connect(self.uri)  # pragma: no cover - needs lancedb
+
+    def write(self, df: DataFrame) -> None:
+        import glob as globmod
+        import os
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+
+        staging = os.path.join(self.uri, f"_staging_{self.table_name}")
+        shutil.rmtree(staging, ignore_errors=True)
+        df.write.mode("overwrite").parquet(staging)
+        try:
+            files = sorted(globmod.glob(os.path.join(staging, "*.parquet")))
+            dataset = pads.dataset(files, format="parquet")
+            schema = dataset.schema
+            reader = pa.RecordBatchReader.from_batches(
+                schema, dataset.to_batches()
+            )
+            # delete-by-source first (reference idempotency rule,
+            # sinks.py:61-76): the distinct-source list is tiny (file
+            # paths), computed from the already-staged parquet
+            spark = df.sparkSession
+            sources = [
+                r[0]
+                for r in spark.read.parquet(staging)
+                .select("source")
+                .distinct()
+                .collect()
+            ]
+            db = self._db()
+            if self.table_name in db.table_names():
+                table = db.open_table(self.table_name)
+                quoted = ", ".join(
+                    "'" + s.replace("'", "''") + "'" for s in sources
+                )
+                table.delete(f"source IN ({quoted})")
+                table.add(reader)
+            else:
+                db.create_table(self.table_name, reader)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
 
     def read(self, spark: SparkSession) -> DataFrame:  # pragma: no cover
-        db = self._lancedb.connect(self.uri)
+        db = self._db()
         return spark.createDataFrame(
             db.open_table(self.table_name).to_pandas()
         )
 
     def test_connection(self, spark: SparkSession) -> None:  # pragma: no cover
-        self._lancedb.connect(self.uri).table_names()
+        self._db().table_names()
 
 
 class ChromaDBSink:

@@ -70,6 +70,9 @@ class ExactRetriever:
     def build(self, corpus: DataFrame) -> None:
         return None
 
+    def is_stale(self, corpus: DataFrame) -> bool:
+        return False  # no persisted state to go stale
+
     def topk(self, corpus: DataFrame, queries: DataFrame, k: int) -> DataFrame:
         from yaml_pipe_spark.operators.similarity import knn_join
 
@@ -125,6 +128,10 @@ class IvfPqRetriever:
         vecs, cents = self._frames(corpus)
         self.store.build_if_stale(vecs, cents)
 
+    def is_stale(self, corpus: DataFrame) -> bool:
+        vecs, cents = self._frames(corpus)
+        return self.store.is_stale(vecs, centroids=cents)
+
     def topk(self, corpus: DataFrame, queries: DataFrame, k: int) -> DataFrame:
         out = self.store.serve(
             queries.select("qid", "qv"),
@@ -151,6 +158,9 @@ class Bm25Retriever:
     def build(self, corpus: DataFrame) -> None:
         docs = unique_by_id(corpus).select("__id", "text")
         self.store.build_if_stale(docs)
+
+    def is_stale(self, corpus: DataFrame) -> bool:
+        return self.store.is_stale(unique_by_id(corpus).select("__id", "text"))
 
     def topk(self, corpus: DataFrame, queries: DataFrame, k: int) -> DataFrame:
         from yaml_pipe_spark.operators.retrieval import score_qterms
@@ -218,13 +228,26 @@ class HybridRrfRetriever:
         lexical: dict | None = None,
         rrf_k: int = 60,
     ):
-        self.vector = IvfPqRetriever(**(vector or {}))
-        self.lexical = Bm25Retriever(**(lexical or {}))
+        # validate up front so a YAML that omits an arm's config gets a
+        # config error naming the missing key, not a bare TypeError from
+        # the arm constructor (ADVICE r7)
+        for arm, cfg in (("vector", vector), ("lexical", lexical)):
+            if not isinstance(cfg, dict) or "path" not in cfg:
+                raise ValueError(
+                    f"hybrid_rrf retriever config needs a '{arm}' mapping "
+                    f"with a 'path' (the {arm} arm's persisted index "
+                    f"location); got {cfg!r}"
+                )
+        self.vector = IvfPqRetriever(**vector)
+        self.lexical = Bm25Retriever(**lexical)
         self.rrf_k = rrf_k
 
     def build(self, corpus: DataFrame) -> None:
         self.vector.build(corpus)
         self.lexical.build(corpus)
+
+    def is_stale(self, corpus: DataFrame) -> bool:
+        return self.vector.is_stale(corpus) or self.lexical.is_stale(corpus)
 
     def topk(self, corpus: DataFrame, queries: DataFrame, k: int) -> DataFrame:
         v = self.vector.topk(corpus, queries, k).select(
@@ -251,6 +274,20 @@ class HybridRrfRetriever:
             fused.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select("qid", "__id", "rank", "score")
+        )
+
+
+def ensure_fresh(retriever, corpus: DataFrame) -> None:
+    """Serve-time staleness gate (ADVICE r7): a persisted index that does
+    not match the CURRENT sink contents (crash between sink write and index
+    build, `retriever:` added after the last run, or a corrupted store)
+    must fail loudly, not quietly return short/stale result lists. One
+    narrow aggregate per arm — the same is_stale the build path uses."""
+    if retriever.is_stale(corpus):
+        raise ValueError(
+            f"the persisted {type(retriever).__name__} index is stale or "
+            "missing for the current sink contents; run the pipeline "
+            "(`yaml-pipe run -c <config>`) to (re)build it before serving"
         )
 
 

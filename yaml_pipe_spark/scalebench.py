@@ -111,8 +111,13 @@ FAMILIES = {
 
 
 def corpus_at(spark: SparkSession, n_docs: int) -> tuple[DataFrame, DataFrame]:
-    """Eagerly materialized (docs, embeddings) at size n — one embedding
-    per doc, so both modalities scale together."""
+    """Eagerly materialized (docs, embeddings) at size n.
+
+    Embeddings scale with n_docs but never drop below 64 vectors: the
+    IVF-PQ family needs more points than coarse cells to fit a meaningful
+    quantizer, and CI runs measurement pairs as small as a few dozen docs.
+    At the alpha-measurement sizes (>= 5000) the floor is inert and the
+    two modalities scale together exactly (ADVICE r7)."""
     from yaml_pipe_spark.session import spread_for_expansion
 
     docs = spread_for_expansion(

@@ -26,7 +26,11 @@ def search_corpus(
     With no `retriever:` key the exact path runs unchanged; with one, the
     query serves from the spec's persisted index (retrievers.py) — the
     reference's query-many half, now strategy-selectable from YAML."""
-    from yaml_pipe_spark.retrievers import ExactRetriever, unique_by_id
+    from yaml_pipe_spark.retrievers import (
+        ExactRetriever,
+        ensure_fresh,
+        unique_by_id,
+    )
 
     embedder = build_component("embedder", spec.embedder)
     sink = build_component("sink", spec.sink)
@@ -41,9 +45,20 @@ def search_corpus(
         "qid", "qtext", F.col("embedding").alias("qv")
     )
     corpus = unique_by_id(sink.read(spark))
+    # serve-time staleness gate (ADVICE r7): a persisted index that doesn't
+    # match the current sink must error, not quietly return short lists
+    ensure_fresh(retriever, corpus)
     top = retriever.topk(corpus, queries, k=k)
+    # LEFT join: an index row whose id is absent from the sink (should be
+    # impossible past the gate above) is surfaced as a marked row instead
+    # of silently dropping the rank
     return (
-        top.join(corpus.select("__id", "source", "text"), "__id")
-        .select("rank", "source", "text", "score")
+        top.join(corpus.select("__id", "source", "text"), "__id", "left")
+        .select(
+            "rank",
+            F.coalesce("source", F.lit("<missing from sink>")).alias("source"),
+            F.coalesce("text", F.lit("<missing from sink>")).alias("text"),
+            "score",
+        )
         .orderBy("rank")
     )

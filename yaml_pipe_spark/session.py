@@ -110,7 +110,10 @@ def spread_for_expansion(df):
             # filesystem (a coincidentally-existing /tmp/... would drive
             # the split estimate with an unrelated file's size)
             return df
-        path = unquote(parsed.path) if parsed.scheme else unquote(f)
+        # only URIs (scheme present) are percent-encoded; a scheme-less
+        # inputFiles entry is already a raw local path, and unquoting it
+        # would corrupt names that literally contain %-sequences (ADVICE r7)
+        path = unquote(parsed.path) if parsed.scheme else f
         if not os.path.isfile(path):
             return df  # no size probe available, leave as-is
         total += os.path.getsize(path)
