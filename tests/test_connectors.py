@@ -87,3 +87,54 @@ def test_timestamp_cursor_pushes_to_scan(spark, tmp_path):
     plan = buf.getvalue()
     assert "GreaterThan(ts" in plan, plan
     assert inc.count() == 69  # 70 rows after cutoff, minus the boundary row +1
+
+
+def test_fetch_urls_executor_fanout_and_error_isolation(spark, tmp_path):
+    """Multi-URL fan-out (VERDICT r7 ask #6): N URLs fetch through the
+    Arrow pandas UDF (executor-side — the plan carries ArrowEvalPython,
+    not a driver loop), each failed URL drops its OWN row (reference
+    per-URL error->empty, sources.py:142-147), and bytes round-trip."""
+    from yaml_pipe_spark.sources.web import fetch_urls
+
+    files = {}
+    for i in range(5):
+        p = tmp_path / f"page_{i}.txt"
+        p.write_text(f"content of page {i}\nsecond line {i}")
+        files[f"file://{p}"] = p.read_text()
+    urls = list(files) + [f"file://{tmp_path}/gone_{i}.txt" for i in range(3)]
+    df = fetch_urls(
+        spark.createDataFrame([(u,) for u in urls], "url string"), "url"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan, plan[:500]
+    got = {r["url"]: r["content"] for r in df.collect()}
+    assert got == files  # dead links dropped, live bytes exact
+
+
+def test_websource_multi_url_uses_distributed_fetch(spark, tmp_path):
+    """WebSource with a URL list routes through fetch_urls (executor-side)
+    and still applies the strip/normalize/hash chain; the single-URL parity
+    path stays driver-side and yields identical columns."""
+    from pyspark.sql import functions as F
+
+    from yaml_pipe_spark.sources.web import WebSource
+
+    a = tmp_path / "a.html"
+    b = tmp_path / "b.html"
+    a.write_text("<html><body><h1>Alpha</h1><p>one  two</p></body></html>")
+    b.write_text("<html><script>x=1</script><p>Beta&nbsp;line</p></html>")
+    multi = WebSource([f"file://{a}", f"file://{b}", f"file://{tmp_path}/nope"])
+    out = multi.load(spark)
+    rows = {r["source"]: r for r in out.collect()}
+    assert set(rows) == {f"file://{a}", f"file://{b}"}
+    assert "Alpha" in rows[f"file://{a}"]["content"]
+    assert "<p>" not in rows[f"file://{a}"]["content"]
+    assert "x=1" not in rows[f"file://{b}"]["content"]
+    # the multi path fetched via the pandas UDF, not a driver loop
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    # single-URL parity path: same schema, same content for the same URL
+    single = WebSource(f"file://{a}").load(spark)
+    srow = single.collect()[0]
+    assert srow["content"] == rows[f"file://{a}"]["content"]
+    assert srow["content_hash"] == rows[f"file://{a}"]["content_hash"]

@@ -497,3 +497,83 @@ def test_compact_parquet_preserves_partition_layout(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(cid" in buf.getvalue()
     got = sorted(r.id for r in spark.read.parquet(path).collect())
     assert got == list(range(200))
+
+
+REDIS_SHAPED_TMPL = """
+source:
+  type: local_files
+  config:
+    path: "{data}"
+    glob_pattern: "**/*.txt"
+chunker:
+  type: fixed_window
+  config: {{chunk_size: 50, chunk_overlap: 10}}
+embedder:
+  type: hash
+  config: {{dim: 8}}
+sink:
+  type: parquet
+  config: {{path: "{sink}"}}
+state_manager:
+  type: redis
+  config:
+    host: localhost
+    port: 6379
+    db: 0
+    state_key: "my_project_state"
+    path: "{state}"
+"""
+
+
+def test_redis_state_config_runs_via_parquet_shim(spark, workdir, caplog):
+    """A reference-shaped YAML with `state_manager: {type: redis}`
+    (pipelines/pipeline_redis.yaml) runs end-to-end unmodified: the shim
+    maps the Redis key ledger onto the parquet state table with a logged
+    notice, and the incremental contract holds (VERDICT r7 ask #8)."""
+    import logging
+
+    spec = parse_config(REDIS_SHAPED_TMPL.format(**workdir))
+    with caplog.at_level(logging.WARNING, logger="yaml_pipe_spark.plans.factory"):
+        r1 = run_pipeline(spark, spec)
+    assert any("redis" in m and "parquet state table" in m
+               for m in caplog.messages), caplog.messages
+    assert r1.n_changed == 2  # the two non-empty docs
+    # second run through the SAME shimmed ledger: nothing changed
+    r2 = run_pipeline(spark, spec)
+    assert r2.n_changed == 0
+
+
+def test_redis_shim_default_path_derives_from_state_key(tmp_path, monkeypatch):
+    from yaml_pipe_spark.plans.factory import RedisStateShim
+
+    monkeypatch.chdir(tmp_path)
+    shim = RedisStateShim(state_key="proj_state")
+    assert shim.path == "./.proj_state.state.parquet"
+
+
+def test_json_state_shim_maps_file_to_parquet_dir():
+    from yaml_pipe_spark.plans.factory import JsonStateShim
+
+    shim = JsonStateShim(path="./.yamlpipe_state.json")
+    assert shim.path == "./.yamlpipe_state.state.parquet"
+    # the reference constructor's kwarg name is accepted too
+    shim2 = JsonStateShim(state_file_path="./x/ledger.json")
+    assert shim2.path == "./x/ledger.state.parquet"
+
+
+def test_reference_redis_yaml_state_block_builds():
+    """The state_manager block of the reference's pipeline_redis.yaml
+    builds against our registry as-is (sink/embedder are import-gated
+    separately)."""
+    import yaml
+
+    with open("/root/reference/pipelines/pipeline_redis.yaml") as f:
+        raw = yaml.safe_load(f)
+    from yaml_pipe_spark.plans.config import ComponentSpec
+    from yaml_pipe_spark.plans.factory import build_component
+
+    sm = raw["state_manager"]
+    backend = build_component(
+        "state_manager", ComponentSpec(type=sm["type"], config=sm["config"])
+    )
+    assert backend.path == "./.my_project_state.state.parquet"

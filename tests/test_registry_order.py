@@ -54,6 +54,7 @@ ROUND8_QUEUE: set[str] = {
 # any, describe code that no longer exists). Grown as round-8 waves land.
 ROUND8_MUST_FRONT: set[str] = ROUND8_QUEUE | {
     "c1_recursive_chunk",  # oracle added (VERDICT r7 ask #3)
+    "s2_multi_fetch",      # executor-side multi-URL crawl fan-out (ask #6)
 }
 
 # Round-4-generation refresh rows LISTED in DRIVER_ORDER's fill section:

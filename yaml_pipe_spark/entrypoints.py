@@ -1027,6 +1027,63 @@ def q_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+S2_MULTI_FETCH_ORACLE = """
+SELECT doc_id, sha256(text) AS content_hash,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+WHERE doc_id % 17 = 0
+"""
+
+
+@register(
+    "s2_multi_fetch",
+    S2_MULTI_FETCH_ORACLE,
+    "S2 multi-URL crawl fan-out (VERDICT r7 ask #6): the documents subset "
+    "is staged as local files, their file:// URLs (plus three dead links) "
+    "become a URL DataFrame, and sources.web.fetch_urls GETs them on the "
+    "EXECUTORS via an Arrow pandas UDF with the reference's per-URL "
+    "error->empty rule (sources.py:142-147) — the dead links drop, every "
+    "live URL's bytes round-trip. The oracle recomputes content hashes "
+    "from the raw documents table, so a fetch that corrupted, truncated, "
+    "or re-encoded even one byte hash-mismatches. The file:// staging is "
+    "the container-local test vehicle; the operator itself is "
+    "scheme-agnostic (http crawls use the same path).",
+)
+def q_s2_multi_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from yaml_pipe_spark.sources.web import fetch_urls
+
+    staged = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 17 == 0)
+        .select("doc_id", "text")
+        .collect()  # small by construction: n_docs/17 rows to stage
+    )
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "yps_s2fetch_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    os.makedirs(stage, exist_ok=True)
+    for r in staged:
+        path = os.path.join(stage, f"doc_{r['doc_id']}.txt")
+        with open(path, "w", encoding="utf-8", newline="") as f:
+            f.write(r["text"])
+    urls = [(f"file://{stage}/doc_{r['doc_id']}.txt",) for r in staged]
+    urls += [(f"file://{stage}/missing_{i}.txt",) for i in range(3)]
+    fetched = fetch_urls(
+        spark.createDataFrame(urls, "url string"), "url", timeout=5.0
+    )
+    return fetched.select(
+        F.regexp_extract("url", r"doc_(\d+)\.txt$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.sha2(F.col("content"), 256).alias("content_hash"),
+        F.octet_length("content").cast("long").alias("n_bytes"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup suite (north-star extension; absent in the reference, SURVEY §2.9)
 # ---------------------------------------------------------------------------
@@ -12781,6 +12838,7 @@ DRIVER_ORDER: list[str] = [
     "text_token_bpe",
     # -- (3) NEW or CHANGED in round 8 --
     "c1_recursive_chunk",  # oracle added (VERDICT r7 ask #3)
+    "s2_multi_fetch",      # executor-side multi-URL crawl fan-out (ask #6)
     # -- (4) round-4-generation refresh fill (only entries inside the first
     #        50 get a driver row; the rest stay r4 and queue for round 9) --
     "s1_parse_pdf",

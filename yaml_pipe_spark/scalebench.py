@@ -101,12 +101,66 @@ def _fam_bloom_decontaminate(spark, docs, emb, tmp):
     return bloom_flag(probe.select("gram").distinct(), bits).count()
 
 
+def _fam_stream_bm25_append(spark, docs, emb, tmp):
+    """Streaming BM25 maintenance drain (VERDICT r7 ask #5): a CONSTANT
+    64-doc standing index, then the scaling remainder drains through
+    run_bm25_append_stream as three micro-batches — the timed work is
+    staging + drain, so the exponent tracks the maintenance path, not the
+    initial build."""
+    from yaml_pipe_spark.operators.retrieval import Bm25IndexStore
+    from yaml_pipe_spark.streaming.stream import run_bm25_append_stream
+
+    standing = docs.filter(F.col("doc_id") < 64).select("doc_id", "text")
+    inc = docs.filter(F.col("doc_id") >= 64).select("doc_id", "text")
+    inp = os.path.join(tmp, "in")
+    inc.repartition(3).write.mode("overwrite").parquet(inp)
+    store = Bm25IndexStore(os.path.join(tmp, "bm25"))
+    store.build(standing)
+    run_bm25_append_stream(
+        spark,
+        inp,
+        store,
+        os.path.join(tmp, "ckpt"),
+        max_files_per_trigger=1,
+    )
+    return store.serve(k=10).count()
+
+
+def _fam_stream_incremental_dedup(spark, docs, emb, tmp):
+    """Streaming incremental near-dup drain (VERDICT r7 ask #5): the corpus
+    drains through run_incremental_dedup_stream as three micro-batches,
+    each deduping against the accumulated band state — per batch ONE
+    equi-join vs standing state, so the whole drain must stay near-linear
+    in corpus size."""
+    from yaml_pipe_spark.streaming.stream import run_incremental_dedup_stream
+
+    inp = os.path.join(tmp, "in")
+    docs.select("doc_id", "text").repartition(3).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    state = os.path.join(tmp, "state")
+    run_incremental_dedup_stream(
+        spark,
+        inp,
+        state,
+        os.path.join(tmp, "ckpt"),
+        k=3,
+        n_hashes=16,
+        bands=4,
+        threshold=0.8,
+        max_files_per_trigger=1,
+    )
+    return spark.read.parquet(os.path.join(state, "verdicts")).count()
+
+
 FAMILIES = {
     "minhash_lsh_pairs": _fam_minhash_lsh,
     "simhash_cc": _fam_simhash_cc,
     "bm25_build_serve": _fam_bm25_build_serve,
     "ivfpq_build_serve": _fam_ivfpq_build_serve,
     "bloom_decontaminate": _fam_bloom_decontaminate,
+    "stream_bm25_append": _fam_stream_bm25_append,
+    "stream_incremental_dedup": _fam_stream_incremental_dedup,
 }
 
 
