@@ -688,3 +688,40 @@ def test_doremi_normalization_has_no_global_window(spark):
     be the single-partition trap."""
     plan = _plan(_q("corpus_doremi_weights", spark), "simple")
     assert "Window [" not in plan
+
+
+def test_winnow_fingerprints_zero_shuffle_zero_python(spark):
+    """Winnowing is per-doc expression work (transform/slice/array_min in
+    codegen): the plan must carry NO Exchange and NO Python eval — at
+    100 TB the scan absorbs it entirely."""
+    plan = _plan(_q("text_winnow_fingerprint", spark))
+    assert "Exchange" not in plan
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "mapInPandas"):
+        assert marker not in plan
+
+
+def test_multi_fetch_is_executor_side_python(spark):
+    """The crawl fan-out's fetch must run as an Arrow-batched pandas UDF on
+    executors (the declared Python surface), never a driver loop."""
+    plan = _plan(_q("s2_multi_fetch", spark))
+    assert "ArrowEvalPython" in plan
+
+
+def test_soft_reweight_gram_agg_has_map_side_combine(spark):
+    """The df aggregate must partial-aggregate before its shuffle (the gram
+    stream is corpus-scale; the shuffle must carry vocabulary-scale partial
+    counts, not raw grams)."""
+    plan = _plan(_q("dedup_soft_reweight", spark))
+    assert "partial_count" in plan or "HashAggregate" in plan
+    # and the final join back to docs is an equi-join, not a cross product
+    assert "CartesianProduct" not in plan
+
+
+def test_unimax_window_is_bounded_to_source_frame(spark):
+    """The single-partition window is deliberate and must sit ABOVE the
+    per-source aggregate (source-cardinality rows), never over the raw
+    corpus: exactly one corpus-scale aggregate feeds it."""
+    plan = _plan(_q("corpus_unimax_mix", spark))
+    # the waterfill scalars join back via broadcast, never a shuffle join
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -55,6 +55,9 @@ ROUND8_QUEUE: set[str] = {
 ROUND8_MUST_FRONT: set[str] = ROUND8_QUEUE | {
     "c1_recursive_chunk",  # oracle added (VERDICT r7 ask #3)
     "s2_multi_fetch",      # executor-side multi-URL crawl fan-out (ask #6)
+    "dedup_soft_reweight",     # SoftDeDup commonness reweighting (new)
+    "text_winnow_fingerprint", # MOSS winnowing fingerprints (new)
+    "corpus_unimax_mix",       # UniMax epoch-capped waterfill mixing (new)
 }
 
 # Round-4-generation refresh rows LISTED in DRIVER_ORDER's fill section:

@@ -86,3 +86,57 @@ def test_dashboard_ui_is_import_gated():
 
     with pytest.raises(SystemExit, match="streamlit"):
         app.main()
+
+
+class _FakeContainer:
+    def __init__(self):
+        self.lines: list[str] = []
+
+    def text(self, s: str) -> None:
+        self.lines.append(s)
+
+
+def test_live_log_handler_streams_and_detaches():
+    """The dashboard's live-log seam (reference StreamlitLogHandler,
+    app.py:18-26 + 148-149): records emitted inside the block reach the
+    container formatted; the handler is removed on exit (the reference
+    leaks it, double-logging every rerun) — including on failure."""
+    import logging
+
+    from yaml_pipe_spark.app import ContainerLogHandler, attach_live_logs
+
+    box = _FakeContainer()
+    log = logging.getLogger("yaml_pipe_spark.test_live")
+    log.setLevel(logging.INFO)
+    with attach_live_logs(box) as handler:
+        assert isinstance(handler, ContainerLogHandler)
+        log.info("chunking %d docs", 4)
+    assert any("chunking 4 docs" in line and "INFO" in line for line in box.lines)
+    n = len(box.lines)
+    log.info("after the block")  # handler detached: nothing new arrives
+    assert len(box.lines) == n
+
+    # failure path: the handler must still detach
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        with attach_live_logs(box):
+            raise RuntimeError("boom")
+    log.info("after the failure")
+    assert len(box.lines) == n
+
+
+def test_live_log_handler_survives_broken_container():
+    """A UI container that throws must not kill the logging call (the
+    handler routes through handleError instead of raising)."""
+    import logging
+
+    from yaml_pipe_spark.app import attach_live_logs
+
+    class Broken:
+        def text(self, s):
+            raise IOError("container gone")
+
+    log = logging.getLogger("yaml_pipe_spark.test_live2")
+    with attach_live_logs(Broken()):
+        log.warning("this must not raise")

@@ -11,10 +11,47 @@ and covered by tests/test_search_app.py. Launch with:
 
 from __future__ import annotations
 
+import contextlib
+import logging
 import os
 import tempfile
 
 import yaml
+
+
+class ContainerLogHandler(logging.Handler):
+    """Reference StreamlitLogHandler (app.py:18-26): mirror log records
+    into a UI container as they are emitted. Framework-agnostic on
+    purpose — anything with a `.text(str)` method works (a Streamlit
+    container, or the fake used in tests, since streamlit is absent in
+    this environment)."""
+
+    def __init__(self, container):
+        super().__init__()
+        self.container = container
+
+    def emit(self, record: logging.LogRecord) -> None:
+        try:
+            self.container.text(self.format(record))
+        except Exception:  # a broken UI container must never kill the run
+            self.handleError(record)
+
+
+@contextlib.contextmanager
+def attach_live_logs(container, level: int = logging.INFO, fmt: str = "%(asctime)s - %(levelname)s - %(message)s"):
+    """Stream root-logger records into `container` for the duration of a
+    block (the reference attaches its handler for the pipeline run,
+    app.py:148-149 — but never detaches it, so every rerun double-logs;
+    this seam removes the handler on exit, success or failure)."""
+    handler = ContainerLogHandler(container)
+    handler.setLevel(level)
+    handler.setFormatter(logging.Formatter(fmt))
+    root = logging.getLogger()
+    root.addHandler(handler)
+    try:
+        yield handler
+    finally:
+        root.removeHandler(handler)
 
 
 def create_temp_pipeline_config(
@@ -99,8 +136,10 @@ def main() -> None:  # pragma: no cover - needs streamlit
     if source_config and st.button("Run pipeline"):
         cfg = create_temp_pipeline_config(source_config)
         with st.spinner("Pipeline running..."):
+            log_box = st.expander("View real-time logs", expanded=True)
             try:
-                spec, res = run_and_index(cfg)
+                with attach_live_logs(log_box):
+                    spec, res = run_and_index(cfg)
                 st.success(
                     f"Pipeline done: {res.n_loaded} docs -> {res.n_chunks} chunks"
                 )

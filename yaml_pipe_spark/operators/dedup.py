@@ -1331,3 +1331,37 @@ def semdedup(
         F.col("dropped_for").isNull().cast("int").alias("kept"),
         "dropped_for",
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    lam: float = 4.0,
+) -> DataFrame:
+    """SoftDeDup-style sampling reweighting (Xia et al. 2024,
+    arXiv:2407.06654 flavor): instead of DROPPING near-duplicate documents,
+    downweight them by the commonness of their duplicated content —
+    dup_frac = fraction of a doc's distinct word k-grams occurring in >= 2
+    documents, weight = 1 / (1 + lam * dup_frac). Hard dedup
+    (exact_duplicates / minhash_near_duplicates) removes whole docs; this
+    preserves the unique tail inside boilerplate-heavy ones.
+
+    Returns (id, n_grams, dup_frac, weight); docs with < k tokens have no
+    grams and get dup_frac 0 / weight 1 via the caller's left join (they
+    carry no duplicated mass). Cost: the one (doc, gram) shuffle
+    token_shingles always pays + a vocabulary-scale df aggregate + one
+    equi-join back — the text_shared_ngrams cost family, linear in corpus
+    size (no pair enumeration anywhere)."""
+    sh = token_shingles(df, text_col, id_col, k)
+    dft = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    return (
+        sh.join(dft, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.avg((F.col("df") >= 2).cast("double")).alias("dup_frac"),
+        )
+        .withColumn("weight", 1.0 / (1.0 + lam * F.col("dup_frac")))
+    )

@@ -486,3 +486,65 @@ def kcenter_coreset(
     return spark.createDataFrame(
         out_rows, "step long, center_id long, radius double"
     )
+
+
+def unimax_allocation(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    epoch_cap: float = 2.0,
+    budget_factor: float = 1.9,
+) -> DataFrame:
+    """UniMax source mixing (Chung et al. 2023, arXiv:2304.09151): spread a
+    token budget as uniformly as possible across sources subject to a hard
+    per-source cap of `epoch_cap` epochs — the closed-form waterfill. Sort
+    sources by capacity ascending; a source is capped iff granting every
+    not-yet-decided source at least its own capacity still fits the budget
+    (csum_i + (n-i)*cap_i <= B, monotone under the ascending order, so the
+    capped set is a prefix); survivors split the remainder evenly.
+    Complements temperature_mix (UniMax never over-repeats the tail beyond
+    the epoch cap) and doremi_source_weights (no proxy-model signal needed).
+
+    budget = budget_factor * total corpus tokens; with budget_factor <
+    epoch_cap at least one source stays uncapped, so the waterfill split
+    is always well-defined. Returns (source, toks, alloc). The per-source
+    frame is source-cardinality-sized (thousands of rows at 100 TB), so
+    the single-partition window over it is deliberate and bounded; the
+    only corpus-scale work is the token-count aggregate."""
+    if budget_factor >= epoch_cap:
+        raise ValueError(
+            "budget_factor must be < epoch_cap (otherwise every source is "
+            "capped and there is no uniform remainder to split)"
+        )
+    cap = (
+        docs.groupBy(source_col)
+        .agg(F.sum(F.size(tokens(F.col(text_col)))).cast("double").alias("toks"))
+        .withColumn("cap", F.lit(float(epoch_cap)) * F.col("toks"))
+    )
+    tot = cap.agg(
+        (F.lit(float(budget_factor)) * F.sum("toks")).alias("budget"),
+        F.count("*").alias("n"),
+    )
+    w = W.orderBy("cap", source_col)
+    ordd = cap.select(
+        source_col,
+        "toks",
+        "cap",
+        F.row_number().over(w).alias("i"),
+        F.sum("cap")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("csum"),
+    ).crossJoin(F.broadcast(tot))
+    k = ordd.filter(
+        F.col("csum") + (F.col("n") - F.col("i")) * F.col("cap")
+        <= F.col("budget")
+    ).agg(
+        F.coalesce(F.max("i"), F.lit(0)).alias("kk"),
+        F.coalesce(F.max("csum"), F.lit(0.0)).alias("csum_k"),
+    )
+    alloc = F.when(F.col("i") <= F.col("kk"), F.col("cap")).otherwise(
+        (F.col("budget") - F.col("csum_k")) / (F.col("n") - F.col("kk"))
+    )
+    return ordd.crossJoin(F.broadcast(k)).select(
+        source_col, "toks", alloc.alias("alloc")
+    )

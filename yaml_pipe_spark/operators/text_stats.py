@@ -142,6 +142,50 @@ def doc_fingerprint(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """True winnowing (Schleimer/Wilkerson/Aiken, SIGMOD '03 — the MOSS
+    fingerprinting algorithm): hash every word k-gram, slide a window of w
+    consecutive hashes, keep each window's minimum. Guarantees any shared
+    token run of length >= k + w - 1 between two documents shares at least
+    one fingerprint, while storing ~1/w of the full k-gram set. Hashes are
+    md5 hex strings (lexicographic min, identical across engines).
+
+    Returns (id, n_grams, fps array<string>) for docs with at least
+    k + w - 1 tokens; shorter docs have no complete window and are dropped
+    (they opt out, like sub-k docs in token_shingles). Pure per-doc
+    expressions — transform/slice/array_min inside whole-stage codegen,
+    zero shuffles, zero Python; the complement of `doc_fingerprint` (which
+    keeps only the global min/max)."""
+    t = tokens(F.col(text_col))
+    hs = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("__t")) - (k - 1)),
+        lambda i: F.md5(
+            F.concat_ws(" ", *[F.get(F.col("__t"), i + j - 1) for j in range(k)])
+        ),
+    )
+    fps = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("__hs")) - (w - 1)),
+        lambda i: F.array_min(F.slice(F.col("__hs"), i, w)),
+    )
+    return (
+        df.select(id_col, t.alias("__t"))
+        .filter(F.size("__t") >= k)
+        .select(id_col, hs.alias("__hs"))
+        .filter(F.size("__hs") >= w)
+        .select(
+            id_col,
+            F.size("__hs").cast("long").alias("n_grams"),
+            fps.alias("fps"),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str = "text",
