@@ -106,12 +106,16 @@ def test_live_log_handler_streams_and_detaches():
     from yaml_pipe_spark.app import ContainerLogHandler, attach_live_logs
 
     box = _FakeContainer()
+    # deliberately NO setLevel on this logger: it must inherit the level
+    # attach_live_logs sets on the root for the block (the default root
+    # WARNING level would short-circuit INFO records before any handler)
     log = logging.getLogger("yaml_pipe_spark.test_live")
-    log.setLevel(logging.INFO)
+    root_level_before = logging.getLogger().level
     with attach_live_logs(box) as handler:
         assert isinstance(handler, ContainerLogHandler)
         log.info("chunking %d docs", 4)
     assert any("chunking 4 docs" in line and "INFO" in line for line in box.lines)
+    assert logging.getLogger().level == root_level_before  # restored
     n = len(box.lines)
     log.info("after the block")  # handler detached: nothing new arrives
     assert len(box.lines) == n

@@ -261,3 +261,46 @@ def test_lancedb_write_source_has_no_full_frame_topandas():
     from yaml_pipe_spark.operators.vector_sinks import LanceDBSink
 
     assert "toPandas" not in inspect.getsource(LanceDBSink.write)
+
+
+def test_lancedb_empty_rerun_is_noop(spark, tmp_path, monkeypatch):
+    """run_pipeline always calls sink.write; an incremental rerun with ZERO
+    changed docs stages an empty frame — the adapter must no-op (the old
+    code issued `delete("source IN ()")`, a parse error in the store)."""
+    from yaml_pipe_spark.operators.vector_sinks import LanceDBSink
+
+    db = _FakeLanceDB()
+    sink = LanceDBSink(str(tmp_path), "corpus", db_factory=lambda: db)
+    df = spark.createDataFrame(
+        [("a.txt", "alpha", [1.0, 0.0])],
+        "source string, text string, embedding array<double>",
+    )
+    sink.write(df)
+    before = db.tables["corpus"].tbl.to_pylist()
+    empty = df.limit(0)
+    sink.write(empty)  # must not raise, must not delete, must not add
+    assert db.tables["corpus"].tbl.to_pylist() == before
+    assert db.tables["corpus"].deletes == []
+
+
+def test_fetch_url_swallows_http_protocol_errors(monkeypatch):
+    """Per-URL error isolation must cover http.client.HTTPException
+    (BadStatusLine / IncompleteRead are NOT URLError subclasses): in the
+    distributed fan-out an uncaught per-URL exception fails the task and
+    kills the whole crawl."""
+    import http.client
+    import urllib.request
+
+    from yaml_pipe_spark.sources.web import fetch_url
+
+    def boom(*a, **k):
+        raise http.client.BadStatusLine("garbage")
+
+    monkeypatch.setattr(urllib.request, "urlopen", boom)
+    assert fetch_url("http://bad.example.com/") is None
+
+    def boom2(*a, **k):
+        raise http.client.IncompleteRead(b"partial")
+
+    monkeypatch.setattr(urllib.request, "urlopen", boom2)
+    assert fetch_url("http://truncated.example.com/") is None

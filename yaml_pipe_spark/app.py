@@ -47,11 +47,19 @@ def attach_live_logs(container, level: int = logging.INFO, fmt: str = "%(asctime
     handler.setLevel(level)
     handler.setFormatter(logging.Formatter(fmt))
     root = logging.getLogger()
+    # loggers short-circuit below the root's EFFECTIVE level before any
+    # handler is consulted — with the default root level (WARNING), INFO
+    # progress records would never reach the container; lower it for the
+    # block and restore after
+    prior_level = root.level
+    if root.getEffectiveLevel() > level:
+        root.setLevel(level)
     root.addHandler(handler)
     try:
         yield handler
     finally:
         root.removeHandler(handler)
+        root.setLevel(prior_level)
 
 
 def create_temp_pipeline_config(

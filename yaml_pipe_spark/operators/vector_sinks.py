@@ -131,47 +131,64 @@ class LanceDBSink:
             return self._db_factory()
         return self._lancedb.connect(self.uri)  # pragma: no cover - needs lancedb
 
+    @staticmethod
+    def _staging_fs(staging: str):
+        """(pyarrow FileSystem, path) for the staging location. Local paths
+        (the embedded-store common case) use LocalFileSystem; s3a:// (the
+        Hadoop spelling Spark writes) maps to pyarrow's s3://. Driver-local
+        glob/shutil would silently read the wrong filesystem for remote
+        URIs — everything below goes through this one abstraction."""
+        from pyarrow import fs as pafs
+
+        if "://" not in staging:
+            return pafs.LocalFileSystem(), staging
+        uri = staging.replace("s3a://", "s3://", 1)
+        return pafs.FileSystem.from_uri(uri)
+
     def write(self, df: DataFrame) -> None:
-        import glob as globmod
-        import os
-        import shutil
+        import posixpath
 
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.dataset as pads
 
-        staging = os.path.join(self.uri, f"_staging_{self.table_name}")
-        shutil.rmtree(staging, ignore_errors=True)
+        staging = posixpath.join(
+            self.uri.rstrip("/"), f"_staging_{self.table_name}"
+        )
+        filesystem, path = self._staging_fs(staging)
         df.write.mode("overwrite").parquet(staging)
         try:
-            files = sorted(globmod.glob(os.path.join(staging, "*.parquet")))
-            dataset = pads.dataset(files, format="parquet")
-            schema = dataset.schema
+            # pyarrow's default ignore_prefixes skips Spark's _SUCCESS /
+            # .crc markers; the dataset streams batches without ever
+            # materializing the frame
+            dataset = pads.dataset(path, format="parquet", filesystem=filesystem)
             reader = pa.RecordBatchReader.from_batches(
-                schema, dataset.to_batches()
+                dataset.schema, dataset.to_batches()
             )
             # delete-by-source first (reference idempotency rule,
             # sinks.py:61-76): the distinct-source list is tiny (file
-            # paths), computed from the already-staged parquet
-            spark = df.sparkSession
-            sources = [
-                r[0]
-                for r in spark.read.parquet(staging)
-                .select("source")
-                .distinct()
-                .collect()
-            ]
+            # paths) and comes from a single-column scan of the staged
+            # dataset — no second Spark job
+            sources = (
+                pc.unique(dataset.to_table(columns=["source"]).column("source"))
+                .to_pylist()
+            )
             db = self._db()
             if self.table_name in db.table_names():
-                table = db.open_table(self.table_name)
-                quoted = ", ".join(
-                    "'" + s.replace("'", "''") + "'" for s in sources
-                )
-                table.delete(f"source IN ({quoted})")
-                table.add(reader)
+                if sources:  # empty batch: nothing to delete, nothing to add
+                    table = db.open_table(self.table_name)
+                    quoted = ", ".join(
+                        "'" + s.replace("'", "''") + "'" for s in sources
+                    )
+                    table.delete(f"source IN ({quoted})")
+                    table.add(reader)
             else:
                 db.create_table(self.table_name, reader)
         finally:
-            shutil.rmtree(staging, ignore_errors=True)
+            try:
+                filesystem.delete_dir(path)
+            except OSError:  # ArrowIOError subclasses OSError
+                pass
 
     def read(self, spark: SparkSession) -> DataFrame:  # pragma: no cover
         db = self._db()

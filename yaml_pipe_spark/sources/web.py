@@ -34,12 +34,23 @@ _UA = (
 
 def fetch_url(url: str, timeout: float = 10.0) -> str | None:
     """Driver/worker-side GET; None on any error (reference sources.py:142-147
-    returns an empty doc list on failure)."""
+    returns an empty doc list on failure). The except tuple must cover the
+    whole urllib failure surface: http.client.HTTPException (BadStatusLine
+    from a garbage status line, IncompleteRead from a truncated body) is NOT
+    a URLError/OSError subclass, and inside the distributed fan-out an
+    uncaught per-URL exception would fail the task and kill the crawl."""
+    import http.client
+
     req = urllib.request.Request(url, headers={"User-Agent": _UA})
     try:
         with urllib.request.urlopen(req, timeout=timeout) as resp:
             return resp.read().decode("utf-8", errors="replace")
-    except (urllib.error.URLError, OSError, ValueError):
+    except (
+        urllib.error.URLError,
+        http.client.HTTPException,
+        OSError,
+        ValueError,
+    ):
         return None
 
 
