@@ -173,3 +173,53 @@ def test_unimax_rejects_degenerate_budget(spark):
     df = spark.createDataFrame([("a", "w w w")], "source string, text string")
     with pytest.raises(ValueError, match="budget_factor"):
         unimax_allocation(df, epoch_cap=2.0, budget_factor=2.0)
+
+
+# ---------------------------------------------------------------------------
+# fused bigram-LM arms (quality_rho_excess round-8 rewrite)
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_logprob_from_dt_equals_direct(spark):
+    """The fused path (one bigram_doc_table + group dims attached by
+    equi-join) must equal the direct carried-group path for every grouping
+    — the group column is functional of the doc, so the counts are the
+    same statistic. Tolerance is last-ulp only (different physical plans
+    fold the identical multiset in different orders; the registered query
+    rounds to 4dp, far above this)."""
+    from pyspark.sql import functions as F
+
+    from yaml_pipe_spark.operators.text_stats import (
+        bigram_doc_logprob,
+        bigram_doc_logprob_from_dt,
+        bigram_doc_table,
+    )
+
+    rows = [
+        (1, "srcA", "the cat sat on the mat and the cat ran"),
+        (2, "srcA", "the dog sat on the rug and the dog slept"),
+        (3, "srcB", "a completely different vocabulary lives here today"),
+        (4, "srcB", "a completely different grammar lives there today"),
+        (5, "srcB", "one"),  # < 2 tokens: contributes no bigrams
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    dt = bigram_doc_table(docs)
+    for dim, group in (
+        (docs.select("doc_id", "source"), "source"),
+        (docs.select("doc_id", F.lit("all").alias("__g")), "__g"),
+    ):
+        direct_df = (
+            bigram_doc_logprob(
+                docs.withColumn("__g", F.lit("all")), group_col=group
+            )
+            if group == "__g"
+            else bigram_doc_logprob(docs, group_col=group)
+        )
+        direct = sorted(map(tuple, direct_df.collect()))
+        served = sorted(
+            map(tuple, bigram_doc_logprob_from_dt(dt, dim, group).collect())
+        )
+        assert len(served) == len(direct) > 0
+        for s, d in zip(served, direct):
+            assert s[:2] == d[:2]
+            assert s[2] == pytest.approx(d[2], rel=1e-12, abs=1e-12)

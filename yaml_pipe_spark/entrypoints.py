@@ -2280,26 +2280,40 @@ FROM rk GROUP BY source
     "the doc's own DOMAIN (source) LM minus under the GENERAL pooled "
     "LM. High excess = characteristic of its domain and cheap to learn "
     "there; near-zero = generic mass the general model already covers; "
-    "strongly negative = off-domain noise. Both LMs come from the SAME "
-    "(doc, bigram) count frame via text_stats.bigram_doc_logprob "
-    "(group_col=source vs a constant), so the cost is two "
-    "vocabulary-sized LM joins over one shuffle lineage. Per-source "
+    "strongly negative = off-domain noise. Both LMs aggregate from ONE "
+    "localCheckpointed (doc, bigram) statistic "
+    "(text_stats.bigram_doc_table + bigram_doc_logprob_from_dt with "
+    "group_col=source vs a constant), so the corpus is tokenized and "
+    "shuffled ONCE and the cost is vocabulary-sized LM joins. Per-source "
     "rollup: mean/max excess + the argmax doc (min-id ties) — the "
     "per-domain selection anchor.",
 )
 def q_quality_rho_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    from yaml_pipe_spark.operators.text_stats import bigram_doc_logprob
+    from yaml_pipe_spark.operators.text_stats import bigram_doc_logprob_from_dt
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    dom = bigram_doc_logprob(docs, group_col="source").select(
-        "source", "doc_id", F.col("lp0").alias("lpd")
-    )
-    gen = bigram_doc_logprob(
-        docs.withColumn("__g", F.lit("all")), group_col="__g"
+    # FUSED arms (round 8): both LMs aggregate from ONE (doc, bigram)
+    # statistic — the group column is functional of the doc, so the
+    # domain and general groupings are equi-joined dims over a single
+    # localCheckpointed dt instead of two full tokenize+shuffle passes.
+    # (A PERSISTED dt store was built and measured first: build cost is
+    # corpus-footprint-scale — unlike the pair stores — so the family
+    # total got WORSE; measurement in ROUND8_NOTES. The fusion keeps the
+    # one-corpus-pass win without the store IO.)
+    from yaml_pipe_spark.operators.text_stats import bigram_doc_table
+
+    dt = bigram_doc_table(docs).localCheckpoint()
+    dom = bigram_doc_logprob_from_dt(
+        dt, docs.select("doc_id", "source"), "source"
+    ).select("source", "doc_id", F.col("lp0").alias("lpd"))
+    gen = bigram_doc_logprob_from_dt(
+        dt,
+        docs.select("doc_id", F.lit("all").alias("__g")),
+        "__g",
     ).select("doc_id", F.col("lp0").alias("lpg"))
     ex = dom.join(gen, "doc_id").select(
         "source",
@@ -13043,6 +13057,7 @@ DRIVER_ORDER: list[str] = [
     "dedup_soft_reweight",     # SoftDeDup commonness reweighting
     "text_winnow_fingerprint", # MOSS winnowing fingerprints
     "corpus_unimax_mix",       # UniMax epoch-capped waterfill mixing
+    "quality_rho_excess",      # fused LM arms over one bigram statistic
     # -- (4) round-4-generation refresh fill (only entries inside the first
     #        50 get a driver row; the rest stay r4 and queue for round 9) --
     "s1_parse_pdf",

@@ -352,6 +352,69 @@ def bpe_token_stats(
     )
 
 
+def bigram_doc_table(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, prev, cur, c_dt) — the corpus's bigram sufficient statistic.
+
+    Every bigram-LM consumer (per-group logprob, DoReMi excess, ccnet
+    buckets) aggregates from exactly this frame: counts per (doc, bigram)
+    are grouping-independent because any group column (lang, source, a
+    constant) is functional of the doc, so ONE tokenize + ONE (doc, bigram)
+    shuffle serves them all. `BigramStatsStore` (operators/lm_store.py)
+    persists it."""
+    t = F.regexp_extract_all(F.lower(text_col), F.lit(r"\p{L}+"), F.lit(0))
+    base = docs.select(id_col, t.alias("t")).filter(F.size("t") >= 2)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.struct(
+            F.get(F.col("t"), i - 1).alias("prev"),
+            F.get(F.col("t"), i).alias("cur"),
+        ),
+    )
+    bgs = base.select(id_col, F.explode(grams).alias("g")).select(
+        id_col, F.col("g.prev"), F.col("g.cur")
+    )
+    bgs = bgs.filter(F.col("prev").isNotNull() & F.col("cur").isNotNull())
+    return bgs.groupBy(id_col, "prev", "cur").agg(F.count("*").alias("c_dt"))
+
+
+def bigram_doc_logprob_from_dt(
+    dt: DataFrame, groups: DataFrame, group_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """bigram_doc_logprob served from a prebuilt (id, prev, cur, c_dt)
+    frame (typically BigramStatsStore's persisted table): the group column
+    attaches via one equi-join on the doc key (`groups` = (id, group), one
+    row per doc), then the LM/prev-marginal/scoring pipeline is identical
+    to the direct path — values are the same because any group column is
+    functional of the doc, so per-(group, doc, bigram) counts equal
+    per-(doc, bigram) counts."""
+    gdim = groups.select(id_col, group_col).filter(
+        F.col(group_col).isNotNull()
+    )
+    gdt = dt.join(gdim, id_col)
+    lm = gdt.groupBy(group_col, "prev", "cur").agg(
+        F.sum("c_dt").alias("c_bg")
+    )
+    pv = lm.groupBy(group_col, "prev").agg(F.sum("c_bg").alias("c_prev"))
+    lmj = lm.join(pv, [group_col, "prev"]).select(
+        group_col,
+        "prev",
+        "cur",
+        (
+            F.log10(F.col("c_bg").cast("double"))
+            - F.log10(F.col("c_prev").cast("double"))
+        ).alias("lp"),
+    )
+    return (
+        gdt.join(lmj, [group_col, "prev", "cur"])
+        .groupBy(group_col, id_col)
+        .agg(
+            (F.sum(F.col("c_dt") * F.col("lp")) / F.sum("c_dt")).alias("lp0")
+        )
+    )
+
+
 def bigram_doc_logprob(
     docs: DataFrame, group_col: str = "lang"
 ) -> DataFrame:
