@@ -691,13 +691,20 @@ def test_doremi_normalization_has_no_global_window(spark):
 
 
 def test_winnow_fingerprints_zero_shuffle_zero_python(spark):
-    """Winnowing is per-doc expression work (transform/slice/array_min in
-    codegen): the plan must carry NO Exchange and NO Python eval — at
-    100 TB the scan absorbs it entirely."""
-    plan = _plan(_q("text_winnow_fingerprint", spark))
-    assert "Exchange" not in plan
+    """Winnowing is per-doc expression work: the plan must carry no KEYED
+    shuffle (the only allowed Exchange is spread_for_expansion's
+    round-robin rescue of an under-split scan) and no Python eval — at
+    100 TB the scan absorbs it entirely. The md5 gram transform must
+    appear exactly ONCE in the optimized plan: the let-binding shape is
+    what keeps filter pushdown / project collapse from re-materializing
+    the hash array per consumer (10.6s -> 3.1s at sf0.1)."""
+    df = _q("text_winnow_fingerprint", spark)
+    plan = _plan(df)
+    assert "Exchange hashpartitioning" not in plan
     for marker in ("ArrowEvalPython", "BatchEvalPython", "mapInPandas"):
         assert marker not in plan
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("md5") == 1
 
 
 def test_multi_fetch_is_executor_side_python(spark):

@@ -59,6 +59,7 @@ ROUND8_MUST_FRONT: set[str] = ROUND8_QUEUE | {
     "text_winnow_fingerprint", # MOSS winnowing fingerprints (new)
     "corpus_unimax_mix",       # UniMax epoch-capped waterfill mixing (new)
     "quality_rho_excess",      # fused LM arms over one statistic (changed)
+    "corpus_ppl_quality_corr", # exact-integer floor-quantized means (changed)
 }
 
 # Round-4-generation refresh rows LISTED in DRIVER_ORDER's fill section:

@@ -12691,13 +12691,21 @@ q AS (
   FROM documents
 ),
 j AS (
-  SELECT doc.lang, round(doc.lp0, 6) AS lp, q.quality_score AS qs
+  SELECT doc.lang, round(doc.lp0, 6) AS lp, q.quality_score AS qs,
+         CAST(round(round(doc.lp0, 6) * 1000000) AS BIGINT) AS lp_u,
+         CAST(round(q.quality_score * 10000) AS BIGINT) AS qs_u
   FROM doc JOIN q USING (doc_id)
 )
+-- the per-group means run over EXACT integer micro-units and
+-- floor-quantize to 4dp: avg() over doubles folds in partition order, and
+-- a mean of 6dp-rounded values can land exactly on a 4dp round boundary
+-- (observed flaking 0.6679 vs 0.668 between parallelism levels);
+-- floor(identical double) has no tie to break
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        round(corr(lp, qs), 4) + 0.0 AS corr_lp_quality,
-       round(avg(lp), 4) + 0.0 AS avg_lp,
-       round(avg(qs), 4) AS avg_quality
+       floor(CAST(sum(lp_u) AS DOUBLE) / (count(*) * 100)) / 10000
+         + 0.0 AS avg_lp,
+       floor(CAST(sum(qs_u) AS DOUBLE) / count(*)) / 10000 AS avg_quality
 FROM j GROUP BY lang
 """,
     "Perplexity-vs-quality link audit: Pearson correlation per language "
@@ -12707,9 +12715,10 @@ FROM j GROUP BY lang
     "same closes-the-loop family as quality_score_calibration and "
     "text_lang_confusion. Reuses the bigram diamond + the narrow quality "
     "projection; the rollup is |langs| rows. lp0 rounds to 6dp before "
-    "the correlation so both engines correlate identical inputs. "
-    "Registered after the round-6 50-slot prefix: locally verified at "
-    "sf0.01+sf0.1, queued for the round-7 driver front.",
+    "the correlation so both engines correlate identical inputs, and the "
+    "per-group MEANS sum exact integer micro-units then floor-quantize "
+    "to 4dp — an avg() of rounded values can land exactly on a round "
+    "boundary where engine fold orders disagree (round-8 flake fix).",
 )
 def q_corpus_ppl_quality_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yaml_pipe_spark.operators.text_stats import (
@@ -12724,16 +12733,34 @@ def q_corpus_ppl_quality_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = text_statistics(docs.select("doc_id", "text")).select(
         "doc_id", F.col("quality_score").alias("qs")
     )
-    j = lp.join(qs, "doc_id")
+    j = lp.join(qs, "doc_id").select(
+        "lang",
+        "lp",
+        "qs",
+        # exact integer micro-units (lp is 6dp-rounded, qs 4dp-rounded, so
+        # the scaled values are within 0.5 of an integer and the 0-dp
+        # round is exact and engine-identical)
+        F.round(F.col("lp") * 1e6).cast("long").alias("lp_u"),
+        F.round(F.col("qs") * 1e4).cast("long").alias("qs_u"),
+    )
+    n = F.count("*")
     return j.groupBy("lang").agg(
-        F.count("*").cast("long").alias("n_docs"),
+        n.cast("long").alias("n_docs"),
         # + 0.0 normalizes a possible -0.0 near-zero correlation / mean
         # (suite-wide negative-zero contract)
         (F.round(F.corr("lp", "qs"), 4) + F.lit(0.0)).alias(
             "corr_lp_quality"
         ),
-        (F.round(F.avg("lp"), 4) + F.lit(0.0)).alias("avg_lp"),
-        F.round(F.avg("qs"), 4).alias("avg_quality"),
+        # means over EXACT integer sums, floor-quantized to 4dp: avg() of
+        # rounded doubles can land exactly on a 4dp round boundary where
+        # engine fold orders disagree (round-8 flake fix; see the oracle)
+        (
+            F.floor(F.sum("lp_u").cast("double") / (n * 100)) / 1e4
+            + F.lit(0.0)
+        ).alias("avg_lp"),
+        (F.floor(F.sum("qs_u").cast("double") / n) / 1e4).alias(
+            "avg_quality"
+        ),
     )
 
 
@@ -13058,6 +13085,7 @@ DRIVER_ORDER: list[str] = [
     "text_winnow_fingerprint", # MOSS winnowing fingerprints
     "corpus_unimax_mix",       # UniMax epoch-capped waterfill mixing
     "quality_rho_excess",      # fused LM arms over one bigram statistic
+    "corpus_ppl_quality_corr", # flake fix: exact-integer floor-quantized means
     # -- (4) round-4-generation refresh fill (only entries inside the first
     #        50 get a driver row; the rest stay r4 and queue for round 9) --
     "s1_parse_pdf",

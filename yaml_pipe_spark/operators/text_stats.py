@@ -159,29 +159,57 @@ def winnow_fingerprints(
     Returns (id, n_grams, fps array<string>) for docs with at least
     k + w - 1 tokens; shorter docs have no complete window and are dropped
     (they opt out, like sub-k docs in token_shingles). Pure per-doc
-    expressions — transform/slice/array_min inside whole-stage codegen,
-    zero shuffles, zero Python; the complement of `doc_fingerprint` (which
-    keeps only the global min/max)."""
-    t = tokens(F.col(text_col))
-    hs = F.transform(
-        F.sequence(F.lit(1), F.size(F.col("__t")) - (k - 1)),
-        lambda i: F.md5(
-            F.concat_ws(" ", *[F.get(F.col("__t"), i + j - 1) for j in range(k)])
+    expressions, zero shuffles, zero Python; the complement of
+    `doc_fingerprint` (which keeps only the global min/max).
+
+    Expression shape matters here: the token and hash arrays are bound as
+    LAMBDA VARIABLES via single-element transform() wrappers (a let-binding
+    idiom) so each is evaluated exactly once per row. The naive chained
+    projections version re-materialized the md5 array in every consumer
+    the optimizer substituted it into (filter pushdown + project collapse)
+    — measured 10.6s -> 3.1s at sf0.1 from this rewrite, with the md5
+    transform appearing once in the optimized plan (pinned by
+    tests/test_plans.py)."""
+    from yaml_pipe_spark.session import spread_for_expansion
+
+    # shuffle-free expression pipelines inherit the SCAN's parallelism:
+    # rescue a single-file corpus from evaluating everything on one task
+    df = spread_for_expansion(df)
+
+    def hs_of(tv: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.size(tv) - (k - 1)),
+            lambda i: F.md5(
+                F.concat_ws(" ", *[F.get(tv, i + j - 1) for j in range(k)])
+            ),
+        )
+
+    def windows_of(h: Column) -> Column:
+        fps = F.transform(
+            F.sequence(F.lit(1), F.size(h) - (w - 1)),
+            lambda i: F.array_min(F.slice(h, i, w)),
+        )
+        return F.struct(
+            F.size(h).cast("long").alias("n_grams"), fps.alias("fps")
+        )
+
+    bound = F.get(
+        F.transform(
+            F.array(tokens(F.col(text_col))),
+            lambda tv: F.get(F.transform(F.array(hs_of(tv)), windows_of), 0),
         ),
+        0,
     )
-    fps = F.transform(
-        F.sequence(F.lit(1), F.size(F.col("__hs")) - (w - 1)),
-        lambda i: F.array_min(F.slice(F.col("__hs"), i, w)),
-    )
+    # the min-token filter runs on the RAW column (one cheap tokenize per
+    # row) so no post-projection filter can push down into — and thereby
+    # re-materialize — the expensive bound expression
     return (
-        df.select(id_col, t.alias("__t"))
-        .filter(F.size("__t") >= k)
-        .select(id_col, hs.alias("__hs"))
-        .filter(F.size("__hs") >= w)
+        df.filter(F.size(tokens(F.col(text_col))) >= k + w - 1)
+        .select(id_col, bound.alias("__b"))
         .select(
             id_col,
-            F.size("__hs").cast("long").alias("n_grams"),
-            fps.alias("fps"),
+            F.col("__b.n_grams").alias("n_grams"),
+            F.col("__b.fps").alias("fps"),
         )
     )
 
@@ -361,8 +389,14 @@ def bigram_doc_table(
     buckets) aggregates from exactly this frame: counts per (doc, bigram)
     are grouping-independent because any group column (lang, source, a
     constant) is functional of the doc, so ONE tokenize + ONE (doc, bigram)
-    shuffle serves them all. `BigramStatsStore` (operators/lm_store.py)
-    persists it."""
+    shuffle serves them all. (A persisted store for it was measured and
+    REJECTED — the statistic is corpus-footprint-sized, so serving it from
+    parquet costs what rebuilding costs; ROUND8_NOTES.md.)"""
+    from yaml_pipe_spark.session import spread_for_expansion
+
+    # the tokenize+explode runs BEFORE the first shuffle and inherits the
+    # scan's split count — rescue a single-file corpus
+    docs = spread_for_expansion(docs)
     t = F.regexp_extract_all(F.lower(text_col), F.lit(r"\p{L}+"), F.lit(0))
     base = docs.select(id_col, t.alias("t")).filter(F.size("t") >= 2)
     grams = F.transform(
