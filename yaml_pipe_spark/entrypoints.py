@@ -2268,8 +2268,13 @@ rk AS (
                                ORDER BY excess DESC, doc_id) AS rn
   FROM ex
 )
+-- avg over EXACT integer 4dp units, floor-quantized: a mean of rounded
+-- values can land exactly on a 4dp round boundary where engine fold
+-- orders disagree (the corpus_ppl_quality_corr round-8 flake class);
+-- max() is an order statistic and stays safe under plain round
 SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-       round(avg(excess), 4) AS avg_excess,
+       floor(CAST(sum(CAST(round(excess * 10000) AS BIGINT)) AS DOUBLE)
+             / count(*)) / 10000 + 0.0 AS avg_excess,
        round(max(excess), 4) AS max_excess,
        min(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc
 FROM rk GROUP BY source
@@ -2323,10 +2328,18 @@ def q_quality_rho_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
     rn = F.row_number().over(
         W.partitionBy("source").orderBy(F.desc("excess"), F.col("doc_id"))
     )
-    rk = ex.withColumn("rn", rn)
+    rk = ex.withColumn(
+        "rn", rn
+    ).withColumn(  # exact 4dp units (excess is already 4dp-rounded)
+        "excess_u", F.round(F.col("excess") * 1e4).cast("long")
+    )
     return rk.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
-        F.round(F.avg("excess"), 4).alias("avg_excess"),
+        # integer-sum mean, floor-quantized (fold-order-proof; see oracle)
+        (
+            F.floor(F.sum("excess_u").cast("double") / F.count("*")) / 1e4
+            + F.lit(0.0)
+        ).alias("avg_excess"),
         F.round(F.max("excess"), 4).alias("max_excess"),
         F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keep_doc"),
     )
