@@ -476,3 +476,39 @@ def test_segment_dedup_conservation_and_symmetry(spark, texts):
     for m in marked:
         flag_by_text.setdefault(m.seg, set()).add(m.dup)
     assert all(len(flags) == 1 for flags in flag_by_text.values())
+
+
+@given(texts=TEXTS)
+@settings(**SETTINGS)
+def test_winnow_matches_python_reference_on_random_text(spark, texts):
+    """Winnowing equals the pure-Python reference on arbitrary whitespace
+    structure (empty docs, runs of separators, newlines), and every
+    fingerprint list is the windowed minimum sequence of the doc's k-gram
+    hashes — the randomized twin of the fixed-corpus tests in
+    tests/test_round8_ops.py."""
+    import hashlib
+
+    from yaml_pipe_spark.operators.text_stats import winnow_fingerprints
+
+    k = w = 3
+
+    def py_winnow(text):
+        toks = [t for t in text.split() if t]
+        hs = [
+            hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()
+            for i in range(len(toks) - k + 1)
+        ]
+        return [min(hs[i : i + w]) for i in range(len(hs) - w + 1)]
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["fps"]
+        for r in winnow_fingerprints(df, "text", "doc_id", k=k, w=w).collect()
+    }
+    for i, t in rows:
+        want = py_winnow(t)
+        if want:
+            assert got[i] == want, (i, t)
+        else:
+            assert i not in got, (i, t)  # short docs opt out entirely
