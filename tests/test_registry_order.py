@@ -60,6 +60,7 @@ ROUND8_MUST_FRONT: set[str] = ROUND8_QUEUE | {
     "corpus_unimax_mix",       # UniMax epoch-capped waterfill mixing (new)
     "quality_rho_excess",      # fused LM arms over one statistic (changed)
     "corpus_ppl_quality_corr", # exact-integer floor-quantized means (changed)
+    "dedup_winnow_pairs",      # winnowing as a dedup path (new)
 }
 
 # Round-4-generation refresh rows LISTED in DRIVER_ORDER's fill section:

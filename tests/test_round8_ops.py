@@ -223,3 +223,42 @@ def test_bigram_logprob_from_dt_equals_direct(spark):
         for s, d in zip(served, direct):
             assert s[:2] == d[:2]
             assert s[2] == pytest.approx(d[2], rel=1e-12, abs=1e-12)
+
+
+def test_winnow_pairs_detect_shared_runs(spark):
+    """The registered dedup path: docs sharing a >= 7-token run must pair
+    (deterministic detection, unlike MinHash banding's probabilistic
+    recall), unrelated docs must not, and the hot-fingerprint cap bounds
+    the join (boilerplate shared by MANY docs is dropped from candidate
+    generation, exactly like the LSH bucket cap)."""
+    from pyspark.sql import functions as F
+
+    from yaml_pipe_spark.operators.text_stats import winnow_fingerprints
+
+    shared = (
+        "the quick brown fox jumps over the lazy dog near the river bank"
+    )
+    rows = [
+        (1, f"document one begins here {shared} and then diverges fully"),
+        (2, f"{shared} while document two continues on its own path now"),
+        (3, "completely unrelated text with no overlap whatsoever at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(docs, "text", "doc_id", k=4, w=4)
+    ex = fps.select("doc_id", F.explode(F.array_distinct("fps")).alias("fp"))
+    dfc = ex.groupBy("fp").agg(F.count("*").alias("df"))
+    kept = ex.join(dfc.filter(F.col("df") <= 50), "fp").select("doc_id", "fp")
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+        .collect()
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(1, 2)}

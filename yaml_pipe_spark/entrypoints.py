@@ -12963,6 +12963,83 @@ def q_text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_PAIRS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, len(t) - 3),
+           i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+         ) AS hs
+  FROM toks WHERE len(t) >= 4
+),
+wf AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, len(hs) - 3),
+           i -> list_min(hs[i:i+3])
+         ) AS fps
+  FROM g WHERE len(hs) >= 4
+),
+fp AS (
+  SELECT DISTINCT doc_id, fp
+  FROM (SELECT doc_id, UNNEST(fps) AS fp FROM wf)
+),
+dfc AS (SELECT fp, count(*) AS df FROM fp GROUP BY fp),
+kept AS (
+  SELECT f.doc_id, f.fp FROM fp f JOIN dfc USING (fp) WHERE df <= 50
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
+@register(
+    "dedup_winnow_pairs",
+    WINNOW_PAIRS_ORACLE,
+    "Winnowing as a DEDUP path (the MOSS use-case): candidate near-dup "
+    "pairs = documents sharing >= 2 winnow fingerprints. Detection "
+    "guarantee differs from the probabilistic MinHash banding: any shared "
+    "token run of >= 7 words is caught DETERMINISTICALLY (each run "
+    "contributes a shared fingerprint), at ~1/w the index size of full "
+    "k-gram sets — the plagiarism-detection complement of "
+    "dedup_minhash_lsh (Jaccard resemblance) and dedup_substring_span "
+    "(exact >= 8-token spans). Scale shape: per-doc fingerprints are "
+    "narrow expressions, candidate generation is ONE (fp, doc) equi-join "
+    "with a df <= 50 hot-fingerprint cap (the same bucket-cap guard as "
+    "the LSH band join), pair mass bounded by sum(df^2) over kept "
+    "fingerprints, never all-pairs.",
+)
+def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.text_stats import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs, "text", "doc_id", k=4, w=4)
+    ex = fps.select("doc_id", F.explode(F.array_distinct("fps")).alias("fp"))
+    dfc = ex.groupBy("fp").agg(F.count("*").alias("df"))
+    kept = ex.join(dfc.filter(F.col("df") <= 50), "fp").select("doc_id", "fp")
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+
+
 UNIMAX_ORACLE = """
 WITH c AS (
   SELECT source,
@@ -13099,6 +13176,7 @@ DRIVER_ORDER: list[str] = [
     "corpus_unimax_mix",       # UniMax epoch-capped waterfill mixing
     "quality_rho_excess",      # fused LM arms over one bigram statistic
     "corpus_ppl_quality_corr", # flake fix: exact-integer floor-quantized means
+    "dedup_winnow_pairs",      # winnowing as a dedup path (MOSS pairs)
     # -- (4) round-4-generation refresh fill (only entries inside the first
     #        50 get a driver row; the rest stay r4 and queue for round 9) --
     "s1_parse_pdf",
