@@ -417,7 +417,8 @@ def bigram_doc_logprob_from_dt(
     dt: DataFrame, groups: DataFrame, group_col: str, id_col: str = "doc_id"
 ) -> DataFrame:
     """bigram_doc_logprob served from a prebuilt (id, prev, cur, c_dt)
-    frame (typically BigramStatsStore's persisted table): the group column
+    frame (bigram_doc_table, typically localCheckpointed so several
+    groupings share one corpus pass): the group column
     attaches via one equi-join on the doc key (`groups` = (id, group), one
     row per doc), then the LM/prev-marginal/scoring pipeline is identical
     to the direct path — values are the same because any group column is
