@@ -697,7 +697,7 @@ def test_winnow_fingerprints_zero_shuffle_zero_python(spark):
     100 TB the scan absorbs it entirely. The md5 gram transform must
     appear exactly ONCE in the optimized plan: the let-binding shape is
     what keeps filter pushdown / project collapse from re-materializing
-    the hash array per consumer (10.6s -> 3.1s at sf0.1)."""
+    the hash array per consumer (11.1s -> 0.44s at sf0.1, PERF.md)."""
     df = _q("text_winnow_fingerprint", spark)
     plan = _plan(df)
     assert "Exchange hashpartitioning" not in plan

@@ -8,85 +8,9 @@ import pytest
 
 from yaml_pipe_spark.entrypoints import DRIVER_ORDER, REGISTRY, queries, oracle_sql
 
-# Round-7's queue: the thirty-five round-3-generation rows whose newest driver
-# row was still r3 after round 7's 50-slot prefix was spent — round 8 MUST
-# front them so the oldest attestation anywhere in the registry is >= r4
-# (VERDICT r7 ask #1).
-ROUND8_QUEUE: set[str] = {
-    "ann_ivf_topk",
-    "ann_recall_measured",
-    "ann_signlsh_topk",
-    "c2_markdown_chunk",
-    "c3_adaptive_chunk",
-    "corpus_curation_funnel",
-    "corpus_holdout_split",
-    "corpus_source_cap",
-    "dedup_exact",
-    "dedup_simhash",
-    "emb_int8_quant",
-    "events_approx_distinct_bounded",
-    "events_forget_users",
-    "events_incremental_agg",
-    "events_transition_matrix",
-    "multimodal_frame_sample",
-    "q1_topk_cosine",
-    "q2_hitrate",
-    "rel_customer_distribution",
-    "rel_disjunctive_revenue",
-    "rel_forecast_revenue",
-    "rel_late_ship_orders",
-    "rel_nation_revenue",
-    "rel_order_gaps",
-    "rel_pricing_summary",
-    "rel_promo_revenue_pct",
-    "rel_returned_item_revenue",
-    "rel_top3_orders_per_priority",
-    "rel_top_supplier",
-    "rel_volume_shipping",
-    "sim_knn_join",
-    "stream_hopping_agg",
-    "stream_watermark_dedup",
-    "text_repetition",
-    "text_token_bpe",
-}
-
-# New in round 8, or implementation changed in round 8 (prior driver rows, if
-# any, describe code that no longer exists). Grown as round-8 waves land.
-ROUND8_MUST_FRONT: set[str] = ROUND8_QUEUE | {
-    "c1_recursive_chunk",  # oracle added (VERDICT r7 ask #3)
-    "s2_multi_fetch",      # executor-side multi-URL crawl fan-out (ask #6)
-    "dedup_soft_reweight",     # SoftDeDup commonness reweighting (new)
-    "text_winnow_fingerprint", # MOSS winnowing fingerprints (new)
-    "corpus_unimax_mix",       # UniMax epoch-capped waterfill mixing (new)
-    "quality_rho_excess",      # fused LM arms over one statistic (changed)
-    "corpus_ppl_quality_corr", # exact-integer floor-quantized means (changed)
-    "dedup_winnow_pairs",      # winnowing as a dedup path (new)
-}
-
-# Round-4-generation refresh rows LISTED in DRIVER_ORDER's fill section:
-# best-effort — whichever fall outside the final 50-entry prefix (new code
-# outranks refresh) stay r4-generation and must front in round 9 before
-# anything merely stale from r5.
-ROUND4_FILL: set[str] = {
-    "s1_parse_pdf",
-    "s1_parse_docx",
-    "s1_parse_eml",
-    "s1_parse_pptx",
-    "events_asof_join",
-    "events_sessionize",
-    "dedup_ngram_jaccard",
-    "dedup_segment_exact",
-    "emb_pca_project",
-    "rel_shipping_priority",
-    "multimodal_real_decode",
-    "stream_window_topk",
-    "rel_join_key_skew",
-    "text_dsir_weight",
-}
-
-# Round-4-generation rows left WITHOUT a fresh row after round 8's 50-slot
-# prefix — round 9 must front these (plus whatever ROUND4_FILL rows fell
-# outside the final prefix) before anything merely stale from r5.
+# Round-8's queue: the twenty-nine round-4-generation rows whose newest
+# driver row was still r4 after round 8's 50-slot prefix was spent — round 9
+# MUST front them (VERDICT r8 ask #1).
 ROUND9_QUEUE: set[str] = {
     "ann_pq_adc_topk",
     "corpus_ngram_novelty",
@@ -119,27 +43,98 @@ ROUND9_QUEUE: set[str] = {
     "text_vocab_coverage",
 }
 
+# The eight ROUND4_FILL rows that fell past round 8's 50-entry boundary
+# (new code outranked refresh) — still r4-generation, fronted with the queue.
+ROUND4_FILL_CARRYOVER: set[str] = {
+    "dedup_ngram_jaccard",
+    "dedup_segment_exact",
+    "emb_pca_project",
+    "multimodal_real_decode",
+    "rel_join_key_skew",
+    "rel_shipping_priority",
+    "stream_window_topk",
+    "text_dsir_weight",
+}
 
-def test_round8_queue_is_registered():
-    for name in ROUND8_QUEUE | ROUND9_QUEUE:
+# New in round 9, or implementation changed in round 9 (prior driver rows, if
+# any, describe code that no longer exists). Grown as round-9 waves land.
+ROUND9_MUST_FRONT: set[str] = ROUND9_QUEUE | ROUND4_FILL_CARRYOVER | {
+    "corpus_unimax_mix",        # zero-token-source guard (ADVICE r8)
+    "corpus_ppl_quality_corr",  # exact-integer Pearson closed form (ADVICE r8)
+    # float-hazard hardening sweep (VERDICT r9 ask #2): grid-valued
+    # round(avg(...)) and integer-ratio round() sites rewritten to exact
+    # integer-unit sums / floor-quantized ratios. Four more sweep rows
+    # (corpus_ngram_novelty, text_vocab_coverage, rel_pareto_revenue,
+    # events_funnel_time) are already in ROUND9_QUEUE above.
+    "corpus_doremi_weights",
+    "rel_pricing_summary",
+    "q2_ranking_metrics",
+    "dedup_lsh_scurve",
+    "text_c4_filters",
+    "rel_part_brand_stats",
+    "rel_cube_flag_status",
+}
+
+# Round-5-generation rows left WITHOUT a fresh row after round 9's 50-slot
+# prefix — round 10 must front these (minus any that round 9's fill slots
+# reach) before anything merely stale from r6. Two r5 rows
+# (rel_part_brand_stats, rel_cube_flag_status) are hardened+fronted in
+# round 9 and are deliberately absent here.
+ROUND10_QUEUE: set[str] = {
+    "agg_salted_user_totals",
+    "corpus_ccnet_buckets",
+    "corpus_epoch_schedule",
+    "corpus_gopher_funnel",
+    "corpus_mix_weights",
+    "corpus_temperature_mix",
+    "dedup_drop_exact",
+    "dedup_lsh_recall_audit",
+    "e_hash_embed",
+    "emb_pq_distortion",
+    "multimodal_png_decode",
+    "multimodal_wav_resample",
+    "pipeline_full",
+    "rel_approx_quantile_bounded",
+    "rel_customers_without_orders",
+    "rel_moving_30d_revenue",
+    "rel_orders_with_big_lineitems",
+    "rel_percentiles",
+    "rel_pivot_status_priority",
+    "rel_region_customer_rollup",
+    "rel_rollup_lineitem",
+    "rel_set_ops",
+    "rel_suppliers_above_avg",
+    "s1_parse_epub",
+    "sample_stratified",
+    "shard_token_budget",
+    "sink_partition_skew_audit",
+    "text_bigram_logprob",
+    "text_fingerprint",
+    "text_gopher_quality",
+    "text_lang_confusion",
+    "text_lang_id",
+    "text_quality",
+    "text_repetition_ratios",
+    "text_tfidf_topterms",
+    "text_zipf_fit",
+}
+
+
+def test_round9_queue_is_registered():
+    for name in ROUND9_QUEUE | ROUND4_FILL_CARRYOVER | ROUND10_QUEUE:
         assert name in REGISTRY, name
 
 
-def test_round8_front_sets_inside_driver_prefix():
+def test_round9_front_sets_inside_driver_prefix():
     prefix = set(list(queries())[:50])
-    missing = ROUND8_MUST_FRONT - prefix
+    missing = ROUND9_MUST_FRONT - prefix
     assert not missing, f"outside the 50-entry driver prefix: {missing}"
 
 
-def test_round8_front_queries_registered_and_oracled():
-    for name in ROUND8_MUST_FRONT:
+def test_round9_front_queries_registered_and_oracled():
+    for name in ROUND9_MUST_FRONT:
         assert name in REGISTRY, name
         assert REGISTRY[name].oracle is not None, name
-
-
-def test_round4_fill_is_registered():
-    for name in ROUND4_FILL:
-        assert name in REGISTRY, name
 
 
 def test_driver_order_is_valid():

@@ -169,6 +169,27 @@ def test_unimax_uniform_when_nothing_caps(spark):
     assert all(v == pytest.approx(1500.0) for v in got.values())
 
 
+def test_unimax_excludes_zero_token_sources(spark):
+    """A source whose every text tokenizes to nothing has cap 0 / alloc 0
+    and makes the epochs division (alloc / toks) diverge across engines
+    (Spark NULL vs IEEE NaN) — the waterfill drops it up front, leaving
+    the live sources' allocation untouched (a 0-capacity source absorbs
+    no budget in the greedy reference either)."""
+    toks = {"a": 1000.0, "b": 1000.0, "c": 1000.0}
+    rows = [(s, "w " * int(n)) for s, n in toks.items()]
+    rows.append(("empty", "   "))  # whitespace-only: zero tokens
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        r["source"]: r["alloc"]
+        for r in unimax_allocation(
+            df, epoch_cap=2.0, budget_factor=1.5
+        ).collect()
+    }
+    assert "empty" not in got
+    assert set(got) == set(toks)
+    assert all(v == pytest.approx(1500.0) for v in got.values())
+
+
 def test_unimax_rejects_degenerate_budget(spark):
     df = spark.createDataFrame([("a", "w w w")], "source string, text string")
     with pytest.raises(ValueError, match="budget_factor"):

@@ -304,3 +304,52 @@ def test_fetch_url_swallows_http_protocol_errors(monkeypatch):
 
     monkeypatch.setattr(urllib.request, "urlopen", boom2)
     assert fetch_url("http://truncated.example.com/") is None
+
+
+def test_lancedb_null_source_rows_write_without_crashing(spark, tmp_path):
+    """A NULL source must not reach the delete-predicate quoting (the
+    reference skips falsy sources, sinks.py) — and the NULL-source ROWS
+    must still be added: only the delete list drops them."""
+    from yaml_pipe_spark.operators.vector_sinks import LanceDBSink
+
+    db = _FakeLanceDB()
+    sink = LanceDBSink(str(tmp_path), "corpus", db_factory=lambda: db)
+    df = spark.createDataFrame(
+        [("a.txt", "alpha", [1.0, 0.0]), (None, "orphan", [0.0, 1.0])],
+        "source string, text string, embedding array<double>",
+    )
+    sink.write(df)
+    assert sorted(db.tables["corpus"].tbl.column("text").to_pylist()) == [
+        "alpha",
+        "orphan",
+    ]
+    # rerun an ALL-NULL-source batch against the existing table: nothing
+    # to delete (no predicate issued), but the rows still land
+    df2 = spark.createDataFrame(
+        [(None, "orphan2", [0.5, 0.5])],
+        "source string, text string, embedding array<double>",
+    )
+    sink.write(df2)
+    tbl = db.tables["corpus"]
+    assert tbl.deletes == []
+    assert "orphan2" in tbl.tbl.column("text").to_pylist()
+
+
+def test_lancedb_staging_path_is_defaultfs_qualified(spark, tmp_path):
+    """Scheme-less staging paths are qualified against the Hadoop defaultFS
+    before either side touches them, so Spark (fs.defaultFS) and pyarrow
+    agree on ONE filesystem; with a local defaultFS the qualified form is a
+    file: URI that _staging_fs maps back onto the same local path."""
+    from yaml_pipe_spark.operators.vector_sinks import LanceDBSink
+
+    bare = str(tmp_path / "store" / "_staging_corpus")
+    q = LanceDBSink._qualify(spark, bare)
+    assert q.startswith("file:"), q
+    fs_obj, path = LanceDBSink._staging_fs(q)
+    import pyarrow.fs as pafs
+
+    assert isinstance(fs_obj, pafs.LocalFileSystem)
+    assert path == bare
+    # already-qualified URIs pass through untouched
+    assert LanceDBSink._qualify(spark, q) == q
+    assert LanceDBSink._qualify(spark, "s3a://bkt/x") == "s3a://bkt/x"

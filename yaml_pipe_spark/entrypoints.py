@@ -319,38 +319,94 @@ def q_c2(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "rel_pricing_summary",
     """
+-- float-hazard hardening (round-9 sweep): every money/rate column is a 2dp
+-- grid value stored as double (representation error <= 1e-9, measured), so
+-- all sums run over EXACT integer cent-units (DuckDB HUGEINT, Spark
+-- decimal(38,0) where products reach 1e-6 units) — fold-order-exact in both
+-- engines. Derived outputs are half-up-rounded / floor-quantized via exact
+-- integer arithmetic: a double round(sum(...), 2) can land within an ulp of
+-- a half-cent where engine fold orders and round tie rules disagree.
+WITH u AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS BIGINT) AS qty_u,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_u,
+         CAST(round(l_discount * 100) AS BIGINT) AS disc_u,
+         CAST(round(l_tax * 100) AS BIGINT) AS tax_u
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+),
+s AS (
+  SELECT l_returnflag, l_linestatus, count(*) AS n,
+         sum(qty_u) AS sq, sum(price_u) AS sp, sum(disc_u) AS sd,
+         sum(price_u * (100 - disc_u)) AS s4,
+         sum(price_u * (100 - disc_u) * (100 + tax_u)) AS s6
+  FROM u GROUP BY l_returnflag, l_linestatus
+)
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
-         AS sum_charge,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
-       count(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-GROUP BY l_returnflag, l_linestatus
+       CAST(sq AS DOUBLE) AS sum_qty,
+       CAST(sp AS DOUBLE) / 100 AS sum_base_price,
+       CAST((s4 + 50) // 100 AS DOUBLE) / 100 AS sum_disc_price,
+       CAST((s6 + 5000) // 10000 AS DOUBLE) / 100 AS sum_charge,
+       floor(CAST(sq AS DOUBLE) * 10000 / n) / 10000 AS avg_qty,
+       floor(CAST(sp AS DOUBLE) * 100 / n) / 10000 AS avg_price,
+       floor(CAST(sd AS DOUBLE) * 100 / n) / 10000 AS avg_disc,
+       n AS count_order
+FROM s
 """,
-    "TPC-H Q1-style pricing summary (scan+filter+groupBy+8 aggs)",
+    "TPC-H Q1-style pricing summary (scan+filter+groupBy+8 aggs); all "
+    "aggregates over exact integer cent-units so both engines fold "
+    "identically at any parallelism (round-9 float-hazard sweep)",
 )
 def q_rel_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
+    qty_u = F.col("l_quantity").cast("long")
+    price_u = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_u = F.round(F.col("l_discount") * 100).cast("long")
+    tax_u = F.round(F.col("l_tax") * 100).cast("long")
+    dec = "decimal(38,0)"
+    # products stay within long per element; the 1e-4/1e-6-unit SUMS go
+    # through decimal(38,0) (DuckDB's HUGEINT twin) so a 100x corpus can't
+    # silently wrap a long accumulator
+    s = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            F.count("*").alias("n"),
+            F.sum(qty_u).alias("sq"),
+            F.sum(price_u).alias("sp"),
+            F.sum(disc_u).alias("sd"),
+            F.sum((price_u * (100 - disc_u)).cast(dec)).alias("s4"),
+            F.sum((price_u * (100 - disc_u) * (100 + tax_u)).cast(dec)).alias(
+                "s6"
+            ),
         )
+    )
+    n = F.col("n")
+    return s.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sq").cast("double").alias("sum_qty"),
+        (F.col("sp").cast("double") / 100).alias("sum_base_price"),
+        # half-up to cents in EXACT integer arithmetic: (units + half) div
+        # grid — Spark decimal division is exact at scale 6 for these
+        # quotients, so floor() recovers the integer division DuckDB's //
+        # performs on HUGEINT
+        (
+            F.floor((F.col("s4") + 50) / 100).cast("double") / 100
+        ).alias("sum_disc_price"),
+        (
+            F.floor((F.col("s6") + 5000) / 10000).cast("double") / 100
+        ).alias("sum_charge"),
+        (F.floor(F.col("sq").cast("double") * 10000 / n) / 10000).alias(
+            "avg_qty"
+        ),
+        (F.floor(F.col("sp").cast("double") * 100 / n) / 10000).alias(
+            "avg_price"
+        ),
+        (F.floor(F.col("sd").cast("double") * 100 / n) / 10000).alias(
+            "avg_disc"
+        ),
+        n.alias("count_order"),
     )
 
 
@@ -1596,10 +1652,14 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH {_DK_SHINGLES},
 dfq AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY 1)
+-- ratio of integers, floor-quantized (round-9 hazard sweep): a per-doc
+-- u/n can sit exactly on a 4dp round tie (2e4*u = odd*n) where the two
+-- engines' round paths disagree on the inexact double; floor of the
+-- identical double has no tie to break
 SELECT s.doc_id,
        CAST(count(*) AS BIGINT) AS n_shingles,
-       round(sum(CASE WHEN dfq.df = 1 THEN 1 ELSE 0 END) / count(*), 4)
-         AS novelty
+       floor(CAST(sum(CASE WHEN dfq.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             * 10000 / count(*)) / 10000 AS novelty
 FROM shingles s JOIN dfq USING (shingle)
 GROUP BY s.doc_id
 """,
@@ -1623,8 +1683,15 @@ def q_corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_shingles"),
-            F.round(
-                F.sum((F.col("df") == 1).cast("long")) / F.count("*"), 4
+            # integer-ratio floor-quantize (round-9 hazard sweep; see the
+            # oracle comment)
+            (
+                F.floor(
+                    F.sum((F.col("df") == 1).cast("long")).cast("double")
+                    * 1e4
+                    / F.count("*")
+                )
+                / 1e4
             ).alias("novelty"),
         )
     )
@@ -2039,8 +2106,8 @@ SELECT lt.lang,
        CAST(sum(lt.c) AS BIGINT) AS n_tokens,
        CAST(sum(CASE WHEN topv.tok IS NOT NULL THEN lt.c ELSE 0 END)
             AS BIGINT) AS n_covered,
-       round(sum(CASE WHEN topv.tok IS NOT NULL THEN lt.c ELSE 0 END)
-             / sum(lt.c), 4) AS coverage
+       floor(CAST(sum(CASE WHEN topv.tok IS NOT NULL THEN lt.c ELSE 0 END)
+                  AS DOUBLE) * 10000 / sum(lt.c)) / 10000 AS coverage
 FROM lt LEFT JOIN topv ON lt.tok = topv.tok
 GROUP BY lt.lang
 """,
@@ -2075,7 +2142,12 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("c").cast("long").alias("n_tokens"),
             covered.cast("long").alias("n_covered"),
-            F.round(covered / F.sum("c"), 4).alias("coverage"),
+            # integer-ratio floor-quantize (round-9 hazard sweep): a
+            # covered/total tie on the 4dp round boundary would let the
+            # engines' round paths disagree on the inexact double
+            (
+                F.floor(covered.cast("double") * 1e4 / F.sum("c")) / 1e4
+            ).alias("coverage"),
         )
     )
 
@@ -2184,9 +2256,13 @@ d AS (
          sha256(array_to_string(kept, chr(10))) AS cleaned_sha
   FROM k
 )
+-- mean over EXACT integer 4dp units, floor-quantized (round-9 hazard
+-- sweep): kept_ratio is a 4dp-rounded grid value, so avg() can land
+-- exactly on a 4dp round boundary where engine fold orders disagree
 SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(c4_pass) AS BIGINT) AS n_pass,
-       round(avg(kept_ratio), 4) AS avg_kept_ratio,
+       floor(CAST(sum(CAST(round(kept_ratio * 10000) AS BIGINT)) AS DOUBLE)
+             / count(*)) / 10000 AS avg_kept_ratio,
        min(cleaned_sha) AS sample_sha
 FROM d GROUP BY source
 """,
@@ -2214,7 +2290,17 @@ def q_text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("c4_pass").cast("long").alias("n_pass"),
-        F.round(F.avg("kept_ratio"), 4).alias("avg_kept_ratio"),
+        # mean over EXACT integer 4dp units, floor-quantized (round-9
+        # hazard sweep; see the oracle comment)
+        (
+            F.floor(
+                F.sum(
+                    F.round(F.col("kept_ratio") * 1e4).cast("long")
+                ).cast("double")
+                / F.count("*")
+            )
+            / 1e4
+        ).alias("avg_kept_ratio"),
         F.min("cleaned_sha").alias("sample_sha"),
     )
 
@@ -2785,21 +2871,35 @@ def q_rel_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "rel_part_brand_stats",
     """
+-- mean over EXACT integer cent-units, floor-quantized (round-9 hazard
+-- sweep): p_retailprice is a 2dp grid value, so avg() can land exactly on
+-- a 4dp round boundary where engine fold orders disagree
 SELECT p_brand,
        split_part(p_type, ' ', 1) AS type_family,
        count(*) AS n_parts,
-       round(avg(p_retailprice), 4) AS avg_price,
+       floor(CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS DOUBLE)
+             * 100 / count(*)) / 10000 AS avg_price,
        CAST(max(p_size) AS BIGINT) AS max_size
 FROM part GROUP BY p_brand, split_part(p_type, ' ', 1)
 """,
-    "Part catalog stats: string-derived grouping key (split_part) + aggs",
+    "Part catalog stats: string-derived grouping key (split_part) + aggs; "
+    "the price mean runs over exact integer cent-units (round-9 sweep)",
 )
 def q_rel_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     fam = F.split_part(F.col("p_type"), F.lit(" "), F.lit(1))
     return part.groupBy("p_brand", fam.alias("type_family")).agg(
         F.count("*").alias("n_parts"),
-        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        (
+            F.floor(
+                F.sum(
+                    F.round(F.col("p_retailprice") * 100).cast("long")
+                ).cast("double")
+                * 100
+                / F.count("*")
+            )
+            / 1e4
+        ).alias("avg_price"),
         F.max("p_size").cast("long").alias("max_size"),
     )
 
@@ -2807,16 +2907,32 @@ def q_rel_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "rel_cube_flag_status",
     """
+-- mean over EXACT integer cent-units, floor-quantized (round-9 hazard
+-- sweep): l_discount is a 2dp grid value, so avg() can land exactly on a
+-- 4dp round boundary where engine fold orders disagree
 SELECT l_returnflag, l_linestatus,
-       count(*) AS n, round(avg(l_discount), 4) AS avg_disc
+       count(*) AS n,
+       floor(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+             * 100 / count(*)) / 10000 AS avg_disc
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
-    "CUBE grouping sets: all 4 combinations of subtotals in one pass",
+    "CUBE grouping sets: all 4 combinations of subtotals in one pass; the "
+    "discount mean runs over exact integer cent-units (round-9 sweep)",
 )
 def q_rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n"), F.round(F.avg("l_discount"), 4).alias("avg_disc")
+        F.count("*").alias("n"),
+        (
+            F.floor(
+                F.sum(F.round(F.col("l_discount") * 100).cast("long")).cast(
+                    "double"
+                )
+                * 100
+                / F.count("*")
+            )
+            / 1e4
+        ).alias("avg_disc"),
     )
 
 
@@ -3277,9 +3393,9 @@ thr AS (SELECT quantile_cont(cents, 0.99) AS t FROM cust)
 SELECT CAST(count(*) AS BIGINT) AS n_customers,
        CAST(sum(CASE WHEN cents >= t THEN 1 ELSE 0 END) AS BIGINT)
          AS n_top,
-       round(sum(CASE WHEN cents >= t THEN cents ELSE 0 END)
-             / sum(cents), 6) AS top_share,
-       round(max(t) / 100, 2) AS threshold
+       floor(CAST(sum(CASE WHEN cents >= t THEN cents ELSE 0 END) AS DOUBLE)
+             / CAST(sum(cents) AS DOUBLE) * 1000000) / 1000000 AS top_share,
+       floor(max(t)) / 100 AS threshold
 FROM cust, thr
 """,
     "Pareto concentration: the share of total order revenue carried by "
@@ -3302,16 +3418,23 @@ def q_rel_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.agg(
         F.count("*").cast("long").alias("n_customers"),
         F.sum((F.col("cents") >= F.col("t")).cast("long")).alias("n_top"),
-        F.round(
-            F.sum(
-                F.when(F.col("cents") >= F.col("t"), F.col("cents")).otherwise(
-                    F.lit(0)
-                )
+        # integer-ratio floor-quantize + integer-cent threshold floor
+        # (round-9 hazard sweep): the share is a ratio of exact integer
+        # cent sums that can sit exactly on a 6dp round tie, and the
+        # interpolated threshold can carry a .5-cent fraction
+        (
+            F.floor(
+                F.sum(
+                    F.when(
+                        F.col("cents") >= F.col("t"), F.col("cents")
+                    ).otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum("cents").cast("double")
+                * 1e6
             )
-            / F.sum("cents"),
-            6,
+            / 1e6
         ).alias("top_share"),
-        F.round(F.max("t") / 100, 2).alias("threshold"),
+        (F.floor(F.max("t")) / 100).alias("threshold"),
     )
 
 
@@ -4073,8 +4196,8 @@ lat AS (
 )
 SELECT step,
        CAST(count(*) AS BIGINT) AS n_users,
-       round(quantile_cont(us, 0.5) / 1000000, 4) AS p50_sec,
-       round(quantile_cont(us, 0.9) / 1000000, 4) AS p90_sec
+       floor(quantile_cont(us, 0.5) / 100) / 10000 AS p50_sec,
+       floor(quantile_cont(us, 0.9) / 100) / 10000 AS p90_sec
 FROM lat GROUP BY step
 """,
     "Funnel conversion LATENCY: p50/p90 seconds from first view to first "
@@ -4125,8 +4248,11 @@ def q_events_funnel_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "step",
         "n_users",
-        F.round(F.element_at("__q", 1) / 1_000_000, 4).alias("p50_sec"),
-        F.round(F.element_at("__q", 2) / 1_000_000, 4).alias("p90_sec"),
+        # floor-quantize to 100us units (round-9 hazard sweep): the
+        # interpolated percentile is a rational over integer microseconds
+        # and can sit exactly on a 4dp-of-seconds round tie
+        (F.floor(F.element_at("__q", 1) / 100) / 1e4).alias("p50_sec"),
+        (F.floor(F.element_at("__q", 2) / 100) / 1e4).alias("p90_sec"),
     )
 
 
@@ -10931,9 +11057,15 @@ m AS (
          round(p.p10, 6) AS p10
   FROM perq p JOIN nrel n ON n.qid = p.qid
 )
-SELECT round(avg(rr), 4) AS mrr,
-       round(avg(ndcg), 4) AS ndcg_at_10,
-       round(avg(p10), 4) AS precision_at_10,
+-- means over EXACT integer micro-units, floor-quantized (round-9 hazard
+-- sweep): rr/ndcg/p10 are 6dp-rounded grid values, so their avg() can land
+-- exactly on a 4dp round boundary where engine fold orders disagree
+SELECT floor(CAST(sum(CAST(round(rr * 1000000) AS BIGINT)) AS DOUBLE)
+             / (count(*) * 100)) / 10000 AS mrr,
+       floor(CAST(sum(CAST(round(ndcg * 1000000) AS BIGINT)) AS DOUBLE)
+             / (count(*) * 100)) / 10000 AS ndcg_at_10,
+       floor(CAST(sum(CAST(round(p10 * 1000000) AS BIGINT)) AS DOUBLE)
+             / (count(*) * 100)) / 10000 AS precision_at_10,
        CAST(count(*) AS BIGINT) AS n_queries
 FROM m
 """,
@@ -11006,10 +11138,23 @@ def q_q2_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ndcg"),
         F.round("p10", 6).alias("p10"),
     )
+    # means over EXACT integer micro-units, floor-quantized (round-9
+    # hazard sweep): the per-query metrics are 6dp-rounded grid values,
+    # so avg() can land exactly on a 4dp round boundary where engine
+    # fold orders disagree
+    def fq_mean(col: str) -> Column:
+        return (
+            F.floor(
+                F.sum(F.round(F.col(col) * 1e6).cast("long")).cast("double")
+                / (F.count("*") * 100)
+            )
+            / 1e4
+        )
+
     return m.agg(
-        F.round(F.avg("rr"), 4).alias("mrr"),
-        F.round(F.avg("ndcg"), 4).alias("ndcg_at_10"),
-        F.round(F.avg("p10"), 4).alias("precision_at_10"),
+        fq_mean("rr").alias("mrr"),
+        fq_mean("ndcg").alias("ndcg_at_10"),
+        fq_mean("p10").alias("precision_at_10"),
         F.count("*").cast("long").alias("n_queries"),
     )
 
@@ -11055,11 +11200,17 @@ dec AS (
   FROM pairs p
   LEFT JOIN cands c ON c.id_a = p.id_a AND c.id_b = p.id_b
 )
+-- means over EXACT integer units, floor-quantized (round-9 hazard sweep):
+-- theory is a 6dp-rounded grid value and is_cand/n is a small-denominator
+-- rational — either avg() can land exactly on a 4dp round boundary where
+-- engine fold orders disagree
 SELECT decile,
        CAST(count(*) AS BIGINT) AS n_pairs,
        CAST(sum(is_cand) AS BIGINT) AS n_candidates,
-       round(avg(CAST(is_cand AS DOUBLE)), 4) AS measured_rate,
-       round(avg(theory), 4) AS theory_rate
+       floor(CAST(sum(is_cand) AS DOUBLE) * 10000 / count(*)) / 10000
+         AS measured_rate,
+       floor(CAST(sum(CAST(round(theory * 1000000) AS BIGINT)) AS DOUBLE)
+             / (count(*) * 100)) / 10000 AS theory_rate
 FROM dec GROUP BY decile
 """,
     "The MinHash-LSH S-curve, measured against its closed form: for every "
@@ -11096,13 +11247,24 @@ def q_dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("theory"),
         F.coalesce(F.col("__c"), F.lit(0)).alias("is_cand"),
     )
+    # means over EXACT integer units, floor-quantized (round-9 hazard
+    # sweep; see the oracle comment)
     return dec.groupBy("decile").agg(
         F.count("*").cast("long").alias("n_pairs"),
         F.sum("is_cand").cast("long").alias("n_candidates"),
-        F.round(F.avg(F.col("is_cand").cast("double")), 4).alias(
-            "measured_rate"
-        ),
-        F.round(F.avg("theory"), 4).alias("theory_rate"),
+        (
+            F.floor(F.sum("is_cand").cast("double") * 1e4 / F.count("*"))
+            / 1e4
+        ).alias("measured_rate"),
+        (
+            F.floor(
+                F.sum(F.round(F.col("theory") * 1e6).cast("long")).cast(
+                    "double"
+                )
+                / (F.count("*") * 100)
+            )
+            / 1e4
+        ).alias("theory_rate"),
     )
 
 
@@ -12647,8 +12809,12 @@ doc AS (
   GROUP BY 1, 2
 ),
 src AS (
+  -- mean over EXACT integer micro-units, floor-quantized: exc is
+  -- 6dp-rounded, so avg(exc) can land exactly on a 6dp round boundary
+  -- where engine fold orders disagree (round-9 hazard sweep)
   SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         round(avg(exc), 6) + 0.0 AS excess_loss
+         floor(CAST(sum(CAST(round(exc * 1000000) AS BIGINT)) AS DOUBLE)
+               / count(*)) / 1000000 + 0.0 AS excess_loss
   FROM doc GROUP BY 1
 ),
 w AS (
@@ -12658,7 +12824,11 @@ w AS (
            * exp(2.0 * excess_loss) AS un
   FROM src
 )
-SELECT source, n_docs, round(share0, 6) AS baseline_share, excess_loss,
+-- share is n/total — a small-denominator rational that CAN sit exactly on
+-- a 6dp round tie; floor-quantize. weight stays round(): exp() is a
+-- continuum map whose outputs hit a 6dp boundary with measure ~0
+SELECT source, n_docs, floor(share0 * 1000000) / 1000000 AS baseline_share,
+       excess_loss,
        round(un / sum(un) OVER (), 6) AS weight
 FROM w
 """
@@ -12709,17 +12879,33 @@ j AS (
          CAST(round(q.quality_score * 10000) AS BIGINT) AS qs_u
   FROM doc JOIN q USING (doc_id)
 )
--- the per-group means run over EXACT integer micro-units and
--- floor-quantize to 4dp: avg() over doubles folds in partition order, and
--- a mean of 6dp-rounded values can land exactly on a 4dp round boundary
--- (observed flaking 0.6679 vs 0.668 between parallelism levels);
--- floor(identical double) has no tie to break
-SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-       round(corr(lp, qs), 4) + 0.0 AS corr_lp_quality,
-       floor(CAST(sum(lp_u) AS DOUBLE) / (count(*) * 100)) / 10000
-         + 0.0 AS avg_lp,
-       floor(CAST(sum(qs_u) AS DOUBLE) / count(*)) / 10000 AS avg_quality
-FROM j GROUP BY lang
+-- the per-group means AND the correlation run over EXACT integer
+-- micro-units and floor-quantize to 4dp: avg()/corr() over doubles fold
+-- in partition order, and a mean of 6dp-rounded values can land exactly
+-- on a 4dp round boundary (observed flaking 0.6679 vs 0.668 between
+-- parallelism levels); integer sums are fold-order-exact and
+-- floor(identical double) has no tie to break. corr is shift/scale
+-- invariant, so Pearson over the units equals Pearson over lp/qs; the
+-- five sums stay exact (DuckDB HUGEINT / Spark decimal(38,0)) and both
+-- engines evaluate the SAME closed form over identical integers
+, s AS (
+  SELECT lang, count(*) AS n,
+         sum(lp_u) AS sx, sum(qs_u) AS sy,
+         sum(lp_u * lp_u) AS sxx, sum(qs_u * qs_u) AS syy,
+         sum(lp_u * qs_u) AS sxy
+  FROM j GROUP BY lang
+)
+SELECT lang, CAST(n AS BIGINT) AS n_docs,
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE)
+                 * CAST(n * syy - sy * sy AS DOUBLE) > 0
+            THEN floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE))
+                       * 10000) / 10000 + 0.0
+       END AS corr_lp_quality,
+       floor(CAST(sx AS DOUBLE) / (n * 100)) / 10000 + 0.0 AS avg_lp,
+       floor(CAST(sy AS DOUBLE) / n) / 10000 AS avg_quality
+FROM s
 """,
     "Perplexity-vs-quality link audit: Pearson correlation per language "
     "between the bigram-LM doc logprob (the CCNet signal) and the "
@@ -12729,9 +12915,11 @@ FROM j GROUP BY lang
     "text_lang_confusion. Reuses the bigram diamond + the narrow quality "
     "projection; the rollup is |langs| rows. lp0 rounds to 6dp before "
     "the correlation so both engines correlate identical inputs, and the "
-    "per-group MEANS sum exact integer micro-units then floor-quantize "
-    "to 4dp — an avg() of rounded values can land exactly on a round "
-    "boundary where engine fold orders disagree (round-8 flake fix).",
+    "per-group MEANS and the CORRELATION both run over exact integer "
+    "micro-unit sums (Pearson closed form, floor-quantized) — an avg() "
+    "or corr() over doubles folds in partition order and can land "
+    "exactly on a round boundary (round-8 flake fix; corr hardened in "
+    "round 9 per ADVICE).",
 )
 def q_corpus_ppl_quality_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yaml_pipe_spark.operators.text_stats import (
@@ -12756,22 +12944,43 @@ def q_corpus_ppl_quality_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("lp") * 1e6).cast("long").alias("lp_u"),
         F.round(F.col("qs") * 1e4).cast("long").alias("qs_u"),
     )
-    n = F.count("*")
-    return j.groupBy("lang").agg(
-        n.cast("long").alias("n_docs"),
-        # + 0.0 normalizes a possible -0.0 near-zero correlation / mean
-        # (suite-wide negative-zero contract)
-        (F.round(F.corr("lp", "qs"), 4) + F.lit(0.0)).alias(
-            "corr_lp_quality"
-        ),
+    # EXACT integer sums (decimal(38,0) so the squared-unit sums can't
+    # overflow long), then the closed-form Pearson over identical integers
+    # in both engines: corr() over doubles folds in partition order and can
+    # flip a 4dp boundary between parallelism levels — the same flake class
+    # as the means (ADVICE r8). corr is shift/scale invariant, so Pearson
+    # over the units equals Pearson over lp/qs.
+    dec = "decimal(38,0)"
+    s = j.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("lp_u").alias("sx"),
+        F.sum("qs_u").alias("sy"),
+        F.sum((F.col("lp_u") * F.col("lp_u")).cast(dec)).alias("sxx"),
+        F.sum((F.col("qs_u") * F.col("qs_u")).cast(dec)).alias("syy"),
+        F.sum((F.col("lp_u") * F.col("qs_u")).cast(dec)).alias("sxy"),
+    )
+    n, sx, sy = F.col("n").cast(dec), F.col("sx").cast(dec), F.col("sy").cast(dec)
+    vx = (n * F.col("sxx") - sx * sx).cast("double")
+    vy = (n * F.col("syy") - sy * sy).cast("double")
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    # floor-quantized (no tie to break) and NULL on zero variance in BOTH
+    # engines (Spark / would NULL on a zero divisor, DuckDB would NaN);
+    # + 0.0 normalizes a possible -0.0 (suite-wide negative-zero contract)
+    corr = F.when(
+        vx * vy > 0, F.floor(num / F.sqrt(vx * vy) * 1e4) / 1e4 + F.lit(0.0)
+    )
+    return s.select(
+        "lang",
+        F.col("n").cast("long").alias("n_docs"),
+        corr.alias("corr_lp_quality"),
         # means over EXACT integer sums, floor-quantized to 4dp: avg() of
         # rounded doubles can land exactly on a 4dp round boundary where
         # engine fold orders disagree (round-8 flake fix; see the oracle)
         (
-            F.floor(F.sum("lp_u").cast("double") / (n * 100)) / 1e4
+            F.floor(F.col("sx").cast("double") / (F.col("n") * 100)) / 1e4
             + F.lit(0.0)
         ).alias("avg_lp"),
-        (F.floor(F.sum("qs_u").cast("double") / n) / 1e4).alias(
+        (F.floor(F.col("sy").cast("double") / F.col("n")) / 1e4).alias(
             "avg_quality"
         ),
     )
@@ -13047,7 +13256,10 @@ WITH c AS (
                                   x -> x <> ''))) AS DOUBLE) AS toks
   FROM documents GROUP BY source
 ),
-cap AS (SELECT source, toks, 2.0 * toks AS cap FROM c),
+-- toks = 0 sources are excluded from the waterfill (cap 0, alloc 0, and
+-- the epochs division diverges: Spark / yields NULL on a zero divisor
+-- where DuckDB yields NaN) — mirrored in unimax_allocation
+cap AS (SELECT source, toks, 2.0 * toks AS cap FROM c WHERE toks > 0),
 tot AS (SELECT 1.9 * sum(toks) AS budget, count(*) AS n FROM cap),
 ord AS (
   SELECT source, toks, cap,
@@ -13114,85 +13326,81 @@ def q_corpus_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The round driver validates a *prefix* of the queries() dict (each round
-# records exactly the first 50 entries in insertion order). Round 8 rotation,
+# records exactly the first 50 entries in insertion order). Round 9 rotation,
 # in priority order:
 #   1. flagship (the smoke-checked canary),
-#   2. the ROUND8_QUEUE — the thirty-five round-3-generation rows whose
-#      newest driver row is still r3 (VERDICT r7 ask #1: after these, the
-#      oldest attestation anywhere in the registry is >= r4),
-#   3. queries NEW in round 8 or whose implementation CHANGED in round 8
-#      (grows as round-8 waves land; each insertion pushes the last fill
-#      row past the 50-entry boundary),
-#   4. round-4-generation refresh fill, s1_parse_* first (they ride
-#      session.spread_for_expansion, touched by the round-8 ADVICE fix),
-#      then oldest-first as slots allow.
+#   2. the ROUND9_QUEUE — the twenty-nine round-4-generation rows whose
+#      newest driver row is still r4 (VERDICT r8 ask #1), plus the eight
+#      ROUND4_FILL rows that fell past round 8's 50-entry boundary — after
+#      these the oldest attestation anywhere in the registry is >= r5,
+#   3. queries NEW in round 9 or whose implementation CHANGED in round 9
+#      (the ADVICE fixes, the float-hazard hardening sweep, the
+#      perceptual-hash dedup / BPE-training additions; grows as waves land),
+#   4. round-5-generation refresh fill, oldest-first as slots allow (only
+#      entries inside the first 50 get a driver row; the rest stay r5 and
+#      queue for round 10).
 # Registry entries not listed here follow in registration order (still covered
 # by bench.py and the local sf0.001/sf0.01/sf0.1 oracle-parity runs every
 # round). Keep the sets in tests/test_registry_order.py in sync so the prefix
 # invariant stays pinned.
 DRIVER_ORDER: list[str] = [
     "flagship",  # canary: the smoke-checked query stays first
-    # -- (2) ROUND8_QUEUE: round-3-generation attestation debt, by family --
-    "ann_ivf_topk",
-    "ann_recall_measured",
-    "ann_signlsh_topk",
-    "q1_topk_cosine",
-    "q2_hitrate",
-    "sim_knn_join",
-    "emb_int8_quant",
-    "c2_markdown_chunk",
-    "c3_adaptive_chunk",
-    "dedup_exact",
-    "dedup_simhash",
-    "corpus_curation_funnel",
-    "corpus_holdout_split",
-    "corpus_source_cap",
-    "events_approx_distinct_bounded",
-    "events_forget_users",
-    "events_incremental_agg",
-    "events_transition_matrix",
-    "multimodal_frame_sample",
-    "rel_customer_distribution",
-    "rel_disjunctive_revenue",
-    "rel_forecast_revenue",
-    "rel_late_ship_orders",
-    "rel_nation_revenue",
-    "rel_order_gaps",
-    "rel_pricing_summary",
-    "rel_promo_revenue_pct",
-    "rel_returned_item_revenue",
-    "rel_top3_orders_per_priority",
-    "rel_top_supplier",
-    "rel_volume_shipping",
-    "stream_hopping_agg",
-    "stream_watermark_dedup",
-    "text_repetition",
-    "text_token_bpe",
-    # -- (3) NEW or CHANGED in round 8 --
-    "c1_recursive_chunk",  # oracle added (VERDICT r7 ask #3)
-    "s2_multi_fetch",      # executor-side multi-URL crawl fan-out (ask #6)
-    "dedup_soft_reweight",     # SoftDeDup commonness reweighting
-    "text_winnow_fingerprint", # MOSS winnowing fingerprints
-    "corpus_unimax_mix",       # UniMax epoch-capped waterfill mixing
-    "quality_rho_excess",      # fused LM arms over one bigram statistic
-    "corpus_ppl_quality_corr", # flake fix: exact-integer floor-quantized means
-    "dedup_winnow_pairs",      # winnowing as a dedup path (MOSS pairs)
-    # -- (4) round-4-generation refresh fill (only entries inside the first
-    #        50 get a driver row; the rest stay r4 and queue for round 9) --
-    "s1_parse_pdf",
-    "s1_parse_docx",
-    "s1_parse_eml",
-    "s1_parse_pptx",
-    "events_asof_join",
-    "events_sessionize",
+    # -- (2) ROUND9_QUEUE: round-4-generation attestation debt, by family --
+    "ann_pq_adc_topk",
+    "corpus_ngram_novelty",
+    "corpus_pack_windows",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_blocked",
+    "dedup_substring_span",
+    "emb_covariance",
+    "emb_dim_stats",
+    "emb_matryoshka_agreement",
+    "emb_outlier_zscore",
+    "events_funnel_time",
+    "events_hopping_agg",
+    "events_props_extract",
+    "events_props_json",
+    "events_session_window",
+    "events_tumbling_agg",
+    "multimodal_features",
+    "multimodal_resize",
+    "rel_important_stock",
+    "rel_local_supplier_volume",
+    "rel_min_cost_supplier",
+    "rel_pareto_revenue",
+    "rel_parts_supplier_count",
+    "rel_product_profit",
+    "rel_promotion_suppliers",
+    "rel_revenue_trend",
+    "rel_shipmode_priority",
+    "stream_interval_join_outer",
+    "text_vocab_coverage",
+    # -- (2b) ROUND4_FILL rows that fell past round 8's prefix --
     "dedup_ngram_jaccard",
     "dedup_segment_exact",
     "emb_pca_project",
-    "rel_shipping_priority",
     "multimodal_real_decode",
-    "stream_window_topk",
     "rel_join_key_skew",
+    "rel_shipping_priority",
+    "stream_window_topk",
     "text_dsir_weight",
+    # -- (3) NEW or CHANGED in round 9 --
+    "corpus_unimax_mix",        # zero-token-source guard (ADVICE r8)
+    "corpus_ppl_quality_corr",  # exact-integer Pearson closed form (ADVICE r8)
+    # float-hazard hardening sweep (VERDICT r9 ask #2): grid-valued
+    # round(avg(...)) sites rewritten to exact-integer-unit sums
+    "corpus_doremi_weights",
+    "rel_pricing_summary",
+    "q2_ranking_metrics",
+    "dedup_lsh_scurve",
+    "text_c4_filters",
+    "rel_part_brand_stats",
+    "rel_cube_flag_status",
+    "stream_bm25_append",       # fingerprint-matched standing-index reuse
+    # -- (4) round-5-generation refresh fill (only entries inside the first
+    #        50 get a driver row; the rest stay r5 and queue for round 10) --
+    "text_bigram_logprob",
+    "corpus_ccnet_buckets",
 ]
 
 

@@ -312,8 +312,11 @@ def doremi_source_weights(
     w(s) proportional to share(s) * exp(eta * excess(s)), normalized.
 
     Determinism contract (shared by the oracle): per-doc excess rounds to
-    6dp before the per-source mean; the mean rounds to 6dp before exp();
-    weights round to 6dp after normalizing.
+    6dp before the per-source mean; the mean runs over exact integer
+    micro-unit sums and floor-quantizes to 6dp before exp() (a plain
+    round(avg(rounded)) can land exactly on a 6dp boundary where engine
+    fold orders disagree — round-9 hazard sweep); the baseline share
+    floor-quantizes to 6dp; weights round to 6dp after normalizing.
 
     Returns one row per source:
     (source, n_docs BIGINT, baseline_share, excess_loss, weight DOUBLE).
@@ -385,10 +388,21 @@ def doremi_source_weights(
     )
     src = doc.groupBy(source_col).agg(
         F.count("*").cast("long").alias("n_docs"),
-        # + 0.0 normalizes a possible -0.0 (a tiny-negative mean excess
-        # rounds to -0.0, which is hash-visible); exp(-0.0) == exp(0.0)
-        # so the weight itself is unaffected
-        (F.round(F.avg("exc"), 6) + F.lit(0.0)).alias("excess_loss"),
+        # mean over EXACT integer micro-units, floor-quantized: exc is
+        # 6dp-rounded, so avg(exc) is a rational that can land exactly on
+        # a 6dp round boundary where engine fold orders disagree (the
+        # round-8 flake class); summing round(exc*1e6)::long is exact and
+        # fold-order-free, and floor has no tie to break. + 0.0 normalizes
+        # a possible -0.0 (hash-visible); exp(-0.0) == exp(0.0) so the
+        # weight itself is unaffected
+        (
+            F.floor(
+                F.sum(F.round(F.col("exc") * 1e6).cast("long")).cast("double")
+                / F.count("*")
+            )
+            / 1e6
+            + F.lit(0.0)
+        ).alias("excess_loss"),
     )
     # cut lineage at the |sources|-row frame: the two scalar
     # normalizations below reference it multiplicatively (src, tot(src),
@@ -411,7 +425,11 @@ def doremi_source_weights(
     return w0.crossJoin(F.broadcast(tot2)).select(
         source_col,
         "n_docs",
-        F.round(F.col("__share"), 6).alias("baseline_share"),
+        # share is n/total — a small-denominator rational that CAN sit
+        # exactly on a 6dp round tie; floor-quantize (no tie to break).
+        # weight stays round(): its inputs pass through exp(), a continuum
+        # map whose outputs hit a 6dp boundary with measure ~0
+        (F.floor(F.col("__share") * 1e6) / 1e6).alias("baseline_share"),
         "excess_loss",
         F.round(F.col("__un") / F.col("__tu"), 6).alias("weight"),
     )
@@ -519,6 +537,11 @@ def unimax_allocation(
     cap = (
         docs.groupBy(source_col)
         .agg(F.sum(F.size(tokens(F.col(text_col)))).cast("double").alias("toks"))
+        # a zero-token source has cap 0 and alloc 0, and downstream
+        # epochs-style divisions by toks diverge across engines (Spark /
+        # yields NULL on a zero divisor, IEEE engines yield NaN) — it
+        # contributes nothing to the waterfill, so drop it up front
+        .filter(F.col("toks") > 0)
         .withColumn("cap", F.lit(float(epoch_cap)) * F.col("toks"))
     )
     tot = cap.agg(

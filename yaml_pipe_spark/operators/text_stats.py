@@ -167,7 +167,7 @@ def winnow_fingerprints(
     idiom) so each is evaluated exactly once per row. The naive chained
     projections version re-materialized the md5 array in every consumer
     the optimizer substituted it into (filter pushdown + project collapse)
-    — measured 10.6s -> 3.1s at sf0.1 from this rewrite, with the md5
+    — measured 11.1s -> 0.44s at sf0.1 from this rewrite (PERF.md), with the md5
     transform appearing once in the optimized plan (pinned by
     tests/test_plans.py)."""
     from yaml_pipe_spark.session import spread_for_expansion

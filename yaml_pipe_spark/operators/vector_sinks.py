@@ -135,15 +135,39 @@ class LanceDBSink:
     def _staging_fs(staging: str):
         """(pyarrow FileSystem, path) for the staging location. Local paths
         (the embedded-store common case) use LocalFileSystem; s3a:// (the
-        Hadoop spelling Spark writes) maps to pyarrow's s3://. Driver-local
-        glob/shutil would silently read the wrong filesystem for remote
-        URIs — everything below goes through this one abstraction."""
+        Hadoop spelling Spark writes) maps to pyarrow's s3://; file:/ (what
+        Hadoop's makeQualified prints for a local defaultFS) is stripped to
+        a plain local path. Driver-local glob/shutil would silently read
+        the wrong filesystem for remote URIs — everything below goes
+        through this one abstraction."""
+        from urllib.parse import unquote, urlparse
+
         from pyarrow import fs as pafs
 
+        if staging.startswith("file:"):
+            # Hadoop prints file:/path (single slash); urlparse handles
+            # both that and file:///path
+            return pafs.LocalFileSystem(), unquote(urlparse(staging).path)
         if "://" not in staging:
             return pafs.LocalFileSystem(), staging
         uri = staging.replace("s3a://", "s3://", 1)
         return pafs.FileSystem.from_uri(uri)
+
+    @staticmethod
+    def _qualify(spark, staging: str) -> str:
+        """Qualify a scheme-less staging path against the Hadoop defaultFS.
+        Spark resolves bare paths against fs.defaultFS while pyarrow's
+        LocalFileSystem reads the driver's local disk — on a cluster whose
+        defaultFS is HDFS the two would silently address DIFFERENT
+        filesystems and the load would find no data. Qualifying up front
+        makes both sides agree (and makes the mismatch loud: an hdfs://
+        URI reaches _staging_fs, which pyarrow resolves via from_uri)."""
+        if "://" in staging or staging.startswith("file:"):
+            return staging
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(staging)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return str(fs.makeQualified(hpath).toUri())
 
     def write(self, df: DataFrame) -> None:
         import posixpath
@@ -152,8 +176,9 @@ class LanceDBSink:
         import pyarrow.compute as pc
         import pyarrow.dataset as pads
 
-        staging = posixpath.join(
-            self.uri.rstrip("/"), f"_staging_{self.table_name}"
+        staging = self._qualify(
+            df.sparkSession,
+            posixpath.join(self.uri.rstrip("/"), f"_staging_{self.table_name}"),
         )
         filesystem, path = self._staging_fs(staging)
         df.write.mode("overwrite").parquet(staging)
@@ -169,18 +194,24 @@ class LanceDBSink:
             # sinks.py:61-76): the distinct-source list is tiny (file
             # paths) and comes from a single-column scan of the staged
             # dataset — no second Spark job
-            sources = (
-                pc.unique(dataset.to_table(columns=["source"]).column("source"))
-                .to_pylist()
-            )
+            # a NULL source must not reach the quoting below (reference
+            # sinks.py skips falsy sources: `if doc.metadata.get("source")`)
+            sources = [
+                s
+                for s in pc.unique(
+                    dataset.to_table(columns=["source"]).column("source")
+                ).to_pylist()
+                if s is not None
+            ]
             db = self._db()
             if self.table_name in db.table_names():
-                if sources:  # empty batch: nothing to delete, nothing to add
+                if dataset.count_rows():  # empty batch: nothing to add
                     table = db.open_table(self.table_name)
-                    quoted = ", ".join(
-                        "'" + s.replace("'", "''") + "'" for s in sources
-                    )
-                    table.delete(f"source IN ({quoted})")
+                    if sources:  # all-NULL sources: nothing to delete
+                        quoted = ", ".join(
+                            "'" + s.replace("'", "''") + "'" for s in sources
+                        )
+                        table.delete(f"source IN ({quoted})")
                     table.add(reader)
             else:
                 db.create_table(self.table_name, reader)
