@@ -73,6 +73,8 @@ ROUND9_MUST_FRONT: set[str] = ROUND9_QUEUE | ROUND4_FILL_CARRYOVER | {
     "text_c4_filters",
     "rel_part_brand_stats",
     "rel_cube_flag_status",
+    # new in round 9
+    "multimodal_phash_dedup",   # dHash image near-dup (VERDICT ask #3)
 }
 
 # Round-5-generation rows left WITHOUT a fresh row after round 9's 50-slot

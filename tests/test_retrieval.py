@@ -175,3 +175,45 @@ class TestBm25IndexStore:
         st2.build(docs.filter("doc_id < 24"))
         with _pytest.raises(ValueError, match="staleness mode"):
             st2.append(docs.filter("doc_id >= 24"), version="snap-2")
+
+    def test_snapshot_restore_rewinds_appends(self, spark, tmp_path):
+        """restore_manifest() rewinds an appended index to the exact
+        standing state (file surgery, no recopy): fingerprint fresh vs
+        the standing docs, serve value-identical to a pristine build,
+        and a second append cycle after the rewind reproduces the first
+        cycle's results — the stream_bm25_append amortization contract."""
+        import os
+
+        from yaml_pipe_spark.operators.retrieval import Bm25IndexStore
+
+        docs = self._docs(spark)
+        standing = docs.filter("doc_id < 24")
+        increment = docs.filter("doc_id >= 24")
+        st = Bm25IndexStore(str(tmp_path / "ix"))
+        st.build(standing)
+        st.snapshot_manifest()
+        tf_before = sorted(os.listdir(st.tf_path))
+        standing_rows = sorted(
+            map(tuple, st.serve(k=5).collect())
+        )
+
+        st.append(increment)
+        appended_rows = sorted(map(tuple, st.serve(k=5).collect()))
+        assert sorted(os.listdir(st.tf_path)) != tf_before
+
+        assert st.restore_manifest() is True
+        assert sorted(os.listdir(st.tf_path)) == tf_before
+        assert st.is_stale(standing) is False
+        assert sorted(map(tuple, st.serve(k=5).collect())) == standing_rows
+
+        # second cycle after the rewind behaves exactly like the first
+        st.append(increment)
+        assert st.is_stale(docs) is False
+        assert sorted(map(tuple, st.serve(k=5).collect())) == appended_rows
+
+    def test_restore_manifest_without_snapshot_is_false(self, spark, tmp_path):
+        from yaml_pipe_spark.operators.retrieval import Bm25IndexStore
+
+        st = Bm25IndexStore(str(tmp_path / "ix"))
+        st.build(self._docs(spark).filter("doc_id < 24"))
+        assert st.restore_manifest() is False  # no snapshot taken

@@ -12427,27 +12427,30 @@ def q_stream_bm25_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text"
     )
     sf_base = os.path.basename(os.path.normpath(sf_dir))
-    # the STANDING index is what production has before the stream starts:
-    # build it once per corpus snapshot (fingerprint-gated) and snapshot-
-    # copy it into the working area, so re-invocations pay the copy + the
-    # increment drain — never a standing rebuild
-    standing_store = Bm25IndexStore(
-        os.path.join("spark-warehouse", f"stream_bm25_standing_{sf_base}")
-    )
-    if standing_store.is_stale(standing):
-        shutil.rmtree(standing_store.base_path, ignore_errors=True)
-        standing_store.build(standing)
+    # the STANDING index is what production has before the stream starts.
+    # Re-invocations REWIND the previous drain to the standing snapshot
+    # (restore_manifest: file surgery proportional to the increment)
+    # instead of recopying the whole token-scale index (the copytree this
+    # replaces), then pay only the drain — the marginal maintenance cost
+    # the bench row is meant to measure. The rewind is fingerprint-
+    # verified: a bad restore reads as stale and falls back to a clean
+    # rebuild, never a silently wrong serve.
     base = os.path.join("spark-warehouse", f"stream_bm25_{sf_base}")
-    shutil.rmtree(base, ignore_errors=True)  # fresh drain every invocation
-    shutil.copytree(standing_store.base_path, os.path.join(base, "index"))
     store = Bm25IndexStore(os.path.join(base, "index"))
+    if not (store.restore_manifest() and not store.is_stale(standing)):
+        shutil.rmtree(base, ignore_errors=True)
+        store.build(standing)
+        store.snapshot_manifest()
+    # per-run streaming scratch (input + checkpoint) is always fresh;
     # the increment arrives as ONE file -> one micro-batch
-    increment.coalesce(1).write.parquet(os.path.join(base, "input"))
+    run_dir = os.path.join(base, "run")
+    shutil.rmtree(run_dir, ignore_errors=True)
+    increment.coalesce(1).write.parquet(os.path.join(run_dir, "input"))
     run_bm25_append_stream(
         spark,
-        os.path.join(base, "input"),
+        os.path.join(run_dir, "input"),
         store,
-        os.path.join(base, "ckpt"),
+        os.path.join(run_dir, "ckpt"),
     )
     return store.serve(k=10)
 
@@ -13325,6 +13328,530 @@ def q_corpus_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHASH_DEDUP_ORACLE = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id // 4 AS VARCHAR) AS bs, doc_id % 4 AS v
+  FROM documents
+),
+hx AS (
+  SELECT doc_id, v,
+         md5(bs || '_0') AS h0,
+         md5(bs || '_1') AS h1,
+         md5(bs || '_3') AS h3,
+         md5(bs || '_5') AS h5,
+         md5(bs || '_7') AS h7,
+         md5(bs || '_8') AS h8,
+         md5(bs || '_10') AS h10,
+         md5(bs || '_12') AS h12,
+         md5(bs || '_14') AS h14,
+         md5(bs || '_16') AS h16,
+         md5(bs || '_17') AS h17,
+         md5(bs || '_19') AS h19,
+         md5(bs || '_21') AS h21,
+         md5(bs || '_23') AS h23,
+         md5(bs || '_24') AS h24,
+         md5(bs || '_26') AS h26,
+         md5(bs || '_28') AS h28,
+         md5(bs || '_30') AS h30,
+         md5(bs || '_32') AS h32,
+         md5(bs || '_33') AS h33,
+         md5(bs || '_35') AS h35,
+         md5(bs || '_37') AS h37,
+         md5(bs || '_39') AS h39,
+         md5(bs || '_40') AS h40,
+         md5(bs || '_42') AS h42,
+         md5(bs || '_44') AS h44,
+         md5(bs || '_46') AS h46,
+         md5(bs || '_48') AS h48,
+         md5(bs || '_49') AS h49,
+         md5(bs || '_51') AS h51,
+         md5(bs || '_53') AS h53,
+         md5(bs || '_55') AS h55,
+         md5(bs || '_56') AS h56,
+         md5(bs || '_58') AS h58,
+         md5(bs || '_60') AS h60,
+         md5(bs || '_62') AS h62,
+         md5(bs || '_64') AS h64,
+         md5(bs || '_65') AS h65,
+         md5(bs || '_67') AS h67,
+         md5(bs || '_69') AS h69,
+         md5(bs || '_71') AS h71,
+         md5(bs || '_72') AS h72,
+         md5(bs || '_74') AS h74,
+         md5(bs || '_76') AS h76,
+         md5(bs || '_78') AS h78,
+         md5(bs || '_80') AS h80,
+         md5(bs || '_81') AS h81,
+         md5(bs || '_83') AS h83,
+         md5(bs || '_85') AS h85,
+         md5(bs || '_87') AS h87,
+         md5(bs || '_88') AS h88,
+         md5(bs || '_90') AS h90,
+         md5(bs || '_92') AS h92,
+         md5(bs || '_94') AS h94,
+         md5(bs || '_96') AS h96,
+         md5(bs || '_97') AS h97,
+         md5(bs || '_99') AS h99,
+         md5(bs || '_101') AS h101,
+         md5(bs || '_103') AS h103,
+         md5(bs || '_104') AS h104,
+         md5(bs || '_106') AS h106,
+         md5(bs || '_108') AS h108,
+         md5(bs || '_110') AS h110,
+         md5(bs || '_112') AS h112,
+         md5(bs || '_113') AS h113,
+         md5(bs || '_115') AS h115,
+         md5(bs || '_117') AS h117,
+         md5(bs || '_119') AS h119,
+         md5(bs || '_120') AS h120,
+         md5(bs || '_122') AS h122,
+         md5(bs || '_124') AS h124,
+         md5(bs || '_126') AS h126
+  FROM d
+),
+gr AS (
+  SELECT doc_id, v,
+         [(((strpos('0123456789abcdef', substr(h112, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h112, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h112, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h112, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h112, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h112, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h113, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h113, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h113, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h113, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h113, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h113, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h115, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h115, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h115, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h115, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h115, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h115, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h117, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h117, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h117, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h117, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h117, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h117, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h119, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h119, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h119, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h119, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h119, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h119, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h120, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h120, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h120, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h120, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h120, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h120, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h122, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h122, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h122, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h122, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h122, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h122, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h124, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h124, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h124, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h124, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h124, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h124, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h126, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h126, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h126, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h126, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h126, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h126, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h96, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h96, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h96, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h96, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h96, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h96, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h97, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h97, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h97, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h97, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h97, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h97, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h99, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h99, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h99, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h99, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h99, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h99, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h101, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h101, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h101, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h101, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h101, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h101, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h103, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h103, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h103, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h103, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h103, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h103, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h104, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h104, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h104, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h104, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h104, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h104, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h106, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h106, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h106, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h106, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h106, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h106, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h108, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h108, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h108, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h108, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h108, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h108, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h110, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h110, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h110, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h110, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h110, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h110, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h80, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h80, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h80, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h80, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h80, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h80, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h81, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h81, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h81, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h81, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h81, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h81, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h83, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h83, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h83, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h83, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h83, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h83, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h85, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h85, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h85, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h85, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h85, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h85, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h87, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h87, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h87, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h87, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h87, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h87, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h88, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h88, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h88, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h88, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h88, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h88, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h90, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h90, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h90, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h90, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h90, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h90, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h92, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h92, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h92, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h92, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h92, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h92, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h94, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h94, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h94, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h94, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h94, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h94, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h64, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h64, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h64, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h64, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h64, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h64, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h65, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h65, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h65, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h65, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h65, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h65, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h67, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h67, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h67, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h67, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h67, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h67, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h69, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h69, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h69, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h69, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h69, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h69, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h71, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h71, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h71, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h71, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h71, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h71, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h72, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h72, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h72, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h72, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h72, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h72, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h74, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h74, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h74, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h74, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h74, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h74, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h76, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h76, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h76, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h76, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h76, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h76, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h78, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h78, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h78, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h78, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h78, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h78, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h48, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h48, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h48, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h48, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h48, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h48, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h49, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h49, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h49, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h49, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h49, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h49, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h51, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h51, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h51, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h51, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h51, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h51, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h53, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h53, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h53, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h53, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h53, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h53, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h55, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h55, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h55, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h55, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h55, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h55, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h56, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h56, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h56, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h56, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h56, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h56, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h58, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h58, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h58, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h58, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h58, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h58, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h60, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h60, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h60, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h60, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h60, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h60, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h62, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h62, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h62, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h62, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h62, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h62, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h32, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h32, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h32, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h32, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h32, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h32, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h33, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h33, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h33, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h33, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h33, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h33, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h35, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h35, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h35, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h35, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h35, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h35, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h37, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h37, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h37, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h37, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h37, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h37, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h39, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h39, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h39, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h39, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h39, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h39, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h40, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h40, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h40, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h40, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h40, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h40, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h42, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h42, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h42, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h42, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h42, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h42, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h44, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h44, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h44, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h44, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h44, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h44, 6, 1)) - 1)) // 3,
+          (((strpos('0123456789abcdef', substr(h46, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h46, 2, 1)) - 1) + ((strpos('0123456789abcdef', substr(h46, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h46, 4, 1)) - 1) + ((strpos('0123456789abcdef', substr(h46, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h46, 6, 1)) - 1)) // 3,
+          (((((strpos('0123456789abcdef', substr(h16, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h16, 2, 1)) - 1) + CASE WHEN v > 0 THEN 128 ELSE 0 END) % 256) + ((((strpos('0123456789abcdef', substr(h16, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h16, 4, 1)) - 1) + CASE WHEN v > 0 THEN 128 ELSE 0 END) % 256) + ((((strpos('0123456789abcdef', substr(h16, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h16, 6, 1)) - 1) + CASE WHEN v > 0 THEN 128 ELSE 0 END) % 256)) // 3,
+          (((((strpos('0123456789abcdef', substr(h17, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h17, 2, 1)) - 1) + CASE WHEN v > 1 THEN 128 ELSE 0 END) % 256) + ((((strpos('0123456789abcdef', substr(h17, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h17, 4, 1)) - 1) + CASE WHEN v > 1 THEN 128 ELSE 0 END) % 256) + ((((strpos('0123456789abcdef', substr(h17, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h17, 6, 1)) - 1) + CASE WHEN v > 1 THEN 128 ELSE 0 END) % 256)) // 3,
+          (((((strpos('0123456789abcdef', substr(h19, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h19, 2, 1)) - 1) + CASE WHEN v > 3 THEN 128 ELSE 0 END) % 256) + ((((strpos('0123456789abcdef', substr(h19, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h19, 4, 1)) - 1) + CASE WHEN v > 3 THEN 128 ELSE 0 END) % 256) + ((((strpos('0123456789abcdef', substr(h19, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h19, 6, 1)) - 1) + CASE WHEN v > 3 THEN 128 ELSE 0 END) % 256)) // 3,
+          (((((strpos('0123456789abcdef', substr(h21, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h21, 2, 1)) - 1) + CASE WHEN v > 1 THEN 128 ELSE 0 END) % 256) + ((((strpos('0123456789abcdef', substr(h21, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h21, 4, 1)) - 1) + CASE WHEN v > 1 THEN 128 ELSE 0 END) % 256) + ((((strpos('0123456789abcdef', substr(h21, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h21, 6, 1)) - 1) + CASE WHEN v > 1 THEN 128 ELSE 0 END) % 256)) // 3,
+          (((((strpos('0123456789abcdef', substr(h23, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h23, 2, 1)) - 1) + CASE WHEN v > 3 THEN 128 ELSE 0 END) % 256) + ((((strpos('0123456789abcdef', substr(h23, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h23, 4, 1)) - 1) + CASE WHEN v > 3 THEN 128 ELSE 0 END) % 256) + ((((strpos('0123456789abcdef', substr(h23, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h23, 6, 1)) - 1) + CASE WHEN v > 3 THEN 128 ELSE 0 END) % 256)) // 3,
+          (((((strpos('0123456789abcdef', substr(h24, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h24, 2, 1)) - 1) + CASE WHEN v > 0 THEN 128 ELSE 0 END) % 256) + ((((strpos('0123456789abcdef', substr(h24, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h24, 4, 1)) - 1) + CASE WHEN v > 0 THEN 128 ELSE 0 END) % 256) + ((((strpos('0123456789abcdef', substr(h24, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h24, 6, 1)) - 1) + CASE WHEN v > 0 THEN 128 ELSE 0 END) % 256)) // 3,
+          (((((strpos('0123456789abcdef', substr(h26, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h26, 2, 1)) - 1) + CASE WHEN v > 2 THEN 128 ELSE 0 END) % 256) + ((((strpos('0123456789abcdef', substr(h26, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h26, 4, 1)) - 1) + CASE WHEN v > 2 THEN 128 ELSE 0 END) % 256) + ((((strpos('0123456789abcdef', substr(h26, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h26, 6, 1)) - 1) + CASE WHEN v > 2 THEN 128 ELSE 0 END) % 256)) // 3,
+          (((((strpos('0123456789abcdef', substr(h28, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h28, 2, 1)) - 1) + CASE WHEN v > 0 THEN 128 ELSE 0 END) % 256) + ((((strpos('0123456789abcdef', substr(h28, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h28, 4, 1)) - 1) + CASE WHEN v > 0 THEN 128 ELSE 0 END) % 256) + ((((strpos('0123456789abcdef', substr(h28, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h28, 6, 1)) - 1) + CASE WHEN v > 0 THEN 128 ELSE 0 END) % 256)) // 3,
+          (((((strpos('0123456789abcdef', substr(h30, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h30, 2, 1)) - 1) + CASE WHEN v > 2 THEN 128 ELSE 0 END) % 256) + ((((strpos('0123456789abcdef', substr(h30, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h30, 4, 1)) - 1) + CASE WHEN v > 2 THEN 128 ELSE 0 END) % 256) + ((((strpos('0123456789abcdef', substr(h30, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h30, 6, 1)) - 1) + CASE WHEN v > 2 THEN 128 ELSE 0 END) % 256)) // 3,
+          (((((strpos('0123456789abcdef', substr(h0, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h0, 2, 1)) - 1) + CASE WHEN v > 0 THEN 128 ELSE 0 END) % 256) + ((((strpos('0123456789abcdef', substr(h0, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h0, 4, 1)) - 1) + CASE WHEN v > 0 THEN 128 ELSE 0 END) % 256) + ((((strpos('0123456789abcdef', substr(h0, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h0, 6, 1)) - 1) + CASE WHEN v > 0 THEN 128 ELSE 0 END) % 256)) // 3,
+          (((((strpos('0123456789abcdef', substr(h1, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h1, 2, 1)) - 1) + CASE WHEN v > 1 THEN 128 ELSE 0 END) % 256) + ((((strpos('0123456789abcdef', substr(h1, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h1, 4, 1)) - 1) + CASE WHEN v > 1 THEN 128 ELSE 0 END) % 256) + ((((strpos('0123456789abcdef', substr(h1, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h1, 6, 1)) - 1) + CASE WHEN v > 1 THEN 128 ELSE 0 END) % 256)) // 3,
+          (((((strpos('0123456789abcdef', substr(h3, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h3, 2, 1)) - 1) + CASE WHEN v > 3 THEN 128 ELSE 0 END) % 256) + ((((strpos('0123456789abcdef', substr(h3, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h3, 4, 1)) - 1) + CASE WHEN v > 3 THEN 128 ELSE 0 END) % 256) + ((((strpos('0123456789abcdef', substr(h3, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h3, 6, 1)) - 1) + CASE WHEN v > 3 THEN 128 ELSE 0 END) % 256)) // 3,
+          (((((strpos('0123456789abcdef', substr(h5, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h5, 2, 1)) - 1) + CASE WHEN v > 1 THEN 128 ELSE 0 END) % 256) + ((((strpos('0123456789abcdef', substr(h5, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h5, 4, 1)) - 1) + CASE WHEN v > 1 THEN 128 ELSE 0 END) % 256) + ((((strpos('0123456789abcdef', substr(h5, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h5, 6, 1)) - 1) + CASE WHEN v > 1 THEN 128 ELSE 0 END) % 256)) // 3,
+          (((((strpos('0123456789abcdef', substr(h7, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h7, 2, 1)) - 1) + CASE WHEN v > 3 THEN 128 ELSE 0 END) % 256) + ((((strpos('0123456789abcdef', substr(h7, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h7, 4, 1)) - 1) + CASE WHEN v > 3 THEN 128 ELSE 0 END) % 256) + ((((strpos('0123456789abcdef', substr(h7, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h7, 6, 1)) - 1) + CASE WHEN v > 3 THEN 128 ELSE 0 END) % 256)) // 3,
+          (((((strpos('0123456789abcdef', substr(h8, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h8, 2, 1)) - 1) + CASE WHEN v > 0 THEN 128 ELSE 0 END) % 256) + ((((strpos('0123456789abcdef', substr(h8, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h8, 4, 1)) - 1) + CASE WHEN v > 0 THEN 128 ELSE 0 END) % 256) + ((((strpos('0123456789abcdef', substr(h8, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h8, 6, 1)) - 1) + CASE WHEN v > 0 THEN 128 ELSE 0 END) % 256)) // 3,
+          (((((strpos('0123456789abcdef', substr(h10, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h10, 2, 1)) - 1) + CASE WHEN v > 2 THEN 128 ELSE 0 END) % 256) + ((((strpos('0123456789abcdef', substr(h10, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h10, 4, 1)) - 1) + CASE WHEN v > 2 THEN 128 ELSE 0 END) % 256) + ((((strpos('0123456789abcdef', substr(h10, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h10, 6, 1)) - 1) + CASE WHEN v > 2 THEN 128 ELSE 0 END) % 256)) // 3,
+          (((((strpos('0123456789abcdef', substr(h12, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h12, 2, 1)) - 1) + CASE WHEN v > 0 THEN 128 ELSE 0 END) % 256) + ((((strpos('0123456789abcdef', substr(h12, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h12, 4, 1)) - 1) + CASE WHEN v > 0 THEN 128 ELSE 0 END) % 256) + ((((strpos('0123456789abcdef', substr(h12, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h12, 6, 1)) - 1) + CASE WHEN v > 0 THEN 128 ELSE 0 END) % 256)) // 3,
+          (((((strpos('0123456789abcdef', substr(h14, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h14, 2, 1)) - 1) + CASE WHEN v > 2 THEN 128 ELSE 0 END) % 256) + ((((strpos('0123456789abcdef', substr(h14, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h14, 4, 1)) - 1) + CASE WHEN v > 2 THEN 128 ELSE 0 END) % 256) + ((((strpos('0123456789abcdef', substr(h14, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h14, 6, 1)) - 1) + CASE WHEN v > 2 THEN 128 ELSE 0 END) % 256)) // 3] AS g
+  FROM hx
+),
+bnd AS (
+  SELECT doc_id,
+     (CASE WHEN g[2] > g[1] THEN 1 ELSE 0 END
+     + CASE WHEN g[3] > g[2] THEN 2 ELSE 0 END
+     + CASE WHEN g[4] > g[3] THEN 4 ELSE 0 END
+     + CASE WHEN g[5] > g[4] THEN 8 ELSE 0 END
+     + CASE WHEN g[6] > g[5] THEN 16 ELSE 0 END
+     + CASE WHEN g[7] > g[6] THEN 32 ELSE 0 END
+     + CASE WHEN g[8] > g[7] THEN 64 ELSE 0 END
+     + CASE WHEN g[9] > g[8] THEN 128 ELSE 0 END
+     + CASE WHEN g[11] > g[10] THEN 256 ELSE 0 END
+     + CASE WHEN g[12] > g[11] THEN 512 ELSE 0 END
+     + CASE WHEN g[13] > g[12] THEN 1024 ELSE 0 END
+     + CASE WHEN g[14] > g[13] THEN 2048 ELSE 0 END
+     + CASE WHEN g[15] > g[14] THEN 4096 ELSE 0 END
+     + CASE WHEN g[16] > g[15] THEN 8192 ELSE 0 END
+     + CASE WHEN g[17] > g[16] THEN 16384 ELSE 0 END
+     + CASE WHEN g[18] > g[17] THEN 32768 ELSE 0 END) AS b0,
+     (CASE WHEN g[20] > g[19] THEN 1 ELSE 0 END
+     + CASE WHEN g[21] > g[20] THEN 2 ELSE 0 END
+     + CASE WHEN g[22] > g[21] THEN 4 ELSE 0 END
+     + CASE WHEN g[23] > g[22] THEN 8 ELSE 0 END
+     + CASE WHEN g[24] > g[23] THEN 16 ELSE 0 END
+     + CASE WHEN g[25] > g[24] THEN 32 ELSE 0 END
+     + CASE WHEN g[26] > g[25] THEN 64 ELSE 0 END
+     + CASE WHEN g[27] > g[26] THEN 128 ELSE 0 END
+     + CASE WHEN g[29] > g[28] THEN 256 ELSE 0 END
+     + CASE WHEN g[30] > g[29] THEN 512 ELSE 0 END
+     + CASE WHEN g[31] > g[30] THEN 1024 ELSE 0 END
+     + CASE WHEN g[32] > g[31] THEN 2048 ELSE 0 END
+     + CASE WHEN g[33] > g[32] THEN 4096 ELSE 0 END
+     + CASE WHEN g[34] > g[33] THEN 8192 ELSE 0 END
+     + CASE WHEN g[35] > g[34] THEN 16384 ELSE 0 END
+     + CASE WHEN g[36] > g[35] THEN 32768 ELSE 0 END) AS b1,
+     (CASE WHEN g[38] > g[37] THEN 1 ELSE 0 END
+     + CASE WHEN g[39] > g[38] THEN 2 ELSE 0 END
+     + CASE WHEN g[40] > g[39] THEN 4 ELSE 0 END
+     + CASE WHEN g[41] > g[40] THEN 8 ELSE 0 END
+     + CASE WHEN g[42] > g[41] THEN 16 ELSE 0 END
+     + CASE WHEN g[43] > g[42] THEN 32 ELSE 0 END
+     + CASE WHEN g[44] > g[43] THEN 64 ELSE 0 END
+     + CASE WHEN g[45] > g[44] THEN 128 ELSE 0 END
+     + CASE WHEN g[47] > g[46] THEN 256 ELSE 0 END
+     + CASE WHEN g[48] > g[47] THEN 512 ELSE 0 END
+     + CASE WHEN g[49] > g[48] THEN 1024 ELSE 0 END
+     + CASE WHEN g[50] > g[49] THEN 2048 ELSE 0 END
+     + CASE WHEN g[51] > g[50] THEN 4096 ELSE 0 END
+     + CASE WHEN g[52] > g[51] THEN 8192 ELSE 0 END
+     + CASE WHEN g[53] > g[52] THEN 16384 ELSE 0 END
+     + CASE WHEN g[54] > g[53] THEN 32768 ELSE 0 END) AS b2,
+     (CASE WHEN g[56] > g[55] THEN 1 ELSE 0 END
+     + CASE WHEN g[57] > g[56] THEN 2 ELSE 0 END
+     + CASE WHEN g[58] > g[57] THEN 4 ELSE 0 END
+     + CASE WHEN g[59] > g[58] THEN 8 ELSE 0 END
+     + CASE WHEN g[60] > g[59] THEN 16 ELSE 0 END
+     + CASE WHEN g[61] > g[60] THEN 32 ELSE 0 END
+     + CASE WHEN g[62] > g[61] THEN 64 ELSE 0 END
+     + CASE WHEN g[63] > g[62] THEN 128 ELSE 0 END
+     + CASE WHEN g[65] > g[64] THEN 256 ELSE 0 END
+     + CASE WHEN g[66] > g[65] THEN 512 ELSE 0 END
+     + CASE WHEN g[67] > g[66] THEN 1024 ELSE 0 END
+     + CASE WHEN g[68] > g[67] THEN 2048 ELSE 0 END
+     + CASE WHEN g[69] > g[68] THEN 4096 ELSE 0 END
+     + CASE WHEN g[70] > g[69] THEN 8192 ELSE 0 END
+     + CASE WHEN g[71] > g[70] THEN 16384 ELSE 0 END
+     + CASE WHEN g[72] > g[71] THEN 32768 ELSE 0 END) AS b3
+  FROM gr
+),
+ex AS (
+  SELECT doc_id, 0 AS j, b0 AS w, b0, b1, b2, b3 FROM bnd UNION ALL
+  SELECT doc_id, 1, b1, b0, b1, b2, b3 FROM bnd UNION ALL
+  SELECT doc_id, 2, b2, b0, b1, b2, b3 FROM bnd UNION ALL
+  SELECT doc_id, 3, b3, b0, b1, b2, b3 FROM bnd
+),
+ok AS (SELECT j, w FROM ex GROUP BY j, w HAVING count(*) <= 50),
+exk AS (SELECT ex.* FROM ex JOIN ok USING (j, w))
+SELECT id_a, id_b, hamming FROM (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+              AS BIGINT) AS hamming
+  FROM exk a JOIN exk b
+    ON a.j = b.j AND a.w = b.w AND a.doc_id < b.doc_id
+) WHERE hamming <= 12
+"""
+
+
+@register(
+    "multimodal_phash_dedup",
+    PHASH_DEDUP_ORACLE,
+    "Image near-duplicate dedup via perceptual hash (dHash, Krawetz) - "
+    "the round-8 VERDICT gap: decoders and banding existed but nothing "
+    "composed them, and every multimodal training corpus dedups images "
+    "(the reference has no image path at all). Complete 16x8 BMPs are "
+    "built from md5-noise pixel formulas (groups of 4 doc_ids share a "
+    "base image, variants perturb only the bottom two rows), REALLY "
+    "decoded (header offsets, 4-byte stride, bottom-up rows), grayscale "
+    "9x8-grid difference-hashed into four 16-bit bands executor-side "
+    "(Arrow mapInPandas), then paired by band equi-join with the dedup "
+    "family's hot-bucket cap and verified EXACTLY with bit_count(xor) "
+    "in Catalyst. The oracle replays pixels, grays, all 64 hash bits, "
+    "banding, and Hamming verification from the generating formulas - "
+    "a wrong stride, flipped row order, or off-by-one grid sample "
+    "hash-mismatches. Scale: the hash index is ~1e-6 of payload bytes; "
+    "ONE (band, word) shuffle; pair mass bounded by band buckets, "
+    "never all-pairs.",
+)
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.multimodal.phash import (
+        phash_bands,
+        phash_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    bands = phash_bands(docs, "doc_id")
+    return phash_near_dup_pairs(bands, max_hamming=12, max_bucket=50).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+BPE_TRAIN_ORACLE = """
+WITH occ AS (
+  SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents
+),
+vocab AS (SELECT word, count(*) AS cnt FROM occ GROUP BY 1),
+v0 AS (
+  SELECT word, cnt,
+         list_transform(generate_series(1, len(word)), i -> word[i]) AS syms
+  FROM vocab
+),
+p1 AS (
+  SELECT syms[i] AS l, syms[i+1] AS r, sum(cnt) AS c
+  FROM (SELECT cnt, syms, UNNEST(generate_series(1, len(syms) - 1)) AS i
+        FROM v0 WHERE len(syms) >= 2)
+  GROUP BY 1, 2
+),
+b1 AS (SELECT l, r, CAST(c AS BIGINT) AS c
+         FROM p1 ORDER BY c DESC, l, r LIMIT 1),
+v1 AS (
+  SELECT v.word, v.cnt,
+         str_split(list_reduce(v.syms, (acc, x) ->
+           CASE WHEN (acc = b.l OR ends_with(acc, chr(9) || b.l))
+                     AND x = b.r
+                THEN acc || b.r ELSE acc || chr(9) || x END),
+           chr(9)) AS syms
+  FROM v0 v, b1 b
+),
+s1 AS (
+  SELECT CAST(1 AS BIGINT) AS rank, b.l AS lft, b.r AS rgt,
+         b.c AS pair_count,
+         (SELECT CAST(sum(cnt * len(syms)) AS BIGINT) FROM v1)
+           AS tokens_after
+  FROM b1 b
+),
+p2 AS (
+  SELECT syms[i] AS l, syms[i+1] AS r, sum(cnt) AS c
+  FROM (SELECT cnt, syms, UNNEST(generate_series(1, len(syms) - 1)) AS i
+        FROM v1 WHERE len(syms) >= 2)
+  GROUP BY 1, 2
+),
+b2 AS (SELECT l, r, CAST(c AS BIGINT) AS c
+         FROM p2 ORDER BY c DESC, l, r LIMIT 1),
+v2 AS (
+  SELECT v.word, v.cnt,
+         str_split(list_reduce(v.syms, (acc, x) ->
+           CASE WHEN (acc = b.l OR ends_with(acc, chr(9) || b.l))
+                     AND x = b.r
+                THEN acc || b.r ELSE acc || chr(9) || x END),
+           chr(9)) AS syms
+  FROM v1 v, b2 b
+),
+s2 AS (
+  SELECT CAST(2 AS BIGINT) AS rank, b.l AS lft, b.r AS rgt,
+         b.c AS pair_count,
+         (SELECT CAST(sum(cnt * len(syms)) AS BIGINT) FROM v2)
+           AS tokens_after
+  FROM b2 b
+),
+p3 AS (
+  SELECT syms[i] AS l, syms[i+1] AS r, sum(cnt) AS c
+  FROM (SELECT cnt, syms, UNNEST(generate_series(1, len(syms) - 1)) AS i
+        FROM v2 WHERE len(syms) >= 2)
+  GROUP BY 1, 2
+),
+b3 AS (SELECT l, r, CAST(c AS BIGINT) AS c
+         FROM p3 ORDER BY c DESC, l, r LIMIT 1),
+v3 AS (
+  SELECT v.word, v.cnt,
+         str_split(list_reduce(v.syms, (acc, x) ->
+           CASE WHEN (acc = b.l OR ends_with(acc, chr(9) || b.l))
+                     AND x = b.r
+                THEN acc || b.r ELSE acc || chr(9) || x END),
+           chr(9)) AS syms
+  FROM v2 v, b3 b
+),
+s3 AS (
+  SELECT CAST(3 AS BIGINT) AS rank, b.l AS lft, b.r AS rgt,
+         b.c AS pair_count,
+         (SELECT CAST(sum(cnt * len(syms)) AS BIGINT) FROM v3)
+           AS tokens_after
+  FROM b3 b
+),
+p4 AS (
+  SELECT syms[i] AS l, syms[i+1] AS r, sum(cnt) AS c
+  FROM (SELECT cnt, syms, UNNEST(generate_series(1, len(syms) - 1)) AS i
+        FROM v3 WHERE len(syms) >= 2)
+  GROUP BY 1, 2
+),
+b4 AS (SELECT l, r, CAST(c AS BIGINT) AS c
+         FROM p4 ORDER BY c DESC, l, r LIMIT 1),
+v4 AS (
+  SELECT v.word, v.cnt,
+         str_split(list_reduce(v.syms, (acc, x) ->
+           CASE WHEN (acc = b.l OR ends_with(acc, chr(9) || b.l))
+                     AND x = b.r
+                THEN acc || b.r ELSE acc || chr(9) || x END),
+           chr(9)) AS syms
+  FROM v3 v, b4 b
+),
+s4 AS (
+  SELECT CAST(4 AS BIGINT) AS rank, b.l AS lft, b.r AS rgt,
+         b.c AS pair_count,
+         (SELECT CAST(sum(cnt * len(syms)) AS BIGINT) FROM v4)
+           AS tokens_after
+  FROM b4 b
+),
+p5 AS (
+  SELECT syms[i] AS l, syms[i+1] AS r, sum(cnt) AS c
+  FROM (SELECT cnt, syms, UNNEST(generate_series(1, len(syms) - 1)) AS i
+        FROM v4 WHERE len(syms) >= 2)
+  GROUP BY 1, 2
+),
+b5 AS (SELECT l, r, CAST(c AS BIGINT) AS c
+         FROM p5 ORDER BY c DESC, l, r LIMIT 1),
+v5 AS (
+  SELECT v.word, v.cnt,
+         str_split(list_reduce(v.syms, (acc, x) ->
+           CASE WHEN (acc = b.l OR ends_with(acc, chr(9) || b.l))
+                     AND x = b.r
+                THEN acc || b.r ELSE acc || chr(9) || x END),
+           chr(9)) AS syms
+  FROM v4 v, b5 b
+),
+s5 AS (
+  SELECT CAST(5 AS BIGINT) AS rank, b.l AS lft, b.r AS rgt,
+         b.c AS pair_count,
+         (SELECT CAST(sum(cnt * len(syms)) AS BIGINT) FROM v5)
+           AS tokens_after
+  FROM b5 b
+),
+p6 AS (
+  SELECT syms[i] AS l, syms[i+1] AS r, sum(cnt) AS c
+  FROM (SELECT cnt, syms, UNNEST(generate_series(1, len(syms) - 1)) AS i
+        FROM v5 WHERE len(syms) >= 2)
+  GROUP BY 1, 2
+),
+b6 AS (SELECT l, r, CAST(c AS BIGINT) AS c
+         FROM p6 ORDER BY c DESC, l, r LIMIT 1),
+v6 AS (
+  SELECT v.word, v.cnt,
+         str_split(list_reduce(v.syms, (acc, x) ->
+           CASE WHEN (acc = b.l OR ends_with(acc, chr(9) || b.l))
+                     AND x = b.r
+                THEN acc || b.r ELSE acc || chr(9) || x END),
+           chr(9)) AS syms
+  FROM v5 v, b6 b
+),
+s6 AS (
+  SELECT CAST(6 AS BIGINT) AS rank, b.l AS lft, b.r AS rgt,
+         b.c AS pair_count,
+         (SELECT CAST(sum(cnt * len(syms)) AS BIGINT) FROM v6)
+           AS tokens_after
+  FROM b6 b
+),
+p7 AS (
+  SELECT syms[i] AS l, syms[i+1] AS r, sum(cnt) AS c
+  FROM (SELECT cnt, syms, UNNEST(generate_series(1, len(syms) - 1)) AS i
+        FROM v6 WHERE len(syms) >= 2)
+  GROUP BY 1, 2
+),
+b7 AS (SELECT l, r, CAST(c AS BIGINT) AS c
+         FROM p7 ORDER BY c DESC, l, r LIMIT 1),
+v7 AS (
+  SELECT v.word, v.cnt,
+         str_split(list_reduce(v.syms, (acc, x) ->
+           CASE WHEN (acc = b.l OR ends_with(acc, chr(9) || b.l))
+                     AND x = b.r
+                THEN acc || b.r ELSE acc || chr(9) || x END),
+           chr(9)) AS syms
+  FROM v6 v, b7 b
+),
+s7 AS (
+  SELECT CAST(7 AS BIGINT) AS rank, b.l AS lft, b.r AS rgt,
+         b.c AS pair_count,
+         (SELECT CAST(sum(cnt * len(syms)) AS BIGINT) FROM v7)
+           AS tokens_after
+  FROM b7 b
+),
+p8 AS (
+  SELECT syms[i] AS l, syms[i+1] AS r, sum(cnt) AS c
+  FROM (SELECT cnt, syms, UNNEST(generate_series(1, len(syms) - 1)) AS i
+        FROM v7 WHERE len(syms) >= 2)
+  GROUP BY 1, 2
+),
+b8 AS (SELECT l, r, CAST(c AS BIGINT) AS c
+         FROM p8 ORDER BY c DESC, l, r LIMIT 1),
+v8 AS (
+  SELECT v.word, v.cnt,
+         str_split(list_reduce(v.syms, (acc, x) ->
+           CASE WHEN (acc = b.l OR ends_with(acc, chr(9) || b.l))
+                     AND x = b.r
+                THEN acc || b.r ELSE acc || chr(9) || x END),
+           chr(9)) AS syms
+  FROM v7 v, b8 b
+),
+s8 AS (
+  SELECT CAST(8 AS BIGINT) AS rank, b.l AS lft, b.r AS rgt,
+         b.c AS pair_count,
+         (SELECT CAST(sum(cnt * len(syms)) AS BIGINT) FROM v8)
+           AS tokens_after
+  FROM b8 b
+)
+SELECT * FROM s1
+UNION ALL
+SELECT * FROM s2
+UNION ALL
+SELECT * FROM s3
+UNION ALL
+SELECT * FROM s4
+UNION ALL
+SELECT * FROM s5
+UNION ALL
+SELECT * FROM s6
+UNION ALL
+SELECT * FROM s7
+UNION ALL
+SELECT * FROM s8
+"""
+
+
+@register(
+    "text_bpe_train",
+    BPE_TRAIN_ORACLE,
+    "Distributed BPE merge TRAINING (Sennrich et al. 2016) - learns the "
+    "merge table bpe_encode/text_bpe_encode apply from a pinned one "
+    "(operators/text_stats.py BPE_MERGES): 8 unrolled rounds, each ONE "
+    "vocabulary-level (l, r) pair aggregation weighted by word counts, "
+    "a 1-row argmax winner ((count desc, l, r) tiebreak) joined back by "
+    "broadcast (no driver collect), and the same left-to-right fold "
+    "bpe_encode uses to apply it. Output is the learned table in rank "
+    "order plus the corpus token count after each merge - the "
+    "compression curve that justifies a vocabulary budget; the rows "
+    "feed bpe_encode(word, merges=...) directly (pinned by pytest). "
+    "Oracle: 8 chained CTE rounds, the graph_pagerank_centrality "
+    "unrolled pattern, sharing the encode oracle's list_reduce fold "
+    "idiom. Scale: the corpus is tokenized/counted ONCE; every round "
+    "runs at vocabulary scale (Heaps law), so 100x the corpus grows "
+    "the per-round aggregation input hardly at all.",
+)
+def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.text_stats import bpe_train_merges
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return bpe_train_merges(docs, "text", rounds=8)
+
+
 # The round driver validates a *prefix* of the queries() dict (each round
 # records exactly the first 50 entries in insertion order). Round 9 rotation,
 # in priority order:
@@ -13397,6 +13924,8 @@ DRIVER_ORDER: list[str] = [
     "rel_part_brand_stats",
     "rel_cube_flag_status",
     "stream_bm25_append",       # fingerprint-matched standing-index reuse
+    "multimodal_phash_dedup",   # NEW: dHash image near-dup (VERDICT ask #3)
+    "text_bpe_train",           # NEW: distributed BPE merge training (ask #4)
     # -- (4) round-5-generation refresh fill (only entries inside the first
     #        50 get a driver row; the rest stay r5 and queue for round 10) --
     "text_bigram_logprob",

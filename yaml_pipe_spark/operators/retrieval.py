@@ -375,6 +375,92 @@ class Bm25IndexStore:
             version,
         )
 
+    # -- standing snapshot: rewind an appended index without recopying it
+    def snapshot_manifest(self) -> None:
+        """Persist the store's current PHYSICAL state (tf/dl part-file
+        names, live cf generation, meta bytes) so restore_manifest() can
+        rewind any later append chain to this exact state by deleting the
+        appended part-files and swapping the cf pointer back — file
+        surgery proportional to the INCREMENT, never a wholesale index
+        copy (the copytree this replaces cost a full token-scale parquet
+        rewrite per benched stream drain). LOCAL FILESYSTEM ONLY, the
+        same documented boundary as commit_band_state's pointer ops;
+        production rewinds use a transactional table format's time
+        travel instead."""
+        import json
+        import os
+        import shutil
+
+        with open(
+            os.path.join(self.base_path, "cf.current"), encoding="utf-8"
+        ) as f:
+            cf_cur = f.read().strip()
+        man = {
+            "tf": sorted(os.listdir(self.tf_path)),
+            "dl": sorted(os.listdir(self.dl_path)),
+            "cf": cf_cur,
+        }
+        meta_bak = os.path.join(self.base_path, "meta_standing")
+        shutil.rmtree(meta_bak, ignore_errors=True)
+        shutil.copytree(self.meta_path, meta_bak)
+        tmp = os.path.join(self.base_path, ".standing_manifest.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(man, f)
+        os.replace(
+            tmp, os.path.join(self.base_path, "standing_manifest.json")
+        )
+
+    def restore_manifest(self) -> bool:
+        """Rewind the store to the snapshot_manifest() state: delete
+        tf/dl files the manifest doesn't list, point cf back at the
+        snapshotted generation (dropping newer ones), restore the meta
+        bytes, and clear the streaming applied-markers (a rewound store
+        has applied nothing). Returns False when no manifest exists; the
+        caller falls back to a clean rebuild. A caller that must be sure
+        should follow with is_stale(standing) — a half-deleted rewind
+        shows up as a stale fingerprint, never a silently wrong serve."""
+        import json
+        import os
+        import shutil
+
+        mp = os.path.join(self.base_path, "standing_manifest.json")
+        meta_bak = os.path.join(self.base_path, "meta_standing")
+        if not (os.path.exists(mp) and os.path.isdir(meta_bak)):
+            return False
+        with open(mp, encoding="utf-8") as f:
+            man = json.load(f)
+        for sub, keep in (("tf", set(man["tf"])), ("dl", set(man["dl"]))):
+            d = os.path.join(self.base_path, sub)
+            if not os.path.isdir(d):
+                return False
+            for fn in os.listdir(d):
+                if fn not in keep:
+                    os.remove(os.path.join(d, fn))
+        # cf pointer back to the snapshotted generation; GC every other
+        # generation (commit_band_state will treat it as the predecessor)
+        cf_dir = os.path.join(self.base_path, man["cf"])
+        if not os.path.isdir(cf_dir):
+            return False
+        tmp = os.path.join(self.base_path, ".cf.current.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(man["cf"])
+        os.replace(tmp, os.path.join(self.base_path, "cf.current"))
+        for d in os.listdir(self.base_path):
+            if (
+                d.startswith("cf_v")
+                and d != man["cf"]
+                and d.split("_v")[-1].isdigit()
+            ):
+                shutil.rmtree(
+                    os.path.join(self.base_path, d), ignore_errors=True
+                )
+        shutil.rmtree(self.meta_path, ignore_errors=True)
+        shutil.copytree(meta_bak, self.meta_path)
+        shutil.rmtree(
+            os.path.join(self.base_path, "applied"), ignore_errors=True
+        )
+        return True
+
     def serve(self, k: int = 10) -> DataFrame:
         """BM25 top-k for the standard pseudo-query set off the PERSISTED
         tables only — no corpus access, no tokenization: qterms come from

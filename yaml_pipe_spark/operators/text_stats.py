@@ -284,24 +284,34 @@ BPE_MERGES: list[tuple[str, str]] = [
 _BPE_RANK = {pair: i for i, pair in enumerate(BPE_MERGES)}
 
 
-def bpe_encode(word: str) -> list[str]:
+def bpe_encode(
+    word: str, merges: list[tuple[str, str]] | None = None
+) -> list[str]:
     """The real BPE merge loop: repeatedly find the LOWEST-rank adjacent
     symbol pair present and merge its occurrences left-to-right
     (non-overlapping) until no pair is in the table. The per-rank pass is
     a fold — merge when the accumulator's last symbol equals l and the
     incoming symbol equals r — which is exactly the left-to-right
     non-overlap semantics ('aaaaa' with merge (a,a) -> [aa, aa, a]) and
-    is mirrored verbatim by the oracle's list_reduce."""
+    is mirrored verbatim by the oracle's list_reduce.
+
+    `merges` defaults to the pinned table; pass the output of
+    bpe_train_merges (rank order) to encode with a corpus-learned one."""
+    if merges is None:
+        table, rank = BPE_MERGES, _BPE_RANK
+    else:
+        table = list(merges)
+        rank = {pair: i for i, pair in enumerate(table)}
     syms = list(word)
     while len(syms) > 1:
         best = None
         for i in range(len(syms) - 1):
-            r = _BPE_RANK.get((syms[i], syms[i + 1]))
+            r = rank.get((syms[i], syms[i + 1]))
             if r is not None and (best is None or r < best):
                 best = r
         if best is None:
             break
-        lft, rgt = BPE_MERGES[best]
+        lft, rgt = table[best]
         out: list[str] = []
         for x in syms:
             if out and out[-1] == lft and x == rgt:
@@ -310,6 +320,114 @@ def bpe_encode(word: str) -> list[str]:
                 out.append(x)
         syms = out
     return syms
+
+
+def bpe_train_merges(
+    df: DataFrame, text_col: str = "text", rounds: int = 8
+) -> DataFrame:
+    """Distributed BPE merge TRAINING (Sennrich et al. 2016) — the missing
+    half of the tokenizer story next to bpe_encode's pinned table: learn
+    `rounds` merges from the corpus itself. Round t is the textbook step:
+    count adjacent symbol pairs over the vocabulary weighted by word
+    occurrence counts, pick the most frequent pair ((count desc, l, r)
+    tiebreak so both engines agree), merge its occurrences left-to-right
+    (the same fold semantics bpe_encode applies), repeat.
+
+    Scale design (the graph_pagerank_centrality unrolled-round pattern):
+    the corpus is tokenized and counted ONCE — everything after runs at
+    VOCABULARY scale (Heaps' law keeps distinct words tiny vs a 100 TB
+    corpus). Each round is one vocab-level (l, r) aggregation, a 1-row
+    winner joined back via broadcast (never a driver collect), and a
+    narrow array fold; localCheckpoint bounds the unrolled plan and the
+    round's winner is computed from a materialized frame, not re-derived.
+
+    Returns (rank BIGINT 1-based, lft, rgt, pair_count BIGINT,
+    tokens_after BIGINT) — tokens_after is the corpus token count after
+    applying merges 1..rank: the compression curve that justifies the
+    vocabulary budget. The output rows, ordered by rank, are exactly the
+    (l, r) table bpe_encode(word, merges=...) consumes."""
+    words = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z]+"), F.lit(0)
+    )
+    vocab = (
+        df.select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    cur = vocab.select(
+        "word",
+        "cnt",
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.col("word").substr(i, F.lit(1)),
+        ).alias("syms"),
+    ).localCheckpoint()
+
+    stats_frames = []
+    for t in range(1, rounds + 1):
+        pairs = (
+            cur.filter(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.get("syms", i - 1).alias("l"),
+                            F.get("syms", i).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").cast("long").alias("pair_count"))
+        )
+        best = (
+            pairs.orderBy(
+                F.col("pair_count").desc(), F.col("l"), F.col("r")
+            )
+            .limit(1)
+            .localCheckpoint()
+        )
+        b = best.select(
+            F.col("l").alias("__l"),
+            F.col("r").alias("__r"),
+        )
+        merged = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.try_element_at(acc, F.lit(-1)) == F.col("__l"))
+                & (x == F.col("__r")),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.concat(F.try_element_at(acc, F.lit(-1)), x)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(b))
+            .select("word", "cnt", merged.alias("syms"))
+            .localCheckpoint()
+        )
+        toks = cur.agg(
+            F.sum(F.col("cnt") * F.size("syms")).cast("long").alias(
+                "tokens_after"
+            )
+        )
+        stats_frames.append(
+            best.select(
+                F.lit(t).cast("long").alias("rank"),
+                F.col("l").alias("lft"),
+                F.col("r").alias("rgt"),
+                "pair_count",
+            ).crossJoin(F.broadcast(toks))
+        )
+    out = stats_frames[0]
+    for fr in stats_frames[1:]:
+        out = out.unionByName(fr)
+    return out
 
 
 def bpe_token_stats(

@@ -285,19 +285,41 @@ class ChromaDBSink:
                 )
             )
             return
-        # embedded PersistentClient: single-process local store, the
-        # driver-side collect is a property of the target
-        pdf = df.toPandas()
-        for source in pdf["source"].drop_duplicates().tolist():
-            col.delete(where={"source": source})
-        col.add(
-            ids=[
-                content_id(s, t) for s, t in zip(pdf["source"], pdf["text"])
-            ],
-            documents=pdf["text"].tolist(),
-            embeddings=[list(map(float, v)) for v in pdf["embedding"]],
-            metadatas=[{"source": s} for s in pdf["source"]],
-        )
+        # embedded PersistentClient: single-process local store, so the
+        # rows must still funnel through the driver (a property of the
+        # target, not the pipeline) — but they STREAM through in O(batch)
+        # chunks via toLocalIterator, never a full-frame toPandas
+        # (mirrors the LanceDB RecordBatchReader fix; ParquetSink remains
+        # the 100 TB path). Delete-by-source still happens once, first,
+        # from a tiny distinct list; NULL sources are skipped from the
+        # delete (reference falsy-source rule) but their rows still land.
+        sources = [
+            r[0] for r in df.select("source").distinct().collect()
+        ]
+        for source in sources:
+            if source is not None:
+                col.delete(where={"source": source})
+
+        batch: list = []
+
+        def flush() -> None:
+            if not batch:
+                return
+            col.add(
+                ids=[content_id(s, t) for s, t, _ in batch],
+                documents=[t for _, t, _ in batch],
+                embeddings=[list(map(float, v)) for _, _, v in batch],
+                metadatas=[{"source": s} for s, _, _ in batch],
+            )
+            batch.clear()
+
+        for row in df.select(
+            "source", "text", "embedding"
+        ).toLocalIterator(prefetchPartitions=True):
+            batch.append((row["source"], row["text"], row["embedding"]))
+            if len(batch) >= 512:
+                flush()
+        flush()
 
     def read(self, spark: SparkSession) -> DataFrame:  # pragma: no cover
         col = self._client().get_or_create_collection(self.collection_name)
