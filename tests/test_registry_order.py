@@ -75,6 +75,9 @@ ROUND9_MUST_FRONT: set[str] = ROUND9_QUEUE | ROUND4_FILL_CARRYOVER | {
     "rel_cube_flag_status",
     # new in round 9
     "multimodal_phash_dedup",   # dHash image near-dup (VERDICT ask #3)
+    "text_bpe_train",           # distributed BPE merge training (ask #4)
+    # implementation changed in round 9 (restore_manifest amortization)
+    "stream_bm25_append",
 }
 
 # Round-5-generation rows left WITHOUT a fresh row after round 9's 50-slot

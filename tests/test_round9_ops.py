@@ -224,3 +224,13 @@ def test_bpe_encode_rejects_nothing_learned():
 
     # empty learned table = character fallback
     assert bpe_encode("abc", merges=[]) == ["a", "b", "c"]
+
+
+def test_dhash_rejects_top_down_bmp():
+    """Negative biHeight (top-down row order) must fail loudly — walking
+    it bottom-up would silently hash a flipped image and miss its
+    near-dups."""
+    p = bytearray(build_phash_bmp(7))
+    p[22:26] = (-H).to_bytes(4, "little", signed=True)
+    with pytest.raises(NotImplementedError, match="top-down"):
+        dhash_bands(bytes(p))

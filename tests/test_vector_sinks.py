@@ -432,3 +432,34 @@ def test_no_full_frame_topandas_anywhere_in_package():
         and ".toPandas()" in p.read_text(encoding="utf-8")
     ]
     assert offenders == []
+
+
+def test_chroma_http_skips_null_source_deletes(spark, tmp_path):
+    """The REMOTE branch shares the falsy-source rule: a NULL source never
+    reaches col.delete (Chroma where-clauses reject None); its rows still
+    land via the partition writers."""
+    from yaml_pipe_spark.operators.vector_sinks import ChromaDBSink
+
+    log_dir = str(tmp_path)
+    sink = ChromaDBSink(
+        "docs",
+        host="fake-host",
+        port=9999,
+        client_factory=_fake_factory(log_dir),
+    )
+    df = spark.createDataFrame(
+        [("s0", "a", [0.1]), (None, "orphan", [0.2])],
+        "source string, text string, embedding array<double>",
+    )
+    sink.write(df)
+    deletes = [
+        json.load(open(p))["where"]["source"]
+        for p in glob.glob(os.path.join(log_dir, "delete_*.json"))
+    ]
+    assert deletes == ["s0"]
+    adds = [
+        json.load(open(p))
+        for p in glob.glob(os.path.join(log_dir, "add_*.json"))
+    ]
+    docs = sorted(d for a in adds for d in a["documents"])
+    assert docs == ["a", "orphan"]

@@ -28,6 +28,27 @@ from yaml_pipe_spark.functions.text import non_empty
 from yaml_pipe_spark.operators.chunkers import fixed_window_chunks, markdown_chunks
 from yaml_pipe_spark.tables import load_table
 
+def fq_unit_mean(col: Column, unit_dp: int, out_dp: int, n: Column) -> Column:
+    """Floor-quantized mean of a unit_dp-rounded grid value, over EXACT
+    integer unit sums — THE hazard-sweep idiom (ROUND9_NOTES section 1),
+    single-sourced so future hardened sites cannot drift from the
+    contract: sum(round(col*10^unit)::long) is exact (col is already on
+    the unit grid), the one double division is deterministic for
+    identical integers in both engines, and floor has no tie to break.
+    The scale step mirrors the oracle form EXACTLY (multiply when
+    out >= unit, divide otherwise — the two produce different doubles,
+    so the choice is part of the cross-engine contract)."""
+    s = F.sum(F.round(col * float(10 ** unit_dp)).cast("long")).cast("double")
+    if out_dp > unit_dp:
+        q = s * (10 ** (out_dp - unit_dp)) / n
+    elif out_dp == unit_dp:
+        q = s / n
+    else:
+        q = s / (n * (10 ** (unit_dp - out_dp)))
+    return F.floor(q) / float(10 ** out_dp)
+
+
+
 
 @dataclass
 class QueryDef:
@@ -2292,15 +2313,9 @@ def q_text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c4_pass").cast("long").alias("n_pass"),
         # mean over EXACT integer 4dp units, floor-quantized (round-9
         # hazard sweep; see the oracle comment)
-        (
-            F.floor(
-                F.sum(
-                    F.round(F.col("kept_ratio") * 1e4).cast("long")
-                ).cast("double")
-                / F.count("*")
-            )
-            / 1e4
-        ).alias("avg_kept_ratio"),
+        fq_unit_mean(F.col("kept_ratio"), 4, 4, F.count("*")).alias(
+            "avg_kept_ratio"
+        ),
         F.min("cleaned_sha").alias("sample_sha"),
     )
 
@@ -2890,16 +2905,9 @@ def q_rel_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     fam = F.split_part(F.col("p_type"), F.lit(" "), F.lit(1))
     return part.groupBy("p_brand", fam.alias("type_family")).agg(
         F.count("*").alias("n_parts"),
-        (
-            F.floor(
-                F.sum(
-                    F.round(F.col("p_retailprice") * 100).cast("long")
-                ).cast("double")
-                * 100
-                / F.count("*")
-            )
-            / 1e4
-        ).alias("avg_price"),
+        fq_unit_mean(F.col("p_retailprice"), 2, 4, F.count("*")).alias(
+            "avg_price"
+        ),
         F.max("p_size").cast("long").alias("max_size"),
     )
 
@@ -2923,16 +2931,9 @@ def q_rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"),
-        (
-            F.floor(
-                F.sum(F.round(F.col("l_discount") * 100).cast("long")).cast(
-                    "double"
-                )
-                * 100
-                / F.count("*")
-            )
-            / 1e4
-        ).alias("avg_disc"),
+        fq_unit_mean(F.col("l_discount"), 2, 4, F.count("*")).alias(
+            "avg_disc"
+        ),
     )
 
 
@@ -11142,20 +11143,12 @@ def q_q2_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hazard sweep): the per-query metrics are 6dp-rounded grid values,
     # so avg() can land exactly on a 4dp round boundary where engine
     # fold orders disagree
-    def fq_mean(col: str) -> Column:
-        return (
-            F.floor(
-                F.sum(F.round(F.col(col) * 1e6).cast("long")).cast("double")
-                / (F.count("*") * 100)
-            )
-            / 1e4
-        )
-
+    n = F.count("*")
     return m.agg(
-        fq_mean("rr").alias("mrr"),
-        fq_mean("ndcg").alias("ndcg_at_10"),
-        fq_mean("p10").alias("precision_at_10"),
-        F.count("*").cast("long").alias("n_queries"),
+        fq_unit_mean(F.col("rr"), 6, 4, n).alias("mrr"),
+        fq_unit_mean(F.col("ndcg"), 6, 4, n).alias("ndcg_at_10"),
+        fq_unit_mean(F.col("p10"), 6, 4, n).alias("precision_at_10"),
+        n.cast("long").alias("n_queries"),
     )
 
 
@@ -11256,15 +11249,9 @@ def q_dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.sum("is_cand").cast("double") * 1e4 / F.count("*"))
             / 1e4
         ).alias("measured_rate"),
-        (
-            F.floor(
-                F.sum(F.round(F.col("theory") * 1e6).cast("long")).cast(
-                    "double"
-                )
-                / (F.count("*") * 100)
-            )
-            / 1e4
-        ).alias("theory_rate"),
+        fq_unit_mean(F.col("theory"), 6, 4, F.count("*")).alias(
+            "theory_rate"
+        ),
     )
 
 
@@ -12892,10 +12879,13 @@ j AS (
 -- five sums stay exact (DuckDB HUGEINT / Spark decimal(38,0)) and both
 -- engines evaluate the SAME closed form over identical integers
 , s AS (
+  -- HUGEINT products before summing (mirrors Spark's decimal(38,0) cast):
+  -- a BIGINT*BIGINT square would overflow-error for extreme unit values
   SELECT lang, count(*) AS n,
          sum(lp_u) AS sx, sum(qs_u) AS sy,
-         sum(lp_u * lp_u) AS sxx, sum(qs_u * qs_u) AS syy,
-         sum(lp_u * qs_u) AS sxy
+         sum(CAST(lp_u AS HUGEINT) * lp_u) AS sxx,
+         sum(CAST(qs_u AS HUGEINT) * qs_u) AS syy,
+         sum(CAST(lp_u AS HUGEINT) * qs_u) AS sxy
   FROM j GROUP BY lang
 )
 SELECT lang, CAST(n AS BIGINT) AS n_docs,
@@ -12954,13 +12944,18 @@ def q_corpus_ppl_quality_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as the means (ADVICE r8). corr is shift/scale invariant, so Pearson
     # over the units equals Pearson over lp/qs.
     dec = "decimal(38,0)"
+    # cast BEFORE multiplying: a long*long product would silently wrap for
+    # |lp| beyond ~3037 (lp_u^2 > 2^63) — impossible for a per-token mean
+    # logprob, but the decimal product costs nothing and the oracle's
+    # HUGEINT cast mirrors it exactly
+    lp_d, qs_d = F.col("lp_u").cast(dec), F.col("qs_u").cast(dec)
     s = j.groupBy("lang").agg(
         F.count("*").alias("n"),
         F.sum("lp_u").alias("sx"),
         F.sum("qs_u").alias("sy"),
-        F.sum((F.col("lp_u") * F.col("lp_u")).cast(dec)).alias("sxx"),
-        F.sum((F.col("qs_u") * F.col("qs_u")).cast(dec)).alias("syy"),
-        F.sum((F.col("lp_u") * F.col("qs_u")).cast(dec)).alias("sxy"),
+        F.sum(lp_d * lp_d).alias("sxx"),
+        F.sum(qs_d * qs_d).alias("syy"),
+        F.sum(lp_d * qs_d).alias("sxy"),
     )
     n, sx, sy = F.col("n").cast(dec), F.col("sx").cast(dec), F.col("sy").cast(dec)
     vx = (n * F.col("sxx") - sx * sx).cast("double")

@@ -102,8 +102,13 @@ def dhash_bands(payload: bytes) -> list[int]:
     if len(payload) < 54 or payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     data_off = int.from_bytes(payload[10:14], "little")
-    w = abs(int.from_bytes(payload[18:22], "little", signed=True))
-    h = abs(int.from_bytes(payload[22:26], "little", signed=True))
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    if w < 0 or h < 0:
+        # negative biHeight = top-down row order; walking it bottom-up
+        # would silently hash a vertically flipped image — fail loudly
+        # like the compressed case instead of missing its near-dups
+        raise NotImplementedError("top-down BMP not supported")
     if int.from_bytes(payload[30:34], "little") != 0:
         raise NotImplementedError("compressed BMP not supported")
     px = payload[data_off:]

@@ -269,8 +269,13 @@ class ChromaDBSink:
         # list is tiny (distinct file paths), never the chunk rows.
         col = self._client().get_or_create_collection(self.collection_name)
         if self.host is not None:
+            # NULL sources are skipped from the delete (reference
+            # falsy-source rule; Chroma where-clauses reject None) but
+            # their rows still land below
             sources = [
-                r[0] for r in df.select("source").distinct().collect()
+                r[0]
+                for r in df.select("source").distinct().collect()
+                if r[0] is not None
             ]
             for source in sources:
                 col.delete(where={"source": source})
@@ -293,33 +298,41 @@ class ChromaDBSink:
         # the 100 TB path). Delete-by-source still happens once, first,
         # from a tiny distinct list; NULL sources are skipped from the
         # delete (reference falsy-source rule) but their rows still land.
-        sources = [
-            r[0] for r in df.select("source").distinct().collect()
-        ]
-        for source in sources:
-            if source is not None:
+        # the frame is consumed twice (distinct-source pass for the
+        # idempotent deletes, then the row stream) — persist so an
+        # expensive upstream lineage (chunk/embed UDFs) computes once
+        rows = df.select("source", "text", "embedding").persist()
+        try:
+            sources = [
+                r[0]
+                for r in rows.select("source").distinct().collect()
+                if r[0] is not None
+            ]
+            for source in sources:
                 col.delete(where={"source": source})
 
-        batch: list = []
+            batch: list = []
 
-        def flush() -> None:
-            if not batch:
-                return
-            col.add(
-                ids=[content_id(s, t) for s, t, _ in batch],
-                documents=[t for _, t, _ in batch],
-                embeddings=[list(map(float, v)) for _, _, v in batch],
-                metadatas=[{"source": s} for s, _, _ in batch],
-            )
-            batch.clear()
+            def flush() -> None:
+                if not batch:
+                    return
+                col.add(
+                    ids=[content_id(s, t) for s, t, _ in batch],
+                    documents=[t for _, t, _ in batch],
+                    embeddings=[list(map(float, v)) for _, _, v in batch],
+                    metadatas=[{"source": s} for s, _, _ in batch],
+                )
+                batch.clear()
 
-        for row in df.select(
-            "source", "text", "embedding"
-        ).toLocalIterator(prefetchPartitions=True):
-            batch.append((row["source"], row["text"], row["embedding"]))
-            if len(batch) >= 512:
-                flush()
-        flush()
+            for row in rows.toLocalIterator(prefetchPartitions=True):
+                batch.append(
+                    (row["source"], row["text"], row["embedding"])
+                )
+                if len(batch) >= 512:
+                    flush()
+            flush()
+        finally:
+            rows.unpersist()
 
     def read(self, spark: SparkSession) -> DataFrame:  # pragma: no cover
         col = self._client().get_or_create_collection(self.collection_name)

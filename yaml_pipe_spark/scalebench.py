@@ -153,6 +153,34 @@ def _fam_stream_incremental_dedup(spark, docs, emb, tmp):
     return spark.read.parquet(os.path.join(state, "verdicts")).count()
 
 
+def _fam_phash_dedup(spark, docs, emb, tmp):
+    """Perceptual-hash image near-dup (round 9): hashing is a linear
+    per-row Python stage (build + decode + dHash per doc_id); pairing is
+    ONE (band, word) equi-join behind the bucket cap, and the 4-variant
+    group structure keeps found-pair mass linear in n — a superlinear
+    exponent here means the band join lost its cap."""
+    from yaml_pipe_spark.multimodal.phash import (
+        phash_bands,
+        phash_near_dup_pairs,
+    )
+
+    return phash_near_dup_pairs(
+        phash_bands(docs.select("doc_id"), "doc_id")
+    ).count()
+
+
+def _fam_bpe_train(spark, docs, emb, tmp):
+    """Distributed BPE merge training (round 9): ONE corpus tokenize +
+    count, then per-round vocabulary-scale aggregations — with the
+    generator's constant vocabulary the rounds are ~flat and the corpus
+    pass dominates, so the exponent must stay near-linear. Four rounds
+    keep the CI pair fast; the round count multiplies a vocab-scale
+    constant, not the exponent."""
+    from yaml_pipe_spark.operators.text_stats import bpe_train_merges
+
+    return bpe_train_merges(docs, "text", rounds=4).count()
+
+
 FAMILIES = {
     "minhash_lsh_pairs": _fam_minhash_lsh,
     "simhash_cc": _fam_simhash_cc,
@@ -161,6 +189,8 @@ FAMILIES = {
     "bloom_decontaminate": _fam_bloom_decontaminate,
     "stream_bm25_append": _fam_stream_bm25_append,
     "stream_incremental_dedup": _fam_stream_incremental_dedup,
+    "phash_dedup": _fam_phash_dedup,
+    "bpe_train": _fam_bpe_train,
 }
 
 
