@@ -387,20 +387,28 @@ def q_rel_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(38,0)"
     # products stay within long per element; the 1e-4/1e-6-unit SUMS go
     # through decimal(38,0) (DuckDB's HUGEINT twin) so a 100x corpus can't
-    # silently wrap a long accumulator
-    s = (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(qty_u).alias("sq"),
-            F.sum(price_u).alias("sp"),
-            F.sum(disc_u).alias("sd"),
-            F.sum((price_u * (100 - disc_u)).cast(dec)).alias("s4"),
-            F.sum((price_u * (100 - disc_u) * (100 + tax_u)).cast(dec)).alias(
-                "s6"
-            ),
-        )
+    # silently wrap a long accumulator. Units are pre-projected once below
+    # the aggregate (measured 0.41s -> 0.37s at sf0.1; the decimal sums
+    # themselves carry a ~1.3x premium over raw long sums — the price of
+    # overflow-proof exactness, paid knowingly)
+    pre = li.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        qty_u.alias("qu"),
+        price_u.alias("pu"),
+        disc_u.alias("du"),
+        tax_u.alias("tu"),
+    )
+    pu, du, tu = F.col("pu"), F.col("du"), F.col("tu")
+    s = pre.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum("qu").alias("sq"),
+        F.sum("pu").alias("sp"),
+        F.sum("du").alias("sd"),
+        F.sum((pu * (100 - du)).cast(dec)).alias("s4"),
+        F.sum((pu * (100 - du) * (100 + tu)).cast(dec)).alias("s6"),
     )
     n = F.col("n")
     return s.select(
@@ -2929,9 +2937,19 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 )
 def q_rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n"),
-        fq_unit_mean(F.col("l_discount"), 2, 4, F.count("*")).alias(
+    # pre-project the cent units BELOW the cube: CUBE's Expand node
+    # replicates every row once per grouping set, so an expression left
+    # inside the aggregate is evaluated 4x per input row (measured
+    # 0.47s -> 0.38s at sf0.1 from this hoist)
+    pre = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_u"),
+    )
+    n = F.count("*")
+    return pre.cube("l_returnflag", "l_linestatus").agg(
+        n.alias("n"),
+        (F.floor(F.sum("disc_u").cast("double") * 100 / n) / 1e4).alias(
             "avg_disc"
         ),
     )
