@@ -217,3 +217,76 @@ class TestBm25IndexStore:
         st = Bm25IndexStore(str(tmp_path / "ix"))
         st.build(self._docs(spark).filter("doc_id < 24"))
         assert st.restore_manifest() is False  # no snapshot taken
+
+    def test_rewind_refuses_when_manifest_components_missing(
+        self, spark, tmp_path
+    ):
+        """The deterministic fallback contract: if the snapshotted cf
+        generation (or a whole table directory) is gone, restore_manifest
+        returns False and the q_stream_bm25_append gate rebuilds from
+        scratch. (External deletion of an individual data FILE after a
+        completed rewind is outside the fingerprint's sight — same
+        exposure as any parquet store — and is documented as such in the
+        restore_manifest docstring, not claimed.)"""
+        import json
+        import os
+        import shutil
+
+        from yaml_pipe_spark.operators.retrieval import Bm25IndexStore
+
+        docs = self._docs(spark)
+        standing = docs.filter("doc_id < 24")
+        st = Bm25IndexStore(str(tmp_path / "ix"))
+        st.build(standing)
+        st.snapshot_manifest()
+        st.append(docs.filter("doc_id >= 24"))
+        # sabotage 1: the snapshotted cf generation disappears
+        man = json.load(
+            open(os.path.join(st.base_path, "standing_manifest.json"))
+        )
+        shutil.rmtree(os.path.join(st.base_path, man["cf"]))
+        assert st.restore_manifest() is False
+        # sabotage 2: a whole table directory disappears
+        st2 = Bm25IndexStore(str(tmp_path / "ix2"))
+        st2.build(standing)
+        st2.snapshot_manifest()
+        shutil.rmtree(st2.dl_path)
+        assert st2.restore_manifest() is False
+
+    def test_partial_rewind_crash_reads_stale_and_markers_never_linger(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Crash-ordering contract: a rewind that dies mid-file-surgery
+        leaves the APPENDED meta in place, so is_stale(standing) is True
+        and the caller rebuilds — and the applied-markers are already
+        gone (they clear FIRST), so no stale epoch marker can make a
+        later drain silently skip its batch."""
+        import os
+
+        from yaml_pipe_spark.operators.retrieval import Bm25IndexStore
+
+        docs = self._docs(spark)
+        standing = docs.filter("doc_id < 24")
+        st = Bm25IndexStore(str(tmp_path / "ix"))
+        st.build(standing)
+        st.snapshot_manifest()
+        st.append(docs.filter("doc_id >= 24"))
+        os.makedirs(os.path.join(st.base_path, "applied", "batch_0"))
+
+        real_remove = os.remove
+        calls = {"n": 0}
+
+        def dying_remove(path):
+            calls["n"] += 1
+            if calls["n"] >= 2:
+                raise OSError("injected crash mid-rewind")
+            real_remove(path)
+
+        monkeypatch.setattr(os, "remove", dying_remove)
+        with pytest.raises(OSError, match="injected"):
+            st.restore_manifest()
+        monkeypatch.undo()
+        # markers cleared BEFORE the crash point...
+        assert not os.path.isdir(os.path.join(st.base_path, "applied"))
+        # ...and meta never restored -> the standing gate reads stale
+        assert st.is_stale(standing) is True

@@ -158,6 +158,8 @@ def _py_bpe_train(texts: list[str], rounds: int):
             s = syms[w]
             for i in range(len(s) - 1):
                 pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break  # pairs ran dry: both engines truncate the table here
         best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         for w in syms:
             s, merged = syms[w], []
@@ -234,3 +236,28 @@ def test_dhash_rejects_top_down_bmp():
     p[22:26] = (-H).to_bytes(4, "little", signed=True)
     with pytest.raises(NotImplementedError, match="top-down"):
         dhash_bands(bytes(p))
+
+
+def test_bpe_train_property_random_corpora(spark):
+    """Hypothesis-style sweep without per-example Spark jobs being too
+    slow: a handful of adversarial corpora (repeated letters that force
+    overlapping-count vs non-overlap-merge divergence, ties broken
+    lexicographically, single-char words) against the greedy reference."""
+    corpora = [
+        ["aaaaa aaa aa", "aaaa aa"],          # overlap counting vs fold
+        ["abab ababab", "baba bab"],          # alternating, tie-prone
+        ["z y x w v u t s", "s t u v w x"],   # singletons only
+        ["the the the", "thee them theme"],   # shared prefixes
+        ["qq rr qq rr ss", "ss qq rr"],       # exact count ties
+    ]
+    for texts in corpora:
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        rows = (
+            __import__("yaml_pipe_spark.operators.text_stats", fromlist=["x"])
+            .bpe_train_merges(df, rounds=4)
+            .orderBy("rank")
+            .collect()
+        )
+        want = _py_bpe_train(texts, 4)
+        got = [((r.lft, r.rgt), r.pair_count, r.tokens_after) for r in rows]
+        assert got == want, (texts, got, want)

@@ -411,14 +411,28 @@ class Bm25IndexStore:
         )
 
     def restore_manifest(self) -> bool:
-        """Rewind the store to the snapshot_manifest() state: delete
-        tf/dl files the manifest doesn't list, point cf back at the
-        snapshotted generation (dropping newer ones), restore the meta
-        bytes, and clear the streaming applied-markers (a rewound store
-        has applied nothing). Returns False when no manifest exists; the
-        caller falls back to a clean rebuild. A caller that must be sure
-        should follow with is_stale(standing) — a half-deleted rewind
-        shows up as a stale fingerprint, never a silently wrong serve."""
+        """Rewind the store to the snapshot_manifest() state: clear the
+        streaming applied-markers (a rewound store has applied nothing),
+        delete tf/dl files the manifest doesn't list, point cf back at
+        the snapshotted generation (dropping newer ones), and restore
+        the meta bytes LAST. Returns False when no manifest exists; the
+        caller falls back to a clean rebuild.
+
+        Crash ordering contract: markers go FIRST and meta goes LAST, so
+        any partial rewind leaves the APPENDED meta in place and
+        is_stale(standing) reads True — the q_stream_bm25_append gate
+        then rebuilds cleanly. (The dangerous orderings: restoring meta
+        before finishing the file deletes would let a crash serve
+        appended rows under a standing fingerprint; clearing markers
+        after meta would let a crash resurrect old epoch markers that
+        silently skip the next drain's batches.) A missing manifest
+        component (the snapshotted cf generation, a table directory)
+        returns False and the caller rebuilds. Out of scope, stated
+        plainly: EXTERNAL deletion of an individual data file after a
+        completed rewind is invisible to the fingerprint (Spark's file
+        listing may simply omit it) — the same exposure every parquet
+        store in this repo has, mitigated only by a transactional table
+        format in production."""
         import json
         import os
         import shutil
@@ -429,6 +443,9 @@ class Bm25IndexStore:
             return False
         with open(mp, encoding="utf-8") as f:
             man = json.load(f)
+        shutil.rmtree(
+            os.path.join(self.base_path, "applied"), ignore_errors=True
+        )
         for sub, keep in (("tf", set(man["tf"])), ("dl", set(man["dl"]))):
             d = os.path.join(self.base_path, sub)
             if not os.path.isdir(d):
@@ -456,9 +473,6 @@ class Bm25IndexStore:
                 )
         shutil.rmtree(self.meta_path, ignore_errors=True)
         shutil.copytree(meta_bak, self.meta_path)
-        shutil.rmtree(
-            os.path.join(self.base_path, "applied"), ignore_errors=True
-        )
         return True
 
     def serve(self, k: int = 10) -> DataFrame:

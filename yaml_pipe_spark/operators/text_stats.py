@@ -345,7 +345,13 @@ def bpe_train_merges(
     tokens_after BIGINT) — tokens_after is the corpus token count after
     applying merges 1..rank: the compression curve that justifies the
     vocabulary budget. The output rows, ordered by rank, are exactly the
-    (l, r) table bpe_encode(word, merges=...) consumes."""
+    (l, r) table bpe_encode(word, merges=...) consumes.
+
+    If the pair supply runs dry before `rounds` (every word fully
+    merged or single-symbol), the table TRUNCATES at the last real
+    merge — the empty winner frame cascades through the cross joins
+    identically in both engines; the adversarial-corpora test pins the
+    truncated output against the greedy reference."""
     words = F.regexp_extract_all(
         F.lower(F.col(text_col)), F.lit("[a-z]+"), F.lit(0)
     )
