@@ -80,6 +80,13 @@ ROUND9_MUST_FRONT: set[str] = ROUND9_QUEUE | ROUND4_FILL_CARRYOVER | {
     "stream_bm25_append",
 }
 
+# Registered AFTER round 9's 50-slot prefix (locally verified at
+# sf0.001/0.01/0.1) — round 10 must front these alongside the queue
+# below and the 7 deferred hazard-hardening rows (ROUND9_NOTES section 1).
+ROUND10_NEW: set[str] = {
+    "multimodal_phash_clusters",  # phash pairs -> CC -> keep decisions
+}
+
 # Round-5-generation rows left WITHOUT a fresh row after round 9's 50-slot
 # prefix — round 10 must front these (minus any that round 9's fill slots
 # reach) before anything merely stale from r6. Two r5 rows
@@ -126,8 +133,11 @@ ROUND10_QUEUE: set[str] = {
 
 
 def test_round9_queue_is_registered():
-    for name in ROUND9_QUEUE | ROUND4_FILL_CARRYOVER | ROUND10_QUEUE:
+    for name in (
+        ROUND9_QUEUE | ROUND4_FILL_CARRYOVER | ROUND10_QUEUE | ROUND10_NEW
+    ):
         assert name in REGISTRY, name
+        assert REGISTRY[name].oracle is not None, name
 
 
 def test_round9_front_sets_inside_driver_prefix():

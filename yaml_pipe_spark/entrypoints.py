@@ -13865,6 +13865,76 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_merges(docs, "text", rounds=8)
 
 
+# Image near-dup CLUSTERS: the phash pair oracle (with its generated
+# 72-gray-expression body) nested as a CTE, closed transitively with the
+# same WITH RECURSIVE reach pattern as dedup_cluster_resolution, rolled up
+# to keep-decisions. Membership is pinned by an md5 over the numerically
+# sorted member list so a single mis-clustered doc hash-mismatches.
+PHASH_CLUSTERS_ORACLE = (
+    "WITH RECURSIVE p0 AS (" + PHASH_DEDUP_ORACLE + """),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM p0
+  UNION
+  SELECT id_b AS a, id_a AS b FROM p0
+),
+reach(n, m) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+),
+cc AS (SELECT n AS doc_id, min(m) AS rep FROM reach GROUP BY n)
+SELECT rep AS keep_id, CAST(count(*) AS BIGINT) AS n_members,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+         AS members_md5
+FROM cc GROUP BY rep
+"""
+)
+
+
+@register(
+    "multimodal_phash_clusters",
+    PHASH_CLUSTERS_ORACLE,
+    "Image near-dup dedup taken to its KEEP decision: the phash Hamming "
+    "pairs resolve into clusters (iterative min-label propagation, the "
+    "same connected_components the text dedup family uses) and each "
+    "cluster keeps its min-id representative — (keep_id, n_members, "
+    "members_md5), with membership pinned by an md5 over the numerically "
+    "sorted member list. The oracle nests the full generated phash pair "
+    "oracle as a CTE and closes it with WITH RECURSIVE reachability "
+    "(the dedup_cluster_resolution pattern). Scale: pair graph << corpus "
+    "(matched images only), per-round cost is one edge-sized shuffle, "
+    "rounds ~ cluster diameter (<= 4-member groups here). Registered "
+    "after the round-9 50-slot prefix: locally verified at "
+    "sf0.001/0.01/0.1, queued for the round-10 driver front.",
+)
+def q_multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.multimodal.phash import (
+        phash_bands,
+        phash_near_dup_pairs,
+    )
+    from yaml_pipe_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = phash_near_dup_pairs(
+        phash_bands(docs, "doc_id"), max_hamming=12, max_bucket=50
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    # numeric sort BEFORE the string render: sort_array over strings
+    # would order "10" < "2" while the oracle's ORDER BY doc_id is
+    # numeric
+    members = F.concat_ws(
+        ",",
+        F.transform(
+            F.sort_array(F.collect_list("node")),
+            lambda x: x.cast("string"),
+        ),
+    )
+    return cc.groupBy(F.col("cluster_rep").alias("keep_id")).agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.md5(members).alias("members_md5"),
+    )
+
+
 # The round driver validates a *prefix* of the queries() dict (each round
 # records exactly the first 50 entries in insertion order). Round 9 rotation,
 # in priority order:
