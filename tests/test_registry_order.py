@@ -8,90 +8,9 @@ import pytest
 
 from yaml_pipe_spark.entrypoints import DRIVER_ORDER, REGISTRY, queries, oracle_sql
 
-# Round-8's queue: the twenty-nine round-4-generation rows whose newest
-# driver row was still r4 after round 8's 50-slot prefix was spent — round 9
-# MUST front them (VERDICT r8 ask #1).
-ROUND9_QUEUE: set[str] = {
-    "ann_pq_adc_topk",
-    "corpus_ngram_novelty",
-    "corpus_pack_windows",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_blocked",
-    "dedup_substring_span",
-    "emb_covariance",
-    "emb_dim_stats",
-    "emb_matryoshka_agreement",
-    "emb_outlier_zscore",
-    "events_funnel_time",
-    "events_hopping_agg",
-    "events_props_extract",
-    "events_props_json",
-    "events_session_window",
-    "events_tumbling_agg",
-    "multimodal_features",
-    "multimodal_resize",
-    "rel_important_stock",
-    "rel_local_supplier_volume",
-    "rel_min_cost_supplier",
-    "rel_pareto_revenue",
-    "rel_parts_supplier_count",
-    "rel_product_profit",
-    "rel_promotion_suppliers",
-    "rel_revenue_trend",
-    "rel_shipmode_priority",
-    "stream_interval_join_outer",
-    "text_vocab_coverage",
-}
-
-# The eight ROUND4_FILL rows that fell past round 8's 50-entry boundary
-# (new code outranked refresh) — still r4-generation, fronted with the queue.
-ROUND4_FILL_CARRYOVER: set[str] = {
-    "dedup_ngram_jaccard",
-    "dedup_segment_exact",
-    "emb_pca_project",
-    "multimodal_real_decode",
-    "rel_join_key_skew",
-    "rel_shipping_priority",
-    "stream_window_topk",
-    "text_dsir_weight",
-}
-
-# New in round 9, or implementation changed in round 9 (prior driver rows, if
-# any, describe code that no longer exists). Grown as round-9 waves land.
-ROUND9_MUST_FRONT: set[str] = ROUND9_QUEUE | ROUND4_FILL_CARRYOVER | {
-    "corpus_unimax_mix",        # zero-token-source guard (ADVICE r8)
-    "corpus_ppl_quality_corr",  # exact-integer Pearson closed form (ADVICE r8)
-    # float-hazard hardening sweep (VERDICT r9 ask #2): grid-valued
-    # round(avg(...)) and integer-ratio round() sites rewritten to exact
-    # integer-unit sums / floor-quantized ratios. Four more sweep rows
-    # (corpus_ngram_novelty, text_vocab_coverage, rel_pareto_revenue,
-    # events_funnel_time) are already in ROUND9_QUEUE above.
-    "corpus_doremi_weights",
-    "rel_pricing_summary",
-    "q2_ranking_metrics",
-    "dedup_lsh_scurve",
-    "text_c4_filters",
-    "rel_part_brand_stats",
-    "rel_cube_flag_status",
-    # new in round 9
-    "multimodal_phash_dedup",   # dHash image near-dup (VERDICT ask #3)
-    "text_bpe_train",           # distributed BPE merge training (ask #4)
-    # implementation changed in round 9 (restore_manifest amortization)
-    "stream_bm25_append",
-}
-
-# Registered AFTER round 9's 50-slot prefix (locally verified at
-# sf0.001/0.01/0.1) — round 10 must front these alongside the queue
-# below and the 7 deferred hazard-hardening rows (ROUND9_NOTES section 1).
-ROUND10_NEW: set[str] = {
-    "multimodal_phash_clusters",  # phash pairs -> CC -> keep decisions
-}
-
-# Round-5-generation rows left WITHOUT a fresh row after round 9's 50-slot
-# prefix — round 10 must front these (minus any that round 9's fill slots
-# reach) before anything merely stale from r6. Two r5 rows
-# (rel_part_brand_stats, rel_cube_flag_status) are hardened+fronted in
-# round 9 and are deliberately absent here.
+# Round-9's queue: the thirty-six round-5-generation rows whose newest
+# driver row was still r5 after round 9's 50-slot prefix was spent — round
+# 10 MUST front them (VERDICT r9 ask #1).
 ROUND10_QUEUE: set[str] = {
     "agg_salted_user_totals",
     "corpus_ccnet_buckets",
@@ -131,23 +50,91 @@ ROUND10_QUEUE: set[str] = {
     "text_zipf_fit",
 }
 
+# The 7 deferred grid-class float-hazard sites (ROUND9_NOTES section 1
+# deferred list, VERDICT r9 ask #2) — hardened this round, so they are
+# changed queries AND refreshes at once.
+ROUND10_HARDENED: set[str] = {
+    "text_token_bpe",
+    "rel_market_share",
+    "text_decontaminate",
+    "text_shared_ngrams",
+    "events_time_weighted_avg",
+    "events_time_weighted_window",
+    "quality_score_calibration",
+}
 
-def test_round9_queue_is_registered():
-    for name in (
-        ROUND9_QUEUE | ROUND4_FILL_CARRYOVER | ROUND10_QUEUE | ROUND10_NEW
-    ):
+# New in round 10, or implementation changed in round 10 (prior driver
+# rows, if any, describe code that no longer exists). Grown as round-10
+# waves land.
+ROUND10_MUST_FRONT: set[str] = ROUND10_QUEUE | ROUND10_HARDENED | {
+    "multimodal_phash_clusters",  # first driver row + skew-safe digest
+    # grown as round-10 waves land:
+    #   ann_index_forget   — RTBF delete on the persisted IVF-PQ store
+    #   q3_bm25_forget     — RTBF delete on the persisted BM25 store
+    #   multimodal_phash_png — perceptual dedup over PNG payloads
+    #   rel_pricing_summary  — decimal-width reclaim (VERDICT ask #5)
+}
+
+# Round-6-generation rows left WITHOUT a fresh row after round 10's
+# 50-slot prefix — round 11 must front these before anything merely stale
+# from r7. (The five r6 rows hardened or fill-refreshed in round 10 —
+# ROUND10_HARDENED ∩ r6 plus the fill row that makes the prefix — are
+# deliberately absent.)
+ROUND11_QUEUE: set[str] = {
+    "ann_index_persisted",
+    "ann_ivf_nprobe_curve",
+    "ann_ivfpq_residual_topk",
+    "ann_ivfpq_topk",
+    "dedup_minhash_band_curve",
+    "emb_ivf_cell_balance",
+    "events_anomaly_zscore",
+    "events_cms_heavy_hitters",
+    "events_decayed_score",
+    "events_funnel",
+    "events_grouping_sets",
+    "events_interval_join",
+    "events_retention_cohorts",
+    "events_rfm_segments",
+    "events_top_paths",
+    "multimodal_decode_check",
+    "multimodal_gif_decode",
+    "rel_equidepth_histogram",
+    "rel_large_volume_customers",
+    "rel_nation_balance_fulljoin",
+    "rel_price_histogram",
+    "rel_salted_join",
+    "rel_scd2_history",
+    "s1_parse_dispatch",
+    "s1_parse_tar",
+    "s1_parse_warc",
+    "sample_bottom_k_sketch",
+    "sample_weighted",
+    "sql_udtf_chunk",
+    "stream_ann_serve",
+    "stream_incremental_dedup",
+    "t4_timestamp_cursor",
+    "text_bigram_holdout_ppl",
+    "text_bpe_encode",
+    "text_encoding_scrub",
+    "text_entropy",
+    "text_quality_thresholds",
+}
+
+
+def test_round10_queue_is_registered():
+    for name in ROUND10_QUEUE | ROUND10_HARDENED | ROUND11_QUEUE:
         assert name in REGISTRY, name
         assert REGISTRY[name].oracle is not None, name
 
 
-def test_round9_front_sets_inside_driver_prefix():
+def test_round10_front_sets_inside_driver_prefix():
     prefix = set(list(queries())[:50])
-    missing = ROUND9_MUST_FRONT - prefix
+    missing = ROUND10_MUST_FRONT - prefix
     assert not missing, f"outside the 50-entry driver prefix: {missing}"
 
 
-def test_round9_front_queries_registered_and_oracled():
-    for name in ROUND9_MUST_FRONT:
+def test_round10_front_queries_registered_and_oracled():
+    for name in ROUND10_MUST_FRONT:
         assert name in REGISTRY, name
         assert REGISTRY[name].oracle is not None, name
 
@@ -170,7 +157,6 @@ def test_register_rejects_duplicate_names():
         @register("flagship", None)
         def _dup(spark, sf_dir):  # pragma: no cover
             raise AssertionError
-
 
 def test_every_registry_entry_is_emitted():
     names = list(queries())

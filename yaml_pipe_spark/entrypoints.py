@@ -13884,8 +13884,8 @@ reach(n, m) AS (
 ),
 cc AS (SELECT n AS doc_id, min(m) AS rep FROM reach GROUP BY n)
 SELECT rep AS keep_id, CAST(count(*) AS BIGINT) AS n_members,
-       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
-         AS members_md5
+       bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT)) AS members_fp
 FROM cc GROUP BY rep
 """
 )
@@ -13898,14 +13898,18 @@ FROM cc GROUP BY rep
     "pairs resolve into clusters (iterative min-label propagation, the "
     "same connected_components the text dedup family uses) and each "
     "cluster keeps its min-id representative — (keep_id, n_members, "
-    "members_md5), with membership pinned by an md5 over the numerically "
-    "sorted member list. The oracle nests the full generated phash pair "
-    "oracle as a CTE and closes it with WITH RECURSIVE reachability "
-    "(the dedup_cluster_resolution pattern). Scale: pair graph << corpus "
-    "(matched images only), per-round cost is one edge-sized shuffle, "
-    "rounds ~ cluster diameter (<= 4-member groups here). Registered "
-    "after the round-9 50-slot prefix: locally verified at "
-    "sf0.001/0.01/0.1, queued for the round-10 driver front.",
+    "members_fp), with membership pinned by a COMMUTATIVE fingerprint: "
+    "bit_xor over a per-member 60-bit md5-prefix hash plus the member "
+    "count. Unlike a collect_list/string_agg digest, the xor reduces "
+    "member-by-member with a constant-size aggregation buffer, so an "
+    "adversarial mega-cluster (boilerplate images chaining thousands of "
+    "members) can never concentrate a cluster's membership in one "
+    "buffer (VERDICT r9 'what's wrong' #2). The oracle nests the full "
+    "generated phash pair oracle as a CTE and closes it with WITH "
+    "RECURSIVE reachability (the dedup_cluster_resolution pattern). "
+    "Scale: pair graph << corpus (matched images only), per-round cost "
+    "is one edge-sized shuffle, rounds ~ cluster diameter (<= 4-member "
+    "groups here).",
 )
 def q_multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yaml_pipe_spark.multimodal.phash import (
@@ -13919,19 +13923,15 @@ def q_multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         phash_bands(docs, "doc_id"), max_hamming=12, max_bucket=50
     ).select("id_a", "id_b")
     cc = connected_components(pairs)
-    # numeric sort BEFORE the string render: sort_array over strings
-    # would order "10" < "2" while the oracle's ORDER BY doc_id is
-    # numeric
-    members = F.concat_ws(
-        ",",
-        F.transform(
-            F.sort_array(F.collect_list("node")),
-            lambda x: x.cast("string"),
-        ),
-    )
+    # 60-bit hash (15 hex chars) so the unsigned conv result always fits
+    # a signed BIGINT in both engines; xor is order-insensitive, so no
+    # sort and no per-cluster membership materialization
+    member_h = F.conv(
+        F.substring(F.md5(F.col("node").cast("string")), 1, 15), 16, 10
+    ).cast("long")
     return cc.groupBy(F.col("cluster_rep").alias("keep_id")).agg(
         F.count("*").cast("long").alias("n_members"),
-        F.md5(members).alias("members_md5"),
+        F.bit_xor(member_h).alias("members_fp"),
     )
 
 
@@ -13955,64 +13955,65 @@ def q_multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # invariant stays pinned.
 DRIVER_ORDER: list[str] = [
     "flagship",  # canary: the smoke-checked query stays first
-    # -- (2) ROUND9_QUEUE: round-4-generation attestation debt, by family --
-    "ann_pq_adc_topk",
-    "corpus_ngram_novelty",
-    "corpus_pack_windows",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_blocked",
-    "dedup_substring_span",
-    "emb_covariance",
-    "emb_dim_stats",
-    "emb_matryoshka_agreement",
-    "emb_outlier_zscore",
-    "events_funnel_time",
-    "events_hopping_agg",
-    "events_props_extract",
-    "events_props_json",
-    "events_session_window",
-    "events_tumbling_agg",
-    "multimodal_features",
-    "multimodal_resize",
-    "rel_important_stock",
-    "rel_local_supplier_volume",
-    "rel_min_cost_supplier",
-    "rel_pareto_revenue",
-    "rel_parts_supplier_count",
-    "rel_product_profit",
-    "rel_promotion_suppliers",
-    "rel_revenue_trend",
-    "rel_shipmode_priority",
-    "stream_interval_join_outer",
-    "text_vocab_coverage",
-    # -- (2b) ROUND4_FILL rows that fell past round 8's prefix --
-    "dedup_ngram_jaccard",
-    "dedup_segment_exact",
-    "emb_pca_project",
-    "multimodal_real_decode",
-    "rel_join_key_skew",
-    "rel_shipping_priority",
-    "stream_window_topk",
-    "text_dsir_weight",
-    # -- (3) NEW or CHANGED in round 9 --
-    "corpus_unimax_mix",        # zero-token-source guard (ADVICE r8)
-    "corpus_ppl_quality_corr",  # exact-integer Pearson closed form (ADVICE r8)
-    # float-hazard hardening sweep (VERDICT r9 ask #2): grid-valued
-    # round(avg(...)) sites rewritten to exact-integer-unit sums
-    "corpus_doremi_weights",
-    "rel_pricing_summary",
-    "q2_ranking_metrics",
-    "dedup_lsh_scurve",
-    "text_c4_filters",
-    "rel_part_brand_stats",
-    "rel_cube_flag_status",
-    "stream_bm25_append",       # fingerprint-matched standing-index reuse
-    "multimodal_phash_dedup",   # NEW: dHash image near-dup (VERDICT ask #3)
-    "text_bpe_train",           # NEW: distributed BPE merge training (ask #4)
-    # -- (4) round-5-generation refresh fill (only entries inside the first
-    #        50 get a driver row; the rest stay r5 and queue for round 10) --
-    "text_bigram_logprob",
+    # -- (2) ROUND10_QUEUE: round-5-generation attestation debt (VERDICT
+    #        r9 ask #1), by family --
+    "agg_salted_user_totals",
     "corpus_ccnet_buckets",
+    "corpus_epoch_schedule",
+    "corpus_gopher_funnel",
+    "corpus_mix_weights",
+    "corpus_temperature_mix",
+    "dedup_drop_exact",
+    "dedup_lsh_recall_audit",
+    "e_hash_embed",
+    "emb_pq_distortion",
+    "multimodal_png_decode",
+    "multimodal_wav_resample",
+    "pipeline_full",
+    "rel_approx_quantile_bounded",
+    "rel_customers_without_orders",
+    "rel_moving_30d_revenue",
+    "rel_orders_with_big_lineitems",
+    "rel_percentiles",
+    "rel_pivot_status_priority",
+    "rel_region_customer_rollup",
+    "rel_rollup_lineitem",
+    "rel_set_ops",
+    "rel_suppliers_above_avg",
+    "s1_parse_epub",
+    "sample_stratified",
+    "shard_token_budget",
+    "sink_partition_skew_audit",
+    "text_bigram_logprob",
+    "text_fingerprint",
+    "text_gopher_quality",
+    "text_lang_confusion",
+    "text_lang_id",
+    "text_quality",
+    "text_repetition_ratios",
+    "text_tfidf_topterms",
+    "text_zipf_fit",
+    # -- (3) the 7 deferred grid-class float hardenings (VERDICT r9 ask
+    #        #2; ROUND9_NOTES section 1 deferred list) — changed this
+    #        round, so they need fresh rows anyway --
+    "text_token_bpe",
+    "rel_market_share",
+    "text_decontaminate",
+    "text_shared_ngrams",
+    "events_time_weighted_avg",
+    "events_time_weighted_window",
+    "quality_score_calibration",
+    # -- (4) NEW or CHANGED in round 10 --
+    "multimodal_phash_clusters",  # first driver row + skew-safe digest
+    # -- (5) round-6-generation refresh fill (only entries inside the
+    #        first 50 get a driver row; the rest stay r6 and queue for
+    #        round 11) --
+    "dedup_incremental_minhash",
+    "stream_incremental_dedup",
+    "ann_index_persisted",
+    "s1_parse_warc",
+    "t4_timestamp_cursor",
+    "sql_udtf_chunk",
 ]
 
 
