@@ -4322,67 +4322,63 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.countDistinct("user_id").alias("n_active"))
 
 
-@register(
-    "events_time_weighted_avg",
-    """
+# Shared TWA oracle (round-10 hazard sweep): value is a 2dp-grid double and
+# dt an exact integer microsecond delta, so sum(value*dt)/sum(dt) is a ratio
+# of integers once value moves to cent-units — a half-up round at 4dp has
+# REACHABLE ties where the engines' round paths disagree. Both TWA queries
+# therefore sum exact cent*us units (HUGEINT / decimal(38,0)) and
+# floor-quantize the one double division; floor has no tie to break.
+TWA_ORACLE = """
 WITH g AS (
-  SELECT user_id, value, epoch_us(ts) AS us,
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS vu,
+         epoch_us(ts) AS us,
          lead(epoch_us(ts)) OVER (PARTITION BY user_id
                                   ORDER BY ts, event_id) AS next_us
   FROM events
 ),
 w AS (
-  SELECT user_id, value, COALESCE(next_us - us, 0) AS dt,
-         CASE WHEN next_us IS NULL THEN value END AS last_val
+  SELECT user_id, vu, COALESCE(next_us - us, 0) AS dt,
+         CASE WHEN next_us IS NULL THEN vu END AS last_vu
   FROM g
 )
 SELECT user_id,
-       round(CASE WHEN sum(dt) > 0 THEN sum(value * dt) / sum(dt)
-                  ELSE max(last_val) END, 4) AS twa_value
+       CASE WHEN sum(dt) > 0
+            THEN floor(CAST(sum(vu * dt) AS DOUBLE) * 100
+                       / CAST(sum(dt) AS DOUBLE)) / 10000
+            ELSE CAST(max(last_vu) AS DOUBLE) / 100 END AS twa_value
 FROM w GROUP BY user_id
-""",
-    "Grouped-map UDF (applyInPandas): per-user time-weighted average; "
-    "oracle = the lead()-window formulation of the same math",
+"""
+
+
+@register(
+    "events_time_weighted_avg",
+    TWA_ORACLE,
+    "Grouped-map UDF (applyInPandas): per-user time-weighted average over "
+    "exact integer cent*us units, floor-quantized at 4dp (round-10 hazard "
+    "sweep); oracle = the lead()-window formulation of the same math",
 )
 def q_events_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yaml_pipe_spark.operators.events import time_weighted_avg
 
     ev = load_table(spark, sf_dir, "events")
-    out = time_weighted_avg(ev)
-    return out.select(
-        "user_id", F.round(F.col("twa_value"), 4).alias("twa_value")
+    return time_weighted_avg(ev, unit_dp=2, out_dp=4).select(
+        "user_id", "twa_value"
     )
 
 
 @register(
     "events_time_weighted_window",
-    """
-WITH g AS (
-  SELECT user_id, value, epoch_us(ts) AS us,
-         lead(epoch_us(ts)) OVER (PARTITION BY user_id
-                                  ORDER BY ts, event_id) AS next_us
-  FROM events
-),
-w AS (
-  SELECT user_id, value, COALESCE(next_us - us, 0) AS dt,
-         CASE WHEN next_us IS NULL THEN value END AS last_val
-  FROM g
-)
-SELECT user_id,
-       round(CASE WHEN sum(dt) > 0 THEN sum(value * dt) / sum(dt)
-                  ELSE max(last_val) END, 4) AS twa_value
-FROM w GROUP BY user_id
-""",
+    TWA_ORACLE,
     "Production TWA: lead()-window + one aggregation, pure Catalyst (no "
-    "Python workers); same math as the applyInPandas demo above",
+    "Python workers); same exact-integer-unit math as the applyInPandas "
+    "demo above, decimal(38,0) unit sums so a 100x corpus can't wrap",
 )
 def q_events_twa_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yaml_pipe_spark.operators.events import time_weighted_avg_window
 
     ev = load_table(spark, sf_dir, "events")
-    out = time_weighted_avg_window(ev)
-    return out.select(
-        "user_id", F.round(F.col("twa_value"), 4).alias("twa_value")
+    return time_weighted_avg_window(ev, unit_dp=2, out_dp=4).select(
+        "user_id", "twa_value"
     )
 
 
@@ -5268,8 +5264,14 @@ def q_rel_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "rel_market_share",
     """
+-- round-10 hazard sweep: revenue is a 1e-4-grid product (2dp price x 2dp
+-- discount), so sums run over EXACT integer 1e-4-units (HUGEINT /
+-- decimal(38,0)); nation_rev half-up-rounds in integer arithmetic and the
+-- share — a ratio of integers with reachable 6dp ties — floor-quantizes
 WITH rev AS (
-  SELECT r_name, n_name, sum(l_extendedprice * (1 - l_discount)) AS rev
+  SELECT r_name, n_name,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS s4
   FROM lineitem
   JOIN supplier ON s_suppkey = l_suppkey
   JOIN nation ON n_nationkey = s_nationkey
@@ -5277,12 +5279,15 @@ WITH rev AS (
   GROUP BY 1, 2
 )
 SELECT r_name, n_name,
-       round(rev, 2) AS nation_rev,
-       round(rev / sum(rev) OVER (PARTITION BY r_name), 6) AS region_share
+       CAST((s4 + 50) // 100 AS DOUBLE) / 100 AS nation_rev,
+       floor(CAST(s4 AS DOUBLE) * 1000000
+             / CAST(sum(s4) OVER (PARTITION BY r_name) AS DOUBLE)) / 1000000
+         AS region_share
 FROM rev
 """,
     "TPC-H Q8 analog: each supplier-nation's revenue share within its "
-    "region — star join into a window-over-aggregate ratio",
+    "region — star join into a window-over-aggregate ratio, all sums over "
+    "exact integer 1e-4-units (round-10 float-hazard sweep)",
 )
 def q_rel_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
@@ -5301,21 +5306,36 @@ def q_rel_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(region, nation.n_regionkey == region.r_regionkey)
         .select("s_suppkey", "n_name", "r_name")
     )
+    # exact integer 1e-4-units (round-10 hazard sweep): per-element product
+    # stays within long; the SUM goes through decimal(38,0) (DuckDB's
+    # HUGEINT twin) so a 100x corpus can't wrap an accumulator
+    pu = F.round(F.col("l_extendedprice") * 100).cast("long")
+    du = F.round(F.col("l_discount") * 100).cast("long")
     rev = (
         li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
         .groupBy("r_name", "n_name")
-        .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "rev"
-            )
-        )
+        .agg(F.sum((pu * (100 - du)).cast("decimal(38,0)")).alias("s4"))
     )
     w = W.partitionBy("r_name")
     return rev.select(
         "r_name",
         "n_name",
-        F.round("rev", 2).alias("nation_rev"),
-        F.round(F.col("rev") / F.sum("rev").over(w), 6).alias("region_share"),
+        # half-up to cents in exact integer arithmetic, then the one
+        # exact double division by the power of ten
+        (F.floor((F.col("s4") + 50) / 100).cast("double") / 100).alias(
+            "nation_rev"
+        ),
+        # ratio of exact integers: floor of the identical double has no
+        # tie to break (multiply-then-divide order is part of the
+        # cross-engine contract)
+        (
+            F.floor(
+                F.col("s4").cast("double")
+                * 1000000
+                / F.sum("s4").over(w).cast("double")
+            )
+            / 1000000
+        ).alias("region_share"),
     )
 
 
@@ -5768,7 +5788,10 @@ test AS (
 SELECT t.doc_id,
        CAST(count(*) AS BIGINT) AS n_grams,
        CAST(count(tr.gram) AS BIGINT) AS n_contaminated,
-       round(count(tr.gram) * 1.0 / count(*), 4) AS contamination_frac
+       -- ratio of integers, floor-quantized (round-10 hazard sweep): a 4dp
+       -- round tie is reachable; floor of the identical double has none
+       floor(CAST(count(tr.gram) AS DOUBLE) * 10000 / count(*)) / 10000
+         AS contamination_frac
 FROM test t LEFT JOIN train_grams tr USING (gram)
 GROUP BY t.doc_id
 """,
@@ -5804,9 +5827,11 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_grams"),
         F.count("tr_gram").cast("long").alias("n_contaminated"),
-        F.round(F.count("tr_gram") / F.count("*"), 4).alias(
-            "contamination_frac"
-        ),
+        # integer-ratio floor-quantize (round-10 hazard sweep)
+        (
+            F.floor(F.count("tr_gram").cast("double") * 1e4 / F.count("*"))
+            / 1e4
+        ).alias("contamination_frac"),
     )
 
 
@@ -6039,8 +6064,9 @@ per AS (
 SELECT lang,
        CAST(count(*) AS BIGINT) AS n_grams,
        CAST(count(CASE WHEN n_docs >= 2 THEN 1 END) AS BIGINT) AS n_shared,
-       round(count(CASE WHEN n_docs >= 2 THEN 1 END) * 1.0 / count(*), 6)
-         AS shared_ratio,
+       -- ratio of integers, floor-quantized (round-10 hazard sweep)
+       floor(CAST(count(CASE WHEN n_docs >= 2 THEN 1 END) AS DOUBLE)
+             * 1000000 / count(*)) / 1000000 AS shared_ratio,
        CAST(COALESCE(sum(CASE WHEN n_docs >= 2 THEN n_occ END), 0) AS BIGINT)
          AS cross_doc_occ
 FROM per GROUP BY lang
@@ -6060,8 +6086,14 @@ def q_text_shared_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.groupBy("lang").agg(
         F.count("*").cast("long").alias("n_grams"),
         F.count(F.when(shared, 1)).cast("long").alias("n_shared"),
-        F.round(
-            F.count(F.when(shared, 1)) * F.lit(1.0) / F.count("*"), 6
+        # integer-ratio floor-quantize (round-10 hazard sweep)
+        (
+            F.floor(
+                F.count(F.when(shared, 1)).cast("double")
+                * 1000000
+                / F.count("*")
+            )
+            / 1000000
         ).alias("shared_ratio"),
         F.coalesce(F.sum(F.when(shared, F.col("n_occ"))), F.lit(0))
         .cast("long")
@@ -6488,8 +6520,12 @@ WITH t AS (
 SELECT lang,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-       round(avg(n_tokens), 4) AS avg_tokens,
-       round(sum(n_chars) * 1.0 / sum(n_tokens), 4) AS chars_per_token
+       -- integer ratios, floor-quantized (round-10 hazard sweep): both the
+       -- mean and chars-per-token can sit exactly on a 4dp round tie
+       floor(CAST(sum(n_tokens) AS DOUBLE) * 10000 / count(*)) / 10000
+         AS avg_tokens,
+       floor(CAST(sum(n_chars) AS DOUBLE) * 10000 / sum(n_tokens)) / 10000
+         AS chars_per_token
 FROM t GROUP BY lang
 """,
     "Token accounting with a GPT-2-style pre-tokenizer regex (contractions, "
@@ -6509,10 +6545,17 @@ def q_text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.groupBy("lang").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
-        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
-        F.round(F.sum("n_chars") / F.sum("n_tokens"), 4).alias(
-            "chars_per_token"
-        ),
+        # integer-ratio floor-quantize (round-10 hazard sweep)
+        (
+            F.floor(F.sum("n_tokens").cast("double") * 1e4 / F.count("*"))
+            / 1e4
+        ).alias("avg_tokens"),
+        (
+            F.floor(
+                F.sum("n_chars").cast("double") * 1e4 / F.sum("n_tokens")
+            )
+            / 1e4
+        ).alias("chars_per_token"),
     )
 
 
@@ -10951,17 +10994,23 @@ agg AS (
   FROM scored s CROSS JOIN taus t GROUP BY t.tau
 ),
 pr AS (
+  -- integer ratios, floor-quantized to a 1e-4 grid held as exact small
+  -- integers (round-10 hazard sweep): tp/n can sit exactly on a 4dp
+  -- round tie; floor of the identical double has none
   SELECT tau, n_pred, tp, n_pos, n_docs,
-         round(CASE WHEN n_pred = 0 THEN 0.0
-                    ELSE tp / CAST(n_pred AS DOUBLE) END, 4) AS precision,
-         round(CASE WHEN n_pos = 0 THEN 0.0
-                    ELSE tp / CAST(n_pos AS DOUBLE) END, 4) AS recall
+         CASE WHEN n_pred = 0 THEN 0.0
+              ELSE floor(CAST(tp AS DOUBLE) * 10000 / n_pred) END AS p4,
+         CASE WHEN n_pos = 0 THEN 0.0
+              ELSE floor(CAST(tp AS DOUBLE) * 10000 / n_pos) END AS r4
   FROM agg
 )
-SELECT tau, n_pred, tp, n_pos, n_docs, precision, recall,
-       round(CASE WHEN precision + recall = 0 THEN 0.0
-                  ELSE 2 * precision * recall / (precision + recall) END, 4)
-         AS f1
+SELECT tau, n_pred, tp, n_pos, n_docs,
+       p4 / 10000 AS precision,
+       r4 / 10000 AS recall,
+       -- f1 over the EXACT quantized grid integers: 2*p4*r4 <= 2e8 is
+       -- exact in double, so the floor is engine-identical
+       CASE WHEN p4 + r4 = 0 THEN 0.0
+            ELSE floor(2 * p4 * r4 / (p4 + r4)) / 10000 END AS f1
 FROM pr
 """,
     "Quality-score calibration curve — the measurement that gates "
@@ -11007,11 +11056,14 @@ def q_quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("truth").cast("long").alias("n_pos"),
         F.count("*").cast("long").alias("n_docs"),
     )
-    p = F.when(F.col("n_pred") == 0, F.lit(0.0)).otherwise(
-        F.col("tp") / F.col("n_pred").cast("double")
+    # integer-ratio floor-quantize onto a 1e-4 grid held as exact small
+    # integers (round-10 hazard sweep); f1 recombines the grid integers
+    # in exact double arithmetic (products <= 2e8), so no tie anywhere
+    p4 = F.when(F.col("n_pred") == 0, F.lit(0.0)).otherwise(
+        F.floor(F.col("tp").cast("double") * 10000 / F.col("n_pred"))
     )
-    r = F.when(F.col("n_pos") == 0, F.lit(0.0)).otherwise(
-        F.col("tp") / F.col("n_pos").cast("double")
+    r4 = F.when(F.col("n_pos") == 0, F.lit(0.0)).otherwise(
+        F.floor(F.col("tp").cast("double") * 10000 / F.col("n_pos"))
     )
     out = agg.select(
         "tau",
@@ -11019,18 +11071,28 @@ def q_quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tp",
         "n_pos",
         "n_docs",
-        F.round(p, 4).alias("precision"),
-        F.round(r, 4).alias("recall"),
+        p4.alias("__p4"),
+        r4.alias("__r4"),
     )
-    f1 = F.when(
-        F.col("precision") + F.col("recall") == 0, F.lit(0.0)
-    ).otherwise(
-        2
-        * F.col("precision")
-        * F.col("recall")
-        / (F.col("precision") + F.col("recall"))
+    f1 = F.when(F.col("__p4") + F.col("__r4") == 0, F.lit(0.0)).otherwise(
+        F.floor(
+            2
+            * F.col("__p4")
+            * F.col("__r4")
+            / (F.col("__p4") + F.col("__r4"))
+        )
+        / 10000
     )
-    return out.withColumn("f1", F.round(f1, 4))
+    return out.select(
+        "tau",
+        "n_pred",
+        "tp",
+        "n_pos",
+        "n_docs",
+        (F.col("__p4") / 10000).alias("precision"),
+        (F.col("__r4") / 10000).alias("recall"),
+        f1.alias("f1"),
+    )
 
 
 @register(

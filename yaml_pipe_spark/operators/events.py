@@ -149,15 +149,27 @@ def time_weighted_avg(
     ts_col: str = "ts",
     value_col: str = "value",
     id_col: str = "event_id",
+    unit_dp: int | None = None,
+    out_dp: int = 4,
 ) -> DataFrame:
     """Per-key time-weighted average via applyInPandas (grouped-map UDF).
 
     Each value holds until the key's next event (order: ts, then id_col as
     the deterministic tiebreak); the last event gets weight 0, so
     twa = sum(value_i * dt_i) / sum(dt_i) over consecutive gaps.
-    Single-event keys fall back to the last value. Returned unrounded —
-    callers round engine-side (Python round() is banker's rounding and
-    would diverge from SQL ROUND on boundaries).
+    Single-event keys fall back to the last value.
+
+    With `unit_dp=None` the value is returned unrounded — callers round
+    engine-side (Python round() is banker's rounding and would diverge
+    from SQL ROUND on boundaries). With `unit_dp=d` the value column is
+    treated as a d-dp grid value (e.g. cents for d=2) and the TWA is
+    computed over EXACT integer units, floor-quantized at `out_dp`
+    (round-10 hazard sweep): sum(unit*dt)/sum(dt) is a ratio of integers,
+    so a half-up round at out_dp has REACHABLE ties where engine round
+    paths disagree — floor of the identical double has no tie to break.
+    The quantize step is floor(float(num) * 10^(out_dp-unit_dp) /
+    float(den)) / 10^out_dp, the exact op sequence the window twin and
+    the SQL oracle perform, so all three produce bit-identical doubles.
 
     This operator exists to exercise the grouped-map surface (one Arrow
     batch per key group, pandas inside) — the same math is SQL-expressible
@@ -166,6 +178,8 @@ def time_weighted_avg(
     worker memory (a key's whole history must fit one pandas frame — for
     unbounded keys use the window formulation instead).
     """
+    import math
+
     import pandas as pd
 
     def twa(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -173,11 +187,28 @@ def time_weighted_avg(
         # ns -> us so dt matches the oracle's epoch_us() integers exactly
         us = pdf[ts_col].astype("int64") // 1000
         dt = (us.shift(-1) - us).fillna(0)
-        total = float(dt.sum())
-        if total <= 0:
-            val = float(pdf[value_col].iloc[-1])
+        if unit_dp is None:
+            total = float(dt.sum())
+            if total <= 0:
+                val = float(pdf[value_col].iloc[-1])
+            else:
+                val = float((pdf[value_col] * dt).sum() / total)
         else:
-            val = float((pdf[value_col] * dt).sum() / total)
+            grid = 10**unit_dp
+            vu = (pdf[value_col] * grid).round().astype("int64")
+            # python ints: the num sum is exact at any magnitude (no
+            # int64 wrap), mirroring the engines' HUGEINT/decimal sums
+            den = int(dt.sum())
+            if den <= 0:
+                val = float(int(vu.iloc[-1])) / grid
+            else:
+                num = sum(int(v) * int(d) for v, d in zip(vu, dt))
+                val = (
+                    math.floor(
+                        float(num) * (10 ** (out_dp - unit_dp)) / float(den)
+                    )
+                    / 10**out_dp
+                )
         return pd.DataFrame(
             {user_col: [pdf[user_col].iloc[0]], "twa_value": [val]}
         )
@@ -193,6 +224,8 @@ def time_weighted_avg_window(
     ts_col: str = "ts",
     value_col: str = "value",
     id_col: str = "event_id",
+    unit_dp: int | None = None,
+    out_dp: int = 4,
 ) -> DataFrame:
     """Production-path TWA: pure lead()-window + one aggregation, no Python.
 
@@ -205,28 +238,55 @@ def time_weighted_avg_window(
     requirement that a key's history fit in one worker's memory beyond the
     sort-based window (which spills). This is the variant to use at scale;
     the applyInPandas twin above exists as the grouped-map API demo.
+
+    `unit_dp`/`out_dp` select the exact-integer-unit, floor-quantized
+    formulation (see `time_weighted_avg`): unit*dt products stay within
+    long per element, their SUM goes through decimal(38,0) (the DuckDB
+    HUGEINT twin) so a 100x corpus can't wrap an accumulator, and the one
+    double division + floor is the identical op sequence in both engines.
     """
     from pyspark.sql import Window as W
 
     w = W.partitionBy(user_col).orderBy(ts_col, id_col)
     us = F.unix_micros(F.col(ts_col))
+    val = (
+        F.col(value_col)
+        if unit_dp is None
+        else F.round(F.col(value_col) * (10**unit_dp)).cast("long")
+    )
     g = df.select(
         user_col,
-        value_col,
+        val.alias("__v"),
         us.alias("__us"),
         F.lead(us).over(w).alias("__next_us"),
     ).select(
         user_col,
-        value_col,
+        "__v",
         F.coalesce(F.col("__next_us") - F.col("__us"), F.lit(0)).alias("__dt"),
-        F.when(F.col("__next_us").isNull(), F.col(value_col)).alias("__last"),
+        F.when(F.col("__next_us").isNull(), F.col("__v")).alias("__last"),
+    )
+    if unit_dp is None:
+        return g.groupBy(user_col).agg(
+            F.when(
+                F.sum("__dt") > 0,
+                F.sum(F.col("__v") * F.col("__dt")) / F.sum("__dt"),
+            )
+            .otherwise(F.max("__last"))
+            .alias("twa_value")
+        )
+    num = F.sum((F.col("__v") * F.col("__dt")).cast("decimal(38,0)"))
+    den = F.sum("__dt")
+    quant = (
+        F.floor(
+            num.cast("double")
+            * (10 ** (out_dp - unit_dp))
+            / den.cast("double")
+        )
+        / 10**out_dp
     )
     return g.groupBy(user_col).agg(
-        F.when(
-            F.sum("__dt") > 0,
-            F.sum(F.col(value_col) * F.col("__dt")) / F.sum("__dt"),
-        )
-        .otherwise(F.max("__last"))
+        F.when(den > 0, quant)
+        .otherwise(F.max("__last").cast("double") / (10**unit_dp))
         .alias("twa_value")
     )
 
