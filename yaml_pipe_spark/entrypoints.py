@@ -8829,6 +8829,25 @@ SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, score
 FROM final WHERE rank <= 5
 """
 
+# Rebuild-without-the-rows oracle for the right-to-be-forgotten delete:
+# the SAME IVF-PQ core with the forgotten ids (vec_id % 7 = 3) excluded
+# from the corpus CTE — centroids stay as built (a frozen coarse
+# quantizer is not member data), queries are unaffected. The x-CTE line
+# is replaced surgically; the assert keeps the anchor honest if the core
+# is ever reworded.
+_FORGET_ANCHOR = "FROM embeddings WHERE vec_id >= 20\n"
+assert _ANN_IVFPQ_CORE.count(_FORGET_ANCHOR) == 1
+ANN_INDEX_FORGET_ORACLE = (
+    _ANN_IVFPQ_CORE.replace(
+        _FORGET_ANCHOR,
+        "FROM embeddings WHERE vec_id >= 20 AND vec_id % 7 <> 3\n",
+    )
+    + """
+SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, score
+FROM final WHERE rank <= 5
+"""
+)
+
 
 @register(
     "ann_index_persisted",
@@ -8868,6 +8887,56 @@ def q_ann_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     store.build_if_stale(corp, cents)
+    return store.serve(q, k=5, nprobe=2, rerank_m=20)
+
+
+@register(
+    "ann_index_forget",
+    ANN_INDEX_FORGET_ORACLE,
+    "Right-to-be-forgotten on the persisted IVF-PQ store "
+    "(operators/ann_index.py::forget, VERDICT r9 ask #4): a deletion "
+    "request (vec_id % 7 = 3) PHYSICALLY purges its rows from the "
+    "cid-partitioned codes and the __vb-bucketed vectors — file surgery "
+    "over only the partitions the deleted ids live in (dynamic partition "
+    "overwrite; emptied partitions dropped), never a corpus rewrite — "
+    "and the XOR fingerprint composes back out, so "
+    "is_stale(corpus-without-the-rows) is False afterwards (that gate IS "
+    "this query's warm path: a rerun proves the composed fingerprint "
+    "equals the rebuild-without fingerprint or it would rebuild+forget "
+    "again). Serve-after-forget is value-identical to a rebuild without "
+    "the rows; the oracle is the full IVF-PQ core recomputed from "
+    "scratch on the remaining corpus. Centroids stay frozen — a coarse "
+    "quantizer holds no member data. Unit twin: tests/test_forget.py.",
+)
+def q_ann_index_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from yaml_pipe_spark.operators.ann_index import IvfPqIndexStore
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    corp = emb.filter(F.col("vec_id") >= 20).select("vec_id", "embedding")
+    keep = corp.filter(F.col("vec_id") % 7 != 3)
+    gone = corp.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    cents = emb.filter(
+        (F.col("vec_id") >= 20) & (F.col("vec_id") < 28)
+    ).select(
+        (F.col("vec_id") - 20).alias("cid"), F.col("embedding").alias("cv")
+    )
+    store = IvfPqIndexStore(
+        os.path.join(
+            "spark-warehouse",
+            f"ann_ivfpq_forget_{os.path.basename(os.path.normpath(sf_dir))}",
+        )
+    )
+    if store.is_stale(keep, centroids=cents):
+        store.build(corp, cents)
+        store.forget(gone)
+        # the composed fingerprint must equal the rebuild-without scan —
+        # asserted only on the cold path, same policy as bm25_index_persisted
+        assert store.is_stale(keep, centroids=cents) is False
     return store.serve(q, k=5, nprobe=2, rerank_m=20)
 
 
@@ -12457,6 +12526,76 @@ def q_q3_bm25_index_persisted(
     return store.serve(k=10)
 
 
+# Rebuild-without-the-rows oracle for the BM25 delete: the SAME retrieval
+# core, corpus restricted to the docs that survive the deletion request
+# (doc_id % 11 <> 7) — every statistic (tf, dl, df, cf, n_docs, avgdl,
+# collection total) recomputes from the remaining docs, including the
+# pseudo-query set (a forgotten doc stops being a query too).
+_BM25_FORGET_ORACLE = f"""
+WITH {_dk_retrieval_core(
+    "(SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 7)"
+)},
+r AS (SELECT qid, doc_id, round(bm25, 4) AS score FROM sc),
+rk AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM r
+)
+SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, score,
+       CAST(CASE WHEN doc_id = qid THEN 1 ELSE 0 END AS BIGINT) AS is_self
+FROM rk WHERE rank <= 10
+"""
+
+
+@register(
+    "q3_bm25_forget",
+    _BM25_FORGET_ORACLE,
+    "Right-to-be-forgotten on the persisted BM25 store "
+    "(operators/retrieval.py::forget + compact, VERDICT r9 ask #4): the "
+    "deletion request (doc_id % 11 = 7, passed as id+text rows so the "
+    "XOR fingerprint composes back out without the store persisting raw "
+    "text) drives a SUBTRACTIVE df/cf merge — the same one "
+    "vocabulary-sized join as append's additive merge, committed as a "
+    "pointer-swapped cf generation, tokens at df=0 leaving the "
+    "vocabulary — plus a tombstone table that serve() anti-joins "
+    "(broadcast; the deletion-vector pattern, O(deletes) per request), "
+    "n_docs/total_tokens subtracting exactly. compact() then makes the "
+    "purge PHYSICAL (tf/dl rewritten minus tombstones, tombstones "
+    "cleared) without changing a single served value, because BM25 is a "
+    "pure function of the already-exact statistics. The staleness gate "
+    "is the warm path: is_stale(corpus-without-the-rows) False proves "
+    "the composed fingerprint equals a rebuild-without scan. Oracle = "
+    "the full retrieval core recomputed on the remaining docs. Unit "
+    "twin: tests/test_forget.py.",
+)
+def q_q3_bm25_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from yaml_pipe_spark.operators.retrieval import Bm25IndexStore
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    keep = docs.filter(F.col("doc_id") % 11 != 7)
+    gone = docs.filter(F.col("doc_id") % 11 == 7)
+    base = os.path.join(
+        "spark-warehouse",
+        f"bm25_forget_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    store = Bm25IndexStore(base)
+    if store.is_stale(keep):
+        # a half-forgotten crash leaves the composed fingerprint stale —
+        # restart from a clean directory, same policy as the append chain
+        shutil.rmtree(base, ignore_errors=True)
+        store.build(docs)
+        store.forget(gone)
+        assert store.is_stale(keep) is False
+        store.compact()
+        # compaction is physical only: statistics and fingerprint untouched
+        assert store.is_stale(keep) is False
+    return store.serve(k=10)
+
+
 @register(
     "stream_bm25_append",
     _BM25_TOPK_ORACLE,
@@ -14067,6 +14206,8 @@ DRIVER_ORDER: list[str] = [
     "quality_score_calibration",
     # -- (4) NEW or CHANGED in round 10 --
     "multimodal_phash_clusters",  # first driver row + skew-safe digest
+    "ann_index_forget",           # RTBF purge on the persisted IVF-PQ store
+    "q3_bm25_forget",             # RTBF delete+compact on the BM25 store
     # -- (5) round-6-generation refresh fill (only entries inside the
     #        first 50 get a driver row; the rest stay r6 and queue for
     #        round 11) --

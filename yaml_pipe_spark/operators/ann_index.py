@@ -41,6 +41,33 @@ incrementally over disjoint row sets) and the build params into
 rebuilds iff the fingerprint or params changed; callers with a snapshot
 version string can pass `version=` to skip the fingerprint scan entirely
 (the metastore-driven production mode).
+
+Deletion (`forget`, round 10): a right-to-be-forgotten request must
+PHYSICALLY purge the deleted vectors from the store, not just stop
+serving them. Both index tables are laid out so that purge is file
+surgery proportional to the deletion, never a corpus rewrite:
+
+  codes    — already hive-partitioned by cid: only the cells containing
+             deleted ids are rewritten (dynamic partition overwrite of
+             the affected cells; a cell emptied entirely has its
+             directory removed, since dynamic overwrite only replaces
+             partitions present in the NEW data).
+  vectors  — partitioned by `__vb = pmod(xxhash64(id), N_VB)` (layout v2,
+             this round) for exactly the same reason: the re-rank join
+             reads all buckets regardless (partition columns cost a scan
+             nothing), while forget() rewrites only the buckets the
+             deleted ids hash into. Metas without `layout = v2` force a
+             rebuild, the same precedent as the centroid-fingerprint
+             field.
+
+The fingerprint composes under deletion exactly as it does under append:
+forget() recomputes the removed rows' hashes FROM THE STORED VECTORS
+(self-contained — callers pass only ids), subtracts the count and XORs
+the hashes back out, so after any build/append/forget chain
+is_stale(current_corpus) compares equal iff the indexed rows are exactly
+the corpus rows. Serve-after-forget is value-identical to a rebuild
+without the rows (pinned in tests/test_forget.py and the
+ann_index_forget driver row).
 """
 
 from __future__ import annotations
@@ -56,6 +83,37 @@ from yaml_pipe_spark.operators.similarity import (
     ivf_assign,
     sq2_codes,
 )
+
+# Persisted-layout version: bump when the on-disk table layout changes in a
+# way old code paths can't serve (v2 = vectors bucket-partitioned by __vb).
+# Metas stamped with a different layout are stale by definition.
+_LAYOUT = "v2"
+# Vector-table bucket count: forget() rewrites only the buckets deleted ids
+# hash into, so the purge cost is ~|deletes|/N_VB of the corpus per bucket
+# touched. 32 keeps sandbox file counts small; at 100 TB size this so one
+# bucket is a few GB (e.g. 4096).
+N_VB = 32
+_VB = "__vb"
+
+
+def _vb_of(id_col: str):
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(N_VB)).cast("int")
+
+
+def _rm_partition_dirs(
+    spark: SparkSession, base: str, col: str, values
+) -> None:
+    """Remove hive partition directories (used for cells/buckets emptied by
+    forget(): dynamic partition overwrite only replaces partitions present
+    in the new data, so an emptied partition must be dropped explicitly or
+    it keeps serving deleted rows). Goes through the Hadoop FileSystem so
+    it works on any scheme the store lives on, not just file://."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for v in values:
+        p = jvm.org.apache.hadoop.fs.Path(os.path.join(base, f"{col}={v}"))
+        fs = p.getFileSystem(conf)
+        fs.delete(p, True)
 
 
 class IvfPqIndexStore:
@@ -152,17 +210,45 @@ class IvfPqIndexStore:
             .partitionBy(self.cid_col)
             .parquet(self.codes_path)
         )
-        corpus.write.mode("overwrite").parquet(self.vectors_path)
+        (
+            corpus.withColumn(_VB, _vb_of(self.id_col))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy(_VB)
+            .parquet(self.vectors_path)
+        )
         centroids.write.mode("overwrite").parquet(self.centroids_path)
         if version is None:
             n, h = self._fingerprint(corpus)
         else:
             n, h = -1, -1
         cn, ch = self._centroid_fingerprint(centroids)
+        self._write_meta(spark, n, h, cn, ch, version)
+
+    def _write_meta(
+        self,
+        spark: SparkSession,
+        fp_n: int,
+        fp_h: int,
+        cfp_n: int,
+        cfp_h: int,
+        version: str | None,
+    ) -> None:
         spark.createDataFrame(
-            [(n, h, cn, ch, version, self.scale, self.score_decimals)],
+            [
+                (
+                    fp_n,
+                    fp_h,
+                    cfp_n,
+                    cfp_h,
+                    version,
+                    self.scale,
+                    self.score_decimals,
+                    _LAYOUT,
+                )
+            ],
             "fp_n long, fp_h long, cfp_n long, cfp_h long, version string, "
-            "scale int, score_decimals int",
+            "scale int, score_decimals int, layout string",
         ).coalesce(1).write.mode("overwrite").parquet(self.meta_path)
 
     def is_stale(
@@ -182,6 +268,10 @@ class IvfPqIndexStore:
             meta["scale"] != self.scale
             or meta["score_decimals"] != self.score_decimals
         ):
+            return True
+        # metas written under an older on-disk layout force a rebuild
+        # rather than mixing partitioned and unpartitioned table files
+        if meta.get("layout") != _LAYOUT:
             return True
         if centroids is not None:
             cn, ch = self._centroid_fingerprint(centroids)
@@ -260,27 +350,129 @@ class IvfPqIndexStore:
         coded.write.mode("append").partitionBy(self.cid_col).parquet(
             self.codes_path
         )
-        inc.write.mode("append").parquet(self.vectors_path)
+        (
+            inc.withColumn(_VB, _vb_of(self.id_col))
+            .write.mode("append")
+            .partitionBy(_VB)
+            .parquet(self.vectors_path)
+        )
         if meta["fp_n"] >= 0:
             n, h = self._fp_of(inc, self.id_col, self.vec_col)
             fp_n, fp_h = meta["fp_n"] + n, meta["fp_h"] ^ h
         else:
             fp_n, fp_h = -1, -1  # version-managed index stays version-managed
-        spark.createDataFrame(
-            [
-                (
-                    fp_n,
-                    fp_h,
-                    meta["cfp_n"],
-                    meta["cfp_h"],
-                    version if version is not None else meta["version"],
-                    self.scale,
-                    self.score_decimals,
-                )
-            ],
-            "fp_n long, fp_h long, cfp_n long, cfp_h long, version string, "
-            "scale int, score_decimals int",
-        ).coalesce(1).write.mode("overwrite").parquet(self.meta_path)
+        self._write_meta(
+            spark,
+            fp_n,
+            fp_h,
+            meta["cfp_n"],
+            meta["cfp_h"],
+            version if version is not None else meta["version"],
+        )
+
+    def forget(self, ids: DataFrame, version: str | None = None) -> int:
+        """Right-to-be-forgotten purge: PHYSICALLY remove the given ids from
+        the persisted codes and vectors tables, composing the fingerprint
+        so is_stale(corpus-without-the-rows) compares equal afterwards.
+        Returns the number of rows purged.
+
+        Scale shape — file surgery proportional to the deletion, never a
+        corpus rewrite: the deletion set is distinct'd and broadcast (RTBF
+        requests are small by nature; a corpus-scale purge is a rebuild);
+        only the cid cells / __vb buckets containing deleted ids are
+        rewritten (dynamic partition overwrite), and partitions emptied
+        entirely have their directories dropped — dynamic overwrite alone
+        would leave them advertising deleted rows, the same hazard
+        build() documents for rebuilds. The rewritten remainders are
+        localCheckpoint'd first because Spark cannot overwrite a path it
+        is still reading from; their size is bounded by the affected
+        partitions, not the corpus.
+
+        The removed rows' hashes come FROM THE STORED VECTORS (parquet
+        round-trips long/array<double> exactly), so callers pass only ids
+        and the XOR composition is exact: forget(ids) then
+        is_stale(remaining) is False. Ids not present in the index are
+        no-ops (the semi-join drops them) — unlike append(), forget is
+        idempotent. Centroids are untouched: IVF centroids are a frozen
+        coarse quantizer, not member data; a quantizer refit is build().
+        Crash contract (same as append): meta is written LAST, so a crash
+        mid-purge leaves a stale fingerprint and the next build_if_stale
+        rebuilds cleanly."""
+        spark = ids.sparkSession
+        meta = self._read_meta(spark)
+        if meta is None:
+            raise ValueError(
+                "forget() requires an existing index; build() first"
+            )
+        if (meta["version"] is None) != (version is None):
+            raise ValueError(
+                "forget() staleness mode must match the build: the index "
+                f"was built with version={meta['version']!r}, forget got "
+                f"version={version!r}"
+            )
+        ids = ids.select(self.id_col).distinct().localCheckpoint()
+        vectors = spark.read.parquet(self.vectors_path)
+        removed = vectors.join(
+            F.broadcast(ids), self.id_col, "left_semi"
+        ).select(self.id_col, self.vec_col)
+        if meta["fp_n"] >= 0:
+            n, h = self._fp_of(removed, self.id_col, self.vec_col)
+            fp_n, fp_h = meta["fp_n"] - n, meta["fp_h"] ^ h
+        else:
+            n = removed.count()
+            fp_n, fp_h = -1, -1
+        if n > 0:
+            self._purge_partitions(
+                spark, self.codes_path, self.cid_col, ids
+            )
+            self._purge_partitions(spark, self.vectors_path, _VB, ids)
+        self._write_meta(
+            spark,
+            fp_n,
+            fp_h,
+            meta["cfp_n"],
+            meta["cfp_h"],
+            version if version is not None else meta["version"],
+        )
+        return int(n)
+
+    def _purge_partitions(
+        self,
+        spark: SparkSession,
+        path: str,
+        part_col: str,
+        ids: DataFrame,
+    ) -> None:
+        """Rewrite only the hive partitions of `path` that contain rows of
+        `ids`; drop partitions the purge empties."""
+        table = spark.read.parquet(path)
+        affected = [
+            r[0]
+            for r in table.join(F.broadcast(ids), self.id_col, "left_semi")
+            .select(part_col)
+            .distinct()
+            .collect()
+        ]
+        if not affected:
+            return
+        remaining = (
+            table.filter(F.col(part_col).isin(affected))
+            .join(F.broadcast(ids), self.id_col, "left_anti")
+            .localCheckpoint()
+        )
+        (
+            remaining.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(part_col)
+            .parquet(path)
+        )
+        kept = {
+            r[0]
+            for r in remaining.select(part_col).distinct().collect()
+        }
+        emptied = [v for v in affected if v not in kept]
+        if emptied:
+            _rm_partition_dirs(spark, path, part_col, emptied)
 
     # -- serve ----------------------------------------------------------
     def serve(
@@ -304,7 +496,9 @@ class IvfPqIndexStore:
         codes = spark.read.parquet(self.codes_path).withColumnRenamed(
             "code", "__code"
         )
-        vectors = spark.read.parquet(self.vectors_path)
+        # the bucket column exists for forget()'s partition surgery only;
+        # the re-rank join reads every bucket regardless
+        vectors = spark.read.parquet(self.vectors_path).drop(_VB)
         qprobe = _coarse_probes(
             queries,
             centroids,

@@ -211,6 +211,21 @@ class Bm25IndexStore:
     persisted statistic is additive. A crash mid-append leaves the
     fingerprint stale; callers restart from a clean directory (same
     contract as the ANN store — see ann_index_incremental).
+
+    forget(removed_docs) is the deletion dual (round 10, right-to-be-
+    forgotten): the removed docs' tf rows drive a SUBTRACTIVE df/cf merge
+    (the same one vocabulary-sized join as append, committed as a new cf
+    generation), their ids land in a tombstones/ table that serve()
+    anti-joins (a broadcast — deletion sets are small between
+    compactions), and n_docs / total_tokens / the XOR fingerprint compose
+    back out exactly, so is_stale(corpus-without-the-rows) compares equal
+    afterwards. This is the deletion-vector pattern transactional table
+    formats use: O(|deletes|) per request, with compact() as the deferred
+    physical purge that rewrites tf/dl minus the tombstones and clears
+    them. Serving after forget (with or without compact) is
+    value-identical to a rebuild without the rows because BM25 is a pure
+    function of the (tf, dl, cf, n_docs, total_tokens) statistics, all of
+    which are exact after the subtraction.
     """
 
     def __init__(
@@ -240,6 +255,25 @@ class Bm25IndexStore:
         import os
 
         return os.path.join(self.base_path, "meta")
+
+    @property
+    def tombstones_path(self) -> str:
+        import os
+
+        return os.path.join(self.base_path, "tombstones")
+
+    def _tombstones(self, spark) -> DataFrame | None:
+        """The forgotten-id table, or None when nothing was ever forgotten
+        (or a compact() cleared it)."""
+        import os
+
+        if not os.path.isdir(self.tombstones_path):
+            return None
+        try:
+            ts = spark.read.parquet(self.tombstones_path)
+        except Exception:
+            return None
+        return ts
 
     # -- fingerprint/meta: SHARED construction with IvfPqIndexStore ------
     def _fingerprint(self, docs: DataFrame) -> tuple[int, int]:
@@ -375,6 +409,150 @@ class Bm25IndexStore:
             version,
         )
 
+    def forget(
+        self, removed_docs: DataFrame, version: str | None = None
+    ) -> int:
+        """Right-to-be-forgotten deletion: stop serving the given docs and
+        subtract them from every persisted statistic, in O(|deletes|).
+        Returns the number of docs newly tombstoned.
+
+        `removed_docs` carries (id, text) rows — the deletion request in a
+        corpus pipeline IS the set of rows being dropped from the corpus,
+        and the text is what lets the XOR fingerprint compose back out
+        without the store persisting raw text (the ANN store recomputes
+        removed hashes from its stored vectors; BM25 stores only derived
+        statistics, deliberately). A text that does not match what was
+        indexed desynchronizes the fingerprint, which the next is_stale
+        REPORTS (rebuild) rather than masks — the same misuse semantics as
+        append()'s ids-must-be-new contract.
+
+        Already-tombstoned ids are excluded up front, so forget is
+        idempotent and a double delete cannot double-subtract the
+        vocabulary stats. The df/cf subtraction is the same ONE
+        vocabulary-sized join as append's additive merge, committed as a
+        pointer-swapped cf generation; tokens whose df reaches zero leave
+        the vocabulary. Physical purge of the tf/dl rows is compact();
+        until then serve() anti-joins the broadcast tombstone set — the
+        deletion-vector pattern, O(|deletes|) now, corpus-linear rewrite
+        deferred and batched."""
+        from yaml_pipe_spark.streaming.stream import (
+            commit_band_state,
+            read_band_state,
+        )
+
+        spark = removed_docs.sparkSession
+        meta = self._read_meta(spark)
+        if meta is None:
+            raise ValueError(
+                "forget() requires an existing index; build() first"
+            )
+        if (meta["version"] is None) != (version is None):
+            raise ValueError(
+                "forget() staleness mode must match the build: the index "
+                f"was built with version={meta['version']!r}, forget got "
+                f"version={version!r}"
+            )
+        rem = removed_docs.select(self.id_col, self.text_col)
+        old_ts = self._tombstones(spark)
+        if old_ts is not None:
+            rem = rem.join(
+                F.broadcast(old_ts), self.id_col, "left_anti"
+            )
+        rem = rem.localCheckpoint()
+        ids = rem.select(self.id_col)
+        tf = spark.read.parquet(self.tf_path)
+        dl = spark.read.parquet(self.dl_path)
+        rem_tf = tf.join(
+            F.broadcast(ids),
+            tf["doc_id"] == ids[self.id_col],
+            "left_semi",
+        )
+        cf_r = rem_tf.groupBy("tok").agg(
+            F.count("*").alias("df_r"), F.sum("tf").alias("cf_r")
+        )
+        cf_old = read_band_state(spark, self.base_path, name="cf")
+        merged = (
+            cf_old.join(cf_r, "tok", "left")
+            .select(
+                "tok",
+                (F.col("df") - F.coalesce("df_r", F.lit(0))).alias("df"),
+                (F.col("cf") - F.coalesce("cf_r", F.lit(0))).alias("cf"),
+            )
+            .filter(F.col("df") > 0)
+        )
+        commit_band_state(merged, self.base_path, name="cf")
+        tot = (
+            dl.join(
+                F.broadcast(ids),
+                dl["doc_id"] == ids[self.id_col],
+                "left_semi",
+            )
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("t"),
+            )
+            .collect()[0]
+        )
+        n_rem = rem.count()
+        ids.write.mode("append").parquet(self.tombstones_path)
+        if version is not None:
+            fp = (-1, -1)
+        else:
+            n_r, h_r = self._fingerprint(rem)
+            fp = (meta["fp_n"] - n_r, meta["fp_h"] ^ h_r)
+        # meta LAST (crash contract, same as append): a crash mid-forget
+        # leaves a stale fingerprint and the caller rebuilds cleanly
+        self._write_meta(
+            spark,
+            fp,
+            int(meta["n_docs"]) - int(tot["n"]),
+            int(meta["total_tokens"]) - int(tot["t"]),
+            version if version is not None else meta["version"],
+        )
+        return int(n_rem)
+
+    def compact(self) -> int:
+        """Deferred physical purge: rewrite tf/dl minus the tombstoned
+        docs and clear the tombstone table. Statistics and fingerprint are
+        already exact from forget(); compaction only changes the physical
+        layout, so serve() before and after is value-identical (pinned in
+        tests/test_forget.py). Corpus-linear — batch it, don't run it per
+        deletion. Invalidates any standing snapshot_manifest (the rewrite
+        renames every tf/dl part-file, so a later restore_manifest would
+        delete the lot); the manifest is dropped so restore falls back to
+        the documented rebuild path. Returns the number of tombstoned ids
+        purged."""
+        import os
+        import shutil
+
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        ts = self._tombstones(spark)
+        if ts is None:
+            return 0
+        ts = ts.localCheckpoint()
+        n = ts.count()
+        for sub_path in (self.tf_path, self.dl_path):
+            table = spark.read.parquet(sub_path)
+            kept = table.join(
+                F.broadcast(ts),
+                table["doc_id"] == ts[self.id_col],
+                "left_anti",
+            ).localCheckpoint()
+            kept.write.mode("overwrite").parquet(sub_path)
+        shutil.rmtree(self.tombstones_path, ignore_errors=True)
+        # drop any standing snapshot: its file lists predate the rewrite
+        for leftover in ("standing_manifest.json",):
+            p = os.path.join(self.base_path, leftover)
+            if os.path.exists(p):
+                os.remove(p)
+        shutil.rmtree(
+            os.path.join(self.base_path, "meta_standing"),
+            ignore_errors=True,
+        )
+        return int(n)
+
     # -- standing snapshot: rewind an appended index without recopying it
     def snapshot_manifest(self) -> None:
         """Persist the store's current PHYSICAL state (tf/dl part-file
@@ -399,6 +577,12 @@ class Bm25IndexStore:
             "tf": sorted(os.listdir(self.tf_path)),
             "dl": sorted(os.listdir(self.dl_path)),
             "cf": cf_cur,
+            # tombstones present at snapshot time (forget() between
+            # snapshot and restore appends files; restore deletes the
+            # ones this list doesn't cover)
+            "ts": sorted(os.listdir(self.tombstones_path))
+            if os.path.isdir(self.tombstones_path)
+            else [],
         }
         meta_bak = os.path.join(self.base_path, "meta_standing")
         shutil.rmtree(meta_bak, ignore_errors=True)
@@ -453,6 +637,16 @@ class Bm25IndexStore:
             for fn in os.listdir(d):
                 if fn not in keep:
                     os.remove(os.path.join(d, fn))
+        # tombstones appended after the snapshot are part of the rewind
+        # surface too; manifests from before forget() existed carry no
+        # "ts" key, and any tombstone is then post-snapshot by definition
+        ts_keep = set(man.get("ts", []))
+        if os.path.isdir(self.tombstones_path):
+            for fn in os.listdir(self.tombstones_path):
+                if fn not in ts_keep:
+                    os.remove(os.path.join(self.tombstones_path, fn))
+            if not os.listdir(self.tombstones_path):
+                shutil.rmtree(self.tombstones_path, ignore_errors=True)
         # cf pointer back to the snapshotted generation; GC every other
         # generation (commit_band_state will treat it as the predecessor)
         cf_dir = os.path.join(self.base_path, man["cf"])
@@ -500,6 +694,21 @@ class Bm25IndexStore:
             )
         tf = spark.read.parquet(self.tf_path)
         dl = spark.read.parquet(self.dl_path)
+        ts = self._tombstones(spark)
+        if ts is not None:
+            # deletion vectors: forgotten docs stop serving (as documents
+            # AND as pseudo-queries, which derive from tf) the moment
+            # forget() commits; compact() makes the purge physical
+            tf = tf.join(
+                F.broadcast(ts),
+                tf["doc_id"] == ts[self.id_col],
+                "left_anti",
+            )
+            dl = dl.join(
+                F.broadcast(ts),
+                dl["doc_id"] == ts[self.id_col],
+                "left_anti",
+            )
         cf = read_band_state(spark, self.base_path, name="cf")
         stats = spark.createDataFrame(
             [(n_docs, total / n_docs)], "n_docs long, avgdl double"
