@@ -70,8 +70,8 @@ ROUND10_MUST_FRONT: set[str] = ROUND10_QUEUE | ROUND10_HARDENED | {
     "multimodal_phash_clusters",  # first driver row + skew-safe digest
     "ann_index_forget",           # RTBF purge on the persisted IVF-PQ store
     "q3_bm25_forget",             # RTBF delete+compact on the BM25 store
+    "multimodal_phash_png",       # perceptual dedup over PNG payloads
     # grown as round-10 waves land:
-    #   multimodal_phash_png — perceptual dedup over PNG payloads
     #   rel_pricing_summary  — decimal-width reclaim (VERDICT ask #5)
 }
 

@@ -13819,6 +13819,49 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The PNG corpus is the BMP corpus re-keyed: every md5 pixel seed gains a
+# "png" salt (distinct images, hence distinct pairs, same structural
+# contract), so its oracle is the generated BMP oracle with the salt
+# spliced into each of the 72 gray-sample seeds. The assert pins the
+# splice count to the 9x8 grid's sample set.
+PHASH_PNG_ORACLE = PHASH_DEDUP_ORACLE.replace(
+    "md5(bs || '_", "md5('png' || bs || '_"
+)
+assert PHASH_DEDUP_ORACLE.count("md5(bs || '_") == 72
+
+
+@register(
+    "multimodal_phash_png",
+    PHASH_PNG_ORACLE,
+    "Perceptual near-dup dedup over COMPRESSED payloads — the format a "
+    "real crawl actually stores (VERDICT r9 ask #6): complete valid "
+    "non-interlaced 8-bit RGB PNGs (scanline y filtered with type y%5, "
+    "so all five PNG filters are live corpus-wide) are REALLY decoded "
+    "executor-side — chunk walk, zlib inflate, Sub/Up/Average/Paeth "
+    "unfiltering (multimodal.binary.decode_png) — then difference-hashed "
+    "through the SAME shared gray/grid/band core as the BMP path and "
+    "paired by the same capped band equi-join + bit_count(xor) verify. "
+    "The oracle replays the DECODED pixels from the generating formulas "
+    "(the multimodal_png_decode pattern: DuckDB cannot inflate, so the "
+    "pixel values are the recomputable ground truth) through all 64 "
+    "hash bits, banding, and Hamming verification — one wrong byte out "
+    "of the unfilter chain anywhere in the corpus flips a hash bit and "
+    "mismatches. Same 100 TB shape as the BMP row: 64-bit index per "
+    "image, ONE (band, word) shuffle, pair mass bounded by buckets.",
+)
+def q_multimodal_phash_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.multimodal.phash import (
+        phash_bands,
+        phash_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    bands = phash_bands(docs, "doc_id", fmt="png")
+    return phash_near_dup_pairs(bands, max_hamming=12, max_bucket=50).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
 BPE_TRAIN_ORACLE = """
 WITH occ AS (
   SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS word
@@ -14208,6 +14251,7 @@ DRIVER_ORDER: list[str] = [
     "multimodal_phash_clusters",  # first driver row + skew-safe digest
     "ann_index_forget",           # RTBF purge on the persisted IVF-PQ store
     "q3_bm25_forget",             # RTBF delete+compact on the BM25 store
+    "multimodal_phash_png",       # perceptual dedup over PNG payloads
     # -- (5) round-6-generation refresh fill (only entries inside the
     #        first 50 get a driver row; the rest stay r6 and queue for
     #        round 11) --

@@ -46,6 +46,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from yaml_pipe_spark.multimodal.binary import _paeth, _PNG_SIG
+
 # fixed geometry: every phash image is 16x8 so variants stay comparable
 W, H = 16, 8
 GRID_X, GRID_Y = 9, 8  # 9 columns -> 8 horizontal comparisons x 8 rows
@@ -54,11 +56,14 @@ NPIX = STRIDE * H
 PERT_ROWS = 2  # perturbations confined to the 2 bottom stored rows
 
 
-def _pixel_bytes(base: int, p: int) -> list[int]:
+def _pixel_bytes(base: int, p: int, salt: str = "") -> list[int]:
     """(b, g, r) for pixel index p: the first 3 bytes of
-    md5(f\"{base}_{p}\") — the same strpos-hex-parse arithmetic the
-    DuckDB oracle replays."""
-    d = hashlib.md5(f"{base}_{p}".encode()).hexdigest()
+    md5(f\"{salt}{base}_{p}\") — the same strpos-hex-parse arithmetic the
+    DuckDB oracle replays. The salt keys a format's corpus: the PNG
+    corpus uses \"png\" so its images (and therefore its near-dup pairs)
+    are distinct from the BMP corpus while sharing every structural
+    property."""
+    d = hashlib.md5(f"{salt}{base}_{p}".encode()).hexdigest()
     return [int(d[2 * c : 2 * c + 2], 16) for c in range(3)]
 
 
@@ -118,6 +123,15 @@ def dhash_bands(payload: bytes) -> list[int]:
         o = (h - 1 - y_img) * stride + 3 * x_img  # bottom-up storage
         return (px[o] + px[o + 1] + px[o + 2]) // 3
 
+    return _bands_from_gray(gray, w, h)
+
+
+def _bands_from_gray(gray, w: int, h: int) -> list[int]:
+    """Shared dHash core: 9x8 nearest-neighbor grid over a gray(x, y)
+    accessor (y top-down image rows), 64 row-adjacent comparisons packed
+    into four 16-bit band words — identical for every container format,
+    which is the point of a perceptual hash: the same image stored as BMP
+    or PNG must band identically."""
     grid = [
         [gray(x * w // GRID_X, y * h // GRID_Y) for x in range(GRID_X)]
         for y in range(GRID_Y)
@@ -132,12 +146,103 @@ def dhash_bands(payload: bytes) -> list[int]:
     ]
 
 
+def build_phash_png(doc_id: int) -> bytes:
+    """The PNG twin of build_phash_bmp: a complete, valid non-interlaced
+    8-bit RGB 16x8 PNG (multimodal.binary.decode_png's stdlib scope)
+    whose DECODED pixel values follow the same md5-noise construction —
+    base = doc_id // 4, variant v = doc_id % 4, channels from
+    _pixel_bytes(base, p, salt=\"png\") at the SAME storage index
+    p = (H-1-y)*W + x the BMP formula uses, perturbation +128 on the two
+    BOTTOM image rows when p % 4 < v — so the banding contract (bands
+    0-2 intact within a group) carries over verbatim and the DuckDB
+    oracle is the BMP oracle with the salt spliced into each md5 seed.
+    Scanline y is encoded with filter type y % 5, so the corpus
+    exercises all five PNG filters and a wrong Paeth/Average/stride in
+    the decode path corrupts the hash bits and mismatches."""
+    import zlib
+
+    base, v = doc_id // 4, doc_id % 4
+    stride, bpp = 3 * W, 3
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(H):
+        line = bytearray(stride)
+        r = H - 1 - y  # the BMP's bottom-up stored-row index
+        for x in range(W):
+            p = r * W + x
+            pert = 128 if (r < PERT_ROWS and p % 4 < v) else 0
+            bgr = _pixel_bytes(base, p, salt="png")
+            # PNG stores RGB; gray = (r+g+b)//3 is channel-order-free,
+            # but keep the faithful reversal anyway
+            for c, byte in enumerate(reversed(bgr)):
+                line[3 * x + c] = (byte + pert) % 256
+        ft = y % 5
+        filtered = bytearray(stride)
+        for c in range(stride):
+            a = line[c - bpp] if c >= bpp else 0
+            b = prev[c]
+            cc = prev[c - bpp] if c >= bpp else 0
+            if ft == 0:
+                val = line[c]
+            elif ft == 1:
+                val = line[c] - a
+            elif ft == 2:
+                val = line[c] - b
+            elif ft == 3:
+                val = line[c] - ((a + b) >> 1)
+            else:
+                val = line[c] - _paeth(a, b, cc)
+            filtered[c] = val & 0xFF
+        raw.append(ft)
+        raw += filtered
+        prev = bytes(line)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + zlib.crc32(typ + data).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        W.to_bytes(4, "big")
+        + H.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def dhash_bands_png(payload: bytes) -> list[int]:
+    """dHash over a REAL PNG decode: chunk walk -> zlib inflate -> all
+    five filter types unfiltered (multimodal.binary.decode_png), then the
+    shared gray/grid/bits core over the row-major top-down RGB stream."""
+    from yaml_pipe_spark.multimodal.binary import decode_png
+
+    w, h, pix = decode_png(payload)
+
+    def gray(x_img: int, y_img: int) -> int:
+        o = 3 * (y_img * w + x_img)
+        return (pix[o] + pix[o + 1] + pix[o + 2]) // 3
+
+    return _bands_from_gray(gray, w, h)
+
+
 BANDS_SCHEMA = "item_id long, b0 long, b1 long, b2 long, b3 long"
 
 
-def phash_bands(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def phash_bands(
+    docs: DataFrame, id_col: str = "doc_id", fmt: str = "bmp"
+) -> DataFrame:
     """(item_id, b0..b3): build + decode + hash per image, executor-side
-    over Arrow batches. Only the 4 band words leave Python.
+    over Arrow batches. Only the 4 band words leave Python. `fmt` picks
+    the container round-trip — \"bmp\" (header/stride/bottom-up parse) or
+    \"png\" (inflate + unfilter) — the hash core downstream is shared.
 
     The per-image Python work inherits the SCAN's split count — a
     single-file corpus would hash everything on one task, so rescue the
@@ -145,13 +250,17 @@ def phash_bands(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     for expansion-heavy pipelines over under-split scans)."""
     from yaml_pipe_spark.session import spread_for_expansion
 
+    hash_one = {
+        "bmp": lambda i: dhash_bands(build_phash_bmp(i)),
+        "png": lambda i: dhash_bands_png(build_phash_png(i)),
+    }[fmt]
     docs = spread_for_expansion(docs.select(id_col))
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {"item_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
             for i in pdf[id_col]:
-                bands = dhash_bands(build_phash_bmp(int(i)))
+                bands = hash_one(int(i))
                 out["item_id"].append(int(i))
                 for j in range(4):
                     out[f"b{j}"].append(bands[j])
