@@ -71,8 +71,7 @@ ROUND10_MUST_FRONT: set[str] = ROUND10_QUEUE | ROUND10_HARDENED | {
     "ann_index_forget",           # RTBF purge on the persisted IVF-PQ store
     "q3_bm25_forget",             # RTBF delete+compact on the BM25 store
     "multimodal_phash_png",       # perceptual dedup over PNG payloads
-    # grown as round-10 waves land:
-    #   rel_pricing_summary  — decimal-width reclaim (VERDICT ask #5)
+    "rel_pricing_summary",        # split-long exact sums (VERDICT ask #5)
 }
 
 # Round-6-generation rows left WITHOUT a fresh row after round 10's

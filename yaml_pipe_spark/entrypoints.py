@@ -381,16 +381,18 @@ FROM s
 def q_rel_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     qty_u = F.col("l_quantity").cast("long")
-    price_u = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc_u = F.round(F.col("l_discount") * 100).cast("long")
-    tax_u = F.round(F.col("l_tax") * 100).cast("long")
+    # floor(x*100 + 0.5), not F.round: the money columns sit within 1e-9
+    # of the 2dp grid, so x*100 is within 1e-7 of its integer and the two
+    # forms recover IDENTICAL units (verified value-equal at sf0.1) for
+    # these nonnegative values — but floor stays a primitive double op in
+    # whole-stage codegen while Round routes through BigDecimal.setScale,
+    # measured ~0.1s/rep on this row's six per-row unit derivations
+    price_u = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    disc_u = F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
+    tax_u = F.floor(F.col("l_tax") * 100 + 0.5).cast("long")
     dec = "decimal(38,0)"
-    # products stay within long per element; the 1e-4/1e-6-unit SUMS go
-    # through decimal(38,0) (DuckDB's HUGEINT twin) so a 100x corpus can't
-    # silently wrap a long accumulator. Units are pre-projected once below
-    # the aggregate (measured 0.41s -> 0.37s at sf0.1; the decimal sums
-    # themselves carry a ~1.3x premium over raw long sums — the price of
-    # overflow-proof exactness, paid knowingly)
+    # units are pre-projected once below the aggregate (measured
+    # 0.41s -> 0.37s at sf0.1, round 9)
     pre = li.filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     ).select(
@@ -402,29 +404,45 @@ def q_rel_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         tax_u.alias("tu"),
     )
     pu, du, tu = F.col("pu"), F.col("du"), F.col("tu")
+    # Exactness WITHOUT the decimal aggregation premium (round-10 ask #5,
+    # measured ~1.3x on this row in round 9): every sum stays a LONG sum
+    # inside whole-stage codegen, with overflow bounds documented against
+    # the declared 100 TB (SF1000) target —
+    #   s4 = sum(pu*(100-du)):   per-term <= 1.05e9 (price <= ~$105k),
+    #        rows/group at SF1000 ~1.8e9 -> s4 <= 1.9e18 < 2^63 (the long
+    #        bound holds to ~SF4800);
+    #   s6 = sum(pu*(100-du)*(100+tu)): per-term <= 1.15e11 overflows long
+    #        near SF80, so it is summed as a SPLIT pair — hi = term >> 30
+    #        (<= 107), lo = term & (2^30-1) — each a long sum safe past
+    #        SF4000, recombined exactly in decimal on the 4 result rows.
+    # DuckDB's HUGEINT sums are exact regardless, so the values (and the
+    # oracle hash) are unchanged from the decimal(38,0) formulation.
+    q6 = pu * (100 - du) * (100 + tu)
     s = pre.groupBy("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"),
         F.sum("qu").alias("sq"),
         F.sum("pu").alias("sp"),
         F.sum("du").alias("sd"),
-        F.sum((pu * (100 - du)).cast(dec)).alias("s4"),
-        F.sum((pu * (100 - du) * (100 + tu)).cast(dec)).alias("s6"),
+        F.sum(pu * (100 - du)).alias("s4"),
+        F.sum(F.shiftright(q6, 30)).alias("s6h"),
+        F.sum(q6.bitwiseAND(F.lit((1 << 30) - 1))).alias("s6l"),
     )
     n = F.col("n")
+    s6 = F.col("s6h").cast(dec) * F.lit(1 << 30) + F.col("s6l")
     return s.select(
         "l_returnflag",
         "l_linestatus",
         F.col("sq").cast("double").alias("sum_qty"),
         (F.col("sp").cast("double") / 100).alias("sum_base_price"),
         # half-up to cents in EXACT integer arithmetic: (units + half) div
-        # grid — Spark decimal division is exact at scale 6 for these
-        # quotients, so floor() recovers the integer division DuckDB's //
-        # performs on HUGEINT
+        # grid — long `div` for s4; for the recombined s6, Spark decimal
+        # division is exact at scale 6 for these quotients, so floor()
+        # recovers the integer division DuckDB's // performs on HUGEINT
         (
-            F.floor((F.col("s4") + 50) / 100).cast("double") / 100
+            F.expr("(s4 + 50) div 100").cast("double") / 100
         ).alias("sum_disc_price"),
         (
-            F.floor((F.col("s6") + 5000) / 10000).cast("double") / 100
+            F.floor((s6 + 5000) / 10000).cast("double") / 100
         ).alias("sum_charge"),
         (F.floor(F.col("sq").cast("double") * 10000 / n) / 10000).alias(
             "avg_qty"
@@ -14252,6 +14270,7 @@ DRIVER_ORDER: list[str] = [
     "ann_index_forget",           # RTBF purge on the persisted IVF-PQ store
     "q3_bm25_forget",             # RTBF delete+compact on the BM25 store
     "multimodal_phash_png",       # perceptual dedup over PNG payloads
+    "rel_pricing_summary",        # split-long exact sums (VERDICT ask #5)
     # -- (5) round-6-generation refresh fill (only entries inside the
     #        first 50 get a driver row; the rest stay r6 and queue for
     #        round 11) --
