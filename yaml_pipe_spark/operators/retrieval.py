@@ -40,7 +40,17 @@ def _index_frames(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> tuple[DataFrame, DataFrame]:
     """(tf, dl) — the inverted index and doc-length table, one token
-    explode each; tf is also where df/cf derive from."""
+    explode each; tf is also where df/cf derive from.
+
+    Deliberately NO spread_for_expansion here: the in-query scoring path
+    (bm25_ql_scores) measured SLOWER with the extra round-robin text
+    shuffle (A/B at sf0.1: 2.9s -> 4.3s — its downstream aggregations
+    re-shuffle regardless, so the spread only adds a corpus-bytes
+    exchange). The STORE lifecycle (build/append), whose inputs are
+    routinely one small parquet file and whose tf/dl localCheckpoints
+    materialize the explode directly, spreads at its own call sites —
+    see Bm25IndexStore.build/append (round-10 stream_bm25_append
+    decomposition)."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
@@ -307,8 +317,16 @@ class Bm25IndexStore:
         without touching the corpus again."""
         from yaml_pipe_spark.streaming.stream import commit_band_state
 
+        from yaml_pipe_spark.session import spread_for_expansion
+
         spark = docs.sparkSession
-        docs = docs.select(self.id_col, self.text_col)
+        # store inputs are routinely ONE parquet file (the single-file sf
+        # corpus; a streamed increment micro-batch) whose scan split count
+        # the token explode inherits — spread rescues the 1-core tokenize
+        # (round-10 stream_bm25_append decomposition: the 'drain' cost was
+        # mostly this, 3.7s -> 1.8s at sf0.1) and leaves well-split
+        # cluster-scale scans untouched
+        docs = spread_for_expansion(docs.select(self.id_col, self.text_col))
         tf, dl = _index_frames(docs, self.id_col, self.text_col)
         tf = tf.localCheckpoint()
         dl = dl.localCheckpoint()
@@ -372,7 +390,12 @@ class Bm25IndexStore:
                 f"was built with version={meta['version']!r}, append got "
                 f"version={version!r}"
             )
-        inc = increment.select(self.id_col, self.text_col)
+        from yaml_pipe_spark.session import spread_for_expansion
+
+        # same 1-file-increment rescue as build(); see the comment there
+        inc = spread_for_expansion(
+            increment.select(self.id_col, self.text_col)
+        )
         tf_i, dl_i = _index_frames(inc, self.id_col, self.text_col)
         tf_i = tf_i.localCheckpoint()
         dl_i = dl_i.localCheckpoint()

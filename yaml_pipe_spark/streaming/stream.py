@@ -286,7 +286,17 @@ def run_bm25_append_stream(
         marker = os.path.join(applied_dir, f"batch_{epoch_id}")
         if os.path.isdir(marker):
             return  # replay of an already-applied batch
-        store.append(batch_df.select("doc_id", "text").localCheckpoint())
+        b = batch_df.select("doc_id", "text").localCheckpoint()
+        # a 1-file micro-batch checkpoints to 1 partition, and append()'s
+        # token explode inherits that (spread_for_expansion cannot probe a
+        # checkpointed frame — no file lineage), serializing the tokenize
+        # on one core; the partition probe is free here because the frame
+        # is already materialized (round-10 stream_bm25_append
+        # decomposition: the 'drain' cost was mostly this)
+        par = batch_df.sparkSession.sparkContext.defaultParallelism
+        if b.rdd.getNumPartitions() < par:
+            b = b.repartition(par)
+        store.append(b)
         os.makedirs(marker, exist_ok=True)
 
     reader = spark.readStream.schema(schema)
