@@ -90,7 +90,11 @@ def test_ann_forget_drops_emptied_partitions(spark, tmp_path):
     corpus, cents, _ = _ann_frames(spark)
     store = IvfPqIndexStore(str(tmp_path / "idx"))
     store.build(corpus, cents)
-    # forget EVERYTHING: every cell and bucket empties and must vanish
+    # forget EVERYTHING: every data-bearing cell and bucket empties and
+    # must vanish; what remains is at most the 0-row schema anchor that
+    # keeps the table readable (review-wave fix: a fileless directory
+    # crashed serve()/forget() with UNABLE_TO_INFER_SCHEMA while the
+    # fingerprint reported fresh)
     store.forget(corpus.select("vec_id"))
     cid_dirs = [
         d for d in os.listdir(store.codes_path) if d.startswith("cid=")
@@ -100,7 +104,9 @@ def test_ann_forget_drops_emptied_partitions(spark, tmp_path):
         for d in os.listdir(store.vectors_path)
         if d.startswith(f"{_VB}=")
     ]
-    assert cid_dirs == [] and vb_dirs == []
+    assert cid_dirs in ([], ["cid=0"]) and vb_dirs in ([], [f"{_VB}=0"])
+    assert spark.read.parquet(store.codes_path).count() == 0
+    assert spark.read.parquet(store.vectors_path).count() == 0
 
 
 def test_ann_forget_requires_matching_mode(spark, tmp_path):
@@ -233,3 +239,216 @@ def test_bm25_compact_drops_standing_snapshot(spark, tmp_path):
     # the rewrite renamed every tf/dl part-file; a restore against the old
     # manifest would delete them all — compact() must drop the snapshot
     assert store.restore_manifest() is False
+
+
+# --------------------------------------------------------------------------
+# Round-10 review-wave regressions
+# --------------------------------------------------------------------------
+
+
+def test_ann_forget_everything_then_serve_and_reappend(spark, tmp_path):
+    """A purge that empties EVERY partition must leave a readable (0-row)
+    store: serve returns empty top-k, a second forget is a no-op, the
+    fingerprint reports the empty corpus as fresh, and a later append
+    composes on top of the anchored layout."""
+    corpus, cents, qs = _ann_frames(spark)
+    store = IvfPqIndexStore(str(tmp_path / "idx"))
+    store.build(corpus, cents)
+    n_all = corpus.count()
+    assert store.forget(corpus.select("vec_id")) == n_all
+
+    empty = corpus.limit(0)
+    assert store.is_stale(empty, centroids=cents) is False
+    assert store.serve(qs, k=5, nprobe=2, rerank_m=20).count() == 0
+    # idempotent even against the emptied store
+    assert store.forget(corpus.select("vec_id")) == 0
+
+    # appends compose on the anchored layout
+    back = corpus.filter(F.col("vec_id") < 20)
+    store.append(back)
+    fresh = IvfPqIndexStore(str(tmp_path / "fresh"))
+    fresh.build(back, cents)
+    got = _rows(store.serve(qs, k=5, nprobe=2, rerank_m=20))
+    want = _rows(fresh.serve(qs, k=5, nprobe=2, rerank_m=20))
+    assert got == want
+    assert store.is_stale(back, centroids=cents) is False
+
+
+def test_bm25_reappend_forgotten_doc_serves_again(spark, tmp_path):
+    """A doc forgotten and later legitimately re-appended (it is no longer
+    indexed, so its id is NEW) must serve again: its re-appended rows are
+    stamped with a generation the tombstone does not cover, so serve
+    hash-equals a rebuild of the final corpus while the old physical rows
+    stay masked until compact()."""
+    docs = _docs_df(spark)
+    gone = docs.filter(F.col("doc_id").isin(7, 11))
+    keep = docs.filter(~F.col("doc_id").isin(7, 11))
+
+    store = Bm25IndexStore(str(tmp_path / "idx"))
+    store.build(docs)
+    assert store.forget(gone) == 2
+
+    # doc 7 re-enters with NEW text; doc 11 stays forgotten
+    new7 = _docs_df(spark, rows=[(7, "alpha omega rewritten body")])
+    store.append(new7)
+
+    final = keep.unionByName(new7)
+    fresh = Bm25IndexStore(str(tmp_path / "fresh"))
+    fresh.build(final)
+    assert _rows(store.serve(k=10)) == _rows(fresh.serve(k=10))
+    assert store.is_stale(final) is False
+    assert store.is_stale(docs) is True
+
+    # the tombstones REMAIN (they mask doc 7's old-generation rows and
+    # all of doc 11); compact() purges physically and keeps serving the
+    # re-appended rows
+    ts = {r[0] for r in spark.read.parquet(store.tombstones_path).collect()}
+    assert ts == {7, 11}
+    assert store.compact() == 2
+    assert not os.path.isdir(store.tombstones_path)
+    assert _rows(store.serve(k=10)) == _rows(fresh.serve(k=10))
+    tf = spark.read.parquet(store.tf_path)
+    # doc 7's surviving rows are exactly its NEW generation
+    assert tf.filter(F.col("doc_id") == 7).select(
+        "__gen"
+    ).distinct().collect() == [(1,)]
+    assert tf.filter(F.col("doc_id") == 11).count() == 0
+
+
+def test_bm25_forget_reappend_forget_again(spark, tmp_path):
+    """Liveness (not bare tombstone membership) drives the subtraction:
+    forgetting a doc that was forgotten and then re-appended must subtract
+    its NEW rows and hide them."""
+    docs = _docs_df(spark)
+    store = Bm25IndexStore(str(tmp_path / "idx"))
+    store.build(docs)
+    gone3 = docs.filter(F.col("doc_id") == 3)
+    store.forget(gone3)
+    new3 = _docs_df(spark, rows=[(3, "totally new text three")])
+    store.append(new3)
+    assert store.forget(new3) == 1
+
+    keep = docs.filter(F.col("doc_id") != 3)
+    fresh = Bm25IndexStore(str(tmp_path / "fresh"))
+    fresh.build(keep)
+    assert _rows(store.serve(k=10)) == _rows(fresh.serve(k=10))
+    assert store.is_stale(keep) is False
+
+
+def test_bm25_forget_crash_retry_cannot_double_subtract(spark, tmp_path):
+    """Write order inside forget(): tombstones commit BEFORE the
+    subtractive cf swap, so retrying a forget that crashed between the two
+    no-ops instead of subtracting df/cf twice — and the un-recomposed meta
+    reports stale (rebuild), never a clean fingerprint over corrupt
+    stats."""
+    from yaml_pipe_spark.streaming.stream import read_band_state
+
+    docs = _docs_df(spark)
+    store = Bm25IndexStore(str(tmp_path / "idx"))
+    store.build(docs)
+    cf0 = {
+        r["tok"]: (r["df"], r["cf"])
+        for r in read_band_state(spark, store.base_path, name="cf").collect()
+    }
+    gone = docs.filter(F.col("doc_id") == 7)
+
+    # simulate the crash window: tombstones written, cf swap + meta not
+    gen = int(store._read_meta(spark)["gen"])
+    (
+        gone.select("doc_id")
+        .withColumn("__ts_gen", F.lit(gen))
+        .write.mode("append")
+        .parquet(store.tombstones_path)
+    )
+
+    # the retry no-ops: the rows are already masked -> nothing subtracted
+    assert store.forget(gone) == 0
+    cf1 = {
+        r["tok"]: (r["df"], r["cf"])
+        for r in read_band_state(spark, store.base_path, name="cf").collect()
+    }
+    assert cf1 == cf0
+    # meta was never recomposed, so staleness REPORTS the inconsistency
+    assert store.is_stale(docs.filter(F.col("doc_id") != 7)) is True
+
+
+def test_bm25_retriever_read_path_masks_tombstones(spark, tmp_path):
+    """The CLI retriever's free-text topk() reads tf/dl straight off the
+    store and must apply the same deletion vectors as serve()."""
+    from yaml_pipe_spark.retrievers import Bm25Retriever
+
+    docs = _docs_df(spark).withColumnRenamed("doc_id", "__id")
+    r = Bm25Retriever(str(tmp_path / "idx"))
+    r.store.build(docs)
+    gone = docs.filter(F.col("__id") == 7)
+    r.store.forget(gone)
+
+    qs = spark.createDataFrame(
+        [(0, f"alpha {_uniq_tok(7)}")], "qid long, qtext string"
+    )
+    got = r.topk(docs, qs, k=40).collect()
+    assert all(row["__id"] != 7 for row in got)
+    # the unique token of doc 7 left the vocabulary; alpha still matches
+    assert len(got) > 0
+
+
+def test_twa_pandas_twin_matches_window_on_half_ties(spark):
+    """unit derivation ties: 0.125 * 100 == 12.5 exactly — banker's
+    rounding (pandas Series.round) would give 12 where F.round and DuckDB
+    give 13. The grouped-map twin must round half-away-from-zero."""
+    import datetime as dt
+
+    from yaml_pipe_spark.operators.events import (
+        time_weighted_avg,
+        time_weighted_avg_window,
+    )
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        (1, 1, t0, 0.125),
+        (1, 2, t0 + dt.timedelta(seconds=1), 0.115),
+        (1, 3, t0 + dt.timedelta(seconds=2), 0.105),
+        (2, 4, t0, -0.125),
+        (2, 5, t0 + dt.timedelta(seconds=1), -0.125),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    got = {
+        r["user_id"]: r["twa_value"]
+        for r in time_weighted_avg(ev, unit_dp=2, out_dp=4).collect()
+    }
+    want = {
+        r["user_id"]: r["twa_value"]
+        for r in time_weighted_avg_window(ev, unit_dp=2, out_dp=4).collect()
+    }
+    assert got == want
+    # user 1: units 13, 12 (half-away), dt 1s each -> (13+12)/2 = 12.5
+    # units -> 0.125; banker's (12, 12) would have produced 0.12
+    assert got[1] == pytest.approx(0.125)
+    # user 2 single interval: unit -13 held 1s -> -0.13
+    assert got[2] == pytest.approx(-0.13)
+
+
+def test_spread_for_expansion_probes_materialized_frames(spark):
+    from yaml_pipe_spark.session import spread_for_expansion
+
+    one = (
+        spark.range(0, 1000)
+        .coalesce(1)
+        .localCheckpoint()
+    )
+    assert one.rdd.getNumPartitions() == 1
+    # default: materialized frames are left alone (pinned behavior)
+    assert spread_for_expansion(one) is one
+    # opt-in probe: the stranded 1-partition frame is rescued
+    spread = spread_for_expansion(one, probe_materialized=True)
+    assert spread is not one
+    assert (
+        spread.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    # a well-split materialized frame stays shuffle-free
+    par = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 1000).repartition(par).localCheckpoint()
+    assert spread_for_expansion(wide, probe_materialized=True) is wide

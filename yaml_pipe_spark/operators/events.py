@@ -195,7 +195,20 @@ def time_weighted_avg(
                 val = float((pdf[value_col] * dt).sum() / total)
         else:
             grid = 10**unit_dp
-            vu = (pdf[value_col] * grid).round().astype("int64")
+            # HALF-AWAY-FROM-ZERO on the scaled double — the rule F.round
+            # (window twin) and DuckDB round (oracle) share. pandas
+            # Series.round() is banker's (half-to-even) and would diverge
+            # on any value whose scaled double is an exact .5 tie (e.g.
+            # 0.125 * 100 == 12.5 exactly: banker's -> 12, engines -> 13).
+            # sign * floor(|d| + 0.5) is exact for grid-scale magnitudes
+            # (|d| far below 2^51, so the +0.5 add never rounds).
+            import numpy as np
+
+            d = (pdf[value_col] * grid).to_numpy(dtype="float64")
+            vu = pd.Series(
+                (np.sign(d) * np.floor(np.abs(d) + 0.5)).astype("int64"),
+                index=pdf.index,
+            )
             # python ints: the num sum is exact at any magnitude (no
             # int64 wrap), mirroring the engines' HUGEINT/decimal sums
             den = int(dt.sum())

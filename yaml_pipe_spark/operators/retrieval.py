@@ -273,17 +273,38 @@ class Bm25IndexStore:
         return os.path.join(self.base_path, "tombstones")
 
     def _tombstones(self, spark) -> DataFrame | None:
-        """The forgotten-id table, or None when nothing was ever forgotten
-        (or a compact() cleared it)."""
+        """The forgotten-id table — (id, __ts_gen) rows meaning "hide this
+        id's tf/dl rows stamped with __gen <= __ts_gen" — or None when
+        nothing was ever forgotten (or a compact() cleared it). Frozen with
+        localCheckpoint so lazy plans built over it cannot pick up
+        tombstone files a later write in the same operation appends."""
         import os
 
         if not os.path.isdir(self.tombstones_path):
             return None
         try:
-            ts = spark.read.parquet(self.tombstones_path)
+            ts = spark.read.parquet(self.tombstones_path).localCheckpoint()
         except Exception:
             return None
         return ts
+
+    def _live(self, table: DataFrame, ts: DataFrame | None) -> DataFrame:
+        """Mask tombstoned rows of a tf/dl frame: a row is dead iff some
+        tombstone of its doc covers its generation (__gen <= __ts_gen).
+        Generation-scoped — NOT a bare id anti-join — so a doc forgotten
+        and later legitimately re-appended serves its NEW rows while the
+        old ones stay hidden until compact(), the same way positional
+        deletion vectors let transactional table formats re-insert a
+        deleted key. Broadcast: deletion sets are small between
+        compactions."""
+        if ts is None:
+            return table
+        return table.join(
+            F.broadcast(ts),
+            (table["doc_id"] == ts[self.id_col])
+            & (table["__gen"] <= ts["__ts_gen"]),
+            "left_anti",
+        )
 
     # -- fingerprint/meta: SHARED construction with IvfPqIndexStore ------
     def _fingerprint(self, docs: DataFrame) -> tuple[int, int]:
@@ -303,11 +324,17 @@ class Bm25IndexStore:
         n_docs: int,
         total_tokens: int,
         version: str | None,
+        gen: int,
     ) -> None:
+        # gen = the store's current write generation: 0 at build, +1 per
+        # append. tf/dl rows carry the generation they were written under
+        # (__gen), and tombstones record the generation they were issued
+        # at (__ts_gen), which is what lets a forgotten doc re-enter the
+        # corpus — see _live().
         spark.createDataFrame(
-            [(fp[0], fp[1], n_docs, total_tokens, version)],
+            [(fp[0], fp[1], n_docs, total_tokens, version, gen)],
             "fp_n long, fp_h long, n_docs long, total_tokens long, "
-            "version string",
+            "version string, gen long",
         ).coalesce(1).write.mode("overwrite").parquet(self.meta_path)
 
     # -- lifecycle --------------------------------------------------------
@@ -326,23 +353,29 @@ class Bm25IndexStore:
         # (round-10 stream_bm25_append decomposition: the 'drain' cost was
         # mostly this, 3.7s -> 1.8s at sf0.1) and leaves well-split
         # cluster-scale scans untouched
-        docs = spread_for_expansion(docs.select(self.id_col, self.text_col))
+        docs = spread_for_expansion(
+            docs.select(self.id_col, self.text_col), probe_materialized=True
+        )
         tf, dl = _index_frames(docs, self.id_col, self.text_col)
-        tf = tf.localCheckpoint()
-        dl = dl.localCheckpoint()
+        tf = tf.withColumn("__gen", F.lit(0)).localCheckpoint()
+        dl = dl.withColumn("__gen", F.lit(0)).localCheckpoint()
         tf.write.mode("overwrite").parquet(self.tf_path)
         dl.write.mode("overwrite").parquet(self.dl_path)
         cf = tf.groupBy("tok").agg(
             F.count("*").alias("df"), F.sum("tf").alias("cf")
         )
         commit_band_state(cf, self.base_path, name="cf")
+        import shutil
+
+        # a rebuild over a forgotten-then-stale store starts clean
+        shutil.rmtree(self.tombstones_path, ignore_errors=True)
         tot = dl.agg(
             F.count("*").cast("long").alias("n"),
             F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("t"),
         ).collect()[0]
         fp = (-1, -1) if version is not None else self._fingerprint(docs)
         self._write_meta(
-            spark, fp, int(tot["n"]), int(tot["t"]), version
+            spark, fp, int(tot["n"]), int(tot["t"]), version, gen=0
         )
 
     def is_stale(
@@ -350,6 +383,12 @@ class Bm25IndexStore:
     ) -> bool:
         meta = self._read_meta(docs.sparkSession)
         if meta is None:
+            return True
+        # metas from before the generation-stamped layout (no gen field)
+        # force a rebuild rather than mixing unstamped tf/dl rows with
+        # generation-scoped tombstones — the ANN store's layout-field
+        # precedent
+        if meta.get("gen") is None:
             return True
         if version is not None:
             return meta["version"] != version
@@ -370,7 +409,12 @@ class Bm25IndexStore:
         """Tokenize ONLY the increment, append its tf/dl rows, merge the
         vocabulary stats additively, compose the fingerprint. Increment ids
         must be NEW (re-appending an indexed id XORs its hash back out, so
-        the next is_stale reports the corruption instead of masking it)."""
+        the next is_stale reports the corruption instead of masking it).
+        A previously forgotten id counts as new — it is no longer indexed —
+        and its re-appended rows are stamped with a HIGHER generation than
+        its tombstone covers, so serve() serves the new rows while the old
+        physically-present ones stay hidden until compact() (see
+        _live())."""
         from yaml_pipe_spark.streaming.stream import (
             commit_band_state,
             read_band_state,
@@ -394,11 +438,20 @@ class Bm25IndexStore:
 
         # same 1-file-increment rescue as build(); see the comment there
         inc = spread_for_expansion(
-            increment.select(self.id_col, self.text_col)
+            increment.select(self.id_col, self.text_col),
+            probe_materialized=True,
         )
+        gen = meta.get("gen")
+        if gen is None:
+            raise ValueError(
+                "append() found a pre-generation-layout meta; rebuild the "
+                "index (build()) first — is_stale() reports this store "
+                "stale for exactly that reason"
+            )
+        new_gen = int(gen) + 1
         tf_i, dl_i = _index_frames(inc, self.id_col, self.text_col)
-        tf_i = tf_i.localCheckpoint()
-        dl_i = dl_i.localCheckpoint()
+        tf_i = tf_i.withColumn("__gen", F.lit(new_gen)).localCheckpoint()
+        dl_i = dl_i.withColumn("__gen", F.lit(new_gen)).localCheckpoint()
         tf_i.write.mode("append").parquet(self.tf_path)
         dl_i.write.mode("append").parquet(self.dl_path)
         cf_old = read_band_state(spark, self.base_path, name="cf")
@@ -430,6 +483,7 @@ class Bm25IndexStore:
             int(meta["n_docs"]) + int(tot["n"]),
             int(meta["total_tokens"]) + int(tot["t"]),
             version,
+            gen=new_gen,
         )
 
     def forget(
@@ -449,9 +503,19 @@ class Bm25IndexStore:
         REPORTS (rebuild) rather than masks — the same misuse semantics as
         append()'s ids-must-be-new contract.
 
-        Already-tombstoned ids are excluded up front, so forget is
+        Only the requested ids' LIVE rows (not already masked by an
+        earlier tombstone — see _live()) are subtracted, so forget is
         idempotent and a double delete cannot double-subtract the
-        vocabulary stats. The df/cf subtraction is the same ONE
+        vocabulary stats — and because the tombstone write COMMITS BEFORE
+        the subtractive cf swap (see the write-order comment below), that
+        same liveness guard makes retrying a crashed forget safe: the
+        retry either no-ops (the rows are already covered) or runs
+        against an untouched cf generation. Tombstones are
+        GENERATION-SCOPED ((id, __ts_gen) masks rows with __gen <=
+        __ts_gen), so a forgotten doc can legitimately re-enter the
+        corpus via append() — its new higher-generation rows serve while
+        the old ones stay hidden — and forgetting the re-entered doc
+        works again. The df/cf subtraction is the same ONE
         vocabulary-sized join as append's additive merge, committed as a
         pointer-swapped cf generation; tokens whose df reaches zero leave
         the vocabulary. Physical purge of the tf/dl rows is compact();
@@ -475,19 +539,28 @@ class Bm25IndexStore:
                 f"was built with version={meta['version']!r}, forget got "
                 f"version={version!r}"
             )
-        rem = removed_docs.select(self.id_col, self.text_col)
-        old_ts = self._tombstones(spark)
-        if old_ts is not None:
-            rem = rem.join(
-                F.broadcast(old_ts), self.id_col, "left_anti"
+        gen = meta.get("gen")
+        if gen is None:
+            raise ValueError(
+                "forget() found a pre-generation-layout meta; rebuild the "
+                "index (build()) first — is_stale() reports this store "
+                "stale for exactly that reason"
             )
-        rem = rem.localCheckpoint()
-        ids = rem.select(self.id_col)
+        req = removed_docs.select(self.id_col, self.text_col)
+        req_ids = req.select(self.id_col).distinct()
+        old_ts = self._tombstones(spark)
         tf = spark.read.parquet(self.tf_path)
         dl = spark.read.parquet(self.dl_path)
-        rem_tf = tf.join(
-            F.broadcast(ids),
-            tf["doc_id"] == ids[self.id_col],
+        # subtract only the LIVE rows of the requested ids: rows already
+        # masked by an earlier tombstone were subtracted then (that
+        # liveness check — not bare tombstone membership — is what makes
+        # forget idempotent even for a doc that was forgotten,
+        # re-appended, and is now being forgotten again)
+        tf_live = self._live(tf, old_ts)
+        dl_live = self._live(dl, old_ts)
+        rem_tf = tf_live.join(
+            F.broadcast(req_ids),
+            tf_live["doc_id"] == req_ids[self.id_col],
             "left_semi",
         )
         cf_r = rem_tf.groupBy("tok").agg(
@@ -503,34 +576,60 @@ class Bm25IndexStore:
             )
             .filter(F.col("df") > 0)
         )
-        commit_band_state(merged, self.base_path, name="cf")
-        tot = (
-            dl.join(
-                F.broadcast(ids),
-                dl["doc_id"] == ids[self.id_col],
-                "left_semi",
-            )
-            .agg(
-                F.count("*").cast("long").alias("n"),
-                F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("t"),
-            )
-            .collect()[0]
+        rem_dl = dl_live.join(
+            F.broadcast(req_ids),
+            dl_live["doc_id"] == req_ids[self.id_col],
+            "left_semi",
         )
-        n_rem = rem.count()
-        ids.write.mode("append").parquet(self.tombstones_path)
+        tot = rem_dl.agg(
+            F.count("*").cast("long").alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("t"),
+        ).collect()[0]
+        live_ids = rem_dl.select(
+            F.col("doc_id").alias(self.id_col)
+        ).distinct()
+        rem = req.join(
+            F.broadcast(live_ids), self.id_col, "left_semi"
+        ).localCheckpoint()
         if version is not None:
             fp = (-1, -1)
+            n_rem = rem.count()
         else:
+            # the fingerprint aggregate already counts rem's rows — reuse
+            # it instead of a third job over the deletion set
             n_r, h_r = self._fingerprint(rem)
             fp = (meta["fp_n"] - n_r, meta["fp_h"] ^ h_r)
-        # meta LAST (crash contract, same as append): a crash mid-forget
-        # leaves a stale fingerprint and the caller rebuilds cleanly
+            n_rem = n_r
+        if n_rem == 0:
+            # nothing live to delete (idempotent retry / unknown ids):
+            # leave every table and the meta untouched
+            return 0
+        # WRITE ORDER (crash contract): tombstones FIRST, then the cf
+        # generation swap, meta LAST. The tombstone write is what makes a
+        # RETRY of a crashed forget a no-op (the rows it covers are no
+        # longer live, so nothing is re-subtracted) — were the cf swap
+        # committed first, a crash between the two would let the retry
+        # subtract df/cf a second time while the fingerprint composed
+        # clean, serving corrupted stats with no rebuild ever triggered.
+        # With tombstones first, every crash window leaves meta
+        # un-recomposed, so is_stale reports stale and the caller
+        # rebuilds cleanly. The tombstone covers generations <= the
+        # store's CURRENT gen, so rows a later append stamps (gen+1)
+        # serve again — the re-entry path.
+        (
+            rem.select(self.id_col)
+            .withColumn("__ts_gen", F.lit(int(gen)))
+            .write.mode("append")
+            .parquet(self.tombstones_path)
+        )
+        commit_band_state(merged, self.base_path, name="cf")
         self._write_meta(
             spark,
             fp,
             int(meta["n_docs"]) - int(tot["n"]),
             int(meta["total_tokens"]) - int(tot["t"]),
             version if version is not None else meta["version"],
+            gen=int(gen),
         )
         return int(n_rem)
 
@@ -554,15 +653,12 @@ class Bm25IndexStore:
         ts = self._tombstones(spark)
         if ts is None:
             return 0
-        ts = ts.localCheckpoint()
-        n = ts.count()
+        n = ts.select(self.id_col).distinct().count()
         for sub_path in (self.tf_path, self.dl_path):
             table = spark.read.parquet(sub_path)
-            kept = table.join(
-                F.broadcast(ts),
-                table["doc_id"] == ts[self.id_col],
-                "left_anti",
-            ).localCheckpoint()
+            # generation-aware: keep the LIVE rows — a re-appended doc's
+            # new rows survive the purge, only the masked generations go
+            kept = self._live(table, ts).localCheckpoint()
             kept.write.mode("overwrite").parquet(sub_path)
         shutil.rmtree(self.tombstones_path, ignore_errors=True)
         # drop any standing snapshot: its file lists predate the rewrite
@@ -715,23 +811,13 @@ class Bm25IndexStore:
                 "qid long, rank long, doc_id long, score double, "
                 "is_self long",
             )
-        tf = spark.read.parquet(self.tf_path)
-        dl = spark.read.parquet(self.dl_path)
+        # deletion vectors: forgotten docs stop serving (as documents AND
+        # as pseudo-queries, which derive from tf) the moment forget()
+        # commits; generation-scoped, so a re-appended doc's new rows
+        # serve; compact() makes the purge physical
         ts = self._tombstones(spark)
-        if ts is not None:
-            # deletion vectors: forgotten docs stop serving (as documents
-            # AND as pseudo-queries, which derive from tf) the moment
-            # forget() commits; compact() makes the purge physical
-            tf = tf.join(
-                F.broadcast(ts),
-                tf["doc_id"] == ts[self.id_col],
-                "left_anti",
-            )
-            dl = dl.join(
-                F.broadcast(ts),
-                dl["doc_id"] == ts[self.id_col],
-                "left_anti",
-            )
+        tf = self._live(spark.read.parquet(self.tf_path), ts)
+        dl = self._live(spark.read.parquet(self.dl_path), ts)
         cf = read_band_state(spark, self.base_path, name="cf")
         stats = spark.createDataFrame(
             [(n_docs, total / n_docs)], "n_docs long, avgdl double"

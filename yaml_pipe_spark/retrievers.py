@@ -180,8 +180,12 @@ class Bm25Retriever:
                 [],
                 f"qid {qid_type}, __id string, rank long, score double",
             )
-        tf = spark.read.parquet(self.store.tf_path)
-        dl = spark.read.parquet(self.store.dl_path)
+        # generation-scoped deletion vectors: forgotten docs must not be
+        # served from this read path either (review-wave fix — serve()
+        # masked tombstones but the CLI retriever read tf/dl raw)
+        ts = self.store._tombstones(spark)
+        tf = self.store._live(spark.read.parquet(self.store.tf_path), ts)
+        dl = self.store._live(spark.read.parquet(self.store.dl_path), ts)
         cf = read_band_state(spark, self.store.base_path, name="cf")
         stats = spark.createDataFrame(
             [(n_docs, total / n_docs)], "n_docs long, avgdl double"

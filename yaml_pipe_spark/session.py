@@ -67,7 +67,7 @@ def _size_bytes(v: str) -> int:
     return int(float(s))
 
 
-def spread_for_expansion(df):
+def spread_for_expansion(df, probe_materialized: bool = False):
     """Round-robin repartition a DataFrame to full parallelism IFF it is
     under-partitioned (e.g., a small compressed parquet arriving as one scan
     split) — the guard keeps well-partitioned cluster-scale inputs
@@ -97,6 +97,23 @@ def spread_for_expansion(df):
     except Exception:
         return df
     if not files:
+        # No file lineage: in-memory / post-shuffle frames are already
+        # spread (leave them alone — pinned in tests), but a MATERIALIZED
+        # frame (localCheckpoint of a 1-file micro-batch, the
+        # stream_bm25_append shape) silently keeps its stranded partition
+        # count. Callers that routinely receive checkpointed inputs and
+        # feed an expensive expansion (the index-store build/append
+        # lifecycle) opt in to a partition-count probe — free on a
+        # materialized frame, where `.rdd` is already an RDD, and safe on
+        # any frame because the plan is about to be executed by the
+        # caller anyway.
+        if probe_materialized:
+            try:
+                n = df.rdd.getNumPartitions()
+            except Exception:
+                return df
+            if n * 2 <= par:
+                return df.repartition(par)
         return df
     total = 0
     for f in files:
