@@ -120,8 +120,16 @@ ROUND11_QUEUE: set[str] = {
 }
 
 
+# Registered AFTER round 10's 50-slot prefix was spent (no driver row
+# yet) — round 11 must front these alongside ROUND11_QUEUE: 1 + 37 new/
+# refresh slots still leave headroom in the 50-entry prefix.
+ROUND11_NEW: set[str] = {
+    "ann_index_compact",  # small-file compaction on the IVF-PQ store
+}
+
+
 def test_round10_queue_is_registered():
-    for name in ROUND10_QUEUE | ROUND10_HARDENED | ROUND11_QUEUE:
+    for name in ROUND10_QUEUE | ROUND10_HARDENED | ROUND11_QUEUE | ROUND11_NEW:
         assert name in REGISTRY, name
         assert REGISTRY[name].oracle is not None, name
 

@@ -8958,6 +8958,89 @@ def q_ann_index_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.serve(q, k=5, nprobe=2, rerank_m=20)
 
 
+@register(
+    "ann_index_compact",
+    ANN_INDEX_FORGET_ORACLE,
+    "Small-file compaction on the persisted IVF-PQ store "
+    "(operators/ann_index.py::compact, round 10) — the maintenance "
+    "operation that completes the build/append/forget lifecycle: every "
+    "append lands one part-file per touched cid cell / __vb bucket per "
+    "increment, so a long maintenance chain fragments the index and "
+    "every serve pays the per-file open cost (the economics behind "
+    "OPTIMIZE / rewrite_data_files in transactional table formats). The "
+    "chain here is build(standing) -> two appends -> forget(vec_id%7=3) "
+    "-> compact(), which rewrites ONLY partitions holding >1 data file "
+    "(file surgery proportional to fragmentation, never corpus size) and "
+    "coalesces each to one file. Compaction is value-neutral: rows, "
+    "fingerprint and meta are untouched, so the oracle is the "
+    "rebuild-without-the-forgotten-rows oracle UNCHANGED — the same "
+    "IVF-PQ core recomputed from scratch — and the post-compact serve "
+    "must hash-equal it. Unit twin: tests/test_ann_compact.py.",
+)
+def q_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from yaml_pipe_spark.operators.ann_index import (
+        IvfPqIndexStore,
+        _partition_file_counts,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    corp = emb.filter(F.col("vec_id") >= 20).select("vec_id", "embedding")
+    keep = corp.filter(F.col("vec_id") % 7 != 3)
+    gone = corp.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    cents = emb.filter(
+        (F.col("vec_id") >= 20) & (F.col("vec_id") < 28)
+    ).select(
+        (F.col("vec_id") - 20).alias("cid"), F.col("embedding").alias("cv")
+    )
+    # deterministic 80/10/10 split: standing build + two fragmenting
+    # appends (the daily-increment chain, two days of it)
+    split = corp.agg(
+        F.floor(0.8 * F.max("vec_id")).cast("long").alias("__s1"),
+        F.floor(0.9 * F.max("vec_id")).cast("long").alias("__s2"),
+    )
+    staged = corp.crossJoin(F.broadcast(split))
+    standing = staged.filter(F.col("vec_id") < F.col("__s1")).select(
+        "vec_id", "embedding"
+    )
+    inc1 = staged.filter(
+        (F.col("vec_id") >= F.col("__s1")) & (F.col("vec_id") < F.col("__s2"))
+    ).select("vec_id", "embedding")
+    inc2 = staged.filter(F.col("vec_id") >= F.col("__s2")).select(
+        "vec_id", "embedding"
+    )
+    store = IvfPqIndexStore(
+        os.path.join(
+            "spark-warehouse",
+            f"ann_ivfpq_compact_{os.path.basename(os.path.normpath(sf_dir))}",
+        )
+    )
+    if store.is_stale(keep, centroids=cents):
+        import shutil
+
+        shutil.rmtree(store.base_path, ignore_errors=True)
+        store.build(standing, cents)
+        store.append(inc1)
+        store.append(inc2)
+        store.forget(gone)
+        store.compact()
+        # compaction left no fragmented partition behind, and the
+        # fingerprint (untouched by compact) still composes to the
+        # remaining corpus
+        assert all(
+            n <= 1
+            for n in _partition_file_counts(
+                spark, store.codes_path, store.cid_col
+            ).values()
+        )
+        assert store.is_stale(keep, centroids=cents) is False
+    return store.serve(q, k=5, nprobe=2, rerank_m=20)
+
+
 # Shared by text_bigram_logprob (per-lang rollup) and corpus_ccnet_buckets
 # (per-lang perplexity terciles): per-doc mean bigram log10-probability under
 # the corpus's own per-language bigram LM (operators/text_stats.py::

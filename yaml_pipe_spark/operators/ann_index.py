@@ -90,14 +90,40 @@ from yaml_pipe_spark.operators.similarity import (
 _LAYOUT = "v2"
 # Vector-table bucket count: forget() rewrites only the buckets deleted ids
 # hash into, so the purge cost is ~|deletes|/N_VB of the corpus per bucket
-# touched. 32 keeps sandbox file counts small; at 100 TB size this so one
-# bucket is a few GB (e.g. 4096).
+# touched. 32 keeps sandbox file counts small; at 100 TB, raise it (e.g. to
+# 4096) so a single bucket's rewrite stays a few GB.
 N_VB = 32
 _VB = "__vb"
 
 
 def _vb_of(id_col: str):
     return F.pmod(F.xxhash64(F.col(id_col)), F.lit(N_VB)).cast("int")
+
+
+def _partition_file_counts(
+    spark: SparkSession, base: str, col: str
+) -> dict[str, int]:
+    """{partition value -> number of data files} for a hive-partitioned
+    table, via the Hadoop FileSystem so it works on any scheme the store
+    lives on. Hidden/metadata files (_SUCCESS, .crc, ...) don't count."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(base)
+    fs = p.getFileSystem(conf)
+    out: dict[str, int] = {}
+    if not fs.exists(p):
+        return out
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith(col + "=")):
+            continue
+        n = 0
+        for f in fs.listStatus(st.getPath()):
+            fn = f.getPath().getName()
+            if f.isFile() and not fn.startswith(("_", ".")):
+                n += 1
+        out[name.split("=", 1)[1]] = n
+    return out
 
 
 def _rm_partition_dirs(
@@ -473,6 +499,75 @@ class IvfPqIndexStore:
         emptied = [v for v in affected if v not in kept]
         if emptied:
             _rm_partition_dirs(spark, path, part_col, emptied)
+            # a purge that empties EVERY partition would leave the table
+            # directory fileless — unreadable (UNABLE_TO_INFER_SCHEMA), so
+            # a later serve()/forget() would crash even though the
+            # composed fingerprint correctly reports the empty corpus as
+            # fresh. Anchor the schema with one 0-row file inside a
+            # partition directory (uniform hive layout, so later appends
+            # compose): serve returns empty top-k, forget stays a no-op.
+            try:
+                spark.read.parquet(path)
+            except Exception:
+                (
+                    remaining.drop(part_col)
+                    .limit(0)
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(path, f"{part_col}=0"))
+                )
+
+    def compact(self) -> int:
+        """Small-file compaction of the persisted tables. Every append()
+        lands one part-file per touched partition per increment, so a long
+        maintenance chain fragments the cid cells / __vb buckets into many
+        small files and every serve pays the per-file open cost (the same
+        fragmentation economics that make transactional table formats ship
+        OPTIMIZE/rewrite_data_files). Rewrites ONLY the partitions holding
+        more than one data file, coalescing each to a single file — file
+        surgery proportional to FRAGMENTATION, not corpus size — and
+        returns the number of partitions rewritten.
+
+        Value-neutral by construction: rows, statistics, fingerprint and
+        meta bytes are all untouched (serve before == serve after, pinned
+        in tests), so compact needs no meta transaction: a crash before a
+        partition's dynamic-overwrite commit leaves its original files,
+        after it the coalesced file — the table is value-identical either
+        way, and a rerun just finishes the remaining partitions. Batch it
+        like the BM25 twin's compact(): per-append compaction would
+        reintroduce the corpus-linear cost append() exists to avoid."""
+        spark = SparkSession.getActiveSession()
+        rewritten = 0
+        for path, col in (
+            (self.codes_path, self.cid_col),
+            (self.vectors_path, _VB),
+        ):
+            frag = [
+                v
+                for v, n in _partition_file_counts(spark, path, col).items()
+                if n > 1
+            ]
+            if not frag:
+                continue
+            # both partition columns are ints (hive dir names are strings)
+            vals = [int(v) for v in frag]
+            table = spark.read.parquet(path)
+            part = (
+                table.filter(F.col(col).isin(vals))
+                # one task per partition value -> exactly one output file
+                # per rewritten partition (a hash collision merely lets
+                # one task write two partitions' files, still one each)
+                .repartition(len(vals), F.col(col))
+                .localCheckpoint()
+            )
+            (
+                part.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(col)
+                .parquet(path)
+            )
+            rewritten += len(vals)
+        return rewritten
 
     # -- serve ----------------------------------------------------------
     def serve(
