@@ -452,3 +452,37 @@ def test_spread_for_expansion_probes_materialized_frames(spark):
     par = spark.sparkContext.defaultParallelism
     wide = spark.range(0, 1000).repartition(par).localCheckpoint()
     assert spread_for_expansion(wide, probe_materialized=True) is wide
+
+
+def test_bm25_compact_defragments_append_growth(spark, tmp_path):
+    """compact() with NO tombstones must still coalesce the small-file
+    growth of a long append chain (each append lands one more tf/dl
+    part-file pair) — and stay value-identical."""
+    docs = _docs_df(spark)
+    store = Bm25IndexStore(str(tmp_path / "idx"))
+    store.build(docs.filter(F.col("doc_id") < 20))
+    extra = [
+        (100 + i, f"appended doc {_uniq_tok(100 + i)} gamma zeta")
+        for i in range(20)
+    ]
+    for lo in range(0, 20, 2):
+        store.append(_docs_df(spark, rows=extra[lo : lo + 2]))
+
+    def n_files(d):
+        return sum(
+            1 for fn in os.listdir(d) if not fn.startswith(("_", "."))
+        )
+
+    par = spark.sparkContext.defaultParallelism
+    assert n_files(store.tf_path) > par  # the chain fragmented
+    want = _rows(store.serve(k=10))
+
+    assert store.compact() == 0  # nothing tombstoned — purge count is 0
+    assert n_files(store.tf_path) <= par
+    assert n_files(store.dl_path) <= par
+    assert _rows(store.serve(k=10)) == want
+
+    # un-fragmented, un-tombstoned: a cheap no-op that rewrites nothing
+    before = sorted(os.listdir(store.tf_path))
+    assert store.compact() == 0
+    assert sorted(os.listdir(store.tf_path)) == before

@@ -236,13 +236,19 @@ class IvfPqIndexStore:
             .partitionBy(self.cid_col)
             .parquet(self.codes_path)
         )
+        vec_w = corpus.withColumn(_VB, _vb_of(self.id_col))
         (
-            corpus.withColumn(_VB, _vb_of(self.id_col))
-            .write.mode("overwrite")
+            vec_w.write.mode("overwrite")
             .option("partitionOverwriteMode", "static")
             .partitionBy(_VB)
             .parquet(self.vectors_path)
         )
+        # an EMPTY corpus writes no partition files at all, leaving the
+        # table directories unreadable — anchor them, same as a forget()
+        # that empties every partition (an empty index is legal: serve
+        # returns empty top-k, appends compose on the anchored layout)
+        self._anchor_if_fileless(spark, self.codes_path, coded, self.cid_col)
+        self._anchor_if_fileless(spark, self.vectors_path, vec_w, _VB)
         centroids.write.mode("overwrite").parquet(self.centroids_path)
         if version is None:
             n, h = self._fingerprint(corpus)
@@ -503,19 +509,32 @@ class IvfPqIndexStore:
             # directory fileless — unreadable (UNABLE_TO_INFER_SCHEMA), so
             # a later serve()/forget() would crash even though the
             # composed fingerprint correctly reports the empty corpus as
-            # fresh. Anchor the schema with one 0-row file inside a
-            # partition directory (uniform hive layout, so later appends
-            # compose): serve returns empty top-k, forget stays a no-op.
-            try:
-                spark.read.parquet(path)
-            except Exception:
-                (
-                    remaining.drop(part_col)
-                    .limit(0)
-                    .coalesce(1)
-                    .write.mode("overwrite")
-                    .parquet(os.path.join(path, f"{part_col}=0"))
-                )
+            # fresh
+            self._anchor_if_fileless(spark, path, remaining, part_col)
+
+    @staticmethod
+    def _anchor_if_fileless(
+        spark: SparkSession,
+        path: str,
+        schema_src: DataFrame,
+        part_col: str,
+    ) -> None:
+        """If `path` holds no readable parquet, write one 0-row file (the
+        data columns of `schema_src`) inside a `part_col=0` partition
+        directory: the table stays readable with a uniform hive layout, so
+        serve returns empty results, forget stays a no-op, and later
+        appends compose. Reached by a forget() that empties every
+        partition and by build() over an empty corpus."""
+        try:
+            spark.read.parquet(path)
+        except Exception:
+            (
+                schema_src.drop(part_col)
+                .limit(0)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(path, f"{part_col}=0"))
+            )
 
     def compact(self) -> int:
         """Small-file compaction of the persisted tables. Every append()

@@ -546,6 +546,11 @@ class Bm25IndexStore:
                 "index (build()) first — is_stale() reports this store "
                 "stale for exactly that reason"
             )
+        if int(meta["n_docs"]) == 0:
+            # nothing is live (empty build, or everything already
+            # forgotten) — and an empty-built store's tf/dl directories
+            # may hold no readable parquet at all
+            return 0
         req = removed_docs.select(self.id_col, self.text_col)
         req_ids = req.select(self.id_col).distinct()
         old_ts = self._tombstones(spark)
@@ -634,16 +639,26 @@ class Bm25IndexStore:
         return int(n_rem)
 
     def compact(self) -> int:
-        """Deferred physical purge: rewrite tf/dl minus the tombstoned
-        docs and clear the tombstone table. Statistics and fingerprint are
-        already exact from forget(); compaction only changes the physical
-        layout, so serve() before and after is value-identical (pinned in
-        tests/test_forget.py). Corpus-linear — batch it, don't run it per
-        deletion. Invalidates any standing snapshot_manifest (the rewrite
-        renames every tf/dl part-file, so a later restore_manifest would
-        delete the lot); the manifest is dropped so restore falls back to
-        the documented rebuild path. Returns the number of tombstoned ids
-        purged."""
+        """Deferred physical maintenance: rewrite tf/dl minus the
+        tombstoned docs, clear the tombstone table, and coalesce the
+        small-file growth of the append chain. Statistics and fingerprint
+        are already exact from forget(); compaction only changes the
+        physical layout, so serve() before and after is value-identical
+        (pinned in tests/test_forget.py). Corpus-linear — batch it, don't
+        run it per deletion. Invalidates any standing snapshot_manifest
+        (the rewrite renames every tf/dl part-file, so a later
+        restore_manifest would delete the lot); the manifest is dropped so
+        restore falls back to the documented rebuild path. Returns the
+        number of tombstoned ids purged.
+
+        With NO tombstones the rewrite still runs when the tables are
+        fragmented (file count above the session's default parallelism) —
+        every append/streamed micro-batch lands another tf/dl part-file
+        pair, so a long-running maintenance stream grows the file count
+        without bound and every serve pays the per-file open cost; this
+        is the unpartitioned twin of IvfPqIndexStore.compact(). A store
+        that is neither tombstoned nor fragmented is a cheap no-op (two
+        directory listings)."""
         import os
         import shutil
 
@@ -651,14 +666,35 @@ class Bm25IndexStore:
 
         spark = SparkSession.getActiveSession()
         ts = self._tombstones(spark)
-        if ts is None:
+
+        def _n_files(d: str) -> int:
+            return sum(
+                1
+                for fn in os.listdir(d)
+                if not fn.startswith(("_", "."))
+            )
+
+        par = spark.sparkContext.defaultParallelism
+        fragmented = (
+            _n_files(self.tf_path) > par or _n_files(self.dl_path) > par
+        )
+        if ts is None and not fragmented:
             return 0
-        n = ts.select(self.id_col).distinct().count()
+        n = (
+            ts.select(self.id_col).distinct().count()
+            if ts is not None
+            else 0
+        )
         for sub_path in (self.tf_path, self.dl_path):
             table = spark.read.parquet(sub_path)
             # generation-aware: keep the LIVE rows — a re-appended doc's
             # new rows survive the purge, only the masked generations go
-            kept = self._live(table, ts).localCheckpoint()
+            kept = self._live(table, ts)
+            if fragmented:
+                # balanced round-robin, so the rewrite also undoes any
+                # partition skew the append history accumulated
+                kept = kept.repartition(par)
+            kept = kept.localCheckpoint()
             kept.write.mode("overwrite").parquet(sub_path)
         shutil.rmtree(self.tombstones_path, ignore_errors=True)
         # drop any standing snapshot: its file lists predate the rewrite
