@@ -463,3 +463,52 @@ def test_chroma_http_skips_null_source_deletes(spark, tmp_path):
     ]
     docs = sorted(d for a in adds for d in a["documents"])
     assert docs == ["a", "orphan"]
+
+
+def test_lancedb_delete_sources(spark, tmp_path):
+    """RTBF delete on the LanceDB adapter: the write path's
+    delete-by-source idiom on its own (quoting, NULLs skipped,
+    missing-table no-op)."""
+    from yaml_pipe_spark.operators.vector_sinks import LanceDBSink
+
+    db = _FakeLanceDB()
+    sink = LanceDBSink(str(tmp_path), "corpus", db_factory=lambda: db)
+    # missing table: nothing to do
+    assert sink.delete_sources(spark, ["a.txt"]) is None
+
+    df = spark.createDataFrame(
+        [
+            ("a.txt", "alpha", [1.0, 0.0]),
+            ("it's.txt", "quoted", [0.2, 0.8]),
+            ("b.txt", "beta", [0.0, 1.0]),
+        ],
+        "source string, text string, embedding array<double>",
+    )
+    sink.write(df)
+    sink.delete_sources(spark, ["a.txt", "it's.txt", None])
+    tbl = db.tables["corpus"]
+    assert sorted(tbl.tbl.column("text").to_pylist()) == ["beta"]
+    # single delete call covering both sources, quote-escaped
+    assert any("it''s.txt" in d for d in tbl.deletes)
+
+
+def test_chroma_delete_sources(spark, tmp_path):
+    """RTBF delete on the Chroma adapter: one where-clause delete per
+    non-NULL source."""
+    from yaml_pipe_spark.operators.vector_sinks import ChromaDBSink
+
+    deletes = []
+
+    class _Col:
+        def delete(self, where):
+            deletes.append(where)
+
+    class _Client:
+        def get_or_create_collection(self, name):
+            return _Col()
+
+    sink = ChromaDBSink(
+        collection_name="corpus", path=str(tmp_path), client_factory=_Client
+    )
+    assert sink.delete_sources(spark, ["a.txt", None, "b.txt"]) is None
+    assert deletes == [{"source": "a.txt"}, {"source": "b.txt"}]

@@ -125,6 +125,70 @@ def cmd_clean(args) -> int:
     return 0
 
 
+def cmd_forget(args) -> int:
+    """Right-to-be-forgotten at the pipeline surface: delete every row of
+    the given source(s) from the corpus sink AND purge them from the
+    spec's persisted retriever indexes (operators/ann_index.py /
+    operators/retrieval.py forget — the round-10 deletion machinery),
+    then prove completion with the same staleness gate `search` serves
+    behind. Order: sink first (the source of truth stops serving the rows
+    immediately; a crash in between leaves the indexes stale, which
+    ensure_fresh REPORTS rather than serves). Anything the index purge
+    cannot compose — e.g. a forgotten vector that seeded an IVF coarse
+    centroid, whose data lives in the quantizer itself — shows up as
+    staleness and is closed by an automatic rebuild of the remaining
+    corpus. The file-state ledger keeps the source's entry on purpose: a
+    still-existing upstream file must NOT re-ingest on the next run
+    (unchanged hash => skipped); `clean` resets that too."""
+    from yaml_pipe_spark.plans.factory import build_component
+    from yaml_pipe_spark.retrievers import ExactRetriever, unique_by_id
+
+    from pyspark.sql import functions as F
+
+    spec = load_config(args.config)
+    spark = _spark()
+    sink = build_component("sink", spec.sink)
+    if not hasattr(sink, "delete_sources"):
+        print(
+            f"sink {spec.sink.type!r} does not support delete_sources",
+            file=sys.stderr,
+        )
+        return 1
+    corpus = unique_by_id(sink.read(spark))
+    gone = (
+        corpus.filter(F.col("source").isin(list(args.sources)))
+        .select("__id", "source", "text")
+        .localCheckpoint()  # frozen BEFORE the sink rows disappear
+    )
+    n_rows = gone.count()
+    if n_rows == 0:
+        print(json.dumps({"sources": args.sources, "sink_rows": 0}))
+        return 0
+    sink_rows = sink.delete_sources(spark, list(args.sources))
+    retriever = (
+        build_component("retriever", spec.retriever)
+        if spec.retriever is not None
+        else ExactRetriever()
+    )
+    index_rows = retriever.forget(gone)
+    remaining = unique_by_id(sink.read(spark))
+    rebuilt = False
+    if retriever.is_stale(remaining):
+        retriever.build(remaining)
+        rebuilt = True
+    print(
+        json.dumps(
+            {
+                "sources": args.sources,
+                "sink_rows": sink_rows,
+                "index_rows": index_rows,
+                "index_rebuilt": rebuilt,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_eval(args) -> int:
     # reference cli.py:198-213 + evaluation.py:66-109: JSONL of
     # {question, expected_source}; hit iff any top-k result's source matches.
@@ -393,6 +457,14 @@ def main(argv: list[str] | None = None) -> int:
     se.add_argument("-c", "--config", required=True)
     se.add_argument("-k", type=int, default=3)
     se.set_defaults(fn=cmd_search)
+
+    fo = sub.add_parser(
+        "forget",
+        help="right-to-be-forgotten: delete source(s) from sink + indexes",
+    )
+    fo.add_argument("sources", nargs="+", help="source value(s) to delete")
+    fo.add_argument("-c", "--config", required=True)
+    fo.set_defaults(fn=cmd_forget)
 
     ev = sub.add_parser("eval", help="retrieval hit-rate over a JSONL dataset")
     ev.add_argument("dataset")

@@ -76,6 +76,64 @@ class ParquetSink:
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.option("mergeSchema", "true").parquet(self.path)
 
+    def delete_sources(self, spark: SparkSession, sources: list[str]) -> int:
+        """Right-to-be-forgotten delete: remove every row of the given
+        sources from the corpus table; returns the number of rows removed.
+
+        When the table is partitioned by `source` (the default layout),
+        the delete is partition-DIRECTORY surgery: the doomed partitions
+        are located from the actual scan file paths (input_file_name(), so
+        no re-implementation of hive partition-value escaping) and their
+        directories dropped — no surviving row is rewritten, the same
+        file-surgery economics as the index stores' forget(). Any other
+        partitioning falls back to a rewrite without the rows
+        (corpus-linear; RTBF requests should land on the source-partitioned
+        layout at scale)."""
+        from pyspark.sql import functions as F
+
+        src = list(sources)
+        df = self.read(spark)
+        gone = df.filter(F.col("source").isin(src))
+        n = gone.count()
+        if n == 0:
+            return 0
+        if self.partition_by == "source":
+            from urllib.parse import unquote, urlparse
+
+            files = [
+                r[0]
+                for r in gone.select(
+                    F.input_file_name().alias("f")
+                ).distinct().collect()
+            ]
+            jvm = spark._jvm
+            conf = spark._jsc.hadoopConfiguration()
+            for d in {f.rsplit("/", 1)[0] for f in files}:
+                # input_file_name() percent-encodes the URI ON TOP of the
+                # hive escaping already present in the on-disk directory
+                # name (source=file%3A...), so decode exactly once to get
+                # back the on-disk path (the session.py inputFiles rule)
+                parsed = urlparse(d)
+                local = (
+                    unquote(parsed.path)
+                    if parsed.scheme in ("file",)
+                    else d
+                )
+                p = jvm.org.apache.hadoop.fs.Path(local)
+                if not p.getFileSystem(conf).delete(p, True):
+                    raise IOError(
+                        f"failed to delete sink partition directory {local}"
+                    )
+        else:
+            kept = df.filter(~F.col("source").isin(src)).localCheckpoint()
+            (
+                kept.write.mode("overwrite")
+                .option("partitionOverwriteMode", "static")
+                .partitionBy(self.partition_by)
+                .parquet(self.path)
+            )
+        return int(n)
+
     def test_connection(self, spark: SparkSession) -> None:
         """S5-style cheap probe: the path is creatable/readable."""
         import os
@@ -178,6 +236,32 @@ class DuckDBSink:
         finally:
             con.close()
         return spark.createDataFrame(tbl.to_pandas())
+
+    def delete_sources(self, spark: SparkSession, sources: list[str]) -> int:
+        """Right-to-be-forgotten delete: one parameterized DELETE (no
+        string-interpolated values — the injection hazard the module
+        docstring calls out); returns the number of rows removed."""
+        con = self._connect()
+        try:
+            exists = con.sql(
+                "SELECT count(*) FROM information_schema.tables "
+                f"WHERE table_name = '{self.table}'"
+            ).fetchone()[0]
+            if not exists:
+                return 0
+            n = con.execute(
+                f"SELECT count(*) FROM {self.table} "
+                "WHERE source IN (SELECT unnest(?::VARCHAR[]))",
+                [list(sources)],
+            ).fetchone()[0]
+            con.execute(
+                f"DELETE FROM {self.table} "
+                "WHERE source IN (SELECT unnest(?::VARCHAR[]))",
+                [list(sources)],
+            )
+            return int(n)
+        finally:
+            con.close()
 
     def test_connection(self, spark: SparkSession) -> None:
         con = self._connect()

@@ -227,6 +227,21 @@ class LanceDBSink:
             db.open_table(self.table_name).to_pandas()
         )
 
+    def delete_sources(self, spark: SparkSession, sources: list[str]):
+        """Right-to-be-forgotten delete: the write path's delete-by-source
+        idiom (reference sinks.py:61-76 quoting, NULLs skipped) run on its
+        own. Returns None — LanceDB exposes no cheap deleted-row count."""
+        db = self._db()
+        if self.table_name not in db.table_names():
+            return None
+        src = [s for s in sources if s is not None]
+        if src:
+            quoted = ", ".join(
+                "'" + s.replace("'", "''") + "'" for s in src
+            )
+            db.open_table(self.table_name).delete(f"source IN ({quoted})")
+        return None
+
     def test_connection(self, spark: SparkSession) -> None:  # pragma: no cover
         self._db().table_names()
 
@@ -346,6 +361,17 @@ class ChromaDBSink:
         return spark.createDataFrame(
             rows, "source string, text string, embedding array<double>"
         )
+
+    def delete_sources(self, spark: SparkSession, sources: list[str]):
+        """Right-to-be-forgotten delete: the write path's per-source
+        metadata delete run on its own (reference sinks.py:121-129; NULLs
+        skipped — Chroma where-clauses reject None). Returns None — the
+        API exposes no deleted-row count."""
+        col = self._client().get_or_create_collection(self.collection_name)
+        for source in sources:
+            if source is not None:
+                col.delete(where={"source": source})
+        return None
 
     def test_connection(self, spark: SparkSession) -> None:  # pragma: no cover
         self._client().heartbeat() if self.host else self._client().list_collections()

@@ -73,6 +73,10 @@ class ExactRetriever:
     def is_stale(self, corpus: DataFrame) -> bool:
         return False  # no persisted state to go stale
 
+    def forget(self, gone: DataFrame) -> int:
+        """Nothing persisted — deleting from the sink IS the forget."""
+        return 0
+
     def topk(self, corpus: DataFrame, queries: DataFrame, k: int) -> DataFrame:
         from yaml_pipe_spark.operators.similarity import knn_join
 
@@ -132,6 +136,16 @@ class IvfPqRetriever:
         vecs, cents = self._frames(corpus)
         return self.store.is_stale(vecs, centroids=cents)
 
+    def forget(self, gone: DataFrame) -> int:
+        """Purge the rows from the persisted store (physical; fingerprint
+        composes out). NOTE: if a forgotten row seeded one of the
+        deterministic coarse centroids, its vector still lives in the
+        centroids table — is_stale(remaining) then reports True (the seed
+        set changed) and the caller must rebuild, which is exactly the
+        right RTBF outcome: a quantizer built FROM the deleted vector is
+        itself personal data. cmd_forget composes forget + that gate."""
+        return self.store.forget(gone.select("__id"))
+
     def topk(self, corpus: DataFrame, queries: DataFrame, k: int) -> DataFrame:
         out = self.store.serve(
             queries.select("qid", "qv"),
@@ -161,6 +175,12 @@ class Bm25Retriever:
 
     def is_stale(self, corpus: DataFrame) -> bool:
         return self.store.is_stale(unique_by_id(corpus).select("__id", "text"))
+
+    def forget(self, gone: DataFrame) -> int:
+        """Deletion-vector forget on the persisted BM25 store: gone must
+        carry (__id, text) — the store recomposes its fingerprint from the
+        dropped rows' text (it persists only derived statistics)."""
+        return self.store.forget(gone.select("__id", "text"))
 
     def topk(self, corpus: DataFrame, queries: DataFrame, k: int) -> DataFrame:
         from yaml_pipe_spark.operators.retrieval import score_qterms
@@ -252,6 +272,12 @@ class HybridRrfRetriever:
 
     def is_stale(self, corpus: DataFrame) -> bool:
         return self.vector.is_stale(corpus) or self.lexical.is_stale(corpus)
+
+    def forget(self, gone: DataFrame) -> int:
+        """Purge both arms; returns the larger per-arm purge count (the
+        arms index the same deduped corpus, so the counts agree unless one
+        arm was already purged by a partially-applied earlier request)."""
+        return max(self.vector.forget(gone), self.lexical.forget(gone))
 
     def topk(self, corpus: DataFrame, queries: DataFrame, k: int) -> DataFrame:
         v = self.vector.topk(corpus, queries, k).select(
