@@ -5325,14 +5325,20 @@ def q_rel_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "n_name", "r_name")
     )
     # exact integer 1e-4-units (round-10 hazard sweep): per-element product
-    # stays within long; the SUM goes through decimal(38,0) (DuckDB's
-    # HUGEINT twin) so a 100x corpus can't wrap an accumulator
+    # pu*(100-du) <= ~1e9 (price < 1e5 => pu < 1e7, discount factor <= 100),
+    # so a plain LONG sum is exact far past the SF1000 target — at SF1000 a
+    # (region, nation) group holds ~2.4e8 lineitem rows, bounding the sum
+    # at ~2.4e17 vs the 9.2e18 long max (headroom to ~SF30000). The
+    # decimal(38,0) accumulator the r10 sweep first used cost a measured
+    # 0.89 -> 0.56 s/rep at sf0.1 (the rel_pricing_summary premium-reclaim
+    # precedent); DuckDB's BIGINT sum returns HUGEINT, value-identical when
+    # nothing wraps, so the oracle is unchanged.
     pu = F.round(F.col("l_extendedprice") * 100).cast("long")
     du = F.round(F.col("l_discount") * 100).cast("long")
     rev = (
         li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
         .groupBy("r_name", "n_name")
-        .agg(F.sum((pu * (100 - du)).cast("decimal(38,0)")).alias("s4"))
+        .agg(F.sum(pu * (100 - du)).alias("s4"))
     )
     w = W.partitionBy("r_name")
     return rev.select(
