@@ -486,3 +486,41 @@ def test_bm25_compact_defragments_append_growth(spark, tmp_path):
     before = sorted(os.listdir(store.tf_path))
     assert store.compact() == 0
     assert sorted(os.listdir(store.tf_path)) == before
+
+
+def test_bm25_compact_on_never_built_store_is_noop(spark, tmp_path):
+    assert Bm25IndexStore(str(tmp_path / "nothing")).compact() == 0
+
+
+def test_twa_pandas_twin_boundary_just_below_half(spark):
+    """|d| + 0.5 can round UP across the integer boundary for doubles just
+    below .5 (0.5 - 2^-54): both engines round on the exact double value
+    and give 0 — the grouped-map twin must too."""
+    import datetime as dt
+
+    from yaml_pipe_spark.operators.events import (
+        time_weighted_avg,
+        time_weighted_avg_window,
+    )
+
+    just_below = 0.49999999999999994  # largest double < 0.5
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        (1, 1, t0, just_below),
+        (1, 2, t0 + dt.timedelta(seconds=1), just_below),
+        (2, 3, t0, -just_below),
+        (2, 4, t0 + dt.timedelta(seconds=1), -just_below),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    got = {
+        r["user_id"]: r["twa_value"]
+        for r in time_weighted_avg(ev, unit_dp=0, out_dp=4).collect()
+    }
+    want = {
+        r["user_id"]: r["twa_value"]
+        for r in time_weighted_avg_window(ev, unit_dp=0, out_dp=4).collect()
+    }
+    assert got == want
+    assert got[1] == 0.0  # naive floor(|d|+0.5) would have produced 1.0

@@ -144,3 +144,35 @@ sink:
         finally:
             con.close()
         assert gone not in {r[0] for r in rows} and len(rows) == 2
+
+
+def test_forget_cli_all_sources_and_retry(spark, capsys, workdir):
+    """Forgetting EVERY source must leave a readable (0-row) sink, run the
+    reconciliation, and stay idempotent on retry — and a forget against a
+    crashed-away index (simulated by deleting the index dirs) must purge
+    the sink and rebuild rather than crash."""
+    from yaml_pipe_spark import cli
+
+    tmp, data, cfg = workdir
+    assert cli.main(["run", "-c", cfg]) == 0
+    capsys.readouterr()
+
+    # simulate the never-built/crashed index state
+    import shutil
+
+    shutil.rmtree(os.path.join(tmp, "idx"), ignore_errors=True)
+
+    sources = [f"file:{data}/{n}" for n in DOCS]
+    assert cli.main(["forget", *sources, "-c", cfg]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["sink_rows"] == 3 and out["index_rows"] == 0
+    assert out["index_rebuilt"] is True  # rebuilt (empty) from remaining
+
+    # the sink stayed readable with zero rows
+    sink = spark.read.parquet(os.path.join(tmp, "out"))
+    assert sink.count() == 0
+
+    # retry converges: nothing matches, reconciliation still runs
+    assert cli.main(["forget", *sources, "-c", cfg]) == 0
+    out2 = json.loads(capsys.readouterr().out)
+    assert out2["sink_rows"] == 0

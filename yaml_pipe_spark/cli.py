@@ -161,16 +161,29 @@ def cmd_forget(args) -> int:
         .localCheckpoint()  # frozen BEFORE the sink rows disappear
     )
     n_rows = gone.count()
-    if n_rows == 0:
-        print(json.dumps({"sources": args.sources, "sink_rows": 0}))
-        return 0
-    sink_rows = sink.delete_sources(spark, list(args.sources))
+    # no early return on an empty match: the staleness reconciliation
+    # below must still run so a RETRY of a forget that crashed between
+    # the sink delete and the index purge (the sink rows are gone, so
+    # the rerun matches nothing) converges instead of reporting success
+    # while the index still physically holds the forgotten rows
+    sink_rows = (
+        sink.delete_sources(spark, list(args.sources)) if n_rows else 0
+    )
     retriever = (
         build_component("retriever", spec.retriever)
         if spec.retriever is not None
         else ExactRetriever()
     )
-    index_rows = retriever.forget(gone)
+    index_rows = 0
+    if n_rows:
+        try:
+            index_rows = retriever.forget(gone)
+        except ValueError as e:
+            # no persisted index yet (never built, or a pre-layout meta):
+            # nothing to purge — the reconciliation below builds fresh
+            # from the already-deleted-from sink
+            if "build()" not in str(e):
+                raise
     remaining = unique_by_id(sink.read(spark))
     rebuilt = False
     if retriever.is_stale(remaining):

@@ -5344,9 +5344,12 @@ def q_rel_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rev.select(
         "r_name",
         "n_name",
-        # half-up to cents in exact integer arithmetic, then the one
-        # exact double division by the power of ten
-        (F.floor((F.col("s4") + 50) / 100).cast("double") / 100).alias(
+        # half-up to cents in exact INTEGER arithmetic — `div`, not `/`:
+        # long / int is DOUBLE division in Spark, and past 2^53 the
+        # rounded quotient's floor can differ by 1 from the oracle's
+        # exact integer `//` (the rel_pricing_summary precedent); the
+        # final /100 is the one exact double op, same in both engines
+        (F.expr("(s4 + 50) div 100").cast("double") / 100).alias(
             "nation_rev"
         ),
         # ratio of exact integers: floor of the identical double has no

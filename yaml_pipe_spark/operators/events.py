@@ -200,14 +200,20 @@ def time_weighted_avg(
             # Series.round() is banker's (half-to-even) and would diverge
             # on any value whose scaled double is an exact .5 tie (e.g.
             # 0.125 * 100 == 12.5 exactly: banker's -> 12, engines -> 13).
-            # sign * floor(|d| + 0.5) is exact for grid-scale magnitudes
-            # (|d| far below 2^51, so the +0.5 add never rounds).
+            # sign * floor(|d| + 0.5), with one boundary correction: for
+            # |d| just BELOW a .5 boundary (e.g. 0.5 - 2^-54) the float
+            # add |d| + 0.5 can round UP to the next integer, crossing the
+            # boundary the true value sits under — both engines round on
+            # the double's exact value and would give c - 1. The check is
+            # exact because c - 0.5 is representable at these magnitudes.
             import numpy as np
 
             d = (pdf[value_col] * grid).to_numpy(dtype="float64")
+            a = np.abs(d)
+            c = np.floor(a + 0.5)
+            c = np.where(c - 0.5 > a, c - 1.0, c)
             vu = pd.Series(
-                (np.sign(d) * np.floor(np.abs(d) + 0.5)).astype("int64"),
-                index=pdf.index,
+                (np.sign(d) * c).astype("int64"), index=pdf.index
             )
             # python ints: the num sum is exact at any magnitude (no
             # int64 wrap), mirroring the engines' HUGEINT/decimal sums

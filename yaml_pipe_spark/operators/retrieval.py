@@ -272,21 +272,26 @@ class Bm25IndexStore:
 
         return os.path.join(self.base_path, "tombstones")
 
-    def _tombstones(self, spark) -> DataFrame | None:
+    def _tombstones(self, spark, frozen: bool = False) -> DataFrame | None:
         """The forgotten-id table — (id, __ts_gen) rows meaning "hide this
         id's tf/dl rows stamped with __gen <= __ts_gen" — or None when
-        nothing was ever forgotten (or a compact() cleared it). Frozen with
-        localCheckpoint so lazy plans built over it cannot pick up
-        tombstone files a later write in the same operation appends."""
+        nothing was ever forgotten (or a compact() cleared it).
+
+        `frozen=True` localCheckpoints the table so lazy plans built over
+        it cannot pick up tombstone files a later write in the SAME
+        operation appends — needed only by forget(), the one path that
+        both reads and appends tombstones; the read-only paths (serve,
+        the CLI retriever, compact) stay lazy and skip the extra
+        materialization job per call."""
         import os
 
         if not os.path.isdir(self.tombstones_path):
             return None
         try:
-            ts = spark.read.parquet(self.tombstones_path).localCheckpoint()
+            ts = spark.read.parquet(self.tombstones_path)
         except Exception:
             return None
-        return ts
+        return ts.localCheckpoint() if frozen else ts
 
     def _live(self, table: DataFrame, ts: DataFrame | None) -> DataFrame:
         """Mask tombstoned rows of a tf/dl frame: a row is dead iff some
@@ -553,7 +558,7 @@ class Bm25IndexStore:
             return 0
         req = removed_docs.select(self.id_col, self.text_col)
         req_ids = req.select(self.id_col).distinct()
-        old_ts = self._tombstones(spark)
+        old_ts = self._tombstones(spark, frozen=True)
         tf = spark.read.parquet(self.tf_path)
         dl = spark.read.parquet(self.dl_path)
         # subtract only the LIVE rows of the requested ids: rows already
@@ -665,9 +670,16 @@ class Bm25IndexStore:
         from pyspark.sql import SparkSession
 
         spark = SparkSession.getActiveSession()
-        ts = self._tombstones(spark)
+        # a store that was never built has nothing to compact (and no
+        # tf/dl directories to probe) — graceful 0, matching the old
+        # tombstone-only behavior
+        if not (os.path.isdir(self.tf_path) and os.path.isdir(self.dl_path)):
+            return 0
+        ts = self._tombstones(spark, frozen=True)
 
         def _n_files(d: str) -> int:
+            # local os.listdir matches the store's documented
+            # local-filesystem boundary (snapshot/restore, cf pointer ops)
             return sum(
                 1
                 for fn in os.listdir(d)

@@ -132,6 +132,27 @@ class ParquetSink:
                 .partitionBy(self.partition_by)
                 .parquet(self.path)
             )
+        # deleting EVERY source (either branch) leaves the table directory
+        # with no data files — unreadable, so the caller's post-delete
+        # read (cmd_forget's reconciliation, the next forget/search) would
+        # crash after the data is already gone. Anchor the schema with one
+        # 0-row file inside a partition directory, the index stores'
+        # _anchor_if_fileless pattern: reads return an empty frame and
+        # later pipeline writes compose on the uniform hive layout.
+        try:
+            spark.read.parquet(self.path)
+        except Exception:
+            import os
+
+            (
+                df.drop(self.partition_by)
+                .limit(0)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(
+                    os.path.join(self.path, f"{self.partition_by}=__empty__")
+                )
+            )
         return int(n)
 
     def test_connection(self, spark: SparkSession) -> None:
