@@ -125,6 +125,7 @@ ROUND11_QUEUE: set[str] = {
 # refresh slots still leave headroom in the 50-entry prefix.
 ROUND11_NEW: set[str] = {
     "ann_index_compact",  # small-file compaction on the IVF-PQ store
+    "q3_bm25_compact",    # the unpartitioned BM25 defragmentation twin
 }
 
 

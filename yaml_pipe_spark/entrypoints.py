@@ -12636,6 +12636,61 @@ def q_q3_bm25_index_persisted(
     return store.serve(k=10)
 
 
+@register(
+    "q3_bm25_compact",
+    _BM25_TOPK_ORACLE,
+    "Small-file compaction on the persisted BM25 store "
+    "(operators/retrieval.py::compact without tombstones — the "
+    "unpartitioned twin of ann_index_compact, round 10): every "
+    "append/streamed micro-batch lands one more tf/dl part-file pair, "
+    "so a long-running maintenance chain grows the file count without "
+    "bound and every serve pays the per-file open cost. The chain here "
+    "is build(standing 80%) -> two appends -> compact(min_files=2, the "
+    "maintenance schedule's trigger knob), which rewrites tf/dl into "
+    "balanced round-robin partitions — value-neutral by construction "
+    "(statistics, fingerprint and meta untouched), so the oracle is "
+    "q3_bm25_topk's full-corpus oracle UNCHANGED and the post-compact "
+    "serve must hash-equal it. Unit twin: "
+    "tests/test_forget.py::test_bm25_compact_defragments_append_growth.",
+)
+def q_q3_bm25_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from yaml_pipe_spark.operators.retrieval import Bm25IndexStore
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    split = docs.agg(
+        F.floor(0.8 * F.max("doc_id")).cast("long").alias("__s1"),
+        F.floor(0.9 * F.max("doc_id")).cast("long").alias("__s2"),
+    )
+    staged = docs.crossJoin(F.broadcast(split))
+    standing = staged.filter(F.col("doc_id") < F.col("__s1")).select(
+        "doc_id", "text"
+    )
+    inc1 = staged.filter(
+        (F.col("doc_id") >= F.col("__s1")) & (F.col("doc_id") < F.col("__s2"))
+    ).select("doc_id", "text")
+    inc2 = staged.filter(F.col("doc_id") >= F.col("__s2")).select(
+        "doc_id", "text"
+    )
+    base = os.path.join(
+        "spark-warehouse",
+        f"bm25_compact_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    store = Bm25IndexStore(base)
+    if store.is_stale(docs):
+        shutil.rmtree(base, ignore_errors=True)
+        store.build(standing)
+        store.append(inc1)
+        store.append(inc2)
+        # no tombstones: this exercises the pure defragmentation path
+        assert store.compact(min_files=2) == 0
+        # compaction is physical only — the fingerprint still composes
+        assert store.is_stale(docs) is False
+    return store.serve(k=10)
+
+
 # Rebuild-without-the-rows oracle for the BM25 delete: the SAME retrieval
 # core, corpus restricted to the docs that survive the deletion request
 # (doc_id % 11 <> 7) — every statistic (tf, dl, df, cf, n_docs, avgdl,

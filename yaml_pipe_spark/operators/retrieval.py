@@ -643,7 +643,7 @@ class Bm25IndexStore:
         )
         return int(n_rem)
 
-    def compact(self) -> int:
+    def compact(self, min_files: int | None = None) -> int:
         """Deferred physical maintenance: rewrite tf/dl minus the
         tombstoned docs, clear the tombstone table, and coalesce the
         small-file growth of the append chain. Statistics and fingerprint
@@ -663,7 +663,9 @@ class Bm25IndexStore:
         without bound and every serve pays the per-file open cost; this
         is the unpartitioned twin of IvfPqIndexStore.compact(). A store
         that is neither tombstoned nor fragmented is a cheap no-op (two
-        directory listings)."""
+        directory listings). `min_files` overrides the fragmentation
+        threshold (default: the session's default parallelism) — the
+        compaction-trigger knob a maintenance schedule tunes."""
         import os
         import shutil
 
@@ -687,8 +689,9 @@ class Bm25IndexStore:
             )
 
         par = spark.sparkContext.defaultParallelism
+        thr = par if min_files is None else min_files
         fragmented = (
-            _n_files(self.tf_path) > par or _n_files(self.dl_path) > par
+            _n_files(self.tf_path) > thr or _n_files(self.dl_path) > thr
         )
         if ts is None and not fragmented:
             return 0
