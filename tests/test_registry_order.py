@@ -8,77 +8,8 @@ import pytest
 
 from yaml_pipe_spark.entrypoints import DRIVER_ORDER, REGISTRY, queries, oracle_sql
 
-# Round-9's queue: the thirty-six round-5-generation rows whose newest
-# driver row was still r5 after round 9's 50-slot prefix was spent — round
-# 10 MUST front them (VERDICT r9 ask #1).
-ROUND10_QUEUE: set[str] = {
-    "agg_salted_user_totals",
-    "corpus_ccnet_buckets",
-    "corpus_epoch_schedule",
-    "corpus_gopher_funnel",
-    "corpus_mix_weights",
-    "corpus_temperature_mix",
-    "dedup_drop_exact",
-    "dedup_lsh_recall_audit",
-    "e_hash_embed",
-    "emb_pq_distortion",
-    "multimodal_png_decode",
-    "multimodal_wav_resample",
-    "pipeline_full",
-    "rel_approx_quantile_bounded",
-    "rel_customers_without_orders",
-    "rel_moving_30d_revenue",
-    "rel_orders_with_big_lineitems",
-    "rel_percentiles",
-    "rel_pivot_status_priority",
-    "rel_region_customer_rollup",
-    "rel_rollup_lineitem",
-    "rel_set_ops",
-    "rel_suppliers_above_avg",
-    "s1_parse_epub",
-    "sample_stratified",
-    "shard_token_budget",
-    "sink_partition_skew_audit",
-    "text_bigram_logprob",
-    "text_fingerprint",
-    "text_gopher_quality",
-    "text_lang_confusion",
-    "text_lang_id",
-    "text_quality",
-    "text_repetition_ratios",
-    "text_tfidf_topterms",
-    "text_zipf_fit",
-}
-
-# The 7 deferred grid-class float-hazard sites (ROUND9_NOTES section 1
-# deferred list, VERDICT r9 ask #2) — hardened this round, so they are
-# changed queries AND refreshes at once.
-ROUND10_HARDENED: set[str] = {
-    "text_token_bpe",
-    "rel_market_share",
-    "text_decontaminate",
-    "text_shared_ngrams",
-    "events_time_weighted_avg",
-    "events_time_weighted_window",
-    "quality_score_calibration",
-}
-
-# New in round 10, or implementation changed in round 10 (prior driver
-# rows, if any, describe code that no longer exists). Grown as round-10
-# waves land.
-ROUND10_MUST_FRONT: set[str] = ROUND10_QUEUE | ROUND10_HARDENED | {
-    "multimodal_phash_clusters",  # first driver row + skew-safe digest
-    "ann_index_forget",           # RTBF purge on the persisted IVF-PQ store
-    "q3_bm25_forget",             # RTBF delete+compact on the BM25 store
-    "multimodal_phash_png",       # perceptual dedup over PNG payloads
-    "rel_pricing_summary",        # split-long exact sums (VERDICT ask #5)
-}
-
 # Round-6-generation rows left WITHOUT a fresh row after round 10's
-# 50-slot prefix — round 11 must front these before anything merely stale
-# from r7. (The five r6 rows hardened or fill-refreshed in round 10 —
-# ROUND10_HARDENED ∩ r6 plus the fill row that makes the prefix — are
-# deliberately absent.)
+# 50-slot prefix — round 11 fronts these (VERDICT r10 ask #1).
 ROUND11_QUEUE: set[str] = {
     "ann_index_persisted",
     "ann_ivf_nprobe_curve",
@@ -119,32 +50,73 @@ ROUND11_QUEUE: set[str] = {
     "text_quality_thresholds",
 }
 
-
 # Registered AFTER round 10's 50-slot prefix was spent (no driver row
-# yet) — round 11 must front these alongside ROUND11_QUEUE: 1 + 37 new/
-# refresh slots still leave headroom in the 50-entry prefix.
+# yet) — round 11 fronts these alongside ROUND11_QUEUE.
 ROUND11_NEW: set[str] = {
     "ann_index_compact",  # small-file compaction on the IVF-PQ store
     "q3_bm25_compact",    # the unpartitioned BM25 defragmentation twin
 }
 
+# New in round 11, or implementation changed in round 11 (prior driver
+# rows, if any, describe code that no longer exists). Grown as round-11
+# waves land.
+ROUND11_CHANGED: set[str] = set()
 
-def test_round10_queue_is_registered():
-    for name in ROUND10_QUEUE | ROUND10_HARDENED | ROUND11_QUEUE | ROUND11_NEW:
+ROUND11_MUST_FRONT: set[str] = ROUND11_QUEUE | ROUND11_NEW | ROUND11_CHANGED
+
+# Round-7-generation rows left WITHOUT a fresh row after round 11's
+# 50-slot prefix is spent (the 8 r7 fill rows in DRIVER_ORDER are
+# deliberately absent) — round 12 must front these before anything merely
+# stale from r8.
+ROUND12_QUEUE: set[str] = {
+    "corpus_dedup_funnel",
+    "corpus_dup_rate_by_source",
+    "corpus_snapshot_churn",
+    "corpus_snapshot_psi",
+    "corpus_split_leakage_audit",
+    "corpus_url_canonical_dedup",
+    "dedup_canonical_quality",
+    "dedup_cluster_resolution",
+    "dedup_containment",
+    "dedup_fuzzy_decontaminate",
+    "dedup_levenshtein_verify",
+    "dedup_semantic_cluster",
+    "dedup_simhash_pairs",
+    "graph_pagerank_centrality",
+    "graph_store_persisted",
+    "layout_zorder_locality",
+    "q3_bm25_index_persisted",
+    "q3_hybrid_lexical_vector",
+    "q3_hybrid_rrf",
+    "quality_nb_distill",
+    "rel_sales_opportunity",
+    "rel_small_qty_revenue",
+    "rel_waiting_suppliers",
+    "s2_normalize_lines",
+    "s4_events_content",
+    "sample_kcenter_coreset",
+    "stream_dedup_first_arrival",
+    "stream_interval_join",
+    "stream_session_window",
+    "stream_static_enrich",
+    "stream_tumbling_agg",
+    "t3_state_merge",
+    "text_blocklist_filter",
+    "text_pii_redact",
+    "text_unigram_logprob",
+}
+
+
+def test_round11_sets_are_registered_and_oracled():
+    for name in ROUND11_MUST_FRONT | ROUND12_QUEUE:
         assert name in REGISTRY, name
         assert REGISTRY[name].oracle is not None, name
 
 
-def test_round10_front_sets_inside_driver_prefix():
+def test_round11_front_sets_inside_driver_prefix():
     prefix = set(list(queries())[:50])
-    missing = ROUND10_MUST_FRONT - prefix
+    missing = ROUND11_MUST_FRONT - prefix
     assert not missing, f"outside the 50-entry driver prefix: {missing}"
-
-
-def test_round10_front_queries_registered_and_oracled():
-    for name in ROUND10_MUST_FRONT:
-        assert name in REGISTRY, name
-        assert REGISTRY[name].oracle is not None, name
 
 
 def test_driver_order_is_valid():
@@ -165,6 +137,7 @@ def test_register_rejects_duplicate_names():
         @register("flagship", None)
         def _dup(spark, sf_dir):  # pragma: no cover
             raise AssertionError
+
 
 def test_every_registry_entry_is_emitted():
     names = list(queries())

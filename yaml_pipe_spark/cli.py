@@ -140,6 +140,7 @@ def cmd_forget(args) -> int:
     corpus. The file-state ledger keeps the source's entry on purpose: a
     still-existing upstream file must NOT re-ingest on the next run
     (unchanged hash => skipped); `clean` resets that too."""
+    from yaml_pipe_spark.errors import IndexNotBuiltError
     from yaml_pipe_spark.plans.factory import build_component
     from yaml_pipe_spark.retrievers import ExactRetriever, unique_by_id
 
@@ -178,12 +179,12 @@ def cmd_forget(args) -> int:
     if n_rows:
         try:
             index_rows = retriever.forget(gone)
-        except ValueError as e:
+        except IndexNotBuiltError:
             # no persisted index yet (never built, or a pre-layout meta):
             # nothing to purge — the reconciliation below builds fresh
-            # from the already-deleted-from sink
-            if "build()" not in str(e):
-                raise
+            # from the already-deleted-from sink. Typed, not matched on
+            # the message text (ADVICE r10).
+            pass
     remaining = unique_by_id(sink.read(spark))
     rebuilt = False
     if retriever.is_stale(remaining):

@@ -14364,69 +14364,63 @@ def q_multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # invariant stays pinned.
 DRIVER_ORDER: list[str] = [
     "flagship",  # canary: the smoke-checked query stays first
-    # -- (2) ROUND10_QUEUE: round-5-generation attestation debt (VERDICT
-    #        r9 ask #1), by family --
-    "agg_salted_user_totals",
-    "corpus_ccnet_buckets",
-    "corpus_epoch_schedule",
-    "corpus_gopher_funnel",
-    "corpus_mix_weights",
-    "corpus_temperature_mix",
-    "dedup_drop_exact",
-    "dedup_lsh_recall_audit",
-    "e_hash_embed",
-    "emb_pq_distortion",
-    "multimodal_png_decode",
-    "multimodal_wav_resample",
-    "pipeline_full",
-    "rel_approx_quantile_bounded",
-    "rel_customers_without_orders",
-    "rel_moving_30d_revenue",
-    "rel_orders_with_big_lineitems",
-    "rel_percentiles",
-    "rel_pivot_status_priority",
-    "rel_region_customer_rollup",
-    "rel_rollup_lineitem",
-    "rel_set_ops",
-    "rel_suppliers_above_avg",
-    "s1_parse_epub",
-    "sample_stratified",
-    "shard_token_budget",
-    "sink_partition_skew_audit",
-    "text_bigram_logprob",
-    "text_fingerprint",
-    "text_gopher_quality",
-    "text_lang_confusion",
-    "text_lang_id",
-    "text_quality",
-    "text_repetition_ratios",
-    "text_tfidf_topterms",
-    "text_zipf_fit",
-    # -- (3) the 7 deferred grid-class float hardenings (VERDICT r9 ask
-    #        #2; ROUND9_NOTES section 1 deferred list) — changed this
-    #        round, so they need fresh rows anyway --
-    "text_token_bpe",
-    "rel_market_share",
-    "text_decontaminate",
-    "text_shared_ngrams",
-    "events_time_weighted_avg",
-    "events_time_weighted_window",
-    "quality_score_calibration",
-    # -- (4) NEW or CHANGED in round 10 --
-    "multimodal_phash_clusters",  # first driver row + skew-safe digest
-    "ann_index_forget",           # RTBF purge on the persisted IVF-PQ store
-    "q3_bm25_forget",             # RTBF delete+compact on the BM25 store
-    "multimodal_phash_png",       # perceptual dedup over PNG payloads
-    "rel_pricing_summary",        # split-long exact sums (VERDICT ask #5)
-    # -- (5) round-6-generation refresh fill (only entries inside the
-    #        first 50 get a driver row; the rest stay r6 and queue for
-    #        round 11) --
-    "dedup_incremental_minhash",
-    "stream_incremental_dedup",
+    # -- (2) ROUND11_QUEUE: round-6-generation attestation debt (VERDICT
+    #        r10 ask #1), by family --
     "ann_index_persisted",
+    "ann_ivf_nprobe_curve",
+    "ann_ivfpq_residual_topk",
+    "ann_ivfpq_topk",
+    "dedup_minhash_band_curve",
+    "emb_ivf_cell_balance",
+    "events_anomaly_zscore",
+    "events_cms_heavy_hitters",
+    "events_decayed_score",
+    "events_funnel",
+    "events_grouping_sets",
+    "events_interval_join",
+    "events_retention_cohorts",
+    "events_rfm_segments",
+    "events_top_paths",
+    "multimodal_decode_check",
+    "multimodal_gif_decode",
+    "rel_equidepth_histogram",
+    "rel_large_volume_customers",
+    "rel_nation_balance_fulljoin",
+    "rel_price_histogram",
+    "rel_salted_join",
+    "rel_scd2_history",
+    "s1_parse_dispatch",
+    "s1_parse_tar",
     "s1_parse_warc",
-    "t4_timestamp_cursor",
+    "sample_bottom_k_sketch",
+    "sample_weighted",
     "sql_udtf_chunk",
+    "stream_ann_serve",
+    "stream_incremental_dedup",
+    "t4_timestamp_cursor",
+    "text_bigram_holdout_ppl",
+    "text_bpe_encode",
+    "text_encoding_scrub",
+    "text_entropy",
+    "text_quality_thresholds",
+    # -- (3) ROUND11_NEW: registered after round 10's 50-slot prefix was
+    #        spent — never driver-attested (VERDICT r10 ask #1) --
+    "ann_index_compact",
+    "q3_bm25_compact",
+    # -- (4) NEW or CHANGED in round 11 (grown as round-11 waves land) --
+    # -- (5) round-7-generation refresh fill (only entries inside the
+    #        first 50 get a driver row; the other 35 r7 rows queue for
+    #        round 12 — ROUND12_QUEUE in tests/test_registry_order.py) --
+    "s1_scan_nonempty",
+    "t2_changed_anti_join",
+    "c1_fixed_chunk",
+    "dedup_minhash_lsh",
+    "q3_bm25_topk",
+    "ann_index_incremental",
+    "stream_stateful_counter",
+    "text_bloom_decontaminate",
+    "stream_tumbling_agg",
+    "text_pii_redact",
 ]
 
 

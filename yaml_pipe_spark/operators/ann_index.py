@@ -77,6 +77,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from yaml_pipe_spark.errors import IndexNotBuiltError
+
 from yaml_pipe_spark.operators.similarity import (
     _coarse_probes,
     _pq_serve,
@@ -355,7 +357,9 @@ class IvfPqIndexStore:
         spark = increment.sparkSession
         meta = self._read_meta(spark)
         if meta is None:
-            raise ValueError("append() requires an existing index; build() first")
+            raise IndexNotBuiltError(
+                "append() requires an existing index; build() first"
+            )
         if (meta["version"] is None) != (version is None):
             # composing a real fingerprint with the version-mode (-1,-1)
             # sentinel would stamp garbage meta; fail at the caller's bug
@@ -433,7 +437,7 @@ class IvfPqIndexStore:
         spark = ids.sparkSession
         meta = self._read_meta(spark)
         if meta is None:
-            raise ValueError(
+            raise IndexNotBuiltError(
                 "forget() requires an existing index; build() first"
             )
         if (meta["version"] is None) != (version is None):

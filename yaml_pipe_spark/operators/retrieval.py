@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from yaml_pipe_spark.errors import IndexNotBuiltError
+
 K1 = 1.2
 B = 0.75
 MU = 300.0
@@ -428,7 +430,7 @@ class Bm25IndexStore:
         spark = increment.sparkSession
         meta = self._read_meta(spark)
         if meta is None:
-            raise ValueError(
+            raise IndexNotBuiltError(
                 "append() requires an existing index; build() first"
             )
         if (meta["version"] is None) != (version is None):
@@ -535,7 +537,7 @@ class Bm25IndexStore:
         spark = removed_docs.sparkSession
         meta = self._read_meta(spark)
         if meta is None:
-            raise ValueError(
+            raise IndexNotBuiltError(
                 "forget() requires an existing index; build() first"
             )
         if (meta["version"] is None) != (version is None):

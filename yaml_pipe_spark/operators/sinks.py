@@ -97,18 +97,32 @@ class ParquetSink:
         n = gone.count()
         if n == 0:
             return 0
+        surgery_dirs: set[str] | None = None
         if self.partition_by == "source":
-            from urllib.parse import unquote, urlparse
-
             files = [
                 r[0]
                 for r in gone.select(
                     F.input_file_name().alias("f")
                 ).distinct().collect()
             ]
+            dirs = {f.rsplit("/", 1)[0] for f in files}
+            # every doomed file must live in a source=<v> partition
+            # directory: a matched row in a file directly under the table
+            # root (a legacy unpartitioned write still readable via the
+            # mergeSchema read) would make "delete the parent" delete the
+            # TABLE ROOT (ADVICE r10). Mixed layouts fall back to the
+            # rewrite branch below — corpus-linear but correct.
+            if all(
+                d.rsplit("/", 1)[-1].startswith(f"{self.partition_by}=")
+                for d in dirs
+            ):
+                surgery_dirs = dirs
+        if surgery_dirs is not None:
+            from urllib.parse import unquote, urlparse
+
             jvm = spark._jvm
             conf = spark._jsc.hadoopConfiguration()
-            for d in {f.rsplit("/", 1)[0] for f in files}:
+            for d in surgery_dirs:
                 # input_file_name() percent-encodes the URI ON TOP of the
                 # hive escaping already present in the on-disk directory
                 # name (source=file%3A...), so decode exactly once to get
@@ -256,7 +270,16 @@ class DuckDBSink:
             tbl = con.sql(f"SELECT * FROM {self.table}").arrow()
         finally:
             con.close()
-        return spark.createDataFrame(tbl.to_pandas())
+        # build the Spark schema FROM the arrow schema, never from pandas
+        # inference: a 0-row frame (a forget that emptied the table) has
+        # object-dtype columns and inference raises "can not infer schema
+        # from empty dataset" — the crash ADVICE r10 flagged in
+        # cmd_forget's reconciliation read
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        return spark.createDataFrame(
+            tbl.to_pandas(), schema=from_arrow_schema(tbl.schema)
+        )
 
     def delete_sources(self, spark: SparkSession, sources: list[str]) -> int:
         """Right-to-be-forgotten delete: one parameterized DELETE (no
@@ -270,16 +293,26 @@ class DuckDBSink:
             ).fetchone()[0]
             if not exists:
                 return 0
-            n = con.execute(
-                f"SELECT count(*) FROM {self.table} "
-                "WHERE source IN (SELECT unnest(?::VARCHAR[]))",
-                [list(sources)],
-            ).fetchone()[0]
-            con.execute(
-                f"DELETE FROM {self.table} "
-                "WHERE source IN (SELECT unnest(?::VARCHAR[]))",
-                [list(sources)],
-            )
+            # count + delete inside ONE transaction: a concurrent writer
+            # landing between two autocommitted statements would make the
+            # returned count wrong (ADVICE r10). The table name is config
+            # (not user data) but values stay parameterized.
+            con.execute("BEGIN TRANSACTION")
+            try:
+                n = con.execute(
+                    f"SELECT count(*) FROM {self.table} "
+                    "WHERE source IN (SELECT unnest(?::VARCHAR[]))",
+                    [list(sources)],
+                ).fetchone()[0]
+                con.execute(
+                    f"DELETE FROM {self.table} "
+                    "WHERE source IN (SELECT unnest(?::VARCHAR[]))",
+                    [list(sources)],
+                )
+                con.execute("COMMIT")
+            except Exception:
+                con.execute("ROLLBACK")
+                raise
             return int(n)
         finally:
             con.close()

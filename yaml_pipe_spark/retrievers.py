@@ -276,8 +276,29 @@ class HybridRrfRetriever:
     def forget(self, gone: DataFrame) -> int:
         """Purge both arms; returns the larger per-arm purge count (the
         arms index the same deduped corpus, so the counts agree unless one
-        arm was already purged by a partially-applied earlier request)."""
-        return max(self.vector.forget(gone), self.lexical.forget(gone))
+        arm was already purged by a partially-applied earlier request).
+
+        Each arm is tried independently: with one arm built and the other
+        not (a crash mid-build, or a config that grew a second arm later),
+        a fail-fast pair would either skip the built arm or — worse —
+        purge the first arm and then raise, making cmd_forget's
+        not-built-yet handler report index_rows=0 for a purge that
+        partially happened (ADVICE r10). An arm that was never built has
+        nothing to purge, so IndexNotBuiltError from it is a clean 0; if
+        NEITHER arm exists, re-raise so the caller's "no persisted index
+        yet" path stays reachable."""
+        from yaml_pipe_spark.errors import IndexNotBuiltError
+
+        counts: list[int] = []
+        missing: list[IndexNotBuiltError] = []
+        for arm in (self.vector, self.lexical):
+            try:
+                counts.append(arm.forget(gone))
+            except IndexNotBuiltError as e:
+                missing.append(e)
+        if not counts:
+            raise missing[0]
+        return max(counts)
 
     def topk(self, corpus: DataFrame, queries: DataFrame, k: int) -> DataFrame:
         v = self.vector.topk(corpus, queries, k).select(
