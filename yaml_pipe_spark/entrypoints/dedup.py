@@ -1,0 +1,1129 @@
+"""Exact and near-duplicate detection (dedup_*)."""
+
+# Split from the original entrypoints.py monolith (round 11);
+# blocks keep their original relative order.
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from yaml_pipe_spark.tables import load_table
+
+from yaml_pipe_spark.entrypoints._shared import (
+    INCREMENTAL_MINHASH_ORACLE,
+    MINHASH_ORACLE,
+    SIMHASH_FP_CTE,
+    _DK_BUCKETS,
+    _DK_DF_CUT,
+    _DK_SHINGLES,
+    _DK_SIGS,
+    _SIMHASH_PAIR_CTES,
+    _dk_cos,
+    _minhash_overlap_store,
+    _pair_graph_store,
+    fq_unit_mean,
+    register,
+)
+
+
+_DK_GRAM8 = " || ' ' || ".join(f"t[i+{j}]" for j in range(8))
+
+
+SUBSTRING_SPAN_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh0 AS (
+  SELECT doc_id, UNNEST(generate_series(1, len(t) - 7)) AS i, t
+  FROM toks WHERE len(t) >= 8
+),
+grams AS (
+  SELECT DISTINCT doc_id, {_DK_GRAM8} AS g FROM sh0
+),
+thr AS (
+  SELECT greatest(CAST(floor(0.005 * count(DISTINCT doc_id)) AS BIGINT),
+                  50) AS t
+  FROM grams
+),
+dfq AS (SELECT g, count(*) AS df FROM grams GROUP BY 1),
+gf AS (
+  SELECT grams.doc_id, grams.g
+  FROM grams JOIN dfq USING (g), thr
+  WHERE dfq.df <= thr.t
+),
+own AS (SELECT g, min(doc_id) AS owner FROM gf GROUP BY g)
+SELECT gf.doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans
+FROM gf JOIN own USING (g)
+WHERE gf.doc_id > own.owner
+GROUP BY gf.doc_id
+"""
+
+
+@register(
+    "dedup_substring_span",
+    SUBSTRING_SPAN_ORACLE,
+    "Exact-substring contamination (dedup.substring_span_duplicates): docs "
+    "containing a >= 8-token span that also appears in a lower-id doc, "
+    "with the span count — the bucketed form of suffix-array substring "
+    "dedup (any repeated span shares its leading 8-gram, so the 8-gram "
+    "inverted index finds exactly the affected docs). One partial-min "
+    "shuffle builds the gram->owner index; the gram equi-join back never "
+    "explodes pairs. The shared df guard drops boilerplate grams above "
+    "max(0.5% of docs, 50) in both engines.",
+)
+def q_dedup_substring_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.dedup import substring_span_duplicates
+
+    return substring_span_duplicates(
+        load_table(spark, sf_dir, "documents"), k=8
+    )
+
+
+@register(
+    "dedup_exact",
+    """
+SELECT count(*) AS n_docs,
+       count(DISTINCT sha256(text)) AS n_unique,
+       CAST(count(*) - count(DISTINCT sha256(text)) AS BIGINT) AS n_dup_docs
+FROM documents
+""",
+    "Exact dedup summary: hash-groupBy over content",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.dedup import exact_dedup_summary
+
+    return exact_dedup_summary(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_lsh",
+    MINHASH_ORACLE,
+    "MinHash+LSH near-dup: shingle->sign->band->bucket-join->verify",
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_overlap_store(spark, sf_dir).jaccard_pairs(spark, 0.8)
+
+
+@register(
+    "dedup_fuzzy_decontaminate",
+    f"""
+WITH {_DK_SHINGLES},
+{_DK_DF_CUT},
+sigs AS (SELECT doc_id, {_DK_SIGS} FROM shingles GROUP BY doc_id),
+buckets0 AS ({_DK_BUCKETS}),
+buckets AS (
+  SELECT doc_id, band_id, band_key FROM (
+    SELECT *, count(*) OVER (PARTITION BY band_id, band_key) AS bn
+    FROM buckets0
+  ) WHERE bn <= 10000
+),
+cands AS (
+  SELECT DISTINCT least(c.doc_id, b.doc_id) AS id_a,
+                  greatest(c.doc_id, b.doc_id) AS id_b
+  FROM buckets c
+  JOIN buckets b ON c.band_id = b.band_id AND c.band_key = b.band_key
+  WHERE c.doc_id % 7 <> 0 AND b.doc_id % 7 = 0
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM shf a
+  JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+vp AS (
+  SELECT i.id_a, i.id_b,
+         round(i.inter / (sa.n + sb.n - i.inter), 4) AS j
+  FROM inter i
+  JOIN cands c ON c.id_a = i.id_a AND c.id_b = i.id_b
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE round(i.inter / (sa.n + sb.n - i.inter), 4) >= 0.8
+),
+mapped AS (
+  SELECT CASE WHEN id_a % 7 = 0 THEN id_b ELSE id_a END AS doc_id,
+         CASE WHEN id_a % 7 = 0 THEN id_a ELSE id_b END AS bench_id, j
+  FROM vp
+),
+best AS (SELECT doc_id, min(bench_id) AS contaminated_by
+         FROM mapped GROUP BY 1)
+SELECT b.doc_id, b.contaminated_by, m.j AS jaccard
+FROM best b
+JOIN mapped m ON m.doc_id = b.doc_id AND m.bench_id = b.contaminated_by
+""",
+    "FUZZY benchmark decontamination — the published-canon complement of "
+    "the exact n-gram gate (text_decontaminate) and the Bloom gate "
+    "(text_bloom_decontaminate): paraphrased or lightly-edited eval "
+    "items slip exact-match filters, so production pipelines (GPT-3 "
+    "appendix C, Llama 2) ALSO drop training docs whose MinHash "
+    "collides with any benchmark doc at high Jaccard. Every 7th doc "
+    "plays the held-out benchmark; the corpus is banded ONCE (one "
+    "signature pass, bucket cap over the full population), the "
+    "benchmark-vs-corpus candidate set is ONE equi-join between the "
+    "two strata of the same band table — never benchmark x corpus — "
+    "and the df-guarded exact-Jaccard verify (>= 0.8) runs only on "
+    "candidate pairs. Output: one row per contaminated training doc "
+    "with its smallest contaminating benchmark id. At 100 TB the "
+    "benchmark side is tiny and the cost is the corpus banding pass "
+    "the dedup pipeline already pays — decontamination rides the "
+    "same index.",
+)
+def q_dedup_fuzzy_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # the cross-strata candidates are a strata filter over the SAME
+    # standard-config candidate universe the overlap store persists, so
+    # decontamination is a projection of it — it rides the dedup index
+    verified = (
+        _minhash_overlap_store(spark, sf_dir)
+        .jaccard_pairs(spark, 0.8)
+        .filter(
+            (F.col("id_a") % 7 == 0) != (F.col("id_b") % 7 == 0)
+        )
+    )
+    mapped = verified.select(
+        F.when(F.col("id_a") % 7 == 0, F.col("id_b"))
+        .otherwise(F.col("id_a"))
+        .alias("doc_id"),
+        F.when(F.col("id_a") % 7 == 0, F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("bench_id"),
+        "jaccard",
+    )
+    return (
+        mapped.groupBy("doc_id")
+        .agg(F.min(F.struct("bench_id", "jaccard")).alias("__m"))
+        .select(
+            "doc_id",
+            F.col("__m.bench_id").alias("contaminated_by"),
+            F.col("__m.jaccard").alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "dedup_incremental_minhash",
+    INCREMENTAL_MINHASH_ORACLE,
+    "Incremental cross-snapshot near-dup (dedup.incremental_minhash_dedup): "
+    "the last 20% of doc_ids play the daily increment, the first 80% the "
+    "standing corpus whose persisted band table (minhash_band_state — the "
+    "MinHash analogue of the T2 ledger) is probed by ONE equi-join on "
+    "(band_id, band_key). Standing text is re-shingled only for candidate "
+    "ids (left-semi cut); verify is raw-shingle Jaccard (df stats are "
+    "whole-corpus quantities an increment cannot see — bucket caps on "
+    "both sides bound the blowup instead). Per-increment-doc verdict: "
+    "smallest lower-id partner wins, reason dup_old/dup_new/kept. The "
+    "operational mode at 100 TB: daily cost scales with the increment, "
+    "not the corpus.",
+)
+def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_band_state,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    split = docs.agg(
+        F.floor(0.8 * F.max("doc_id")).cast("long").alias("__s")
+    )
+    staged = docs.crossJoin(F.broadcast(split))
+    old = staged.filter(F.col("doc_id") < F.col("__s")).select(
+        "doc_id", "text"
+    )
+    new = staged.filter(F.col("doc_id") >= F.col("__s")).select(
+        "doc_id", "text"
+    )
+    state = minhash_band_state(old)
+    return incremental_minhash_dedup(new, state, old)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH {_DK_SHINGLES},
+{_DK_DF_CUT},
+sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM shf a
+  JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+vpairs AS (
+  SELECT i.id_a, i.id_b,
+         round(i.inter / (sa.n + sb.n - i.inter), 4) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+)
+SELECT id_a, id_b, jaccard FROM vpairs WHERE jaccard >= 0.8
+""",
+    "Exact n-gram Jaccard similarity join via inverted index (no LSH); "
+    "document-frequency skew guard on by default, mirrored in the oracle",
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.dedup import exact_jaccard_pairs, token_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = token_shingles(docs, "text", "doc_id", k=3)
+    return exact_jaccard_pairs(shingles).filter(F.col("jaccard") >= 0.8)
+
+
+@register(
+    "dedup_containment",
+    f"""
+WITH {_DK_SHINGLES},
+{_DK_DF_CUT},
+sigs AS (SELECT doc_id, {_DK_SIGS} FROM shingles GROUP BY doc_id),
+buckets0 AS ({_DK_BUCKETS}),
+buckets AS (
+  SELECT doc_id, band_id, band_key FROM (
+    SELECT *, count(*) OVER (PARTITION BY band_id, band_key) AS bn
+    FROM buckets0
+  ) WHERE bn <= 10000
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a
+  JOIN buckets b ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM shf a
+  JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+vpairs AS (
+  SELECT i.id_a, i.id_b,
+         round(i.inter / sa.n, 4) AS cont_a,
+         round(i.inter / sb.n, 4) AS cont_b
+  FROM inter i
+  JOIN cands c ON c.id_a = i.id_a AND c.id_b = i.id_b
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+)
+SELECT id_a, id_b, cont_a, cont_b FROM vpairs
+WHERE greatest(cont_a, cont_b) >= 0.8
+""",
+    "Broder containment near-dup (dedup.containment_pairs): |A∩B|/|A| per "
+    "direction over the LSH candidates — the ASYMMETRIC measure Jaccard "
+    "misses: a short doc quoted verbatim inside a long one scores "
+    "cont_short = 1.0 while Jaccard stays below any dedup threshold "
+    "(union dominated by the long doc). Same inverted-index verify core, "
+    "skew guards, and candidate cuts as the Jaccard path (shared "
+    "_pair_overlap).",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ov = _minhash_overlap_store(spark, sf_dir).overlap(spark)
+    out = ov.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("inter") / F.col("na"), 4).alias("cont_a"),
+        F.round(F.col("inter") / F.col("nb"), 4).alias("cont_b"),
+    )
+    return out.filter(F.greatest(F.col("cont_a"), F.col("cont_b")) >= 0.8)
+
+
+@register(
+    "dedup_simhash",
+    f"WITH {SIMHASH_FP_CTE}\nSELECT doc_id, simhash FROM fp",
+    "SimHash: tf-weighted 64-bit fingerprint per doc (bit-string form)",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.dedup import simhash_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_fingerprints(docs, "text", "doc_id")
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+WITH {_SIMHASH_PAIR_CTES}
+SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+FROM ham WHERE hamming <= 3
+""",
+    "SimHash near-dup pairs: 4x16-bit banding + exact Hamming verify, "
+    "served from the persisted pair graph (operators/pair_graph.py)",
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pair_graph_store(spark, sf_dir).pairs(spark)
+
+
+@register(
+    "dedup_cluster_resolution",
+    f"""
+WITH RECURSIVE {_SIMHASH_PAIR_CTES},
+p AS (SELECT id_a, id_b FROM ham WHERE hamming <= 3),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM p
+  UNION
+  SELECT id_b AS a, id_a AS b FROM p
+),
+reach(n, m) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+)
+SELECT n AS doc_id, min(m) AS cluster_rep FROM reach GROUP BY n
+""",
+    "Near-dup cluster resolution: connected components (iterative min-label "
+    "propagation) over SimHash pairs; rep = min doc_id in the component",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _pair_graph_store(spark, sf_dir)
+    return store.labels(spark).select(
+        F.col("node").alias("doc_id"), "cluster_rep"
+    )
+
+
+@register(
+    "dedup_levenshtein_verify",
+    f"""
+WITH {_SIMHASH_PAIR_CTES},
+p AS (SELECT id_a, id_b FROM ham WHERE hamming <= 3),
+texts AS (SELECT doc_id, substr(text, 1, 80) AS prefix FROM documents)
+SELECT p.id_a, p.id_b,
+       CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_distance
+FROM p
+JOIN texts a ON a.doc_id = p.id_a
+JOIN texts b ON b.doc_id = p.id_b
+WHERE levenshtein(a.prefix, b.prefix) <= 20
+""",
+    "Edit-distance verification of SimHash candidates: levenshtein on "
+    "80-char prefixes (bounded cost per pair), fuzzy-match surface",
+)
+def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    store = _pair_graph_store(spark, sf_dir)
+    prs = store.pairs(spark).select("id_a", "id_b")
+    texts = docs.select(
+        "doc_id", F.substring("text", 1, 80).alias("prefix")
+    )
+    a = texts.select(
+        F.col("doc_id").alias("id_a"), F.col("prefix").alias("pa")
+    )
+    b = texts.select(
+        F.col("doc_id").alias("id_b"), F.col("prefix").alias("pb")
+    )
+    return (
+        prs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "edit_distance",
+            F.levenshtein(F.col("pa"), F.col("pb")).cast("long"),
+        )
+        .filter(F.col("edit_distance") <= 20)
+        .select("id_a", "id_b", "edit_distance")
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+SELECT * FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({_dk_cos('a.embedding', 'b.embedding')}, 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+) WHERE cosine >= 0.4
+""",
+    "Embedding-cosine near-dup pairs (brute-force baseline, Arrow scorer)",
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.dedup import cosine_pairs_arrow
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # the declared exactness baseline (recall ground truth for the blocked
+    # twin below) — still the sanctioned quadratic, now scored in numpy
+    # with the bit-exact cumsum contract (cosine_pairs_arrow docstring)
+    return cosine_pairs_arrow(emb, "vec_id", "embedding", threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Corpus assembly: blocked embedding dedup (scale path), deterministic
+# stratified sampling, token-budget sharding, tf-idf top terms
+# ---------------------------------------------------------------------------
+
+_DK_SIGN_BUCKET = "concat(" + ", ".join(
+    f"CASE WHEN embedding[{i}] >= 0 THEN '1' ELSE '0' END" for i in range(1, 5)
+) + ")"
+
+
+@register(
+    "dedup_embedding_cosine_blocked",
+    f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_DK_SIGN_BUCKET} AS bkt FROM embeddings
+)
+SELECT * FROM (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         round({_dk_cos('a.embedding', 'c.embedding')}, 6) AS cosine
+  FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
+) WHERE cosine >= 0.4
+""",
+    "Embedding near-dup with sign-LSH blocking: candidate pairs only within "
+    "a bucket — the equi-join scale path for cosine_pairs",
+)
+def q_dedup_emb_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.dedup import cosine_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = F.concat(
+        *[
+            F.when(F.get(F.col("embedding"), i) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for i in range(4)
+        ]
+    )
+    b = emb.withColumn("bkt", bucket)
+    return cosine_pairs(b, "vec_id", "embedding", threshold=0.4, block_col="bkt")
+
+
+# ---------------------------------------------------------------------------
+# Dedup resolution: keep-first representative (not just pair detection)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_drop_exact",
+    """
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs FROM r WHERE rn = 1 GROUP BY lang
+""",
+    "Exact-dedup resolution: keep lowest-id copy per content hash, per-lang",
+)
+def q_dedup_drop_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.dedup import drop_exact_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = drop_exact_duplicates(docs, "text", "doc_id")
+    return kept.groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# Round 4c: C4-style segment dedup, temperature mixture sampling,
+# matryoshka truncation QA, and 2-bit scalar/product quantization ADC ANN.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_segment_exact",
+    """
+WITH base AS (SELECT doc_id AS id, string_split(text, ' ') AS tk
+              FROM documents),
+segs AS (
+  SELECT id, s, array_to_string(list_slice(tk, s, s + 15), ' ') AS seg
+  FROM (SELECT id, tk, UNNEST(generate_series(1, len(tk), 16)) AS s
+        FROM base)
+),
+counts AS (SELECT seg, count(DISTINCT id) AS ndocs FROM segs GROUP BY 1),
+marked AS (
+  SELECT g.id, g.s, g.seg, c.ndocs > 1 AS dup,
+         len(string_split(g.seg, ' ')) AS segtok
+  FROM segs g JOIN counts c USING (seg)
+)
+SELECT id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_segments,
+       CAST(sum(CASE WHEN dup THEN 0 ELSE segtok END) AS BIGINT)
+         AS n_kept_tokens,
+       sha256(coalesce(array_to_string(
+         list(seg ORDER BY s) FILTER (WHERE NOT dup), ' '), ''))
+         AS cleaned_hash
+FROM marked GROUP BY 1
+""",
+    "C4-style exact segment dedup (operators/dedup.py::segment_exact_dedup): "
+    "disjoint 16-token blocks, boilerplate = block text in >1 distinct doc; "
+    "the per-doc audit pins counts AND the sha256 of the cleaned "
+    "reconstruction, so a segmentation or ordering bug hash-mismatches. "
+    "Segment-keyed agg + join (one partitioning, reused), never a "
+    "doc-set-collecting window — the 100 TB-safe shape.",
+)
+def q_dedup_segment_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.dedup import segment_exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return segment_exact_dedup(docs, "text", "doc_id", seg_words=16)
+
+
+@register(
+    "dedup_lsh_recall_audit",
+    f"""
+WITH {_DK_SHINGLES},
+{_DK_DF_CUT},
+sigs AS (SELECT doc_id, {_DK_SIGS} FROM shingles GROUP BY doc_id),
+buckets0 AS ({_DK_BUCKETS}),
+buckets AS (
+  SELECT doc_id, band_id, band_key FROM (
+    SELECT *, count(*) OVER (PARTITION BY band_id, band_key) AS bn
+    FROM buckets0
+  ) WHERE bn <= 10000
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a
+  JOIN buckets b ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM shf a
+  JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE round(i.inter / (sa.n + sb.n - i.inter), 4) >= 0.8
+),
+tcnt AS (SELECT count(*) AS n FROM truth),
+ccnt AS (SELECT count(*) AS n FROM cands),
+hcnt AS (
+  SELECT count(*) AS n FROM truth t
+  JOIN cands c ON t.id_a = c.id_a AND t.id_b = c.id_b
+)
+SELECT CAST(tcnt.n AS BIGINT) AS n_true_pairs,
+       CAST(ccnt.n AS BIGINT) AS n_candidates,
+       CAST(hcnt.n AS BIGINT) AS n_hit,
+       round(CASE WHEN tcnt.n = 0 THEN 1.0
+                  ELSE hcnt.n / CAST(tcnt.n AS DOUBLE) END, 4) AS recall
+FROM tcnt, ccnt, hcnt
+""",
+    "Measured recall of the MinHash-LSH candidate generator against the "
+    "exact inverted-index Jaccard pairs at 0.8 "
+    "(operators/dedup.py::lsh_recall_audit) — the dedup twin of "
+    "ann_recall_measured: closes the 'is the banding any good' loop with "
+    "a number the oracle recomputes end to end (signatures, banding, "
+    "bucket cap, exact truth set, intersection). The shingle frame is "
+    "materialized once and feeds both sides; truth/candidate frames are "
+    "checkpointed because each is consumed twice (count + semi-join). "
+    "Registered after the round-4 50-slot driver prefix: locally "
+    "verified at sf0.01+sf0.1, queued for the round-5 driver front.",
+)
+def q_dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.dedup import lsh_recall_audit
+
+    return lsh_recall_audit(load_table(spark, sf_dir, "documents"))
+
+
+def _dk_band_buckets(bands: int) -> str:
+    rows = 16 // bands
+    return "\nUNION ALL\n".join(
+        f"SELECT doc_id, {i} AS band_id, md5('{i}|' || "
+        + " || ".join(f"sig_{i * rows + r}" for r in range(rows))
+        + ") AS band_key FROM sigs"
+        for i in range(bands)
+    )
+
+
+def _dk_band_curve_oracle(bands_list=(2, 4, 8)) -> str:
+    per_band = []
+    selects = []
+    for b in bands_list:
+        per_band.append(
+            f"""
+bk0_{b} AS ({_dk_band_buckets(b)}),
+bk_{b} AS (
+  SELECT doc_id, band_id, band_key FROM (
+    SELECT *, count(*) OVER (PARTITION BY band_id, band_key) AS bn
+    FROM bk0_{b}
+  ) WHERE bn <= 10000
+),
+cd_{b} AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bk_{b} a
+  JOIN bk_{b} b ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+),
+cc_{b} AS (SELECT count(*) AS n FROM cd_{b}),
+hh_{b} AS (
+  SELECT count(*) AS n FROM truth t
+  JOIN cd_{b} c ON t.id_a = c.id_a AND t.id_b = c.id_b
+)"""
+        )
+        selects.append(
+            f"""
+SELECT CAST({b} AS BIGINT) AS bands,
+       CAST(cc_{b}.n AS BIGINT) AS n_candidates,
+       CAST(hh_{b}.n AS BIGINT) AS n_hit,
+       CAST(tcnt.n AS BIGINT) AS n_true_pairs,
+       round(CASE WHEN tcnt.n = 0 THEN 1.0
+                  ELSE hh_{b}.n / CAST(tcnt.n AS DOUBLE) END, 4) AS recall
+FROM cc_{b}, hh_{b}, tcnt"""
+        )
+    return (
+        f"""
+WITH {_DK_SHINGLES},
+{_DK_DF_CUT},
+sigs AS (SELECT doc_id, {_DK_SIGS} FROM shingles GROUP BY doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM shf a
+  JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE round(i.inter / (sa.n + sb.n - i.inter), 4) >= 0.8
+),
+tcnt AS (SELECT count(*) AS n FROM truth),"""
+        + ",".join(per_band)
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+@register(
+    "dedup_minhash_band_curve",
+    _dk_band_curve_oracle(),
+    "Band-budget tuning curve for MinHash-LSH "
+    "(operators/dedup.py::lsh_band_curve): recall and candidate volume "
+    "at 2/4/8 bands over 16 signatures against ONE exact truth set — "
+    "the dedup twin of ann_ivf_nprobe_curve: more bands = more "
+    "candidates and higher recall but a bigger verify join, and this "
+    "curve is how the operating point gets picked before a 100 TB run. "
+    "Shingles, signatures, and the truth set are materialized once and "
+    "shared across every configuration (same staged-materialization "
+    "discipline as the dedup funnel); the oracle recomputes all three "
+    "banded candidate sets and the recall arithmetic end to end. "
+    "Registered after the round-4 50-slot driver prefix: locally "
+    "verified at sf0.01+sf0.1, queued for the round-5 driver front.",
+)
+def q_dedup_minhash_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.dedup import lsh_band_curve
+
+    return lsh_band_curve(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_lsh_scurve",
+    f"""
+WITH {_DK_SHINGLES},
+{_DK_DF_CUT},
+sigs AS (SELECT doc_id, {_DK_SIGS} FROM shingles GROUP BY doc_id),
+buckets0 AS ({_DK_BUCKETS}),
+buckets AS (
+  SELECT doc_id, band_id, band_key FROM (
+    SELECT *, count(*) OVER (PARTITION BY band_id, band_key) AS bn
+    FROM buckets0
+  ) WHERE bn <= 10000
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a
+  JOIN buckets b ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM shf a
+  JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.id_a, i.id_b,
+         round(i.inter / (sa.n + sb.n - i.inter), 4) AS j
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+),
+dec AS (
+  SELECT p.id_a, p.id_b, p.j,
+         CAST(least(floor(p.j * 10), 9) AS BIGINT) AS decile,
+         round(1 - pow(1 - pow(p.j, 4), 4), 6) AS theory,
+         CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_cand
+  FROM pairs p
+  LEFT JOIN cands c ON c.id_a = p.id_a AND c.id_b = p.id_b
+)
+-- means over EXACT integer units, floor-quantized (round-9 hazard sweep):
+-- theory is a 6dp-rounded grid value and is_cand/n is a small-denominator
+-- rational — either avg() can land exactly on a 4dp round boundary where
+-- engine fold orders disagree
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(is_cand) AS BIGINT) AS n_candidates,
+       floor(CAST(sum(is_cand) AS DOUBLE) * 10000 / count(*)) / 10000
+         AS measured_rate,
+       floor(CAST(sum(CAST(round(theory * 1000000) AS BIGINT)) AS DOUBLE)
+             / (count(*) * 100)) / 10000 AS theory_rate
+FROM dec GROUP BY decile
+""",
+    "The MinHash-LSH S-curve, measured against its closed form: for every "
+    "shingle-sharing pair (the exact inverted-index pair set), the "
+    "probability the banding scheme (16 signatures, 4 bands of 4 rows) "
+    "surfaces it as a candidate is theoretically 1-(1-j^4)^4; this audit "
+    "buckets pairs by jaccard decile and reports measured candidate rate "
+    "next to the mean theoretical rate — the textbook figure (MMDS "
+    "ch. 3) as an oracled table, and the design justification behind "
+    "dedup_minhash_band_curve's banding budget. Shares the dedup "
+    "family's staged shapes: one shingle frame, one inverted-index pair "
+    "join (df-cut on), one banded self-join, then a decile rollup.",
+)
+def q_dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.dedup import (
+        exact_jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        token_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = token_shingles(docs, "text", "doc_id").localCheckpoint()
+    pairs = exact_jaccard_pairs(shingles)
+    cands = lsh_candidate_pairs(
+        minhash_signatures(shingles), "doc_id", 16, 4
+    ).withColumn("__c", F.lit(1))
+    dec = pairs.join(cands, ["id_a", "id_b"], "left").select(
+        F.least(F.floor(F.col("jaccard") * 10), F.lit(9))
+        .cast("long")
+        .alias("decile"),
+        F.round(
+            1 - F.pow(1 - F.pow(F.col("jaccard"), 4), 4), 6
+        ).alias("theory"),
+        F.coalesce(F.col("__c"), F.lit(0)).alias("is_cand"),
+    )
+    # means over EXACT integer units, floor-quantized (round-9 hazard
+    # sweep; see the oracle comment)
+    return dec.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("is_cand").cast("long").alias("n_candidates"),
+        (
+            F.floor(F.sum("is_cand").cast("double") * 1e4 / F.count("*"))
+            / 1e4
+        ).alias("measured_rate"),
+        fq_unit_mean(F.col("theory"), 6, 4, F.count("*")).alias(
+            "theory_rate"
+        ),
+    )
+
+
+@register(
+    "dedup_canonical_quality",
+    f"""
+WITH RECURSIVE {_SIMHASH_PAIR_CTES},
+p AS (SELECT id_a, id_b FROM ham WHERE hamming <= 3),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM p
+  UNION
+  SELECT id_b AS a, id_a AS b FROM p
+),
+reach(n, m) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+),
+cc AS (SELECT n AS doc_id, min(m) AS cluster_rep FROM reach GROUP BY n),
+score AS (
+  SELECT doc_id,
+         round(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+               / nullif(len(text), 0)
+               * ln(1 + len(string_split(text, ' '))), 4) AS q
+  FROM documents
+),
+m AS (
+  SELECT cc.cluster_rep, cc.doc_id, s.q,
+         row_number() OVER (PARTITION BY cc.cluster_rep
+                            ORDER BY s.q DESC, cc.doc_id) AS rn
+  FROM cc JOIN score s USING (doc_id)
+)
+SELECT m.cluster_rep,
+       min(CASE WHEN rn = 1 THEN m.doc_id END) AS keep_doc,
+       CAST(count(*) AS BIGINT) AS n_members,
+       round(max(CASE WHEN rn = 1 THEN q END), 4) AS best_q,
+       round(max(CASE WHEN m.doc_id = m.cluster_rep THEN q END), 4)
+         AS minid_q,
+       round(max(CASE WHEN rn = 1 THEN q END)
+             - max(CASE WHEN m.doc_id = m.cluster_rep THEN q END), 4)
+         AS quality_gain
+FROM m GROUP BY 1
+""",
+    "Quality-aware canonical selection for near-dup clusters — the "
+    "curation step after cluster resolution: instead of keeping the "
+    "min-id member (dedup_cluster_resolution's label), keep the argmax "
+    "of a quality score (alpha fraction x log token count; ties to the "
+    "lower doc_id) and report per cluster the kept doc, the naive "
+    "min-id keeper's score, and the quality mass the smarter keep "
+    "recovers. Composes the checkpointed SimHash-pair/CC frame with a "
+    "narrow per-doc score map and ONE cluster-keyed window over "
+    "cluster-sized groups (bounded by the max component, never a "
+    "corpus-wide sort).",
+)
+def q_dedup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = _pair_graph_store(spark, sf_dir)
+    cc = store.labels(spark).select(
+        F.col("node").alias("doc_id"), "cluster_rep"
+    )
+    score = docs.select(
+        "doc_id",
+        F.round(
+            F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+            / F.nullif(F.length("text"), F.lit(0))
+            * F.log(1 + F.size(F.split("text", " "))),
+            4,
+        ).alias("q"),
+    )
+    m = cc.join(score, "doc_id").withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("cluster_rep").orderBy(
+                F.desc("q"), F.col("doc_id")
+            )
+        ),
+    )
+    best_q = F.max(F.when(F.col("rn") == 1, F.col("q")))
+    minid_q = F.max(
+        F.when(F.col("doc_id") == F.col("cluster_rep"), F.col("q"))
+    )
+    return m.groupBy("cluster_rep").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keep_doc"),
+        F.count("*").cast("long").alias("n_members"),
+        F.round(best_q, 4).alias("best_q"),
+        F.round(minid_q, 4).alias("minid_q"),
+        F.round(best_q - minid_q, 4).alias("quality_gain"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6h wave: SemDeDup, NB quality distillation, DoReMi mixture weights,
+# perplexity-vs-quality correlation — registered after the round-6 50-slot
+# prefix was spent; queued for the round-7 driver front (ROUND7_QUEUE).
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_ORACLE = f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+),
+a AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         round({_dk_cos('e.embedding', 'c.cv')}, 6) AS s
+  FROM embeddings e, c
+),
+asg AS (
+  SELECT vec_id, embedding, cid, s AS centroid_sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY s DESC, cid) AS rn
+    FROM a
+  ) WHERE rn = 1
+),
+p AS (
+  SELECT * FROM (
+    SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+           round({_dk_cos('x.embedding', 'y.embedding')}, 6) AS cosine
+    FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
+  ) WHERE cosine >= 0.4
+),
+e AS (
+  SELECT id_a AS x, id_b AS y FROM p
+  UNION ALL
+  SELECT id_b AS x, id_a AS y FROM p
+),
+ej AS (
+  SELECT e.x, e.y, cx.centroid_sim AS cs_x, cy.centroid_sim AS cs_y
+  FROM e JOIN asg cx ON cx.vec_id = e.x JOIN asg cy ON cy.vec_id = e.y
+),
+dom AS (
+  SELECT x, y, cs_y FROM ej
+  WHERE cs_y < cs_x OR (cs_y = cs_x AND y < x)
+),
+best AS (
+  SELECT x, y AS dropped_for FROM (
+    SELECT x, y, row_number() OVER (PARTITION BY x
+                                    ORDER BY cs_y, y) AS rn
+    FROM dom
+  ) WHERE rn = 1
+)
+SELECT a2.vec_id, a2.cid, a2.centroid_sim + 0.0 AS centroid_sim,
+       CAST(CASE WHEN b.dropped_for IS NULL THEN 1 ELSE 0 END AS INT) AS kept,
+       b.dropped_for
+FROM asg a2 LEFT JOIN best b ON b.x = a2.vec_id
+"""
+
+
+@register(
+    "dedup_semantic_cluster",
+    SEMDEDUP_ORACLE,
+    "SemDeDup (Abbas et al. 2023): cluster embeddings to pinned centroids "
+    "(the IVF coarse quantizer doubles as the clustering — one k-means "
+    "serves ANN and semantic dedup), prune near-duplicates WITHIN each "
+    "cluster keeping the member farthest from its centroid. The keep rule "
+    "is the order-free dominance relaxation of the paper's greedy "
+    "(centroid_sim ASC, id ASC priority), deterministic in both engines. "
+    "Scale: broadcast centroid assignment, cid-blocked equi-join pairs "
+    "(never global quadratic), edge-keyed dominance rollup. Registered "
+    "after the round-6 50-slot prefix: locally verified at sf0.01+sf0.1, "
+    "queued for the round-7 driver front.",
+)
+def q_dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.dedup import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    return semdedup(emb, cents, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Wave 8: soft dedup reweighting (SoftDeDup), winnowing fingerprints
+# (Schleimer/Wilkerson/Aiken, SIGMOD '03 / MOSS), UniMax source mixing
+# (Chung et al. 2023) — three more published-pipeline curation algorithms.
+# ---------------------------------------------------------------------------
+
+SOFT_REWEIGHT_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh0 AS (
+  SELECT doc_id, UNNEST(generate_series(1, len(t) - 4)) AS i, t
+  FROM toks WHERE len(t) >= 5
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' '
+              || t[i+4] AS shingle
+  FROM sh0
+),
+dft AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+pd AS (
+  SELECT s.doc_id, count(*) AS n_grams,
+         avg(CASE WHEN df >= 2 THEN 1.0 ELSE 0.0 END) AS dup_frac
+  FROM sh s JOIN dft USING (shingle) GROUP BY s.doc_id
+)
+SELECT d.doc_id, d.source,
+       CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+       round(coalesce(dup_frac, 0), 4) AS dup_frac,
+       round(1.0 / (1.0 + 4.0 * coalesce(dup_frac, 0)), 4) AS weight
+FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+
+
+@register(
+    "dedup_soft_reweight",
+    SOFT_REWEIGHT_ORACLE,
+    "SoftDeDup-style reweighting (Xia et al. 2024): instead of DROPPING "
+    "near-duplicate docs, downweight by duplicated-content commonness — "
+    "dup_frac = fraction of a doc's distinct word 5-grams that occur in "
+    ">= 2 docs, sampling weight = 1/(1 + 4*dup_frac). The hard-dedup "
+    "complement (dedup_exact/minhash remove; this preserves tail content "
+    "inside boilerplate-heavy docs). One (doc,gram) shuffle + one "
+    "vocabulary-scale df aggregate + one equi-join back — the exact "
+    "text_shared_ngrams cost family, linear in corpus size.",
+)
+def q_dedup_soft_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.dedup import soft_dedup_weights
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    per_doc = soft_dedup_weights(docs, "text", "doc_id", k=5, lam=4.0)
+    dup = F.coalesce(F.col("dup_frac"), F.lit(0.0))
+    return (
+        docs.select("doc_id", "source")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.round(dup, 4).alias("dup_frac"),
+            F.round(F.coalesce(F.col("weight"), F.lit(1.0)), 4).alias("weight"),
+        )
+    )
+
+
+WINNOW_PAIRS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, len(t) - 3),
+           i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+         ) AS hs
+  FROM toks WHERE len(t) >= 4
+),
+wf AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, len(hs) - 3),
+           i -> list_min(hs[i:i+3])
+         ) AS fps
+  FROM g WHERE len(hs) >= 4
+),
+fp AS (
+  SELECT DISTINCT doc_id, fp
+  FROM (SELECT doc_id, UNNEST(fps) AS fp FROM wf)
+),
+dfc AS (SELECT fp, count(*) AS df FROM fp GROUP BY fp),
+kept AS (
+  SELECT f.doc_id, f.fp FROM fp f JOIN dfc USING (fp) WHERE df <= 50
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
+@register(
+    "dedup_winnow_pairs",
+    WINNOW_PAIRS_ORACLE,
+    "Winnowing as a DEDUP path (the MOSS use-case): candidate near-dup "
+    "pairs = documents sharing >= 2 winnow fingerprints. Detection "
+    "guarantee differs from the probabilistic MinHash banding: any shared "
+    "token run of >= 7 words is caught DETERMINISTICALLY (each run "
+    "contributes a shared fingerprint), at ~1/w the index size of full "
+    "k-gram sets — the plagiarism-detection complement of "
+    "dedup_minhash_lsh (Jaccard resemblance) and dedup_substring_span "
+    "(exact >= 8-token spans). Scale shape: per-doc fingerprints are "
+    "narrow expressions, candidate generation is ONE (fp, doc) equi-join "
+    "with a df <= 50 hot-fingerprint cap (the same bucket-cap guard as "
+    "the LSH band join), pair mass bounded by sum(df^2) over kept "
+    "fingerprints, never all-pairs.",
+)
+def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.text_stats import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs, "text", "doc_id", k=4, w=4)
+    ex = fps.select("doc_id", F.explode(F.array_distinct("fps")).alias("fp"))
+    dfc = ex.groupBy("fp").agg(F.count("*").alias("df"))
+    kept = ex.join(dfc.filter(F.col("df") <= 50), "fp").select("doc_id", "fp")
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )

@@ -212,6 +212,237 @@ def decode_png(payload: bytes):
     return w, h, bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG (the majority format of a real image crawl). Stdlib scope:
+# sequential DCT, 8-bit, single (grayscale) component, no subsampling, no
+# restart intervals. Progressive (SOF2), arithmetic coding, multi-component
+# YCbCr and chroma subsampling are the cluster-side codec extension point —
+# the same boundary decode_png draws at interlacing (reference analog: the
+# unstructured-parse dispatch surface, yamlpipe/components/sources.py:92-93).
+# ---------------------------------------------------------------------------
+
+# zigzag scan order: stream index -> (row, col) in the 8x8 coefficient grid
+_JPEG_ZIGZAG: list[tuple[int, int]] = []
+_r, _c = 0, 0
+for _i in range(64):
+    _JPEG_ZIGZAG.append((_r, _c))
+    if (_r + _c) % 2 == 0:  # moving up-right
+        if _c == 7:
+            _r += 1
+        elif _r == 0:
+            _c += 1
+        else:
+            _r -= 1
+            _c += 1
+    else:  # moving down-left
+        if _r == 7:
+            _c += 1
+        elif _c == 0:
+            _r += 1
+        else:
+            _r += 1
+            _c -= 1
+del _r, _c, _i
+
+# IDCT basis: _JPEG_COS[u][x] = cos((2x+1) * u * pi / 16)
+import math as _math
+
+_JPEG_COS = [
+    [_math.cos((2 * x + 1) * u * _math.pi / 16) for x in range(8)]
+    for u in range(8)
+]
+_JPEG_C = [1.0 / _math.sqrt(2.0)] + [1.0] * 7
+
+
+def _jpeg_huff_table(bits: bytes, vals: bytes) -> dict[tuple[int, int], int]:
+    """Canonical Huffman per ITU T.81 C.2: `bits[l-1]` codes of length l,
+    codes assigned in increasing order, left-shifted at each length step.
+    Keyed by (length, code) so the bit-reader can probe one bit at a time."""
+    table: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitReader:
+    """Entropy-segment bit reader: unstuffs 0xFF00, stops at a real marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        d = self.data
+        if self.bit == 0:
+            if d[self.pos] == 0xFF:
+                nxt = d[self.pos + 1]
+                if nxt == 0x00:
+                    pass  # stuffed byte: 0xFF is data, skip the 0x00 later
+                else:
+                    raise ValueError("hit a marker inside entropy data")
+        b = (d[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 2 if d[self.pos] == 0xFF else 1
+        return b
+
+    def decode_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        length, code = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in JPEG stream")
+
+    def receive_extend(self, t: int) -> int:
+        """T.81 F.2.2.1: read t magnitude bits, sign-extend (EXTEND)."""
+        if t == 0:
+            return 0
+        v = 0
+        for _ in range(t):
+            v = (v << 1) | self.read_bit()
+        return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg_gray(payload: bytes):
+    """REAL baseline-JPEG decode -> (w, h, row-major gray bytes): marker
+    walk (SOI/APP/DQT/SOF0/DHT/SOS), canonical Huffman tables from the
+    file's own DHT segments, per-block DC prediction + (run,size) AC
+    run-length decode with 0xFF00 unstuffing, dequantization, dezigzag,
+    full 64-term float IDCT, +128 level shift, clamp. Scope: sequential
+    8-bit single-component (grayscale) scans, no restart markers —
+    anything else raises NotImplementedError (the codec extension point)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    w = h = None
+    comp_tq = dc_sel = ac_sel = None
+    pos = 2
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        seg = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            o = 0
+            while o < len(seg):
+                pq, tq = seg[o] >> 4, seg[o] & 15
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables not supported")
+                qt[tq] = list(seg[o + 1 : o + 65])
+                o += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            if seg[0] != 8:
+                raise NotImplementedError("only 8-bit precision supported")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            if seg[5] != 1:
+                raise NotImplementedError(
+                    "multi-component (YCbCr) JPEG needs the cluster-side "
+                    "codec; only grayscale is stdlib-scope"
+                )
+            if seg[7] != 0x11:
+                raise NotImplementedError("subsampling not supported")
+            comp_tq = seg[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                "only baseline sequential (SOF0) JPEG is stdlib-scope"
+            )
+        elif marker == 0xC4:  # DHT
+            o = 0
+            while o < len(seg):
+                tc, th = seg[o] >> 4, seg[o] & 15
+                bits = seg[o + 1 : o + 17]
+                n = sum(bits)
+                vals = seg[o + 17 : o + 17 + n]
+                huff[(tc, th)] = _jpeg_huff_table(bits, vals)
+                o += 17 + n
+        elif marker == 0xDD:  # DRI
+            raise NotImplementedError("restart intervals not supported")
+        elif marker == 0xDA:  # SOS
+            if seg[0] != 1:
+                raise NotImplementedError("multi-component scan")
+            dc_sel, ac_sel = seg[2] >> 4, seg[2] & 15
+            pos = pos + 2 + seg_len
+            break
+        pos = pos + 2 + seg_len
+    if w is None or dc_sel is None or comp_tq not in qt:
+        raise ValueError("JPEG missing SOF0/SOS/DQT")
+    q = qt[comp_tq]
+    dc_tab, ac_tab = huff[(0, dc_sel)], huff[(1, ac_sel)]
+
+    rd = _JpegBitReader(payload, pos)
+    nbx, nby = (w + 7) // 8, (h + 7) // 8
+    out = bytearray(w * h)
+    pred = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            coef = [[0.0] * 8 for _ in range(8)]
+            t = rd.decode_symbol(dc_tab)
+            pred += rd.receive_extend(t)
+            coef[0][0] = pred * q[0]
+            k = 1
+            while k < 64:
+                rs = rd.decode_symbol(ac_tab)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:  # ZRL: sixteen zeros
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                zr, zc = _JPEG_ZIGZAG[k]
+                coef[zr][zc] = rd.receive_extend(s) * q[k]
+                k += 1
+            nz = [
+                (u, v, coef[v][u])
+                for v in range(8)
+                for u in range(8)
+                if coef[v][u] != 0.0
+            ]
+            for y in range(8):
+                iy = by * 8 + y
+                if iy >= h:
+                    break
+                row_off = iy * w
+                for x in range(8):
+                    ix = bx * 8 + x
+                    if ix >= w:
+                        break
+                    acc = 0.0
+                    for u, v, f in nz:
+                        acc += (
+                            _JPEG_C[u]
+                            * _JPEG_C[v]
+                            * f
+                            * _JPEG_COS[u][x]
+                            * _JPEG_COS[v][y]
+                        )
+                    val = int(round(acc / 4.0)) + 128
+                    out[row_off + ix] = 0 if val < 0 else (255 if val > 255 else val)
+    return w, h, bytes(out)
+
+
+def _decode_jpeg_features(payload: bytes):
+    """decode_payload-shaped adapter: (width, height, 1, first-8-decoded-
+    gray-byte features)."""
+    w, h, pix = decode_jpeg_gray(payload)
+    return w, h, 1, [b / 255.0 for b in pix[:8]]
+
+
 def _decode_png_features(payload: bytes):
     """decode_payload-shaped adapter: (width, height, 1, first-8-decoded-
     pixel-byte features)."""
@@ -238,6 +469,8 @@ def decode_payload(payload: bytes, modality: str, real_decode: bool = False):
             return _decode_gif_features(payload)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return _decode_wav(payload)
+        if payload[:2] == b"\xff\xd8":
+            return _decode_jpeg_features(payload)
         raise NotImplementedError(
             "real decode for this format requires codec libraries "
             "(PIL/torchaudio/ffmpeg) not present in this container; install "
