@@ -1,0 +1,114 @@
+"""JPEG-payload perceptual hashing (round 11): the majority-crawl-format
+twin of the BMP/PNG phash paths must round-trip through a REAL baseline
+JPEG decode (Huffman, dequantize, zigzag, IDCT), reproduce the salted md5
+gray formula exactly at every dHash sample, keep the corpus's banding
+contract, and stay a distinct corpus from the BMP and PNG ones."""
+
+from __future__ import annotations
+
+import pytest
+
+from yaml_pipe_spark.multimodal.binary import decode_jpeg_gray
+from yaml_pipe_spark.multimodal.phash import (
+    JH,
+    JW,
+    _jpeg_target_gray,
+    build_phash_bmp,
+    build_phash_jpeg,
+    build_phash_png,
+    dhash_bands,
+    dhash_bands_jpeg,
+    dhash_bands_png,
+)
+
+
+def test_jpeg_decodes_to_the_generating_formula_at_every_sample():
+    """decode_jpeg_gray must recover exactly the salted md5 gray at all 72
+    dHash sample positions — the values the DuckDB oracle recomputes. The
+    blocks' other 63 pixels carry md5-noise AC texture, so a decoder that
+    shortcuts the AC path (or the IDCT, or DC prediction) shifts samples
+    and fails here."""
+    for doc_id in (0, 1, 2, 3, 17, 40, 121, 4000):
+        base, v = doc_id // 4, doc_id % 4
+        w, h, pix = decode_jpeg_gray(build_phash_jpeg(doc_id))
+        assert (w, h) == (JW, JH)
+        for gy in range(8):
+            for gx in range(9):
+                want = _jpeg_target_gray(base, v, gx, gy)
+                got = pix[(8 * gy) * w + 8 * gx]
+                assert got == want, (doc_id, gx, gy, got, want)
+
+
+def test_jpeg_blocks_are_not_flat():
+    """The AC texture is live: within a block the decoded pixels vary, so
+    the decode cannot pass by treating blocks as DC-only."""
+    _, _, pix = decode_jpeg_gray(build_phash_jpeg(12))
+    block = {pix[y * JW + x] for y in range(8) for x in range(8)}
+    assert len(block) > 1
+
+
+def test_jpeg_banding_contract_matches_bmp_structure():
+    for base in range(25):
+        b0 = dhash_bands_jpeg(build_phash_jpeg(4 * base))
+        for v in range(1, 4):
+            bv = dhash_bands_jpeg(build_phash_jpeg(4 * base + v))
+            assert b0[:3] == bv[:3]
+
+
+def test_jpeg_corpus_is_distinct_from_bmp_and_png_corpora():
+    diff_bmp = sum(
+        dhash_bands(build_phash_bmp(i))
+        != dhash_bands_jpeg(build_phash_jpeg(i))
+        for i in range(40)
+    )
+    diff_png = sum(
+        dhash_bands_png(build_phash_png(i))
+        != dhash_bands_jpeg(build_phash_jpeg(i))
+        for i in range(40)
+    )
+    assert diff_bmp == 40 and diff_png == 40
+
+
+def test_same_sampled_grays_hash_identically_across_formats():
+    """Format independence at the hash layer: a JPEG whose sampled grays
+    equal the BMP corpus's (empty salt) must band identically to the BMP —
+    dHash sees only the 72 grid samples, and JPEG controls those exactly."""
+    import yaml_pipe_spark.multimodal.phash as ph
+
+    def jpeg_with_bmp_grays(doc_id: int) -> bytes:
+        orig = ph._pixel_bytes
+        try:
+            ph._pixel_bytes = lambda b, p, salt="": orig(b, p, salt="")
+            return build_phash_jpeg(doc_id)
+        finally:
+            ph._pixel_bytes = orig
+
+    for doc_id in (0, 3, 9, 30):
+        assert dhash_bands_jpeg(
+            jpeg_with_bmp_grays(doc_id)
+        ) == dhash_bands(build_phash_bmp(doc_id))
+
+
+def test_decode_jpeg_scope_boundaries():
+    with pytest.raises(ValueError):
+        dhash_bands_jpeg(build_phash_bmp(5))
+    # progressive (SOF2) is the documented codec extension point
+    payload = bytearray(build_phash_jpeg(0))
+    sof = payload.find(b"\xff\xc0")
+    payload[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_gray(bytes(payload))
+    # multi-component (YCbCr) likewise: SOF0 with 3 components
+    payload = bytearray(build_phash_jpeg(0))
+    payload[sof + 9] = 3  # SOF0 body: len(2) prec(1) h(2) w(2) ncomp at +9
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_gray(bytes(payload))
+
+
+def test_decode_payload_sniffs_jpeg():
+    from yaml_pipe_spark.multimodal.binary import decode_payload
+
+    w, h, n_frames, feat = decode_payload(
+        build_phash_jpeg(7), "image", real_decode=True
+    )
+    assert (w, h, n_frames) == (JW, JH, 1) and len(feat) == 8

@@ -60,7 +60,9 @@ ROUND11_NEW: set[str] = {
 # New in round 11, or implementation changed in round 11 (prior driver
 # rows, if any, describe code that no longer exists). Grown as round-11
 # waves land.
-ROUND11_CHANGED: set[str] = set()
+ROUND11_CHANGED: set[str] = {
+    "multimodal_phash_jpeg",  # baseline-JPEG perceptual dedup (r10 ask #3)
+}
 
 ROUND11_MUST_FRONT: set[str] = ROUND11_QUEUE | ROUND11_NEW | ROUND11_CHANGED
 

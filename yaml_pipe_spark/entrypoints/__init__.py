@@ -457,6 +457,7 @@ DRIVER_ORDER: list[str] = [
     "ann_index_compact",
     "q3_bm25_compact",
     # -- (4) NEW or CHANGED in round 11 (grown as round-11 waves land) --
+    "multimodal_phash_jpeg",  # baseline-JPEG perceptual dedup (ask #3)
     # -- (5) round-7-generation refresh fill (only entries inside the
     #        first 50 get a driver row; the other 35 r7 rows queue for
     #        round 12 — ROUND12_QUEUE in tests/test_registry_order.py) --

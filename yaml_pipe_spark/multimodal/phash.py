@@ -233,6 +233,180 @@ def dhash_bands_png(payload: bytes) -> list[int]:
     return _bands_from_gray(gray, w, h)
 
 
+# ---------------------------------------------------------------------------
+# JPEG corpus: the majority format of a real image crawl. Geometry 72x64 —
+# one 8x8 block per dHash grid sample (9x8 grid, samples at (8*gx, 8*gy),
+# i.e. in-block position (0,0)) — so each sampled gray is controlled by its
+# block's coefficients alone. Per block, exactly four coefficients are
+# non-zero: DC and the (u,v) in {(4,0),(0,4),(4,4)} "texture" ACs, whose
+# IDCT basis at in-block (0,0) is EXACTLY 1/8 (cos(pi/4) terms cancel the
+# C(u) normalizations), so the decoded sample equals
+# (F00+F40+F04+F44)/8 + 128 in exact integer arithmetic (float error
+# ~1e-12 << the 0.5 rounding margin). The encoder solves the DC for the
+# SAME salted md5 gray formula the BMP/PNG corpora use, which keeps the
+# DuckDB oracle a pure salt splice while the decode still has to get
+# Huffman, zigzag, dequantize, IDCT and DC prediction right for EVERY
+# sampled bit — the ACs are md5-noise, so a wrong AC path shifts the
+# sample and flips hash bits.
+# ---------------------------------------------------------------------------
+
+JW, JH = 72, 64
+_JX_MAP = [0, 1, 3, 5, 7, 8, 10, 12, 14]  # BMP sample x for grid column gx
+
+
+def _jpeg_target_gray(base: int, v: int, bx: int, by: int) -> int:
+    """The oracle's gray formula with the 'jpg' salt: seed index p is the
+    16x8 BMP storage index of grid sample (bx, by); per-channel +128 wrap
+    when the sample sits in the bottom two image rows and p % 4 < v."""
+    p = (7 - by) * 16 + _JX_MAP[bx]
+    pert = 128 if (p // 16 < PERT_ROWS and p % 4 < v) else 0
+    return sum((b + pert) % 256 for b in _pixel_bytes(base, p, salt="jpg")) // 3
+
+
+def _jpeg_ac(base: int, bx: int, by: int) -> tuple[int, int, int]:
+    """Per-block texture coefficients in [-8, 8], md5-derived so they are
+    corpus-stable but unpredictable (a degenerate all-zero AC plane would
+    let a decoder that ignores ACs pass)."""
+    d = hashlib.md5(f"jpgac{base}_{by * 9 + bx}".encode()).digest()
+    # never 0: a zero AC has no (run,size) representation mid-pattern with
+    # the fixed symbol set, and the DC solve below must see the value that
+    # is actually coded
+    return tuple(
+        (m - 8) if (m := int(d[i]) % 16) < 8 else (m - 7) for i in range(3)
+    )
+
+
+def _jpeg_fixed_huff(nsym: int) -> bytes:
+    """DHT payload prefix for a canonical table where every symbol has the
+    same code length L (codes 0..nsym-1; the all-ones code stays unused,
+    as T.81 recommends)."""
+    L = max(1, (nsym + 1 - 1).bit_length())
+    if nsym >= (1 << L):
+        L += 1
+    bits = [0] * 16
+    bits[L - 1] = nsym
+    return bytes(bits)
+
+
+_JDC_SYMS = bytes(range(12))  # DC size categories 0..11
+# AC (run,size) symbols actually emitted: EOB, ZRL, and the zero-runs the
+# three fixed zigzag sites produce — zz 10 (run 9), zz 14 (run 3), zz 39
+# (ZRL + run 8) — each at sizes 1..4
+_JAC_SYMS = bytes(
+    [0x00, 0xF0]
+    + [(r << 4) | s for r in (9, 3, 8) for s in range(1, 5)]
+)
+
+
+def _jheader(dc_syms: bytes, ac_syms: bytes) -> bytes:
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([8] * 64))  # table 0, all 8s
+    sof = seg(
+        0xC0,
+        bytes([8])
+        + JH.to_bytes(2, "big")
+        + JW.to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0]),
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + _jpeg_fixed_huff(len(dc_syms)) + dc_syms
+        + bytes([0x10]) + _jpeg_fixed_huff(len(ac_syms)) + ac_syms,
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc, self.n = 0, 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # 1-pad
+        return bytes(self.out)
+
+
+def build_phash_jpeg(doc_id: int) -> bytes:
+    """A complete, valid baseline grayscale JFIF whose DECODED gray at
+    every dHash sample equals the salted md5 formula (salt=\"jpg\") —
+    base/variant/perturbation contract identical to build_phash_bmp, so
+    the banding recall argument and the oracle splice carry over. Each
+    block Huffman-codes a differential DC plus three run-length-coded
+    noise ACs through fixed-length canonical tables embedded in DHT."""
+    base, v = doc_id // 4, doc_id % 4
+    dc_code = {s: (s, 4) for s in range(12)}
+    ac_code = {s: (i, 4) for i, s in enumerate(_JAC_SYMS)}
+
+    # zigzag stream indices of the three AC sites, from the decoder's own
+    # table so encode and decode cannot disagree: (v0,u4)=10, (v4,u0)=14,
+    # (v4,u4)=39 (zigzag entries are (row=v, col=u))
+    from yaml_pipe_spark.multimodal.binary import _JPEG_ZIGZAG
+
+    zz_of = {rc: i for i, rc in enumerate(_JPEG_ZIGZAG)}
+    sites = sorted([zz_of[(0, 4)], zz_of[(4, 0)], zz_of[(4, 4)]])
+
+    wr = _JpegBitWriter()
+    pred = 0
+    for by in range(JH // 8):
+        for bx in range(JW // 8):
+            t_gray = _jpeg_target_gray(base, v, bx, by)
+            a3 = _jpeg_ac(base, bx, by)
+            ac_at = dict(zip(sites, a3))
+            dc = (t_gray - 128) - sum(a3)  # quantized DC (q=8 => /8 exact)
+            diff = dc - pred
+            pred = dc
+            size = abs(diff).bit_length()
+            code, length = dc_code[size]
+            wr.write(code, length)
+            if size:
+                wr.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+            k = 1
+            for zz in sites:
+                run = zz - k
+                while run > 15:
+                    code, length = ac_code[0xF0]
+                    wr.write(code, length)
+                    run -= 16
+                val = ac_at[zz]  # never 0 (see _jpeg_ac)
+                s = abs(val).bit_length()
+                code, length = ac_code[(run << 4) | s]
+                wr.write(code, length)
+                wr.write(val if val >= 0 else val + (1 << s) - 1, s)
+                k = zz + 1
+            code, length = ac_code[0x00]  # EOB
+            wr.write(code, length)
+    return _jheader(_JDC_SYMS, _JAC_SYMS) + wr.flush() + b"\xff\xd9"
+
+
+def dhash_bands_jpeg(payload: bytes) -> list[int]:
+    """dHash over a REAL baseline-JPEG decode: marker walk -> Huffman ->
+    dequantize -> IDCT (multimodal.binary.decode_jpeg_gray), then the
+    shared grid/bits core over the row-major gray stream."""
+    from yaml_pipe_spark.multimodal.binary import decode_jpeg_gray
+
+    w, h, pix = decode_jpeg_gray(payload)
+
+    def gray(x_img: int, y_img: int) -> int:
+        return pix[y_img * w + x_img]
+
+    return _bands_from_gray(gray, w, h)
+
+
 BANDS_SCHEMA = "item_id long, b0 long, b1 long, b2 long, b3 long"
 
 
@@ -253,6 +427,7 @@ def phash_bands(
     hash_one = {
         "bmp": lambda i: dhash_bands(build_phash_bmp(i)),
         "png": lambda i: dhash_bands_png(build_phash_png(i)),
+        "jpg": lambda i: dhash_bands_jpeg(build_phash_jpeg(i)),
     }[fmt]
     docs = spread_for_expansion(docs.select(id_col))
 
