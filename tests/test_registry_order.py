@@ -62,6 +62,7 @@ ROUND11_NEW: set[str] = {
 # waves land.
 ROUND11_CHANGED: set[str] = {
     "multimodal_phash_jpeg",  # baseline-JPEG perceptual dedup (r10 ask #3)
+    "pipeline_forget_e2e",  # forget CLI composition e2e (r10 ask #7)
 }
 
 ROUND11_MUST_FRONT: set[str] = ROUND11_QUEUE | ROUND11_NEW | ROUND11_CHANGED

@@ -458,6 +458,7 @@ DRIVER_ORDER: list[str] = [
     "q3_bm25_compact",
     # -- (4) NEW or CHANGED in round 11 (grown as round-11 waves land) --
     "multimodal_phash_jpeg",  # baseline-JPEG perceptual dedup (ask #3)
+    "pipeline_forget_e2e",    # forget CLI composition e2e (ask #7)
     # -- (5) round-7-generation refresh fill (only entries inside the
     #        first 50 get a driver row; the other 35 r7 rows queue for
     #        round 12 — ROUND12_QUEUE in tests/test_registry_order.py) --

@@ -1194,3 +1194,140 @@ def q_sql_udtf_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id % 7 = 0
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Right-to-be-forgotten at the USER surface (VERDICT r10 ask #7): the store-
+# level forget rows (ann_index_forget / q3_bm25_forget) attest each arm's
+# purge in isolation; this row drives the actual `forget` CLI composition —
+# sink partition surgery + hybrid index purge + the staleness-gate
+# reconciliation (cli.py::cmd_forget) — and oracles the OUTCOME against the
+# rebuild-without-the-source corpus: remaining row/source counts and an
+# order-free 60-bit XOR content fingerprint recomputed by DuckDB from the
+# documents table minus the forgotten sources, plus the per-arm freshness
+# proof (is_stale(remaining) must be False for both stores after the
+# reconciliation, pinned as constant TRUE columns).
+# ---------------------------------------------------------------------------
+
+PIPELINE_FORGET_ORACLE = """
+WITH gone AS (
+  SELECT source, text FROM documents WHERE source IN ('src3', 'src17')
+),
+keep AS (
+  SELECT source, text FROM documents WHERE source NOT IN ('src3', 'src17')
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM gone) AS sink_rows_removed,
+       (SELECT CAST(count(DISTINCT source || chr(31) || text) AS BIGINT)
+          FROM gone) AS index_rows_removed,
+       (SELECT CAST(count(*) AS BIGINT) FROM keep) AS n_remaining,
+       (SELECT CAST(count(DISTINCT source) AS BIGINT) FROM keep)
+         AS n_sources_remaining,
+       (SELECT bit_xor(CAST(('0x' || substr(md5(source || chr(31) || text),
+                                            1, 15)) AS BIGINT))
+          FROM keep) AS remaining_fp,
+       TRUE AS vector_fresh,
+       TRUE AS lexical_fresh
+"""
+
+
+@register(
+    "pipeline_forget_e2e",
+    PIPELINE_FORGET_ORACLE,
+    "The `forget` CLI end to end (cli.py::cmd_forget): corpus written to a "
+    "source-partitioned ParquetSink, hybrid_rrf (IVF-PQ + BM25) indexes "
+    "built, then `forget src3 src17` — sink delete is partition-directory "
+    "surgery, both persisted stores purge physically (deletion vectors / "
+    "bucket rewrite), and the reconciliation rebuilds whatever cannot "
+    "compose (e.g. a forgotten centroid seed). The returned row is the "
+    "POST-forget state read back from the sink (counts + XOR fingerprint "
+    "— DuckDB recomputes them from documents minus the sources) plus the "
+    "CLI report numbers and the per-arm staleness proof. Idempotent per "
+    "rep: the sink rewrite re-adds the sources, ensure_fresh rebuilds the "
+    "stores, and the forget replays. 100 TB shape: every step is "
+    "deletion-proportional (partition surgery, tombstones, bucket "
+    "rewrites), never corpus-linear.",
+)
+def q_pipeline_forget_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import io
+    import json
+    import os
+    from contextlib import redirect_stdout
+
+    from yaml_pipe_spark import cli
+    from yaml_pipe_spark.functions.hashing import hash_embedding
+    from yaml_pipe_spark.operators.sinks import ParquetSink
+    from yaml_pipe_spark.retrievers import HybridRrfRetriever, unique_by_id
+
+    base = os.path.join(
+        "spark-warehouse",
+        f"forget_e2e_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    os.makedirs(base, exist_ok=True)
+    sink_path = os.path.join(base, "sink")
+    vec_cfg = {
+        "path": os.path.join(base, "vec"),
+        "n_cells": 8,
+        "nprobe": 2,
+        "rerank_m": 20,
+    }
+    lex_cfg = {"path": os.path.join(base, "lex")}
+    cfg_path = os.path.join(base, "pipeline.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(
+            f"""
+source:
+  type: local_files
+  config: {{path: "{base}", glob_pattern: "**/*.txt"}}
+chunker:
+  type: fixed_window
+  config: {{chunk_size: 400, chunk_overlap: 0}}
+embedder:
+  type: hash
+  config: {{dim: 8}}
+sink:
+  type: parquet
+  config: {{path: "{sink_path}"}}
+retriever:
+  type: hybrid_rrf
+  config:
+    vector: {{path: "{vec_cfg['path']}", n_cells: 8, nprobe: 2, rerank_m: 20}}
+    lexical: {{path: "{lex_cfg['path']}"}}
+"""
+        )
+
+    corpus = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .withColumn("embedding", hash_embedding(F.col("text"), dim=8))
+    )
+    sink = ParquetSink(sink_path)
+    sink.write(corpus)
+    retr = HybridRrfRetriever(vector=dict(vec_cfg), lexical=dict(lex_cfg))
+    full = unique_by_id(sink.read(spark))
+    if retr.is_stale(full):  # pre-forget indexes must exist (build/refresh)
+        retr.build(full)
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli.main(["forget", "src3", "src17", "-c", cfg_path])
+    assert rc == 0, buf.getvalue()
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    remaining = sink.read(spark)
+    check = HybridRrfRetriever(vector=dict(vec_cfg), lexical=dict(lex_cfg))
+    row_fp = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("\x1f", F.col("source"), F.col("text"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return remaining.agg(
+        F.lit(int(report["sink_rows"])).cast("long").alias("sink_rows_removed"),
+        F.lit(int(report["index_rows"])).cast("long").alias("index_rows_removed"),
+        F.count("*").cast("long").alias("n_remaining"),
+        F.countDistinct("source").cast("long").alias("n_sources_remaining"),
+        F.bit_xor(row_fp).alias("remaining_fp"),
+        F.lit(not check.vector.is_stale(remaining)).alias("vector_fresh"),
+        F.lit(not check.lexical.is_stale(remaining)).alias("lexical_fresh"),
+    )
