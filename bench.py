@@ -33,10 +33,45 @@ from yaml_pipe_spark.entrypoints import REGISTRY
 from yaml_pipe_spark.session import get_spark
 
 
+def _stat_snapshot():
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:9]]
+    idle = vals[3] + vals[4]  # idle + iowait
+    return sum(vals) - idle, sum(vals)
+
+
+def _load_probe(window_sec: float = 0.5) -> dict:
+    """Co-tenant load snapshot (VERDICT r10 ask #4): a uniformly inflated
+    bench record (every round's driver tail so far) must be MACHINE-
+    distinguishable from a plan regression. Sampled while THIS process is
+    deliberately idle — busy_frac is the whole-box /proc/stat busy
+    fraction over a short sleep window, so it measures the co-tenants,
+    not the bench itself; loadavg1 adds the 1-minute trend. The adopted
+    noise rule lives in PERF.md round 11 (busy_frac > 0.5 or
+    loadavg1 > ncpu/2 on either side of the run => co-tenant-inflated,
+    don't gate plan decisions on the record)."""
+    probe: dict = {"ncpu": os.cpu_count()}
+    try:
+        probe["loadavg1"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    try:
+        b0, t0 = _stat_snapshot()
+        time.sleep(window_sec)
+        b1, t1 = _stat_snapshot()
+        if t1 > t0:
+            probe["busy_frac"] = round((b1 - b0) / (t1 - t0), 4)
+    except (OSError, ValueError, IndexError):
+        pass
+    return probe
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    probe_pre = _load_probe()
     spark = get_spark("yaml-pipe-spark-bench")
 
     # Warm-up: the first queries in sorted order would otherwise be charged
@@ -83,6 +118,7 @@ def main() -> None:
         "metric": "bench_total_sec",
         "value": total,
         "unit": "sec",
+        "load_probe": {"pre": probe_pre, "post": _load_probe()},
         # n_queries grows round over round as operators land — compare
         # totals across rounds per shared query (the "queries" map),
         # not by the raw total

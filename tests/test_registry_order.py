@@ -63,6 +63,7 @@ ROUND11_NEW: set[str] = {
 ROUND11_CHANGED: set[str] = {
     "multimodal_phash_jpeg",  # baseline-JPEG perceptual dedup (r10 ask #3)
     "pipeline_forget_e2e",  # forget CLI composition e2e (r10 ask #7)
+    "emb_ivf_centroid_drift",  # quantizer drift audit (r10 ask #8)
 }
 
 ROUND11_MUST_FRONT: set[str] = ROUND11_QUEUE | ROUND11_NEW | ROUND11_CHANGED

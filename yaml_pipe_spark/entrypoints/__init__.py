@@ -459,6 +459,7 @@ DRIVER_ORDER: list[str] = [
     # -- (4) NEW or CHANGED in round 11 (grown as round-11 waves land) --
     "multimodal_phash_jpeg",  # baseline-JPEG perceptual dedup (ask #3)
     "pipeline_forget_e2e",    # forget CLI composition e2e (ask #7)
+    "emb_ivf_centroid_drift", # frozen-quantizer drift audit (ask #8)
     # -- (5) round-7-generation refresh fill (only entries inside the
     #        first 50 get a driver row; the other 35 r7 rows queue for
     #        round 12 — ROUND12_QUEUE in tests/test_registry_order.py) --

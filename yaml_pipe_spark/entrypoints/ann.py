@@ -1666,3 +1666,142 @@ def q_ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         # warm path this assert would just repeat the staleness scan
         assert store.is_stale(corp) is False
     return store.serve(q, k=5, nprobe=2, rerank_m=20)
+
+
+# ---------------------------------------------------------------------------
+# IVF centroid-drift audit (VERDICT r10 ask #8): after forget/append churn
+# the frozen coarse centroids stop reflecting the data distribution — the
+# XOR staleness gate catches MEMBERSHIP changes, not distribution drift, so
+# nothing tells the operator when a quantizer retrain would pay. This row
+# measures it: per cell, the mean assignment similarity of the BUILD-time
+# corpus vs the CURRENT (churned) corpus under the SAME frozen centroids.
+# A cell whose members moved away from its centroid (drift_u6 > 0) scans
+# more distant vectors per probe; the retrain flag trips at 0.01 cosine
+# (10000 micro-units — the threshold note lives in PERF.md round 11).
+# Everything is integer micro-units end to end (floor(round(cos,6)*1e6+0.5),
+# shifted non-negative, half-up integer mean), so no float rounding tie can
+# split the engines — the r9/r10 grid-class hardening recipe.
+# ---------------------------------------------------------------------------
+
+_DK_DRIFT_SIDE = """
+SELECT cid, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(s * 1000000 + 0.5) AS BIGINT) + 1000000)
+            AS BIGINT) AS su
+FROM (
+  SELECT vec_id, cid, s FROM (
+    SELECT x.vec_id, c.cid,
+           round({cos}, 6) AS s,
+           row_number() OVER (PARTITION BY x.vec_id
+             ORDER BY round({cos}, 6) DESC, c.cid) AS rn
+    FROM {snap} x, c
+  ) WHERE rn = 1
+) GROUP BY cid
+"""
+
+EMB_IVF_DRIFT_ORACLE = f"""
+WITH c AS (
+  SELECT vec_id - 20 AS cid, embedding AS cv
+  FROM embeddings WHERE vec_id >= 20 AND vec_id < 28
+),
+snap_then AS (
+  SELECT vec_id, embedding AS xv FROM embeddings WHERE vec_id >= 20
+),
+snap_now AS (
+  SELECT vec_id, embedding AS xv FROM embeddings
+  WHERE (vec_id >= 20 AND vec_id % 7 <> 3) OR vec_id < 20
+),
+g_then AS ({_DK_DRIFT_SIDE.format(cos=_dk_cos('x.xv', 'c.cv'), snap='snap_then')}),
+g_now AS ({_DK_DRIFT_SIDE.format(cos=_dk_cos('x.xv', 'c.cv'), snap='snap_now')}),
+j AS (
+  SELECT c.cid,
+         coalesce(g_then.n, 0) AS n_then, coalesce(g_then.su, 0) AS su_then,
+         coalesce(g_now.n, 0) AS n_now, coalesce(g_now.su, 0) AS su_now
+  FROM c LEFT JOIN g_then ON c.cid = g_then.cid
+         LEFT JOIN g_now ON c.cid = g_now.cid
+),
+m AS (
+  SELECT cid, n_then, n_now,
+         CASE WHEN n_then = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST((2 * su_then + n_then) // (2 * n_then) AS BIGINT)
+                   - 1000000 END AS sim_then_u6,
+         CASE WHEN n_now = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST((2 * su_now + n_now) // (2 * n_now) AS BIGINT)
+                   - 1000000 END AS sim_now_u6
+  FROM j
+)
+SELECT cid, n_then, n_now, sim_then_u6, sim_now_u6,
+       sim_then_u6 - sim_now_u6 AS drift_u6,
+       CAST(sim_then_u6 - sim_now_u6 > 10000 AS INT) AS retrain
+FROM m
+"""
+
+
+@register(
+    "emb_ivf_centroid_drift",
+    EMB_IVF_DRIFT_ORACLE,
+    "Centroid-drift audit for the frozen IVF coarse quantizer (VERDICT "
+    "r10 ask #8): per cell, mean member-to-centroid cosine of the "
+    "build-time corpus vs the current post-churn corpus (forget vec_id%7=3, "
+    "append the <20 increment) under the SAME centroids — assignment via "
+    "the pinned ivf_assign argmax, means as half-up integer division over "
+    "exact micro-unit sums (no float tie anywhere). drift_u6 > 10000 "
+    "(0.01 cosine) flags a cell where a retrain would pay; staleness "
+    "gates can't see this (membership fingerprints ignore geometry). "
+    "100 TB shape: broadcast centroids, one narrow shuffle per snapshot, "
+    "8-row output.",
+)
+def q_emb_ivf_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.functions.vectors import cosine
+    from yaml_pipe_spark.operators.similarity import ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 28)).select(
+        (F.col("vec_id") - 20).alias("cid"), F.col("embedding").alias("cv")
+    )
+
+    def side(snap: DataFrame, n_col: str, su_col: str) -> DataFrame:
+        asg = ivf_assign(snap, cents)
+        s = asg.join(F.broadcast(cents), "cid").select(
+            "cid", F.round(cosine(F.col("embedding"), F.col("cv")), 6).alias("s")
+        )
+        u = (F.floor(F.col("s") * 1000000 + 0.5).cast("long") + 1000000)
+        return s.groupBy("cid").agg(
+            F.count("*").cast("long").alias(n_col),
+            F.sum(u).cast("long").alias(su_col),
+        )
+
+    snap_then = emb.filter(F.col("vec_id") >= 20).select("vec_id", "embedding")
+    snap_now = emb.filter(
+        ((F.col("vec_id") >= 20) & (F.col("vec_id") % 7 != 3))
+        | (F.col("vec_id") < 20)
+    ).select("vec_id", "embedding")
+
+    j = (
+        cents.select("cid")
+        .join(side(snap_then, "n_then", "su_then"), "cid", "left")
+        .join(side(snap_now, "n_now", "su_now"), "cid", "left")
+        .na.fill(0)
+    )
+    mean_u = lambda su, n: F.when(  # noqa: E731
+        F.col(n) == 0, F.lit(0).cast("long")
+    ).otherwise(
+        F.expr(f"CAST((2 * {su} + {n}) DIV (2 * {n}) AS BIGINT)") - 1000000
+    )
+    m = j.select(
+        "cid",
+        "n_then",
+        "n_now",
+        mean_u("su_then", "n_then").alias("sim_then_u6"),
+        mean_u("su_now", "n_now").alias("sim_now_u6"),
+    )
+    return m.select(
+        "cid",
+        "n_then",
+        "n_now",
+        "sim_then_u6",
+        "sim_now_u6",
+        (F.col("sim_then_u6") - F.col("sim_now_u6")).alias("drift_u6"),
+        (F.col("sim_then_u6") - F.col("sim_now_u6") > 10000)
+        .cast("int")
+        .alias("retrain"),
+    )
