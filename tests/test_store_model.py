@@ -21,6 +21,31 @@ def _rows(df):
     return sorted([tuple(r) for r in df.collect()])
 
 
+class _InjectedCrash(RuntimeError):
+    pass
+
+
+def _crash_op(store, op):
+    """Run `op` with the store's meta write replaced by a crash. Meta is
+    written LAST by contract, so the op dies with data possibly partially
+    applied and meta describing the PRE-op state; the corpus (source of
+    truth) has already moved, so recovery is the staleness gate: is_stale
+    of the new live corpus must be True and build_if_stale must restore
+    serve == rebuild. The monkeypatch is instance-scoped."""
+
+    def _boom(*a, **k):
+        raise _InjectedCrash("injected crash before meta write")
+
+    store._write_meta = _boom
+    try:
+        import pytest
+
+        with pytest.raises(_InjectedCrash):
+            op()
+    finally:
+        del store._write_meta  # restore the class method
+
+
 # ---------------------------------------------------------------------------
 # BM25
 # ---------------------------------------------------------------------------
@@ -55,8 +80,10 @@ def test_bm25_store_random_lifecycle_matches_rebuild(spark, tmp_path):
 
     store.build(df_of(sorted(live.items())))
 
-    for step in range(8):
-        op = rng.choice(["append", "forget", "forget", "compact"])
+    for step in range(10):
+        op = rng.choice(
+            ["append", "forget", "forget", "compact", "crash", "crash"]
+        )
         if op == "append":
             version += 1
             fresh = [(next_id + j, version) for j in range(rng.randint(1, 3))]
@@ -75,6 +102,29 @@ def test_bm25_store_random_lifecycle_matches_rebuild(spark, tmp_path):
             assert n == len(gone), (step, op)
             for i in gone:
                 del live[i]
+        elif op == "crash":
+            # the corpus (source of truth) moves BEFORE the index op — a
+            # crashed append/forget leaves the store behind the corpus and
+            # the staleness gate must close the gap with a rebuild
+            if rng.random() < 0.5 or not live:
+                version += 1
+                fresh = [(next_id, version)]
+                next_id += 1
+                _crash_op(store, lambda: store.append(df_of(fresh)))
+                live.update(dict(fresh))
+            else:
+                gone = rng.sample(sorted(live), k=1)
+                _crash_op(
+                    store,
+                    lambda: store.forget(
+                        df_of([(i, live[i]) for i in gone])
+                    ),
+                )
+                for i in gone:
+                    del live[i]
+            corpus = df_of(sorted(live.items()))
+            assert store.is_stale(corpus) is True, (step, "post-crash")
+            store.build_if_stale(corpus)
         else:
             store.compact()
 
@@ -129,8 +179,10 @@ def test_ann_store_random_lifecycle_matches_rebuild(spark, tmp_path):
     store = IvfPqIndexStore(str(tmp_path / "idx"))
     store.build(df_of(live), cents)
 
-    for step in range(8):
-        op = rng.choice(["append", "forget", "forget", "compact"])
+    for step in range(10):
+        op = rng.choice(
+            ["append", "forget", "forget", "compact", "crash", "crash"]
+        )
         if op == "append":
             fresh = set(range(next_id, next_id + rng.randint(1, 4)))
             next_id += len(fresh)
@@ -145,6 +197,23 @@ def test_ann_store_random_lifecycle_matches_rebuild(spark, tmp_path):
             n = store.forget(df_of(gone).select("vec_id"))
             assert n == len(gone), (step, op)
             live -= gone
+        elif op == "crash":
+            if rng.random() < 0.5 or not live:
+                fresh = {next_id}
+                next_id += 1
+                _crash_op(store, lambda: store.append(df_of(fresh)))
+                live |= fresh
+            else:
+                gone = set(rng.sample(sorted(live), k=1))
+                _crash_op(
+                    store, lambda: store.forget(df_of(gone).select("vec_id"))
+                )
+                live -= gone
+            assert store.is_stale(df_of(live), centroids=cents) is True, (
+                step,
+                "post-crash",
+            )
+            store.build_if_stale(df_of(live), cents)
         else:
             store.compact()
 
