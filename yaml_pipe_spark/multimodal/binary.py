@@ -253,6 +253,23 @@ _JPEG_COS = [
 ]
 _JPEG_C = [1.0 / _math.sqrt(2.0)] + [1.0] * 7
 
+_JPEG_BASIS_CACHE: dict[tuple[int, int], list[float]] = {}
+
+
+def _jpeg_basis(u: int, v: int) -> list[float]:
+    """64-sample (y-major) IDCT basis plane for coefficient (u, v),
+    normalization (C(u)C(v)/4) folded in; cached — 64 planes total."""
+    plane = _JPEG_BASIS_CACHE.get((u, v))
+    if plane is None:
+        cu, cv = _JPEG_C[u], _JPEG_C[v]
+        plane = [
+            cu * cv * _JPEG_COS[u][x] * _JPEG_COS[v][y] / 4.0
+            for y in range(8)
+            for x in range(8)
+        ]
+        _JPEG_BASIS_CACHE[(u, v)] = plane
+    return plane
+
 
 def _jpeg_huff_table(bits: bytes, vals: bytes) -> dict[tuple[int, int], int]:
     """Canonical Huffman per ITU T.81 C.2: `bits[l-1]` codes of length l,
@@ -407,12 +424,18 @@ def decode_jpeg_gray(payload: bytes):
                 zr, zc = _JPEG_ZIGZAG[k]
                 coef[zr][zc] = rd.receive_extend(s) * q[k]
                 k += 1
-            nz = [
-                (u, v, coef[v][u])
-                for v in range(8)
-                for u in range(8)
-                if coef[v][u] != 0.0
-            ]
+            # accumulate per NON-ZERO coefficient over a precomputed 64-
+            # sample basis plane (y-major): typical sparse blocks touch a
+            # handful of planes, so the IDCT is a few C-level zips instead
+            # of a 64-pixel Python loop over coefficients
+            acc = [0.0] * 64
+            for v in range(8):
+                row = coef[v]
+                for u in range(8):
+                    f = row[u]
+                    if f != 0.0:
+                        plane = _jpeg_basis(u, v)
+                        acc = [a + f * p for a, p in zip(acc, plane)]
             for y in range(8):
                 iy = by * 8 + y
                 if iy >= h:
@@ -422,16 +445,7 @@ def decode_jpeg_gray(payload: bytes):
                     ix = bx * 8 + x
                     if ix >= w:
                         break
-                    acc = 0.0
-                    for u, v, f in nz:
-                        acc += (
-                            _JPEG_C[u]
-                            * _JPEG_C[v]
-                            * f
-                            * _JPEG_COS[u][x]
-                            * _JPEG_COS[v][y]
-                        )
-                    val = int(round(acc / 4.0)) + 128
+                    val = int(round(acc[8 * y + x])) + 128
                     out[row_off + ix] = 0 if val < 0 else (255 if val > 255 else val)
     return w, h, bytes(out)
 
