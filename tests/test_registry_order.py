@@ -106,6 +106,7 @@ ROUND12_QUEUE: set[str] = {
     "stream_tumbling_agg",
     "t3_state_merge",
     "text_blocklist_filter",
+    "text_bloom_decontaminate",
     "text_pii_redact",
     "text_unigram_logprob",
 }
