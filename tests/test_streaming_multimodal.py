@@ -104,13 +104,21 @@ def test_multimodal_features(spark):
 def test_multimodal_real_decode_unknown_format_is_marked(spark):
     from yaml_pipe_spark.multimodal.binary import decode_payload
 
-    # JPEG — a real format the stdlib can't decode stays the stub
+    # MP4 — a real format the stdlib can't decode stays the stub
     with pytest.raises(NotImplementedError, match="codec libraries"):
-        decode_payload(b"\xff\xd8\xff\xe0\x00\x10JFIF", "image", real_decode=True)
+        decode_payload(
+            b"\x00\x00\x00\x18ftypmp42\x00\x00\x00\x00", "video",
+            real_decode=True,
+        )
     # PNG is stdlib-decodable since round 5, so its magic now dispatches to
     # the real decoder — a bare signature with no chunks is a corrupt file
     with pytest.raises(ValueError, match="IHDR"):
         decode_payload(b"\x89PNG\r\n\x1a\n", "image", real_decode=True)
+    # baseline JPEG is stdlib-decodable since round 11 — its magic likewise
+    # dispatches to the real decoder, and a bare JFIF header with no scan
+    # is a corrupt file, not a stub
+    with pytest.raises(ValueError, match="SOF0"):
+        decode_payload(b"\xff\xd8\xff\xe0\x00\x10JFIF", "image", real_decode=True)
 
 
 def test_real_decode_bmp_golden():
