@@ -112,3 +112,20 @@ def test_decode_payload_sniffs_jpeg():
         build_phash_jpeg(7), "image", real_decode=True
     )
     assert (w, h, n_frames) == (JW, JH, 1) and len(feat) == 8
+
+
+def test_decode_jpeg_error_contract_is_valueerror():
+    """Review-wave pins (round 11): corrupt streams surface as the module's
+    ValueError parse contract, never raw KeyError/IndexError that no
+    mapInPandas caller classifies."""
+    # SOS referencing a Huffman table no DHT defined
+    payload = bytearray(build_phash_jpeg(0))
+    dht = payload.find(b"\xff\xc4")
+    seg_len = int.from_bytes(payload[dht + 2 : dht + 4], "big")
+    stripped = bytes(payload[:dht]) + bytes(payload[dht + 2 + seg_len :])
+    with pytest.raises(ValueError, match="undefined Huffman table"):
+        decode_jpeg_gray(stripped)
+    # entropy segment cut off mid-scan
+    truncated = bytes(payload[: len(payload) // 2])
+    with pytest.raises(ValueError, match="truncated or corrupt"):
+        decode_jpeg_gray(truncated)

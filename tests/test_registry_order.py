@@ -69,9 +69,10 @@ ROUND11_CHANGED: set[str] = {
 ROUND11_MUST_FRONT: set[str] = ROUND11_QUEUE | ROUND11_NEW | ROUND11_CHANGED
 
 # Round-7-generation rows left WITHOUT a fresh row after round 11's
-# 50-slot prefix is spent (the 8 r7 fill rows in DRIVER_ORDER are
-# deliberately absent) — round 12 must front these before anything merely
-# stale from r8.
+# 50-slot prefix is spent (the 7 r7 fill rows that made the prefix are
+# deliberately absent; the 3 listed fills pushed out by the round-11 new
+# rows are IN the queue) — round 12 must front these before anything
+# merely stale from r8.
 ROUND12_QUEUE: set[str] = {
     "corpus_dedup_funnel",
     "corpus_dup_rate_by_source",

@@ -461,8 +461,9 @@ DRIVER_ORDER: list[str] = [
     "pipeline_forget_e2e",    # forget CLI composition e2e (ask #7)
     "emb_ivf_centroid_drift", # frozen-quantizer drift audit (ask #8)
     # -- (5) round-7-generation refresh fill (only entries inside the
-    #        first 50 get a driver row; the other 35 r7 rows queue for
-    #        round 12 — ROUND12_QUEUE in tests/test_registry_order.py) --
+    #        first 50 get a driver row — 7 of the 10 listed, after the 3
+    #        round-11 rows above; the other 36 r7 rows queue for round 12
+    #        — ROUND12_QUEUE in tests/test_registry_order.py) --
     "s1_scan_nonempty",
     "t2_changed_anti_join",
     "c1_fixed_chunk",

@@ -398,6 +398,8 @@ def decode_jpeg_gray(payload: bytes):
         pos = pos + 2 + seg_len
     if w is None or dc_sel is None or comp_tq not in qt:
         raise ValueError("JPEG missing SOF0/SOS/DQT")
+    if (0, dc_sel) not in huff or (1, ac_sel) not in huff:
+        raise ValueError("JPEG SOS references an undefined Huffman table")
     q = qt[comp_tq]
     dc_tab, ac_tab = huff[(0, dc_sel)], huff[(1, ac_sel)]
 
@@ -405,6 +407,18 @@ def decode_jpeg_gray(payload: bytes):
     nbx, nby = (w + 7) // 8, (h + 7) // 8
     out = bytearray(w * h)
     pred = 0
+    try:
+        _decode_jpeg_blocks(rd, nbx, nby, w, h, q, dc_tab, ac_tab, pred, out)
+    except IndexError as e:
+        # a truncated entropy segment (read past the buffer) or a corrupt
+        # (run,size) stream (zigzag index past 63) must surface as the
+        # module's parse-error contract, not a raw IndexError that no
+        # caller classifies
+        raise ValueError("truncated or corrupt JPEG entropy stream") from e
+    return w, h, bytes(out)
+
+
+def _decode_jpeg_blocks(rd, nbx, nby, w, h, q, dc_tab, ac_tab, pred, out):
     for by in range(nby):
         for bx in range(nbx):
             coef = [[0.0] * 8 for _ in range(8)]
@@ -447,7 +461,6 @@ def decode_jpeg_gray(payload: bytes):
                         break
                     val = int(round(acc[8 * y + x])) + 128
                     out[row_off + ix] = 0 if val < 0 else (255 if val > 255 else val)
-    return w, h, bytes(out)
 
 
 def _decode_jpeg_features(payload: bytes):
@@ -467,9 +480,9 @@ def _decode_png_features(payload: bytes):
 def decode_payload(payload: bytes, modality: str, real_decode: bool = False):
     """Payload decode. The real path handles the stdlib-decodable container
     formats — uncompressed BMP, binary PPM, non-interlaced 8-bit RGB PNG,
-    single-frame GIF, PCM WAV — by magic-byte sniffing; everything else
-    (JPEG/MP3/MP4...) still raises: that is where PIL/torchaudio/ffmpeg
-    plug in on a real cluster. The fake path derives stable
+    single-frame GIF, PCM WAV, baseline grayscale JPEG — by magic-byte
+    sniffing; everything else (progressive/YCbCr JPEG, MP3, MP4...) still
+    raises: that is where PIL/torchaudio/ffmpeg plug in on a real cluster. The fake path derives stable
     pseudo-dimensions and features from the bytes themselves
     (deterministic, oracle-friendly)."""
     if real_decode:

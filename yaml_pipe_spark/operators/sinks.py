@@ -311,7 +311,13 @@ class DuckDBSink:
                 )
                 con.execute("COMMIT")
             except Exception:
-                con.execute("ROLLBACK")
+                # a failed COMMIT (disk full) may have already ended the
+                # transaction; a bare ROLLBACK would then raise and MASK
+                # the root cause
+                try:
+                    con.execute("ROLLBACK")
+                except Exception:
+                    pass
                 raise
             return int(n)
         finally:
