@@ -732,3 +732,27 @@ def test_unimax_window_is_bounded_to_source_frame(spark):
     # the waterfill scalars join back via broadcast, never a shuffle join
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_phash_pairing_is_band_equijoin_not_cartesian(spark):
+    """Perceptual-hash near-dup pairing (all three container formats share
+    phash_near_dup_pairs) must pair via the (band, word) equi-join — never
+    a cartesian/nested-loop over images — and verify via bit_count(xor) in
+    Catalyst, not Python."""
+    for name in ("multimodal_phash_dedup", "multimodal_phash_jpeg"):
+        plan = _plan(_q(name, spark), "simple")
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        # the only Python stage is the Arrow decode+hash map; the verify
+        # predicate stays JVM-side
+        assert "bit_count" in plan, name
+
+
+def test_centroid_drift_broadcasts_centroids_both_snapshots(spark):
+    """emb_ivf_centroid_drift assigns BOTH snapshots via broadcast of the
+    8-row centroid frame; the corpus must never shuffle against it, and no
+    global (partitionBy-less) window may appear."""
+    plan = _plan(_q("emb_ivf_centroid_drift", spark), "simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2
+    assert "Window [" not in plan
