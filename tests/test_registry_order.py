@@ -64,13 +64,14 @@ ROUND11_CHANGED: set[str] = {
     "multimodal_phash_jpeg",  # baseline-JPEG perceptual dedup (r10 ask #3)
     "pipeline_forget_e2e",  # forget CLI composition e2e (r10 ask #7)
     "emb_ivf_centroid_drift",  # quantizer drift audit (r10 ask #8)
+    "ann_index_retrain",  # the retrain action the drift audit recommends
 }
 
 ROUND11_MUST_FRONT: set[str] = ROUND11_QUEUE | ROUND11_NEW | ROUND11_CHANGED
 
 # Round-7-generation rows left WITHOUT a fresh row after round 11's
-# 50-slot prefix is spent (the 7 r7 fill rows that made the prefix are
-# deliberately absent; the 3 listed fills pushed out by the round-11 new
+# 50-slot prefix is spent (the 6 r7 fill rows that made the prefix are
+# deliberately absent; the 4 listed fills pushed out by the round-11 new
 # rows are IN the queue) — round 12 must front these before anything
 # merely stale from r8.
 ROUND12_QUEUE: set[str] = {
@@ -101,6 +102,7 @@ ROUND12_QUEUE: set[str] = {
     "s4_events_content",
     "sample_kcenter_coreset",
     "stream_dedup_first_arrival",
+    "stream_stateful_counter",
     "stream_interval_join",
     "stream_session_window",
     "stream_static_enrich",

@@ -460,9 +460,10 @@ DRIVER_ORDER: list[str] = [
     "multimodal_phash_jpeg",  # baseline-JPEG perceptual dedup (ask #3)
     "pipeline_forget_e2e",    # forget CLI composition e2e (ask #7)
     "emb_ivf_centroid_drift", # frozen-quantizer drift audit (ask #8)
+    "ann_index_retrain",      # the retrain the drift audit recommends
     # -- (5) round-7-generation refresh fill (only entries inside the
-    #        first 50 get a driver row — 7 of the 10 listed, after the 3
-    #        round-11 rows above; the other 36 r7 rows queue for round 12
+    #        first 50 get a driver row — 6 of the 10 listed, after the 4
+    #        round-11 rows above; the other 37 r7 rows queue for round 12
     #        — ROUND12_QUEUE in tests/test_registry_order.py) --
     "s1_scan_nonempty",
     "t2_changed_anti_join",

@@ -1805,3 +1805,100 @@ def q_emb_ivf_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("retrain"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The action the drift audit recommends: RETRAIN the coarse quantizer.
+# emb_ivf_centroid_drift reports when the frozen centroids stopped paying;
+# this row attests the operator that closes the loop — rebuild the persisted
+# store over the churned corpus with a REFRESHED deterministic centroid set
+# and serve from it. The rebuild must fully supersede the old quantizer era:
+# codes/vectors write with pinned STATIC partition overwrite (an IVF cell
+# emptied by the retrain would otherwise keep advertising its old codes —
+# the hazard ann_index.py::build documents), and the oracle recomputes the
+# ENTIRE IVF-PQ pipeline from scratch with the new centroid set, so one
+# stale row anywhere in the superseded layout mismatches.
+# ---------------------------------------------------------------------------
+
+_RETRAIN_OLD_CENTS = """SELECT vec_id - 20 AS cid, embedding AS cv
+  FROM embeddings WHERE vec_id >= 20 AND vec_id < 28"""
+_RETRAIN_NEW_CENTS = """SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         embedding AS cv
+  FROM embeddings
+  WHERE vec_id >= 28 AND vec_id < 37 AND vec_id % 7 <> 3"""
+_RETRAIN_OLD_CORPUS = "FROM embeddings WHERE vec_id >= 20\n),"
+_RETRAIN_NEW_CORPUS = (
+    "FROM embeddings WHERE vec_id >= 20 AND vec_id % 7 <> 3\n),"
+)
+assert _ANN_IVFPQ_CORE.count(_RETRAIN_OLD_CENTS) == 1
+assert _ANN_IVFPQ_CORE.count(_RETRAIN_OLD_CORPUS) == 1
+
+ANN_INDEX_RETRAIN_ORACLE = (
+    _ANN_IVFPQ_CORE.replace(_RETRAIN_OLD_CENTS, _RETRAIN_NEW_CENTS).replace(
+        _RETRAIN_OLD_CORPUS, _RETRAIN_NEW_CORPUS
+    )
+    + """
+SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, score
+FROM final WHERE rank <= 5
+"""
+)
+
+
+@register(
+    "ann_index_retrain",
+    ANN_INDEX_RETRAIN_ORACLE,
+    "Coarse-quantizer retrain on the persisted IVF-PQ store — the action "
+    "emb_ivf_centroid_drift's threshold recommends: after churn (forget "
+    "vec_id%7=3) the store rebuilds over the REMAINING corpus with a "
+    "refreshed deterministic centroid set (8 live ids, re-numbered), "
+    "fully superseding the old quantizer era via pinned static partition "
+    "overwrite. The oracle recomputes the whole IVF-PQ serve (assign, "
+    "2-bit codes, probe, ADC, re-rank) from scratch with the NEW "
+    "centroids over the churned corpus, so any residue of the old layout "
+    "— a lingering cid partition, a stale code, old centroid rows — "
+    "flips the hash. Warm path: is_stale(remaining, new cents) False "
+    "means the retrained era serves directly. 100 TB shape: a retrain is "
+    "one corpus pass (broadcast assign + partitioned rewrite), paid only "
+    "when the drift audit says it will buy back probe quality.",
+)
+def q_ann_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import Window as W
+
+    from yaml_pipe_spark.operators.ann_index import IvfPqIndexStore
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    standing = emb.filter(F.col("vec_id") >= 20).select("vec_id", "embedding")
+    remaining = standing.filter(F.col("vec_id") % 7 != 3)
+    gone = standing.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    cents_old = emb.filter(
+        (F.col("vec_id") >= 20) & (F.col("vec_id") < 28)
+    ).select((F.col("vec_id") - 20).alias("cid"), F.col("embedding").alias("cv"))
+    cents_new = emb.filter(
+        (F.col("vec_id") >= 28)
+        & (F.col("vec_id") < 37)
+        & (F.col("vec_id") % 7 != 3)
+    ).select(
+        (F.row_number().over(W.orderBy("vec_id")) - 1)
+        .cast("long")
+        .alias("cid"),
+        F.col("embedding").alias("cv"),
+    )
+    store = IvfPqIndexStore(
+        os.path.join(
+            "spark-warehouse",
+            f"ann_ivfpq_retrain_{os.path.basename(os.path.normpath(sf_dir))}",
+        )
+    )
+    if store.is_stale(remaining, centroids=cents_new):
+        # the drifted era: build on the old quantizer, churn it...
+        store.build(standing, cents_old)
+        store.forget(gone)
+        # ...then the retrain the drift audit recommends
+        store.build(remaining, cents_new)
+        assert store.is_stale(remaining, centroids=cents_new) is False
+    return store.serve(q, k=5, nprobe=2, rerank_m=20)
