@@ -127,17 +127,34 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    print(json.dumps(payload))
-    # The driver's capture keeps only the LAST 2000 chars of stdout, which
-    # truncates the alphabetical queries map mid-way (BENCH_r01/r02 both
-    # recorded parsed=null + a tail starting around 'd'/'e') — persist the
-    # full record next to the code so per-query history survives intact.
+    # The full record (every query's timing) goes to BENCH_SELF.json —
+    # the driver's capture keeps only the LAST 2000 chars of stdout, so a
+    # 229-query map printed inline is truncated mid-way and the driver
+    # records parsed=null (every BENCH_r01..r11). Per VERDICT r11 ask #3,
+    # stdout gets ONE compact JSON line (<2000 chars): the headline
+    # metric, the 10 slowest queries, and a sha256 of the full sorted map
+    # so the printed line is verifiably a digest of BENCH_SELF.json.
     try:
         here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, "BENCH_SELF.json"), "w") as f:
             json.dump(payload, f, indent=1, sort_keys=True)
     except OSError:
         pass  # the printed line remains the contract
+    import hashlib
+
+    full_map_json = json.dumps(timings, sort_keys=True)
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    )
+    compact = dict(payload)
+    compact["queries"] = slowest
+    compact["queries_note"] = "10 slowest of n_queries; full map in BENCH_SELF.json"
+    compact["queries_sha256"] = hashlib.sha256(
+        full_map_json.encode()
+    ).hexdigest()
+    line = json.dumps(compact)
+    assert len(line) < 1900, f"compact bench line too long: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":

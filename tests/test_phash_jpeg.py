@@ -129,3 +129,24 @@ def test_decode_jpeg_error_contract_is_valueerror():
     truncated = bytes(payload[: len(payload) // 2])
     with pytest.raises(ValueError, match="truncated or corrupt"):
         decode_jpeg_gray(truncated)
+
+
+def test_marker_walk_skips_fill_bytes_and_types_standalone_markers():
+    """ADVICE r11: 0xFF fill padding before a marker is legal (T.81
+    B.1.1.2) and must not desync the walk; standalone TEM/RSTn markers
+    carry no length field and must surface as the typed scope boundary,
+    not a garbage-length ValueError."""
+    base = build_phash_jpeg(0)
+    # inject two fill bytes before the first DQT marker — decode must
+    # still round-trip to the exact same pixels
+    dqt = base.find(b"\xff\xdb")
+    padded = base[:dqt] + b"\xff\xff" + base[dqt:]
+    assert decode_jpeg_gray(padded) == decode_jpeg_gray(base)
+    # a standalone TEM marker in the header stream: typed boundary
+    tem = base[:dqt] + b"\xff\x01" + base[dqt:]
+    with pytest.raises(NotImplementedError, match="TEM/RSTn"):
+        decode_jpeg_gray(tem)
+    # RST0 likewise
+    rst = base[:dqt] + b"\xff\xd0" + base[dqt:]
+    with pytest.raises(NotImplementedError, match="TEM/RSTn"):
+        decode_jpeg_gray(rst)

@@ -8,72 +8,9 @@ import pytest
 
 from yaml_pipe_spark.entrypoints import DRIVER_ORDER, REGISTRY, queries, oracle_sql
 
-# Round-6-generation rows left WITHOUT a fresh row after round 10's
-# 50-slot prefix — round 11 fronts these (VERDICT r10 ask #1).
-ROUND11_QUEUE: set[str] = {
-    "ann_index_persisted",
-    "ann_ivf_nprobe_curve",
-    "ann_ivfpq_residual_topk",
-    "ann_ivfpq_topk",
-    "dedup_minhash_band_curve",
-    "emb_ivf_cell_balance",
-    "events_anomaly_zscore",
-    "events_cms_heavy_hitters",
-    "events_decayed_score",
-    "events_funnel",
-    "events_grouping_sets",
-    "events_interval_join",
-    "events_retention_cohorts",
-    "events_rfm_segments",
-    "events_top_paths",
-    "multimodal_decode_check",
-    "multimodal_gif_decode",
-    "rel_equidepth_histogram",
-    "rel_large_volume_customers",
-    "rel_nation_balance_fulljoin",
-    "rel_price_histogram",
-    "rel_salted_join",
-    "rel_scd2_history",
-    "s1_parse_dispatch",
-    "s1_parse_tar",
-    "s1_parse_warc",
-    "sample_bottom_k_sketch",
-    "sample_weighted",
-    "sql_udtf_chunk",
-    "stream_ann_serve",
-    "stream_incremental_dedup",
-    "t4_timestamp_cursor",
-    "text_bigram_holdout_ppl",
-    "text_bpe_encode",
-    "text_encoding_scrub",
-    "text_entropy",
-    "text_quality_thresholds",
-}
-
-# Registered AFTER round 10's 50-slot prefix was spent (no driver row
-# yet) — round 11 fronts these alongside ROUND11_QUEUE.
-ROUND11_NEW: set[str] = {
-    "ann_index_compact",  # small-file compaction on the IVF-PQ store
-    "q3_bm25_compact",    # the unpartitioned BM25 defragmentation twin
-}
-
-# New in round 11, or implementation changed in round 11 (prior driver
-# rows, if any, describe code that no longer exists). Grown as round-11
-# waves land.
-ROUND11_CHANGED: set[str] = {
-    "multimodal_phash_jpeg",  # baseline-JPEG perceptual dedup (r10 ask #3)
-    "pipeline_forget_e2e",  # forget CLI composition e2e (r10 ask #7)
-    "emb_ivf_centroid_drift",  # quantizer drift audit (r10 ask #8)
-    "ann_index_retrain",  # the retrain action the drift audit recommends
-}
-
-ROUND11_MUST_FRONT: set[str] = ROUND11_QUEUE | ROUND11_NEW | ROUND11_CHANGED
-
 # Round-7-generation rows left WITHOUT a fresh row after round 11's
-# 50-slot prefix is spent (the 6 r7 fill rows that made the prefix are
-# deliberately absent; the 4 listed fills pushed out by the round-11 new
-# rows are IN the queue) — round 12 must front these before anything
-# merely stale from r8.
+# 50-slot prefix — round 12 fronts these (VERDICT r11 ask #1; the set was
+# machine-cross-checked against the CORRECTNESS_r01..r11 union).
 ROUND12_QUEUE: set[str] = {
     "corpus_dedup_funnel",
     "corpus_dup_rate_by_source",
@@ -114,16 +51,74 @@ ROUND12_QUEUE: set[str] = {
     "text_unigram_logprob",
 }
 
+# New in round 12, or implementation changed in round 12 (prior driver
+# rows, if any, describe code that no longer exists). Grown as round-12
+# waves land.
+ROUND12_CHANGED: set[str] = {
+    "pipeline_forget_e2e",  # batched-action trim (VERDICT r11 ask #4)
+    # grown as the round-12 waves land: emb_kmeans_lloyd,
+    # ann_index_retrain_lloyd, quality_logreg_distill,
+    # multimodal_phash_jpeg_color
+}
 
-def test_round11_sets_are_registered_and_oracled():
-    for name in ROUND11_MUST_FRONT | ROUND12_QUEUE:
+ROUND12_MUST_FRONT: set[str] = ROUND12_QUEUE | ROUND12_CHANGED
+
+# Round-8-generation rows left WITHOUT a fresh row after round 12's
+# 50-slot prefix is spent (the 7 r8 fill rows that make the prefix —
+# q1_topk_cosine, q2_hitrate, dedup_exact, ann_ivf_topk, c2_markdown_chunk,
+# s1_parse_pdf, events_sessionize — are deliberately absent) — round 13
+# must front these before anything merely stale from r9.
+ROUND13_QUEUE: set[str] = {
+    "ann_recall_measured",
+    "ann_signlsh_topk",
+    "c1_recursive_chunk",
+    "c3_adaptive_chunk",
+    "corpus_curation_funnel",
+    "corpus_holdout_split",
+    "corpus_source_cap",
+    "dedup_simhash",
+    "dedup_soft_reweight",
+    "dedup_winnow_pairs",
+    "emb_int8_quant",
+    "events_approx_distinct_bounded",
+    "events_asof_join",
+    "events_forget_users",
+    "events_incremental_agg",
+    "events_transition_matrix",
+    "multimodal_frame_sample",
+    "quality_rho_excess",
+    "rel_customer_distribution",
+    "rel_disjunctive_revenue",
+    "rel_forecast_revenue",
+    "rel_late_ship_orders",
+    "rel_nation_revenue",
+    "rel_order_gaps",
+    "rel_promo_revenue_pct",
+    "rel_returned_item_revenue",
+    "rel_top3_orders_per_priority",
+    "rel_top_supplier",
+    "rel_volume_shipping",
+    "s1_parse_docx",
+    "s1_parse_eml",
+    "s1_parse_pptx",
+    "s2_multi_fetch",
+    "sim_knn_join",
+    "stream_hopping_agg",
+    "stream_watermark_dedup",
+    "text_repetition",
+    "text_winnow_fingerprint",
+}
+
+
+def test_round12_sets_are_registered_and_oracled():
+    for name in ROUND12_MUST_FRONT | ROUND13_QUEUE:
         assert name in REGISTRY, name
         assert REGISTRY[name].oracle is not None, name
 
 
-def test_round11_front_sets_inside_driver_prefix():
+def test_round12_front_sets_inside_driver_prefix():
     prefix = set(list(queries())[:50])
-    missing = ROUND11_MUST_FRONT - prefix
+    missing = ROUND12_MUST_FRONT - prefix
     assert not missing, f"outside the 50-entry driver prefix: {missing}"
 
 

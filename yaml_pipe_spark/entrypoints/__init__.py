@@ -394,87 +394,85 @@ del _reordered, _n
 
 
 # The round driver validates a *prefix* of the queries() dict (each round
-# records exactly the first 50 entries in insertion order). Round 9 rotation,
-# in priority order:
+# records exactly the first 50 entries in insertion order). Round 12
+# rotation, in priority order:
 #   1. flagship (the smoke-checked canary),
-#   2. the ROUND9_QUEUE — the twenty-nine round-4-generation rows whose
-#      newest driver row is still r4 (VERDICT r8 ask #1), plus the eight
-#      ROUND4_FILL rows that fell past round 8's 50-entry boundary — after
-#      these the oldest attestation anywhere in the registry is >= r5,
-#   3. queries NEW in round 9 or whose implementation CHANGED in round 9
-#      (the ADVICE fixes, the float-hazard hardening sweep, the
-#      perceptual-hash dedup / BPE-training additions; grows as waves land),
-#   4. round-5-generation refresh fill, oldest-first as slots allow (only
-#      entries inside the first 50 get a driver row; the rest stay r5 and
-#      queue for round 10).
+#   2. the ROUND12_QUEUE — the thirty-seven round-7-generation rows whose
+#      newest driver row is still r7 (VERDICT r11 ask #1) — after these
+#      the oldest attestation anywhere in the registry is >= r8,
+#   3. queries NEW in round 12 or whose implementation CHANGED in round 12
+#      (the Lloyd-trained quantizer + its retrain consumer, the GD-trained
+#      quality classifier, color-JPEG perceptual dedup, the batched
+#      forget-e2e trim; grows as waves land),
+#   4. round-8-generation refresh fill, as slots allow (only entries
+#      inside the first 50 get a driver row; the rest stay r8 and queue
+#      for round 13).
 # Registry entries not listed here follow in registration order (still covered
 # by bench.py and the local sf0.001/sf0.01/sf0.1 oracle-parity runs every
 # round). Keep the sets in tests/test_registry_order.py in sync so the prefix
 # invariant stays pinned.
 DRIVER_ORDER: list[str] = [
     "flagship",  # canary: the smoke-checked query stays first
-    # -- (2) ROUND11_QUEUE: round-6-generation attestation debt (VERDICT
-    #        r10 ask #1), by family --
-    "ann_index_persisted",
-    "ann_ivf_nprobe_curve",
-    "ann_ivfpq_residual_topk",
-    "ann_ivfpq_topk",
-    "dedup_minhash_band_curve",
-    "emb_ivf_cell_balance",
-    "events_anomaly_zscore",
-    "events_cms_heavy_hitters",
-    "events_decayed_score",
-    "events_funnel",
-    "events_grouping_sets",
-    "events_interval_join",
-    "events_retention_cohorts",
-    "events_rfm_segments",
-    "events_top_paths",
-    "multimodal_decode_check",
-    "multimodal_gif_decode",
-    "rel_equidepth_histogram",
-    "rel_large_volume_customers",
-    "rel_nation_balance_fulljoin",
-    "rel_price_histogram",
-    "rel_salted_join",
-    "rel_scd2_history",
-    "s1_parse_dispatch",
-    "s1_parse_tar",
-    "s1_parse_warc",
-    "sample_bottom_k_sketch",
-    "sample_weighted",
-    "sql_udtf_chunk",
-    "stream_ann_serve",
-    "stream_incremental_dedup",
-    "t4_timestamp_cursor",
-    "text_bigram_holdout_ppl",
-    "text_bpe_encode",
-    "text_encoding_scrub",
-    "text_entropy",
-    "text_quality_thresholds",
-    # -- (3) ROUND11_NEW: registered after round 10's 50-slot prefix was
-    #        spent — never driver-attested (VERDICT r10 ask #1) --
-    "ann_index_compact",
-    "q3_bm25_compact",
-    # -- (4) NEW or CHANGED in round 11 (grown as round-11 waves land) --
-    "multimodal_phash_jpeg",  # baseline-JPEG perceptual dedup (ask #3)
-    "pipeline_forget_e2e",    # forget CLI composition e2e (ask #7)
-    "emb_ivf_centroid_drift", # frozen-quantizer drift audit (ask #8)
-    "ann_index_retrain",      # the retrain the drift audit recommends
-    # -- (5) round-7-generation refresh fill (only entries inside the
-    #        first 50 get a driver row — 6 of the 10 listed, after the 4
-    #        round-11 rows above; the other 37 r7 rows queue for round 12
-    #        — ROUND12_QUEUE in tests/test_registry_order.py) --
-    "s1_scan_nonempty",
-    "t2_changed_anti_join",
-    "c1_fixed_chunk",
-    "dedup_minhash_lsh",
-    "q3_bm25_topk",
-    "ann_index_incremental",
+    # -- (2) ROUND12_QUEUE: round-7-generation attestation debt (VERDICT
+    #        r11 ask #1; pinned in tests/test_registry_order.py), by
+    #        family --
+    "corpus_dedup_funnel",
+    "corpus_dup_rate_by_source",
+    "corpus_snapshot_churn",
+    "corpus_snapshot_psi",
+    "corpus_split_leakage_audit",
+    "corpus_url_canonical_dedup",
+    "dedup_canonical_quality",
+    "dedup_cluster_resolution",
+    "dedup_containment",
+    "dedup_fuzzy_decontaminate",
+    "dedup_levenshtein_verify",
+    "dedup_semantic_cluster",
+    "dedup_simhash_pairs",
+    "graph_pagerank_centrality",
+    "graph_store_persisted",
+    "layout_zorder_locality",
+    "q3_bm25_index_persisted",
+    "q3_hybrid_lexical_vector",
+    "q3_hybrid_rrf",
+    "quality_nb_distill",
+    "rel_sales_opportunity",
+    "rel_small_qty_revenue",
+    "rel_waiting_suppliers",
+    "s2_normalize_lines",
+    "s4_events_content",
+    "sample_kcenter_coreset",
+    "stream_dedup_first_arrival",
     "stream_stateful_counter",
-    "text_bloom_decontaminate",
+    "stream_interval_join",
+    "stream_session_window",
+    "stream_static_enrich",
     "stream_tumbling_agg",
+    "t3_state_merge",
+    "text_blocklist_filter",
+    "text_bloom_decontaminate",
     "text_pii_redact",
+    "text_unigram_logprob",
+    # -- (3) NEW or CHANGED in round 12 (grown as round-12 waves land:
+    #        emb_kmeans_lloyd, ann_index_retrain_lloyd,
+    #        quality_logreg_distill, multimodal_phash_jpeg_color) --
+    "pipeline_forget_e2e",       # CHANGED: batched-action trim (ask #4)
+    # -- (4) round-8-generation refresh fill (only entries inside the
+    #        first 50 get a driver row — 7 of the 10 listed once the 5
+    #        round-12 rows above land; the other 38 r8 rows queue for
+    #        round 13 — ROUND13_QUEUE in tests/test_registry_order.py) --
+    "q1_topk_cosine",
+    "q2_hitrate",
+    "dedup_exact",
+    "ann_ivf_topk",
+    "c2_markdown_chunk",
+    "s1_parse_pdf",
+    "events_sessionize",
+    "rel_nation_revenue",
+    "text_repetition",
+    "sim_knn_join",
+    "rel_top_supplier",
+    "corpus_holdout_split",
 ]
 
 

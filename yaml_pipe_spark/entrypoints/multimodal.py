@@ -752,7 +752,7 @@ PHASH_JPEG_ORACLE = PHASH_DEDUP_ORACLE.replace(
     "multimodal_phash_jpeg",
     PHASH_JPEG_ORACLE,
     "Perceptual near-dup dedup over the MAJORITY crawl format (VERDICT "
-    "r10 ask #3): complete valid baseline grayscale JFIFs — differential "
+    "r10 ask #3): complete valid baseline grayscale JPEGs — differential "
     "DC + run-length ACs through canonical Huffman tables carried in the "
     "file's own DHT — are REALLY decoded executor-side (marker walk, "
     "Huffman, dequantize, dezigzag, 64-term IDCT, level shift: "

@@ -348,9 +348,25 @@ def decode_jpeg_gray(payload: bytes):
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker code — skip them so a legally-padded file doesn't desync
+        # the walk into a garbage segment length (ADVICE r11)
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(payload):
+            raise ValueError("truncated JPEG marker segment")
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn are standalone markers with NO length field
+            # (T.81 B.1.1.3); parsing a segment length from their payload
+            # would desync. RSTn belongs inside a restart-interval entropy
+            # stream, which is outside this decoder's declared scope.
+            raise NotImplementedError(
+                "standalone TEM/RSTn marker in header stream: restart "
+                "intervals are not supported (cluster-side codec scope)"
+            )
         seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
         seg = payload[pos + 4 : pos + 2 + seg_len]
         if marker == 0xDB:  # DQT

@@ -342,8 +342,9 @@ class _JpegBitWriter:
 
 
 def build_phash_jpeg(doc_id: int) -> bytes:
-    """A complete, valid baseline grayscale JFIF whose DECODED gray at
-    every dHash sample equals the salted md5 formula (salt=\"jpg\") —
+    """A complete, valid baseline grayscale JPEG (interchange format —
+    no APP0/JFIF segment; decoders don't require one) whose DECODED gray
+    at every dHash sample equals the salted md5 formula (salt=\"jpg\") —
     base/variant/perturbation contract identical to build_phash_bmp, so
     the banding recall argument and the oracle splice carry over. Each
     block Huffman-codes a differential DC plus three run-length-coded
