@@ -56,8 +56,9 @@ ROUND12_QUEUE: set[str] = {
 # waves land.
 ROUND12_CHANGED: set[str] = {
     "pipeline_forget_e2e",  # batched-action trim (VERDICT r11 ask #4)
-    # grown as the round-12 waves land: emb_kmeans_lloyd,
-    # ann_index_retrain_lloyd, quality_logreg_distill,
+    "emb_kmeans_lloyd",  # Lloyd-trained coarse quantizer (ask #2)
+    "ann_index_retrain_lloyd",  # retrain consuming trained centroids (#2)
+    # grown as the round-12 waves land: quality_logreg_distill,
     # multimodal_phash_jpeg_color
 }
 

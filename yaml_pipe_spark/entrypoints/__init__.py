@@ -74,6 +74,7 @@ from yaml_pipe_spark.entrypoints.ann import (
     q_ann_index_forget,
     q_ann_index_incremental,
     q_ann_index_persisted,
+    q_ann_index_retrain_lloyd,
     q_ann_ivf,
     q_ann_ivf_nprobe_curve,
     q_ann_ivfpq_residual_topk,
@@ -85,6 +86,7 @@ from yaml_pipe_spark.entrypoints.ann import (
     q_emb_dim_stats,
     q_emb_int8_quant,
     q_emb_ivf_cell_balance,
+    q_emb_kmeans_lloyd,
     q_emb_matryoshka_agreement,
     q_emb_outlier_zscore,
     q_emb_pca_project,
@@ -454,8 +456,9 @@ DRIVER_ORDER: list[str] = [
     "text_pii_redact",
     "text_unigram_logprob",
     # -- (3) NEW or CHANGED in round 12 (grown as round-12 waves land:
-    #        emb_kmeans_lloyd, ann_index_retrain_lloyd,
     #        quality_logreg_distill, multimodal_phash_jpeg_color) --
+    "emb_kmeans_lloyd",          # Lloyd-trained coarse quantizer (ask #2)
+    "ann_index_retrain_lloyd",   # retrain consuming the trained centroids
     "pipeline_forget_e2e",       # CHANGED: batched-action trim (ask #4)
     # -- (4) round-8-generation refresh fill (only entries inside the
     #        first 50 get a driver row — 7 of the 10 listed once the 5

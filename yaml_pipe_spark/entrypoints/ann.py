@@ -1902,3 +1902,295 @@ def q_ann_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         store.build(remaining, cents_new)
         assert store.is_stale(remaining, centroids=cents_new) is False
     return store.serve(q, k=5, nprobe=2, rerank_m=20)
+
+
+# ---------------------------------------------------------------------------
+# Lloyd-TRAINED coarse quantizer (VERDICT r11 ask #2): every IVF row so far
+# seeds its centroids from pinned corpus vectors; ann_index_retrain (r11)
+# refreshes to a DIFFERENT deterministic seed set — nothing is learned from
+# the data. This row runs real Lloyd iterations as DataFrame ops, in exact
+# integer micro-units end-to-end (quantize once, then BIGINT squared-L2
+# argmin + half-up integer means — no float ever enters the loop), so the
+# DuckDB oracle replays the whole training trajectory bit-for-bit, the same
+# chained-CTE discipline as text_bpe_train's 8 merges and
+# graph_pagerank_centrality's 3 damped rounds.
+# ---------------------------------------------------------------------------
+
+_LLOYD_ROUNDS = 3
+
+
+def _lloyd_round_ctes(i: int, prev: str) -> str:
+    """CTE block for Lloyd round i: integer d2 argmin (ties to lowest cid)
+    then half-up integer means over shifted non-negative sums (floor vs
+    truncate division only differs on negatives). Mirrors
+    operators/similarity.py::lloyd_assign_u6/lloyd_update_u6 exactly."""
+    return f"""
+dist{i} AS (
+  SELECT x.vec_id, c.cid,
+         CAST(sum((x.xu - c.cu) * (x.xu - c.cu)) AS BIGINT) AS d2
+  FROM xs x JOIN {prev} c ON x.pos = c.pos
+  GROUP BY x.vec_id, c.cid
+),
+asg{i} AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT vec_id, cid, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM dist{i}
+  ) WHERE rn = 1
+),
+grp{i} AS (
+  SELECT a.cid, x.pos, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x.xu + 4000000) AS BIGINT) AS su
+  FROM asg{i} a JOIN xs x USING (vec_id)
+  GROUP BY a.cid, x.pos
+),
+cen{i} AS (
+  SELECT p.cid, p.pos,
+         CASE WHEN g.n IS NULL THEN p.cu
+              ELSE CAST((2 * g.su + g.n) // (2 * g.n) AS BIGINT) - 4000000
+         END AS cu
+  FROM {prev} p LEFT JOIN grp{i} g ON p.cid = g.cid AND p.pos = g.pos
+)"""
+
+
+def _lloyd_ctes(corpus_where: str, seed_cte: str, rounds: int) -> str:
+    """The full Lloyd CTE chain: quantize -> seed -> `rounds` unrolled
+    assign/update rounds -> one final assignment (dist/asg index rounds+1)
+    for the reported membership stats."""
+    parts = [
+        f"""xs0 AS (
+  SELECT vec_id, embedding AS e,
+         UNNEST(generate_series(1, len(embedding))) AS pos
+  FROM embeddings{corpus_where}
+),
+xs AS (
+  SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+         CAST(floor(CAST(e[pos] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xu
+  FROM xs0
+),
+cen0 AS ({seed_cte})"""
+    ]
+    prev = "cen0"
+    for i in range(1, rounds + 1):
+        parts.append(_lloyd_round_ctes(i, prev))
+        prev = f"cen{i}"
+    fin = rounds + 1
+    parts.append(f"""
+dist{fin} AS (
+  SELECT x.vec_id, c.cid,
+         CAST(sum((x.xu - c.cu) * (x.xu - c.cu)) AS BIGINT) AS d2
+  FROM xs x JOIN cen{rounds} c ON x.pos = c.pos
+  GROUP BY x.vec_id, c.cid
+),
+asg{fin} AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT vec_id, cid, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM dist{fin}
+  ) WHERE rn = 1
+)""")
+    return ",".join(parts)
+
+
+_LLOYD_SEED_CTE = (
+    "SELECT vec_id AS cid, pos, xu AS cu FROM xs WHERE vec_id < 8"
+)
+
+EMB_KMEANS_LLOYD_ORACLE = (
+    "WITH "
+    + _lloyd_ctes("", _LLOYD_SEED_CTE, _LLOYD_ROUNDS)
+    + f""",
+stats AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(d2) AS BIGINT) AS inertia_d2
+  FROM asg{_LLOYD_ROUNDS + 1} GROUP BY cid
+)
+SELECT c.cid, c.pos, c.cu AS c_u6,
+       coalesce(s.n, 0) AS n, coalesce(s.inertia_d2, 0) AS inertia_d2
+FROM cen{_LLOYD_ROUNDS} c LEFT JOIN stats s USING (cid)
+"""
+)
+
+
+@register(
+    "emb_kmeans_lloyd",
+    EMB_KMEANS_LLOYD_ORACLE,
+    "TRAINED IVF coarse quantizer (VERDICT r11 ask #2): 3 unrolled Lloyd "
+    "rounds over the embeddings corpus as pure DataFrame ops — quantize "
+    "coordinates to 1e-6 integer units ONCE, then each round is one "
+    "broadcast pos-join + integer squared-L2 argmin (ties to lowest cid) "
+    "and one (cid,pos) half-up-integer-mean update over shifted "
+    "non-negative sums; empty cells keep their centroid. The oracle "
+    "replays the entire trajectory through chained CTEs (the "
+    "text_bpe_train / pagerank discipline), so a single wrong assignment "
+    "in any round flips the hash. Output = the k x dim trained centroid "
+    "grid plus per-cell membership and exact integer inertia. 100 TB "
+    "shape: per round ONE narrow shuffle on vec_id and ONE k*dim-bounded "
+    "(cid,pos) combine — no driver data, no collect, no float anywhere "
+    "after quantization; rounds scale the constant, not the exponent.",
+)
+def q_emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.similarity import kmeans_lloyd_u6
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    cents, final_asg = kmeans_lloyd_u6(
+        emb, seeds, rounds=_LLOYD_ROUNDS
+    )
+    stats = final_asg.groupBy("cid").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("d2").cast("long").alias("inertia_d2"),
+    )
+    return (
+        cents.join(stats, "cid", "left")
+        .na.fill(0, ["n", "inertia_d2"])
+        .select("cid", "pos", F.col("cu").alias("c_u6"), "n", "inertia_d2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# The retrain consumer of the TRAINED quantizer (VERDICT r11 ask #2, second
+# half): ann_index_retrain (r11) rebuilds the persisted IVF-PQ store with a
+# merely REFRESHED deterministic seed set; this row rebuilds it with Lloyd-
+# TRAINED centroids (2 unrolled integer rounds over the remaining corpus,
+# seeds = its 8 smallest vec_ids), so the emb_ivf_centroid_drift threshold
+# now recommends an action that actually learns the churned distribution.
+# The oracle replays the ENTIRE pipeline: the Lloyd trajectory in chained
+# CTEs, centroid assembly to double arrays (cu/1e6 — the same exact
+# integer-to-double division Spark performs), then the full IVF-PQ serve
+# (assign, 2-bit codes, probe, ADC, re-rank) with those trained centroids.
+# Staleness is a version string carrying the remaining-corpus fingerprint,
+# so the warm path is one meta read (no Lloyd recompute per rep) while a
+# crash anywhere mid-sequence leaves version=None and rebuilds cleanly
+# (build's prelude writes no version; forget preserves it).
+# ---------------------------------------------------------------------------
+
+_RETRAIN_LLOYD_ROUNDS = 2
+
+_LLOYD_REMAINING_SEED_CTE = """SELECT s.cid, x.pos, x.xu AS cu
+  FROM xs x JOIN (
+    SELECT vec_id,
+           CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+    FROM (SELECT DISTINCT vec_id FROM xs)
+  ) s ON x.vec_id = s.vec_id
+  WHERE s.cid < 8"""
+
+
+def _retrain_lloyd_oracle() -> str:
+    lloyd = _lloyd_ctes(
+        " WHERE vec_id >= 20 AND vec_id % 7 <> 3",
+        _LLOYD_REMAINING_SEED_CTE,
+        _RETRAIN_LLOYD_ROUNDS,
+    )
+    # the trained quantizer replaces the pinned-seed centroid CTE; the
+    # remaining-corpus filter replaces the standing-corpus filter (the same
+    # two splice points ANN_INDEX_RETRAIN_ORACLE uses)
+    core = _ANN_IVFPQ_CORE.replace(
+        _RETRAIN_OLD_CORPUS, _RETRAIN_NEW_CORPUS
+    )
+    assert core.count(_RETRAIN_OLD_CENTS) == 1
+    head = (
+        lloyd
+        + f""",
+c AS (
+  SELECT cid, list(CAST(cu AS DOUBLE) / 1000000.0 ORDER BY pos) AS cv
+  FROM cen{_RETRAIN_LLOYD_ROUNDS} GROUP BY cid
+)"""
+    )
+    # the generic chain's trailing final-assignment CTEs (dist/asg at
+    # rounds+1) ride along unreferenced — DuckDB only executes CTEs the
+    # final query reaches, so they cost nothing here
+    return (
+        core.replace(
+            "WITH c AS (\n  " + _RETRAIN_OLD_CENTS + "\n)",
+            "WITH " + head,
+            1,
+        )
+        + """
+SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, score
+FROM final WHERE rank <= 5
+"""
+    )
+
+
+ANN_INDEX_RETRAIN_LLOYD_ORACLE = _retrain_lloyd_oracle()
+
+
+@register(
+    "ann_index_retrain_lloyd",
+    ANN_INDEX_RETRAIN_LLOYD_ORACLE,
+    "Coarse-quantizer retrain with TRAINED centroids (VERDICT r11 ask "
+    "#2): after churn (forget vec_id%7=3) the persisted IVF-PQ store "
+    "rebuilds over the remaining corpus with centroids learned by "
+    "kmeans_lloyd_u6 — 2 unrolled exact-integer Lloyd rounds seeded from "
+    "the corpus's 8 smallest ids — instead of ann_index_retrain's "
+    "refreshed pinned seeds. The oracle recomputes the Lloyd trajectory "
+    "AND the whole IVF-PQ serve with the trained quantizer, so a wrong "
+    "assignment in any training round, a stale code, or a lingering cid "
+    "partition all flip the hash. Warm staleness is one meta read: the "
+    "build stamps a version string carrying the remaining-corpus "
+    "fingerprint (crash mid-sequence leaves version unset and rebuilds). "
+    "100 TB shape: training is two corpus passes with k*dim-bounded "
+    "combines; the rebuild is ann_index_retrain's broadcast assign + "
+    "partitioned rewrite; serving stays probe-pruned with no index-side "
+    "shuffle.",
+)
+def q_ann_index_retrain_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import Window as W
+
+    from yaml_pipe_spark.operators.ann_index import IvfPqIndexStore
+    from yaml_pipe_spark.operators.index_meta import fingerprint_of
+    from yaml_pipe_spark.operators.similarity import (
+        kmeans_lloyd_u6,
+        lloyd_centroid_arrays,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    standing = emb.filter(F.col("vec_id") >= 20).select("vec_id", "embedding")
+    remaining = standing.filter(F.col("vec_id") % 7 != 3)
+    gone = standing.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    store = IvfPqIndexStore(
+        os.path.join(
+            "spark-warehouse",
+            "ann_ivfpq_retrain_lloyd_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}",
+        )
+    )
+    fp_n, fp_h = fingerprint_of(remaining, "vec_id", "embedding")
+    version = f"lloyd{_RETRAIN_LLOYD_ROUNDS}:{fp_n}:{fp_h}"
+    if store.is_stale(remaining, version=version):
+        # the drifted era on the old pinned quantizer, then the churn...
+        cents_old = emb.filter(
+            (F.col("vec_id") >= 20) & (F.col("vec_id") < 28)
+        ).select(
+            (F.col("vec_id") - 20).alias("cid"),
+            F.col("embedding").alias("cv"),
+        )
+        store.build(standing, cents_old)
+        store.forget(gone)
+        # ...then the retrain, with centroids LEARNED from what remains
+        seeds = (
+            remaining.orderBy("vec_id")
+            .limit(8)
+            .select(
+                (F.row_number().over(W.orderBy("vec_id")) - 1)
+                .cast("long")
+                .alias("cid"),
+                F.col("embedding").alias("cv"),
+            )
+        )
+        cents_trained = lloyd_centroid_arrays(
+            kmeans_lloyd_u6(
+                remaining, seeds, rounds=_RETRAIN_LLOYD_ROUNDS
+            )[0]
+        )
+        store.build(remaining, cents_trained, version=version)
+        assert store.is_stale(remaining, version=version) is False
+    return store.serve(q, k=5, nprobe=2, rerank_m=20)

@@ -484,6 +484,162 @@ def kmeans_fit(
     )
 
 
+_LLOYD_SHIFT = 4_000_000  # keeps shifted micro-unit sums strictly >= 0
+
+
+def vec_u6_long(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Long-format micro-unit quantization of a vector column: one row per
+    (id, pos) with pos 1-based and xu = floor(x * 1e6 + 0.5) as BIGINT —
+    half-up rounding that is sign-safe and bit-identical across engines
+    (the same double multiply+add+floor everywhere). This is the exact
+    integer substrate kmeans_lloyd_u6 trains on: after it, NO float ever
+    enters the Lloyd loop, so no summation-order or rounding tie can split
+    Spark from an oracle."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos0", "x"),
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.floor(F.col("x") * 1000000 + F.lit(0.5)).cast("long").alias("xu"),
+    )
+
+
+def lloyd_assign_u6(
+    xs: DataFrame, cents: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """One Lloyd assignment step over micro-unit long-format frames:
+    xs = (id, pos, xu), cents = (cid, pos, cu) -> (id, cid, d2) with d2 the
+    EXACT integer squared L2 distance and ties broken to the lowest cid.
+
+    Shape: cents is k x dim rows (broadcast); the pos equi-join fans each
+    xs row out to k candidates, the (id, cid) partial sums collapse
+    map-side, and the argmin is min_by in the same shuffle — one narrow
+    shuffle on id total, no window sort, no driver data."""
+    d2 = (
+        xs.join(F.broadcast(cents), "pos")
+        .select(
+            id_col,
+            "cid",
+            ((F.col("xu") - F.col("cu")) * (F.col("xu") - F.col("cu"))).alias(
+                "sq"
+            ),
+        )
+        .groupBy(id_col, "cid")
+        .agg(F.sum("sq").cast("long").alias("d2"))
+    )
+    return (
+        d2.groupBy(id_col)
+        .agg(
+            F.min_by(
+                F.struct("cid", "d2"), F.struct("d2", "cid")
+            ).alias("__b")
+        )
+        .select(id_col, F.col("__b.cid").alias("cid"), F.col("__b.d2").alias("d2"))
+    )
+
+
+def lloyd_update_u6(
+    asg: DataFrame,
+    xs: DataFrame,
+    prev_cents: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One Lloyd update step: new centroid coordinate = half-up integer
+    mean of the members' micro-units, computed as (2*su + n) DIV (2*n)
+    over sums shifted non-negative (the r9/r10 grid recipe — floor vs
+    truncate division only diverges on negatives, so the shift removes
+    the one cross-engine hazard). Empty cells keep their previous
+    centroid (the standard Lloyd convention). One (cid, pos) shuffle with
+    map-side combine; output is the k x dim centroid frame."""
+    g = (
+        asg.select(id_col, "cid")
+        .join(xs, id_col)
+        .groupBy("cid", "pos")
+        .agg(
+            F.count("*").cast("long").alias("__n"),
+            F.sum(F.col("xu") + F.lit(_LLOYD_SHIFT)).cast("long").alias("__su"),
+        )
+    )
+    return (
+        prev_cents.join(g, ["cid", "pos"], "left")
+        .select(
+            "cid",
+            "pos",
+            F.when(F.col("__n").isNull(), F.col("cu"))
+            .otherwise(
+                F.expr(
+                    "CAST((2 * __su + __n) DIV (2 * __n) AS BIGINT)"
+                )
+                - F.lit(_LLOYD_SHIFT)
+            )
+            .alias("cu"),
+        )
+    )
+
+
+def kmeans_lloyd_u6(
+    corpus: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed Lloyd k-means in EXACT integer micro-units — the trained
+    coarse quantizer for the IVF family (the quality the reference delegates
+    to LanceDB's trained index, core/evaluation.py:57-59), expressed so a
+    SQL oracle can replay it bit-for-bit: coordinates quantize to 1e-6
+    units once, then every assign (integer squared-L2 argmin, ties to the
+    lowest cid) and every update (half-up integer mean, empty cells keep
+    their centroid) is pure BIGINT arithmetic. `rounds` assign->update
+    steps are unrolled into one lazy plan — no driver-side data, no
+    `collect`, no float anywhere after quantization (contrast kmeans_fit
+    above, the float/driver-iterated variant kept for ad-hoc use).
+
+    Returns (cents, final_asg): cents = (cid, pos, cu) after the last
+    update; final_asg = (id, cid, d2) assignment under those centroids.
+
+    100 TB shape: per round, ONE narrow shuffle keyed on the vector id
+    (assignment; the k x dim centroid frame rides along broadcast) and ONE
+    keyed on (cid, pos) with map-side combine (update) — k*dim partial
+    sums per task, independent of corpus size. Rounds multiply the
+    constant, not the exponent."""
+    xs = vec_u6_long(corpus, vec_col=vec_col, id_col=id_col)
+    cents = (
+        vec_u6_long(seeds, vec_col="cv", id_col="cid")
+        .withColumnRenamed("xu", "cu")
+    )
+    for _ in range(rounds):
+        asg = lloyd_assign_u6(xs, cents, id_col=id_col)
+        cents = lloyd_update_u6(asg, xs, cents, id_col=id_col)
+    return cents, lloyd_assign_u6(xs, cents, id_col=id_col)
+
+
+def lloyd_centroid_arrays(cents: DataFrame) -> DataFrame:
+    """Assemble kmeans_lloyd_u6's long-format (cid, pos, cu) centroids into
+    (cid, cv array<double>) for the IVF/IVF-PQ operators: cv[i] =
+    CAST(cu AS DOUBLE) / 1e6 — the same integer-to-double division in any
+    engine, so downstream cosine math starts from identical doubles."""
+    return (
+        cents.groupBy("cid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "cu"))
+            ).alias("__pc")
+        )
+        .select(
+            "cid",
+            F.transform(
+                F.col("__pc"), lambda s: s["cu"].cast("double") / F.lit(1000000.0)
+            ).alias("cv"),
+        )
+    )
+
+
 def recall_at_k(
     approx: DataFrame,
     exact: DataFrame,
