@@ -58,8 +58,8 @@ ROUND12_CHANGED: set[str] = {
     "pipeline_forget_e2e",  # batched-action trim (VERDICT r11 ask #4)
     "emb_kmeans_lloyd",  # Lloyd-trained coarse quantizer (ask #2)
     "ann_index_retrain_lloyd",  # retrain consuming trained centroids (#2)
-    # grown as the round-12 waves land: quality_logreg_distill,
-    # multimodal_phash_jpeg_color
+    "quality_logreg_distill",  # GD-trained linear quality classifier (#6)
+    # grown as the round-12 waves land: multimodal_phash_jpeg_color
 }
 
 ROUND12_MUST_FRONT: set[str] = ROUND12_QUEUE | ROUND12_CHANGED

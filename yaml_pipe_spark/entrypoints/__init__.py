@@ -350,6 +350,7 @@ from yaml_pipe_spark.entrypoints.text import (
     _dk_lang_scores,
     _enc_concat,
     _lang_case_sql,
+    q_quality_logreg_distill,
     q_quality_nb_distill,
     q_quality_rho_excess,
     q_quality_score_calibration,
@@ -456,9 +457,10 @@ DRIVER_ORDER: list[str] = [
     "text_pii_redact",
     "text_unigram_logprob",
     # -- (3) NEW or CHANGED in round 12 (grown as round-12 waves land:
-    #        quality_logreg_distill, multimodal_phash_jpeg_color) --
+    #        multimodal_phash_jpeg_color) --
     "emb_kmeans_lloyd",          # Lloyd-trained coarse quantizer (ask #2)
     "ann_index_retrain_lloyd",   # retrain consuming the trained centroids
+    "quality_logreg_distill",    # GD-trained linear quality classifier (#6)
     "pipeline_forget_e2e",       # CHANGED: batched-action trim (ask #4)
     # -- (4) round-8-generation refresh fill (only entries inside the
     #        first 50 get a driver row — 7 of the 10 listed once the 5

@@ -2425,3 +2425,173 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("text")
     return bpe_train_merges(docs, "text", rounds=8)
+
+
+# ---------------------------------------------------------------------------
+# GD-TRAINED quality classifier (VERDICT r11 ask #6): quality_nb_distill is
+# closed-form counting; this is the fastText-style trained student — hashed
+# unigram features, a weight vector learned by 3 unrolled gradient rounds in
+# fixed-point integer arithmetic (hard-sigmoid probability, toward-zero
+# integer quotients), oracled by chained CTEs that replay the training
+# trajectory round by round, exactly like emb_kmeans_lloyd / text_bpe_train.
+# ---------------------------------------------------------------------------
+
+
+def _logreg_round_ctes(i: int, eta_den: int) -> str:
+    """Round i of the fixed-point gradient descent: margins under w{i-1},
+    hard-sigmoid residuals, per-bucket gradients, updated weights w{i}.
+    Mirrors operators/classifier.py::logreg_quality_distill — change both
+    together. w{i} is MATERIALIZED: DuckDB inlines plain CTEs, and w{i}
+    feeds BOTH round-(i+1) consumers, so without materialization the
+    12-round chain expands 2^12-fold (measured: 3 rounds 2 s, 6 rounds
+    164 s; materialized, 12 rounds run in ~4 s)."""
+    return f"""
+sc{i} AS (
+  SELECT f.doc_id, f.y, CAST(sum(f.f * w.w) AS BIGINT) AS s
+  FROM feats f JOIN w{i - 1} w USING (b) WHERE f.train = 1
+  GROUP BY 1, 2
+),
+res{i} AS (
+  SELECT doc_id,
+         least(greatest(500000 + CASE WHEN s >= 0 THEN s // 4
+                                      ELSE -((-s) // 4) END,
+                        CAST(0 AS BIGINT)), CAST(1000000 AS BIGINT))
+         - 1000000 * y AS r
+  FROM sc{i}
+),
+grd{i} AS (
+  SELECT f.b, CAST(sum(f.f * r.r) AS BIGINT) AS g
+  FROM feats f JOIN res{i} r USING (doc_id) WHERE f.train = 1
+  GROUP BY 1
+),
+w{i} AS MATERIALIZED (
+  SELECT w.b,
+         w.w - CASE WHEN coalesce(g.g, 0) >= 0
+                    THEN coalesce(g.g, 0) // ({eta_den} * c.ntr)
+                    ELSE -((-coalesce(g.g, 0)) // ({eta_den} * c.ntr))
+               END AS w
+  FROM w{i - 1} w LEFT JOIN grd{i} g USING (b) CROSS JOIN consts c
+)"""
+
+
+from yaml_pipe_spark.operators.classifier import (  # noqa: E402
+    LOGREG_ETA_DEN,
+    LOGREG_ROUNDS,
+)
+
+_LOGREG_ROUNDS_SQL = "".join(
+    "," + _logreg_round_ctes(i, LOGREG_ETA_DEN * (2 ** (i - 1)))
+    for i in range(1, LOGREG_ROUNDS + 1)
+)
+
+LOGREG_DISTILL_ORACLE = f"""
+WITH {_DK_GOPHER},
+lbl AS (
+  SELECT doc_id,
+         CAST(pass_words * pass_mean_word_len * pass_alpha * pass_stop
+              AS BIGINT) AS y
+  FROM gflags
+),
+toksx AS (
+  SELECT d.doc_id, l.y,
+         CASE WHEN {_dk_byte0("CAST(d.doc_id AS VARCHAR)")} < 0.8 * 256
+              THEN 1 ELSE 0 END AS train,
+         UNNEST(list_filter(regexp_split_to_array(d.text, '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents d JOIN lbl l USING (doc_id)
+),
+buck AS (
+  SELECT doc_id, y, train,
+         CAST({_dk_byte0("tok")} % 64 AS BIGINT) AS b
+  FROM toksx
+),
+ntok AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS nt FROM buck GROUP BY 1
+),
+feats0 AS (
+  SELECT t.doc_id, t.y, t.train, t.b,
+         CAST((count(*) * 1000) // max(n.nt) AS BIGINT) AS f
+  FROM buck t JOIN ntok n USING (doc_id) GROUP BY 1, 2, 3, 4
+),
+per_doc AS (SELECT DISTINCT doc_id, y, train FROM buck),
+feats AS MATERIALIZED (
+  SELECT * FROM feats0
+  UNION ALL
+  SELECT doc_id, y, train, CAST(-1 AS BIGINT) AS b,
+         CAST(1000 AS BIGINT) AS f
+  FROM per_doc
+  UNION ALL
+  SELECT p.doc_id, p.y, p.train, CAST(-2 AS BIGINT) AS b,
+         least(n.nt, 1000) AS f
+  FROM per_doc p JOIN ntok n USING (doc_id)
+),
+consts AS MATERIALIZED (
+  SELECT greatest(CAST(count(DISTINCT doc_id) AS BIGINT),
+                  CAST(1 AS BIGINT)) AS ntr
+  FROM feats WHERE train = 1
+),
+w0 AS (SELECT DISTINCT b, CAST(0 AS BIGINT) AS w FROM feats)
+{_LOGREG_ROUNDS_SQL},
+sts AS (
+  SELECT f.doc_id, f.y, CAST(sum(f.f * w.w) AS BIGINT) AS s
+  FROM feats f JOIN w{LOGREG_ROUNDS} w USING (b) WHERE f.train = 0
+  GROUP BY 1, 2
+),
+cm AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_test,
+         CAST(sum(CASE WHEN s >= 0 AND y = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN s >= 0 AND y = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN s < 0 AND y = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS fn,
+         CAST(sum(CASE WHEN s < 0 AND y = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS tn
+  FROM sts
+),
+pr AS (
+  SELECT c.ntr AS n_train, cm.n_test, cm.tp, cm.fp, cm.fn, cm.tn,
+         CASE WHEN cm.tp + cm.fp = 0 THEN 0.0
+              ELSE floor(CAST(cm.tp AS DOUBLE) * 10000 / (cm.tp + cm.fp))
+         END AS p4,
+         CASE WHEN cm.tp + cm.fn = 0 THEN 0.0
+              ELSE floor(CAST(cm.tp AS DOUBLE) * 10000 / (cm.tp + cm.fn))
+         END AS r4
+  FROM cm CROSS JOIN consts c
+)
+SELECT n_train, n_test, tp, fp, fn, tn,
+       p4 / 10000 AS precision_q4,
+       r4 / 10000 AS recall_q4,
+       CASE WHEN p4 + r4 = 0 THEN 0.0
+            ELSE floor(2 * p4 * r4 / (p4 + r4)) / 10000 END AS f1_q4
+FROM pr
+"""
+
+
+@register(
+    "quality_logreg_distill",
+    LOGREG_DISTILL_ORACLE,
+    "GD-TRAINED quality-classifier distillation (VERDICT r11 ask #6, the "
+    "fastText-style stage the curation funnel cites): hashed unigram "
+    "PER-MILLE shares (byte0(md5(tok)) % 64 buckets) + bias + clamped "
+    "length, a weight vector learned by 12 unrolled gradient rounds with "
+    "a halving step schedule, entirely in fixed-point integers — hard-"
+    "sigmoid probability clamp(1/2 + s/4), toward-zero quotients so "
+    "Spark DIV and DuckDB // agree, mistakes-only residuals (the "
+    "perceptron property) — then the held-out confusion with floor-"
+    "quantized precision/recall/f1 vs the Gopher-conjunction teacher, "
+    "the quality_score_calibration report shape (sf0.01: acc 0.88, "
+    "prec 0.84, rec 0.94 — vs the constant-step degenerate 0.52). The "
+    "oracle replays every training round through chained MATERIALIZED "
+    "CTEs; one wrong gradient anywhere flips the hash. 100 TB shape: "
+    "per round ONE doc-keyed shuffle + ONE 66-row bucket combine with "
+    "the weight vector broadcast both ways; per-round localCheckpoint "
+    "of the 66-row weight frame keeps the unrolled DAG linear.",
+)
+def q_quality_logreg_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yaml_pipe_spark.operators.classifier import logreg_quality_distill
+    from yaml_pipe_spark.operators.quality import gopher_quality_signals
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    labels = gopher_quality_signals(docs).select("doc_id", "gopher_pass")
+    return logreg_quality_distill(docs, labels)
