@@ -98,10 +98,16 @@ def test_decode_jpeg_scope_boundaries():
     payload[sof + 1] = 0xC2
     with pytest.raises(NotImplementedError):
         decode_jpeg_gray(bytes(payload))
-    # multi-component (YCbCr) likewise: SOF0 with 3 components
+    # chroma subsampling (4:2:0 sampling byte) is the boundary now that
+    # 3-component 4:4:4 decodes for real (round 12); a 3-component claim
+    # with a 1-component table is malformed, not out-of-scope
     payload = bytearray(build_phash_jpeg(0))
-    payload[sof + 9] = 3  # SOF0 body: len(2) prec(1) h(2) w(2) ncomp at +9
-    with pytest.raises(NotImplementedError):
+    payload[sof + 11] = 0x22  # component 0 sampling h=2,v=2
+    with pytest.raises(NotImplementedError, match="subsampling"):
+        decode_jpeg_gray(bytes(payload))
+    payload = bytearray(build_phash_jpeg(0))
+    payload[sof + 9] = 3  # ncomp=3 but only one component's bytes follow
+    with pytest.raises(ValueError, match="truncated SOF0"):
         decode_jpeg_gray(bytes(payload))
 
 
@@ -150,3 +156,83 @@ def test_marker_walk_skips_fill_bytes_and_types_standalone_markers():
     rst = base[:dqt] + b"\xff\xd0" + base[dqt:]
     with pytest.raises(NotImplementedError, match="TEM/RSTn"):
         decode_jpeg_gray(rst)
+
+
+def test_color_jpeg_decodes_to_the_generating_formula():
+    from yaml_pipe_spark.multimodal.phash import (
+        _jpeg_target_gray,
+        build_phash_jpeg_color,
+    )
+
+    for doc_id in (0, 2, 7, 21):
+        base, v = doc_id // 4, doc_id % 4
+        w, h, pix = decode_jpeg_gray(build_phash_jpeg_color(doc_id))
+        assert (w, h) == (JW, JH)
+        for by in range(8):
+            for bx in range(9):
+                got = pix[(by * 8) * w + bx * 8]
+                assert got == _jpeg_target_gray(base, v, bx, by, salt="jgc")
+
+
+def test_color_chroma_blocks_are_load_bearing():
+    """A decoder that skips (or mis-reads) chroma symbols must not survive:
+    flipping one bit inside the entropy stream AFTER the first luma block
+    (i.e. inside chroma territory) desyncs the interleave and corrupts or
+    errors later samples."""
+    from yaml_pipe_spark.multimodal.phash import build_phash_jpeg_color
+
+    base = build_phash_jpeg_color(0)
+    _, _, pix_ref = decode_jpeg_gray(base)
+    sos = base.find(b"\xff\xda")
+    scan_start = sos + 2 + int.from_bytes(base[sos + 2 : sos + 4], "big")
+    # sweep bit flips through the bytes right after luma block 0 (chroma
+    # territory): a flip inside a chroma magnitude field keeps alignment
+    # (and luma) intact — fine — but flips landing in chroma Huffman
+    # CODES change the consumed bit count; at least one of them must
+    # desync the interleave and corrupt (or error) the later luma
+    affected = 0
+    for off in range(3, 14):
+        tgt = scan_start + off
+        if base[tgt] == 0xFF or base[tgt + 1] == 0x00:
+            continue  # don't un-stuff or fabricate markers
+        for bit in (0x80, 0x10):
+            mut = bytearray(base)
+            mut[tgt] ^= bit
+            if mut[tgt] == 0xFF:
+                continue
+            try:
+                _, _, pix_mut = decode_jpeg_gray(bytes(mut))
+                affected += pix_mut != pix_ref
+            except (ValueError, NotImplementedError):
+                affected += 1
+    assert affected > 0
+
+
+def test_color_jpeg_same_grays_hash_identically_to_bmp():
+    """Cross-format property: a color JPEG whose luma formula matches the
+    unsalted BMP grays must produce the IDENTICAL band words."""
+    from yaml_pipe_spark.multimodal import phash as ph
+    from yaml_pipe_spark.multimodal.phash import (
+        build_phash_bmp,
+        build_phash_jpeg_color,
+        dhash_bands,
+    )
+
+    orig = ph._pixel_bytes
+    try:
+        ph._pixel_bytes = lambda b, p, salt="": orig(b, p, salt="")
+        for doc_id in (0, 3, 9):
+            assert dhash_bands_jpeg(
+                build_phash_jpeg_color(doc_id, salt="")
+            ) == dhash_bands(build_phash_bmp(doc_id))
+    finally:
+        ph._pixel_bytes = orig
+
+
+def test_color_corpus_is_distinct_from_gray_jpeg_corpus():
+    from yaml_pipe_spark.multimodal.phash import build_phash_jpeg_color
+
+    for doc_id in (0, 5, 11):
+        a = dhash_bands_jpeg(build_phash_jpeg(doc_id))
+        b = dhash_bands_jpeg(build_phash_jpeg_color(doc_id))
+        assert a != b

@@ -59,7 +59,7 @@ ROUND12_CHANGED: set[str] = {
     "emb_kmeans_lloyd",  # Lloyd-trained coarse quantizer (ask #2)
     "ann_index_retrain_lloyd",  # retrain consuming trained centroids (#2)
     "quality_logreg_distill",  # GD-trained linear quality classifier (#6)
-    # grown as the round-12 waves land: multimodal_phash_jpeg_color
+    "multimodal_phash_jpeg_color",  # YCbCr 4:4:4 color JPEG dedup (ask #5)
 }
 
 ROUND12_MUST_FRONT: set[str] = ROUND12_QUEUE | ROUND12_CHANGED

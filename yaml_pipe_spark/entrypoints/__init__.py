@@ -210,6 +210,7 @@ from yaml_pipe_spark.entrypoints.multimodal import (
     q_multimodal_gif_decode,
     q_multimodal_phash_clusters,
     q_multimodal_phash_dedup,
+    q_multimodal_phash_jpeg_color,
     q_multimodal_phash_png,
     q_multimodal_png_decode,
     q_multimodal_real_decode,
@@ -456,11 +457,11 @@ DRIVER_ORDER: list[str] = [
     "text_bloom_decontaminate",
     "text_pii_redact",
     "text_unigram_logprob",
-    # -- (3) NEW or CHANGED in round 12 (grown as round-12 waves land:
-    #        multimodal_phash_jpeg_color) --
+    # -- (3) NEW or CHANGED in round 12 --
     "emb_kmeans_lloyd",          # Lloyd-trained coarse quantizer (ask #2)
     "ann_index_retrain_lloyd",   # retrain consuming the trained centroids
     "quality_logreg_distill",    # GD-trained linear quality classifier (#6)
+    "multimodal_phash_jpeg_color",  # YCbCr 4:4:4 color JPEG dedup (ask #5)
     "pipeline_forget_e2e",       # CHANGED: batched-action trim (ask #4)
     # -- (4) round-8-generation refresh fill (only entries inside the
     #        first 50 get a driver row — 7 of the 10 listed once the 5

@@ -336,14 +336,21 @@ def decode_jpeg_gray(payload: bytes):
     file's own DHT segments, per-block DC prediction + (run,size) AC
     run-length decode with 0xFF00 unstuffing, dequantization, dezigzag,
     full 64-term float IDCT, +128 level shift, clamp. Scope: sequential
-    8-bit single-component (grayscale) scans, no restart markers —
-    anything else raises NotImplementedError (the codec extension point)."""
+    8-bit single-component (grayscale) OR three-component YCbCr 4:4:4
+    (no subsampling) interleaved scans, no restart markers — anything
+    else raises NotImplementedError (the codec extension point). Color
+    output is the BT.601 gray conversion, which for YCbCr input IS the Y
+    plane: chroma blocks are fully entropy-decoded (per-component DC
+    prediction and Huffman tables — required to advance the bitstream)
+    and their pixel planes, which gray output never reads, are not
+    materialized."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qt: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
     w = h = None
-    comp_tq = dc_sel = ac_sel = None
+    frame_comps: list[tuple[int, int]] | None = None  # (component id, tq)
+    scan_sel: dict[int, tuple[int, int]] = {}  # id -> (dc table, ac table)
     pos = 2
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -382,14 +389,20 @@ def decode_jpeg_gray(payload: bytes):
                 raise NotImplementedError("only 8-bit precision supported")
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
-            if seg[5] != 1:
+            if seg[5] not in (1, 3):
                 raise NotImplementedError(
-                    "multi-component (YCbCr) JPEG needs the cluster-side "
-                    "codec; only grayscale is stdlib-scope"
+                    "only 1-component (gray) or 3-component (YCbCr) "
+                    "frames are stdlib-scope"
                 )
-            if seg[7] != 0x11:
-                raise NotImplementedError("subsampling not supported")
-            comp_tq = seg[8]
+            if len(seg) < 6 + 3 * seg[5]:
+                raise ValueError("truncated SOF0 component table")
+            frame_comps = []
+            for ci in range(seg[5]):
+                if seg[7 + 3 * ci] != 0x11:
+                    raise NotImplementedError(
+                        "chroma subsampling not supported (4:4:4 only)"
+                    )
+                frame_comps.append((seg[6 + 3 * ci], seg[8 + 3 * ci]))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
                 "only baseline sequential (SOF0) JPEG is stdlib-scope"
@@ -406,25 +419,44 @@ def decode_jpeg_gray(payload: bytes):
         elif marker == 0xDD:  # DRI
             raise NotImplementedError("restart intervals not supported")
         elif marker == 0xDA:  # SOS
-            if seg[0] != 1:
-                raise NotImplementedError("multi-component scan")
-            dc_sel, ac_sel = seg[2] >> 4, seg[2] & 15
+            if frame_comps is None or seg[0] != len(frame_comps):
+                raise NotImplementedError(
+                    "scan component count must match the frame "
+                    "(no progressive / multi-scan files)"
+                )
+            for si in range(seg[0]):
+                cs = seg[1 + 2 * si]
+                scan_sel[cs] = (seg[2 + 2 * si] >> 4, seg[2 + 2 * si] & 15)
             pos = pos + 2 + seg_len
             break
         pos = pos + 2 + seg_len
-    if w is None or dc_sel is None or comp_tq not in qt:
+    if w is None or not scan_sel or frame_comps is None:
         raise ValueError("JPEG missing SOF0/SOS/DQT")
-    if (0, dc_sel) not in huff or (1, ac_sel) not in huff:
-        raise ValueError("JPEG SOS references an undefined Huffman table")
-    q = qt[comp_tq]
-    dc_tab, ac_tab = huff[(0, dc_sel)], huff[(1, ac_sel)]
+    comps = []
+    for order, (cid, tq) in enumerate(frame_comps):
+        if cid not in scan_sel:
+            raise ValueError("JPEG SOS is missing a frame component")
+        if tq not in qt:
+            raise ValueError("JPEG missing SOF0/SOS/DQT")
+        dc_sel, ac_sel = scan_sel[cid]
+        if (0, dc_sel) not in huff or (1, ac_sel) not in huff:
+            raise ValueError("JPEG SOS references an undefined Huffman table")
+        comps.append(
+            {
+                "q": qt[tq],
+                "dc": huff[(0, dc_sel)],
+                "ac": huff[(1, ac_sel)],
+                "pred": 0,
+                # gray output = the BT.601 luma, which IS component 0 (Y)
+                "emit": order == 0,
+            }
+        )
 
     rd = _JpegBitReader(payload, pos)
     nbx, nby = (w + 7) // 8, (h + 7) // 8
     out = bytearray(w * h)
-    pred = 0
     try:
-        _decode_jpeg_blocks(rd, nbx, nby, w, h, q, dc_tab, ac_tab, pred, out)
+        _decode_jpeg_mcus(rd, nbx, nby, w, h, comps, out)
     except IndexError as e:
         # a truncated entropy segment (read past the buffer) or a corrupt
         # (run,size) stream (zigzag index past 63) must surface as the
@@ -434,49 +466,63 @@ def decode_jpeg_gray(payload: bytes):
     return w, h, bytes(out)
 
 
-def _decode_jpeg_blocks(rd, nbx, nby, w, h, q, dc_tab, ac_tab, pred, out):
+def _decode_jpeg_mcus(rd, nbx, nby, w, h, comps, out):
+    """Interleaved 4:4:4 MCU loop: one 8x8 block per component per MCU, in
+    frame order, each with its own quant table, Huffman pair, and DC
+    predictor (T.81 A.2.3). Only the emit component (Y) materializes
+    pixels; the others are entropy-decoded to keep the bitstream aligned."""
     for by in range(nby):
         for bx in range(nbx):
-            coef = [[0.0] * 8 for _ in range(8)]
-            t = rd.decode_symbol(dc_tab)
-            pred += rd.receive_extend(t)
-            coef[0][0] = pred * q[0]
-            k = 1
-            while k < 64:
-                rs = rd.decode_symbol(ac_tab)
-                r, s = rs >> 4, rs & 15
-                if s == 0:
-                    if r == 15:  # ZRL: sixteen zeros
-                        k += 16
-                        continue
-                    break  # EOB
-                k += r
-                zr, zc = _JPEG_ZIGZAG[k]
-                coef[zr][zc] = rd.receive_extend(s) * q[k]
-                k += 1
-            # accumulate per NON-ZERO coefficient over a precomputed 64-
-            # sample basis plane (y-major): typical sparse blocks touch a
-            # handful of planes, so the IDCT is a few C-level zips instead
-            # of a 64-pixel Python loop over coefficients
-            acc = [0.0] * 64
-            for v in range(8):
-                row = coef[v]
-                for u in range(8):
-                    f = row[u]
-                    if f != 0.0:
-                        plane = _jpeg_basis(u, v)
-                        acc = [a + f * p for a, p in zip(acc, plane)]
-            for y in range(8):
-                iy = by * 8 + y
-                if iy >= h:
-                    break
-                row_off = iy * w
-                for x in range(8):
-                    ix = bx * 8 + x
-                    if ix >= w:
+            for comp in comps:
+                q, dc_tab, ac_tab = comp["q"], comp["dc"], comp["ac"]
+                emit = comp["emit"]
+                coef = [[0.0] * 8 for _ in range(8)] if emit else None
+                t = rd.decode_symbol(dc_tab)
+                comp["pred"] += rd.receive_extend(t)
+                if emit:
+                    coef[0][0] = comp["pred"] * q[0]
+                k = 1
+                while k < 64:
+                    rs = rd.decode_symbol(ac_tab)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:  # ZRL: sixteen zeros
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    val = rd.receive_extend(s)
+                    if emit:
+                        zr, zc = _JPEG_ZIGZAG[k]
+                        coef[zr][zc] = val * q[k]
+                    k += 1
+                if not emit:
+                    continue
+                # accumulate per NON-ZERO coefficient over a precomputed
+                # 64-sample basis plane (y-major): typical sparse blocks
+                # touch a handful of planes, so the IDCT is a few C-level
+                # zips instead of a 64-pixel Python loop over coefficients
+                acc = [0.0] * 64
+                for v in range(8):
+                    row = coef[v]
+                    for u in range(8):
+                        f = row[u]
+                        if f != 0.0:
+                            plane = _jpeg_basis(u, v)
+                            acc = [a + f * p for a, p in zip(acc, plane)]
+                for y in range(8):
+                    iy = by * 8 + y
+                    if iy >= h:
                         break
-                    val = int(round(acc[8 * y + x])) + 128
-                    out[row_off + ix] = 0 if val < 0 else (255 if val > 255 else val)
+                    row_off = iy * w
+                    for x in range(8):
+                        ix = bx * 8 + x
+                        if ix >= w:
+                            break
+                        val = int(round(acc[8 * y + x])) + 128
+                        out[row_off + ix] = (
+                            0 if val < 0 else (255 if val > 255 else val)
+                        )
 
 
 def _decode_jpeg_features(payload: bytes):
@@ -496,8 +542,9 @@ def _decode_png_features(payload: bytes):
 def decode_payload(payload: bytes, modality: str, real_decode: bool = False):
     """Payload decode. The real path handles the stdlib-decodable container
     formats — uncompressed BMP, binary PPM, non-interlaced 8-bit RGB PNG,
-    single-frame GIF, PCM WAV, baseline grayscale JPEG — by magic-byte
-    sniffing; everything else (progressive/YCbCr JPEG, MP3, MP4...) still
+    single-frame GIF, PCM WAV, baseline grayscale or YCbCr-4:4:4 color
+    JPEG — by magic-byte sniffing; everything else (progressive or
+    chroma-subsampled JPEG, MP3, MP4...) still
     raises: that is where PIL/torchaudio/ffmpeg plug in on a real cluster. The fake path derives stable
     pseudo-dimensions and features from the bytes themselves
     (deterministic, oracle-friendly)."""

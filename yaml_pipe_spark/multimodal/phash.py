@@ -254,20 +254,25 @@ JW, JH = 72, 64
 _JX_MAP = [0, 1, 3, 5, 7, 8, 10, 12, 14]  # BMP sample x for grid column gx
 
 
-def _jpeg_target_gray(base: int, v: int, bx: int, by: int) -> int:
-    """The oracle's gray formula with the 'jpg' salt: seed index p is the
-    16x8 BMP storage index of grid sample (bx, by); per-channel +128 wrap
-    when the sample sits in the bottom two image rows and p % 4 < v."""
+def _jpeg_target_gray(
+    base: int, v: int, bx: int, by: int, salt: str = "jpg"
+) -> int:
+    """The oracle's gray formula with a format salt ('jpg' grayscale,
+    'jgc' color): seed index p is the 16x8 BMP storage index of grid
+    sample (bx, by); per-channel +128 wrap when the sample sits in the
+    bottom two image rows and p % 4 < v."""
     p = (7 - by) * 16 + _JX_MAP[bx]
     pert = 128 if (p // 16 < PERT_ROWS and p % 4 < v) else 0
-    return sum((b + pert) % 256 for b in _pixel_bytes(base, p, salt="jpg")) // 3
+    return sum((b + pert) % 256 for b in _pixel_bytes(base, p, salt=salt)) // 3
 
 
-def _jpeg_ac(base: int, bx: int, by: int) -> tuple[int, int, int]:
+def _jpeg_ac(
+    base: int, bx: int, by: int, prefix: str = "jpgac"
+) -> tuple[int, int, int]:
     """Per-block texture coefficients in [-8, 8], md5-derived so they are
     corpus-stable but unpredictable (a degenerate all-zero AC plane would
     let a decoder that ignores ACs pass)."""
-    d = hashlib.md5(f"jpgac{base}_{by * 9 + bx}".encode()).digest()
+    d = hashlib.md5(f"{prefix}{base}_{by * 9 + bx}".encode()).digest()
     # never 0: a zero AC has no (run,size) representation mid-pattern with
     # the fixed symbol set, and the DC solve below must see the value that
     # is actually coded
@@ -367,31 +372,40 @@ def build_phash_jpeg(doc_id: int) -> bytes:
         for bx in range(JW // 8):
             t_gray = _jpeg_target_gray(base, v, bx, by)
             a3 = _jpeg_ac(base, bx, by)
-            ac_at = dict(zip(sites, a3))
-            dc = (t_gray - 128) - sum(a3)  # quantized DC (q=8 => /8 exact)
-            diff = dc - pred
-            pred = dc
-            size = abs(diff).bit_length()
-            code, length = dc_code[size]
-            wr.write(code, length)
-            if size:
-                wr.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
-            k = 1
-            for zz in sites:
-                run = zz - k
-                while run > 15:
-                    code, length = ac_code[0xF0]
-                    wr.write(code, length)
-                    run -= 16
-                val = ac_at[zz]  # never 0 (see _jpeg_ac)
-                s = abs(val).bit_length()
-                code, length = ac_code[(run << 4) | s]
-                wr.write(code, length)
-                wr.write(val if val >= 0 else val + (1 << s) - 1, s)
-                k = zz + 1
-            code, length = ac_code[0x00]  # EOB
-            wr.write(code, length)
+            pred = _write_sample_block(
+                wr, dc_code, ac_code, sites, t_gray, a3, pred
+            )
     return _jheader(_JDC_SYMS, _JAC_SYMS) + wr.flush() + b"\xff\xd9"
+
+
+def _write_sample_block(wr, dc_code, ac_code, sites, t_gray, a3, pred):
+    """Huffman-code one luma block: differential DC solved so the decoded
+    dHash sample hits t_gray exactly, plus the three run-length-coded
+    texture ACs at `sites`. Returns the new DC predictor."""
+    ac_at = dict(zip(sites, a3))
+    dc = (t_gray - 128) - sum(a3)  # quantized DC (q=8 => /8 exact)
+    diff = dc - pred
+    size = abs(diff).bit_length()
+    code, length = dc_code[size]
+    wr.write(code, length)
+    if size:
+        wr.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    k = 1
+    for zz in sites:
+        run = zz - k
+        while run > 15:
+            code, length = ac_code[0xF0]
+            wr.write(code, length)
+            run -= 16
+        val = ac_at[zz]  # never 0 (see _jpeg_ac)
+        s = abs(val).bit_length()
+        code, length = ac_code[(run << 4) | s]
+        wr.write(code, length)
+        wr.write(val if val >= 0 else val + (1 << s) - 1, s)
+        k = zz + 1
+    code, length = ac_code[0x00]  # EOB
+    wr.write(code, length)
+    return dc
 
 
 def dhash_bands_jpeg(payload: bytes) -> list[int]:
@@ -429,6 +443,9 @@ def phash_bands(
         "bmp": lambda i: dhash_bands(build_phash_bmp(i)),
         "png": lambda i: dhash_bands_png(build_phash_png(i)),
         "jpg": lambda i: dhash_bands_jpeg(build_phash_jpeg(i)),
+        # color YCbCr 4:4:4 corpus decodes through the SAME entry point —
+        # decode_jpeg_gray dispatches on the frame's component count
+        "jgc": lambda i: dhash_bands_jpeg(build_phash_jpeg_color(i)),
     }[fmt]
     docs = spread_for_expansion(docs.select(id_col))
 
@@ -513,3 +530,122 @@ def phash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# COLOR JPEG corpus (VERDICT r11 ask #5): virtually all crawl JPEGs are
+# YCbCr color, so the perceptual-dedup family's majority-format row must
+# decode a 3-component interleaved scan, not just grayscale. Geometry and
+# the luma construction are identical to build_phash_jpeg (gray = Y under
+# BT.601, so the dHash samples are still exactly the salted md5 formula,
+# salt 'jgc'); every MCU additionally carries REAL Cb and Cr blocks —
+# their own quant table, Huffman pair, DC prediction chain, and a
+# run-length-coded md5-noise AC — which contribute nothing to gray but
+# MUST be entropy-decoded correctly or the bitstream desyncs and every
+# subsequent Y sample is garbage (the property that makes the oracle
+# splice a real decoder test).
+# ---------------------------------------------------------------------------
+
+# chroma AC site: zigzag index 5 -> run 4 from k=1; sizes 1..4
+_JC_AC_SITE = 5
+_JCAC_SYMS = bytes([0x00] + [(4 << 4) | s for s in range(1, 5)])
+
+
+def _jheader_color() -> bytes:
+    """SOI + headers for a baseline YCbCr 4:4:4 interchange JPEG: two
+    quant tables (0 luma / 1 chroma), four Huffman tables (DC/AC x
+    luma/chroma), SOF0 with components (1,2,3) all sampled 0x11, and an
+    interleaved 3-component SOS."""
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = seg(
+        0xDB,
+        bytes([0x00]) + bytes([8] * 64) + bytes([0x01]) + bytes([16] * 64),
+    )
+    sof = seg(
+        0xC0,
+        bytes([8])
+        + JH.to_bytes(2, "big")
+        + JW.to_bytes(2, "big")
+        + bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + _jpeg_fixed_huff(len(_JDC_SYMS)) + _JDC_SYMS
+        + bytes([0x10]) + _jpeg_fixed_huff(len(_JAC_SYMS)) + _JAC_SYMS
+        + bytes([0x01]) + _jpeg_fixed_huff(len(_JDC_SYMS)) + _JDC_SYMS
+        + bytes([0x11]) + _jpeg_fixed_huff(len(_JCAC_SYMS)) + _JCAC_SYMS,
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos
+
+
+def _chroma_vals(base: int, blk: int, ch: int) -> tuple[int, int]:
+    """(DC, AC) for chroma channel ch (2=Cb, 3=Cr) of block blk: md5 noise
+    in [-8, 8], AC never zero (same reasoning as _jpeg_ac)."""
+    d = hashlib.md5(f"jgccc{base}_{blk}_{ch}".encode()).digest()
+    dc = int(d[0]) % 17 - 8
+    m = int(d[1]) % 16
+    ac = (m - 8) if m < 8 else (m - 7)
+    return dc, ac
+
+
+def _write_chroma_block(wr, dc_code, ac_code, dcv: int, acv: int, pred: int):
+    """One chroma block: differential DC + a single run-length-coded AC at
+    zigzag site _JC_AC_SITE + EOB, through the chroma Huffman pair."""
+    diff = dcv - pred
+    size = abs(diff).bit_length()
+    code, length = dc_code[size]
+    wr.write(code, length)
+    if size:
+        wr.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    s = abs(acv).bit_length()
+    code, length = ac_code[(4 << 4) | s]  # run 4: zigzag 1..4 are zero
+    wr.write(code, length)
+    wr.write(acv if acv >= 0 else acv + (1 << s) - 1, s)
+    code, length = ac_code[0x00]  # EOB
+    wr.write(code, length)
+    return dcv
+
+
+def build_phash_jpeg_color(doc_id: int, salt: str = "jgc") -> bytes:
+    """A complete, valid baseline YCbCr 4:4:4 color JPEG (interchange
+    format) whose DECODED gray (= Y) at every dHash sample equals the
+    salted md5 formula — base/variant/perturbation contract identical to
+    build_phash_bmp, so the banding recall argument and the oracle splice
+    carry over. Per MCU the writer interleaves the solved luma block with
+    real Cb/Cr noise blocks through separate Huffman tables and DC
+    prediction chains; a decoder that mis-decodes (or skips) a single
+    chroma symbol desyncs and corrupts every later luma sample."""
+    base, v = doc_id // 4, doc_id % 4
+    dc_code = {s: (s, 4) for s in range(12)}
+    ac_code = {s: (i, 4) for i, s in enumerate(_JAC_SYMS)}
+    cdc_code = dc_code
+    cac_len = max(1, len(_JCAC_SYMS).bit_length())
+    if len(_JCAC_SYMS) >= (1 << cac_len):
+        cac_len += 1
+    cac_code = {s: (i, cac_len) for i, s in enumerate(_JCAC_SYMS)}
+
+    from yaml_pipe_spark.multimodal.binary import _JPEG_ZIGZAG
+
+    zz_of = {rc: i for i, rc in enumerate(_JPEG_ZIGZAG)}
+    sites = sorted([zz_of[(0, 4)], zz_of[(4, 0)], zz_of[(4, 4)]])
+
+    wr = _JpegBitWriter()
+    preds = {1: 0, 2: 0, 3: 0}
+    for by in range(JH // 8):
+        for bx in range(JW // 8):
+            t_gray = _jpeg_target_gray(base, v, bx, by, salt=salt)
+            a3 = _jpeg_ac(base, bx, by, prefix=f"{salt}ac")
+            preds[1] = _write_sample_block(
+                wr, dc_code, ac_code, sites, t_gray, a3, preds[1]
+            )
+            blk = by * (JW // 8) + bx
+            for ch in (2, 3):
+                dcv, acv = _chroma_vals(base, blk, ch)
+                preds[ch] = _write_chroma_block(
+                    wr, cdc_code, cac_code, dcv, acv, preds[ch]
+                )
+    return _jheader_color() + wr.flush() + b"\xff\xd9"
