@@ -1344,6 +1344,9 @@ retriever:
 
     remaining = sink.read(spark)
     check = HybridRrfRetriever(vector=dict(vec_cfg), lexical=dict(lex_cfg))
+    # both arms' freshness proofs from ONE corpus aggregate (VERDICT r11
+    # ask #4) instead of two independent is_stale scans
+    v_stale, l_stale = check.staleness(remaining)
     row_fp = F.conv(
         F.substring(
             F.md5(F.concat_ws("\x1f", F.col("source"), F.col("text"))), 1, 15
@@ -1357,6 +1360,6 @@ retriever:
         F.count("*").cast("long").alias("n_remaining"),
         F.countDistinct("source").cast("long").alias("n_sources_remaining"),
         F.bit_xor(row_fp).alias("remaining_fp"),
-        F.lit(not check.vector.is_stale(remaining)).alias("vector_fresh"),
-        F.lit(not check.lexical.is_stale(remaining)).alias("lexical_fresh"),
+        F.lit(not v_stale).alias("vector_fresh"),
+        F.lit(not l_stale).alias("lexical_fresh"),
     )

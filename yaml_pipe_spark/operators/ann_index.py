@@ -295,7 +295,31 @@ class IvfPqIndexStore:
         changed (a refit coarse quantizer invalidates every code), or the
         corpus moved on (by `version` when given, else by fingerprint
         scan)."""
-        meta = self._read_meta(corpus.sparkSession)
+        if version is not None:
+            # version mode never scans the corpus
+            return self.is_stale_for_fingerprint(
+                corpus.sparkSession, -1, -1, version=version,
+                centroids=centroids,
+            )
+        n, h = self._fingerprint(corpus.select(self.id_col, self.vec_col))
+        return self.is_stale_for_fingerprint(
+            corpus.sparkSession, n, h, centroids=centroids
+        )
+
+    def is_stale_for_fingerprint(
+        self,
+        spark: SparkSession,
+        n: int,
+        h: int,
+        version: str | None = None,
+        centroids: DataFrame | None = None,
+    ) -> bool:
+        """is_stale() with the corpus fingerprint precomputed by the
+        caller — the seam that lets a multi-store surface (retrievers.
+        HybridRrfRetriever.staleness) fingerprint several arms in ONE
+        corpus aggregate instead of one scan per proof (VERDICT r11 ask
+        #4). Every non-fingerprint check is identical to is_stale()."""
+        meta = self._read_meta(spark)
         if meta is None:
             return True
         if (
@@ -315,7 +339,6 @@ class IvfPqIndexStore:
                 return True
         if version is not None:
             return meta["version"] != version
-        n, h = self._fingerprint(corpus.select(self.id_col, self.vec_col))
         return (meta["fp_n"], meta["fp_h"]) != (n, h)
 
     def build_if_stale(

@@ -25,7 +25,7 @@ no UDFs — so DuckDB recomputes the identical scores in the oracle
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from yaml_pipe_spark.errors import IndexNotBuiltError
@@ -388,7 +388,24 @@ class Bm25IndexStore:
     def is_stale(
         self, docs: DataFrame, version: str | None = None
     ) -> bool:
-        meta = self._read_meta(docs.sparkSession)
+        if version is not None:
+            return self.is_stale_for_fingerprint(
+                docs.sparkSession, -1, -1, version=version
+            )
+        n, h = self._fingerprint(docs.select(self.id_col, self.text_col))
+        return self.is_stale_for_fingerprint(docs.sparkSession, n, h)
+
+    def is_stale_for_fingerprint(
+        self,
+        spark: SparkSession,
+        n: int,
+        h: int,
+        version: str | None = None,
+    ) -> bool:
+        """is_stale() with the corpus fingerprint precomputed by the
+        caller (the batched multi-arm staleness pass, VERDICT r11 ask
+        #4 — see IvfPqIndexStore.is_stale_for_fingerprint)."""
+        meta = self._read_meta(spark)
         if meta is None:
             return True
         # metas from before the generation-stamped layout (no gen field)
@@ -399,7 +416,6 @@ class Bm25IndexStore:
             return True
         if version is not None:
             return meta["version"] != version
-        n, h = self._fingerprint(docs.select(self.id_col, self.text_col))
         return (meta["fp_n"], meta["fp_h"]) != (n, h)
 
     def build_if_stale(
