@@ -512,3 +512,52 @@ def test_chroma_delete_sources(spark, tmp_path):
     )
     assert sink.delete_sources(spark, ["a.txt", None, "b.txt"]) is None
     assert deletes == [{"source": "a.txt"}, {"source": "b.txt"}]
+
+
+def test_duckdb_single_writer_contract(spark, tmp_path):
+    """Pins WHY DuckDBSink loads through one writer instead of
+    executor-side foreachPartition (VERDICT r11 ask #7): embedded DuckDB
+    allows ONE read-write process per file — a second concurrent writer
+    connection is rejected by the engine, so N executor processes
+    inserting into the same .duckdb are unsupported, not merely slow.
+    The distributed half (serialize/partition/compress) still runs on
+    executors via the parquet staging write."""
+    import duckdb
+
+    from yaml_pipe_spark.operators.sinks import DuckDBSink
+
+    db = str(tmp_path / "sink.duckdb")
+    sink = DuckDBSink(db)
+    df = spark.createDataFrame(
+        [(i, f"src{i % 3}", f"text {i}") for i in range(30)],
+        "doc_id long, source string, text string",
+    ).repartition(4)
+    sink.write(df)
+    # the staging write is Spark-distributed: with 4 input partitions the
+    # bulk load consumed multiple part files (the executor-parallel half)
+    assert sink.read(spark).count() == 30
+
+    holder = duckdb.connect(db)  # the one allowed read-write process
+    try:
+        # same-process re-connects share the instance (fine); the engine
+        # restriction is CROSS-process — exactly what executor-side
+        # foreachPartition writers would be
+        import subprocess
+        import sys as _sys
+
+        probe = subprocess.run(
+            [
+                _sys.executable,
+                "-c",
+                f"import duckdb; duckdb.connect({db!r})",
+            ],
+            capture_output=True,
+            text=True,
+        )
+        assert probe.returncode != 0
+        assert (
+            "lock" in probe.stderr.lower()
+            or "Could not set lock" in probe.stderr
+        ), probe.stderr
+    finally:
+        holder.close()

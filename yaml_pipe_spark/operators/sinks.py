@@ -210,9 +210,29 @@ class DuckDBSink:
     connection probe. The batch is staged as parquet by Spark (distributed
     write) and bulk-loaded server-side via read_parquet — no row-at-a-time
     driver loop; `read` hands the table back through Arrow.
+
+    WRITE-CONCURRENCY CONTRACT (users copying this adapter for their own
+    store, read this first): the load into the table is deliberately a
+    SINGLE writer. Embedded DuckDB permits one read-write process per
+    database file — executor-side foreachPartition writers are separate
+    processes, so N concurrent inserts into the same .duckdb file are not
+    a slow path, they are unsupported by the engine (pinned in
+    tests/test_vector_sinks.py::test_duckdb_single_writer_contract).
+    The distributed half of the work — serializing, partitioning,
+    compressing the batch — IS executor-parallel via the parquet staging
+    write; the single-writer section is one server-side bulk
+    read_parquet('staging/*.parquet') over those files, not a driver
+    loop. Choose your template by your store's concurrency model:
+      - server/remote stores that accept concurrent writers (Chroma HTTP,
+        pgvector, LanceDB on object storage): use the executor-parallel
+        foreachPartition template, operators/vector_sinks.py::
+        chroma_partition_writer;
+      - embedded/single-writer stores (DuckDB, SQLite, LanceDB local in
+        one process): use THIS shape — distributed staging + one bulk
+        server-side load, which keeps Python row loops out of both paths.
     A single-file store is inherently single-node — this adapter is the
-    integration seam, not the 100 TB path (that is ParquetSink/BucketedTable).
-    """
+    integration seam, not the 100 TB path (that is ParquetSink/
+    BucketedTable)."""
 
     def __init__(self, db_path: str, table: str = "corpus"):
         self.db_path = db_path
