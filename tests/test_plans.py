@@ -756,3 +756,45 @@ def test_centroid_drift_broadcasts_centroids_both_snapshots(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastExchange") >= 2
     assert "Window [" not in plan
+
+
+def test_lloyd_rounds_broadcast_centroids_no_python(spark):
+    """emb_kmeans_lloyd's scale claims: the k*dim centroid frame rides
+    along BROADCAST into every assignment (never the shuffle side of a
+    sort-merge join), the argmin is an aggregate (no per-vector window
+    sort), and the whole trainer is Catalyst-only — no Python eval
+    nodes anywhere in a 'trained' operator."""
+    plan = _plan(_q("emb_kmeans_lloyd", spark), "simple")
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the integer argmin compiles to min_by partial/final aggregates,
+    # not a window sort over candidates
+    assert "min_by" in plan
+
+
+def test_retrain_lloyd_serve_stays_probe_pruned(spark):
+    """The trained-quantizer retrain serves through the SAME pruned path
+    as every persisted-index row: broadcast probe join, no Python."""
+    plan = _plan(_q("ann_index_retrain_lloyd", spark), "simple")
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_logreg_rounds_broadcast_weights_no_python(spark):
+    """quality_logreg_distill: the 66-row weight vector broadcasts into
+    both the margin pass and the scoring pass; training is Catalyst-only
+    (the per-round localCheckpoint keeps the DAG linear, so the final
+    plan only shows the last round + scoring)."""
+    plan = _plan(_q("quality_logreg_distill", spark), "simple")
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_phash_color_pairing_is_band_equijoin_not_cartesian(spark):
+    """The color-JPEG dedup pairs through the same capped band equi-join
+    as the BMP/PNG/gray rows — never an all-pairs product."""
+    plan = _plan(_q("multimodal_phash_jpeg_color", spark), "simple")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan

@@ -2044,7 +2044,7 @@ def q_emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d2").cast("long").alias("inertia_d2"),
     )
     return (
-        cents.join(stats, "cid", "left")
+        cents.join(F.broadcast(stats), "cid", "left")
         .na.fill(0, ["n", "inertia_d2"])
         .select("cid", "pos", F.col("cu").alias("c_u6"), "n", "inertia_d2")
     )

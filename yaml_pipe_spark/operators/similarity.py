@@ -555,7 +555,10 @@ def lloyd_update_u6(
     truncate division only diverges on negatives, so the shift removes
     the one cross-engine hazard). Empty cells keep their previous
     centroid (the standard Lloyd convention). One (cid, pos) shuffle with
-    map-side combine; output is the k x dim centroid frame."""
+    map-side combine; output is the k x dim centroid frame — both sides
+    of the carry-forward join are k*dim rows, so the aggregate side is
+    broadcast (a sort-merge exchange for two model-sized frames would be
+    pure overhead)."""
     g = (
         asg.select(id_col, "cid")
         .join(xs, id_col)
@@ -566,7 +569,7 @@ def lloyd_update_u6(
         )
     )
     return (
-        prev_cents.join(g, ["cid", "pos"], "left")
+        prev_cents.join(F.broadcast(g), ["cid", "pos"], "left")
         .select(
             "cid",
             "pos",
@@ -608,14 +611,20 @@ def kmeans_lloyd_u6(
     keyed on (cid, pos) with map-side combine (update) — k*dim partial
     sums per task, independent of corpus size. Rounds multiply the
     constant, not the exponent."""
-    xs = vec_u6_long(corpus, vec_col=vec_col, id_col=id_col)
+    xs = vec_u6_long(corpus, vec_col=vec_col, id_col=id_col).localCheckpoint()
     cents = (
         vec_u6_long(seeds, vec_col="cv", id_col="cid")
         .withColumnRenamed("xu", "cu")
     )
     for _ in range(rounds):
         asg = lloyd_assign_u6(xs, cents, id_col=id_col)
-        cents = lloyd_update_u6(asg, xs, cents, id_col=id_col)
+        # cut the lineage: cents feeds BOTH next-round consumers (the
+        # assignment and the carry-forward), so without the cut the
+        # unrolled plan doubles per round — Spark shares no common
+        # subtrees. A k*dim-row eager materialization per round keeps the
+        # DAG linear (the same discipline as logreg_quality_distill's
+        # per-round weight checkpoint and pagerank's lineage cut).
+        cents = lloyd_update_u6(asg, xs, cents, id_col=id_col).localCheckpoint()
     return cents, lloyd_assign_u6(xs, cents, id_col=id_col)
 
 
