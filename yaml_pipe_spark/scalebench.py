@@ -233,6 +233,33 @@ def _fam_ivfpq_lifecycle(spark, docs, emb, tmp):
     return rows, time.monotonic() - t0
 
 
+def _fam_kmeans_lloyd(spark, docs, emb, tmp):
+    """The trained coarse quantizer (round 12): 3 exact-integer Lloyd
+    rounds + final assignment. Per round ONE vec_id shuffle and ONE
+    k*dim-bounded combine, so the exponent must stay ~linear in corpus
+    size; the per-round localCheckpoint jobs are a fixed constant."""
+    from yaml_pipe_spark.operators.similarity import kmeans_lloyd_u6
+
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    cents, asg = kmeans_lloyd_u6(emb, seeds, rounds=3)
+    return asg.count()
+
+
+def _fam_logreg_distill(spark, docs, emb, tmp):
+    """The GD-trained quality classifier (round 12): feature hashing is
+    the (doc, token) diamond; each of the 12 rounds is one doc-keyed
+    shuffle + one 66-row combine, so growth must track the corpus, with
+    the fixed per-round job overhead amortizing away at scale."""
+    from yaml_pipe_spark.operators.classifier import logreg_quality_distill
+    from yaml_pipe_spark.operators.quality import gopher_quality_signals
+
+    labels = gopher_quality_signals(docs).select("doc_id", "gopher_pass")
+    row = logreg_quality_distill(docs, labels).collect()[0]
+    return int(row.n_train + row.n_test)
+
+
 FAMILIES = {
     "minhash_lsh_pairs": _fam_minhash_lsh,
     "simhash_cc": _fam_simhash_cc,
@@ -245,6 +272,8 @@ FAMILIES = {
     "bpe_train": _fam_bpe_train,
     "bm25_lifecycle": _fam_bm25_lifecycle,
     "ivfpq_lifecycle": _fam_ivfpq_lifecycle,
+    "kmeans_lloyd": _fam_kmeans_lloyd,
+    "logreg_distill": _fam_logreg_distill,
 }
 
 
