@@ -98,9 +98,10 @@ def test_decode_jpeg_scope_boundaries():
     payload[sof + 1] = 0xC2
     with pytest.raises(NotImplementedError):
         decode_jpeg_gray(bytes(payload))
-    # chroma subsampling (4:2:0 sampling byte) is the boundary now that
-    # 3-component 4:4:4 decodes for real (round 12); a 3-component claim
-    # with a 1-component table is malformed, not out-of-scope
+    # a SAMPLED single-component frame (gray at 2x2) is not a supported
+    # layout — only gray 1x1, YCbCr 4:4:4, and YCbCr 4:2:0 are in scope;
+    # a 3-component claim with a 1-component table is malformed, not
+    # out-of-scope
     payload = bytearray(build_phash_jpeg(0))
     payload[sof + 11] = 0x22  # component 0 sampling h=2,v=2
     with pytest.raises(NotImplementedError, match="subsampling"):
@@ -236,3 +237,68 @@ def test_color_corpus_is_distinct_from_gray_jpeg_corpus():
         a = dhash_bands_jpeg(build_phash_jpeg(doc_id))
         b = dhash_bands_jpeg(build_phash_jpeg_color(doc_id))
         assert a != b
+
+
+def test_jpeg420_decodes_to_the_generating_formula():
+    from yaml_pipe_spark.multimodal.phash import (
+        JH4,
+        JW4,
+        _jpeg_target_gray,
+        build_phash_jpeg420,
+    )
+
+    for doc_id in (0, 2, 7, 21):
+        base, v = doc_id // 4, doc_id % 4
+        w, h, pix = decode_jpeg_gray(build_phash_jpeg420(doc_id))
+        assert (w, h) == (JW4, JH4)
+        for gy in range(8):
+            for gx in range(9):
+                got = pix[(16 * gy) * w + 16 * gx]
+                assert got == _jpeg_target_gray(
+                    base, v, gx, gy, salt="j42"
+                ), (doc_id, gx, gy)
+
+
+def test_jpeg420_luma_raster_order_is_load_bearing():
+    """The four luma blocks share one DC prediction chain in 2x2 raster
+    order: the filler DCs sit BETWEEN consecutive sample blocks, so a
+    decoder that skipped fillers (or walked them out of order) would
+    compute wrong sample DCs — pinned by the formula test above plus
+    fillers being genuinely non-trivial here: flat filler values differ
+    per block and per doc."""
+    from yaml_pipe_spark.multimodal.phash import build_phash_jpeg420
+
+    _, _, pix = decode_jpeg_gray(build_phash_jpeg420(0))
+    # filler block (0,1) of MCU (0,0) is flat at its md5 target
+    block = {pix[y * 144 + x] for y in range(8) for x in range(8, 16)}
+    assert len(block) == 1
+    other = {pix[y * 144 + x] for y in range(8) for x in range(24, 32)}
+    assert block != other  # different MCU's filler, different value
+
+
+def test_jpeg420_banding_and_distinctness():
+    from yaml_pipe_spark.multimodal.phash import build_phash_jpeg420
+
+    for base in range(10):
+        b0 = dhash_bands_jpeg(build_phash_jpeg420(4 * base))
+        for v in range(1, 4):
+            bv = dhash_bands_jpeg(build_phash_jpeg420(4 * base + v))
+            assert b0[:3] == bv[:3]
+    diff = sum(
+        dhash_bands_jpeg(build_phash_jpeg420(i))
+        != dhash_bands_jpeg(build_phash_jpeg(i))
+        for i in range(20)
+    )
+    assert diff == 20
+
+
+def test_jpeg_422_is_still_a_typed_boundary():
+    """4:2:2 (luma 2x1) stays out of scope with a typed error now that
+    4:2:0 decodes for real."""
+    from yaml_pipe_spark.multimodal.phash import build_phash_jpeg420
+
+    payload = bytearray(build_phash_jpeg420(0))
+    sof = payload.find(b"\xff\xc0")
+    payload[sof + 11] = 0x21  # luma sampling h=2, v=1
+    with pytest.raises(NotImplementedError, match="subsampling"):
+        decode_jpeg_gray(bytes(payload))

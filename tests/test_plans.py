@@ -798,3 +798,8 @@ def test_phash_color_pairing_is_band_equijoin_not_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
         or "BroadcastHashJoin" in plan
+
+
+def test_phash_420_pairing_is_band_equijoin_not_cartesian(spark):
+    plan = _plan(_q("multimodal_phash_jpeg420", spark), "simple")
+    assert "CartesianProduct" not in plan

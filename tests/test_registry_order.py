@@ -60,16 +60,19 @@ ROUND12_CHANGED: set[str] = {
     "ann_index_retrain_lloyd",  # retrain consuming trained centroids (#2)
     "quality_logreg_distill",  # GD-trained linear quality classifier (#6)
     "multimodal_phash_jpeg_color",  # YCbCr 4:4:4 color JPEG dedup (ask #5)
+    "multimodal_phash_jpeg420",  # 4:2:0 subsampled — beyond the asks
 }
 
 ROUND12_MUST_FRONT: set[str] = ROUND12_QUEUE | ROUND12_CHANGED
 
 # Round-8-generation rows left WITHOUT a fresh row after round 12's
-# 50-slot prefix is spent (the 7 r8 fill rows that make the prefix —
+# 50-slot prefix is spent (the 6 r8 fill rows that make the prefix —
 # q1_topk_cosine, q2_hitrate, dedup_exact, ann_ivf_topk, c2_markdown_chunk,
-# s1_parse_pdf, events_sessionize — are deliberately absent) — round 13
-# must front these before anything merely stale from r9.
+# s1_parse_pdf — are deliberately absent; events_sessionize was pushed
+# past the boundary by the sixth round-12 row and stays queued) —
+# round 13 must front these before anything merely stale from r9.
 ROUND13_QUEUE: set[str] = {
+    "events_sessionize",
     "ann_recall_measured",
     "ann_signlsh_topk",
     "c1_recursive_chunk",

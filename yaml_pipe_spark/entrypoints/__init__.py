@@ -210,6 +210,7 @@ from yaml_pipe_spark.entrypoints.multimodal import (
     q_multimodal_gif_decode,
     q_multimodal_phash_clusters,
     q_multimodal_phash_dedup,
+    q_multimodal_phash_jpeg420,
     q_multimodal_phash_jpeg_color,
     q_multimodal_phash_png,
     q_multimodal_png_decode,
@@ -462,6 +463,7 @@ DRIVER_ORDER: list[str] = [
     "ann_index_retrain_lloyd",   # retrain consuming the trained centroids
     "quality_logreg_distill",    # GD-trained linear quality classifier (#6)
     "multimodal_phash_jpeg_color",  # YCbCr 4:4:4 color JPEG dedup (ask #5)
+    "multimodal_phash_jpeg420",  # 4:2:0 — the dominant crawl layout
     "pipeline_forget_e2e",       # CHANGED: batched-action trim (ask #4)
     # -- (4) round-8-generation refresh fill (only entries inside the
     #        first 50 get a driver row — 7 of the 10 listed once the 5

@@ -336,14 +336,15 @@ def decode_jpeg_gray(payload: bytes):
     file's own DHT segments, per-block DC prediction + (run,size) AC
     run-length decode with 0xFF00 unstuffing, dequantization, dezigzag,
     full 64-term float IDCT, +128 level shift, clamp. Scope: sequential
-    8-bit single-component (grayscale) OR three-component YCbCr 4:4:4
-    (no subsampling) interleaved scans, no restart markers — anything
-    else raises NotImplementedError (the codec extension point). Color
-    output is the BT.601 gray conversion, which for YCbCr input IS the Y
-    plane: chroma blocks are fully entropy-decoded (per-component DC
-    prediction and Huffman tables — required to advance the bitstream)
-    and their pixel planes, which gray output never reads, are not
-    materialized."""
+    8-bit single-component (grayscale), three-component YCbCr 4:4:4, or
+    three-component YCbCr 4:2:0 (luma 2x2 / chroma 1x1 — the dominant
+    crawl layout) interleaved scans, no restart markers — anything else
+    (4:2:2, progressive, ...) raises NotImplementedError (the codec
+    extension point). Color output is the BT.601 gray conversion, which
+    for YCbCr input IS the Y plane: chroma blocks are fully
+    entropy-decoded (per-component DC prediction and Huffman tables —
+    required to advance the bitstream) and their pixel planes, which
+    gray output never reads, are not materialized."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qt: dict[int, list[int]] = {}
@@ -396,13 +397,26 @@ def decode_jpeg_gray(payload: bytes):
                 )
             if len(seg) < 6 + 3 * seg[5]:
                 raise ValueError("truncated SOF0 component table")
+            samplings = tuple(seg[7 + 3 * ci] for ci in range(seg[5]))
+            # supported layouts: grayscale, YCbCr 4:4:4 (all 1x1), and
+            # YCbCr 4:2:0 (luma 2x2, chroma 1x1 — the dominant crawl
+            # layout); anything else (4:2:2, 4:1:1, ...) stays the typed
+            # codec boundary
+            if samplings not in ((0x11,), (0x11,) * 3, (0x22, 0x11, 0x11)):
+                raise NotImplementedError(
+                    "chroma subsampling layout not supported "
+                    "(4:4:4 and 4:2:0 only)"
+                )
             frame_comps = []
             for ci in range(seg[5]):
-                if seg[7 + 3 * ci] != 0x11:
-                    raise NotImplementedError(
-                        "chroma subsampling not supported (4:4:4 only)"
+                frame_comps.append(
+                    (
+                        seg[6 + 3 * ci],
+                        seg[8 + 3 * ci],
+                        seg[7 + 3 * ci] >> 4,
+                        seg[7 + 3 * ci] & 15,
                     )
-                frame_comps.append((seg[6 + 3 * ci], seg[8 + 3 * ci]))
+                )
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
                 "only baseline sequential (SOF0) JPEG is stdlib-scope"
@@ -433,7 +447,7 @@ def decode_jpeg_gray(payload: bytes):
     if w is None or not scan_sel or frame_comps is None:
         raise ValueError("JPEG missing SOF0/SOS/DQT")
     comps = []
-    for order, (cid, tq) in enumerate(frame_comps):
+    for order, (cid, tq, hs, vs) in enumerate(frame_comps):
         if cid not in scan_sel:
             raise ValueError("JPEG SOS is missing a frame component")
         if tq not in qt:
@@ -447,16 +461,21 @@ def decode_jpeg_gray(payload: bytes):
                 "dc": huff[(0, dc_sel)],
                 "ac": huff[(1, ac_sel)],
                 "pred": 0,
+                "h": hs,
+                "v": vs,
                 # gray output = the BT.601 luma, which IS component 0 (Y)
                 "emit": order == 0,
             }
         )
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
 
     rd = _JpegBitReader(payload, pos)
-    nbx, nby = (w + 7) // 8, (h + 7) // 8
+    nmx = (w + 8 * hmax - 1) // (8 * hmax)
+    nmy = (h + 8 * vmax - 1) // (8 * vmax)
     out = bytearray(w * h)
     try:
-        _decode_jpeg_mcus(rd, nbx, nby, w, h, comps, out)
+        _decode_jpeg_mcus(rd, nmx, nmy, w, h, hmax, vmax, comps, out)
     except IndexError as e:
         # a truncated entropy segment (read past the buffer) or a corrupt
         # (run,size) stream (zigzag index past 63) must surface as the
@@ -466,63 +485,79 @@ def decode_jpeg_gray(payload: bytes):
     return w, h, bytes(out)
 
 
-def _decode_jpeg_mcus(rd, nbx, nby, w, h, comps, out):
-    """Interleaved 4:4:4 MCU loop: one 8x8 block per component per MCU, in
-    frame order, each with its own quant table, Huffman pair, and DC
-    predictor (T.81 A.2.3). Only the emit component (Y) materializes
-    pixels; the others are entropy-decoded to keep the bitstream aligned."""
-    for by in range(nby):
-        for bx in range(nbx):
+def _decode_jpeg_mcus(rd, nmx, nmy, w, h, hmax, vmax, comps, out):
+    """Interleaved MCU loop (T.81 A.2.3): per MCU each component decodes
+    its h x v sampling-factor blocks in raster order — one block each at
+    4:4:4 / grayscale, four luma + one Cb + one Cr at 4:2:0 — each
+    component with its own quant table, Huffman pair, and DC predictor.
+    Only the emit component (Y, full resolution by construction since
+    its sampling equals hmax x vmax in every supported layout)
+    materializes pixels; the others are entropy-decoded to keep the
+    bitstream aligned."""
+    for my in range(nmy):
+        for mx in range(nmx):
             for comp in comps:
                 q, dc_tab, ac_tab = comp["q"], comp["dc"], comp["ac"]
                 emit = comp["emit"]
-                coef = [[0.0] * 8 for _ in range(8)] if emit else None
-                t = rd.decode_symbol(dc_tab)
-                comp["pred"] += rd.receive_extend(t)
-                if emit:
-                    coef[0][0] = comp["pred"] * q[0]
-                k = 1
-                while k < 64:
-                    rs = rd.decode_symbol(ac_tab)
-                    r, s = rs >> 4, rs & 15
-                    if s == 0:
-                        if r == 15:  # ZRL: sixteen zeros
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += r
-                    val = rd.receive_extend(s)
-                    if emit:
-                        zr, zc = _JPEG_ZIGZAG[k]
-                        coef[zr][zc] = val * q[k]
-                    k += 1
-                if not emit:
-                    continue
-                # accumulate per NON-ZERO coefficient over a precomputed
-                # 64-sample basis plane (y-major): typical sparse blocks
-                # touch a handful of planes, so the IDCT is a few C-level
-                # zips instead of a 64-pixel Python loop over coefficients
-                acc = [0.0] * 64
-                for v in range(8):
-                    row = coef[v]
-                    for u in range(8):
-                        f = row[u]
-                        if f != 0.0:
-                            plane = _jpeg_basis(u, v)
-                            acc = [a + f * p for a, p in zip(acc, plane)]
-                for y in range(8):
-                    iy = by * 8 + y
-                    if iy >= h:
-                        break
-                    row_off = iy * w
-                    for x in range(8):
-                        ix = bx * 8 + x
-                        if ix >= w:
-                            break
-                        val = int(round(acc[8 * y + x])) + 128
-                        out[row_off + ix] = (
-                            0 if val < 0 else (255 if val > 255 else val)
+                for bv in range(comp["v"]):
+                    for bu in range(comp["h"]):
+                        coef = (
+                            [[0.0] * 8 for _ in range(8)] if emit else None
                         )
+                        t = rd.decode_symbol(dc_tab)
+                        comp["pred"] += rd.receive_extend(t)
+                        if emit:
+                            coef[0][0] = comp["pred"] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = rd.decode_symbol(ac_tab)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:  # ZRL: sixteen zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            val = rd.receive_extend(s)
+                            if emit:
+                                zr, zc = _JPEG_ZIGZAG[k]
+                                coef[zr][zc] = val * q[k]
+                            k += 1
+                        if not emit:
+                            continue
+                        # accumulate per NON-ZERO coefficient over a
+                        # precomputed 64-sample basis plane (y-major):
+                        # typical sparse blocks touch a handful of
+                        # planes, so the IDCT is a few C-level zips
+                        # instead of a 64-pixel Python loop
+                        acc = [0.0] * 64
+                        for v in range(8):
+                            row = coef[v]
+                            for u in range(8):
+                                f = row[u]
+                                if f != 0.0:
+                                    plane = _jpeg_basis(u, v)
+                                    acc = [
+                                        a + f * p
+                                        for a, p in zip(acc, plane)
+                                    ]
+                        oy = my * 8 * vmax + bv * 8
+                        ox = mx * 8 * hmax + bu * 8
+                        for y in range(8):
+                            iy = oy + y
+                            if iy >= h:
+                                break
+                            row_off = iy * w
+                            for x in range(8):
+                                ix = ox + x
+                                if ix >= w:
+                                    break
+                                val = int(round(acc[8 * y + x])) + 128
+                                out[row_off + ix] = (
+                                    0
+                                    if val < 0
+                                    else (255 if val > 255 else val)
+                                )
 
 
 def _decode_jpeg_features(payload: bytes):
@@ -542,9 +577,9 @@ def _decode_png_features(payload: bytes):
 def decode_payload(payload: bytes, modality: str, real_decode: bool = False):
     """Payload decode. The real path handles the stdlib-decodable container
     formats — uncompressed BMP, binary PPM, non-interlaced 8-bit RGB PNG,
-    single-frame GIF, PCM WAV, baseline grayscale or YCbCr-4:4:4 color
-    JPEG — by magic-byte sniffing; everything else (progressive or
-    chroma-subsampled JPEG, MP3, MP4...) still
+    single-frame GIF, PCM WAV, baseline grayscale / YCbCr-4:4:4 /
+    YCbCr-4:2:0 JPEG — by magic-byte sniffing; everything else
+    (progressive or 4:2:2 JPEG, MP3, MP4...) still
     raises: that is where PIL/torchaudio/ffmpeg plug in on a real cluster. The fake path derives stable
     pseudo-dimensions and features from the bytes themselves
     (deterministic, oracle-friendly)."""

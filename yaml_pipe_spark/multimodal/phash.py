@@ -443,9 +443,11 @@ def phash_bands(
         "bmp": lambda i: dhash_bands(build_phash_bmp(i)),
         "png": lambda i: dhash_bands_png(build_phash_png(i)),
         "jpg": lambda i: dhash_bands_jpeg(build_phash_jpeg(i)),
-        # color YCbCr 4:4:4 corpus decodes through the SAME entry point —
-        # decode_jpeg_gray dispatches on the frame's component count
+        # color corpora decode through the SAME entry point —
+        # decode_jpeg_gray dispatches on the frame's component count and
+        # sampling factors
         "jgc": lambda i: dhash_bands_jpeg(build_phash_jpeg_color(i)),
+        "j42": lambda i: dhash_bands_jpeg(build_phash_jpeg420(i)),
     }[fmt]
     docs = spread_for_expansion(docs.select(id_col))
 
@@ -649,3 +651,118 @@ def build_phash_jpeg_color(doc_id: int, salt: str = "jgc") -> bytes:
                     wr, cdc_code, cac_code, dcv, acv, preds[ch]
                 )
     return _jheader_color() + wr.flush() + b"\xff\xd9"
+
+
+# ---------------------------------------------------------------------------
+# 4:2:0 JPEG corpus (round 12, beyond the ask): 4:2:0 is THE dominant crawl
+# chroma layout — closing it removes the last common-format boundary from
+# the perceptual-dedup family (4:2:2/progressive remain typed errors).
+# Geometry 144x128 = 9x8 MCUs of 16x16, so every dHash sample (16gx, 16gy)
+# is the (0,0) pixel of its MCU's FIRST luma block and the exact-DC-solve
+# carries over; the other three luma blocks per MCU carry md5-noise
+# targets through the same writer (real differential-DC chains across all
+# four), and each MCU closes with real Cb/Cr noise blocks. gray = Y, so
+# the oracle is still the 72-gray-formula splice (salt 'j42').
+# ---------------------------------------------------------------------------
+
+JW4, JH4 = 144, 128
+
+
+def _jheader_420() -> bytes:
+    """SOI + headers for a baseline YCbCr 4:2:0 interchange JPEG: luma
+    sampled 2x2, chroma 1x1 — same tables as the 4:4:4 header."""
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = seg(
+        0xDB,
+        bytes([0x00]) + bytes([8] * 64) + bytes([0x01]) + bytes([16] * 64),
+    )
+    sof = seg(
+        0xC0,
+        bytes([8])
+        + JH4.to_bytes(2, "big")
+        + JW4.to_bytes(2, "big")
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + _jpeg_fixed_huff(len(_JDC_SYMS)) + _JDC_SYMS
+        + bytes([0x10]) + _jpeg_fixed_huff(len(_JAC_SYMS)) + _JAC_SYMS
+        + bytes([0x01]) + _jpeg_fixed_huff(len(_JDC_SYMS)) + _JDC_SYMS
+        + bytes([0x11]) + _jpeg_fixed_huff(len(_JCAC_SYMS)) + _JCAC_SYMS,
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos
+
+
+def _write_dc_block(wr, dc_code, ac_code, t_gray: int, pred: int) -> int:
+    """A DC-only block decoding to flat gray t_gray (q=8 cancels the 1/8
+    basis exactly): differential DC + immediate EOB."""
+    dc = t_gray - 128
+    diff = dc - pred
+    size = abs(diff).bit_length()
+    code, length = dc_code[size]
+    wr.write(code, length)
+    if size:
+        wr.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    code, length = ac_code[0x00]  # EOB
+    wr.write(code, length)
+    return dc
+
+
+def build_phash_jpeg420(doc_id: int, salt: str = "j42") -> bytes:
+    """A complete, valid baseline YCbCr 4:2:0 JPEG whose DECODED gray
+    (= Y) at every dHash sample equals the salted md5 formula. Each MCU
+    interleaves FOUR luma blocks (the sample block plus three md5-noise
+    blocks, one shared DC prediction chain) with real Cb/Cr noise blocks;
+    a decoder that mis-handles the 2x2 luma raster order, the sampling-
+    factor MCU geometry, or any chroma symbol corrupts later samples."""
+    base, v = doc_id // 4, doc_id % 4
+    dc_code = {s: (s, 4) for s in range(12)}
+    ac_code = {s: (i, 4) for i, s in enumerate(_JAC_SYMS)}
+    cac_len = max(1, len(_JCAC_SYMS).bit_length())
+    if len(_JCAC_SYMS) >= (1 << cac_len):
+        cac_len += 1
+    cac_code = {s: (i, cac_len) for i, s in enumerate(_JCAC_SYMS)}
+
+    from yaml_pipe_spark.multimodal.binary import _JPEG_ZIGZAG
+
+    zz_of = {rc: i for i, rc in enumerate(_JPEG_ZIGZAG)}
+    sites = sorted([zz_of[(0, 4)], zz_of[(4, 0)], zz_of[(4, 4)]])
+
+    wr = _JpegBitWriter()
+    preds = {1: 0, 2: 0, 3: 0}
+    for my in range(JH4 // 16):
+        for mx in range(JW4 // 16):
+            blk = my * (JW4 // 16) + mx
+            for bv in range(2):
+                for bu in range(2):
+                    if (bv, bu) == (0, 0):
+                        # the sample block keeps the full AC texture (a
+                        # DC-only shortcut decoder must fail on it)
+                        t_gray = _jpeg_target_gray(base, v, mx, my, salt=salt)
+                        a3 = _jpeg_ac(base, mx, my, prefix=f"{salt}ac")
+                        preds[1] = _write_sample_block(
+                            wr, dc_code, ac_code, sites, t_gray, a3, preds[1]
+                        )
+                    else:
+                        # filler blocks are DC-only md5 noise: they still
+                        # ride the shared DC prediction chain (mis-order
+                        # the 2x2 raster and every later DC shifts) but
+                        # decode ~4x cheaper — dHash never reads them
+                        t_gray = int(
+                            hashlib.md5(
+                                f"{salt}fill{base}_{blk}_{bv}{bu}".encode()
+                            ).digest()[0]
+                        )
+                        preds[1] = _write_dc_block(
+                            wr, dc_code, ac_code, t_gray, preds[1]
+                        )
+            for ch in (2, 3):
+                dcv, acv = _chroma_vals(base, blk, ch)
+                preds[ch] = _write_chroma_block(
+                    wr, dc_code, cac_code, dcv, acv, preds[ch]
+                )
+    return _jheader_420() + wr.flush() + b"\xff\xd9"
