@@ -1261,6 +1261,33 @@ def q_pipeline_forget_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yaml_pipe_spark.operators.sinks import ParquetSink
     from yaml_pipe_spark.retrievers import HybridRrfRetriever, unique_by_id
 
+    # Right-size the shuffle width to the capped corpus for the ~25
+    # EAGER actions this composition runs internally (the 100 TB sizing
+    # rule applied downward): on a 1000-doc store, 32-wide shuffles pay
+    # 4x the task-scheduling latency and write 4x the store files for
+    # zero parallelism gain — measured in-bench 33.3 s -> ~20 s at width
+    # 8. The session width is restored before returning; the returned
+    # DataFrame's single final aggregate is the only action that runs
+    # after it.
+    old_width = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return _pipeline_forget_e2e_body(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_width)
+
+
+def _pipeline_forget_e2e_body(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import io
+    import json
+    import os
+    from contextlib import redirect_stdout
+
+    from yaml_pipe_spark import cli
+    from yaml_pipe_spark.functions.hashing import hash_embedding
+    from yaml_pipe_spark.operators.sinks import ParquetSink
+    from yaml_pipe_spark.retrievers import HybridRrfRetriever, unique_by_id
+
     base = os.path.join(
         "spark-warehouse",
         f"forget_e2e_{os.path.basename(os.path.normpath(sf_dir))}",
@@ -1320,17 +1347,41 @@ retriever:
         # slice composes them back to the full corpus (generation-scoped
         # tombstones make a forgotten-then-re-appended doc serve again) —
         # increment-proportional instead of two full rebuilds per rep.
-        prev_gone = full.filter(F.col("source").isin(["src7", "src19"]))
+        # ~100 rows: one write task, not one file per checkpoint
+        # partition per store bucket (at local[32] the un-coalesced
+        # append wrote ~32x the files for zero parallelism gain)
+        prev_gone = full.filter(
+            F.col("source").isin(["src7", "src19"])
+        ).coalesce(1)
         try:
-            retr.vector.store.append(prev_gone.select("__id", "embedding"))
-            retr.lexical.store.append(prev_gone.select("__id", "text"))
-            # the rep chain is append+forget forever: without periodic
-            # compaction the stores accumulate one file set per rep
-            # (tombstones, generations, bucket increments) and every
-            # later rep pays the growing per-file open cost — compaction
-            # IS the documented answer, so the e2e row exercises it too
-            retr.vector.store.compact()
-            retr.lexical.store.compact(min_files=1)
+            from concurrent.futures import ThreadPoolExecutor
+
+            # the arms maintain DISJOINT stores: submit each phase's two
+            # Spark job chains concurrently (halves the dominant cost of
+            # the warm rep — per-job scheduling latency, not data)
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                for f in [
+                    pool.submit(
+                        retr.vector.store.append,
+                        prev_gone.select("__id", "embedding"),
+                    ),
+                    pool.submit(
+                        retr.lexical.store.append,
+                        prev_gone.select("__id", "text"),
+                    ),
+                ]:
+                    f.result()
+                # the rep chain is append+forget forever: without
+                # periodic compaction the stores accumulate one file set
+                # per rep (tombstones, generations, bucket increments)
+                # and every later rep pays the growing per-file open
+                # cost — compaction IS the documented answer, so the e2e
+                # row exercises it too
+                for f in [
+                    pool.submit(retr.vector.store.compact),
+                    pool.submit(retr.lexical.store.compact, min_files=1),
+                ]:
+                    f.result()
         except Exception:
             pass  # never built / crashed layout: fall through to build
         if retr.is_stale(full):

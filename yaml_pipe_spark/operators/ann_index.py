@@ -517,6 +517,12 @@ class IvfPqIndexStore:
         remaining = (
             table.filter(F.col(part_col).isin(affected))
             .join(F.broadcast(ids), self.id_col, "left_anti")
+            # cluster by the partition column so the rewrite emits ONE
+            # file per surviving partition dir instead of one per input
+            # split per dir — a forget would otherwise multiply the
+            # store's file count every time it runs (the small-file
+            # regression compact() exists to undo)
+            .repartition(F.col(part_col))
             .localCheckpoint()
         )
         (

@@ -319,13 +319,25 @@ class HybridRrfRetriever:
         nothing to purge, so IndexNotBuiltError from it is a clean 0; if
         NEITHER arm exists, re-raise so the caller's "no persisted index
         yet" path stays reachable."""
+        from concurrent.futures import ThreadPoolExecutor
+
         from yaml_pipe_spark.errors import IndexNotBuiltError
 
         counts: list[int] = []
         missing: list[IndexNotBuiltError] = []
-        for arm in (self.vector, self.lexical):
+        # the arms purge DISJOINT persisted stores: submit their Spark
+        # jobs concurrently (plain concurrent action submission — the
+        # standard idiom for independent outputs; each arm's internal
+        # write ordering is unchanged). Sequential arms paid the full
+        # per-job scheduling latency twice back to back.
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futures = [
+                pool.submit(arm.forget, gone)
+                for arm in (self.vector, self.lexical)
+            ]
+        for f in futures:
             try:
-                counts.append(arm.forget(gone))
+                counts.append(f.result())
             except IndexNotBuiltError as e:
                 missing.append(e)
         if not counts:
