@@ -121,3 +121,25 @@ def test_lloyd_centroid_arrays_orders_by_pos(spark):
     got = lloyd_centroid_arrays(cents).collect()
     assert len(got) == 1
     assert got[0].cv == pytest.approx([-0.5, 2.0])
+
+
+def test_normalize_substrate_spherical_semantics(spark):
+    """normalize=True trains on x/||x|| (spherical k-means): on a
+    NON-normalized corpus the quantized substrate differs from the raw
+    one; on an already-unit-norm corpus it is bit-identical (why the
+    recall row needs no separate spherical variant — its corpus is
+    unit-norm)."""
+
+    raw = [(1, [3.0, 4.0]), (2, [0.6, 0.8])]
+    df = spark.createDataFrame(raw, "vec_id long, embedding array<double>")
+    plain = {(r.vec_id, r.pos): r.xu for r in vec_u6_long(df).collect()}
+    sph = {
+        (r.vec_id, r.pos): r.xu
+        for r in vec_u6_long(df, normalize=True).collect()
+    }
+    # row 1 has norm 5: spherical rescales it; row 2 is already unit-norm
+    assert plain[(1, 1)] == 3000000 and sph[(1, 1)] == 600000
+    assert plain[(2, 1)] == sph[(2, 1)] == 600000
+    # and the spherical substrate of both rows is identical (same
+    # direction), which is the point of the cosine-metric variant
+    assert sph[(1, 1)] == sph[(2, 1)] and sph[(1, 2)] == sph[(2, 2)]

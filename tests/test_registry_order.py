@@ -114,8 +114,15 @@ ROUND13_QUEUE: set[str] = {
 }
 
 
+# Registered AFTER round 12's 50-slot prefix was spent (no driver row
+# yet) — round 13 fronts these alongside ROUND13_QUEUE.
+ROUND13_NEW: set[str] = {
+    "ann_recall_trained_vs_seeded",  # trained-vs-seeded quantizer recall
+}
+
+
 def test_round12_sets_are_registered_and_oracled():
-    for name in ROUND12_MUST_FRONT | ROUND13_QUEUE:
+    for name in ROUND12_MUST_FRONT | ROUND13_QUEUE | ROUND13_NEW:
         assert name in REGISTRY, name
         assert REGISTRY[name].oracle is not None, name
 

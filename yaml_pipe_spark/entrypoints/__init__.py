@@ -81,6 +81,7 @@ from yaml_pipe_spark.entrypoints.ann import (
     q_ann_ivfpq_topk,
     q_ann_pq_adc_topk,
     q_ann_recall_measured,
+    q_ann_recall_trained_vs_seeded,
     q_ann_signlsh,
     q_emb_covariance,
     q_emb_dim_stats,
@@ -481,6 +482,10 @@ DRIVER_ORDER: list[str] = [
     "sim_knn_join",
     "rel_top_supplier",
     "corpus_holdout_split",
+    # -- (5) registered after round 12's 50-slot prefix was spent (no
+    #        driver row this round; ROUND13 front set in
+    #        tests/test_registry_order.py) --
+    "ann_recall_trained_vs_seeded",
 ]
 
 

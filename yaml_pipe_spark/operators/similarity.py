@@ -491,6 +491,7 @@ def vec_u6_long(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    normalize: bool = False,
 ) -> DataFrame:
     """Long-format micro-unit quantization of a vector column: one row per
     (id, pos) with pos 1-based and xu = floor(x * 1e6 + 0.5) as BIGINT —
@@ -498,10 +499,15 @@ def vec_u6_long(
     (the same double multiply+add+floor everywhere). This is the exact
     integer substrate kmeans_lloyd_u6 trains on: after it, NO float ever
     enters the Lloyd loop, so no summation-order or rounding tie can split
-    Spark from an oracle."""
+    Spark from an oracle. `normalize` quantizes x/||x|| instead — the
+    spherical (cosine-metric) substrate; the norm is the same
+    left-to-right double fold the oracle's list_sum replays."""
+    xd = F.col(vec_col).cast("array<double>")
+    if normalize:
+        xd = F.transform(xd, lambda v: v / F.sqrt(l2_norm_sq(F.col(vec_col))))
     return df.select(
         F.col(id_col),
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos0", "x"),
+        F.posexplode(xd).alias("pos0", "x"),
     ).select(
         id_col,
         (F.col("pos0") + 1).cast("long").alias("pos"),
@@ -591,6 +597,7 @@ def kmeans_lloyd_u6(
     rounds: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    normalize: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Distributed Lloyd k-means in EXACT integer micro-units — the trained
     coarse quantizer for the IVF family (the quality the reference delegates
@@ -611,9 +618,11 @@ def kmeans_lloyd_u6(
     keyed on (cid, pos) with map-side combine (update) — k*dim partial
     sums per task, independent of corpus size. Rounds multiply the
     constant, not the exponent."""
-    xs = vec_u6_long(corpus, vec_col=vec_col, id_col=id_col).localCheckpoint()
+    xs = vec_u6_long(
+        corpus, vec_col=vec_col, id_col=id_col, normalize=normalize
+    ).localCheckpoint()
     cents = (
-        vec_u6_long(seeds, vec_col="cv", id_col="cid")
+        vec_u6_long(seeds, vec_col="cv", id_col="cid", normalize=normalize)
         .withColumnRenamed("xu", "cu")
     )
     for _ in range(rounds):
