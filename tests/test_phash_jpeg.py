@@ -92,12 +92,33 @@ def test_same_sampled_grays_hash_identically_across_formats():
 def test_decode_jpeg_scope_boundaries():
     with pytest.raises(ValueError):
         dhash_bands_jpeg(build_phash_bmp(5))
-    # progressive (SOF2) is the documented codec extension point
+    # progressive (SOF2) decodes for real since round 12 — a BASELINE
+    # stream merely relabeled SOF2 is malformed (its interleaved scan
+    # claims Ss=0, Se=63, which no progressive scan may), not a scope gap
     payload = bytearray(build_phash_jpeg(0))
     sof = payload.find(b"\xff\xc0")
     payload[sof + 1] = 0xC2
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="DC scan must have Se = 0"):
         decode_jpeg_gray(bytes(payload))
+    # successive approximation (Ah/Al) is the remaining progressive
+    # boundary: flip the third scan's approximation byte
+    from yaml_pipe_spark.multimodal.phash import build_phash_jpeg_prog
+
+    prog = bytearray(build_phash_jpeg_prog(0))
+    last_sos = prog.rfind(b"\xff\xda")
+    # SOS layout: FF DA, 2 length bytes, body [ns, cs, tsel, Ss, Se, AhAl]
+    prog[last_sos + 9] = 0x01  # Al = 1
+    with pytest.raises(NotImplementedError, match="successive"):
+        decode_jpeg_gray(bytes(prog))
+    # progressive color stays typed: a VALID 3-component frame relabeled
+    # SOF2 hits the single-component progressive scope boundary
+    from yaml_pipe_spark.multimodal.phash import build_phash_jpeg_color
+
+    color = bytearray(build_phash_jpeg_color(0))
+    sofc = color.find(b"\xff\xc0")
+    color[sofc + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="single-component"):
+        decode_jpeg_gray(bytes(color))
     # a SAMPLED single-component frame (gray at 2x2) is not a supported
     # layout — only gray 1x1, YCbCr 4:4:4, and YCbCr 4:2:0 are in scope;
     # a 3-component claim with a 1-component table is malformed, not
@@ -302,3 +323,69 @@ def test_jpeg_422_is_still_a_typed_boundary():
     payload[sof + 11] = 0x21  # luma sampling h=2, v=1
     with pytest.raises(NotImplementedError, match="subsampling"):
         decode_jpeg_gray(bytes(payload))
+
+
+def test_progressive_decodes_to_the_generating_formula():
+    from yaml_pipe_spark.multimodal.phash import (
+        _jpeg_target_gray,
+        build_phash_jpeg_prog,
+    )
+
+    for doc_id in (0, 2, 7, 21, 40):
+        base, v = doc_id // 4, doc_id % 4
+        w, h, pix = decode_jpeg_gray(build_phash_jpeg_prog(doc_id))
+        assert (w, h) == (JW, JH)
+        for gy in range(8):
+            for gx in range(9):
+                got = pix[(8 * gy) * w + 8 * gx]
+                assert got == _jpeg_target_gray(
+                    base, v, gx, gy, salt="jpr"
+                ), (doc_id, gx, gy)
+
+
+def test_progressive_eob_runs_are_load_bearing():
+    """The third scan is dominated by multi-block EOB runs; corrupting
+    ONE extra bit of an EOBn symbol shifts the run length by a block,
+    desyncing every later block in the band — decoded samples change or
+    the stream errors. Sweep flips through the third scan's bytes until
+    one lands in an EOBn extra-bit field."""
+    from yaml_pipe_spark.multimodal.phash import build_phash_jpeg_prog
+
+    base = build_phash_jpeg_prog(0)
+    _, _, pix_ref = decode_jpeg_gray(base)
+    third_sos = base.rfind(b"\xff\xda")
+    scan_start = third_sos + 2 + int.from_bytes(
+        base[third_sos + 2 : third_sos + 4], "big"
+    )
+    affected = 0
+    for off in range(0, 12):
+        tgt = scan_start + off
+        if base[tgt] == 0xFF or base[tgt + 1] == 0x00:
+            continue
+        for bit in (0x80, 0x08):
+            mut = bytearray(base)
+            mut[tgt] ^= bit
+            if mut[tgt] == 0xFF:
+                continue
+            try:
+                _, _, pix_mut = decode_jpeg_gray(bytes(mut))
+                affected += pix_mut != pix_ref
+            except (ValueError, NotImplementedError):
+                affected += 1
+    assert affected > 0
+
+
+def test_progressive_banding_and_distinctness():
+    from yaml_pipe_spark.multimodal.phash import build_phash_jpeg_prog
+
+    for base in range(10):
+        b0 = dhash_bands_jpeg(build_phash_jpeg_prog(4 * base))
+        for v in range(1, 4):
+            bv = dhash_bands_jpeg(build_phash_jpeg_prog(4 * base + v))
+            assert b0[:3] == bv[:3]
+    diff = sum(
+        dhash_bands_jpeg(build_phash_jpeg_prog(i))
+        != dhash_bands_jpeg(build_phash_jpeg(i))
+        for i in range(20)
+    )
+    assert diff == 20

@@ -118,6 +118,7 @@ ROUND13_QUEUE: set[str] = {
 # yet) — round 13 fronts these alongside ROUND13_QUEUE.
 ROUND13_NEW: set[str] = {
     "ann_recall_trained_vs_seeded",  # trained-vs-seeded quantizer recall
+    "multimodal_phash_jpeg_prog",  # progressive (SOF2) perceptual dedup
 }
 
 

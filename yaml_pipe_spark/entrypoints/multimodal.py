@@ -949,3 +949,51 @@ def q_multimodal_phash_jpeg420(
     return phash_near_dup_pairs(bands, max_hamming=12, max_bucket=50).select(
         "id_a", "id_b", "hamming"
     )
+
+
+# ---------------------------------------------------------------------------
+# PROGRESSIVE JPEG perceptual dedup (round 12, beyond the asks): SOF2 with
+# spectral selection — the multi-scan layout web optimizers emit — was the
+# last in-scope JPEG boundary. The corpus is coded as three scans (DC, AC
+# band 1..20, AC band 21..63) with the third scan dominated by genuine
+# multi-block END-OF-BAND runs (EOBn + extra bits, the coding construct
+# progressive adds over baseline: only every fifth block carries a band-3
+# coefficient). gray formula salt 'jpr'; the same band equi-join dedup and
+# 72-gray oracle splice as every phash row. Successive approximation
+# (Ah/Al) and progressive color remain typed boundaries.
+# ---------------------------------------------------------------------------
+
+PHASH_JPEG_PROG_ORACLE = PHASH_DEDUP_ORACLE.replace(
+    "md5(bs || '_", "md5('jpr' || bs || '_"
+)
+
+
+@register(
+    "multimodal_phash_jpeg_prog",
+    PHASH_JPEG_PROG_ORACLE,
+    "Perceptual near-dup dedup over PROGRESSIVE JPEGs (round-12 "
+    "extension): complete valid SOF2 spectral-selection files — a DC "
+    "scan with its own prediction chain, then two AC band scans, the "
+    "second dominated by genuine multi-block end-of-band runs — are "
+    "REALLY decoded executor-side (multi-scan marker walk, per-scan "
+    "coefficient accumulation, EOBn run decode with extra bits, one "
+    "IDCT at EOI: multimodal.binary._decode_prog_scan) and "
+    "difference-hashed through the SAME shared gray/grid/band core, "
+    "paired by the same capped band equi-join. A decoder that treats "
+    "EOBn as baseline EOB or miscounts a run by one block shifts every "
+    "later coefficient and flips the oracle hash ('jpr' salt splice). "
+    "Same 100 TB shape as every phash row.",
+)
+def q_multimodal_phash_jpeg_prog(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from yaml_pipe_spark.multimodal.phash import (
+        phash_bands,
+        phash_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    bands = phash_bands(docs, "doc_id", fmt="jpr")
+    return phash_near_dup_pairs(bands, max_hamming=12, max_bucket=50).select(
+        "id_a", "id_b", "hamming"
+    )

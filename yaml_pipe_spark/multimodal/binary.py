@@ -329,6 +329,21 @@ class _JpegBitReader:
             v = (v << 1) | self.read_bit()
         return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
+    def receive(self, t: int) -> int:
+        """t raw magnitude bits, no sign extension (EOB-run lengths)."""
+        v = 0
+        for _ in range(t):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def resume_pos(self) -> int:
+        """First byte position after the current (partially consumed)
+        byte — hands control back to the marker walk between the scans
+        of a progressive stream (remaining bits are 1-padding)."""
+        if self.bit == 0:
+            return self.pos
+        return self.pos + (2 if self.data[self.pos] == 0xFF else 1)
+
 
 def decode_jpeg_gray(payload: bytes):
     """REAL baseline-JPEG decode -> (w, h, row-major gray bytes): marker
@@ -352,6 +367,9 @@ def decode_jpeg_gray(payload: bytes):
     w = h = None
     frame_comps: list[tuple[int, int]] | None = None  # (component id, tq)
     scan_sel: dict[int, tuple[int, int]] = {}  # id -> (dc table, ac table)
+    progressive = False
+    prog_coefs: list[list[int]] | None = None  # per block, by zigzag index
+    prog_scans = 0
     pos = 2
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -385,7 +403,8 @@ def decode_jpeg_gray(payload: bytes):
                     raise NotImplementedError("16-bit quant tables not supported")
                 qt[tq] = list(seg[o + 1 : o + 65])
                 o += 65
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             if seg[0] != 8:
                 raise NotImplementedError("only 8-bit precision supported")
             h = int.from_bytes(seg[1:3], "big")
@@ -407,6 +426,11 @@ def decode_jpeg_gray(payload: bytes):
                     "chroma subsampling layout not supported "
                     "(4:4:4 and 4:2:0 only)"
                 )
+            if progressive and seg[5] != 1:
+                raise NotImplementedError(
+                    "progressive decode is single-component (grayscale) "
+                    "scope; progressive color needs the cluster-side codec"
+                )
             frame_comps = []
             for ci in range(seg[5]):
                 frame_comps.append(
@@ -417,9 +441,10 @@ def decode_jpeg_gray(payload: bytes):
                         seg[7 + 3 * ci] & 15,
                     )
                 )
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                "only baseline sequential (SOF0) JPEG is stdlib-scope"
+                "only baseline (SOF0) or spectral-selection progressive "
+                "(SOF2) JPEG is stdlib-scope"
             )
         elif marker == 0xC4:  # DHT
             o = 0
@@ -433,10 +458,26 @@ def decode_jpeg_gray(payload: bytes):
         elif marker == 0xDD:  # DRI
             raise NotImplementedError("restart intervals not supported")
         elif marker == 0xDA:  # SOS
+            if progressive:
+                if frame_comps is None or w is None:
+                    raise ValueError("JPEG missing SOF0/SOS/DQT")
+                if prog_coefs is None:
+                    nb = ((w + 7) // 8) * ((h + 7) // 8)
+                    prog_coefs = [[0] * 64 for _ in range(nb)]
+                try:
+                    pos = _decode_prog_scan(
+                        payload, pos + 2 + seg_len, seg, huff, prog_coefs
+                    )
+                except IndexError as e:
+                    raise ValueError(
+                        "truncated or corrupt JPEG entropy stream"
+                    ) from e
+                prog_scans += 1
+                continue
             if frame_comps is None or seg[0] != len(frame_comps):
                 raise NotImplementedError(
                     "scan component count must match the frame "
-                    "(no progressive / multi-scan files)"
+                    "(single-scan interleaved baseline only)"
                 )
             for si in range(seg[0]):
                 cs = seg[1 + 2 * si]
@@ -444,6 +485,20 @@ def decode_jpeg_gray(payload: bytes):
             pos = pos + 2 + seg_len
             break
         pos = pos + 2 + seg_len
+    if progressive:
+        if prog_coefs is None or prog_scans == 0 or frame_comps is None:
+            raise ValueError("progressive JPEG carries no scan")
+        tq = frame_comps[0][1]
+        if tq not in qt:
+            raise ValueError("JPEG missing SOF0/SOS/DQT")
+        q = qt[tq]
+        nbx = (w + 7) // 8
+        out = bytearray(w * h)
+        for bi, vals in enumerate(prog_coefs):
+            _idct_block_to_out(
+                vals, q, bi % nbx, bi // nbx, w, h, out
+            )
+        return w, h, bytes(out)
     if w is None or not scan_sel or frame_comps is None:
         raise ValueError("JPEG missing SOF0/SOS/DQT")
     comps = []
@@ -483,6 +538,103 @@ def decode_jpeg_gray(payload: bytes):
         # caller classifies
         raise ValueError("truncated or corrupt JPEG entropy stream") from e
     return w, h, bytes(out)
+
+
+def _decode_prog_scan(payload, pos, seg, huff, coefs):
+    """One progressive scan (T.81 G.2, spectral selection, Ah=Al=0):
+    non-interleaved single-component data units in raster order. The DC
+    scan (Ss=Se=0) is baseline DC coding with its own prediction chain;
+    AC scans decode a zigzag band [Ss..Se] per block with END-OF-BAND
+    RUNS — symbol (r<<4)|0, r<15 means 2^r + receive(r) consecutive
+    blocks have no more coefficients in this band, the coding progressive
+    adds over baseline. Coefficients accumulate into `coefs` (per block,
+    by zigzag index, still quantized); the caller IDCTs once at EOI.
+    Returns the position of the next marker after the entropy segment."""
+    if seg[0] != 1:
+        raise NotImplementedError(
+            "progressive decode is single-component (grayscale) scope"
+        )
+    dc_sel, ac_sel = seg[2] >> 4, seg[2] & 15
+    ss, se = seg[3], seg[4]
+    ah, al = seg[5] >> 4, seg[5] & 15
+    if ah != 0 or al != 0:
+        raise NotImplementedError(
+            "successive approximation (Ah/Al) not supported — spectral "
+            "selection only"
+        )
+    rd = _JpegBitReader(payload, pos)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se = 0")
+        if (0, dc_sel) not in huff:
+            raise ValueError("JPEG SOS references an undefined Huffman table")
+        dc_tab = huff[(0, dc_sel)]
+        pred = 0
+        for vals in coefs:
+            t = rd.decode_symbol(dc_tab)
+            pred += rd.receive_extend(t)
+            vals[0] = pred
+    else:
+        if not (1 <= ss <= se <= 63):
+            raise ValueError("progressive AC scan band out of range")
+        if (1, ac_sel) not in huff:
+            raise ValueError("JPEG SOS references an undefined Huffman table")
+        ac_tab = huff[(1, ac_sel)]
+        eobrun = 0
+        for vals in coefs:
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = rd.decode_symbol(ac_tab)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:  # ZRL: sixteen zeros
+                        k += 16
+                        continue
+                    # EOBn: this block plus 2^r - 1 + receive(r) more
+                    eobrun = (1 << r) - 1 + rd.receive(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError(
+                        "truncated or corrupt JPEG entropy stream"
+                    )
+                vals[k] = rd.receive_extend(s)
+                k += 1
+    # hand back to the marker walk: skip the padding bits, then any 0xFF
+    # fill bytes before the next marker (T.81 B.1.1.2)
+    p = rd.resume_pos()
+    while p + 1 < len(payload) and not (
+        payload[p] == 0xFF and payload[p + 1] not in (0x00, 0xFF)
+    ):
+        p += 1
+    return p
+
+
+def _idct_block_to_out(vals, q, bx, by, w, h, out):
+    """Dequantize one block's zigzag-indexed coefficient values and IDCT
+    them into the output plane — the same sparse basis-plane accumulation
+    the baseline path uses."""
+    acc = [0.0] * 64
+    for zz, v in enumerate(vals):
+        if v:
+            zr, zc = _JPEG_ZIGZAG[zz]
+            f = v * q[zz]
+            plane = _jpeg_basis(zc, zr)
+            acc = [a + f * p for a, p in zip(acc, plane)]
+    for y in range(8):
+        iy = by * 8 + y
+        if iy >= h:
+            break
+        row_off = iy * w
+        for x in range(8):
+            ix = bx * 8 + x
+            if ix >= w:
+                break
+            val = int(round(acc[8 * y + x])) + 128
+            out[row_off + ix] = 0 if val < 0 else (255 if val > 255 else val)
 
 
 def _decode_jpeg_mcus(rd, nmx, nmy, w, h, hmax, vmax, comps, out):

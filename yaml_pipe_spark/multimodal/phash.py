@@ -448,6 +448,7 @@ def phash_bands(
         # sampling factors
         "jgc": lambda i: dhash_bands_jpeg(build_phash_jpeg_color(i)),
         "j42": lambda i: dhash_bands_jpeg(build_phash_jpeg420(i)),
+        "jpr": lambda i: dhash_bands_jpeg(build_phash_jpeg_prog(i)),
     }[fmt]
     docs = spread_for_expansion(docs.select(id_col))
 
@@ -766,3 +767,146 @@ def build_phash_jpeg420(doc_id: int, salt: str = "j42") -> bytes:
                     wr, dc_code, cac_code, dcv, acv, preds[ch]
                 )
     return _jheader_420() + wr.flush() + b"\xff\xd9"
+
+
+# ---------------------------------------------------------------------------
+# PROGRESSIVE JPEG corpus (round 12, beyond the asks): spectral-selection
+# progressive (SOF2) was the last in-scope JPEG boundary — web optimizers
+# emit it widely. The corpus is grayscale 72x64 like the baseline row, but
+# coded as THREE scans: a DC scan, an AC band [1..20] carrying two texture
+# sites per block, and an AC band [21..63] where only every FIFTH block
+# carries a coefficient — so the scan is dominated by genuine END-OF-BAND
+# RUNS (EOBn symbols with extra bits), the coding construct progressive
+# adds over baseline. A decoder that treats EOBn as baseline EOB (or
+# mis-counts a run by one block) shifts every later coefficient and fails
+# the exact sample formula (salt 'jpr').
+# ---------------------------------------------------------------------------
+
+# AC symbols for the progressive scans: EOB0, ZRL, EOBn runs r=1..6, and
+# the three (run, size) families the fixed zigzag sites produce — zz10
+# (run 9 from k=1), zz14 (run 3), zz39 (ZRL + run 2 from k=21)
+_JPAC_SYMS = bytes(
+    [0x00, 0xF0]
+    + [r << 4 for r in range(1, 7)]
+    + [(r << 4) | s for r in (9, 3, 2) for s in range(1, 5)]
+)
+
+
+def _jheader_prog() -> bytes:
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([8] * 64))
+    sof = seg(
+        0xC2,  # SOF2: progressive DCT
+        bytes([8])
+        + JH.to_bytes(2, "big")
+        + JW.to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0]),
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + _jpeg_fixed_huff(len(_JDC_SYMS)) + _JDC_SYMS
+        + bytes([0x10]) + _jpeg_fixed_huff(len(_JPAC_SYMS)) + _JPAC_SYMS,
+    )
+    return b"\xff\xd8" + dqt + sof + dht
+
+
+def _sos(ss: int, se: int) -> bytes:
+    body = bytes([1, 1, 0x00, ss, se, 0x00])
+    return b"\xff\xda" + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def _flush_eobrun(wr, ac_code, run: int) -> None:
+    """Emit pending end-of-band runs: symbol (r<<4)|0 covers 2^r +
+    receive(r) blocks; r chosen largest first (T.81 G.1.2.2)."""
+    while run > 0:
+        r = min(6, run.bit_length() - 1)
+        v = min(run - (1 << r), (1 << r) - 1)
+        code, length = ac_code[r << 4]
+        wr.write(code, length)
+        if r:
+            wr.write(v, r)
+        run -= (1 << r) + v
+
+
+def build_phash_jpeg_prog(doc_id: int, salt: str = "jpr") -> bytes:
+    """A complete, valid spectral-selection progressive grayscale JPEG
+    whose DECODED gray at every dHash sample equals the salted md5
+    formula. Block texture: sites zz10/zz14 always present (scan 2);
+    zz39 only on every fifth block, so scan 3 is mostly EOB runs."""
+    base, v = doc_id // 4, doc_id % 4
+    dc_code = {s: (s, 4) for s in range(12)}
+    ac_len = max(1, len(_JPAC_SYMS).bit_length())
+    if len(_JPAC_SYMS) >= (1 << ac_len):
+        ac_len += 1
+    ac_code = {s: (i, ac_len) for i, s in enumerate(_JPAC_SYMS)}
+
+    from yaml_pipe_spark.multimodal.binary import _JPEG_ZIGZAG
+
+    zz_of = {rc: i for i, rc in enumerate(_JPEG_ZIGZAG)}
+    z10, z14, z39 = zz_of[(4, 0)], zz_of[(0, 4)], zz_of[(4, 4)]
+    assert (z10, z14, z39) == (10, 14, 39)
+
+    nbx, nby = JW // 8, JH // 8
+    blocks = []
+    for by in range(nby):
+        for bx in range(nbx):
+            blk = by * nbx + bx
+            t_gray = _jpeg_target_gray(base, v, bx, by, salt=salt)
+            a10, a14, a39 = _jpeg_ac(base, bx, by, prefix=f"{salt}ac")
+            has39 = blk % 5 == 0
+            acs = (a10, a14, a39 if has39 else 0)
+            dc = (t_gray - 128) - a10 - a14 - (a39 if has39 else 0)
+            blocks.append((dc, acs))
+
+    def write_val(wr, code_map, sym_run, val):
+        s = abs(val).bit_length()
+        code, length = code_map[(sym_run << 4) | s]
+        wr.write(code, length)
+        wr.write(val if val >= 0 else val + (1 << s) - 1, s)
+
+    # scan 1: DC, own prediction chain
+    w1 = _JpegBitWriter()
+    pred = 0
+    for dc, _ in blocks:
+        diff = dc - pred
+        pred = dc
+        size = abs(diff).bit_length()
+        code, length = dc_code[size]
+        w1.write(code, length)
+        if size:
+            w1.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+
+    # scan 2: AC band [1..20] — zz10 (run 9) then zz14 (run 3) then EOB0
+    w2 = _JpegBitWriter()
+    for _, (a10, a14, _a) in blocks:
+        write_val(w2, ac_code, 9, a10)
+        write_val(w2, ac_code, 3, a14)
+        code, length = ac_code[0x00]
+        w2.write(code, length)
+
+    # scan 3: AC band [21..63] — every fifth block carries zz39 (ZRL +
+    # run 2); the rest fold into genuine multi-block EOB runs
+    w3 = _JpegBitWriter()
+    pending = 0
+    for _, (_a, _b, a39) in blocks:
+        if a39 == 0:
+            pending += 1
+            continue
+        _flush_eobrun(w3, ac_code, pending)
+        pending = 0
+        code, length = ac_code[0xF0]  # ZRL: zz 21..36
+        w3.write(code, length)
+        write_val(w3, ac_code, 2, a39)  # run 2: zz 37, 38
+        code, length = ac_code[0x00]
+        w3.write(code, length)
+    _flush_eobrun(w3, ac_code, pending)
+
+    return (
+        _jheader_prog()
+        + _sos(0, 0) + w1.flush()
+        + _sos(1, 20) + w2.flush()
+        + _sos(21, 63) + w3.flush()
+        + b"\xff\xd9"
+    )
