@@ -389,3 +389,60 @@ def test_progressive_banding_and_distinctness():
         for i in range(20)
     )
     assert diff == 20
+
+
+def test_restart_interval_decodes_to_the_generating_formula():
+    from yaml_pipe_spark.multimodal.phash import (
+        _jpeg_target_gray,
+        build_phash_jpeg_rst,
+    )
+
+    for doc_id in (0, 2, 7, 21, 40):
+        base, v = doc_id // 4, doc_id % 4
+        w, h, pix = decode_jpeg_gray(build_phash_jpeg_rst(doc_id))
+        assert (w, h) == (JW, JH)
+        for gy in range(8):
+            for gx in range(9):
+                got = pix[(8 * gy) * w + 8 * gx]
+                assert got == _jpeg_target_gray(
+                    base, v, gx, gy, salt="jrt"
+                ), (doc_id, gx, gy)
+
+
+def test_restart_markers_are_sequence_checked_and_reset_dc():
+    """An out-of-sequence RST marker fails typed (lost entropy data must
+    not decode as garbage), and the per-interval DC reset is load-bearing
+    (the exact formula test above would fail without it — additionally
+    pin that dropping a marker entirely errors rather than desyncs)."""
+    from yaml_pipe_spark.multimodal.phash import build_phash_jpeg_rst
+
+    base = build_phash_jpeg_rst(0)
+    # find the first restart marker and bump its cyclic number
+    sos = base.find(b"\xff\xda")
+    idx = base.find(b"\xff\xd0", sos)
+    assert idx > 0
+    mut = bytearray(base)
+    mut[idx + 1] = 0xD1  # RST1 where RST0 is due
+    with pytest.raises(ValueError, match="out of sequence"):
+        decode_jpeg_gray(bytes(mut))
+    # excising the marker pair entirely: the next interval's bits arrive
+    # where the marker was expected -> typed error
+    cut = base[:idx] + base[idx + 2 :]
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(cut)
+
+
+def test_restart_corpus_banding_and_distinctness():
+    from yaml_pipe_spark.multimodal.phash import build_phash_jpeg_rst
+
+    for b in range(8):
+        b0 = dhash_bands_jpeg(build_phash_jpeg_rst(4 * b))
+        for v in range(1, 4):
+            bv = dhash_bands_jpeg(build_phash_jpeg_rst(4 * b + v))
+            assert b0[:3] == bv[:3]
+    diff = sum(
+        dhash_bands_jpeg(build_phash_jpeg_rst(i))
+        != dhash_bands_jpeg(build_phash_jpeg(i))
+        for i in range(20)
+    )
+    assert diff == 20

@@ -803,3 +803,8 @@ def test_phash_color_pairing_is_band_equijoin_not_cartesian(spark):
 def test_phash_420_pairing_is_band_equijoin_not_cartesian(spark):
     plan = _plan(_q("multimodal_phash_jpeg420", spark), "simple")
     assert "CartesianProduct" not in plan
+
+
+def test_phash_prog_pairing_is_band_equijoin_not_cartesian(spark):
+    plan = _plan(_q("multimodal_phash_jpeg_prog", spark), "simple")
+    assert "CartesianProduct" not in plan

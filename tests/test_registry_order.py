@@ -119,6 +119,7 @@ ROUND13_QUEUE: set[str] = {
 ROUND13_NEW: set[str] = {
     "ann_recall_trained_vs_seeded",  # trained-vs-seeded quantizer recall
     "multimodal_phash_jpeg_prog",  # progressive (SOF2) perceptual dedup
+    "multimodal_phash_jpeg_rst",  # restart-interval (DRI/RSTn) dedup
 }
 
 

@@ -213,6 +213,7 @@ from yaml_pipe_spark.entrypoints.multimodal import (
     q_multimodal_phash_dedup,
     q_multimodal_phash_jpeg420,
     q_multimodal_phash_jpeg_prog,
+    q_multimodal_phash_jpeg_rst,
     q_multimodal_phash_jpeg_color,
     q_multimodal_phash_png,
     q_multimodal_png_decode,
@@ -488,6 +489,7 @@ DRIVER_ORDER: list[str] = [
     #        tests/test_registry_order.py) --
     "ann_recall_trained_vs_seeded",
     "multimodal_phash_jpeg_prog",
+    "multimodal_phash_jpeg_rst",
 ]
 
 

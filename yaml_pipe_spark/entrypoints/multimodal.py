@@ -997,3 +997,50 @@ def q_multimodal_phash_jpeg_prog(
     return phash_near_dup_pairs(bands, max_hamming=12, max_bucket=50).select(
         "id_a", "id_b", "hamming"
     )
+
+
+# ---------------------------------------------------------------------------
+# RESTART-INTERVAL JPEG perceptual dedup (round 12, beyond the asks): DRI /
+# RSTn is ubiquitous in camera and web baseline JPEGs (it bounds the blast
+# radius of corrupted byte ranges), and was the last documented baseline
+# boundary. The corpus sets DRI = 8: every eight MCUs the stream
+# byte-aligns, a cyclic RST0..RST7 marker lands, and every DC prediction
+# chain resets — a decoder that misses one reset (or accepts an
+# out-of-sequence marker) shifts every DC in the following interval and
+# flips the oracle hash ('jrt' salt splice of the same 72-gray formula).
+# ---------------------------------------------------------------------------
+
+PHASH_JPEG_RST_ORACLE = PHASH_DEDUP_ORACLE.replace(
+    "md5(bs || '_", "md5('jrt' || bs || '_"
+)
+
+
+@register(
+    "multimodal_phash_jpeg_rst",
+    PHASH_JPEG_RST_ORACLE,
+    "Perceptual near-dup dedup over RESTART-INTERVAL JPEGs (round-12 "
+    "extension; DRI/RSTn is how real encoders bound corruption blast "
+    "radius): complete valid baseline files with DRI=8 are REALLY "
+    "decoded executor-side — the MCU loop byte-aligns at every interval "
+    "boundary, consumes the cyclic RST marker (out-of-sequence markers "
+    "fail typed), and resets all DC prediction chains "
+    "(multimodal.binary._consume_restart) — then difference-hashed "
+    "through the SAME shared gray/grid/band core and paired by the same "
+    "capped band equi-join. The oracle recomputes the salted md5 "
+    "formula ('jrt') through all 64 bits; a missed DC reset shifts an "
+    "entire interval's samples and mismatches. Same 100 TB shape as "
+    "every phash row.",
+)
+def q_multimodal_phash_jpeg_rst(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from yaml_pipe_spark.multimodal.phash import (
+        phash_bands,
+        phash_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    bands = phash_bands(docs, "doc_id", fmt="jrt")
+    return phash_near_dup_pairs(bands, max_hamming=12, max_bucket=50).select(
+        "id_a", "id_b", "hamming"
+    )

@@ -370,6 +370,7 @@ def decode_jpeg_gray(payload: bytes):
     progressive = False
     prog_coefs: list[list[int]] | None = None  # per block, by zigzag index
     prog_scans = 0
+    restart_interval = 0
     pos = 2
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -387,11 +388,12 @@ def decode_jpeg_gray(payload: bytes):
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             # TEM / RSTn are standalone markers with NO length field
             # (T.81 B.1.1.3); parsing a segment length from their payload
-            # would desync. RSTn belongs inside a restart-interval entropy
-            # stream, which is outside this decoder's declared scope.
+            # would desync. RSTn is legal only INSIDE an entropy segment
+            # (the MCU loop consumes it there); in the header stream both
+            # are out of scope.
             raise NotImplementedError(
-                "standalone TEM/RSTn marker in header stream: restart "
-                "intervals are not supported (cluster-side codec scope)"
+                "standalone TEM/RSTn marker in header stream is not "
+                "supported (RSTn belongs inside entropy data)"
             )
         seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
         seg = payload[pos + 4 : pos + 2 + seg_len]
@@ -455,10 +457,15 @@ def decode_jpeg_gray(payload: bytes):
                 vals = seg[o + 17 : o + 17 + n]
                 huff[(tc, th)] = _jpeg_huff_table(bits, vals)
                 o += 17 + n
-        elif marker == 0xDD:  # DRI
-            raise NotImplementedError("restart intervals not supported")
+        elif marker == 0xDD:  # DRI: restart interval in MCUs
+            restart_interval = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS
             if progressive:
+                if restart_interval:
+                    raise NotImplementedError(
+                        "restart intervals inside progressive scans are "
+                        "not supported"
+                    )
                 if frame_comps is None or w is None:
                     raise ValueError("JPEG missing SOF0/SOS/DQT")
                 if prog_coefs is None:
@@ -530,7 +537,9 @@ def decode_jpeg_gray(payload: bytes):
     nmy = (h + 8 * vmax - 1) // (8 * vmax)
     out = bytearray(w * h)
     try:
-        _decode_jpeg_mcus(rd, nmx, nmy, w, h, hmax, vmax, comps, out)
+        _decode_jpeg_mcus(
+            rd, nmx, nmy, w, h, hmax, vmax, comps, out, restart_interval
+        )
     except IndexError as e:
         # a truncated entropy segment (read past the buffer) or a corrupt
         # (run,size) stream (zigzag index past 63) must surface as the
@@ -637,7 +646,30 @@ def _idct_block_to_out(vals, q, bx, by, w, h, out):
             out[row_off + ix] = 0 if val < 0 else (255 if val > 255 else val)
 
 
-def _decode_jpeg_mcus(rd, nmx, nmy, w, h, hmax, vmax, comps, out):
+def _consume_restart(rd, expected: int) -> None:
+    """Byte-align and consume the RSTm marker that ends a restart
+    interval (T.81 E.1.2): markers are cyclic D0..D7 and arriving out of
+    sequence means entropy data was lost — fail typed rather than
+    decoding garbage."""
+    p = rd.resume_pos()
+    data = rd.data
+    while p + 1 < len(data) and data[p] == 0xFF and data[p + 1] == 0xFF:
+        p += 1  # fill bytes before the marker are legal
+    if (
+        p + 1 >= len(data)
+        or data[p] != 0xFF
+        or not (0xD0 <= data[p + 1] <= 0xD7)
+    ):
+        raise ValueError("expected a restart marker at interval boundary")
+    if data[p + 1] - 0xD0 != expected:
+        raise ValueError("restart marker out of sequence")
+    rd.pos = p + 2
+    rd.bit = 0
+
+
+def _decode_jpeg_mcus(
+    rd, nmx, nmy, w, h, hmax, vmax, comps, out, restart_interval=0
+):
     """Interleaved MCU loop (T.81 A.2.3): per MCU each component decodes
     its h x v sampling-factor blocks in raster order — one block each at
     4:4:4 / grayscale, four luma + one Cb + one Cr at 4:2:0 — each
@@ -645,9 +677,24 @@ def _decode_jpeg_mcus(rd, nmx, nmy, w, h, hmax, vmax, comps, out):
     Only the emit component (Y, full resolution by construction since
     its sampling equals hmax x vmax in every supported layout)
     materializes pixels; the others are entropy-decoded to keep the
-    bitstream aligned."""
+    bitstream aligned. With a DRI interval, every `restart_interval`
+    MCUs the loop consumes the cyclic RSTm marker and resets every DC
+    prediction chain (what makes corrupted segments locally recoverable
+    on a real crawl)."""
+    mcu_idx = 0
+    rst_n = 0
     for my in range(nmy):
         for mx in range(nmx):
+            if (
+                restart_interval
+                and mcu_idx
+                and mcu_idx % restart_interval == 0
+            ):
+                _consume_restart(rd, rst_n)
+                rst_n = (rst_n + 1) & 7
+                for comp in comps:
+                    comp["pred"] = 0
+            mcu_idx += 1
             for comp in comps:
                 q, dc_tab, ac_tab = comp["q"], comp["dc"], comp["ac"]
                 emit = comp["emit"]

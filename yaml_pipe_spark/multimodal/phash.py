@@ -449,6 +449,7 @@ def phash_bands(
         "jgc": lambda i: dhash_bands_jpeg(build_phash_jpeg_color(i)),
         "j42": lambda i: dhash_bands_jpeg(build_phash_jpeg420(i)),
         "jpr": lambda i: dhash_bands_jpeg(build_phash_jpeg_prog(i)),
+        "jrt": lambda i: dhash_bands_jpeg(build_phash_jpeg_rst(i)),
     }[fmt]
     docs = spread_for_expansion(docs.select(id_col))
 
@@ -910,3 +911,74 @@ def build_phash_jpeg_prog(doc_id: int, salt: str = "jpr") -> bytes:
         + _sos(21, 63) + w3.flush()
         + b"\xff\xd9"
     )
+
+
+# ---------------------------------------------------------------------------
+# RESTART-INTERVAL JPEG corpus (round 12, beyond the asks): camera and web
+# encoders emit DRI/RSTn widely (it is what makes a corrupted byte range
+# recoverable), and it was the last documented baseline-JPEG boundary. The
+# corpus is the grayscale geometry with DRI = 8: after every 8 MCUs the
+# entropy stream byte-aligns, a cyclic RST0..RST7 marker lands, and every
+# DC prediction chain RESETS — a decoder that misses the reset (or the
+# cyclic sequence) shifts every DC in the following interval and fails the
+# exact sample formula (salt 'jrt').
+# ---------------------------------------------------------------------------
+
+_RST_INTERVAL = 8
+
+
+def build_phash_jpeg_rst(doc_id: int, salt: str = "jrt") -> bytes:
+    """A complete, valid baseline grayscale JPEG with restart intervals:
+    DRI = 8, RST markers cyclic D0..D7, DC prediction reset per interval.
+    Same solved-block construction as build_phash_jpeg (salt 'jrt')."""
+    base, v = doc_id // 4, doc_id % 4
+    dc_code = {s: (s, 4) for s in range(12)}
+    ac_code = {s: (i, 4) for i, s in enumerate(_JAC_SYMS)}
+
+    from yaml_pipe_spark.multimodal.binary import _JPEG_ZIGZAG
+
+    zz_of = {rc: i for i, rc in enumerate(_JPEG_ZIGZAG)}
+    sites = sorted([zz_of[(0, 4)], zz_of[(4, 0)], zz_of[(4, 4)]])
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + bytes([8] * 64))
+        + seg(
+            0xC0,
+            bytes([8])
+            + JH.to_bytes(2, "big")
+            + JW.to_bytes(2, "big")
+            + bytes([1, 1, 0x11, 0]),
+        )
+        + seg(
+            0xC4,
+            bytes([0x00]) + _jpeg_fixed_huff(len(_JDC_SYMS)) + _JDC_SYMS
+            + bytes([0x10]) + _jpeg_fixed_huff(len(_JAC_SYMS)) + _JAC_SYMS,
+        )
+        + seg(0xDD, _RST_INTERVAL.to_bytes(2, "big"))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    )
+
+    wr = _JpegBitWriter()
+    pred = 0
+    mcu = 0
+    rst_n = 0
+    for by in range(JH // 8):
+        for bx in range(JW // 8):
+            if mcu and mcu % _RST_INTERVAL == 0:
+                out += wr.flush()  # byte-align (1-padding) the interval
+                out += bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) & 7
+                wr = _JpegBitWriter()
+                pred = 0  # DC prediction resets at every restart
+            mcu += 1
+            t_gray = _jpeg_target_gray(base, v, bx, by, salt=salt)
+            a3 = _jpeg_ac(base, bx, by, prefix=f"{salt}ac")
+            pred = _write_sample_block(
+                wr, dc_code, ac_code, sites, t_gray, a3, pred
+            )
+    out += wr.flush() + b"\xff\xd9"
+    return bytes(out)
