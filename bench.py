@@ -72,6 +72,24 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     probe_pre = _load_probe()
+    # Settle-wait (VERDICT r12 ask #7): the driver's bench can start on a
+    # box still draining judge/builder tail load (r12 record started at
+    # loadavg1 6.94/32) — that inflates the FIRST pass and, for any query
+    # whose min lands there, the record. If the pre-probe shows a busy box,
+    # wait for the load to drain (bounded, default 120 s) and re-probe;
+    # both probes plus the wait are recorded so the record stays auditable.
+    settle_budget = float(os.environ.get("SPARK_GRAFT_SETTLE_SEC", "120"))
+    settle_load = float(os.environ.get("SPARK_GRAFT_SETTLE_LOAD", "2.0"))
+    settled_for = 0.0
+    while (
+        settled_for < settle_budget
+        and probe_pre.get("loadavg1", 0.0) > settle_load
+    ):
+        time.sleep(10.0)
+        settled_for += 10.0
+        probe_pre = _load_probe()
+    if settled_for:
+        probe_pre["settled_sec"] = settled_for
     spark = get_spark("yaml-pipe-spark-bench")
 
     # Warm-up: the first queries in sorted order would otherwise be charged
@@ -152,8 +170,17 @@ def main() -> None:
     compact["queries_sha256"] = hashlib.sha256(
         full_map_json.encode()
     ).hexdigest()
+    # The driver keeps only the last ~2000 stdout chars — the line MUST fit.
+    # Never crash here (the full record is already in BENCH_SELF.json):
+    # shrink the slowest-queries map entry by entry until the line fits.
     line = json.dumps(compact)
-    assert len(line) < 1900, f"compact bench line too long: {len(line)}"
+    while len(line) >= 1900 and compact["queries"]:
+        compact["queries"].popitem()
+        compact["queries_note"] = (
+            f"{len(compact['queries'])} slowest of n_queries (trimmed to fit"
+            " the driver's stdout window); full map in BENCH_SELF.json"
+        )
+        line = json.dumps(compact)
     print(line)
 
 

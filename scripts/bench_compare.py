@@ -20,6 +20,9 @@ def main() -> int:
     ratios = {
         q: new[q] / old[q] for q in shared if old[q] > 0 and new[q] > 0
     }
+    if not ratios:
+        print("no shared positive-timing queries between the two records")
+        return 1
     geo = math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios))
     print(f"shared {len(shared)}  geomean {geo:.3f}")
     ranked = sorted(ratios.items(), key=lambda kv: -kv[1])

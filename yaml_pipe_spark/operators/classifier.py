@@ -35,7 +35,7 @@ constants.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from yaml_pipe_spark.functions.text import tokens
@@ -219,9 +219,17 @@ LOGREG_ETA_DEN = 1024
 
 def _tz_div(num, den):
     """Integer quotient toward zero — Spark DIV truncates, DuckDB //
-    floors; routing both through sign * (abs DIV den) makes them equal."""
-    q = F.abs(num).cast("long") / den
-    return F.when(num >= 0, F.floor(q)).otherwise(-F.floor(q)).cast("long")
+    floors; routing both through sign * (abs DIV den) makes them equal.
+
+    Uses Spark's integral `div` (IntegralDivide on BIGINT) rather than
+    float `/` + floor: double division is exact only below 2^53, and at
+    corpus scale the gradient numerators (n_train * 1e9 micro-units)
+    exceed that, which would silently break the bit-parity contract with
+    DuckDB's exact BIGINT quotient (ADVICE r12)."""
+    a = F.abs(num).cast("long")
+    d = (den if isinstance(den, Column) else F.lit(den)).cast("long")
+    q = F.call_function("div", a, d)
+    return F.when(num >= 0, q).otherwise(-q).cast("long")
 
 
 def logreg_quality_distill(

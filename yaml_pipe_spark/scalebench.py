@@ -243,7 +243,7 @@ def _fam_kmeans_lloyd(spark, docs, emb, tmp):
     seeds = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
-    cents, asg = kmeans_lloyd_u6(emb, seeds, rounds=3)
+    _, asg = kmeans_lloyd_u6(emb, seeds, rounds=3)
     return asg.count()
 
 
