@@ -8,69 +8,10 @@ import pytest
 
 from yaml_pipe_spark.entrypoints import DRIVER_ORDER, REGISTRY, queries, oracle_sql
 
-# Round-7-generation rows left WITHOUT a fresh row after round 11's
-# 50-slot prefix — round 12 fronts these (VERDICT r11 ask #1; the set was
-# machine-cross-checked against the CORRECTNESS_r01..r11 union).
-ROUND12_QUEUE: set[str] = {
-    "corpus_dedup_funnel",
-    "corpus_dup_rate_by_source",
-    "corpus_snapshot_churn",
-    "corpus_snapshot_psi",
-    "corpus_split_leakage_audit",
-    "corpus_url_canonical_dedup",
-    "dedup_canonical_quality",
-    "dedup_cluster_resolution",
-    "dedup_containment",
-    "dedup_fuzzy_decontaminate",
-    "dedup_levenshtein_verify",
-    "dedup_semantic_cluster",
-    "dedup_simhash_pairs",
-    "graph_pagerank_centrality",
-    "graph_store_persisted",
-    "layout_zorder_locality",
-    "q3_bm25_index_persisted",
-    "q3_hybrid_lexical_vector",
-    "q3_hybrid_rrf",
-    "quality_nb_distill",
-    "rel_sales_opportunity",
-    "rel_small_qty_revenue",
-    "rel_waiting_suppliers",
-    "s2_normalize_lines",
-    "s4_events_content",
-    "sample_kcenter_coreset",
-    "stream_dedup_first_arrival",
-    "stream_stateful_counter",
-    "stream_interval_join",
-    "stream_session_window",
-    "stream_static_enrich",
-    "stream_tumbling_agg",
-    "t3_state_merge",
-    "text_blocklist_filter",
-    "text_bloom_decontaminate",
-    "text_pii_redact",
-    "text_unigram_logprob",
-}
-
-# New in round 12, or implementation changed in round 12 (prior driver
-# rows, if any, describe code that no longer exists). Grown as round-12
-# waves land.
-ROUND12_CHANGED: set[str] = {
-    "pipeline_forget_e2e",  # batched-action trim (VERDICT r11 ask #4)
-    "emb_kmeans_lloyd",  # Lloyd-trained coarse quantizer (ask #2)
-    "ann_index_retrain_lloyd",  # retrain consuming trained centroids (#2)
-    "quality_logreg_distill",  # GD-trained linear quality classifier (#6)
-    "multimodal_phash_jpeg_color",  # YCbCr 4:4:4 color JPEG dedup (ask #5)
-    "multimodal_phash_jpeg420",  # 4:2:0 subsampled — beyond the asks
-}
-
-ROUND12_MUST_FRONT: set[str] = ROUND12_QUEUE | ROUND12_CHANGED
-
 # Round-8-generation rows left WITHOUT a fresh row after round 12's
-# 50-slot prefix is spent (the 6 r8 fill rows that make the prefix —
-# q1_topk_cosine, q2_hitrate, dedup_exact, ann_ivf_topk, c2_markdown_chunk,
-# s1_parse_pdf — are deliberately absent; events_sessionize was pushed
-# past the boundary by the sixth round-12 row and stays queued) —
-# round 13 must front these before anything merely stale from r9.
+# 50-slot prefix — round 13 fronts these (VERDICT r12 ask #1; the set was
+# machine-cross-checked against the CORRECTNESS_r01..r12 union: exactly
+# the 39 queries whose newest green driver row is r8).
 ROUND13_QUEUE: set[str] = {
     "events_sessionize",
     "ann_recall_measured",
@@ -114,8 +55,9 @@ ROUND13_QUEUE: set[str] = {
 }
 
 
-# Registered AFTER round 12's 50-slot prefix was spent (no driver row
-# yet) — round 13 fronts these alongside ROUND13_QUEUE.
+# Registered AFTER round 12's 50-slot prefix was spent (judge-verified
+# MATCH in the round-12 sweep, but no driver row yet) — round 13 fronts
+# these alongside ROUND13_QUEUE.
 ROUND13_NEW: set[str] = {
     "ann_recall_trained_vs_seeded",  # trained-vs-seeded quantizer recall
     "multimodal_phash_jpeg_prog",  # progressive (SOF2) perceptual dedup
@@ -123,16 +65,82 @@ ROUND13_NEW: set[str] = {
 }
 
 
-def test_round12_sets_are_registered_and_oracled():
-    for name in ROUND12_MUST_FRONT | ROUND13_QUEUE | ROUND13_NEW:
+# New in round 13, or implementation changed in round 13 (prior driver
+# rows, if any, describe code that no longer exists). Grown as round-13
+# waves land.
+ROUND13_CHANGED: set[str] = {
+    "quality_logreg_distill",  # exact integral div in _tz_div (ADVICE r12)
+}
+
+ROUND13_MUST_FRONT: set[str] = ROUND13_QUEUE | ROUND13_NEW | ROUND13_CHANGED
+
+# Round-9-generation rows left WITHOUT a fresh row after round 13's
+# 50-slot prefix is spent — round 14 must front these before anything
+# merely stale from r10. (The r9 fill rows that DO make this round's
+# prefix are deliberately absent; finalized when the round is sealed.)
+ROUND14_QUEUE: set[str] = {
+    "corpus_doremi_weights",
+    "corpus_ngram_novelty",
+    "corpus_pack_windows",
+    "corpus_ppl_quality_corr",
+    "corpus_unimax_mix",
+    "dedup_embedding_cosine_blocked",
+    "dedup_lsh_scurve",
+    "dedup_ngram_jaccard",
+    "dedup_segment_exact",
+    "dedup_substring_span",
+    "emb_covariance",
+    "emb_dim_stats",
+    "emb_matryoshka_agreement",
+    "emb_outlier_zscore",
+    "events_funnel_time",
+    "events_hopping_agg",
+    "events_props_extract",
+    "events_props_json",
+    "events_session_window",
+    "events_tumbling_agg",
+    "multimodal_features",
+    "multimodal_real_decode",
+    "multimodal_resize",
+    "q2_ranking_metrics",
+    "rel_cube_flag_status",
+    "rel_important_stock",
+    "rel_join_key_skew",
+    "rel_local_supplier_volume",
+    "rel_min_cost_supplier",
+    "rel_pareto_revenue",
+    "rel_part_brand_stats",
+    "rel_parts_supplier_count",
+    "rel_product_profit",
+    "rel_promotion_suppliers",
+    "rel_revenue_trend",
+    "rel_shipmode_priority",
+    "stream_bm25_append",
+    "stream_interval_join_outer",
+    "stream_window_topk",
+    "text_c4_filters",
+    "text_dsir_weight",
+    "text_vocab_coverage",
+}
+
+
+def test_round13_sets_are_registered_and_oracled():
+    for name in ROUND13_MUST_FRONT | ROUND14_QUEUE:
         assert name in REGISTRY, name
         assert REGISTRY[name].oracle is not None, name
 
 
-def test_round12_front_sets_inside_driver_prefix():
+def test_round13_front_sets_inside_driver_prefix():
     prefix = set(list(queries())[:50])
-    missing = ROUND12_MUST_FRONT - prefix
+    missing = ROUND13_MUST_FRONT - prefix
     assert not missing, f"outside the 50-entry driver prefix: {missing}"
+
+
+def test_round14_queue_not_double_counted():
+    # a row can't both get a fresh r13 driver row and queue for r14
+    prefix = set(list(queries())[:50])
+    overlap = ROUND14_QUEUE & prefix
+    assert not overlap, f"in both the r13 prefix and ROUND14_QUEUE: {overlap}"
 
 
 def test_driver_order_is_valid():

@@ -402,94 +402,84 @@ del _reordered, _n
 
 
 # The round driver validates a *prefix* of the queries() dict (each round
-# records exactly the first 50 entries in insertion order). Round 12
-# rotation, in priority order:
+# records exactly the first 50 entries in insertion order). Round 13
+# rotation (VERDICT r12 ask #1), in priority order:
 #   1. flagship (the smoke-checked canary),
-#   2. the ROUND12_QUEUE — the thirty-seven round-7-generation rows whose
-#      newest driver row is still r7 (VERDICT r11 ask #1) — after these
-#      the oldest attestation anywhere in the registry is >= r8,
-#   3. queries NEW in round 12 or whose implementation CHANGED in round 12
-#      (the Lloyd-trained quantizer + its retrain consumer, the GD-trained
-#      quality classifier, color-JPEG perceptual dedup, the batched
-#      forget-e2e trim; grows as waves land),
-#   4. round-8-generation refresh fill, as slots allow (only entries
-#      inside the first 50 get a driver row; the rest stay r8 and queue
-#      for round 13).
+#   2. ROUND13_QUEUE — the thirty-nine round-8-generation rows whose
+#      newest driver row is still r8 — after these the oldest attestation
+#      anywhere in the registry is >= r9,
+#   3. ROUND13_NEW — the three rows registered after round 12's prefix
+#      was spent (judge-verified MATCH in r12, but no driver row yet),
+#   4. queries NEW in round 13 or whose implementation CHANGED in
+#      round 13 (grows as waves land; pinned in
+#      tests/test_registry_order.py ROUND13_CHANGED / ROUND13_R13NEW),
+#   5. round-9-generation refresh fill, as slots allow — sections 1-4
+#      take 43+ of the 50, so at most a handful of the 48 r9 rows get a
+#      fresh row; the rest queue for round 14 (ROUND14_QUEUE).
 # Registry entries not listed here follow in registration order (still covered
 # by bench.py and the local sf0.001/sf0.01/sf0.1 oracle-parity runs every
 # round). Keep the sets in tests/test_registry_order.py in sync so the prefix
 # invariant stays pinned.
 DRIVER_ORDER: list[str] = [
     "flagship",  # canary: the smoke-checked query stays first
-    # -- (2) ROUND12_QUEUE: round-7-generation attestation debt (VERDICT
-    #        r11 ask #1; pinned in tests/test_registry_order.py), by
+    # -- (2) ROUND13_QUEUE: round-8-generation attestation debt (VERDICT
+    #        r12 ask #1; pinned in tests/test_registry_order.py), by
     #        family --
-    "corpus_dedup_funnel",
-    "corpus_dup_rate_by_source",
-    "corpus_snapshot_churn",
-    "corpus_snapshot_psi",
-    "corpus_split_leakage_audit",
-    "corpus_url_canonical_dedup",
-    "dedup_canonical_quality",
-    "dedup_cluster_resolution",
-    "dedup_containment",
-    "dedup_fuzzy_decontaminate",
-    "dedup_levenshtein_verify",
-    "dedup_semantic_cluster",
-    "dedup_simhash_pairs",
-    "graph_pagerank_centrality",
-    "graph_store_persisted",
-    "layout_zorder_locality",
-    "q3_bm25_index_persisted",
-    "q3_hybrid_lexical_vector",
-    "q3_hybrid_rrf",
-    "quality_nb_distill",
-    "rel_sales_opportunity",
-    "rel_small_qty_revenue",
-    "rel_waiting_suppliers",
-    "s2_normalize_lines",
-    "s4_events_content",
-    "sample_kcenter_coreset",
-    "stream_dedup_first_arrival",
-    "stream_stateful_counter",
-    "stream_interval_join",
-    "stream_session_window",
-    "stream_static_enrich",
-    "stream_tumbling_agg",
-    "t3_state_merge",
-    "text_blocklist_filter",
-    "text_bloom_decontaminate",
-    "text_pii_redact",
-    "text_unigram_logprob",
-    # -- (3) NEW or CHANGED in round 12 --
-    "emb_kmeans_lloyd",          # Lloyd-trained coarse quantizer (ask #2)
-    "ann_index_retrain_lloyd",   # retrain consuming the trained centroids
-    "quality_logreg_distill",    # GD-trained linear quality classifier (#6)
-    "multimodal_phash_jpeg_color",  # YCbCr 4:4:4 color JPEG dedup (ask #5)
-    "multimodal_phash_jpeg420",  # 4:2:0 — the dominant crawl layout
-    "pipeline_forget_e2e",       # CHANGED: batched-action trim (ask #4)
-    # -- (4) round-8-generation refresh fill (only entries inside the
-    #        first 50 get a driver row — 7 of the 10 listed once the 5
-    #        round-12 rows above land; the other 38 r8 rows queue for
-    #        round 13 — ROUND13_QUEUE in tests/test_registry_order.py) --
-    "q1_topk_cosine",
-    "q2_hitrate",
-    "dedup_exact",
-    "ann_ivf_topk",
-    "c2_markdown_chunk",
-    "s1_parse_pdf",
-    "events_sessionize",
-    "rel_nation_revenue",
-    "text_repetition",
-    "sim_knn_join",
-    "rel_top_supplier",
+    "ann_recall_measured",
+    "ann_signlsh_topk",
+    "c1_recursive_chunk",
+    "c3_adaptive_chunk",
+    "corpus_curation_funnel",
     "corpus_holdout_split",
-    # -- (5) registered after round 12's 50-slot prefix was spent (no
-    #        driver row this round; ROUND13 front set in
-    #        tests/test_registry_order.py) --
+    "corpus_source_cap",
+    "dedup_simhash",
+    "dedup_soft_reweight",
+    "dedup_winnow_pairs",
+    "emb_int8_quant",
+    "events_approx_distinct_bounded",
+    "events_asof_join",
+    "events_forget_users",
+    "events_incremental_agg",
+    "events_sessionize",
+    "events_transition_matrix",
+    "multimodal_frame_sample",
+    "quality_rho_excess",
+    "rel_customer_distribution",
+    "rel_disjunctive_revenue",
+    "rel_forecast_revenue",
+    "rel_late_ship_orders",
+    "rel_nation_revenue",
+    "rel_order_gaps",
+    "rel_promo_revenue_pct",
+    "rel_returned_item_revenue",
+    "rel_top3_orders_per_priority",
+    "rel_top_supplier",
+    "rel_volume_shipping",
+    "s1_parse_docx",
+    "s1_parse_eml",
+    "s1_parse_pptx",
+    "s2_multi_fetch",
+    "sim_knn_join",
+    "stream_hopping_agg",
+    "stream_watermark_dedup",
+    "text_repetition",
+    "text_winnow_fingerprint",
+    # -- (3) ROUND13_NEW: registered after round 12's prefix was spent —
+    #        first driver row this round --
     "ann_recall_trained_vs_seeded",
     "multimodal_phash_jpeg_prog",
     "multimodal_phash_jpeg_rst",
+    # -- (4) NEW or CHANGED in round 13 --
+    "quality_logreg_distill",    # CHANGED: exact integral div (ADVICE r12)
+    # -- (5) round-9-generation refresh fill (only entries inside the
+    #        first 50 get a driver row; the other r9 rows queue for
+    #        round 14 — ROUND14_QUEUE in tests/test_registry_order.py) --
+    "ann_pq_adc_topk",
+    "dedup_embedding_cosine",
+    "emb_pca_project",
+    "multimodal_phash_dedup",
+    "rel_shipping_priority",
+    "text_bpe_train",
 ]
 
 
