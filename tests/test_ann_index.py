@@ -314,3 +314,66 @@ def test_ivfpq_append_version_mode_mismatch_raises(spark, tmp_path):
     st2.build(head, cents)
     with pytest.raises(ValueError, match="staleness mode"):
         st2.append(tail, version="snap-2")
+
+
+def test_serve_nprobe_stamp_roundtrip_and_survives_maintenance(
+    spark, tmp_path
+):
+    corpus, cents, qs = _frames(spark)
+    store = IvfPqIndexStore(str(tmp_path / "idx"))
+    store.build(corpus, cents, serve_nprobe=3)
+    # nprobe=None serves with the stamped budget
+    got = sorted(
+        store.serve(qs, k=5, nprobe=None, rerank_m=20).collect(),
+        key=lambda r: (r["qid"], r["rank"]),
+    )
+    want = sorted(
+        store.serve(qs, k=5, nprobe=3, rerank_m=20).collect(),
+        key=lambda r: (r["qid"], r["rank"]),
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # append and forget rewrite the meta row — the stamp must ride along
+    inc = corpus.limit(0)
+    extra = spark.createDataFrame(
+        [(1000, [0.05] * 8)], "vec_id long, embedding array<double>"
+    )
+    store.append(extra)
+    assert store._read_meta(spark)["serve_nprobe"] == 3
+    store.forget(extra.select("vec_id"))
+    assert store._read_meta(spark)["serve_nprobe"] == 3
+    # an unstamped index serves with the pre-stamp default (2)
+    store2 = IvfPqIndexStore(str(tmp_path / "idx2"))
+    store2.build(corpus, cents)
+    got2 = sorted(
+        store2.serve(qs, k=5, nprobe=None, rerank_m=20).collect(),
+        key=lambda r: (r["qid"], r["rank"]),
+    )
+    want2 = sorted(
+        store2.serve(qs, k=5, nprobe=2, rerank_m=20).collect(),
+        key=lambda r: (r["qid"], r["rank"]),
+    )
+    assert [tuple(r) for r in got2] == [tuple(r) for r in want2]
+
+
+def test_select_nprobe_smallest_meeting_floor_and_fallback(spark):
+    from yaml_pipe_spark.operators.similarity import select_nprobe
+
+    # recall = n_hit/n_exact; floor 0.7 -> 84/120 is an EXACT boundary row
+    curve = spark.createDataFrame(
+        [(1, 0.5, 24, 120, 60), (2, 0.7, 24, 120, 84), (4, 0.9, 24, 120, 108)],
+        "nprobe long, recall double, n_queries long, n_exact long, n_hit long",
+    )
+    rows = {
+        r["nprobe"]: r for r in select_nprobe(curve, 7, 10).collect()
+    }
+    assert rows[2]["meets_floor"] == 1  # integer test: 84*10 >= 120*7
+    assert all(r["chosen_nprobe"] == 2 for r in rows.values())
+    assert [n for n, r in rows.items() if r["is_chosen"] == 1] == [2]
+    # nothing meets the floor -> fall back to the largest measured budget
+    low = spark.createDataFrame(
+        [(1, 0.1, 24, 120, 12), (2, 0.2, 24, 120, 24)],
+        "nprobe long, recall double, n_queries long, n_exact long, n_hit long",
+    )
+    rows_low = select_nprobe(low, 7, 10).collect()
+    assert all(r["chosen_nprobe"] == 2 for r in rows_low)
+    assert all(r["meets_floor"] == 0 for r in rows_low)

@@ -70,9 +70,17 @@ ROUND13_NEW: set[str] = {
 # waves land.
 ROUND13_CHANGED: set[str] = {
     "quality_logreg_distill",  # exact integral div in _tz_div (ADVICE r12)
+    "ann_index_retrain_lloyd",  # stamps + serves the tuned nprobe (ask #2)
 }
 
-ROUND13_MUST_FRONT: set[str] = ROUND13_QUEUE | ROUND13_NEW | ROUND13_CHANGED
+# Queries NEW in round 13 (no prior driver row by definition).
+ROUND13_R13NEW: set[str] = {
+    "ann_ivf_nprobe_select",  # measured nprobe auto-tune (ask #2)
+}
+
+ROUND13_MUST_FRONT: set[str] = (
+    ROUND13_QUEUE | ROUND13_NEW | ROUND13_CHANGED | ROUND13_R13NEW
+)
 
 # Round-9-generation rows left WITHOUT a fresh row after round 13's
 # 50-slot prefix is spent — round 14 must front these before anything
@@ -115,7 +123,9 @@ ROUND14_QUEUE: set[str] = {
     "rel_promotion_suppliers",
     "rel_revenue_trend",
     "rel_shipmode_priority",
+    "rel_shipping_priority",
     "stream_bm25_append",
+    "text_bpe_train",
     "stream_interval_join_outer",
     "stream_window_topk",
     "text_c4_filters",

@@ -206,12 +206,19 @@ class IvfPqIndexStore:
         corpus: DataFrame,
         centroids: DataFrame,
         version: str | None = None,
+        serve_nprobe: int | None = None,
     ) -> None:
         """One corpus pass: assign + encode, then persist all four tables.
 
         The assign/encode job is embarrassingly parallel (centroids are
         broadcast; the only shuffle is ivf_assign's groupBy on the vector
-        id) and the codes write is partitioned by cid so serves prune."""
+        id) and the codes write is partitioned by cid so serves prune.
+
+        `serve_nprobe` stamps a measured probe budget into the meta row
+        (select_nprobe's output — the smallest nprobe meeting the recall
+        floor on THIS corpus under THESE centroids); serve(nprobe=None)
+        reads it back, so retuning travels with the rebuild instead of
+        being hardcoded at every call site."""
         spark = corpus.sparkSession
         corpus = corpus.select(self.id_col, self.vec_col)
         coded = ivf_assign(
@@ -257,7 +264,7 @@ class IvfPqIndexStore:
         else:
             n, h = -1, -1
         cn, ch = self._centroid_fingerprint(centroids)
-        self._write_meta(spark, n, h, cn, ch, version)
+        self._write_meta(spark, n, h, cn, ch, version, serve_nprobe)
 
     def _write_meta(
         self,
@@ -267,6 +274,7 @@ class IvfPqIndexStore:
         cfp_n: int,
         cfp_h: int,
         version: str | None,
+        serve_nprobe: int | None = None,
     ) -> None:
         spark.createDataFrame(
             [
@@ -279,10 +287,11 @@ class IvfPqIndexStore:
                     self.scale,
                     self.score_decimals,
                     _LAYOUT,
+                    serve_nprobe,
                 )
             ],
             "fp_n long, fp_h long, cfp_n long, cfp_h long, version string, "
-            "scale int, score_decimals int, layout string",
+            "scale int, score_decimals int, layout string, serve_nprobe int",
         ).coalesce(1).write.mode("overwrite").parquet(self.meta_path)
 
     def is_stale(
@@ -427,6 +436,7 @@ class IvfPqIndexStore:
             meta["cfp_n"],
             meta["cfp_h"],
             version if version is not None else meta["version"],
+            meta.get("serve_nprobe"),
         )
 
     def forget(self, ids: DataFrame, version: str | None = None) -> int:
@@ -492,6 +502,7 @@ class IvfPqIndexStore:
             meta["cfp_n"],
             meta["cfp_h"],
             version if version is not None else meta["version"],
+            meta.get("serve_nprobe"),
         )
         return int(n)
 
@@ -626,12 +637,19 @@ class IvfPqIndexStore:
         self,
         queries: DataFrame,
         k: int = 5,
-        nprobe: int = 2,
+        nprobe: int | None = 2,
         rerank_m: int = 20,
         query_id: str = "qid",
         query_vec: str = "qv",
     ) -> DataFrame:
         """Top-k from the PERSISTED tables only — no assign/encode rerun.
+
+        `nprobe=None` reads the probe budget STAMPED into the meta row by
+        build(serve_nprobe=...) — the select_nprobe measurement travels
+        with the index, so a retrain that re-tunes the budget changes
+        every serve without touching call sites (falls back to 2 when
+        the index predates the stamp). The meta read is a driver-side
+        1-row collect at plan-build time, not part of the serve plan.
 
         Plan contract (asserted in tests/test_ann_index.py): exactly three
         parquet scans (centroids, codes, vectors); the probe set joins the
@@ -639,6 +657,14 @@ class IvfPqIndexStore:
         closed-form code assignment (`floor(v*8)`) appears nowhere in the
         serve plan because codes come off disk."""
         spark = queries.sparkSession
+        if nprobe is None:
+            meta = self._read_meta(spark)
+            if meta is None:
+                raise IndexNotBuiltError(
+                    "serve(nprobe=None) requires an existing index"
+                )
+            stamped = meta.get("serve_nprobe")
+            nprobe = int(stamped) if stamped is not None else 2
         centroids = spark.read.parquet(self.centroids_path)
         codes = spark.read.parquet(self.codes_path).withColumnRenamed(
             "code", "__code"

@@ -849,11 +849,16 @@ def _coarse_probes(
     cvec_col: str,
     score_decimals: int,
     with_residual: bool = False,
+    keep_rank: bool = False,
 ) -> DataFrame:
     """Per-query nprobe nearest cells against the broadcast centroids
     (k x dim work, no corpus touch). With `with_residual`, also carries
     the query's per-cell residual qv - centroid as `__adcq` — otherwise
-    `__adcq` is the raw query vector. Shared by both IVF-PQ variants."""
+    `__adcq` is the raw query vector. With `keep_rank`, the cell's rank
+    in the query's probe order rides along as `probe_rank` (probe sets
+    nest, so one pass at the largest setting reproduces every smaller
+    one by filtering — the ivf_scored_candidates trick, for the PQ
+    path). Shared by both IVF-PQ variants."""
     probed = (
         queries.crossJoin(F.broadcast(centroids))
         .withColumn(
@@ -879,9 +884,10 @@ def _coarse_probes(
         if with_residual
         else F.col(query_vec).cast("array<double>")
     )
-    return probed.select(
-        query_id, query_vec, cid_col, adcq.alias("__adcq")
-    )
+    cols = [query_id, query_vec, cid_col, adcq.alias("__adcq")]
+    if keep_rank:
+        cols.append(F.col("__pr").cast("long").alias("probe_rank"))
+    return probed.select(*cols)
 
 
 def _pq_serve(
@@ -1041,4 +1047,166 @@ def ivfpq_residual_topk(
     return _pq_serve(
         corpus, index, qprobe, 8, k, rerank_m,
         query_id, query_vec, vec_col, id_col, cid_col, score_decimals,
+    )
+
+
+def ivfpq_adc_candidates(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    query_id: str = "qid",
+    query_vec: str = "qv",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cid_col: str = "cid",
+    cvec_col: str = "cv",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """The IVF-PQ ADC stage alone, with the candidate cell's probe rank
+    attached: (query_id, id_col, adc_r, probe_rank). Probe sets nest, so
+    ONE pass at the largest nprobe reproduces every smaller setting by
+    filtering `probe_rank <= np` — the ivf_scored_candidates trick applied
+    to the 2-bit ADC path, which is what lets a recall-vs-nprobe curve
+    over the SERVED pipeline cost one corpus-scale join instead of one
+    per curve point."""
+    coded = corpus.select(
+        id_col, vec_col, sq2_codes(F.col(vec_col)).alias("__code")
+    )
+    assigned = ivf_assign(
+        coded, centroids, vec_col, id_col, cid_col, cvec_col, score_decimals
+    )
+    index = assigned.select(id_col, cid_col, "__code")
+    qprobe = _coarse_probes(
+        queries, centroids, nprobe, query_id, query_vec, cid_col,
+        cvec_col, score_decimals, with_residual=False, keep_rank=True,
+    )
+    return index.join(F.broadcast(qprobe), cid_col).select(
+        query_id,
+        id_col,
+        F.round(
+            sq2_adc_dist_sq(F.col("__adcq"), F.col("__code"), scale=8),
+            score_decimals,
+        ).alias("adc_r"),
+        "probe_rank",
+    )
+
+
+def ivfpq_recall_curve(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    k: int = 5,
+    rerank_m: int = 20,
+    query_id: str = "qid",
+    query_vec: str = "qv",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Recall@k of the SERVED IVF-PQ pipeline (ADC top-m + exact rerank —
+    ivfpq_topk's exact semantics) per probe budget, against the exact
+    Arrow top-k: one row per nprobe with (nprobe, recall, n_queries,
+    n_exact, n_hit). The measurement an IVF index must publish before
+    anyone trusts a probe setting — and the input select_nprobe tunes on.
+
+    Cost shape (100 TB): ONE corpus-scale ADC join at max(nprobes) with
+    probe ranks attached; each curve point is a filter + top-m window
+    over that shared frame; the exact reranks of all curve points are
+    batched into ONE broadcast join over the union of their top-m sets
+    (at most |nprobes| * rerank_m rows per query); the exact side is the
+    guarded Arrow batch scorer."""
+    from functools import reduce
+
+    nps = sorted(set(int(n) for n in nprobes))
+    exact = knn_join_arrow(
+        queries, corpus, k=k, query_id=query_id, query_vec=query_vec,
+        vec_col=vec_col, id_col=id_col, score_decimals=score_decimals,
+    ).localCheckpoint()
+    adc = ivfpq_adc_candidates(
+        queries, corpus, centroids, nprobe=max(nps), query_id=query_id,
+        query_vec=query_vec, vec_col=vec_col, id_col=id_col,
+        score_decimals=score_decimals,
+    ).localCheckpoint()
+    w_adc = W.partitionBy(query_id).orderBy("adc_r", id_col)
+    topms = [
+        adc.filter(F.col("probe_rank") <= np)
+        .withColumn("__ar", F.row_number().over(w_adc))
+        .filter(F.col("__ar") <= rerank_m)
+        .select(F.lit(np).cast("long").alias("nprobe"), query_id, id_col)
+        for np in nps
+    ]
+    topm = reduce(lambda a, b: a.unionByName(b), topms).localCheckpoint()
+    # ONE exact-rerank pass over the union of every curve point's top-m
+    # set — candidate-scale random access, the corpus never reshuffles
+    pairs = (
+        topm.select(query_id, id_col)
+        .distinct()
+        .join(queries.select(query_id, query_vec), query_id)
+    )
+    scores = F.broadcast(pairs).join(
+        corpus.select(id_col, vec_col), id_col
+    ).select(
+        query_id,
+        id_col,
+        F.round(
+            cosine(F.col(vec_col), F.col(query_vec)), score_decimals
+        ).alias("score"),
+    )
+    ranked = topm.join(scores, [query_id, id_col]).withColumn(
+        "__rn",
+        F.row_number().over(
+            W.partitionBy("nprobe", query_id).orderBy(
+                F.col("score").desc(), F.col(id_col)
+            )
+        ),
+    )
+    curves = [
+        recall_at_k(
+            ranked.filter(
+                (F.col("nprobe") == np) & (F.col("__rn") <= k)
+            ),
+            exact,
+            query_id=query_id,
+            id_col=id_col,
+        ).select(F.lit(np).cast("long").alias("nprobe"), "*")
+        for np in nps
+    ]
+    return reduce(lambda a, b: a.unionByName(b), curves)
+
+
+def select_nprobe(
+    curve: DataFrame,
+    floor_num: int = 7,
+    floor_den: int = 10,
+    nprobe_col: str = "nprobe",
+) -> DataFrame:
+    """Pick the SMALLEST probe budget meeting a recall floor from a
+    measured (nprobe, recall, n_exact, n_hit) curve — recall alone never
+    justifies a probe setting; the smallest budget that clears the floor
+    is the one that should be stamped into the index meta (VERDICT r12
+    ask #2: Lloyd training LOWERS recall at a fixed nprobe, so the probe
+    budget must be re-tuned whenever the quantizer retrains).
+
+    The floor test is INTEGER (n_hit * floor_den >= n_exact * floor_num,
+    i.e. recall >= floor_num/floor_den) so engine float rounding can
+    never flip a boundary row. Falls back to the largest measured nprobe
+    when nothing clears the floor. The window is global over the curve
+    frame — |nprobes| rows by construction, not a scale path."""
+    w = W.partitionBy()
+    meets = (
+        F.col("n_hit") * F.lit(int(floor_den))
+        >= F.col("n_exact") * F.lit(int(floor_num))
+    )
+    out = curve.withColumn("meets_floor", meets.cast("long"))
+    chosen = F.coalesce(
+        F.min(
+            F.when(F.col("meets_floor") == 1, F.col(nprobe_col))
+        ).over(w),
+        F.max(F.col(nprobe_col)).over(w),
+    )
+    return out.withColumn("chosen_nprobe", chosen.cast("long")).withColumn(
+        "is_chosen",
+        (F.col(nprobe_col) == F.col("chosen_nprobe")).cast("long"),
     )
