@@ -100,15 +100,22 @@ def test_decode_jpeg_scope_boundaries():
     payload[sof + 1] = 0xC2
     with pytest.raises(ValueError, match="DC scan must have Se = 0"):
         decode_jpeg_gray(bytes(payload))
-    # successive approximation (Ah/Al) is the remaining progressive
-    # boundary: flip the third scan's approximation byte
+    # successive approximation (Ah/Al) decodes for real since round 13 —
+    # relabeling the third scan's point transform to Al=1 is now a LEGAL
+    # first scan whose values land doubled: the stream still decodes, but
+    # the pixels move (the refinement bits it now implies were never
+    # sent). The remaining typed boundary is an approximation step wider
+    # than one bit (Ah != Al + 1).
     from yaml_pipe_spark.multimodal.phash import build_phash_jpeg_prog
 
     prog = bytearray(build_phash_jpeg_prog(0))
     last_sos = prog.rfind(b"\xff\xda")
     # SOS layout: FF DA, 2 length bytes, body [ns, cs, tsel, Ss, Se, AhAl]
     prog[last_sos + 9] = 0x01  # Al = 1
-    with pytest.raises(NotImplementedError, match="successive"):
+    _, _, pix_al1 = decode_jpeg_gray(bytes(prog))
+    assert pix_al1 != decode_jpeg_gray(build_phash_jpeg_prog(0))[2]
+    prog[last_sos + 9] = 0x30  # Ah=3, Al=0: a two-bit refinement step
+    with pytest.raises(ValueError, match="refine exactly one bit"):
         decode_jpeg_gray(bytes(prog))
     # progressive color stays typed: a VALID 3-component frame relabeled
     # SOF2 hits the single-component progressive scope boundary
@@ -446,3 +453,116 @@ def test_restart_corpus_banding_and_distinctness():
         for i in range(20)
     )
     assert diff == 20
+
+
+def test_sa_progressive_decodes_to_the_generating_formula():
+    from yaml_pipe_spark.multimodal.phash import (
+        _jpeg_target_gray,
+        build_phash_jpeg_sa,
+    )
+
+    for doc_id in (0, 2, 7, 21, 40):
+        base, v = doc_id // 4, doc_id % 4
+        w, h, pix = decode_jpeg_gray(build_phash_jpeg_sa(doc_id))
+        assert (w, h) == (JW, JH)
+        for gy in range(8):
+            for gx in range(9):
+                got = pix[(8 * gy) * w + 8 * gx]
+                assert got == _jpeg_target_gray(
+                    base, v, gx, gy, salt="jsa"
+                ), (doc_id, gx, gy)
+
+
+def test_sa_refinement_scans_are_load_bearing():
+    """The last two scans only carry one bit per coefficient — but
+    dropping them (truncating after the AC first scan) must change the
+    decoded samples, i.e. the refinement bits are live data, not
+    padding. Also sweep single-bit flips through the refinement scan: a
+    flipped correction/run bit desyncs every later symbol, so decoded
+    pixels change or the stream errors."""
+    from yaml_pipe_spark.multimodal.phash import build_phash_jpeg_sa
+
+    base = build_phash_jpeg_sa(0)
+    _, _, pix_ref = decode_jpeg_gray(base)
+    # truncate: keep scans 1-3, then EOI — decode must differ
+    fourth_sos = base.rfind(b"\xff\xda")
+    trunc = base[:fourth_sos] + b"\xff\xd9"
+    _, _, pix_trunc = decode_jpeg_gray(trunc)
+    assert pix_trunc != pix_ref
+    # bit-flip sweep through the refinement scan's entropy bytes
+    scan_start = fourth_sos + 2 + int.from_bytes(
+        base[fourth_sos + 2 : fourth_sos + 4], "big"
+    )
+    affected = 0
+    for off in range(0, 12):
+        tgt = scan_start + off
+        if base[tgt] == 0xFF or base[tgt + 1] == 0x00:
+            continue
+        for bit in (0x80, 0x08):
+            mut = bytearray(base)
+            mut[tgt] ^= bit
+            if mut[tgt] == 0xFF:
+                continue
+            try:
+                _, _, pix_mut = decode_jpeg_gray(bytes(mut))
+                affected += pix_mut != pix_ref
+            except (ValueError, NotImplementedError):
+                affected += 1
+    assert affected > 0
+
+
+def test_sa_banding_and_distinctness():
+    from yaml_pipe_spark.multimodal.phash import (
+        build_phash_jpeg_prog,
+        build_phash_jpeg_sa,
+    )
+
+    for base in range(10):
+        b0 = dhash_bands_jpeg(build_phash_jpeg_sa(4 * base))
+        for v in range(1, 4):
+            bv = dhash_bands_jpeg(build_phash_jpeg_sa(4 * base + v))
+            assert b0[:3] == bv[:3]
+    diff = sum(
+        dhash_bands_jpeg(build_phash_jpeg_sa(i))
+        != dhash_bands_jpeg(build_phash_jpeg_prog(i))
+        for i in range(20)
+    )
+    assert diff == 20
+
+
+def test_sa_scan_structure_is_exercised():
+    """The corpus must actually contain the constructs the decoder
+    claims to handle: |v|==1 sites (newly-nonzero in refinement, absent
+    from the Al=1 first scan), |v|>=2 sites (correction bits), and a
+    mix of blocks with/without zz39 (EOB runs in BOTH AC scans)."""
+    from yaml_pipe_spark.multimodal.phash import _jpeg_ac
+
+    n_new = n_hist = 0
+    for base in range(10):
+        for bx in range(9):
+            for by in range(8):
+                a10, a14, _ = _jpeg_ac(base, bx, by, prefix="jsaac")
+                for a in (a10, a14):
+                    if abs(a) == 1:
+                        n_new += 1
+                    else:
+                        n_hist += 1
+    assert n_new > 50 and n_hist > 500
+
+
+def test_sa_malformed_ahal_is_typed():
+    """Ah must equal Al+1 in a refinement scan — anything else is a
+    corrupt stream and must fail typed, not decode garbage."""
+    from yaml_pipe_spark.multimodal.phash import build_phash_jpeg_sa
+
+    base = build_phash_jpeg_sa(0)
+    # second SOS is the DC refinement (Ah=1, Al=0): corrupt Ah to 2
+    first_sos = base.find(b"\xff\xda")
+    second_sos = base.find(b"\xff\xda", first_sos + 2)
+    # FF DA (2) + length (2) + ns(1) + comp(2) + Ss(1) + Se(1) -> AhAl
+    ahal_off = second_sos + 9
+    assert base[ahal_off] == 0x10
+    mut = bytearray(base)
+    mut[ahal_off] = 0x20
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(bytes(mut))

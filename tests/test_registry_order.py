@@ -76,6 +76,7 @@ ROUND13_CHANGED: set[str] = {
 # Queries NEW in round 13 (no prior driver row by definition).
 ROUND13_R13NEW: set[str] = {
     "ann_ivf_nprobe_select",  # measured nprobe auto-tune (ask #2)
+    "multimodal_phash_jpeg_sa",  # successive-approximation JPEG (ask #3)
 }
 
 ROUND13_MUST_FRONT: set[str] = (
@@ -108,6 +109,7 @@ ROUND14_QUEUE: set[str] = {
     "events_session_window",
     "events_tumbling_agg",
     "multimodal_features",
+    "multimodal_phash_dedup",
     "multimodal_real_decode",
     "multimodal_resize",
     "q2_ranking_metrics",

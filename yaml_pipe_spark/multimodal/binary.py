@@ -550,15 +550,24 @@ def decode_jpeg_gray(payload: bytes):
 
 
 def _decode_prog_scan(payload, pos, seg, huff, coefs):
-    """One progressive scan (T.81 G.2, spectral selection, Ah=Al=0):
-    non-interleaved single-component data units in raster order. The DC
-    scan (Ss=Se=0) is baseline DC coding with its own prediction chain;
-    AC scans decode a zigzag band [Ss..Se] per block with END-OF-BAND
-    RUNS — symbol (r<<4)|0, r<15 means 2^r + receive(r) consecutive
-    blocks have no more coefficients in this band, the coding progressive
-    adds over baseline. Coefficients accumulate into `coefs` (per block,
-    by zigzag index, still quantized); the caller IDCTs once at EOI.
-    Returns the position of the next marker after the entropy segment."""
+    """One progressive scan (T.81 G.2): non-interleaved single-component
+    data units in raster order, spectral selection AND successive
+    approximation. The FIRST DC scan (Ss=Se=0, Ah=0) is baseline DC
+    coding of the point-transformed values (stored << Al); a DC
+    REFINEMENT scan (Ah = Al+1) reads one raw bit per block and ORs it
+    in at bit Al. A FIRST AC scan decodes a zigzag band [Ss..Se] with
+    END-OF-BAND RUNS — symbol (r<<4)|0, r<15 means 2^r + receive(r)
+    consecutive blocks have no more coefficients in this band — values
+    stored << Al. An AC REFINEMENT scan (Ah = Al+1) interleaves three
+    bit kinds (T.81 G.1.2.3 / figure G.7): (run,1) symbols placing
+    newly-nonzero +-1<<Al coefficients (run counts ZERO-HISTORY
+    positions only), one CORRECTION bit per already-nonzero coefficient
+    passed (increase magnitude by 1<<Al iff set), and EOB runs whose
+    covered blocks still consume correction bits for their nonzero band
+    positions. Coefficients accumulate into `coefs` (per block, by
+    zigzag index, still quantized, at full precision once every scan has
+    run); the caller IDCTs once at EOI. Returns the position of the next
+    marker after the entropy segment."""
     if seg[0] != 1:
         raise NotImplementedError(
             "progressive decode is single-component (grayscale) scope"
@@ -566,24 +575,36 @@ def _decode_prog_scan(payload, pos, seg, huff, coefs):
     dc_sel, ac_sel = seg[2] >> 4, seg[2] & 15
     ss, se = seg[3], seg[4]
     ah, al = seg[5] >> 4, seg[5] & 15
-    if ah != 0 or al != 0:
-        raise NotImplementedError(
-            "successive approximation (Ah/Al) not supported — spectral "
-            "selection only"
+    if ah != 0 and ah != al + 1:
+        raise ValueError(
+            "successive-approximation scan must refine exactly one bit "
+            "(Ah = Al + 1)"
         )
     rd = _JpegBitReader(payload, pos)
     if ss == 0:
         if se != 0:
             raise ValueError("progressive DC scan must have Se = 0")
-        if (0, dc_sel) not in huff:
-            raise ValueError("JPEG SOS references an undefined Huffman table")
-        dc_tab = huff[(0, dc_sel)]
-        pred = 0
-        for vals in coefs:
-            t = rd.decode_symbol(dc_tab)
-            pred += rd.receive_extend(t)
-            vals[0] = pred
-    else:
+        if ah == 0:
+            if (0, dc_sel) not in huff:
+                raise ValueError(
+                    "JPEG SOS references an undefined Huffman table"
+                )
+            dc_tab = huff[(0, dc_sel)]
+            pred = 0
+            for vals in coefs:
+                t = rd.decode_symbol(dc_tab)
+                pred += rd.receive_extend(t)
+                vals[0] = pred << al
+        else:
+            # DC refinement: one raw bit per block, no Huffman table —
+            # |= works on negatives because Python ints are two's
+            # complement with infinite sign extension, same as the
+            # fixed-width arithmetic the spec assumes
+            p1 = 1 << al
+            for vals in coefs:
+                if rd.read_bit():
+                    vals[0] |= p1
+    elif ah == 0:
         if not (1 <= ss <= se <= 63):
             raise ValueError("progressive AC scan band out of range")
         if (1, ac_sel) not in huff:
@@ -610,8 +631,14 @@ def _decode_prog_scan(payload, pos, seg, huff, coefs):
                     raise ValueError(
                         "truncated or corrupt JPEG entropy stream"
                     )
-                vals[k] = rd.receive_extend(s)
+                vals[k] = rd.receive_extend(s) << al
                 k += 1
+    else:
+        if not (1 <= ss <= se <= 63):
+            raise ValueError("progressive AC scan band out of range")
+        if (1, ac_sel) not in huff:
+            raise ValueError("JPEG SOS references an undefined Huffman table")
+        _refine_ac_scan(rd, coefs, ss, se, al, huff[(1, ac_sel)])
     # hand back to the marker walk: skip the padding bits, then any 0xFF
     # fill bytes before the next marker (T.81 B.1.1.2)
     p = rd.resume_pos()
@@ -620,6 +647,60 @@ def _decode_prog_scan(payload, pos, seg, huff, coefs):
     ):
         p += 1
     return p
+
+
+def _refine_ac_scan(rd, coefs, ss, se, al, ac_tab):
+    """AC successive-approximation refinement (T.81 figure G.7): per
+    block, symbols (r<<4)|1 place newly-nonzero coefficients (value
+    +-1<<Al, sign from the next raw bit; r counts only positions whose
+    coefficient HISTORY is still zero), ZRL skips sixteen zero-history
+    positions, and EOBn covers this block's remainder plus whole
+    following blocks. Every already-nonzero coefficient the walk passes
+    — including inside ZRL stretches and EOB-run blocks — consumes one
+    CORRECTION bit: if set and bit Al of the magnitude is still clear,
+    the magnitude grows by 1<<Al (away from zero). A decoder that skips
+    one correction bit desyncs every later symbol."""
+    p1 = 1 << al
+    m1 = -p1
+    eobrun = 0
+    for vals in coefs:
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = rd.decode_symbol(ac_tab)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r != 15:
+                        eobrun = (1 << r) + rd.receive(r)
+                        break
+                    newval = 0  # ZRL: sixteen zero-history positions
+                elif s == 1:
+                    newval = p1 if rd.read_bit() else m1
+                else:
+                    raise ValueError(
+                        "corrupt successive-approximation AC scan"
+                    )
+                while k <= se:
+                    if vals[k] != 0:
+                        if rd.read_bit() and (vals[k] & p1) == 0:
+                            vals[k] += p1 if vals[k] >= 0 else m1
+                    else:
+                        r -= 1
+                        if r < 0:
+                            break
+                    k += 1
+                if newval and k <= se:
+                    vals[k] = newval
+                k += 1
+        if eobrun > 0:
+            # remainder of this block (and, on later iterations, whole
+            # blocks inside the run): correction bits only
+            while k <= se:
+                if vals[k] != 0:
+                    if rd.read_bit() and (vals[k] & p1) == 0:
+                        vals[k] += p1 if vals[k] >= 0 else m1
+                k += 1
+            eobrun -= 1
 
 
 def _idct_block_to_out(vals, q, bx, by, w, h, out):

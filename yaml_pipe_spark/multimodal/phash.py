@@ -449,6 +449,7 @@ def phash_bands(
         "jgc": lambda i: dhash_bands_jpeg(build_phash_jpeg_color(i)),
         "j42": lambda i: dhash_bands_jpeg(build_phash_jpeg420(i)),
         "jpr": lambda i: dhash_bands_jpeg(build_phash_jpeg_prog(i)),
+        "jsa": lambda i: dhash_bands_jpeg(build_phash_jpeg_sa(i)),
         "jrt": lambda i: dhash_bands_jpeg(build_phash_jpeg_rst(i)),
     }[fmt]
     docs = spread_for_expansion(docs.select(id_col))
@@ -813,8 +814,8 @@ def _jheader_prog() -> bytes:
     return b"\xff\xd8" + dqt + sof + dht
 
 
-def _sos(ss: int, se: int) -> bytes:
-    body = bytes([1, 1, 0x00, ss, se, 0x00])
+def _sos(ss: int, se: int, ahal: int = 0x00) -> bytes:
+    body = bytes([1, 1, 0x00, ss, se, ahal])
     return b"\xff\xda" + (len(body) + 2).to_bytes(2, "big") + body
 
 
@@ -909,6 +910,239 @@ def build_phash_jpeg_prog(doc_id: int, salt: str = "jpr") -> bytes:
         + _sos(0, 0) + w1.flush()
         + _sos(1, 20) + w2.flush()
         + _sos(21, 63) + w3.flush()
+        + b"\xff\xd9"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SUCCESSIVE-APPROXIMATION PROGRESSIVE JPEG corpus (round 13, VERDICT r12
+# ask #3): real web optimizers (mozjpeg/libjpeg progressive presets)
+# combine spectral selection WITH successive approximation — first scans
+# send coefficients at reduced precision (point transform Al), refinement
+# scans send one bit each. The corpus is the grayscale geometry coded as
+# FOUR scans: DC first (Al=1, diff chain over dc>>1), DC refinement (one
+# raw bit per block), AC first over band [1..63] at Al=1 (sites with
+# |v|==1 vanish entirely at this precision), and an AC refinement scan
+# carrying all three G.1.2.3 bit kinds at once: (run,1) symbols placing
+# newly-nonzero +-1 coefficients (run counts zero-HISTORY positions only,
+# so runs differ from the first scan's), CORRECTION bits interleaved for
+# every already-nonzero coefficient the walk passes, and EOB runs whose
+# covered blocks still consume correction bits. A decoder that drops one
+# correction bit, counts a history position into a run, or ORs a bit into
+# an already-set magnitude desyncs and fails the exact formula ('jsa').
+# ---------------------------------------------------------------------------
+
+# AC symbols shared by the SA first and refinement scans: EOBn r=0..6,
+# ZRL, the (run, size<=3) families the site geometry produces in the
+# first scan (runs 3/6/8/9/12/13 — which sites survive the Al=1 point
+# transform varies per block), and the refinement's extra zero-history
+# runs 4 and 11 (history sites don't count toward refinement runs).
+_JSAC_SYMS = bytes(
+    [r << 4 for r in range(7)]  # EOB0 + EOBn r=1..6
+    + [0xF0]
+    + [(r << 4) | s for r in (3, 6, 8, 9, 12, 13) for s in range(1, 4)]
+    + [(11 << 4) | 1, (4 << 4) | 1]
+)
+
+
+def _jheader_sa() -> bytes:
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([8] * 64))
+    sof = seg(
+        0xC2,  # SOF2: progressive DCT
+        bytes([8])
+        + JH.to_bytes(2, "big")
+        + JW.to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0]),
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + _jpeg_fixed_huff(len(_JDC_SYMS)) + _JDC_SYMS
+        + bytes([0x10]) + _jpeg_fixed_huff(len(_JSAC_SYMS)) + _JSAC_SYMS,
+    )
+    return b"\xff\xd8" + dqt + sof + dht
+
+
+def _sa_flush_eobrun(wr, ac_code, run: int, bits: list[int]) -> None:
+    """Emit a pending end-of-band run as ONE EOBn symbol (run = 2^r +
+    extra always fits with r = bit_length-1) followed by the correction
+    bits buffered for the run's blocks — refinement runs must not split,
+    because the decoder consumes the buffered bits per covered block."""
+    if run > 0:
+        r = run.bit_length() - 1
+        v = run - (1 << r)
+        assert r <= 6 and v < (1 << r), (run, r, v)
+        code, length = ac_code[r << 4]
+        wr.write(code, length)
+        if r:
+            wr.write(v, r)
+    for b in bits:
+        wr.write(b, 1)
+
+
+def _sa_ac_first_scan(wr, ac_code, blocks_sites, al: int) -> None:
+    """First AC scan at point transform `al` (T.81 G.1.2.2): per block,
+    (run,size) symbols over the surviving |v|>>al magnitudes (sign
+    preserved — toward-zero division), ZRL for runs > 15, and trailing
+    zeros folded into multi-block EOB runs."""
+    eobrun = 0
+    for sites in blocks_sites:
+        coded = []
+        for k in sorted(sites):
+            v = sites[k]
+            t = abs(v) >> al
+            if t:
+                coded.append((k, t if v >= 0 else -t))
+        if not coded:
+            eobrun += 1
+            continue
+        _sa_flush_eobrun(wr, ac_code, eobrun, [])
+        eobrun = 0
+        prev = 0
+        for k, t in coded:
+            r = k - prev - 1
+            while r > 15:
+                code, length = ac_code[0xF0]
+                wr.write(code, length)
+                r -= 16
+            s = abs(t).bit_length()
+            code, length = ac_code[(r << 4) | s]
+            wr.write(code, length)
+            wr.write(t if t >= 0 else t + (1 << s) - 1, s)
+            prev = k
+        eobrun += 1  # the tail 40..63 is always zero in this corpus
+    _sa_flush_eobrun(wr, ac_code, eobrun, [])
+
+
+def _sa_ac_refine_scan(
+    wr, ac_code, blocks_sites, al: int, ss: int = 1, se: int = 63
+) -> None:
+    """AC refinement scan at precision `al` (T.81 figure G.7 encoder,
+    the exact dual of binary._refine_ac_scan): newly-nonzero (|v|>>al
+    == 1) coefficients get (zero-history-run, 1) symbols + a sign bit;
+    already-nonzero coefficients buffer one correction bit each —
+    flushed after the NEXT emitted symbol (ZRL, (r,1), or EOBn), which
+    is exactly where the decoder's walk consumes them."""
+    eobrun = 0
+    bebits: list[int] = []
+    for sites in blocks_sites:
+        absv = {}
+        for k, v in sites.items():
+            t = abs(v) >> al
+            if t:
+                absv[k] = t
+        eob = 0
+        for k in sorted(absv):
+            if absv[k] == 1:
+                eob = k
+        r = 0
+        local: list[int] = []
+        for k in range(ss, se + 1):
+            t = absv.get(k, 0)
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                _sa_flush_eobrun(wr, ac_code, eobrun, bebits)
+                eobrun = 0
+                bebits = []
+                code, length = ac_code[0xF0]
+                wr.write(code, length)
+                r -= 16
+                for b in local:
+                    wr.write(b, 1)
+                local = []
+            if t > 1:
+                local.append(t & 1)
+                continue
+            _sa_flush_eobrun(wr, ac_code, eobrun, bebits)
+            eobrun = 0
+            bebits = []
+            code, length = ac_code[(r << 4) | 1]
+            wr.write(code, length)
+            wr.write(1 if sites[k] > 0 else 0, 1)
+            for b in local:
+                wr.write(b, 1)
+            local = []
+            r = 0
+        if r > 0 or local:
+            eobrun += 1
+            bebits.extend(local)
+    _sa_flush_eobrun(wr, ac_code, eobrun, bebits)
+
+
+def build_phash_jpeg_sa(doc_id: int, salt: str = "jsa") -> bytes:
+    """A complete, valid successive-approximation progressive grayscale
+    JPEG whose DECODED gray at every dHash sample equals the salted md5
+    formula. Same block texture as the spectral corpus (zz10/zz14 always,
+    zz39 on every fifth block), but |v|==1 sites vanish from the Al=1
+    first scan and materialize only as newly-nonzero coefficients in the
+    refinement — so every decode exercises reduced-precision first
+    scans, raw DC refinement bits, zero-history run accounting, and
+    interleaved correction bits."""
+    base, v = doc_id // 4, doc_id % 4
+    dc_code = {s: (s, 4) for s in range(12)}
+    ac_len = max(1, len(_JSAC_SYMS).bit_length())
+    if len(_JSAC_SYMS) >= (1 << ac_len):
+        ac_len += 1
+    ac_code = {s: (i, ac_len) for i, s in enumerate(_JSAC_SYMS)}
+
+    from yaml_pipe_spark.multimodal.binary import _JPEG_ZIGZAG
+
+    zz_of = {rc: i for i, rc in enumerate(_JPEG_ZIGZAG)}
+    z10, z14, z39 = zz_of[(4, 0)], zz_of[(0, 4)], zz_of[(4, 4)]
+    assert (z10, z14, z39) == (10, 14, 39)
+
+    nbx, nby = JW // 8, JH // 8
+    dcs: list[int] = []
+    blocks_sites: list[dict[int, int]] = []
+    for by in range(nby):
+        for bx in range(nbx):
+            blk = by * nbx + bx
+            t_gray = _jpeg_target_gray(base, v, bx, by, salt=salt)
+            a10, a14, a39 = _jpeg_ac(base, bx, by, prefix=f"{salt}ac")
+            has39 = blk % 5 == 0
+            sites = {z10: a10, z14: a14}
+            if has39:
+                sites[z39] = a39
+            dcs.append((t_gray - 128) - a10 - a14 - (a39 if has39 else 0))
+            blocks_sites.append(sites)
+
+    # scan 1: DC first at Al=1 — baseline diff coding over dc >> 1
+    # (arithmetic shift, T.81 A.4 point transform)
+    w1 = _JpegBitWriter()
+    pred = 0
+    for dc in dcs:
+        hi = dc >> 1
+        diff = hi - pred
+        pred = hi
+        size = abs(diff).bit_length()
+        code, length = dc_code[size]
+        w1.write(code, length)
+        if size:
+            w1.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+
+    # scan 2: DC refinement — one raw bit per block (the low bit)
+    w2 = _JpegBitWriter()
+    for dc in dcs:
+        w2.write(dc & 1, 1)
+
+    # scan 3: AC first, band [1..63] at Al=1
+    w3 = _JpegBitWriter()
+    _sa_ac_first_scan(w3, ac_code, blocks_sites, al=1)
+
+    # scan 4: AC refinement, band [1..63] down to full precision
+    w4 = _JpegBitWriter()
+    _sa_ac_refine_scan(w4, ac_code, blocks_sites, al=0)
+
+    return (
+        _jheader_sa()
+        + _sos(0, 0, 0x01) + w1.flush()   # Ah=0, Al=1
+        + _sos(0, 0, 0x10) + w2.flush()   # Ah=1, Al=0
+        + _sos(1, 63, 0x01) + w3.flush()  # Ah=0, Al=1
+        + _sos(1, 63, 0x10) + w4.flush()  # Ah=1, Al=0
         + b"\xff\xd9"
     )
 
