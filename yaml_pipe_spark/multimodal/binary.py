@@ -152,41 +152,31 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png(payload: bytes):
-    """REAL stdlib PNG decode for non-interlaced 8-bit RGB (color type 2):
-    chunk walk -> concat IDAT -> zlib inflate -> per-scanline unfiltering
-    with all five PNG filter types (None/Sub/Up/Average/Paeth, bpp=3).
-    Returns (width, height, decoded_pixel_bytes) where the pixel stream is
-    row-major RGB. Anything else (palette, alpha, 16-bit, interlaced)
-    raises — that is the cluster-side codec extension point."""
-    import zlib
+# Adam7 interlace pass grid (PNG spec 8.2): (x_start, y_start, x_step,
+# y_step) per pass; each pass is an independently filtered sub-image and
+# passes whose sub-image is empty contribute no scanlines at all.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    ihdr = None
-    idat = b""
-    for typ, data in _png_chunks(payload):
-        if typ == b"IHDR":
-            ihdr = data
-        elif typ == b"IDAT":
-            idat += data
-        elif typ == b"IEND":
-            break
-    if ihdr is None or len(ihdr) < 13:
-        raise ValueError("PNG missing IHDR")
-    w = int.from_bytes(ihdr[0:4], "big")
-    h = int.from_bytes(ihdr[4:8], "big")
-    bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
-    if bit_depth != 8 or color_type != 2 or interlace != 0:
-        raise NotImplementedError(
-            "only non-interlaced 8-bit RGB PNG is stdlib-scope"
-        )
-    raw = zlib.decompress(idat)
-    stride, bpp = 3 * w, 3
-    if len(raw) != h * (1 + stride):
-        raise ValueError("PNG scanline data has wrong length")
-    out = bytearray()
+
+def _png_unfilter_lines(raw, pos, width, height, bpp):
+    """Unfilter `height` scanlines of a (sub-)image `width` pixels wide
+    starting at byte `pos` of the inflated stream: all five PNG filter
+    types, with the previous-row predictor starting at zero (each Adam7
+    pass restarts its own filter chain). Returns (rows, next_pos)."""
+    stride = bpp * width
+    rows = []
     prev = bytearray(stride)
-    pos = 0
-    for _r in range(h):
+    for _r in range(height):
+        if pos >= len(raw) or pos + 1 + stride > len(raw):
+            raise ValueError("PNG scanline data has wrong length")
         ft = raw[pos]
         line = bytearray(raw[pos + 1 : pos + 1 + stride])
         pos += 1 + stride
@@ -207,8 +197,65 @@ def decode_png(payload: bytes):
                 line[c] = (line[c] + _paeth(a, prev[c], cc)) & 0xFF
         elif ft != 0:
             raise ValueError(f"bad PNG filter type {ft}")
-        out += line
+        rows.append(line)
         prev = line
+    return rows, pos
+
+
+def decode_png(payload: bytes):
+    """REAL stdlib PNG decode for 8-bit RGB (color type 2), sequential OR
+    Adam7 interlaced: chunk walk -> concat IDAT -> zlib inflate -> per-
+    scanline unfiltering with all five PNG filter types (None/Sub/Up/
+    Average/Paeth, bpp=3). Interlaced streams carry seven independently
+    filtered sub-images (empty passes omitted entirely) whose pixels
+    scatter back onto the (x_start + i*x_step, y_start + j*y_step) grid.
+    Returns (width, height, decoded_pixel_bytes) where the pixel stream
+    is row-major RGB. Anything else (palette, alpha, 16-bit) raises —
+    that is the cluster-side codec extension point."""
+    import zlib
+
+    ihdr = None
+    idat = b""
+    for typ, data in _png_chunks(payload):
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if ihdr is None or len(ihdr) < 13:
+        raise ValueError("PNG missing IHDR")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
+    if bit_depth != 8 or color_type != 2 or interlace not in (0, 1):
+        raise NotImplementedError(
+            "only 8-bit RGB PNG (sequential or Adam7) is stdlib-scope"
+        )
+    raw = zlib.decompress(idat)
+    if interlace == 0:
+        if len(raw) != h * (1 + 3 * w):
+            raise ValueError("PNG scanline data has wrong length")
+        rows, _pos = _png_unfilter_lines(raw, 0, w, h, 3)
+        out = bytearray()
+        for line in rows:
+            out += line
+        return w, h, bytes(out)
+    out = bytearray(3 * w * h)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        rows, pos = _png_unfilter_lines(raw, pos, pw, ph, 3)
+        for ri, line in enumerate(rows):
+            y = y0 + ri * dy
+            for ci in range(pw):
+                o = 3 * (y * w + x0 + ci * dx)
+                out[o : o + 3] = line[3 * ci : 3 * ci + 3]
+    if pos != len(raw):
+        raise ValueError("PNG scanline data has wrong length")
     return w, h, bytes(out)
 
 

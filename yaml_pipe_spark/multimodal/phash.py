@@ -218,6 +218,88 @@ def build_phash_png(doc_id: int) -> bytes:
     )
 
 
+def build_phash_png_i7(doc_id: int, salt: str = "pn7") -> bytes:
+    """The Adam7 INTERLACED twin of build_phash_png (round 13, VERDICT
+    r12 ask #6 — interlacing is common in older web corpora): the same
+    md5-noise pixel formula (salt 'pn7'), but the IDAT stream carries the
+    SEVEN Adam7 passes, each an independently filtered sub-image whose
+    pixels scatter onto the (x0 + i*dx, y0 + j*dy) grid. Scanline j of
+    pass p uses filter type (p + j) % 5 — at the 16x8 geometry the pass
+    heights (1,1,1,2,2,4,4) make every filter type appear in some pass —
+    so a decoder that runs one filter chain across pass boundaries, gets
+    a pass sub-width wrong, or scatters a pass onto the wrong grid
+    corrupts samples and fails the exact formula."""
+    import zlib
+
+    from yaml_pipe_spark.multimodal.binary import _ADAM7
+
+    base, v = doc_id // 4, doc_id % 4
+    # the full target pixel grid (top-down image rows, RGB)
+    grid = [[None] * W for _ in range(H)]
+    for y in range(H):
+        r = H - 1 - y  # the BMP's bottom-up stored-row index
+        for x in range(W):
+            p = r * W + x
+            pert = 128 if (r < PERT_ROWS and p % 4 < v) else 0
+            bgr = _pixel_bytes(base, p, salt=salt)
+            grid[y][x] = tuple((byte + pert) % 256 for byte in reversed(bgr))
+
+    bpp = 3
+    raw = bytearray()
+    for pi, (x0, y0, dx, dy) in enumerate(_ADAM7):
+        pw = (W - x0 + dx - 1) // dx
+        ph = (H - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = bpp * pw
+        prev = bytes(stride)
+        for ri in range(ph):
+            line = bytearray(stride)
+            for ci in range(pw):
+                rgb = grid[y0 + ri * dy][x0 + ci * dx]
+                line[3 * ci : 3 * ci + 3] = bytes(rgb)
+            ft = (pi + ri) % 5
+            filtered = bytearray(stride)
+            for c in range(stride):
+                a = line[c - bpp] if c >= bpp else 0
+                b = prev[c]
+                cc = prev[c - bpp] if c >= bpp else 0
+                if ft == 0:
+                    val = line[c]
+                elif ft == 1:
+                    val = line[c] - a
+                elif ft == 2:
+                    val = line[c] - b
+                elif ft == 3:
+                    val = line[c] - ((a + b) >> 1)
+                else:
+                    val = line[c] - _paeth(a, b, cc)
+                filtered[c] = val & 0xFF
+            raw.append(ft)
+            raw += filtered
+            prev = bytes(line)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + zlib.crc32(typ + data).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        W.to_bytes(4, "big")
+        + H.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 1])  # interlace = 1 (Adam7)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def dhash_bands_png(payload: bytes) -> list[int]:
     """dHash over a REAL PNG decode: chunk walk -> zlib inflate -> all
     five filter types unfiltered (multimodal.binary.decode_png), then the
@@ -442,6 +524,7 @@ def phash_bands(
     hash_one = {
         "bmp": lambda i: dhash_bands(build_phash_bmp(i)),
         "png": lambda i: dhash_bands_png(build_phash_png(i)),
+        "pn7": lambda i: dhash_bands_png(build_phash_png_i7(i)),
         "jpg": lambda i: dhash_bands_jpeg(build_phash_jpeg(i)),
         # color corpora decode through the SAME entry point —
         # decode_jpeg_gray dispatches on the frame's component count and
