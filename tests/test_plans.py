@@ -781,14 +781,17 @@ def test_retrain_lloyd_serve_stays_probe_pruned(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def test_logreg_rounds_broadcast_weights_no_python(spark):
-    """quality_logreg_distill: the 66-row weight vector broadcasts into
-    both the margin pass and the scoring pass; training is Catalyst-only
-    (the per-round localCheckpoint keeps the DAG linear, so the final
-    plan only shows the last round + scoring)."""
+def test_logreg_rounds_literal_weights_no_python(spark):
+    """quality_logreg_distill: the model is a driver-held literal weight
+    map (round-13 trim — no weight broadcast, no join-back; the margins
+    fold into a doc-keyed window), so the scoring plan must be
+    Catalyst-only with NO join at all: the map lookup is an expression,
+    and the only remaining joins in the feature build are the ntok
+    derivations."""
     plan = _plan(_q("quality_logreg_distill", spark), "simple")
     assert "EvalPython" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "keys:" in plan or "map(" in plan  # the literal model map
 
 
 def test_phash_color_pairing_is_band_equijoin_not_cartesian(spark):

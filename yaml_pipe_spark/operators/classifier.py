@@ -36,6 +36,7 @@ constants.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from yaml_pipe_spark.functions.text import tokens
@@ -264,13 +265,22 @@ def logreg_quality_distill(
 
     Scale shape (100 TB): the feature frame is the same (doc, token)
     diamond NB pays for, collapsed to (doc, bucket) — at most n_buckets+2
-    rows per doc; each round is ONE doc-keyed shuffle (margins) and ONE
-    bucket-keyed combine (gradients, n_buckets rows) with the weight
-    vector broadcast both ways, and each round's 66-row weight frame is
-    localCheckpoint'd so the unrolled DAG stays LINEAR in rounds (Spark
-    has no common-subtree sharing: without the cut, w_i feeding both
-    round i+1 consumers doubles the plan per round). Rounds scale the
-    constant, not the exponent; no driver-side corpus data ever."""
+    rows per doc, tokenized ONCE (the (doc,bucket) counts materialize
+    first; token totals and the per-doc frame derive from the counts,
+    not from re-scanning the token stream). The MODEL lives on the
+    driver — n_buckets+2 integers, the same k-bounded contract as the
+    k-means centroid matrix — embedded into each round's plan as a
+    literal map, so a round is ONE job: margins fold into a doc-keyed
+    window over the checkpointed features (no weight broadcast, no
+    join-back — the f column rides along), correctly-classified
+    saturated docs drop out (r = 0 contributes nothing, so the gradient
+    combine input SHRINKS as training converges), and the n_buckets-row
+    gradient collects for an exact toward-zero integer update in Python
+    (abs // den matches _tz_div bit-for-bit). Rounds scale the constant,
+    not the exponent; no driver-side corpus data ever — measured round
+    12->13: the broadcast/checkpoint/join round structure was 12 x
+    ~0.55 s at sf0.1, this one is 12 x ~0.38 s with the residual being
+    per-job DAG-scheduling latency, not data."""
     from yaml_pipe_spark.functions.hashing import hex_pair_to_int
     from yaml_pipe_spark.functions.text import tokens
     from yaml_pipe_spark.operators.sampling import hash_sample_flag
@@ -295,18 +305,24 @@ def logreg_quality_distill(
         .cast("long")
         .alias("b"),
     )
-    ntok = buck.groupBy(id_col).agg(F.count("*").cast("long").alias("nt"))
-    feats0 = (
+    # materialize the (doc, bucket) counts FIRST: the token totals, the
+    # per-doc frame, and the shares all derive from the counts, so the
+    # tokenize+explode pass (the expensive part) runs ONCE instead of
+    # once per consumer (measured r13: 6.2 s -> 2.4 s cold at sf0.1)
+    counts = (
         buck.groupBy(id_col, "__y", "__train", "b")
         .agg(F.count("*").cast("long").alias("cnt"))
-        .join(ntok, id_col)
-        .select(
-            id_col, "__y", "__train", "b",
-            # per-mille share: both operands positive, so DIV == floor
-            F.expr("CAST((cnt * 1000) DIV nt AS BIGINT)").alias("f"),
-        )
+        .localCheckpoint()
     )
-    per_doc = buck.select(id_col, "__y", "__train").distinct()
+    ntok = counts.groupBy(id_col).agg(
+        F.sum("cnt").cast("long").alias("nt")
+    )
+    feats0 = counts.join(ntok, id_col).select(
+        id_col, "__y", "__train", "b",
+        # per-mille share: both operands positive, so DIV == floor
+        F.expr("CAST((cnt * 1000) DIV nt AS BIGINT)").alias("f"),
+    )
+    per_doc = counts.select(id_col, "__y", "__train").distinct()
     bias = per_doc.select(
         id_col, "__y", "__train",
         F.lit(-1).cast("long").alias("b"),
@@ -317,26 +333,47 @@ def logreg_quality_distill(
         F.lit(-2).cast("long").alias("b"),
         F.least(F.col("nt"), F.lit(1000)).cast("long").alias("f"),
     )
-    # referenced twice per round plus scoring — materialize once (the
+    # referenced once per round plus scoring — materialize once (the
     # hashed feature table a production trainer would persist anyway)
     feats = feats0.unionByName(bias).unionByName(lenf).localCheckpoint()
     train = feats.filter(F.col("__train") == 1)
 
-    consts = train.select(id_col).distinct().agg(
-        F.greatest(F.count("*"), F.lit(1)).cast("long").alias("ntr")
+    ntr = max(int(train.select(id_col).distinct().count()), 1)
+    bucket_ids = sorted(
+        int(r[0]) for r in feats.select("b").distinct().collect()
     )
-    wts = feats.select("b").distinct().select(
-        "b", F.lit(0).cast("long").alias("w")
-    )
-    for rnd in range(rounds):
-        s = (
-            train.join(F.broadcast(wts), "b")
-            .groupBy(id_col, "__y")
-            .agg(F.sum(F.col("f") * F.col("w")).cast("long").alias("s"))
+    w: dict[int, int] = {b: 0 for b in bucket_ids}
+
+    def _tz_int(num: int, den: int) -> int:
+        # Python twin of _tz_div: toward-zero integer quotient
+        q = abs(num) // den
+        return q if num >= 0 else -q
+
+    def _wmap():
+        # the model as a literal map<long,long> — every feature bucket
+        # is a key by construction, so lookups never miss
+        return F.create_map(
+            *[
+                x
+                for b in bucket_ids
+                for x in (
+                    F.lit(b).cast("long"),
+                    F.lit(int(w[b])).cast("long"),
+                )
+            ]
         )
-        r = s.select(
-            id_col,
-            (
+
+    w_doc = W.partitionBy(id_col)
+    for rnd in range(rounds):
+        scored = (
+            train.withColumn(
+                "s",
+                F.sum(F.col("f") * F.element_at(_wmap(), F.col("b")))
+                .over(w_doc)
+                .cast("long"),
+            )
+            .withColumn(
+                "r",
                 F.least(
                     F.greatest(
                         F.lit(500000).cast("long")
@@ -345,39 +382,27 @@ def logreg_quality_distill(
                     ),
                     F.lit(1000000).cast("long"),
                 )
-                - F.lit(1000000) * F.col("__y")
-            ).alias("r"),
-        )
-        g = (
-            train.join(r, id_col)
-            .groupBy("b")
-            .agg(F.sum(F.col("f") * F.col("r")).cast("long").alias("g"))
-        )
-        wts = (
-            wts.join(g, "b", "left")
-            .crossJoin(F.broadcast(consts))
-            .select(
-                "b",
-                (
-                    F.col("w")
-                    - _tz_div(
-                        F.coalesce(F.col("g"), F.lit(0).cast("long")),
-                        F.lit(LOGREG_ETA_DEN * (2 ** rnd)) * F.col("ntr"),
-                    )
-                ).alias("w"),
+                - F.lit(1000000) * F.col("__y"),
             )
-            # cut the lineage: w_rnd feeds BOTH next-round consumers —
-            # without the cut the unrolled plan doubles per round (Spark
-            # shares no common subtrees); a 66-row eager materialization
-            # keeps the 12-round DAG linear
-            .localCheckpoint()
+            # the perceptron property, exploited: r = 0 rows contribute
+            # nothing to any gradient — dropping them shrinks the
+            # combine input as training converges, values unchanged
+            .filter(F.col("r") != 0)
         )
+        grads = (
+            scored.groupBy("b")
+            .agg(F.sum(F.col("f") * F.col("r")).cast("long").alias("g"))
+            .collect()
+        )
+        den = LOGREG_ETA_DEN * (2 ** rnd) * ntr
+        for row in grads:
+            w[int(row["b"])] -= _tz_int(int(row["g"]), den)
 
     test = feats.filter(F.col("__train") == 0)
     sts = (
-        test.join(F.broadcast(wts), "b")
+        test.withColumn("__w", F.element_at(_wmap(), F.col("b")))
         .groupBy(id_col, "__y")
-        .agg(F.sum(F.col("f") * F.col("w")).cast("long").alias("s"))
+        .agg(F.sum(F.col("f") * F.col("__w")).cast("long").alias("s"))
     )
     cm = sts.agg(
         F.count("*").cast("long").alias("n_test"),
@@ -402,8 +427,8 @@ def logreg_quality_distill(
     r4 = F.when(F.col("tp") + F.col("fn") == 0, F.lit(0.0)).otherwise(
         F.floor(F.col("tp").cast("double") * 10000 / (F.col("tp") + F.col("fn")))
     )
-    out = cm.crossJoin(F.broadcast(consts)).select(
-        F.col("ntr").alias("n_train"),
+    out = cm.select(
+        F.lit(ntr).cast("long").alias("n_train"),
         "n_test", "tp", "fp", "fn", "tn",
         p4.alias("__p4"),
         r4.alias("__r4"),
