@@ -71,6 +71,7 @@ ROUND13_NEW: set[str] = {
 ROUND13_CHANGED: set[str] = {
     "quality_logreg_distill",  # exact integral div in _tz_div (ADVICE r12)
     "ann_index_retrain_lloyd",  # stamps + serves the tuned nprobe (ask #2)
+    "pipeline_forget_e2e",  # single-slice meta writes + phase trim (ask #5)
 }
 
 # Queries NEW in round 13 (no prior driver row by definition).
@@ -94,6 +95,7 @@ ROUND14_QUEUE: set[str] = {
     "corpus_pack_windows",
     "corpus_ppl_quality_corr",
     "corpus_unimax_mix",
+    "dedup_embedding_cosine",
     "dedup_embedding_cosine_blocked",
     "dedup_lsh_scurve",
     "dedup_ngram_jaccard",

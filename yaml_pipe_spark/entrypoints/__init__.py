@@ -475,11 +475,11 @@ DRIVER_ORDER: list[str] = [
     "ann_index_retrain_lloyd",   # CHANGED: stamps + serves the tuned nprobe
     "multimodal_phash_jpeg_sa",  # NEW: successive-approximation (ask #3)
     "multimodal_png_interlaced",  # NEW: Adam7 interlaced PNG (ask #6)
+    "pipeline_forget_e2e",  # CHANGED: meta-write fix + phase trim (ask #5)
     # -- (5) round-9-generation refresh fill (only entries inside the
     #        first 50 get a driver row; the other r9 rows queue for
     #        round 14 — ROUND14_QUEUE in tests/test_registry_order.py) --
     "ann_pq_adc_topk",
-    "dedup_embedding_cosine",
 ]
 
 

@@ -276,7 +276,10 @@ class IvfPqIndexStore:
         version: str | None,
         serve_nprobe: int | None = None,
     ) -> None:
-        spark.createDataFrame(
+        from yaml_pipe_spark.operators.index_meta import tiny_local_df
+
+        tiny_local_df(
+            spark,
             [
                 (
                     fp_n,
@@ -292,7 +295,7 @@ class IvfPqIndexStore:
             ],
             "fp_n long, fp_h long, cfp_n long, cfp_h long, version string, "
             "scale int, score_decimals int, layout string, serve_nprobe int",
-        ).coalesce(1).write.mode("overwrite").parquet(self.meta_path)
+        ).write.mode("overwrite").parquet(self.meta_path)
 
     def is_stale(
         self,
@@ -415,17 +418,45 @@ class IvfPqIndexStore:
             self.cid_col,
             sq2_codes(F.col(self.vec_col)).alias("code"),
         )
-        coded.write.mode("append").partitionBy(self.cid_col).parquet(
-            self.codes_path
-        )
-        (
-            inc.withColumn(_VB, _vb_of(self.id_col))
-            .write.mode("append")
-            .partitionBy(_VB)
-            .parquet(self.vectors_path)
-        )
-        if meta["fp_n"] >= 0:
-            n, h = self._fp_of(inc, self.id_col, self.vec_col)
+        # the codes append, the vectors append, and the increment
+        # fingerprint are three INDEPENDENT job chains over the same
+        # (checkpoint-free, re-scanned) increment — submit them
+        # concurrently; an append on a small increment is per-job
+        # latency-bound, not data-bound (VERDICT r12 ask #5, the
+        # across-arms trick applied across tables). The meta write stays
+        # strictly LAST, so the crash contract is unchanged: any partial
+        # table state before the meta commit reads as a stale fingerprint
+        # and rebuilds.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write_codes():
+            coded.write.mode("append").partitionBy(self.cid_col).parquet(
+                self.codes_path
+            )
+
+        def _write_vectors():
+            (
+                inc.withColumn(_VB, _vb_of(self.id_col))
+                .write.mode("append")
+                .partitionBy(_VB)
+                .parquet(self.vectors_path)
+            )
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futures = [
+                pool.submit(_write_codes),
+                pool.submit(_write_vectors),
+            ]
+            fp_future = (
+                pool.submit(self._fp_of, inc, self.id_col, self.vec_col)
+                if meta["fp_n"] >= 0
+                else None
+            )
+            for f in futures:
+                f.result()
+            nh = fp_future.result() if fp_future is not None else None
+        if nh is not None:
+            n, h = nh
             fp_n, fp_h = meta["fp_n"] + n, meta["fp_h"] ^ h
         else:
             fp_n, fp_h = -1, -1  # version-managed index stays version-managed
@@ -491,10 +522,25 @@ class IvfPqIndexStore:
             n = removed.count()
             fp_n, fp_h = -1, -1
         if n > 0:
-            self._purge_partitions(
-                spark, self.codes_path, self.cid_col, ids
-            )
-            self._purge_partitions(spark, self.vectors_path, _VB, ids)
+            # the codes purge and the vectors purge touch disjoint tables
+            # — concurrent submission (VERDICT r12 ask #5); the removed
+            # fingerprint above already read the PRE-purge vectors, and
+            # the meta write below stays strictly last (crash mid-purge
+            # still leaves a stale fingerprint that rebuilds cleanly)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                for f in [
+                    pool.submit(
+                        self._purge_partitions,
+                        spark, self.codes_path, self.cid_col, ids,
+                    ),
+                    pool.submit(
+                        self._purge_partitions,
+                        spark, self.vectors_path, _VB, ids,
+                    ),
+                ]:
+                    f.result()
         self._write_meta(
             spark,
             fp_n,

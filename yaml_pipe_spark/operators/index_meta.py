@@ -18,6 +18,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def tiny_local_df(
+    spark: SparkSession, data: list[tuple], schema: str
+) -> DataFrame:
+    """A small local-data DataFrame on ONE slice — for meta rows and
+    other driver-built frames that get written as a single file.
+
+    The default `spark.createDataFrame(data, schema)` parallelizes even
+    a 1-row list over defaultParallelism Python partitions; a downstream
+    `.coalesce(1)` then folds them into ONE task that pays a SEQUENTIAL
+    Python-worker round-trip per empty parent partition — measured r13:
+    4.4 s to write a 1-row meta frame at local[32], vs 0.35 s on a
+    single slice. Every persisted store's meta commit was paying that
+    tax on every build/append/forget."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(data, 1), schema
+    )
+
+
 def fingerprint_of(df: DataFrame, *cols: str) -> tuple[int, int]:
     """(n_rows, order-insensitive content hash) in ONE aggregate — a
     single narrow scan, the cheap end of staleness checks.

@@ -111,11 +111,14 @@ class PairGraphStore:
             n, h = self._fingerprint(docs)
         else:
             n, h = -1, -1
-        spark.createDataFrame(
+        from yaml_pipe_spark.operators.index_meta import tiny_local_df
+
+        tiny_local_df(
+            spark,
             [(n, h, version, self.bits, self.bands, self.max_hamming)],
             "fp_n long, fp_h long, version string, bits int, bands int, "
             "max_hamming int",
-        ).coalesce(1).write.mode("overwrite").parquet(self.meta_path)
+        ).write.mode("overwrite").parquet(self.meta_path)
 
     def is_stale(self, docs: DataFrame, version: str | None = None) -> bool:
         """True iff no store exists, the banding params changed, or the
@@ -250,11 +253,14 @@ class MinHashOverlapStore:
             n, h = self._fingerprint(docs)
         else:
             n, h = -1, -1
-        spark.createDataFrame(
+        from yaml_pipe_spark.operators.index_meta import tiny_local_df
+
+        tiny_local_df(
+            spark,
             [(n, h, version, self.k, self.n_hashes, self.bands)],
             "fp_n long, fp_h long, version string, k int, n_hashes int, "
             "bands int",
-        ).coalesce(1).write.mode("overwrite").parquet(self.meta_path)
+        ).write.mode("overwrite").parquet(self.meta_path)
 
     def is_stale(self, docs: DataFrame, version: str | None = None) -> bool:
         meta = self._read_meta(docs.sparkSession)

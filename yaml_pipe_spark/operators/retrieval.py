@@ -338,11 +338,14 @@ class Bm25IndexStore:
         # (__gen), and tombstones record the generation they were issued
         # at (__ts_gen), which is what lets a forgotten doc re-enter the
         # corpus — see _live().
-        spark.createDataFrame(
+        from yaml_pipe_spark.operators.index_meta import tiny_local_df
+
+        tiny_local_df(
+            spark,
             [(fp[0], fp[1], n_docs, total_tokens, version, gen)],
             "fp_n long, fp_h long, n_docs long, total_tokens long, "
             "version string, gen long",
-        ).coalesce(1).write.mode("overwrite").parquet(self.meta_path)
+        ).write.mode("overwrite").parquet(self.meta_path)
 
     # -- lifecycle --------------------------------------------------------
     def build(self, docs: DataFrame, version: str | None = None) -> None:
@@ -475,31 +478,62 @@ class Bm25IndexStore:
         tf_i, dl_i = _index_frames(inc, self.id_col, self.text_col)
         tf_i = tf_i.withColumn("__gen", F.lit(new_gen)).localCheckpoint()
         dl_i = dl_i.withColumn("__gen", F.lit(new_gen)).localCheckpoint()
-        tf_i.write.mode("append").parquet(self.tf_path)
-        dl_i.write.mode("append").parquet(self.dl_path)
-        cf_old = read_band_state(spark, self.base_path, name="cf")
-        cf_i = tf_i.groupBy("tok").agg(
-            F.count("*").alias("df_i"), F.sum("tf").alias("cf_i")
-        )
-        merged = cf_old.join(cf_i, "tok", "full_outer").select(
-            "tok",
-            (
-                F.coalesce("df", F.lit(0)) + F.coalesce("df_i", F.lit(0))
-            ).alias("df"),
-            (
-                F.coalesce("cf", F.lit(0)) + F.coalesce("cf_i", F.lit(0))
-            ).alias("cf"),
-        )
-        commit_band_state(merged, self.base_path, name="cf")
-        tot = dl_i.agg(
-            F.count("*").cast("long").alias("n"),
-            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("t"),
-        ).collect()[0]
-        if version is not None:
-            fp = (-1, -1)
-        else:
-            n_i, h_i = self._fingerprint(inc)
-            fp = (meta["fp_n"] + n_i, meta["fp_h"] ^ h_i)
+        # tf append, dl append, the additive cf-generation swap (depends
+        # only on the CHECKPOINTED tf_i, not on the tf write), the dl
+        # totals, and the increment fingerprint are independent job
+        # chains — submit them concurrently (VERDICT r12 ask #5, the
+        # across-arms trick applied across tables). The meta write stays
+        # strictly LAST: a crash anywhere above leaves the fingerprint
+        # stale and the caller rebuilds (the cf pointer swap is itself
+        # crash-atomic — see commit_band_state).
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _cf_merge():
+            cf_old = read_band_state(spark, self.base_path, name="cf")
+            cf_i = tf_i.groupBy("tok").agg(
+                F.count("*").alias("df_i"), F.sum("tf").alias("cf_i")
+            )
+            merged = cf_old.join(cf_i, "tok", "full_outer").select(
+                "tok",
+                (
+                    F.coalesce("df", F.lit(0)) + F.coalesce("df_i", F.lit(0))
+                ).alias("df"),
+                (
+                    F.coalesce("cf", F.lit(0)) + F.coalesce("cf_i", F.lit(0))
+                ).alias("cf"),
+            )
+            commit_band_state(merged, self.base_path, name="cf")
+
+        def _tot():
+            return dl_i.agg(
+                F.count("*").cast("long").alias("n"),
+                F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("t"),
+            ).collect()[0]
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            side = [
+                pool.submit(
+                    lambda: tf_i.write.mode("append").parquet(self.tf_path)
+                ),
+                pool.submit(
+                    lambda: dl_i.write.mode("append").parquet(self.dl_path)
+                ),
+                pool.submit(_cf_merge),
+            ]
+            tot_f = pool.submit(_tot)
+            fp_f = (
+                pool.submit(self._fingerprint, inc)
+                if version is None
+                else None
+            )
+            for f in side:
+                f.result()
+            tot = tot_f.result()
+            if fp_f is None:
+                fp = (-1, -1)
+            else:
+                n_i, h_i = fp_f.result()
+                fp = (meta["fp_n"] + n_i, meta["fp_h"] ^ h_i)
         self._write_meta(
             spark,
             fp,
