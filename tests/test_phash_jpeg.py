@@ -320,16 +320,85 @@ def test_jpeg420_banding_and_distinctness():
     assert diff == 20
 
 
-def test_jpeg_422_is_still_a_typed_boundary():
-    """4:2:2 (luma 2x1) stays out of scope with a typed error now that
-    4:2:0 decodes for real."""
+def test_jpeg_sampling_boundaries_are_typed():
+    """4:2:2 decodes for real since round 13 — the remaining sampling
+    boundaries (4:1:1, 4:4:0, ...) stay typed errors."""
     from yaml_pipe_spark.multimodal.phash import build_phash_jpeg420
 
-    payload = bytearray(build_phash_jpeg420(0))
-    sof = payload.find(b"\xff\xc0")
-    payload[sof + 11] = 0x21  # luma sampling h=2, v=1
-    with pytest.raises(NotImplementedError, match="subsampling"):
-        decode_jpeg_gray(bytes(payload))
+    for bad in (0x41, 0x12):  # 4:1:1 luma h=4,v=1; 4:4:0 luma h=1,v=2
+        payload = bytearray(build_phash_jpeg420(0))
+        sof = payload.find(b"\xff\xc0")
+        payload[sof + 11] = bad
+        with pytest.raises(NotImplementedError, match="subsampling"):
+            decode_jpeg_gray(bytes(payload))
+
+
+def test_jpeg422_decodes_to_the_generating_formula():
+    from yaml_pipe_spark.multimodal.phash import (
+        JH2,
+        JW2,
+        _jpeg_target_gray,
+        build_phash_jpeg422,
+    )
+
+    for doc_id in (0, 2, 7, 21, 40):
+        base, v = doc_id // 4, doc_id % 4
+        w, h, pix = decode_jpeg_gray(build_phash_jpeg422(doc_id))
+        assert (w, h) == (JW2, JH2)
+        for gy in range(8):
+            for gx in range(9):
+                got = pix[(8 * gy) * w + 16 * gx]
+                assert got == _jpeg_target_gray(
+                    base, v, gx, gy, salt="j22"
+                ), (doc_id, gx, gy)
+
+
+def test_jpeg422_luma_pair_and_chroma_are_load_bearing():
+    """The right-hand (noise) luma block shares the DC prediction chain
+    and the chroma blocks keep the bitstream aligned — truncating or
+    corrupting entropy bytes mid-stream must change decoded samples or
+    error, never silently decode the same image."""
+    from yaml_pipe_spark.multimodal.phash import build_phash_jpeg422
+
+    base = build_phash_jpeg422(0)
+    _, _, pix_ref = decode_jpeg_gray(base)
+    sos = base.find(b"\xff\xda")
+    scan_start = sos + 2 + int.from_bytes(base[sos + 2 : sos + 4], "big")
+    affected = 0
+    for off in range(0, 16):
+        tgt = scan_start + off
+        if base[tgt] == 0xFF or base[tgt + 1] == 0x00:
+            continue
+        for bit in (0x80, 0x08):
+            mut = bytearray(base)
+            mut[tgt] ^= bit
+            if mut[tgt] == 0xFF:
+                continue
+            try:
+                _, _, pix_mut = decode_jpeg_gray(bytes(mut))
+                affected += pix_mut != pix_ref
+            except (ValueError, NotImplementedError):
+                affected += 1
+    assert affected > 0
+
+
+def test_jpeg422_banding_and_distinctness():
+    from yaml_pipe_spark.multimodal.phash import (
+        build_phash_jpeg420,
+        build_phash_jpeg422,
+    )
+
+    for base in range(10):
+        b0 = dhash_bands_jpeg(build_phash_jpeg422(4 * base))
+        for v in range(1, 4):
+            bv = dhash_bands_jpeg(build_phash_jpeg422(4 * base + v))
+            assert b0[:3] == bv[:3]
+    diff = sum(
+        dhash_bands_jpeg(build_phash_jpeg422(i))
+        != dhash_bands_jpeg(build_phash_jpeg420(i))
+        for i in range(20)
+    )
+    assert diff == 20
 
 
 def test_progressive_decodes_to_the_generating_formula():

@@ -85,6 +85,13 @@ ROUND13_MUST_FRONT: set[str] = (
     ROUND13_QUEUE | ROUND13_NEW | ROUND13_CHANGED | ROUND13_R13NEW
 )
 
+# Registered AFTER round 13's 50-slot prefix was spent (verified locally
+# at all three SFs, no driver row yet) — round 14 fronts these alongside
+# ROUND14_QUEUE.
+ROUND14_NEW: set[str] = {
+    "multimodal_phash_jpeg422",  # 4:2:2 (video-derived) chroma layout
+}
+
 # Round-9-generation rows left WITHOUT a fresh row after round 13's
 # 50-slot prefix is spent — round 14 must front these before anything
 # merely stale from r10. (The r9 fill rows that DO make this round's
@@ -141,7 +148,7 @@ ROUND14_QUEUE: set[str] = {
 
 
 def test_round13_sets_are_registered_and_oracled():
-    for name in ROUND13_MUST_FRONT | ROUND14_QUEUE:
+    for name in ROUND13_MUST_FRONT | ROUND14_QUEUE | ROUND14_NEW:
         assert name in REGISTRY, name
         assert REGISTRY[name].oracle is not None, name
 

@@ -466,14 +466,20 @@ def decode_jpeg_gray(payload: bytes):
             if len(seg) < 6 + 3 * seg[5]:
                 raise ValueError("truncated SOF0 component table")
             samplings = tuple(seg[7 + 3 * ci] for ci in range(seg[5]))
-            # supported layouts: grayscale, YCbCr 4:4:4 (all 1x1), and
-            # YCbCr 4:2:0 (luma 2x2, chroma 1x1 — the dominant crawl
-            # layout); anything else (4:2:2, 4:1:1, ...) stays the typed
-            # codec boundary
-            if samplings not in ((0x11,), (0x11,) * 3, (0x22, 0x11, 0x11)):
+            # supported layouts: grayscale, YCbCr 4:4:4 (all 1x1), YCbCr
+            # 4:2:0 (luma 2x2, chroma 1x1 — the dominant crawl layout),
+            # and YCbCr 4:2:2 (luma 2x1 — the video-derived layout);
+            # anything else (4:1:1, 4:4:0, ...) stays the typed codec
+            # boundary
+            if samplings not in (
+                (0x11,),
+                (0x11,) * 3,
+                (0x22, 0x11, 0x11),
+                (0x21, 0x11, 0x11),
+            ):
                 raise NotImplementedError(
                     "chroma subsampling layout not supported "
-                    "(4:4:4 and 4:2:0 only)"
+                    "(4:4:4, 4:2:0 and 4:2:2 only)"
                 )
             if progressive and seg[5] != 1:
                 raise NotImplementedError(

@@ -531,6 +531,7 @@ def phash_bands(
         # sampling factors
         "jgc": lambda i: dhash_bands_jpeg(build_phash_jpeg_color(i)),
         "j42": lambda i: dhash_bands_jpeg(build_phash_jpeg420(i)),
+        "j22": lambda i: dhash_bands_jpeg(build_phash_jpeg422(i)),
         "jpr": lambda i: dhash_bands_jpeg(build_phash_jpeg_prog(i)),
         "jsa": lambda i: dhash_bands_jpeg(build_phash_jpeg_sa(i)),
         "jrt": lambda i: dhash_bands_jpeg(build_phash_jpeg_rst(i)),
@@ -995,6 +996,100 @@ def build_phash_jpeg_prog(doc_id: int, salt: str = "jpr") -> bytes:
         + _sos(21, 63) + w3.flush()
         + b"\xff\xd9"
     )
+
+
+# ---------------------------------------------------------------------------
+# 4:2:2 JPEG corpus (round 13, beyond the asks): the video-derived chroma
+# layout (luma sampled 2x1, chroma 1x1) — what JPEGs transcoded from video
+# frames and many hardware encoders emit. MCU = 16x8 pixels: TWO luma
+# blocks side by side (the left one is the dHash sample block with full AC
+# texture, the right one DC-only md5 noise on the SHARED luma prediction
+# chain) interleaved with one Cb and one Cr block. A decoder that assumes
+# square sampling factors, mis-rasters the 2x1 luma pair, or drops a
+# chroma symbol desyncs and fails the exact sample formula ('j22').
+# ---------------------------------------------------------------------------
+
+JW2, JH2 = 144, 64  # 9x8 MCUs of 16x8 -> dHash samples at MCU corners
+
+
+def _jheader_422() -> bytes:
+    """SOI + headers for a baseline YCbCr 4:2:2 interchange JPEG: luma
+    sampled 2x1, chroma 1x1 — same tables as the 4:2:0 header."""
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = seg(
+        0xDB,
+        bytes([0x00]) + bytes([8] * 64) + bytes([0x01]) + bytes([16] * 64),
+    )
+    sof = seg(
+        0xC0,
+        bytes([8])
+        + JH2.to_bytes(2, "big")
+        + JW2.to_bytes(2, "big")
+        + bytes([3, 1, 0x21, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + _jpeg_fixed_huff(len(_JDC_SYMS)) + _JDC_SYMS
+        + bytes([0x10]) + _jpeg_fixed_huff(len(_JAC_SYMS)) + _JAC_SYMS
+        + bytes([0x01]) + _jpeg_fixed_huff(len(_JDC_SYMS)) + _JDC_SYMS
+        + bytes([0x11]) + _jpeg_fixed_huff(len(_JCAC_SYMS)) + _JCAC_SYMS,
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos
+
+
+def build_phash_jpeg422(doc_id: int, salt: str = "j22") -> bytes:
+    """A complete, valid baseline YCbCr 4:2:2 JPEG whose DECODED gray
+    (= Y) at every dHash sample equals the salted md5 formula. Each MCU
+    interleaves TWO side-by-side luma blocks (left = sample block with
+    full AC texture, right = DC-only md5 noise, one shared DC prediction
+    chain) with real Cb/Cr noise blocks — a decoder that mis-handles the
+    2x1 luma raster order or the 16x8 MCU geometry corrupts later
+    samples."""
+    base, v = doc_id // 4, doc_id % 4
+    dc_code = {s: (s, 4) for s in range(12)}
+    ac_code = {s: (i, 4) for i, s in enumerate(_JAC_SYMS)}
+    cac_len = max(1, len(_JCAC_SYMS).bit_length())
+    if len(_JCAC_SYMS) >= (1 << cac_len):
+        cac_len += 1
+    cac_code = {s: (i, cac_len) for i, s in enumerate(_JCAC_SYMS)}
+
+    from yaml_pipe_spark.multimodal.binary import _JPEG_ZIGZAG
+
+    zz_of = {rc: i for i, rc in enumerate(_JPEG_ZIGZAG)}
+    sites = sorted([zz_of[(0, 4)], zz_of[(4, 0)], zz_of[(4, 4)]])
+
+    wr = _JpegBitWriter()
+    preds = {1: 0, 2: 0, 3: 0}
+    for my in range(JH2 // 8):
+        for mx in range(JW2 // 16):
+            blk = my * (JW2 // 16) + mx
+            for bu in range(2):
+                if bu == 0:
+                    # the sample block keeps the full AC texture
+                    t_gray = _jpeg_target_gray(base, v, mx, my, salt=salt)
+                    a3 = _jpeg_ac(base, mx, my, prefix=f"{salt}ac")
+                    preds[1] = _write_sample_block(
+                        wr, dc_code, ac_code, sites, t_gray, a3, preds[1]
+                    )
+                else:
+                    t_gray = int(
+                        hashlib.md5(
+                            f"{salt}fill{base}_{blk}_{bu}".encode()
+                        ).digest()[0]
+                    )
+                    preds[1] = _write_dc_block(
+                        wr, dc_code, ac_code, t_gray, preds[1]
+                    )
+            for ch in (2, 3):
+                dcv, acv = _chroma_vals(base, blk, ch)
+                preds[ch] = _write_chroma_block(
+                    wr, dc_code, cac_code, dcv, acv, preds[ch]
+                )
+    return _jheader_422() + wr.flush() + b"\xff\xd9"
 
 
 # ---------------------------------------------------------------------------

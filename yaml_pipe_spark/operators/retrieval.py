@@ -922,8 +922,10 @@ class Bm25IndexStore:
         tf = self._live(spark.read.parquet(self.tf_path), ts)
         dl = self._live(spark.read.parquet(self.dl_path), ts)
         cf = read_band_state(spark, self.base_path, name="cf")
-        stats = spark.createDataFrame(
-            [(n_docs, total / n_docs)], "n_docs long, avgdl double"
+        from yaml_pipe_spark.operators.index_meta import tiny_local_df
+
+        stats = tiny_local_df(
+            spark, [(n_docs, total / n_docs)], "n_docs long, avgdl double"
         )
-        ctot = spark.createDataFrame([(total,)], "c long")
+        ctot = tiny_local_df(spark, [(total,)], "c long")
         return rank_bm25_topk(_score_core(tf, dl, cf, stats, ctot), k)

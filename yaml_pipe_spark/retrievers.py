@@ -207,10 +207,12 @@ class Bm25Retriever:
         tf = self.store._live(spark.read.parquet(self.store.tf_path), ts)
         dl = self.store._live(spark.read.parquet(self.store.dl_path), ts)
         cf = read_band_state(spark, self.store.base_path, name="cf")
-        stats = spark.createDataFrame(
-            [(n_docs, total / n_docs)], "n_docs long, avgdl double"
+        from yaml_pipe_spark.operators.index_meta import tiny_local_df
+
+        stats = tiny_local_df(
+            spark, [(n_docs, total / n_docs)], "n_docs long, avgdl double"
         )
-        ctot = spark.createDataFrame([(total,)], "c long")
+        ctot = tiny_local_df(spark, [(total,)], "c long")
         qterms = queries.select(
             "qid",
             F.explode(
