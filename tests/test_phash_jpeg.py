@@ -117,15 +117,25 @@ def test_decode_jpeg_scope_boundaries():
     prog[last_sos + 9] = 0x30  # Ah=3, Al=0: a two-bit refinement step
     with pytest.raises(ValueError, match="refine exactly one bit"):
         decode_jpeg_gray(bytes(prog))
-    # progressive color stays typed: a VALID 3-component frame relabeled
-    # SOF2 hits the single-component progressive scope boundary
+    # progressive COLOR decodes for real since round 13 (4:4:4 only) — a
+    # BASELINE 4:4:4 stream relabeled SOF2 is malformed (its interleaved
+    # scan claims Se=63, which no progressive scan may), not a scope gap
     from yaml_pipe_spark.multimodal.phash import build_phash_jpeg_color
 
     color = bytearray(build_phash_jpeg_color(0))
     sofc = color.find(b"\xff\xc0")
     color[sofc + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="single-component"):
+    with pytest.raises(ValueError, match="DC scan must have Se = 0"):
         decode_jpeg_gray(bytes(color))
+    # SUBSAMPLED progressive stays the typed boundary (non-interleaved
+    # data-unit geometry differs under subsampling)
+    from yaml_pipe_spark.multimodal.phash import build_phash_jpeg420
+
+    sub = bytearray(build_phash_jpeg420(0))
+    sof420 = sub.find(b"\xff\xc0")
+    sub[sof420 + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="1x1 sampling"):
+        decode_jpeg_gray(bytes(sub))
     # a SAMPLED single-component frame (gray at 2x2) is not a supported
     # layout — only gray 1x1, YCbCr 4:4:4, and YCbCr 4:2:0 are in scope;
     # a 3-component claim with a 1-component table is malformed, not
@@ -635,3 +645,86 @@ def test_sa_malformed_ahal_is_typed():
     mut[ahal_off] = 0x20
     with pytest.raises(ValueError):
         decode_jpeg_gray(bytes(mut))
+
+
+def test_progressive_color_decodes_to_the_generating_formula():
+    from yaml_pipe_spark.multimodal.phash import (
+        _jpeg_target_gray,
+        build_phash_jpeg_pc,
+    )
+
+    for doc_id in (0, 2, 7, 21, 40):
+        base, v = doc_id // 4, doc_id % 4
+        w, h, pix = decode_jpeg_gray(build_phash_jpeg_pc(doc_id))
+        assert (w, h) == (JW, JH)
+        for gy in range(8):
+            for gx in range(9):
+                got = pix[(8 * gy) * w + 8 * gx]
+                assert got == _jpeg_target_gray(
+                    base, v, gx, gy, salt="jp3"
+                ), (doc_id, gx, gy)
+
+
+def test_progressive_color_dc_interleave_is_load_bearing():
+    """The interleaved DC scan couples the chroma prediction chains to
+    the luma bitstream: a flipped bit in the FIRST scan's entropy bytes
+    (which lands in a Y or chroma diff with ~equal odds) must change
+    decoded luma or error — a decoder that skipped chroma data units
+    would desync immediately. (Per-component AC scans are self-contained
+    between markers by design — that part of progressive is inherently
+    skippable, the DC interleave is not.)"""
+    from yaml_pipe_spark.multimodal.phash import build_phash_jpeg_pc
+
+    base = build_phash_jpeg_pc(0)
+    _, _, pix_ref = decode_jpeg_gray(base)
+    first_sos = base.find(b"\xff\xda")
+    scan_start = first_sos + 2 + int.from_bytes(
+        base[first_sos + 2 : first_sos + 4], "big"
+    )
+    affected = 0
+    for off in range(0, 12):
+        tgt = scan_start + off
+        if base[tgt] == 0xFF or base[tgt + 1] == 0x00:
+            continue
+        for bit in (0x80, 0x08):
+            mut = bytearray(base)
+            mut[tgt] ^= bit
+            if mut[tgt] == 0xFF:
+                continue
+            try:
+                _, _, pix_mut = decode_jpeg_gray(bytes(mut))
+                affected += pix_mut != pix_ref
+            except (ValueError, NotImplementedError):
+                affected += 1
+    assert affected > 0
+    # interleaved AC scans are rejected typed: claim ns=3 on an AC band
+    mut = bytearray(base)
+    second_sos = base.find(b"\xff\xda", first_sos + 2)
+    # splice a 3-component AC SOS header in place of the 1-component one
+    body = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 1, 63, 0x00])
+    mut2 = (
+        bytes(mut[:second_sos])
+        + b"\xff\xda" + (len(body) + 2).to_bytes(2, "big") + body
+        + bytes(mut[second_sos + 12 :])
+    )
+    with pytest.raises(ValueError, match="non-interleaved"):
+        decode_jpeg_gray(mut2)
+
+
+def test_progressive_color_banding_and_distinctness():
+    from yaml_pipe_spark.multimodal.phash import (
+        build_phash_jpeg_pc,
+        build_phash_jpeg_prog,
+    )
+
+    for base in range(10):
+        b0 = dhash_bands_jpeg(build_phash_jpeg_pc(4 * base))
+        for v in range(1, 4):
+            bv = dhash_bands_jpeg(build_phash_jpeg_pc(4 * base + v))
+            assert b0[:3] == bv[:3]
+    diff = sum(
+        dhash_bands_jpeg(build_phash_jpeg_pc(i))
+        != dhash_bands_jpeg(build_phash_jpeg_prog(i))
+        for i in range(20)
+    )
+    assert diff == 20

@@ -1185,3 +1185,47 @@ def q_multimodal_phash_jpeg422(
     return phash_near_dup_pairs(bands, max_hamming=12, max_bucket=50).select(
         "id_a", "id_b", "hamming"
     )
+
+
+# ---------------------------------------------------------------------------
+# PROGRESSIVE COLOR JPEG perceptual dedup (round 13, beyond the asks):
+# SOF2 with three 4:4:4 components — an INTERLEAVED DC scan (one data
+# unit per component per MCU, separate prediction chains: a dropped
+# chroma symbol desyncs every later luma DC) followed by three
+# non-interleaved per-component AC band scans, the structure T.81 G.1
+# mandates for progressive color. gray formula salt 'jp3'. Subsampled
+# progressive stays the typed boundary.
+# ---------------------------------------------------------------------------
+
+PHASH_JPEG_PC_ORACLE = PHASH_DEDUP_ORACLE.replace(
+    "md5(bs || '_", "md5('jp3' || bs || '_"
+)
+
+
+@register(
+    "multimodal_phash_jpeg_pc",
+    PHASH_JPEG_PC_ORACLE,
+    "Perceptual near-dup dedup over PROGRESSIVE COLOR JPEGs (round-13 "
+    "extension): complete valid SOF2 YCbCr 4:4:4 files — an interleaved "
+    "DC scan over all three components (per-component Huffman selectors "
+    "and prediction chains) plus three non-interleaved AC band scans — "
+    "REALLY decoded executor-side (multi-component scan dispatch in "
+    "multimodal.binary._decode_prog_scan; chroma planes entropy-decoded, "
+    "never materialized) and difference-hashed through the SAME shared "
+    "gray/grid/band core, paired by the same capped band equi-join. The "
+    "oracle recomputes the salted md5 formula ('jp3') through all 64 "
+    "bits. Same 100 TB shape as every phash row.",
+)
+def q_multimodal_phash_jpeg_pc(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from yaml_pipe_spark.multimodal.phash import (
+        phash_bands,
+        phash_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    bands = phash_bands(docs, "doc_id", fmt="jp3")
+    return phash_near_dup_pairs(bands, max_hamming=12, max_bucket=50).select(
+        "id_a", "id_b", "hamming"
+    )

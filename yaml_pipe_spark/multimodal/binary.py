@@ -481,10 +481,12 @@ def decode_jpeg_gray(payload: bytes):
                     "chroma subsampling layout not supported "
                     "(4:4:4, 4:2:0 and 4:2:2 only)"
                 )
-            if progressive and seg[5] != 1:
+            if progressive and samplings != (0x11,) * seg[5]:
                 raise NotImplementedError(
-                    "progressive decode is single-component (grayscale) "
-                    "scope; progressive color needs the cluster-side codec"
+                    "progressive decode requires 1x1 sampling (grayscale "
+                    "or 4:4:4 color); subsampled progressive needs the "
+                    "cluster-side codec (non-interleaved data-unit "
+                    "geometry differs under subsampling)"
                 )
             frame_comps = []
             for ci in range(seg[5]):
@@ -523,10 +525,17 @@ def decode_jpeg_gray(payload: bytes):
                     raise ValueError("JPEG missing SOF0/SOS/DQT")
                 if prog_coefs is None:
                     nb = ((w + 7) // 8) * ((h + 7) // 8)
-                    prog_coefs = [[0] * 64 for _ in range(nb)]
+                    prog_coefs = {
+                        ci: [[0] * 64 for _ in range(nb)]
+                        for ci in range(len(frame_comps))
+                    }
+                comp_of = {
+                    fc[0]: idx for idx, fc in enumerate(frame_comps)
+                }
                 try:
                     pos = _decode_prog_scan(
-                        payload, pos + 2 + seg_len, seg, huff, prog_coefs
+                        payload, pos + 2 + seg_len, seg, huff,
+                        prog_coefs, comp_of,
                     )
                 except IndexError as e:
                     raise ValueError(
@@ -554,7 +563,12 @@ def decode_jpeg_gray(payload: bytes):
         q = qt[tq]
         nbx = (w + 7) // 8
         out = bytearray(w * h)
-        for bi, vals in enumerate(prog_coefs):
+        # gray output = the BT.601 luma = component 0 (Y); chroma
+        # components were fully entropy-decoded (their scans are
+        # self-contained, but the interleaved DC scan required their
+        # prediction chains to advance the bitstream) and their pixel
+        # planes, which gray output never reads, are not materialized
+        for bi, vals in enumerate(prog_coefs[0]):
             _idct_block_to_out(
                 vals, q, bi % nbx, bi // nbx, w, h, out
             )
@@ -602,32 +616,47 @@ def decode_jpeg_gray(payload: bytes):
     return w, h, bytes(out)
 
 
-def _decode_prog_scan(payload, pos, seg, huff, coefs):
-    """One progressive scan (T.81 G.2): non-interleaved single-component
-    data units in raster order, spectral selection AND successive
-    approximation. The FIRST DC scan (Ss=Se=0, Ah=0) is baseline DC
-    coding of the point-transformed values (stored << Al); a DC
-    REFINEMENT scan (Ah = Al+1) reads one raw bit per block and ORs it
-    in at bit Al. A FIRST AC scan decodes a zigzag band [Ss..Se] with
-    END-OF-BAND RUNS — symbol (r<<4)|0, r<15 means 2^r + receive(r)
-    consecutive blocks have no more coefficients in this band — values
-    stored << Al. An AC REFINEMENT scan (Ah = Al+1) interleaves three
-    bit kinds (T.81 G.1.2.3 / figure G.7): (run,1) symbols placing
-    newly-nonzero +-1<<Al coefficients (run counts ZERO-HISTORY
-    positions only), one CORRECTION bit per already-nonzero coefficient
-    passed (increase magnitude by 1<<Al iff set), and EOB runs whose
-    covered blocks still consume correction bits for their nonzero band
-    positions. Coefficients accumulate into `coefs` (per block, by
-    zigzag index, still quantized, at full precision once every scan has
-    run); the caller IDCTs once at EOI. Returns the position of the next
-    marker after the entropy segment."""
-    if seg[0] != 1:
-        raise NotImplementedError(
-            "progressive decode is single-component (grayscale) scope"
+def _decode_prog_scan(payload, pos, seg, huff, coefs_by_comp, comp_of):
+    """One progressive scan (T.81 G.2): spectral selection AND successive
+    approximation, grayscale or 4:4:4 color. DC scans (Ss=Se=0) may be
+    INTERLEAVED over up to all frame components — at 1x1 sampling an MCU
+    is one data unit per scan component, each with its own Huffman
+    selector and prediction chain, so a dropped chroma symbol desyncs
+    every later luma DC. AC scans are NON-INTERLEAVED by the standard
+    (ns must be 1; the scan's component selector picks whose blocks, in
+    raster order). The FIRST DC scan (Ah=0) is baseline DC coding of the
+    point-transformed values (stored << Al); a DC REFINEMENT scan
+    (Ah = Al+1) reads one raw bit per data unit and ORs it in at bit Al.
+    A FIRST AC scan decodes a zigzag band [Ss..Se] with END-OF-BAND RUNS
+    — symbol (r<<4)|0, r<15 means 2^r + receive(r) consecutive blocks
+    have no more coefficients in this band — values stored << Al. An AC
+    REFINEMENT scan (Ah = Al+1) interleaves three bit kinds (T.81
+    G.1.2.3 / figure G.7): (run,1) symbols placing newly-nonzero +-1<<Al
+    coefficients (run counts ZERO-HISTORY positions only), one
+    CORRECTION bit per already-nonzero coefficient passed (increase
+    magnitude by 1<<Al iff set), and EOB runs whose covered blocks still
+    consume correction bits for their nonzero band positions.
+    Coefficients accumulate into `coefs_by_comp` (per component, per
+    block, by zigzag index, still quantized, at full precision once
+    every scan has run); the caller IDCTs the emit component once at
+    EOI. Returns the position of the next marker after the entropy
+    segment."""
+    ns = seg[0]
+    if ns < 1 or len(seg) < 4 + 2 * ns:
+        raise ValueError("truncated progressive SOS segment")
+    sels = []
+    for si in range(ns):
+        cs = seg[1 + 2 * si]
+        if cs not in comp_of:
+            raise ValueError(
+                "progressive scan references an unknown frame component"
+            )
+        sels.append(
+            (comp_of[cs], seg[2 + 2 * si] >> 4, seg[2 + 2 * si] & 15)
         )
-    dc_sel, ac_sel = seg[2] >> 4, seg[2] & 15
-    ss, se = seg[3], seg[4]
-    ah, al = seg[5] >> 4, seg[5] & 15
+    off = 1 + 2 * ns
+    ss, se = seg[off], seg[off + 1]
+    ah, al = seg[off + 2] >> 4, seg[off + 2] & 15
     if ah != 0 and ah != al + 1:
         raise ValueError(
             "successive-approximation scan must refine exactly one bit "
@@ -637,27 +666,38 @@ def _decode_prog_scan(payload, pos, seg, huff, coefs):
     if ss == 0:
         if se != 0:
             raise ValueError("progressive DC scan must have Se = 0")
+        n_units = len(coefs_by_comp[sels[0][0]])
         if ah == 0:
-            if (0, dc_sel) not in huff:
-                raise ValueError(
-                    "JPEG SOS references an undefined Huffman table"
-                )
-            dc_tab = huff[(0, dc_sel)]
-            pred = 0
-            for vals in coefs:
-                t = rd.decode_symbol(dc_tab)
-                pred += rd.receive_extend(t)
-                vals[0] = pred << al
+            tabs = []
+            for ci, dc_sel, _ac in sels:
+                if (0, dc_sel) not in huff:
+                    raise ValueError(
+                        "JPEG SOS references an undefined Huffman table"
+                    )
+                tabs.append((ci, huff[(0, dc_sel)]))
+            preds = {ci: 0 for ci, _dc, _ac in sels}
+            for bi in range(n_units):
+                for ci, dc_tab in tabs:
+                    t = rd.decode_symbol(dc_tab)
+                    preds[ci] += rd.receive_extend(t)
+                    coefs_by_comp[ci][bi][0] = preds[ci] << al
         else:
-            # DC refinement: one raw bit per block, no Huffman table —
-            # |= works on negatives because Python ints are two's
+            # DC refinement: one raw bit per data unit, no Huffman table
+            # — |= works on negatives because Python ints are two's
             # complement with infinite sign extension, same as the
             # fixed-width arithmetic the spec assumes
             p1 = 1 << al
-            for vals in coefs:
-                if rd.read_bit():
-                    vals[0] |= p1
+            for bi in range(n_units):
+                for ci, _dc, _ac in sels:
+                    if rd.read_bit():
+                        coefs_by_comp[ci][bi][0] |= p1
     elif ah == 0:
+        if ns != 1:
+            raise ValueError(
+                "progressive AC scans must be non-interleaved (T.81 G.1)"
+            )
+        _ci, _dc_sel, ac_sel = sels[0]
+        coefs = coefs_by_comp[_ci]
         if not (1 <= ss <= se <= 63):
             raise ValueError("progressive AC scan band out of range")
         if (1, ac_sel) not in huff:
@@ -687,11 +727,18 @@ def _decode_prog_scan(payload, pos, seg, huff, coefs):
                 vals[k] = rd.receive_extend(s) << al
                 k += 1
     else:
+        if ns != 1:
+            raise ValueError(
+                "progressive AC scans must be non-interleaved (T.81 G.1)"
+            )
+        _ci, _dc_sel, ac_sel = sels[0]
         if not (1 <= ss <= se <= 63):
             raise ValueError("progressive AC scan band out of range")
         if (1, ac_sel) not in huff:
             raise ValueError("JPEG SOS references an undefined Huffman table")
-        _refine_ac_scan(rd, coefs, ss, se, al, huff[(1, ac_sel)])
+        _refine_ac_scan(
+            rd, coefs_by_comp[_ci], ss, se, al, huff[(1, ac_sel)]
+        )
     # hand back to the marker walk: skip the padding bits, then any 0xFF
     # fill bytes before the next marker (T.81 B.1.1.2)
     p = rd.resume_pos()
