@@ -104,11 +104,13 @@ def test_decode_payload_dispatches_gif():
 
 
 def test_decode_gif_rejects_out_of_scope():
+    # interlacing decodes for real since round 13 — flipping the flag on
+    # a SEQUENTIAL stream now decodes (to a row-permuted raster); local
+    # color tables stay the typed boundary
     g = bytearray(build_gif(3))
-    # flip the interlace bit in the image descriptor
     idx = g.index(0x2C, 13)
-    g[idx + 9] |= 0x40
-    with pytest.raises(NotImplementedError, match="interlaced"):
+    g[idx + 9] |= 0x80
+    with pytest.raises(NotImplementedError, match="local color"):
         decode_gif(bytes(g))
     with pytest.raises(ValueError, match="not a GIF"):
         decode_gif(b"NOTAGIF")
@@ -137,3 +139,42 @@ def test_decode_gif_skips_extension_blocks():
     gce = bytes([0x21, 0xF9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00])
     spliced = b"GIF89a" + g[6:idx] + gce + g[idx:]
     assert decode_gif(spliced) == decode_gif(g)
+
+
+def test_interlaced_gif_decodes_to_raster_order():
+    """The interlaced corpus transmits rows in the four-pass order; the
+    decode must scatter them back so indices equal the raster formula —
+    and equal the NON-interlaced corpus's decode bit-for-bit."""
+    from yaml_pipe_spark.multimodal.binary import (
+        build_gif,
+        build_gif_i,
+        decode_gif,
+    )
+
+    for doc_id in (0, 1, 5, 12, 40, 91):
+        w, h, idx, pal = decode_gif(build_gif_i(doc_id))
+        assert idx == [
+            (doc_id + r * 5 + c * 3) % 4
+            for r in range(h)
+            for c in range(w)
+        ]
+        assert (w, h, idx, pal) == decode_gif(build_gif(doc_id))
+
+
+def test_interlace_flag_is_load_bearing():
+    """Clearing the flag on an interlaced stream must change the decoded
+    raster (same pixels, wrong rows) whenever the permutation is not the
+    identity — the failure mode of a decoder that ignores the flag."""
+    from yaml_pipe_spark.multimodal.binary import build_gif_i, decode_gif
+
+    moved = 0
+    for doc_id in (2, 3, 4, 5, 6):  # heights 4..8: non-trivial permutations
+        payload = bytearray(build_gif_i(doc_id))
+        # image descriptor: 0x2C at a fixed offset after the 12-byte GCT
+        desc = payload.index(0x2C, 13 + 12)
+        assert payload[desc + 9] == 0x40
+        payload[desc + 9] = 0x00
+        _, _, idx_flat, _ = decode_gif(bytes(payload))
+        _, _, idx_ok, _ = decode_gif(build_gif_i(doc_id))
+        moved += idx_flat != idx_ok
+    assert moved == 5

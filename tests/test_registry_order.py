@@ -91,6 +91,7 @@ ROUND13_MUST_FRONT: set[str] = (
 ROUND14_NEW: set[str] = {
     "multimodal_phash_jpeg422",  # 4:2:2 (video-derived) chroma layout
     "multimodal_phash_jpeg_pc",  # progressive COLOR (4:4:4 SOF2)
+    "multimodal_gif_interlaced",  # four-pass GIF89a de-interlace
 }
 
 # Round-9-generation rows left WITHOUT a fresh row after round 13's

@@ -1229,3 +1229,56 @@ def q_multimodal_phash_jpeg_pc(
     return phash_near_dup_pairs(bands, max_hamming=12, max_bucket=50).select(
         "id_a", "id_b", "hamming"
     )
+
+
+@register(
+    "multimodal_gif_interlaced",
+    """
+WITH g AS (
+  SELECT doc_id, 3 + doc_id % 13 AS w, 2 + doc_id % 7 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, UNNEST(generate_series(0, w*h - 1)) AS k FROM g
+),
+v AS (
+  SELECT doc_id, w, h, k,
+         (doc_id + (k // w) * 5 + (k % w) * 3) % 4 AS idx
+  FROM px
+),
+e AS (
+  SELECT doc_id, w, h, k, idx,
+         (doc_id + idx * 17) % 256 + (doc_id * 2 + idx * 29) % 256
+           + (doc_id * 3 + idx * 41) % 256 AS rgb
+  FROM v
+)
+SELECT doc_id AS item_id,
+       CAST(max(w) AS INT) AS width,
+       CAST(max(h) AS INT) AS height,
+       CAST(count(*) AS BIGINT) AS n_pixels,
+       CAST(sum(idx) AS BIGINT) AS sum_indices,
+       CAST(sum(rgb) AS BIGINT) AS sum_rgb,
+       CAST(max(CASE WHEN k = 0 THEN idx END) AS BIGINT) AS first_index,
+       CAST(sum((k + 1) * idx) AS BIGINT) AS pos_weighted
+FROM e GROUP BY doc_id
+""",
+    "REAL INTERLACED GIF decode, end-to-end (round-13 extension): one "
+    "valid single-frame GIF89a per document whose rows are TRANSMITTED "
+    "in the four-pass interlace order with the descriptor flag set; "
+    "executors run the full LZW decompression and the de-interlace "
+    "scatter back to raster order (multimodal.binary.decode_gif + "
+    "_gif_interlace_order). The report adds a POSITION-WEIGHTED index "
+    "checksum — the plain sums are order-insensitive, so only the "
+    "weighted sum distinguishes a correct de-interlace from ignoring "
+    "the flag — and the oracle recomputes everything from the "
+    "generating formulas in raster order.",
+)
+def q_multimodal_gif_interlaced(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from yaml_pipe_spark.multimodal.binary import (
+        gif_i_media_from_documents,
+        gif_interlaced_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return gif_interlaced_report(gif_i_media_from_documents(docs))

@@ -1547,14 +1547,28 @@ def build_gif(doc_id: int) -> bytes:
     )
 
 
+def _gif_interlace_order(h: int) -> list[int]:
+    """GIF89a appendix E row-transmission order: four passes — every 8th
+    row from 0, every 8th from 4, every 4th from 2, every 2nd from 1."""
+    return (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+
+
 def decode_gif(payload: bytes):
-    """REAL stdlib GIF decode for single-frame, non-interlaced GIF87a/89a
-    with a global color table: parses the logical screen descriptor and
-    image descriptor, concatenates the data sub-blocks, and runs the real
-    variable-width LZW decompressor. Returns (width, height, indices,
-    palette_rgb_bytes). Extensions (0x21 blocks) are skipped; animation,
-    interlacing, and local color tables raise — that is the cluster-side
-    codec extension point."""
+    """REAL stdlib GIF decode for single-frame GIF87a/89a with a global
+    color table, sequential OR interlaced: parses the logical screen
+    descriptor and image descriptor, concatenates the data sub-blocks,
+    runs the real variable-width LZW decompressor, and — when the image
+    descriptor's interlace flag is set — re-orders the transmitted rows
+    through the four-pass GIF89a grid back to raster order. Returns
+    (width, height, indices, palette_rgb_bytes) with indices in RASTER
+    order. Extensions (0x21 blocks) are skipped; animation and local
+    color tables raise — that is the cluster-side codec extension
+    point."""
     if payload[:6] not in _GIF_SIGS:
         raise ValueError("not a GIF payload")
     w = int.from_bytes(payload[6:8], "little")
@@ -1584,8 +1598,7 @@ def decode_gif(payload: bytes):
     ipacked = payload[i + 9]
     if ipacked & 0x80:
         raise NotImplementedError("local color tables are not stdlib-scope")
-    if ipacked & 0x40:
-        raise NotImplementedError("interlaced GIF is not stdlib-scope")
+    interlaced = bool(ipacked & 0x40)
     i += 10
     mcs = payload[i]
     i += 1
@@ -1597,6 +1610,12 @@ def decode_gif(payload: bytes):
     indices = _lzw_decode(bytes(data), mcs, iw * ih)
     if len(indices) != iw * ih:
         raise ValueError("GIF pixel data has wrong length")
+    if interlaced:
+        # transmitted row ti carries raster row order[ti] — scatter back
+        out: list[list[int] | None] = [None] * ih
+        for ti, r in enumerate(_gif_interlace_order(ih)):
+            out[r] = indices[ti * iw : (ti + 1) * iw]
+        indices = [v for row in out for v in row]
     return iw, ih, indices, palette
 
 
@@ -1664,3 +1683,109 @@ def gif_decode_report(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, GIF_REPORT_SCHEMA)
+
+
+def build_gif_i(doc_id: int) -> bytes:
+    """The INTERLACED twin of build_gif (round 13): identical pixel
+    formulas, but the rows are TRANSMITTED in the four-pass GIF89a
+    interlace order (every 8th from 0, every 8th from 4, every 4th from
+    2, every 2nd from 1) with the image descriptor's interlace flag set
+    — a decoder that ignores the flag (or scatters a pass onto the wrong
+    rows) produces the right multiset of pixels in the wrong places,
+    which only a position-sensitive checksum catches."""
+    w = 3 + doc_id % 13
+    h = 2 + doc_id % 7
+    palette = b"".join(
+        bytes(
+            (
+                (doc_id + i * 17) % 256,
+                (doc_id * 2 + i * 29) % 256,
+                (doc_id * 3 + i * 41) % 256,
+            )
+        )
+        for i in range(4)
+    )
+    rows = [
+        [(doc_id + r * 5 + c * 3) % 4 for c in range(w)] for r in range(h)
+    ]
+    indices = [
+        v for r in _gif_interlace_order(h) for v in rows[r]
+    ]
+    lzw = _lzw_encode(indices, 2)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        part = lzw[i : i + 255]
+        blocks.append(len(part))
+        blocks += part
+    blocks.append(0)
+    return (
+        b"GIF89a"
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + bytes([0x81, 0, 0])
+        + palette
+        + b"\x2c"
+        + (0).to_bytes(2, "little") * 2
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + b"\x40"  # no local color table, INTERLACED
+        + bytes([2])
+        + bytes(blocks)
+        + b"\x3b"
+    )
+
+
+def gif_i_media_from_documents(docs: DataFrame) -> DataFrame:
+    """One build_gif_i payload per document row, same Arrow ingest shape
+    as gif_media_from_documents."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "item_id": ids,
+                    "modality": ["image"] * len(ids),
+                    "payload": [build_gif_i(int(i)) for i in ids],
+                    "meta": [{"origin": f"documents/{int(i)}"} for i in ids],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+GIF_I_REPORT_SCHEMA = GIF_REPORT_SCHEMA + ", pos_weighted long"
+
+
+def gif_interlaced_report(df: DataFrame) -> DataFrame:
+    """gif_decode_report plus a POSITION-WEIGHTED index checksum
+    (sum over raster position k of (k+1) * index_k): the plain sums are
+    order-insensitive, so a decode that ignored the interlace flag would
+    still match them — the weighted sum is what pins the de-interlace
+    scatter to the exact raster order the oracle recomputes."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                w, h, idx, pal = decode_gif(payload)
+                rows.append(
+                    {
+                        "item_id": int(item_id),
+                        "width": w,
+                        "height": h,
+                        "n_pixels": len(idx),
+                        "sum_indices": sum(idx),
+                        "sum_rgb": sum(
+                            pal[3 * k] + pal[3 * k + 1] + pal[3 * k + 2]
+                            for k in idx
+                        ),
+                        "first_index": idx[0],
+                        "pos_weighted": sum(
+                            (k + 1) * v for k, v in enumerate(idx)
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, GIF_I_REPORT_SCHEMA)
