@@ -260,6 +260,31 @@ def _fam_logreg_distill(spark, docs, emb, tmp):
     return int(row.n_train + row.n_test)
 
 
+def _fam_nprobe_tune(spark, docs, emb, tmp):
+    """The measured nprobe auto-tune (round 13): ONE corpus-scale ADC
+    join at max(nprobes) with probe ranks attached, per-curve-point
+    windows over the shared frame, one batched rerank over the union of
+    top-m sets, the guarded Arrow exact side over a FIXED query sample,
+    and a |nprobes|-row selection window — the corpus-growing parts are
+    the ADC join and the exact side's corpus scan, so the exponent must
+    stay ~linear."""
+    from yaml_pipe_spark.operators.similarity import (
+        ivfpq_recall_curve,
+        select_nprobe,
+    )
+
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    sel = select_nprobe(
+        ivfpq_recall_curve(queries, emb, cents, nprobes=(1, 2, 4))
+    )
+    return sel.count()
+
+
 FAMILIES = {
     "minhash_lsh_pairs": _fam_minhash_lsh,
     "simhash_cc": _fam_simhash_cc,
@@ -274,6 +299,7 @@ FAMILIES = {
     "ivfpq_lifecycle": _fam_ivfpq_lifecycle,
     "kmeans_lloyd": _fam_kmeans_lloyd,
     "logreg_distill": _fam_logreg_distill,
+    "nprobe_tune": _fam_nprobe_tune,
 }
 
 
