@@ -17,8 +17,10 @@ per-modality pipelines prune at the scan.
 from __future__ import annotations
 
 import hashlib
+from bisect import bisect_left as _bisect_left
 from typing import Iterator
 
+import numpy as _np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -318,78 +320,258 @@ def _jpeg_basis(u: int, v: int) -> list[float]:
     return plane
 
 
-def _jpeg_huff_table(bits: bytes, vals: bytes) -> dict[tuple[int, int], int]:
+# the same 64 planes as float64 ndarrays, indexed row-major (8*v + u):
+# `acc += f * plane` is then ONE vectorized multiply-add per nonzero
+# coefficient with bit-identical IEEE-754 results (elementwise double
+# multiply then add, no FMA — numpy does not fuse), instead of a 64-term
+# Python list comprehension
+_JPEG_BASIS_NP: list = [None] * 64
+
+
+def _jpeg_basis_np(u: int, v: int):
+    plane = _JPEG_BASIS_NP[8 * v + u]
+    if plane is None:
+        plane = _np.asarray(_jpeg_basis(u, v), dtype=_np.float64)
+        _JPEG_BASIS_NP[8 * v + u] = plane
+    return plane
+
+
+# row-major (8*v + u) list of all 64 planes, filled eagerly (4096 cos
+# products — negligible at import, saves a None-check per block)
+_JPEG_BASIS_ROW = [_jpeg_basis_np(i & 7, i >> 3) for i in range(64)]
+
+
+def _jpeg_block_out(acc, ox: int, oy: int, w: int, h: int, out2d) -> None:
+    """Level-shift, round (half-even, same as Python round()), clamp and
+    scatter one IDCT'd 8x8 block into the output plane, cropping at the
+    image boundary exactly like the per-pixel walk did."""
+    ch = min(8, h - oy)
+    cw = min(8, w - ox)
+    if ch <= 0 or cw <= 0:
+        return
+    vals = _np.rint(acc).astype(_np.int64) + 128
+    block = _np.clip(vals, 0, 255).astype(_np.uint8).reshape(8, 8)
+    out2d[oy : oy + ch, ox : ox + cw] = block[:ch, :cw]
+
+
+class _HuffTable(dict):
+    """(length, code) -> symbol dict plus a 16-bit-prefix lookup table.
+
+    `lut[prefix16]` = (symbol << 5) | code_length, 0 = no code is a
+    prefix of these 16 bits. Shorter codes are written LAST in the build
+    so that, on a corrupt DHT whose code ranges overlap, the shortest
+    match wins — exactly the order the one-bit-at-a-time probe resolves
+    them."""
+
+    __slots__ = ("lut",)
+
+
+_JPEG_HUFF_CACHE: dict[bytes, "_HuffTable"] = {}
+
+
+def _jpeg_huff_table(bits: bytes, vals: bytes) -> "_HuffTable":
     """Canonical Huffman per ITU T.81 C.2: `bits[l-1]` codes of length l,
     codes assigned in increasing order, left-shifted at each length step.
-    Keyed by (length, code) so the bit-reader can probe one bit at a time."""
-    table: dict[tuple[int, int], int] = {}
+    Keyed by (length, code); a prefix LUT rides along so the bit-reader
+    resolves a whole symbol per probe instead of one bit at a time.
+    Cached by table content — a corpus reuses a handful of DHT bodies
+    across millions of files, so the 64 Ki LUT is built once per shape."""
+    key = bytes(bits) + b"\x00" + bytes(vals)
+    cached = _JPEG_HUFF_CACHE.get(key)
+    if cached is not None:
+        return cached
+    table = _HuffTable()
     code, k = 0, 0
+    entries: list[tuple[int, int, int]] = []
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
             table[(length, code)] = vals[k]
+            entries.append((length, code, vals[k]))
             k += 1
             code += 1
         code <<= 1
+    lut = _np.zeros(1 << 16, dtype=_np.int32)
+    # longest first: later (shorter) writes win overlapping ranges, the
+    # same precedence as probing lengths 1..16 in increasing order
+    for length, c, sym in sorted(entries, key=lambda e: -e[0]):
+        if c >= (1 << length):
+            continue  # overflowed canonical code: unreachable by a real probe
+        start = c << (16 - length)
+        lut[start : start + (1 << (16 - length))] = (sym << 5) | length
+    table.lut = lut
+    if len(_JPEG_HUFF_CACHE) < 256:
+        _JPEG_HUFF_CACHE[key] = table
     return table
 
 
 class _JpegBitReader:
-    """Entropy-segment bit reader: unstuffs 0xFF00, stops at a real marker."""
+    """Entropy-segment bit reader: unstuffs 0xFF00, stops at a real marker.
+
+    The segment is pre-scanned once (fast `bytes.find` hops between 0xFF
+    sites) into an unstuffed buffer; bits are then served from a rolling
+    integer accumulator and whole Huffman symbols resolve through the
+    table's 16-bit-prefix LUT — one probe per symbol instead of one dict
+    probe per bit. Observable semantics are UNCHANGED from the one-bit
+    walk: all data bits before a marker are readable, the first bit that
+    would come from a marker byte raises the same ValueError, running off
+    the end of the payload (or into a truncated trailing 0xFF, whose bits
+    the one-bit walk never served either) raises IndexError for the
+    caller's truncated-stream contract, and `pos`/`bit`/`resume_pos`
+    report the identical original-stream positions."""
+
+    __slots__ = (
+        "data", "_start", "_u", "_nu", "_stuffed", "_stop_marker",
+        "_acc", "_an", "_bi",
+    )
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
-        self.pos = pos
-        self.bit = 0
+        self._seek(pos, 0)
+
+    def _seek(self, pos: int, bit: int) -> None:
+        """(Re)prescan from original position `pos`: unstuff 0xFF00 up to
+        the first real marker / end of data, then consume `bit` bits."""
+        data = self.data
+        n = len(data)
+        chunks: list[bytes] = []
+        stuffed: list[int] = []  # unstuffed indices that were stuffed 0xFFs
+        count = 0
+        p = pos
+        stop_marker = False
+        while True:
+            q = data.find(b"\xff", p)
+            if q == -1:
+                chunks.append(data[p:])
+                break
+            chunks.append(data[p:q])
+            count += q - p
+            if q + 1 < n and data[q + 1] == 0x00:
+                chunks.append(b"\xff")
+                stuffed.append(count)
+                count += 1
+                p = q + 2
+                continue
+            # real marker — or a trailing 0xFF whose companion byte the
+            # one-bit walk would IndexError on before serving its bits
+            stop_marker = q + 1 < n
+            break
+        self._start = pos
+        self._u = b"".join(chunks)
+        self._nu = len(self._u)
+        self._stuffed = stuffed
+        self._stop_marker = stop_marker
+        self._acc = 0
+        self._an = 0
+        self._bi = 0
+        for _ in range(bit):
+            self.read_bit()
+
+    def _stop_error(self) -> Exception:
+        if self._stop_marker:
+            return ValueError("hit a marker inside entropy data")
+        return IndexError("JPEG entropy segment exhausted")
+
+    def _orig(self, i: int) -> int:
+        """Original-stream position of unstuffed byte i (i == len is the
+        stop position): start + i data bytes + one extra per stuffed 0xFF
+        among the first i unstuffed bytes."""
+        return self._start + i + _bisect_left(self._stuffed, i)
+
+    @property
+    def pos(self) -> int:
+        consumed = 8 * self._bi - self._an
+        return self._orig(consumed >> 3)
+
+    @pos.setter
+    def pos(self, value: int) -> None:
+        self._seek(value, 0)
+
+    @property
+    def bit(self) -> int:
+        return (8 * self._bi - self._an) & 7
+
+    @bit.setter
+    def bit(self, value: int) -> None:
+        if value != self.bit:
+            self._seek(self.pos, value)
 
     def read_bit(self) -> int:
-        d = self.data
-        if self.bit == 0:
-            if d[self.pos] == 0xFF:
-                nxt = d[self.pos + 1]
-                if nxt == 0x00:
-                    pass  # stuffed byte: 0xFF is data, skip the 0x00 later
-                else:
-                    raise ValueError("hit a marker inside entropy data")
-        b = (d[self.pos] >> (7 - self.bit)) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
-            self.pos += 2 if d[self.pos] == 0xFF else 1
+        an = self._an
+        if an == 0:
+            bi = self._bi
+            if bi >= self._nu:
+                raise self._stop_error()
+            self._acc = self._u[bi]
+            self._bi = bi + 1
+            an = 8
+        an -= 1
+        self._an = an
+        b = (self._acc >> an) & 1
+        self._acc &= (1 << an) - 1
         return b
 
     def decode_symbol(self, table: dict[tuple[int, int], int]) -> int:
-        length, code = 0, 0
-        while length < 16:
-            code = (code << 1) | self.read_bit()
-            length += 1
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code in JPEG stream")
+        lut = getattr(table, "lut", None)
+        if lut is None:  # plain dict (hand-built): probe a bit at a time
+            length, code = 0, 0
+            while length < 16:
+                code = (code << 1) | self.read_bit()
+                length += 1
+                sym = table.get((length, code))
+                if sym is not None:
+                    return sym
+            raise ValueError("invalid Huffman code in JPEG stream")
+        acc, an, bi = self._acc, self._an, self._bi
+        u, nu = self._u, self._nu
+        while an < 16 and bi < nu:
+            acc = (acc << 8) | u[bi]
+            bi += 1
+            an += 8
+        key = (acc >> (an - 16)) if an >= 16 else (acc << (16 - an))
+        e = int(lut[key & 0xFFFF])
+        length = e & 31
+        if length and length <= an:
+            an -= length
+            self._acc = acc & ((1 << an) - 1)
+            self._an = an
+            self._bi = bi
+            return e >> 5
+        if an >= 16:
+            raise ValueError("invalid Huffman code in JPEG stream")
+        raise self._stop_error()
+
+    def receive(self, t: int) -> int:
+        """t raw magnitude bits, no sign extension (EOB-run lengths)."""
+        if t == 0:
+            return 0
+        acc, an, bi = self._acc, self._an, self._bi
+        u, nu = self._u, self._nu
+        while an < t:
+            if bi >= nu:
+                raise self._stop_error()
+            acc = (acc << 8) | u[bi]
+            bi += 1
+            an += 8
+        an -= t
+        self._acc = acc & ((1 << an) - 1)
+        self._an = an
+        self._bi = bi
+        return acc >> an
 
     def receive_extend(self, t: int) -> int:
         """T.81 F.2.2.1: read t magnitude bits, sign-extend (EXTEND)."""
         if t == 0:
             return 0
-        v = 0
-        for _ in range(t):
-            v = (v << 1) | self.read_bit()
+        v = self.receive(t)
         return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
-
-    def receive(self, t: int) -> int:
-        """t raw magnitude bits, no sign extension (EOB-run lengths)."""
-        v = 0
-        for _ in range(t):
-            v = (v << 1) | self.read_bit()
-        return v
 
     def resume_pos(self) -> int:
         """First byte position after the current (partially consumed)
         byte — hands control back to the marker walk between the scans
         of a progressive stream (remaining bits are 1-padding)."""
-        if self.bit == 0:
-            return self.pos
-        return self.pos + (2 if self.data[self.pos] == 0xFF else 1)
+        consumed = 8 * self._bi - self._an
+        i, b = consumed >> 3, consumed & 7
+        return self._orig(i if b == 0 else i + 1)
 
 
 def decode_jpeg_gray(payload: bytes):
@@ -563,6 +745,7 @@ def decode_jpeg_gray(payload: bytes):
         q = qt[tq]
         nbx = (w + 7) // 8
         out = bytearray(w * h)
+        out2d = _np.frombuffer(out, dtype=_np.uint8).reshape(h, w)
         # gray output = the BT.601 luma = component 0 (Y); chroma
         # components were fully entropy-decoded (their scans are
         # self-contained, but the interleaved DC scan required their
@@ -570,7 +753,7 @@ def decode_jpeg_gray(payload: bytes):
         # planes, which gray output never reads, are not materialized
         for bi, vals in enumerate(prog_coefs[0]):
             _idct_block_to_out(
-                vals, q, bi % nbx, bi // nbx, w, h, out
+                vals, q, bi % nbx, bi // nbx, w, h, out2d
             )
         return w, h, bytes(out)
     if w is None or not scan_sel or frame_comps is None:
@@ -603,9 +786,10 @@ def decode_jpeg_gray(payload: bytes):
     nmx = (w + 8 * hmax - 1) // (8 * hmax)
     nmy = (h + 8 * vmax - 1) // (8 * vmax)
     out = bytearray(w * h)
+    out2d = _np.frombuffer(out, dtype=_np.uint8).reshape(h, w)
     try:
         _decode_jpeg_mcus(
-            rd, nmx, nmy, w, h, hmax, vmax, comps, out, restart_interval
+            rd, nmx, nmy, w, h, hmax, vmax, comps, out2d, restart_interval
         )
     except IndexError as e:
         # a truncated entropy segment (read past the buffer) or a corrupt
@@ -803,28 +987,18 @@ def _refine_ac_scan(rd, coefs, ss, se, al, ac_tab):
             eobrun -= 1
 
 
-def _idct_block_to_out(vals, q, bx, by, w, h, out):
+def _idct_block_to_out(vals, q, bx, by, w, h, out2d):
     """Dequantize one block's zigzag-indexed coefficient values and IDCT
     them into the output plane — the same sparse basis-plane accumulation
-    the baseline path uses."""
-    acc = [0.0] * 64
+    (and accumulation ORDER: ascending zigzag index) the one-term-per-
+    list-comprehension walk used, now one vectorized multiply-add per
+    nonzero coefficient."""
+    acc = _np.zeros(64, dtype=_np.float64)
     for zz, v in enumerate(vals):
         if v:
             zr, zc = _JPEG_ZIGZAG[zz]
-            f = v * q[zz]
-            plane = _jpeg_basis(zc, zr)
-            acc = [a + f * p for a, p in zip(acc, plane)]
-    for y in range(8):
-        iy = by * 8 + y
-        if iy >= h:
-            break
-        row_off = iy * w
-        for x in range(8):
-            ix = bx * 8 + x
-            if ix >= w:
-                break
-            val = int(round(acc[8 * y + x])) + 128
-            out[row_off + ix] = 0 if val < 0 else (255 if val > 255 else val)
+            acc += (v * q[zz]) * _jpeg_basis_np(zc, zr)
+    _jpeg_block_out(acc, bx * 8, by * 8, w, h, out2d)
 
 
 def _consume_restart(rd, expected: int) -> None:
@@ -849,7 +1023,7 @@ def _consume_restart(rd, expected: int) -> None:
 
 
 def _decode_jpeg_mcus(
-    rd, nmx, nmy, w, h, hmax, vmax, comps, out, restart_interval=0
+    rd, nmx, nmy, w, h, hmax, vmax, comps, out2d, restart_interval=0
 ):
     """Interleaved MCU loop (T.81 A.2.3): per MCU each component decodes
     its h x v sampling-factor blocks in raster order — one block each at
@@ -881,13 +1055,15 @@ def _decode_jpeg_mcus(
                 emit = comp["emit"]
                 for bv in range(comp["v"]):
                     for bu in range(comp["h"]):
-                        coef = (
-                            [[0.0] * 8 for _ in range(8)] if emit else None
-                        )
+                        # nonzero (row-major index, dequantized value)
+                        # sites, collected in zigzag decode order and
+                        # sorted to the row-major ORDER the original
+                        # coefficient-grid walk accumulated in
+                        nz = [] if emit else None
                         t = rd.decode_symbol(dc_tab)
                         comp["pred"] += rd.receive_extend(t)
-                        if emit:
-                            coef[0][0] = comp["pred"] * q[0]
+                        if emit and comp["pred"]:
+                            nz.append((0, comp["pred"] * q[0]))
                         k = 1
                         while k < 64:
                             rs = rd.decode_symbol(ac_tab)
@@ -901,43 +1077,23 @@ def _decode_jpeg_mcus(
                             val = rd.receive_extend(s)
                             if emit:
                                 zr, zc = _JPEG_ZIGZAG[k]
-                                coef[zr][zc] = val * q[k]
+                                nz.append((8 * zr + zc, val * q[k]))
                             k += 1
                         if not emit:
                             continue
                         # accumulate per NON-ZERO coefficient over a
-                        # precomputed 64-sample basis plane (y-major):
-                        # typical sparse blocks touch a handful of
-                        # planes, so the IDCT is a few C-level zips
-                        # instead of a 64-pixel Python loop
-                        acc = [0.0] * 64
-                        for v in range(8):
-                            row = coef[v]
-                            for u in range(8):
-                                f = row[u]
-                                if f != 0.0:
-                                    plane = _jpeg_basis(u, v)
-                                    acc = [
-                                        a + f * p
-                                        for a, p in zip(acc, plane)
-                                    ]
+                        # precomputed 64-sample basis plane (y-major),
+                        # one vectorized multiply-add per plane in
+                        # ascending row-major order — the identical
+                        # IEEE-754 operation sequence as the original
+                        # per-element walk
+                        acc = _np.zeros(64, dtype=_np.float64)
+                        nz.sort()
+                        for idx, f in nz:
+                            acc += f * _JPEG_BASIS_ROW[idx]
                         oy = my * 8 * vmax + bv * 8
                         ox = mx * 8 * hmax + bu * 8
-                        for y in range(8):
-                            iy = oy + y
-                            if iy >= h:
-                                break
-                            row_off = iy * w
-                            for x in range(8):
-                                ix = ox + x
-                                if ix >= w:
-                                    break
-                                val = int(round(acc[8 * y + x])) + 128
-                                out[row_off + ix] = (
-                                    0
-                                    if val < 0
-                                    else (255 if val > 255 else val)
-                                )
+                        _jpeg_block_out(acc, ox, oy, w, h, out2d)
 
 
 def _decode_jpeg_features(payload: bytes):
