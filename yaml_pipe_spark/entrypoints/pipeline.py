@@ -420,8 +420,14 @@ FROM parsed GROUP BY lang
 def q_s1_parse_eml(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yaml_pipe_spark.sources.parsers import parse_eml
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "text"
+    from yaml_pipe_spark.session import spread_for_expansion
+
+    # the documents scan arrives as ONE split at bench scale; the per-doc
+    # Python build+parse would otherwise run serially on a single task
+    docs = spread_for_expansion(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        )
     )
     raw = F.encode(
         F.concat(
@@ -499,8 +505,14 @@ def q_s1_parse_pptx(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "text"
+    from yaml_pipe_spark.session import spread_for_expansion
+
+    # the documents scan arrives as ONE split at bench scale; the per-doc
+    # Python build+parse would otherwise run serially on a single task
+    docs = spread_for_expansion(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        )
     )
     built = docs.mapInPandas(build, "doc_id long, lang string, raw binary")
     return _parse_rollup(built.withColumn("parsed", parse_pptx(F.col("raw"))))
@@ -577,8 +589,14 @@ def q_s1_parse_docx(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "raw": payloads}
             )
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "text"
+    from yaml_pipe_spark.session import spread_for_expansion
+
+    # the documents scan arrives as ONE split at bench scale; the per-doc
+    # Python build+parse would otherwise run serially on a single task
+    docs = spread_for_expansion(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        )
     )
     built = docs.mapInPandas(build, "doc_id long, lang string, raw binary")
     return _parse_rollup(built.withColumn("parsed", parse_docx(F.col("raw"))))
@@ -628,8 +646,14 @@ def q_s1_parse_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "raw": payloads}
             )
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "text"
+    from yaml_pipe_spark.session import spread_for_expansion
+
+    # the documents scan arrives as ONE split at bench scale; the per-doc
+    # Python build+parse would otherwise run serially on a single task
+    docs = spread_for_expansion(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        )
     )
     built = docs.mapInPandas(build, "doc_id long, lang string, raw binary")
     return _parse_rollup(built.withColumn("parsed", parse_pdf(F.col("raw"))))
@@ -697,8 +721,14 @@ def q_s1_parse_epub(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "raw": payloads}
             )
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "text"
+    from yaml_pipe_spark.session import spread_for_expansion
+
+    # the documents scan arrives as ONE split at bench scale; the per-doc
+    # Python build+parse would otherwise run serially on a single task
+    docs = spread_for_expansion(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        )
     )
     built = docs.mapInPandas(build, "doc_id long, lang string, raw binary")
     return _parse_rollup(built.withColumn("parsed", parse_epub(F.col("raw"))))
@@ -1099,8 +1129,14 @@ def q_s1_parse_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "raw": payloads}
             )
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "text"
+    from yaml_pipe_spark.session import spread_for_expansion
+
+    # the documents scan arrives as ONE split at bench scale; the per-doc
+    # Python build+parse would otherwise run serially on a single task
+    docs = spread_for_expansion(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        )
     )
     built = docs.mapInPandas(build, "doc_id long, lang string, raw binary")
     return _parse_rollup(built.withColumn("parsed", parse_warc(F.col("raw"))))
@@ -1143,8 +1179,14 @@ def q_s1_parse_tar(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "raw": payloads}
             )
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "text"
+    from yaml_pipe_spark.session import spread_for_expansion
+
+    # the documents scan arrives as ONE split at bench scale; the per-doc
+    # Python build+parse would otherwise run serially on a single task
+    docs = spread_for_expansion(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        )
     )
     built = docs.mapInPandas(build, "doc_id long, lang string, raw binary")
     return _parse_rollup(built.withColumn("parsed", parse_tar(F.col("raw"))))

@@ -413,14 +413,23 @@ class _JpegBitWriter:
         self.n = 0
 
     def write(self, value: int, nbits: int) -> None:
-        for i in range(nbits - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((value >> i) & 1)
-            self.n += 1
-            if self.n == 8:
-                self.out.append(self.acc)
-                if self.acc == 0xFF:
-                    self.out.append(0x00)  # byte stuffing
-                self.acc, self.n = 0, 0
+        # batched form of the one-bit-at-a-time shift: push all nbits into
+        # the accumulator at once, then emit complete bytes MSB-first —
+        # identical output stream (same bit order, same 0xFF00 stuffing
+        # after each completed byte), ~6x fewer Python ops per call
+        if nbits == 0:
+            return
+        acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        n = self.n + nbits
+        out = self.out
+        while n >= 8:
+            n -= 8
+            b = (acc >> n) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)  # byte stuffing
+        self.acc = acc & ((1 << n) - 1)
+        self.n = n
 
     def flush(self) -> bytes:
         if self.n:
