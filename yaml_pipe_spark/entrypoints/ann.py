@@ -2293,11 +2293,29 @@ def q_ann_ivf_nprobe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("cv"),
         )
     )
-    cents = lloyd_centroid_arrays(
-        kmeans_lloyd_u6(standing, seeds, rounds=_RETRAIN_LLOYD_ROUNDS)[0]
-    )
+    # the exact ground-truth side never looks at centroids, so it runs
+    # concurrently with the (inherently sequential) Lloyd rounds instead
+    # of serially after them (guide §2.6); the curve then reuses the
+    # pre-materialized frame via ivfpq_recall_curve's `exact` seam
+    from concurrent.futures import ThreadPoolExecutor
+
+    from yaml_pipe_spark.operators.similarity import knn_join_arrow
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cents = pool.submit(
+            lambda: lloyd_centroid_arrays(
+                kmeans_lloyd_u6(
+                    standing, seeds, rounds=_RETRAIN_LLOYD_ROUNDS
+                )[0]
+            )
+        )
+        f_exact = pool.submit(
+            lambda: knn_join_arrow(q, standing, k=5).localCheckpoint()
+        )
+        cents, exact = f_cents.result(), f_exact.result()
     curve = ivfpq_recall_curve(
-        q, standing, cents, nprobes=_NPROBE_SET, k=5, rerank_m=20
+        q, standing, cents, nprobes=_NPROBE_SET, k=5, rerank_m=20,
+        exact=exact,
     )
     return select_nprobe(curve, *_NPROBE_FLOOR)
 
@@ -2574,27 +2592,44 @@ def q_ann_recall_trained_vs_seeded(
     seeds = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
-    cents_trained = lloyd_centroid_arrays(
-        kmeans_lloyd_u6(emb, seeds, rounds=_LLOYD_ROUNDS)[0]
-    )
     queries = emb.filter(F.col("vec_id") < 24).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
-    exact = knn_join_arrow(queries, emb, k=5).localCheckpoint()
 
-    def one(tag: str, cents) -> DataFrame:
+    def cands_for(cents) -> DataFrame:
         from yaml_pipe_spark.operators.similarity import (
             ivf_assign,
             ivf_scored_candidates,
         )
 
-        assigned = ivf_assign(emb, cents)
         # candidate mass IS the serve cost at fixed nprobe — recall alone
         # cannot rank quantizers (balanced trained cells may scan fewer
         # vectors AND split a cosine neighborhood across a boundary)
-        cands = ivf_scored_candidates(
-            queries, cents, assigned, nprobe=2
+        return ivf_scored_candidates(
+            queries, cents, ivf_assign(emb, cents), nprobe=2
         ).localCheckpoint()
+
+    # three independent materializations — the Lloyd rounds (inherently
+    # sequential internally), the exact ground truth, and the SEEDED
+    # serve (which never sees the trained centroids) — run as concurrent
+    # jobs; only the trained serve has to wait for training (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_cents = pool.submit(
+            lambda: lloyd_centroid_arrays(
+                kmeans_lloyd_u6(emb, seeds, rounds=_LLOYD_ROUNDS)[0]
+            )
+        )
+        f_exact = pool.submit(
+            lambda: knn_join_arrow(queries, emb, k=5).localCheckpoint()
+        )
+        f_seeded = pool.submit(cands_for, seeds)
+        cents_trained = f_cents.result()
+        exact, seeded_cands = f_exact.result(), f_seeded.result()
+    trained_cands = cands_for(cents_trained)
+
+    def one(tag: str, cands) -> DataFrame:
         w = W.partitionBy("qid").orderBy(
             F.col("score").desc(), F.col("vec_id")
         )
@@ -2616,4 +2651,6 @@ def q_ann_recall_trained_vs_seeded(
     # embedding corpus is unit-norm (||x|| in [1 - 1e-7, 1 + 1e-7]), so
     # L2 Lloyd already IS spherical k-means on it; the capability stays
     # on the operator for non-normalized corpora (unit-pinned).
-    return one("seeded", seeds).unionByName(one("trained", cents_trained))
+    return one("seeded", seeded_cands).unionByName(
+        one("trained", trained_cands)
+    )

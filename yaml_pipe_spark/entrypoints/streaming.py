@@ -57,18 +57,40 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stream_inc_dedup_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     shutil.rmtree(base, ignore_errors=True)  # fresh drain every invocation
-    # the increment arrives as ONE file -> one micro-batch, so the drain
-    # is the exact two-snapshot batch computation
-    new.coalesce(1).write.parquet(os.path.join(base, "input"))
-    # preload the standing state the way a corpus build would have left it
     from yaml_pipe_spark.streaming.stream import commit_band_state
 
-    commit_band_state(minhash_band_state(old), os.path.join(base, "state"))
-    (
-        old.withColumn("__snap", F.lit(-1))
-        .write.partitionBy("__snap")
-        .parquet(os.path.join(base, "state", "corpus"))
-    )
+    # the three preload writes (increment file, band state, standing
+    # corpus) touch disjoint directories and only the drain afterwards
+    # reads any of them — submit them as concurrent jobs instead of three
+    # back-to-back writes (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _stage_input():
+        # the increment arrives as ONE file -> one micro-batch, so the
+        # drain is the exact two-snapshot batch computation
+        new.coalesce(1).write.parquet(os.path.join(base, "input"))
+
+    def _stage_bands():
+        # preload the standing state the way a corpus build would have
+        # left it
+        commit_band_state(
+            minhash_band_state(old), os.path.join(base, "state")
+        )
+
+    def _stage_corpus():
+        (
+            old.withColumn("__snap", F.lit(-1))
+            .write.partitionBy("__snap")
+            .parquet(os.path.join(base, "state", "corpus"))
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for f in [
+            pool.submit(_stage_input),
+            pool.submit(_stage_bands),
+            pool.submit(_stage_corpus),
+        ]:
+            f.result()
     run_incremental_dedup_stream(
         spark,
         os.path.join(base, "input"),
@@ -564,15 +586,32 @@ def q_stream_bm25_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rebuild, never a silently wrong serve.
     base = os.path.join("spark-warehouse", f"stream_bm25_{sf_base}")
     store = Bm25IndexStore(os.path.join(base, "index"))
-    if not (store.restore_manifest() and not store.is_stale(standing)):
-        shutil.rmtree(base, ignore_errors=True)
-        store.build(standing)
-        store.snapshot_manifest()
-    # per-run streaming scratch (input + checkpoint) is always fresh;
-    # the increment arrives as ONE file -> one micro-batch
     run_dir = os.path.join(base, "run")
-    shutil.rmtree(run_dir, ignore_errors=True)
-    increment.coalesce(1).write.parquet(os.path.join(run_dir, "input"))
+
+    # readying the standing index (rewind + staleness proof, or the cold
+    # rebuild) and staging the increment file touch disjoint directories
+    # and meet only at the drain — run them as concurrent jobs (guide
+    # §2.6). The cold-path rmtree targets the INDEX dir only; the run
+    # scratch is cleared and rewritten by its own thread either way.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _ready_store():
+        if not (store.restore_manifest() and not store.is_stale(standing)):
+            shutil.rmtree(store.base_path, ignore_errors=True)
+            store.build(standing)
+            store.snapshot_manifest()
+
+    def _stage_input():
+        # per-run streaming scratch (input + checkpoint) is always fresh;
+        # the increment arrives as ONE file -> one micro-batch
+        shutil.rmtree(run_dir, ignore_errors=True)
+        increment.coalesce(1).write.parquet(os.path.join(run_dir, "input"))
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fs_store = pool.submit(_ready_store)
+        fs_input = pool.submit(_stage_input)
+        fs_store.result()
+        fs_input.result()
     run_bm25_append_stream(
         spark,
         os.path.join(run_dir, "input"),

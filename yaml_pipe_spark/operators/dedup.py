@@ -1068,18 +1068,30 @@ def lsh_recall_audit(
     consumed twice (own count + the intersection semi-join).
     """
     shingles = token_shingles(df, text_col, id_col, k).localCheckpoint()
-    truth = (
-        exact_jaccard_pairs(shingles, id_col=id_col)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b")
-        .localCheckpoint()
-    )
-    cands = lsh_candidate_pairs(
-        minhash_signatures(shingles, id_col, n_hashes),
-        id_col,
-        n_hashes,
-        bands,
-    ).localCheckpoint()
+    # truth (the exact inverted-index pair join) and candidates (the banded
+    # self-join) both read only the checkpointed shingles and meet only at
+    # the intersection, so their materializations are submitted as
+    # concurrent jobs — the scheduler back-fills the heavier truth join's
+    # task tail with the candidate side's tasks instead of running the two
+    # jobs end to end (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_truth = pool.submit(
+            lambda: exact_jaccard_pairs(shingles, id_col=id_col)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b")
+            .localCheckpoint()
+        )
+        f_cands = pool.submit(
+            lambda: lsh_candidate_pairs(
+                minhash_signatures(shingles, id_col, n_hashes),
+                id_col,
+                n_hashes,
+                bands,
+            ).localCheckpoint()
+        )
+        truth, cands = f_truth.result(), f_cands.result()
     hit = truth.join(cands, ["id_a", "id_b"], "left_semi")
     nt = truth.agg(F.count("*").alias("n_true_pairs"))
     nc = cands.agg(F.count("*").alias("n_candidates"))
@@ -1131,42 +1143,59 @@ def lsh_band_curve(
     from pyspark.sql import Window as W
 
     shingles = token_shingles(df, text_col, id_col, k).localCheckpoint()
-    truth = (
-        exact_jaccard_pairs(shingles, id_col=id_col)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b")
-        .localCheckpoint()
-    )
-    sigs = minhash_signatures(shingles, id_col, n_hashes).localCheckpoint()
+    # the two HEAVY jobs over the checkpointed shingles — the exact truth
+    # join and the signatures -> stacked banded self-join chain — are
+    # independent until the intersection, so each chain materializes in
+    # its own thread and the scheduler back-fills one job's task tail
+    # with the other's tasks (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _truth() -> DataFrame:
+        return (
+            exact_jaccard_pairs(shingles, id_col=id_col)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b")
+            .localCheckpoint()
+        )
+
+    def _cands() -> DataFrame:
+        sigs = minhash_signatures(
+            shingles, id_col, n_hashes
+        ).localCheckpoint()  # consumed once per banding config below
+        stacked = reduce(
+            lambda a, c: a.unionByName(c),
+            [
+                lsh_band_table(
+                    sigs, id_col, n_hashes, b, max_bucket_size=None
+                ).withColumn("cfg", F.lit(int(b)))
+                for b in bands_list
+            ],
+        )
+        wcap = W.partitionBy("cfg", "band_id", "band_key")
+        buckets = (
+            stacked.withColumn("__n", F.count("*").over(wcap))
+            .filter(F.col("__n") <= DEFAULT_MAX_BUCKET_SIZE)
+            .drop("__n")
+        )
+        pa = buckets.select(
+            "cfg", "band_id", "band_key", F.col(id_col).alias("id_a")
+        )
+        pb = buckets.select(
+            "cfg", "band_id", "band_key", F.col(id_col).alias("id_b")
+        )
+        return (
+            pa.join(pb, ["cfg", "band_id", "band_key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("cfg", "id_a", "id_b")
+            .distinct()
+            .localCheckpoint()  # consumed twice: count + truth semi-join
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_truth = pool.submit(_truth)
+        f_cands = pool.submit(_cands)
+        truth, cands = f_truth.result(), f_cands.result()
     nt = truth.agg(F.count("*").cast("long").alias("n_true_pairs"))
-    stacked = reduce(
-        lambda a, c: a.unionByName(c),
-        [
-            lsh_band_table(
-                sigs, id_col, n_hashes, b, max_bucket_size=None
-            ).withColumn("cfg", F.lit(int(b)))
-            for b in bands_list
-        ],
-    )
-    wcap = W.partitionBy("cfg", "band_id", "band_key")
-    buckets = (
-        stacked.withColumn("__n", F.count("*").over(wcap))
-        .filter(F.col("__n") <= DEFAULT_MAX_BUCKET_SIZE)
-        .drop("__n")
-    )
-    pa = buckets.select(
-        "cfg", "band_id", "band_key", F.col(id_col).alias("id_a")
-    )
-    pb = buckets.select(
-        "cfg", "band_id", "band_key", F.col(id_col).alias("id_b")
-    )
-    cands = (
-        pa.join(pb, ["cfg", "band_id", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("cfg", "id_a", "id_b")
-        .distinct()
-        .localCheckpoint()  # consumed twice: count + truth semi-join
-    )
     ncand = cands.groupBy("cfg").agg(
         F.count("*").cast("long").alias("n_candidates")
     )

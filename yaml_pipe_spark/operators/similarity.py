@@ -1104,12 +1104,19 @@ def ivfpq_recall_curve(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     score_decimals: int = 6,
+    exact: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k of the SERVED IVF-PQ pipeline (ADC top-m + exact rerank —
     ivfpq_topk's exact semantics) per probe budget, against the exact
     Arrow top-k: one row per nprobe with (nprobe, recall, n_queries,
     n_exact, n_hit). The measurement an IVF index must publish before
     anyone trusts a probe setting — and the input select_nprobe tunes on.
+
+    `exact` optionally takes a PRE-MATERIALIZED exact top-k frame (the
+    same knn_join_arrow(queries, corpus, k) result this function would
+    compute) so a caller that has other centroid-independent work — e.g.
+    the nprobe auto-tune, which first trains the quantizer — can overlap
+    the exact scorer with that work instead of paying it serially here.
 
     Cost shape (100 TB): ONE corpus-scale ADC join at max(nprobes) with
     probe ranks attached; each curve point is a filter + top-m window
@@ -1120,15 +1127,33 @@ def ivfpq_recall_curve(
     from functools import reduce
 
     nps = sorted(set(int(n) for n in nprobes))
-    exact = knn_join_arrow(
-        queries, corpus, k=k, query_id=query_id, query_vec=query_vec,
-        vec_col=vec_col, id_col=id_col, score_decimals=score_decimals,
-    ).localCheckpoint()
-    adc = ivfpq_adc_candidates(
-        queries, corpus, centroids, nprobe=max(nps), query_id=query_id,
-        query_vec=query_vec, vec_col=vec_col, id_col=id_col,
-        score_decimals=score_decimals,
-    ).localCheckpoint()
+    # the exact ground-truth scorer and the ADC candidate pass are
+    # independent until the recall join — materialize them as concurrent
+    # jobs so neither corpus scan idles behind the other (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_exact = (
+            None
+            if exact is not None
+            else pool.submit(
+                lambda: knn_join_arrow(
+                    queries, corpus, k=k, query_id=query_id,
+                    query_vec=query_vec, vec_col=vec_col, id_col=id_col,
+                    score_decimals=score_decimals,
+                ).localCheckpoint()
+            )
+        )
+        f_adc = pool.submit(
+            lambda: ivfpq_adc_candidates(
+                queries, corpus, centroids, nprobe=max(nps),
+                query_id=query_id, query_vec=query_vec, vec_col=vec_col,
+                id_col=id_col, score_decimals=score_decimals,
+            ).localCheckpoint()
+        )
+        adc = f_adc.result()
+        if f_exact is not None:
+            exact = f_exact.result()
     w_adc = W.partitionBy(query_id).orderBy("adc_r", id_col)
     topms = [
         adc.filter(F.col("probe_rank") <= np)

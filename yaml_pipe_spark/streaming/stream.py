@@ -73,6 +73,61 @@ def run_streaming_pipeline(
     q.awaitTermination()
 
 
+def stage_band_state(
+    df: DataFrame, state_dir: str, name: str = "bands"
+) -> str:
+    """Write the NEXT band-state generation directory (`{name}_v{k}`)
+    without touching the live pointer — the write half of
+    commit_band_state, split out so a caller can overlap this (the only
+    data-sized part of the commit) with other independent jobs and still
+    swap the pointer strictly last. A crash after staging leaves an
+    orphan directory the next finalize's GC sweeps; the live generation
+    is untouched. Returns the staged directory name for
+    finalize_band_state. Single-writer contract (same as the combined
+    commit): concurrent stagers could compute the same next version."""
+    import os
+
+    os.makedirs(state_dir, exist_ok=True)
+    vs = _band_state_versions(state_dir, name)
+    nxt = (int(vs[-1].split("_v")[-1]) + 1) if vs else 1
+    target = f"{name}_v{nxt}"
+    df.write.mode("overwrite").parquet(os.path.join(state_dir, target))
+    return target
+
+
+def _band_state_versions(state_dir: str, name: str) -> list[str]:
+    import os
+
+    return sorted(
+        (
+            d for d in os.listdir(state_dir)
+            if d.startswith(f"{name}_v") and d.split("_v")[-1].isdigit()
+        ),
+        key=lambda d: int(d.split("_v")[-1]),
+    )
+
+
+def finalize_band_state(
+    state_dir: str, target: str, name: str = "bands"
+) -> None:
+    """Swap the `{name}.current` pointer to a staged generation via
+    os.replace (atomic on POSIX) — the commit point — then GC every
+    generation older than the direct predecessor (kept one cycle for
+    crash forensics)."""
+    import os
+    import shutil
+
+    tmp = os.path.join(state_dir, f".{name}.current.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(target)
+    os.replace(tmp, os.path.join(state_dir, f"{name}.current"))
+    for old in _band_state_versions(state_dir, name):
+        if old != target and int(old.split("_v")[-1]) < int(
+            target.split("_v")[-1]
+        ) - 1:
+            shutil.rmtree(os.path.join(state_dir, old), ignore_errors=True)
+
+
 def commit_band_state(df: DataFrame, state_dir: str, name: str = "bands"):
     """Commit a band-state generation ATOMICALLY: write to a fresh
     `{name}_v{k}` directory, then swap the single `{name}.current` pointer
@@ -85,26 +140,7 @@ def commit_band_state(df: DataFrame, state_dir: str, name: str = "bands"):
     GC'd. LOCAL FILESYSTEM ONLY (os/shutil pointer ops — the same
     documented boundary as sinks.compact_parquet); production state tables
     use a transactional format's commit instead."""
-    import os
-    import shutil
-
-    os.makedirs(state_dir, exist_ok=True)
-    vs = sorted(
-        (
-            d for d in os.listdir(state_dir)
-            if d.startswith(f"{name}_v") and d.split("_v")[-1].isdigit()
-        ),
-        key=lambda d: int(d.split("_v")[-1]),
-    )
-    nxt = (int(vs[-1].split("_v")[-1]) + 1) if vs else 1
-    target = f"{name}_v{nxt}"
-    df.write.mode("overwrite").parquet(os.path.join(state_dir, target))
-    tmp = os.path.join(state_dir, f".{name}.current.tmp")
-    with open(tmp, "w", encoding="utf-8") as f:
-        f.write(target)
-    os.replace(tmp, os.path.join(state_dir, f"{name}.current"))
-    for old in vs[:-1]:  # keep the direct predecessor, GC the rest
-        shutil.rmtree(os.path.join(state_dir, old), ignore_errors=True)
+    finalize_band_state(state_dir, stage_band_state(df, state_dir, name), name)
 
 
 def read_band_state(
@@ -180,6 +216,8 @@ def run_incremental_dedup_stream(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
         batch = batch_df.select(id_col, text_col).localCheckpoint()
         row = batch.agg(F.min(id_col).alias("m")).collect()[0]
         if row["m"] is None:
@@ -217,20 +255,37 @@ def run_incremental_dedup_stream(
             new_shingles=shingles,
             new_bands=new_bands,
         )
-        (
-            verdicts.withColumn("__snap", F.lit(snap))
-            .write.mode("overwrite")
-            .partitionBy("__snap")
-            .parquet(verdicts_path)
-        )
-        (
-            batch.withColumn("__snap", F.lit(snap))
-            .write.mode("overwrite")
-            .partitionBy("__snap")
-            .parquet(corpus_path)
-        )
+        # the three data-sized writes of the batch — verdicts, corpus, and
+        # the merged band-state GENERATION — are independent (disjoint
+        # paths, all computed from already-materialized frames plus the
+        # still-live prior state generation) and run as concurrent jobs;
+        # only the pointer SWAP stays strictly last, so the commit point
+        # and the crash-replay contract above are unchanged (guide §2.6)
+        def _write_verdicts():
+            (
+                verdicts.withColumn("__snap", F.lit(snap))
+                .write.mode("overwrite")
+                .partitionBy("__snap")
+                .parquet(verdicts_path)
+            )
+
+        def _write_corpus():
+            (
+                batch.withColumn("__snap", F.lit(snap))
+                .write.mode("overwrite")
+                .partitionBy("__snap")
+                .parquet(corpus_path)
+            )
+
         merged = merge_band_state(state, new_bands, id_col, new_ids=batch)
-        commit_band_state(merged, state_dir)
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            fv = pool.submit(_write_verdicts)
+            fc = pool.submit(_write_corpus)
+            fb = pool.submit(stage_band_state, merged, state_dir)
+            fv.result()
+            fc.result()
+            staged = fb.result()
+        finalize_band_state(state_dir, staged)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
