@@ -786,7 +786,7 @@ def q_dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     shingles = token_shingles(docs, "text", "doc_id").localCheckpoint()
-    pairs = exact_jaccard_pairs(shingles)
+    pairs = exact_jaccard_pairs(shingles, shingles_materialized=True)
     cands = lsh_candidate_pairs(
         minhash_signatures(shingles), "doc_id", 16, 4
     ).withColumn("__c", F.lit(1))

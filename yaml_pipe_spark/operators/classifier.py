@@ -334,14 +334,23 @@ def logreg_quality_distill(
         F.least(F.col("nt"), F.lit(1000)).cast("long").alias("f"),
     )
     # referenced once per round plus scoring — materialize once (the
-    # hashed feature table a production trainer would persist anyway)
+    # hashed feature table a production trainer would persist anyway).
+    # Measured dead end (this round): repartition(id_col) + persist() so
+    # the per-round window reads an already-doc-clustered cache with no
+    # Exchange — the InMemoryTableScan's columnar decode per round cost
+    # MORE than the ~300k-row exchange it saved (12.3 s vs 7.8 s at
+    # sf0.1), so the checkpoint + per-round exchange stays.
     feats = feats0.unionByName(bias).unionByName(lenf).localCheckpoint()
     train = feats.filter(F.col("__train") == 1)
 
     ntr = max(int(train.select(id_col).distinct().count()), 1)
-    bucket_ids = sorted(
-        int(r[0]) for r in feats.select("b").distinct().collect()
-    )
+    # the model's key set is known in closed form — b is a nonnegative
+    # mod n_buckets plus the two reserved features — so discovering it
+    # with a distinct+collect job would buy nothing: a superset key map
+    # is lookup-equivalent (element_at never misses on feature rows, and
+    # buckets no document hashes into receive no gradient rows, so their
+    # weights stay 0 and are never looked up)
+    bucket_ids = [-2, -1, *range(n_buckets)]
     w: dict[int, int] = {b: 0 for b in bucket_ids}
 
     def _tz_int(num: int, den: int) -> int:
@@ -395,8 +404,20 @@ def logreg_quality_distill(
             .collect()
         )
         den = LOGREG_ETA_DEN * (2 ** rnd) * ntr
+        moved = False
         for row in grads:
-            w[int(row["b"])] -= _tz_int(int(row["g"]), den)
+            step = _tz_int(int(row["g"]), den)
+            if step:
+                w[int(row["b"])] -= step
+                moved = True
+        # provable early stop: if every step this round quantized to 0,
+        # the weights are unchanged, so the next round recomputes the
+        # IDENTICAL gradients against a denominator that has doubled —
+        # |g| < den implies |g| < 2*den, so every remaining round is a
+        # no-op by induction and the final weights are bit-identical to
+        # running the full schedule. Pure latency trim, zero semantics.
+        if not moved:
+            break
 
     test = feats.filter(F.col("__train") == 0)
     sts = (

@@ -196,6 +196,7 @@ def exact_jaccard_pairs(
     df_max_freq: int | None = None,
     df_max_frac: float | None = DEFAULT_DF_MAX_FRAC,
     df_min_cut: int = DEFAULT_DF_MIN_CUT,
+    shingles_materialized: bool = False,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets: (id_a, id_b, jaccard).
 
@@ -216,9 +217,15 @@ def exact_jaccard_pairs(
     the FILTERED shingle sets, i.e. jaccard over non-boilerplate shingles —
     the standard web-dedup semantics. Absolute `df_max_freq` overrides;
     `df_max_frac=None` disables.
+
+    `shingles_materialized=True` promises the shingle frame is ALREADY
+    materialized (a caller-held localCheckpoint) so the staged pipeline
+    skips its own defensive copy of it — re-checkpointing a checkpoint
+    is a full extra pass over the index's biggest frame for nothing.
     """
     overlap = _pair_overlap(
-        shingles, candidates, id_col, df_max_freq, df_max_frac, df_min_cut
+        shingles, candidates, id_col, df_max_freq, df_max_frac, df_min_cut,
+        shingles_materialized=shingles_materialized,
     )
     return overlap.select(
         "id_a",
@@ -264,6 +271,7 @@ def _pair_overlap(
     df_max_freq: int | None,
     df_max_frac: float | None,
     df_min_cut: int,
+    shingles_materialized: bool = False,
 ) -> DataFrame:
     """Shared verify core: (id_a, id_b, inter, na, nb) for pairs sharing
     >= 1 (df-guarded) shingle — the plan shape documented on
@@ -280,7 +288,7 @@ def _pair_overlap(
     whole job done a dozen times). Writing each stage once and reading it
     per consumer is the standard staged-pipeline design; the checkpoint
     sizes are shingle-scale (index) and candidate-scale (pairs)."""
-    sh = shingles.localCheckpoint()
+    sh = shingles if shingles_materialized else shingles.localCheckpoint()
     if candidates is not None:
         candidates = candidates.localCheckpoint()
     if df_max_freq is not None or df_max_frac is not None:
@@ -923,23 +931,23 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
+        nxt = F.least(
+            F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+        )
+        # carry the per-node change flag THROUGH the round's checkpoint:
+        # the convergence probe then scans the already-materialized frame
+        # instead of paying a second join of new labels against old ones
+        # (was: one extra node-keyed join job per round)
         new_labels = _sized(
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
+                nxt.alias("label"),
+                (nxt < F.col("label")).alias("__chg"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__chg")).limit(1).count()
+        labels = new_labels.drop("__chg")
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("cluster_rep"))
@@ -1078,7 +1086,9 @@ def lsh_recall_audit(
 
     with ThreadPoolExecutor(max_workers=2) as pool:
         f_truth = pool.submit(
-            lambda: exact_jaccard_pairs(shingles, id_col=id_col)
+            lambda: exact_jaccard_pairs(
+                shingles, id_col=id_col, shingles_materialized=True
+            )
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b")
             .localCheckpoint()
@@ -1152,7 +1162,9 @@ def lsh_band_curve(
 
     def _truth() -> DataFrame:
         return (
-            exact_jaccard_pairs(shingles, id_col=id_col)
+            exact_jaccard_pairs(
+                shingles, id_col=id_col, shingles_materialized=True
+            )
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b")
             .localCheckpoint()

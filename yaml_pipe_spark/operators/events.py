@@ -183,16 +183,28 @@ def time_weighted_avg(
     import pandas as pd
 
     def twa(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         pdf = pdf.sort_values([ts_col, id_col])
-        # ns -> us so dt matches the oracle's epoch_us() integers exactly
-        us = pdf[ts_col].astype("int64") // 1000
-        dt = (us.shift(-1) - us).fillna(0)
+        # ns -> us so dt matches the oracle's epoch_us() integers exactly;
+        # consecutive gaps as EXACT int64 (the previous shift()/fillna()
+        # pandas path promoted to float64 — exact at us magnitudes, but a
+        # row-at-a-time fallback then had to re-int() every element)
+        us = pdf[ts_col].to_numpy(dtype="int64") // 1000
+        dt = np.zeros(len(us), dtype="int64")
+        if len(us) > 1:
+            np.subtract(us[1:], us[:-1], out=dt[: len(us) - 1])
         if unit_dp is None:
             total = float(dt.sum())
             if total <= 0:
                 val = float(pdf[value_col].iloc[-1])
             else:
-                val = float((pdf[value_col] * dt).sum() / total)
+                # pandas-Series product/sum exactly as before (dt values
+                # are small exact ints either way) — identical float path
+                val = float(
+                    (pdf[value_col] * pd.Series(dt, index=pdf.index)).sum()
+                    / total
+                )
         else:
             grid = 10**unit_dp
             # HALF-AWAY-FROM-ZERO on the scaled double — the rule F.round
@@ -206,22 +218,35 @@ def time_weighted_avg(
             # boundary the true value sits under — both engines round on
             # the double's exact value and would give c - 1. The check is
             # exact because c - 0.5 is representable at these magnitudes.
-            import numpy as np
-
             d = (pdf[value_col] * grid).to_numpy(dtype="float64")
             a = np.abs(d)
             c = np.floor(a + 0.5)
             c = np.where(c - 0.5 > a, c - 1.0, c)
-            vu = pd.Series(
-                (np.sign(d) * c).astype("int64"), index=pdf.index
-            )
-            # python ints: the num sum is exact at any magnitude (no
-            # int64 wrap), mirroring the engines' HUGEINT/decimal sums
+            vu = (np.sign(d) * c).astype("int64")
+            # the num sum is exact at any magnitude (no int64 wrap),
+            # mirroring the engines' HUGEINT/decimal sums. Fast path: one
+            # int64 dot product, taken only when a PYTHON-INT bound on
+            # sum(|vu_i|*dt_i) proves no intermediate can reach 2^62 —
+            # true at any sane event magnitude; the arbitrary-precision
+            # row loop remains for the unbounded tail so the exactness
+            # contract is scale-independent (was: a per-row Python loop
+            # for every group — the whole grouped-map stage's hot spot)
             den = int(dt.sum())
             if den <= 0:
-                val = float(int(vu.iloc[-1])) / grid
+                val = float(int(vu[-1])) / grid
             else:
-                num = sum(int(v) * int(d) for v, d in zip(vu, dt))
+                n = len(vu)
+                bound = (
+                    int(np.abs(vu).max(initial=0))
+                    * int(dt.max(initial=0))
+                    * max(n, 1)
+                )
+                if bound < 2**62:
+                    num = int(np.dot(vu, dt))
+                else:
+                    num = sum(
+                        v * g for v, g in zip(vu.tolist(), dt.tolist())
+                    )
                 val = (
                     math.floor(
                         float(num) * (10 ** (out_dp - unit_dp)) / float(den)
@@ -232,8 +257,13 @@ def time_weighted_avg(
             {user_col: [pdf[user_col].iloc[0]], "twa_value": [val]}
         )
 
-    return df.groupBy(user_col).applyInPandas(
-        twa, schema=f"{user_col} long, twa_value double"
+    # project to the four columns the function reads BEFORE the grouped
+    # map: applyInPandas is opaque to Catalyst, so without this every
+    # other column of df is shuffled and shipped into Python per group
+    return (
+        df.select(user_col, ts_col, value_col, id_col)
+        .groupBy(user_col)
+        .applyInPandas(twa, schema=f"{user_col} long, twa_value double")
     )
 
 

@@ -579,10 +579,7 @@ class Bm25IndexStore:
         until then serve() anti-joins the broadcast tombstone set — the
         deletion-vector pattern, O(|deletes|) now, corpus-linear rewrite
         deferred and batched."""
-        from yaml_pipe_spark.streaming.stream import (
-            commit_band_state,
-            read_band_state,
-        )
+        from yaml_pipe_spark.streaming.stream import read_band_state
 
         spark = removed_docs.sparkSession
         meta = self._read_meta(spark)
@@ -643,16 +640,28 @@ class Bm25IndexStore:
             dl_live["doc_id"] == req_ids[self.id_col],
             "left_semi",
         )
+        # ONE job over the live deletion rows yields the doc/token totals
+        # AND the live id set (dl is one row per doc, so collect_set is
+        # deletion-proportional — the same driver-scale contract the
+        # broadcast of req_ids above already assumes); the id set used to
+        # cost a second job plus a localCheckpoint of the rem frame
         tot = rem_dl.agg(
             F.count("*").cast("long").alias("n"),
             F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("t"),
+            F.collect_set("doc_id").alias("ids"),
         ).collect()[0]
-        live_ids = rem_dl.select(
-            F.col("doc_id").alias(self.id_col)
-        ).distinct()
-        rem = req.join(
-            F.broadcast(live_ids), self.id_col, "left_semi"
-        ).localCheckpoint()
+        live = sorted(tot["ids"])
+        if not live:
+            # nothing live to delete (idempotent retry / unknown ids):
+            # leave every table and the meta untouched
+            return 0
+        live_ids = spark.createDataFrame(
+            [(i,) for i in live],
+            schema=dl.select(
+                F.col("doc_id").alias(self.id_col)
+            ).schema,
+        )
+        rem = req.join(F.broadcast(live_ids), self.id_col, "left_semi")
         if version is not None:
             fp = (-1, -1)
             n_rem = rem.count()
@@ -663,8 +672,6 @@ class Bm25IndexStore:
             fp = (meta["fp_n"] - n_r, meta["fp_h"] ^ h_r)
             n_rem = n_r
         if n_rem == 0:
-            # nothing live to delete (idempotent retry / unknown ids):
-            # leave every table and the meta untouched
             return 0
         # WRITE ORDER (crash contract): tombstones FIRST, then the cf
         # generation swap, meta LAST. The tombstone write is what makes a
@@ -678,13 +685,37 @@ class Bm25IndexStore:
         # rebuilds cleanly. The tombstone covers generations <= the
         # store's CURRENT gen, so rows a later append stamps (gen+1)
         # serve again — the re-entry path.
-        (
-            rem.select(self.id_col)
-            .withColumn("__ts_gen", F.lit(int(gen)))
-            .write.mode("append")
-            .parquet(self.tombstones_path)
+        # The tombstone append and the new cf GENERATION directory are
+        # disjoint writes — stage both concurrently; the cf POINTER swap
+        # (the commit point the contract orders after the tombstones)
+        # runs strictly after the tombstone job completes. A crash with
+        # the cf generation staged but the tombstones incomplete leaves
+        # the pointer on the old generation and an orphan directory the
+        # next finalize GCs — exactly the old crash windows. The
+        # tombstone rows are the frozen live id list (identical ids to
+        # the previous rem-projection write, already distinct).
+        from concurrent.futures import ThreadPoolExecutor
+
+        from yaml_pipe_spark.streaming.stream import (
+            finalize_band_state,
+            stage_band_state,
         )
-        commit_band_state(merged, self.base_path, name="cf")
+
+        def _write_tombstones():
+            (
+                live_ids.withColumn("__ts_gen", F.lit(int(gen)))
+                .write.mode("append")
+                .parquet(self.tombstones_path)
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_ts = pool.submit(_write_tombstones)
+            f_cf = pool.submit(
+                stage_band_state, merged, self.base_path, "cf"
+            )
+            f_ts.result()
+            staged = f_cf.result()
+        finalize_band_state(self.base_path, staged, name="cf")
         self._write_meta(
             spark,
             fp,
