@@ -698,18 +698,15 @@ class IvfPqIndexStore:
         like the BM25 twin's compact(): per-append compaction would
         reintroduce the corpus-linear cost append() exists to avoid."""
         spark = SparkSession.getActiveSession()
-        rewritten = 0
-        for path, col in (
-            (self.codes_path, self.cid_col),
-            (self.vectors_path, _VB),
-        ):
+
+        def _compact_table(path: str, col: str) -> int:
             frag = [
                 v
                 for v, n in _partition_file_counts(spark, path, col).items()
                 if n > 1
             ]
             if not frag:
-                continue
+                return 0
             # both partition columns are ints (hive dir names are strings)
             vals = [int(v) for v in frag]
             table = spark.read.parquet(path)
@@ -727,8 +724,19 @@ class IvfPqIndexStore:
                 .partitionBy(col)
                 .parquet(path)
             )
-            rewritten += len(vals)
-        return rewritten
+            return len(vals)
+
+        # the codes and vectors tables are disjoint — their probe +
+        # checkpoint + rewrite chains run as concurrent jobs (guide
+        # §2.6); compact stays value-neutral per table exactly as before
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [
+                pool.submit(_compact_table, self.codes_path, self.cid_col),
+                pool.submit(_compact_table, self.vectors_path, _VB),
+            ]
+            return sum(f.result() for f in futs)
 
     # -- serve ----------------------------------------------------------
     def serve(

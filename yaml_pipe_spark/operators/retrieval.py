@@ -778,12 +778,7 @@ class Bm25IndexStore:
         )
         if ts is None and not fragmented:
             return 0
-        n = (
-            ts.select(self.id_col).distinct().count()
-            if ts is not None
-            else 0
-        )
-        for sub_path in (self.tf_path, self.dl_path):
+        def _rewrite(sub_path: str) -> None:
             table = spark.read.parquet(sub_path)
             # generation-aware: keep the LIVE rows — a re-appended doc's
             # new rows survive the purge, only the masked generations go
@@ -794,6 +789,29 @@ class Bm25IndexStore:
                 kept = kept.repartition(par)
             kept = kept.localCheckpoint()
             kept.write.mode("overwrite").parquet(sub_path)
+
+        # tf and dl rewrites touch disjoint paths, and the purge count
+        # reads only the FROZEN tombstone frame — all three run as
+        # concurrent jobs (guide §2.6); the tombstone-table delete stays
+        # strictly after both rewrites commit, so every crash window
+        # still leaves dead rows masked rather than resurrected
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_n = pool.submit(
+                lambda: (
+                    ts.select(self.id_col).distinct().count()
+                    if ts is not None
+                    else 0
+                )
+            )
+            futs = [
+                pool.submit(_rewrite, p)
+                for p in (self.tf_path, self.dl_path)
+            ]
+            n = f_n.result()
+            for f in futs:
+                f.result()
         shutil.rmtree(self.tombstones_path, ignore_errors=True)
         # drop any standing snapshot: its file lists predate the rewrite
         for leftover in ("standing_manifest.json",):

@@ -525,9 +525,14 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import os
 
-    probe = dict(
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes
-    ).get("ts")
+    from yaml_pipe_spark.tables import raw_parquet_schema
+
+    probe = {
+        f.name: f.dataType.simpleString()
+        for f in raw_parquet_schema(
+            spark, os.path.join(sf_dir, "events.parquet")
+        ).fields
+    }.get("ts")
     ts_decl = {"bigint": "long", "timestamp_ntz": "timestamp_ntz"}.get(
         probe, "timestamp"
     )

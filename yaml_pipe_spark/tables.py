@@ -59,6 +59,18 @@ def _stat_key(path: str) -> tuple:
         return (path, 0, 0)
 
 
+def raw_parquet_schema(spark: SparkSession, path: str):
+    """The file's RAW inferred schema (pre-normalization), via the same
+    stat-keyed cache — also the footer probe streaming sources use to
+    declare their schema (readStream requires one explicitly)."""
+    key = _stat_key(path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = schema
+    return schema
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table, normalizing timestamp physical types.
 
@@ -72,13 +84,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    key = _stat_key(path)
-    schema = _SCHEMA_CACHE.get(key)
-    if schema is None:
-        df = spark.read.parquet(path)
-        _SCHEMA_CACHE[key] = df.schema
-    else:
-        df = spark.read.schema(schema).parquet(path)
+    df = spark.read.schema(raw_parquet_schema(spark, path)).parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return _normalize_timestamps(df)
