@@ -94,17 +94,25 @@ class ParquetSink:
         src = list(sources)
         df = self.read(spark)
         gone = df.filter(F.col("source").isin(src))
-        n = gone.count()
+        # ONE pass over the doomed partitions yields both the row count
+        # and the doomed file set (collect_set over input_file_name is
+        # bounded by the doomed partitions' file count — the same
+        # deletion-proportional contract as the surgery itself); this
+        # used to be two back-to-back jobs over the same scan
+        row = (
+            gone.withColumn("__f", F.input_file_name())
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.collect_set("__f").alias("files"),
+            )
+            .collect()[0]
+        )
+        n = int(row["n"])
         if n == 0:
             return 0
         surgery_dirs: set[str] | None = None
         if self.partition_by == "source":
-            files = [
-                r[0]
-                for r in gone.select(
-                    F.input_file_name().alias("f")
-                ).distinct().collect()
-            ]
+            files = list(row["files"])
             dirs = {f.rsplit("/", 1)[0] for f in files}
             # every doomed file must live in a source=<v> partition
             # directory: a matched row in a file directly under the table
