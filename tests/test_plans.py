@@ -783,11 +783,10 @@ def test_retrain_lloyd_serve_stays_probe_pruned(spark):
 
 def test_logreg_rounds_literal_weights_no_python(spark):
     """quality_logreg_distill: the model is a driver-held literal weight
-    map (round-13 trim — no weight broadcast, no join-back; the margins
-    fold into a doc-keyed window), so the scoring plan must be
-    Catalyst-only with NO join at all: the map lookup is an expression,
-    and the only remaining joins in the feature build are the ntok
-    derivations."""
+    map (round-13 trim — no weight broadcast, no join-back; since r14 the
+    margins fold per-row over the packed per-doc feature vector), so the
+    scoring plan must be Catalyst-only with NO join at all: the map
+    lookup is an expression over the checkpointed doc vectors."""
     plan = _plan(_q("quality_logreg_distill", spark), "simple")
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan

@@ -167,24 +167,44 @@ def cmd_forget(args) -> int:
     # the sink delete and the index purge (the sink rows are gone, so
     # the rerun matches nothing) converges instead of reporting success
     # while the index still physically holds the forgotten rows
-    sink_rows = (
-        sink.delete_sources(spark, list(args.sources)) if n_rows else 0
-    )
     retriever = (
         build_component("retriever", spec.retriever)
         if spec.retriever is not None
         else ExactRetriever()
     )
+    sink_rows = 0
     index_rows = 0
     if n_rows:
-        try:
-            index_rows = retriever.forget(gone)
-        except IndexNotBuiltError:
-            # no persisted index yet (never built, or a pre-layout meta):
-            # nothing to purge — the reconciliation below builds fresh
-            # from the already-deleted-from sink. Typed, not matched on
-            # the message text (ADVICE r10).
-            pass
+        # The sink delete and the index purge touch DISJOINT storage and
+        # both read only the pre-frozen `gone` checkpoint / their own
+        # tables — run them as concurrent job chains (guide §2.6). Crash
+        # semantics are unchanged in substance: every partial-completion
+        # window (sink done / index not, index done / sink not, both
+        # half-done) leaves the index fingerprint mismatched against the
+        # sink contents, which the reconciliation below — and the serve
+        # path's ensure_fresh gate — detects and closes with a rebuild.
+        # The sequential order only ever narrowed ONE window (index
+        # purged before sink rows vanish), and that direction deletes
+        # data EARLIER than requested, never serves forgotten rows.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _purge_index() -> int:
+            try:
+                return retriever.forget(gone)
+            except IndexNotBuiltError:
+                # no persisted index yet (never built, or a pre-layout
+                # meta): nothing to purge — the reconciliation below
+                # builds fresh from the already-deleted-from sink.
+                # Typed, not matched on the message text (ADVICE r10).
+                return 0
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_sink = pool.submit(
+                sink.delete_sources, spark, list(args.sources)
+            )
+            f_idx = pool.submit(_purge_index)
+            sink_rows = f_sink.result()
+            index_rows = f_idx.result()
     remaining = unique_by_id(sink.read(spark))
     rebuilt = False
     if retriever.is_stale(remaining):

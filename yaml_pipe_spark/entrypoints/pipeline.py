@@ -1399,30 +1399,30 @@ retriever:
         try:
             from concurrent.futures import ThreadPoolExecutor
 
-            # the arms maintain DISJOINT stores: submit each phase's two
-            # Spark job chains concurrently (halves the dominant cost of
-            # the warm rep — per-job scheduling latency, not data)
+            # the arms maintain DISJOINT stores: submit each arm's WHOLE
+            # maintenance chain (append, then its own compact) as one
+            # concurrent job chain (guide §2.6). r13 ran the two appends,
+            # a barrier, then the two compacts — but a store's compact
+            # depends only on ITS OWN append, so the barrier made the
+            # faster arm idle while the slower arm finished appending.
+            # Compaction is in the chain because the rep cycle is
+            # append+forget forever: without it the stores accumulate one
+            # file set per rep and every later rep pays the growing
+            # per-file open cost.
+            def _vec_chain():
+                retr.vector.store.append(
+                    prev_gone.select("__id", "embedding")
+                )
+                retr.vector.store.compact()
+
+            def _lex_chain():
+                retr.lexical.store.append(prev_gone.select("__id", "text"))
+                retr.lexical.store.compact(min_files=1)
+
             with ThreadPoolExecutor(max_workers=2) as pool:
                 for f in [
-                    pool.submit(
-                        retr.vector.store.append,
-                        prev_gone.select("__id", "embedding"),
-                    ),
-                    pool.submit(
-                        retr.lexical.store.append,
-                        prev_gone.select("__id", "text"),
-                    ),
-                ]:
-                    f.result()
-                # the rep chain is append+forget forever: without
-                # periodic compaction the stores accumulate one file set
-                # per rep (tombstones, generations, bucket increments)
-                # and every later rep pays the growing per-file open
-                # cost — compaction IS the documented answer, so the e2e
-                # row exercises it too
-                for f in [
-                    pool.submit(retr.vector.store.compact),
-                    pool.submit(retr.lexical.store.compact, min_files=1),
+                    pool.submit(_vec_chain),
+                    pool.submit(_lex_chain),
                 ]:
                     f.result()
             maintained = True
@@ -1446,9 +1446,20 @@ retriever:
 
     remaining = sink.read(spark)
     check = HybridRrfRetriever(vector=dict(vec_cfg), lexical=dict(lex_cfg))
-    # both arms' freshness proofs from ONE corpus aggregate (VERDICT r11
-    # ask #4) instead of two independent is_stale scans
-    v_stale, l_stale = check.staleness(remaining)
+    # Per-arm freshness proof, with the CLI's OWN reconciliation gate as
+    # the witness (r14 cross-phase fold): cmd_forget just evaluated
+    # is_stale(remaining) = any(staleness(remaining)) over the identical
+    # sink + store state (same process, nothing touched either since),
+    # so index_rebuilt == False proves BOTH arms fresh — re-running the
+    # two-job staleness wave here re-derived a value the rep already
+    # computed. The one path where the gate is NOT the post-state proof
+    # (the CLI rebuilt, so its pre-rebuild verdict was stale) re-probes
+    # explicitly, keeping the declared semantics — the POST-
+    # reconciliation per-arm proof — bit-identical.
+    if report.get("index_rebuilt"):
+        v_stale, l_stale = check.staleness(remaining)
+    else:
+        v_stale = l_stale = False
     row_fp = F.conv(
         F.substring(
             F.md5(F.concat_ws("\x1f", F.col("source"), F.col("text"))), 1, 15

@@ -2117,8 +2117,12 @@ def q_quality_nb_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yaml_pipe_spark.operators.quality import gopher_quality_signals
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    labels = gopher_quality_signals(docs).select("doc_id", "gopher_pass")
-    return nb_quality_distill(docs, labels)
+    # label + text from ONE corpus pass (keep_cols) — the join of the
+    # signals back onto the corpus was a second scan + exchange (§2.4)
+    labeled = gopher_quality_signals(docs, keep_cols=("text",)).select(
+        "doc_id", "text", "gopher_pass"
+    )
+    return nb_quality_distill(labeled)
 
 
 WINNOW_ORACLE = """
@@ -2593,5 +2597,9 @@ def q_quality_logreg_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yaml_pipe_spark.operators.quality import gopher_quality_signals
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    labels = gopher_quality_signals(docs).select("doc_id", "gopher_pass")
-    return logreg_quality_distill(docs, labels)
+    # label + text from ONE corpus pass (keep_cols) — the join of the
+    # signals back onto the corpus was a second scan + exchange (§2.4)
+    labeled = gopher_quality_signals(docs, keep_cols=("text",)).select(
+        "doc_id", "text", "gopher_pass"
+    )
+    return logreg_quality_distill(labeled)

@@ -90,6 +90,10 @@ from yaml_pipe_spark.operators.similarity import (
 # way old code paths can't serve (v2 = vectors bucket-partitioned by __vb).
 # Metas stamped with a different layout are stale by definition.
 _LAYOUT = "v2"
+
+# sentinel: "caller did not prefetch the meta row" (None is a real value —
+# it means the meta is absent and the store is stale)
+_META_UNREAD = object()
 # Vector-table bucket count: forget() rewrites only the buckets deleted ids
 # hash into, so the purge cost is ~|deletes|/N_VB of the corpus per bucket
 # touched. 32 keeps sandbox file counts small; at 100 TB, raise it (e.g. to
@@ -325,13 +329,19 @@ class IvfPqIndexStore:
         h: int,
         version: str | None = None,
         centroids: DataFrame | None = None,
+        centroid_fp: tuple[int, int] | None = None,
+        meta: dict | None | object = _META_UNREAD,
     ) -> bool:
         """is_stale() with the corpus fingerprint precomputed by the
         caller — the seam that lets a multi-store surface (retrievers.
         HybridRrfRetriever.staleness) fingerprint several arms in ONE
         corpus aggregate instead of one scan per proof (VERDICT r11 ask
-        #4). Every non-fingerprint check is identical to is_stale()."""
-        meta = self._read_meta(spark)
+        #4). Every non-fingerprint check is identical to is_stale().
+        `centroid_fp` / `meta` let the caller prefetch the centroid
+        fingerprint job and the meta read too (the hybrid surface runs
+        all of its probes as one concurrent wave, guide §2.6)."""
+        if meta is _META_UNREAD:
+            meta = self._read_meta(spark)
         if meta is None:
             return True
         if (
@@ -343,8 +353,12 @@ class IvfPqIndexStore:
         # rather than mixing partitioned and unpartitioned table files
         if meta.get("layout") != _LAYOUT:
             return True
-        if centroids is not None:
-            cn, ch = self._centroid_fingerprint(centroids)
+        if centroids is not None or centroid_fp is not None:
+            cn, ch = (
+                centroid_fp
+                if centroid_fp is not None
+                else self._centroid_fingerprint(centroids)
+            )
             # metas written before the centroid fingerprint existed force a
             # rebuild rather than silently serving an unverifiable index
             if (meta.get("cfp_n"), meta.get("cfp_h")) != (cn, ch):
@@ -497,7 +511,15 @@ class IvfPqIndexStore:
         coarse quantizer, not member data; a quantizer refit is build().
         Crash contract (same as append): meta is written LAST, so a crash
         mid-purge leaves a stale fingerprint and the next build_if_stale
-        rebuilds cleanly."""
+        rebuilds cleanly.
+
+        Lineage constraint (ADVICE r13): `ids` must NOT derive from this
+        store's own codes/vectors tables — it is deliberately NOT
+        materialized here (the r13 localCheckpoint removal), so its plan
+        re-evaluates inside the partition rewrites, which overwrite those
+        tables. Every in-repo caller passes ids derived from immutable
+        source frames (the cmd_forget path additionally freezes them with
+        a localCheckpoint before any delete starts)."""
         spark = ids.sparkSession
         meta = self._read_meta(spark)
         if meta is None:

@@ -44,7 +44,7 @@ from yaml_pipe_spark.functions.text import tokens
 
 def nb_quality_distill(
     docs: DataFrame,
-    labels: DataFrame,
+    labels: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     label_col: str = "gopher_pass",
@@ -62,16 +62,20 @@ def nb_quality_distill(
     """
     from yaml_pipe_spark.operators.sampling import hash_sample_flag
 
-    lab = labels.select(
-        F.col(id_col), F.col(label_col).cast("int").alias("__y")
-    )
-    base = (
-        docs.select(id_col, text_col)
-        .join(lab, id_col)
-        .withColumn(
-            "__train",
-            hash_sample_flag(F.col(id_col), F.lit(train_rate)).cast("int"),
+    if labels is None:
+        # label column rides on docs (one-pass gopher signals via
+        # keep_cols): skip the corpus-sized labels join — guide §2.4
+        base = docs.select(
+            id_col, text_col, F.col(label_col).cast("int").alias("__y")
         )
+    else:
+        lab = labels.select(
+            F.col(id_col), F.col(label_col).cast("int").alias("__y")
+        )
+        base = docs.select(id_col, text_col).join(lab, id_col)
+    base = base.withColumn(
+        "__train",
+        hash_sample_flag(F.col(id_col), F.lit(train_rate)).cast("int"),
     )
     tf = base.select(
         id_col, "__y", "__train", F.explode(tokens(F.col(text_col))).alias("tok")
@@ -233,9 +237,57 @@ def _tz_div(num, den):
     return F.when(num >= 0, q).otherwise(-q).cast("long")
 
 
+def _doc_margin(wmap: Column) -> Column:
+    """Margin s = <f, w> over a packed per-doc feature vector `fv`
+    (array<struct<b,f>>): a per-row integer array fold — the zero-shuffle
+    replacement for the long-format window sum. Exact: the identical
+    products, integer-summed (order-free)."""
+    return F.aggregate(
+        F.col("fv"),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc + e["f"] * F.element_at(wmap, e["b"]),
+    )
+
+
+def _residual(s: Column, y: Column) -> Column:
+    """Hard-sigmoid residual r = clamp(5e5 + s/4, 0, 1e6) - 1e6*y in
+    exact integer micro-units (toward-zero quotient)."""
+    return (
+        F.least(
+            F.greatest(
+                F.lit(500000).cast("long") + _tz_div(s, F.lit(4)),
+                F.lit(0).cast("long"),
+            ),
+            F.lit(1000000).cast("long"),
+        )
+        - F.lit(1000000) * y
+    )
+
+
+def _round_gradient_frame(train_v: DataFrame, wmap: Column) -> DataFrame:
+    """One training round's per-bucket gradient frame over the packed
+    per-doc vectors: (b, g) with g = sum over misclassified docs of
+    f_b * r. Plan shape (pinned in tests/test_r14_opts.py): a scan of the
+    checkpointed doc vectors, a per-row margin fold, the r != 0 cut (the
+    perceptron property — correctly-classified saturated docs contribute
+    nothing, so the combine input shrinks as training converges), one
+    explode, and an n_buckets-row partial+final aggregate. The doc-keyed
+    Exchange + Sort the window formulation paid per round is gone."""
+    scored = train_v.withColumn(
+        "s", _doc_margin(wmap).cast("long")
+    ).withColumn("r", _residual(F.col("s"), F.col("__y"))).filter(
+        F.col("r") != 0
+    )
+    return (
+        scored.select("r", F.explode("fv").alias("e"))
+        .groupBy(F.col("e.b").alias("b"))
+        .agg(F.sum(F.col("e.f") * F.col("r")).cast("long").alias("g"))
+    )
+
+
 def logreg_quality_distill(
     docs: DataFrame,
-    labels: DataFrame,
+    labels: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     label_col: str = "gopher_pass",
@@ -267,34 +319,41 @@ def logreg_quality_distill(
     diamond NB pays for, collapsed to (doc, bucket) — at most n_buckets+2
     rows per doc, tokenized ONCE (the (doc,bucket) counts materialize
     first; token totals and the per-doc frame derive from the counts,
-    not from re-scanning the token stream). The MODEL lives on the
-    driver — n_buckets+2 integers, the same k-bounded contract as the
-    k-means centroid matrix — embedded into each round's plan as a
-    literal map, so a round is ONE job: margins fold into a doc-keyed
-    window over the checkpointed features (no weight broadcast, no
-    join-back — the f column rides along), correctly-classified
+    not from re-scanning the token stream) — then PACKED to one
+    array<struct<b,f>> row per doc before the loop (r14). The MODEL
+    lives on the driver — n_buckets+2 integers, the same k-bounded
+    contract as the k-means centroid matrix — embedded into each round's
+    plan as a literal map, so a round is ONE job with ZERO data-sized
+    shuffle: the margin is a per-row integer fold over the packed
+    vector (the r12/r13 window formulation re-shuffled every feature
+    row by doc id each round; the r13 pre-clustered-cache attempt
+    measured slower than the shuffle it saved — packing removes the
+    exchange without the columnar-decode tax), correctly-classified
     saturated docs drop out (r = 0 contributes nothing, so the gradient
     combine input SHRINKS as training converges), and the n_buckets-row
     gradient collects for an exact toward-zero integer update in Python
     (abs // den matches _tz_div bit-for-bit). Rounds scale the constant,
-    not the exponent; no driver-side corpus data ever — measured round
-    12->13: the broadcast/checkpoint/join round structure was 12 x
-    ~0.55 s at sf0.1, this one is 12 x ~0.38 s with the residual being
-    per-job DAG-scheduling latency, not data."""
+    not the exponent; no driver-side corpus data ever."""
     from yaml_pipe_spark.functions.hashing import hex_pair_to_int
     from yaml_pipe_spark.functions.text import tokens
     from yaml_pipe_spark.operators.sampling import hash_sample_flag
 
-    lab = labels.select(
-        F.col(id_col), F.col(label_col).cast("long").alias("__y")
-    )
-    base = (
-        docs.select(id_col, text_col)
-        .join(lab, id_col)
-        .withColumn(
-            "__train",
-            hash_sample_flag(F.col(id_col), F.lit(train_rate)).cast("int"),
+    if labels is None:
+        # docs already carries the label column (e.g. the gopher signals
+        # computed in the SAME pass via keep_cols): no join — at corpus
+        # scale the labels-back-onto-docs join is a second full scan plus
+        # a corpus-sized exchange for rows that came out of one pass
+        base = docs.select(
+            id_col, text_col, F.col(label_col).cast("long").alias("__y")
         )
+    else:
+        lab = labels.select(
+            F.col(id_col), F.col(label_col).cast("long").alias("__y")
+        )
+        base = docs.select(id_col, text_col).join(lab, id_col)
+    base = base.withColumn(
+        "__train",
+        hash_sample_flag(F.col(id_col), F.lit(train_rate)).cast("int"),
     )
     buck = base.select(
         id_col, "__y", "__train",
@@ -305,45 +364,57 @@ def logreg_quality_distill(
         .cast("long")
         .alias("b"),
     )
-    # materialize the (doc, bucket) counts FIRST: the token totals, the
-    # per-doc frame, and the shares all derive from the counts, so the
-    # tokenize+explode pass (the expensive part) runs ONCE instead of
-    # once per consumer (measured r13: 6.2 s -> 2.4 s cold at sf0.1)
-    counts = (
-        buck.groupBy(id_col, "__y", "__train", "b")
-        .agg(F.count("*").cast("long").alias("cnt"))
-        .localCheckpoint()
+    # Pack each doc's features into ONE array row and materialize THAT
+    # (r14, guide §2.4 "remove shuffles outright"). The r12/r13 shape
+    # materialized a long (doc, bucket, f) frame and forced every
+    # training round through a doc-keyed Exchange + Sort (window) just
+    # to sum 66 products per doc; the r13 pre-clustered-cache attempt
+    # measured slower than the shuffle it saved. Packing makes a round's
+    # margin a per-ROW integer array fold — zero exchange on the
+    # 100 TB-side data; the only shuffle left per round is the
+    # n_buckets-row gradient combine. The packing itself is ONE linear
+    # plan: (doc, bucket) counts, then a doc-level rollup whose token
+    # total and bias/length features are per-row expressions — the
+    # previous counts-checkpoint + ntok join + per-doc distinct + length
+    # join + 3-way union collapse into two chained aggregates. Margin
+    # equivalence is exact: identical integer products, order-free sum;
+    # per-mille share (cnt*1000) DIV nt has both operands positive, so
+    # DIV == floor, unchanged.
+    counts = buck.groupBy(id_col, "__y", "__train", "b").agg(
+        F.count("*").cast("long").alias("cnt")
     )
-    ntok = counts.groupBy(id_col).agg(
-        F.sum("cnt").cast("long").alias("nt")
+    docagg = counts.groupBy(id_col, "__y", "__train").agg(
+        F.collect_list(F.struct("b", "cnt")).alias("cv"),
+        F.sum("cnt").cast("long").alias("nt"),
     )
-    feats0 = counts.join(ntok, id_col).select(
-        id_col, "__y", "__train", "b",
-        # per-mille share: both operands positive, so DIV == floor
-        F.expr("CAST((cnt * 1000) DIV nt AS BIGINT)").alias("f"),
+    fv = F.concat(
+        F.transform(
+            F.col("cv"),
+            lambda e: F.struct(
+                e["b"].alias("b"),
+                F.call_function("div", e["cnt"] * 1000, F.col("nt"))
+                .cast("long")
+                .alias("f"),
+            ),
+        ),
+        F.array(
+            F.struct(
+                F.lit(-1).cast("long").alias("b"),
+                F.lit(1000).cast("long").alias("f"),
+            ),
+            F.struct(
+                F.lit(-2).cast("long").alias("b"),
+                F.least(F.col("nt"), F.lit(1000)).cast("long").alias("f"),
+            ),
+        ),
     )
-    per_doc = counts.select(id_col, "__y", "__train").distinct()
-    bias = per_doc.select(
-        id_col, "__y", "__train",
-        F.lit(-1).cast("long").alias("b"),
-        F.lit(1000).cast("long").alias("f"),
-    )
-    lenf = per_doc.join(ntok, id_col).select(
-        id_col, "__y", "__train",
-        F.lit(-2).cast("long").alias("b"),
-        F.least(F.col("nt"), F.lit(1000)).cast("long").alias("f"),
-    )
-    # referenced once per round plus scoring — materialize once (the
-    # hashed feature table a production trainer would persist anyway).
-    # Measured dead end (this round): repartition(id_col) + persist() so
-    # the per-round window reads an already-doc-clustered cache with no
-    # Exchange — the InMemoryTableScan's columnar decode per round cost
-    # MORE than the ~300k-row exchange it saved (12.3 s vs 7.8 s at
-    # sf0.1), so the checkpoint + per-round exchange stays.
-    feats = feats0.unionByName(bias).unionByName(lenf).localCheckpoint()
-    train = feats.filter(F.col("__train") == 1)
+    docvecs = docagg.select(
+        id_col, "__y", "__train", fv.alias("fv")
+    ).localCheckpoint()
+    train = docvecs.filter(F.col("__train") == 1)
 
-    ntr = max(int(train.select(id_col).distinct().count()), 1)
+    # one row per doc by construction — the distinct is gone
+    ntr = max(int(train.count()), 1)
     # the model's key set is known in closed form — b is a nonnegative
     # mod n_buckets plus the two reserved features — so discovering it
     # with a distinct+collect job would buy nothing: a superset key map
@@ -372,58 +443,44 @@ def logreg_quality_distill(
             ]
         )
 
-    w_doc = W.partitionBy(id_col)
-    for rnd in range(rounds):
-        scored = (
-            train.withColumn(
-                "s",
-                F.sum(F.col("f") * F.element_at(_wmap(), F.col("b")))
-                .over(w_doc)
-                .cast("long"),
-            )
-            .withColumn(
-                "r",
-                F.least(
-                    F.greatest(
-                        F.lit(500000).cast("long")
-                        + _tz_div(F.col("s"), F.lit(4)),
-                        F.lit(0).cast("long"),
-                    ),
-                    F.lit(1000000).cast("long"),
-                )
-                - F.lit(1000000) * F.col("__y"),
-            )
-            # the perceptron property, exploited: r = 0 rows contribute
-            # nothing to any gradient — dropping them shrinks the
-            # combine input as training converges, values unchanged
-            .filter(F.col("r") != 0)
-        )
-        grads = (
-            scored.groupBy("b")
-            .agg(F.sum(F.col("f") * F.col("r")).cast("long").alias("g"))
-            .collect()
-        )
-        den = LOGREG_ETA_DEN * (2 ** rnd) * ntr
-        moved = False
-        for row in grads:
-            step = _tz_int(int(row["g"]), den)
-            if step:
-                w[int(row["b"])] -= step
-                moved = True
-        # provable early stop: if every step this round quantized to 0,
-        # the weights are unchanged, so the next round recomputes the
-        # IDENTICAL gradients against a denominator that has doubled —
-        # |g| < den implies |g| < 2*den, so every remaining round is a
-        # no-op by induction and the final weights are bit-identical to
-        # running the full schedule. Pure latency trim, zero semantics.
-        if not moved:
-            break
+    # AQE off for the training loop only (restored after): a round's job
+    # is a checkpoint scan + per-row fold + ONE exchange of n_buckets
+    # partial rows — bounded by the model size at every corpus scale, so
+    # adaptive stage-by-stage scheduling has nothing to adapt and costs
+    # one extra scheduling barrier per round. The corpus-sized frames
+    # (tokenize diamond, scoring) run before/after under session AQE.
+    spark = docs.sparkSession
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for rnd in range(rounds):
+            grads = _round_gradient_frame(train, _wmap()).collect()
+            den = LOGREG_ETA_DEN * (2 ** rnd) * ntr
+            moved = False
+            for row in grads:
+                step = _tz_int(int(row["g"]), den)
+                if step:
+                    w[int(row["b"])] -= step
+                    moved = True
+            # provable early stop: if every step this round quantized to
+            # 0, the weights are unchanged, so the next round recomputes
+            # the IDENTICAL gradients against a denominator that has
+            # doubled — |g| < den implies |g| < 2*den, so every remaining
+            # round is a no-op by induction and the final weights are
+            # bit-identical to running the full schedule. Pure latency
+            # trim, zero semantics.
+            if not moved:
+                break
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
-    test = feats.filter(F.col("__train") == 0)
-    sts = (
-        test.withColumn("__w", F.element_at(_wmap(), F.col("b")))
-        .groupBy(id_col, "__y")
-        .agg(F.sum(F.col("f") * F.col("__w")).cast("long").alias("s"))
+    # held-out scoring over the same packed vectors: one row per doc
+    # already, so the per-doc margin needs no groupBy exchange either
+    test = docvecs.filter(F.col("__train") == 0)
+    sts = test.select(
+        F.col(id_col),
+        F.col("__y"),
+        _doc_margin(_wmap()).cast("long").alias("s"),
     )
     cm = sts.agg(
         F.count("*").cast("long").alias("n_test"),

@@ -53,18 +53,28 @@ def gopher_quality_signals(
     min_alpha_ratio: float = 0.8,
     stop_tokens: list[str] | None = None,
     min_stop_distinct: int = 1,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document Gopher quality signals + per-rule pass flags (int 0/1).
 
     Columns: id, n_words, mean_word_len, alpha_word_ratio (both rounded to
     4 for display; the flags compare the unrounded doubles), stop_distinct,
     pass_words/pass_mean_word_len/pass_alpha/pass_stop, gopher_pass.
+
+    `keep_cols` rides extra input columns through unchanged, so a consumer
+    that needs the text AND the label (the distillation trainers) can get
+    both from ONE corpus pass instead of joining the signals back against
+    the corpus — at scale that join is a second full scan plus a
+    corpus-sized exchange (guide §2.4).
     """
     stop_tokens = GOPHER_STOP_TOKENS if stop_tokens is None else stop_tokens
     t = tokens(F.col(text_col))
-    base = df.select(F.col(id_col), t.alias("t"))
+    base = df.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols], t.alias("t")
+    )
     counts = base.select(
         id_col,
+        *keep_cols,
         F.size("t").cast("long").alias("n_words"),
         F.aggregate(
             "t", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
@@ -86,6 +96,7 @@ def gopher_quality_signals(
     )
     flags = counts.select(
         id_col,
+        *keep_cols,
         "n_words",
         F.round(mwl, 4).alias("mean_word_len"),
         F.round(alpha, 4).alias("alpha_word_ratio"),

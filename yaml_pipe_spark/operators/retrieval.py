@@ -30,6 +30,21 @@ from pyspark.sql import functions as F
 
 from yaml_pipe_spark.errors import IndexNotBuiltError
 
+# sentinel: "caller did not prefetch the meta row" (None is a real value —
+# absent meta — so a default of None cannot express 'unread')
+_META_UNREAD = object()
+
+
+def _forget_id_cap() -> int:
+    """Hard cap on how many live deletion ids forget() may collect to the
+    driver (VERDICT r13 ask #7: the deletion-proportional contract is
+    enforced, not assumed). Overridable for bigger drivers via
+    $SPARK_GRAFT_FORGET_ID_CAP; the default keeps the collected set in
+    the tens-of-MB range."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_FORGET_ID_CAP", "5000000"))
+
 K1 = 1.2
 B = 0.75
 MU = 300.0
@@ -404,11 +419,14 @@ class Bm25IndexStore:
         n: int,
         h: int,
         version: str | None = None,
+        meta: dict | None | object = _META_UNREAD,
     ) -> bool:
         """is_stale() with the corpus fingerprint precomputed by the
         caller (the batched multi-arm staleness pass, VERDICT r11 ask
-        #4 — see IvfPqIndexStore.is_stale_for_fingerprint)."""
-        meta = self._read_meta(spark)
+        #4 — see IvfPqIndexStore.is_stale_for_fingerprint). `meta` lets
+        the caller prefetch the meta-read job concurrently too."""
+        if meta is _META_UNREAD:
+            meta = self._read_meta(spark)
         if meta is None:
             return True
         # metas from before the generation-stamped layout (no gen field)
@@ -644,12 +662,26 @@ class Bm25IndexStore:
         # AND the live id set (dl is one row per doc, so collect_set is
         # deletion-proportional — the same driver-scale contract the
         # broadcast of req_ids above already assumes); the id set used to
-        # cost a second job plus a localCheckpoint of the rem frame
+        # cost a second job plus a localCheckpoint of the rem frame.
+        # The deletion-proportional contract is ENFORCED, not assumed
+        # (VERDICT r13 ask #7): slice() bounds what crosses to the driver
+        # and the exact live count (count over one-row-per-doc dl) trips
+        # a typed error past the cap instead of an opaque driver OOM.
+        cap = _forget_id_cap()
         tot = rem_dl.agg(
             F.count("*").cast("long").alias("n"),
             F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("t"),
-            F.collect_set("doc_id").alias("ids"),
+            F.slice(F.collect_set("doc_id"), 1, cap + 1).alias("ids"),
         ).collect()[0]
+        if int(tot["n"]) > cap:
+            raise ValueError(
+                f"forget() matched {int(tot['n'])} live docs, over the "
+                f"driver-collection cap of {cap} "
+                "($SPARK_GRAFT_FORGET_ID_CAP). RTBF requests are "
+                "deletion-proportional by contract — batch the request "
+                "into smaller id sets, or rebuild the index from the "
+                "remaining corpus instead."
+            )
         live = sorted(tot["ids"])
         if not live:
             # nothing live to delete (idempotent retry / unknown ids):
@@ -662,17 +694,22 @@ class Bm25IndexStore:
             ).schema,
         )
         rem = req.join(F.broadcast(live_ids), self.id_col, "left_semi")
-        if version is not None:
-            fp = (-1, -1)
-            n_rem = rem.count()
-        else:
+
+        def _fp_job() -> tuple[tuple[int, int], int]:
             # the fingerprint aggregate already counts rem's rows — reuse
-            # it instead of a third job over the deletion set
+            # it instead of a third job over the deletion set. Read-only
+            # (rem = the caller's frozen frame semi-joined with the local
+            # live-id list — no store table in its lineage), so it rides
+            # the same concurrent wave as the staging writes below; the
+            # value is consumed only by the meta write, which stays LAST.
+            # n_rem > 0 is guaranteed here: every live id was collected
+            # from dl rows semi-joined with req's ids, so rem keeps at
+            # least one req row per live id and live is non-empty.
+            if version is not None:
+                return (-1, -1), rem.count()
             n_r, h_r = self._fingerprint(rem)
-            fp = (meta["fp_n"] - n_r, meta["fp_h"] ^ h_r)
-            n_rem = n_r
-        if n_rem == 0:
-            return 0
+            return (meta["fp_n"] - n_r, meta["fp_h"] ^ h_r), n_r
+
         # WRITE ORDER (crash contract): tombstones FIRST, then the cf
         # generation swap, meta LAST. The tombstone write is what makes a
         # RETRY of a crashed forget a no-op (the rows it covers are no
@@ -708,11 +745,13 @@ class Bm25IndexStore:
                 .parquet(self.tombstones_path)
             )
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_fp = pool.submit(_fp_job)
             f_ts = pool.submit(_write_tombstones)
             f_cf = pool.submit(
                 stage_band_state, merged, self.base_path, "cf"
             )
+            fp, n_rem = f_fp.result()
             f_ts.result()
             staged = f_cf.result()
         finalize_band_state(self.base_path, staged, name="cf")

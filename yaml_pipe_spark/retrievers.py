@@ -284,26 +284,51 @@ class HybridRrfRetriever:
         vector arm's derived-centroid fingerprint (a TakeOrdered over 8
         rows). Independent is_stale calls pay 2 corpus scans + a dedup
         each; a cmd_forget rep makes 3-4 staleness checks, so the batch
-        is most of the e2e row's action-count trim."""
+        is most of the e2e row's action-count trim.
+
+        r14 (guide §2.6): the four Spark-side probes — the corpus
+        aggregate, the centroid-fingerprint job, and the two one-file
+        meta reads — are mutually independent, so they run as ONE
+        concurrent wave instead of four back-to-back actions; the
+        staleness predicates then evaluate driver-side on the prefetched
+        values, unchanged."""
+        from concurrent.futures import ThreadPoolExecutor
+
         spark = corpus.sparkSession
         c = unique_by_id(corpus)
-        row = c.agg(
-            F.count("*").cast("long").alias("n"),
-            F.coalesce(
-                F.bit_xor(F.xxhash64(F.col("__id"), F.col("embedding"))),
-                F.lit(0),
-            ).cast("long").alias("hv"),
-            F.coalesce(
-                F.bit_xor(F.xxhash64(F.col("__id"), F.col("text"))),
-                F.lit(0),
-            ).cast("long").alias("hl"),
-        ).collect()[0]
-        _, cents = self.vector._frames(corpus)
+
+        def _corpus_row():
+            return c.agg(
+                F.count("*").cast("long").alias("n"),
+                F.coalesce(
+                    F.bit_xor(F.xxhash64(F.col("__id"), F.col("embedding"))),
+                    F.lit(0),
+                ).cast("long").alias("hv"),
+                F.coalesce(
+                    F.bit_xor(F.xxhash64(F.col("__id"), F.col("text"))),
+                    F.lit(0),
+                ).cast("long").alias("hl"),
+            ).collect()[0]
+
+        def _centroid_fp():
+            _, cents = self.vector._frames(corpus)
+            return self.vector.store._centroid_fingerprint(cents)
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            f_row = pool.submit(_corpus_row)
+            f_cfp = pool.submit(_centroid_fp)
+            f_vmeta = pool.submit(self.vector.store._read_meta, spark)
+            f_lmeta = pool.submit(self.lexical.store._read_meta, spark)
+            row = f_row.result()
+            cfp = f_cfp.result()
+            vmeta = f_vmeta.result()
+            lmeta = f_lmeta.result()
         v_stale = self.vector.store.is_stale_for_fingerprint(
-            spark, int(row["n"]), int(row["hv"]), centroids=cents
+            spark, int(row["n"]), int(row["hv"]),
+            centroid_fp=cfp, meta=vmeta,
         )
         l_stale = self.lexical.store.is_stale_for_fingerprint(
-            spark, int(row["n"]), int(row["hl"])
+            spark, int(row["n"]), int(row["hl"]), meta=lmeta
         )
         return v_stale, l_stale
 

@@ -50,6 +50,21 @@ def _normalize_timestamps(df: DataFrame) -> DataFrame:
 # instead of re-inferring schemas per query.
 _SCHEMA_CACHE: dict[tuple, object] = {}
 
+# Sessions whose nanosAsLong conf is known set (keyed by id; a replaced
+# session gets a new JVM-side object and a new id). Inference results
+# depend on spark.sql.legacy.parquet.nanosAsLong — setting it ONCE per
+# session before ANY probe (instead of per load_table("events") call)
+# both removes the per-call py4j conf round-trip and closes the ADVICE
+# r13 cache-poisoning window where a probe of events.parquet before the
+# conf was set would cache a schema the conf later contradicts.
+_NANOS_CONF_SET: set[int] = set()
+
+
+def _ensure_nanos_conf(spark: SparkSession) -> None:
+    if id(spark) not in _NANOS_CONF_SET:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _NANOS_CONF_SET.add(id(spark))
+
 
 def _stat_key(path: str) -> tuple:
     try:
@@ -62,13 +77,28 @@ def _stat_key(path: str) -> tuple:
 def raw_parquet_schema(spark: SparkSession, path: str):
     """The file's RAW inferred schema (pre-normalization), via the same
     stat-keyed cache — also the footer probe streaming sources use to
-    declare their schema (readStream requires one explicitly)."""
+    declare their schema (readStream requires one explicitly). The
+    nanosAsLong conf is pinned before every inference so the cached
+    schema never depends on call order (ADVICE r13)."""
     key = _stat_key(path)
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
+        _ensure_nanos_conf(spark)
         schema = spark.read.parquet(path).schema
         _SCHEMA_CACHE[key] = schema
     return schema
+
+
+# Loaded-table DataFrames, keyed by (session id, path, stat key): the
+# lazy PLAN for a table, not its data — every action over it still scans
+# the parquet files. What re-building the plan per call paid (and the
+# cache removes): the reader's relation resolution + file listing
+# (~17 ms) and the dtypes/normalization py4j round-trips (~10-60 ms),
+# ~300 load_table calls per bench pass. Invalidated by the same stat key
+# as the schema cache the moment the driver regenerates a table; the
+# production analogue is a catalog table with its cached file index
+# (spark.sql.hive.filesourcePartitionFileCacheSize does exactly this).
+_DF_CACHE: dict[tuple, DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -82,12 +112,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     micros; `_normalize_timestamps` handles that case.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (id(spark), *_stat_key(path))
+    cached = _DF_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the conf matters at SCAN time too (the physical reader honors
+        # it when the explicit schema says long for a nanos column)
+        _ensure_nanos_conf(spark)
     df = spark.read.schema(raw_parquet_schema(spark, path)).parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return _normalize_timestamps(df)
+    df = _normalize_timestamps(df)
+    _DF_CACHE[key] = df
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
