@@ -1650,20 +1650,23 @@ def q_corpus_ppl_quality_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    lp = bigram_doc_logprob(docs.select("lang", "doc_id", "text")).select(
-        "lang", "doc_id", F.round("lp0", 6).alias("lp")
+    # the quality score is a pure per-row expression — compute it in the
+    # SAME pass as the bigram diamond and carry it through (doc_cols)
+    # instead of joining a second full corpus text scan back on doc_id
+    # (guide §2.4; the join also exchanged both doc-level sides). The
+    # inner join dropped exactly the <2-token docs the lp side filters,
+    # so carrying preserves the row set bit-for-bit.
+    scored = text_statistics(docs.select("lang", "doc_id", "text")).select(
+        "lang", "doc_id", "text", F.col("quality_score").alias("qs")
     )
-    qs = text_statistics(docs.select("doc_id", "text")).select(
-        "doc_id", F.col("quality_score").alias("qs")
-    )
-    j = lp.join(qs, "doc_id").select(
+    j = bigram_doc_logprob(scored, doc_cols=("qs",)).select(
         "lang",
-        "lp",
+        F.round("lp0", 6).alias("lp"),
         "qs",
         # exact integer micro-units (lp is 6dp-rounded, qs 4dp-rounded, so
         # the scaled values are within 0.5 of an integer and the 0-dp
         # round is exact and engine-identical)
-        F.round(F.col("lp") * 1e6).cast("long").alias("lp_u"),
+        F.round(F.round("lp0", 6) * 1e6).cast("long").alias("lp_u"),
         F.round(F.col("qs") * 1e4).cast("long").alias("qs_u"),
     )
     # EXACT integer sums (decimal(38,0) so the squared-unit sums can't

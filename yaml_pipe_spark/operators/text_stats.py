@@ -575,7 +575,9 @@ def bigram_doc_logprob_from_dt(
 
 
 def bigram_doc_logprob(
-    docs: DataFrame, group_col: str = "lang"
+    docs: DataFrame,
+    group_col: str = "lang",
+    doc_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document mean bigram log-probability under the corpus's own
     per-`group_col` bigram LM: (group_col, doc_id, lp0 double).
@@ -593,9 +595,18 @@ def bigram_doc_logprob(
     attaches at the LM level (vocab-vs-vocab join on (lang, prev)) so the
     hot-prev skew never touches the doc-level stream, which joins once on
     the full (lang, prev, cur) key.
+
+    `doc_cols` carries additional PER-DOC columns of `docs` (each must be
+    functional of doc_id — e.g. a per-row quality score) through the
+    diamond into the output, riding the grouping keys. A consumer that
+    needs the logprob AND such a column then avoids joining a second
+    full corpus scan back on doc_id (guide §2.4); the carried bytes only
+    widen the (doc, bigram) rows by the column's width, while the join
+    alternative re-reads the text column end to end.
     """
     t = F.regexp_extract_all(F.lower("text"), F.lit(r"\p{L}+"), F.lit(0))
-    base = docs.select(group_col, "doc_id", t.alias("t")).filter(
+    extra = list(doc_cols)
+    base = docs.select(group_col, "doc_id", *extra, t.alias("t")).filter(
         F.size("t") >= 2
     )
     grams = F.transform(
@@ -606,8 +617,10 @@ def bigram_doc_logprob(
         ),
     )
     bgs = base.select(
-        group_col, "doc_id", F.explode(grams).alias("g")
-    ).select(group_col, "doc_id", F.col("g.prev"), F.col("g.cur"))
+        group_col, "doc_id", *extra, F.explode(grams).alias("g")
+    ).select(
+        group_col, "doc_id", *extra, F.col("g.prev"), F.col("g.cur")
+    )
     # explicit null-filters (same trick as text_unigram_logprob): the two
     # joins push different isnotnull subsets into their dt branches (the
     # lm⋈pv chain only needs (lang, prev); the doc join needs cur too),
@@ -618,7 +631,7 @@ def bigram_doc_logprob(
         & F.col("prev").isNotNull()
         & F.col("cur").isNotNull()
     )
-    dt = bgs.groupBy(group_col, "doc_id", "prev", "cur").agg(
+    dt = bgs.groupBy(group_col, "doc_id", *extra, "prev", "cur").agg(
         F.count("*").alias("c_dt")
     )
     lm = dt.groupBy(group_col, "prev", "cur").agg(F.sum("c_dt").alias("c_bg"))
@@ -634,7 +647,7 @@ def bigram_doc_logprob(
     )
     return (
         dt.join(lmj, [group_col, "prev", "cur"])
-        .groupBy(group_col, "doc_id")
+        .groupBy(group_col, "doc_id", *extra)
         .agg(
             (F.sum(F.col("c_dt") * F.col("lp")) / F.sum("c_dt")).alias("lp0")
         )
