@@ -6,6 +6,11 @@ fragmentation — a second compact() is a 0-partition no-op."""
 
 from __future__ import annotations
 
+import pytest
+
+# driver fast lane (r14): compaction depth; exercised by the slow forget matrix too
+pytestmark = pytest.mark.slow
+
 import numpy as np
 from pyspark.sql import functions as F
 

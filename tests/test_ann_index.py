@@ -6,6 +6,9 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+
+# driver fast lane (r14): IVF-PQ lifecycle depth (~2 min); the lane keeps serve/recall contracts in test_ann_recall
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from yaml_pipe_spark.operators.ann_index import IvfPqIndexStore

@@ -110,6 +110,7 @@ def test_lsh_join_is_equi_join_not_crossjoin(spark, clustered):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+@pytest.mark.slow  # driver fast lane (r14)
 def test_kmeans_ivf_beats_arbitrary_centroids(spark, clustered):
     from yaml_pipe_spark.operators.similarity import kmeans_fit
 
@@ -127,6 +128,7 @@ def test_kmeans_ivf_beats_arbitrary_centroids(spark, clustered):
     assert r.recall >= 0.85, f"kmeans-ivf recall@{K}={r.recall}"
 
 
+@pytest.mark.slow  # driver fast lane (r14)
 def test_kmeans_is_deterministic(spark, clustered):
     from yaml_pipe_spark.operators.similarity import kmeans_fit
 
@@ -138,6 +140,7 @@ def test_kmeans_is_deterministic(spark, clustered):
     )
 
 
+@pytest.mark.slow  # driver fast lane (r14)
 def test_ivf_assignment_partition_pruned_probe(spark, tmp_path):
     """The docstring claim made executable: writing the IVF assignment
     partitioned by cid turns a probe into a partition-pruned scan — the

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from yaml_pipe_spark.operators.dedup import (
@@ -161,6 +163,7 @@ def test_bucket_cap_drops_degenerate_lsh_bucket(spark):
     assert lsh_candidate_pairs(sigs).count() == 20 * 19 // 2  # default 10k cap
 
 
+@pytest.mark.slow  # driver fast lane (r14)
 def test_candidate_cut_runs_below_pair_self_join(spark):
     """With candidates, the id-level semi-joins must sit BELOW the
     pair-generating shingle self-join (cutting its input), and the verify

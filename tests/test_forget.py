@@ -10,6 +10,9 @@ import os
 
 import numpy as np
 import pytest
+
+# driver fast lane (r14): exhaustive store-forget matrix (~4 min); the lane keeps cmd_forget end-to-end + cap tests
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from yaml_pipe_spark.operators.ann_index import _VB, IvfPqIndexStore

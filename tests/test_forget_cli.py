@@ -66,6 +66,7 @@ def _search(cli, capsys, cfg, query, k=3):
     return json.loads(capsys.readouterr().out)
 
 
+@pytest.mark.slow  # driver fast lane (r14)
 def test_forget_cli_purges_sink_and_indexes(spark, capsys, workdir):
     from yaml_pipe_spark import cli
 

@@ -24,6 +24,7 @@ def _docs(spark, n=60):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+@pytest.mark.slow  # driver fast lane (r14)
 def test_store_matches_direct_computation(spark, tmp_path):
     from yaml_pipe_spark.operators.dedup import (
         connected_components,
@@ -57,6 +58,7 @@ def test_store_matches_direct_computation(spark, tmp_path):
     assert got_labels == want_labels and len(got_labels) > 0
 
 
+@pytest.mark.slow  # driver fast lane (r14)
 def test_staleness_and_rebuild_semantics(spark, tmp_path):
     docs = _docs(spark)
     store = PairGraphStore(str(tmp_path / "pg"))

@@ -7,6 +7,11 @@ DataFrame per case so the Spark-job count stays small.
 
 from __future__ import annotations
 
+import pytest
+
+# driver fast lane (r14): hypothesis property sweeps (~1 min)
+pytestmark = pytest.mark.slow
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F

@@ -91,6 +91,7 @@ class TestBm25IndexStore:
         ]
         return spark.createDataFrame(rows, ["doc_id", "text"])
 
+    @pytest.mark.slow  # driver fast lane (r14)
     def test_append_serve_equals_full_rebuild(self, spark, tmp_path):
         """Every persisted statistic is additive, so build(80)+append(20)
         must serve byte-identical rankings to build(100)."""
@@ -176,6 +177,7 @@ class TestBm25IndexStore:
         with _pytest.raises(ValueError, match="staleness mode"):
             st2.append(docs.filter("doc_id >= 24"), version="snap-2")
 
+    @pytest.mark.slow  # driver fast lane (r14)
     def test_snapshot_restore_rewinds_appends(self, spark, tmp_path):
         """restore_manifest() rewinds an appended index to the exact
         standing state (file surgery, no recopy): fingerprint fresh vs
@@ -218,6 +220,7 @@ class TestBm25IndexStore:
         st.build(self._docs(spark).filter("doc_id < 24"))
         assert st.restore_manifest() is False  # no snapshot taken
 
+    @pytest.mark.slow  # driver fast lane (r14)
     def test_rewind_refuses_when_manifest_components_missing(
         self, spark, tmp_path
     ):

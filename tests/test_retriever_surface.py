@@ -138,6 +138,7 @@ def test_bm25_search_round_trip(spark, workdir):
     )
 
 
+@pytest.mark.slow  # driver fast lane (r14)
 def test_hybrid_search_fuses_both_persisted_arms(spark, workdir):
     spec = _spec(workdir, HYBRID_YAML)
     run_pipeline(spark, spec)
@@ -247,6 +248,7 @@ def test_cmd_eval_serves_from_retriever(spark, workdir, tmp_path, capsys):
     assert out["hit_rate"] == pytest.approx(100 * 2 / 3, abs=0.01)
 
 
+@pytest.mark.slow  # driver fast lane (r14)
 def test_duplicate_chunks_index_once_and_serve_once(spark, tmp_path):
     """Identical (source, text) rows share __id; indexing both would skew
     BM25 tf/dl, duplicate vector-serve ranks, and let the XOR fingerprint
@@ -305,6 +307,7 @@ def test_bm25_empty_index_preserves_qid_type(spark, tmp_path):
     assert dict(out.dtypes)["qid"] == "string"
 
 
+@pytest.mark.slow  # driver fast lane (r14)
 def test_incremental_run_refreshes_index_and_serves_new_doc(
     spark, workdir
 ):

@@ -15,6 +15,9 @@ from __future__ import annotations
 
 import pytest
 
+# driver fast lane (r14): scale-measurement harness (minutes of data generation), not an operator contract
+pytestmark = pytest.mark.slow
+
 from yaml_pipe_spark.scalebench import FAMILIES, run_scale_growth
 
 

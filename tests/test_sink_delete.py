@@ -78,6 +78,7 @@ def test_duckdb_read_empty_table(spark, tmp_path):
     assert out.filter(F.col("source") == "a.txt").count() == 0
 
 
+@pytest.mark.slow  # driver fast lane (r14)
 def test_hybrid_forget_one_arm_built(spark, tmp_path):
     from yaml_pipe_spark.retrievers import HybridRrfRetriever, unique_by_id
 

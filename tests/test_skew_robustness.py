@@ -69,6 +69,7 @@ def test_df_guard_bounds_hot_shingle_pairs(spark, corpora):
     assert pairs_unguarded - pairs_guarded >= 0.5 * quad
 
 
+@pytest.mark.slow  # driver fast lane (r14)
 def test_guarded_dedup_cost_stays_near_uniform(spark, corpora):
     """VERDICT r5 ask #5's pin: with the default guards on, the full
     MinHash-LSH near-dup pass over the SKEWED corpus costs about the same

@@ -8,6 +8,12 @@ maintenance history produced the physical layout."""
 
 from __future__ import annotations
 
+import pytest
+
+# driver fast lane (r14): randomized lifecycle model checks (~2.5 min);
+# the lane keeps per-operation store contracts elsewhere
+pytestmark = pytest.mark.slow
+
 import random
 
 import numpy as np

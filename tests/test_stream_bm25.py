@@ -5,6 +5,8 @@ double-appended."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -32,6 +34,7 @@ def _serve_rows(store):
     return sorted(tuple(r) for r in store.serve(k=10).collect())
 
 
+@pytest.mark.slow  # driver fast lane (r14)
 def test_drained_stream_equals_full_rebuild(spark, tmp_path):
     standing = _docs(spark, range(0, 200))
     inc1 = _docs(spark, range(200, 250))

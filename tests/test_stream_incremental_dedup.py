@@ -3,6 +3,8 @@ the sequential batch computation, and rerun/crash-replay idempotency."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import shutil
 import time
@@ -71,6 +73,7 @@ def _stage(spark, tmp_path, snapshots, preload):
     return base, inp, state
 
 
+@pytest.mark.slow  # driver fast lane (r14)
 def test_multi_batch_drain_equals_sequential_batch(spark, tmp_path):
     base, inp, state = _stage(spark, tmp_path, [S2, S3], preload=S1)
     run_incremental_dedup_stream(
