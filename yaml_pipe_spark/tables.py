@@ -98,7 +98,8 @@ def raw_parquet_schema(spark: SparkSession, path: str):
 # as the schema cache the moment the driver regenerates a table; the
 # production analogue is a catalog table with its cached file index
 # (spark.sql.hive.filesourcePartitionFileCacheSize does exactly this).
-_DF_CACHE: dict[tuple, DataFrame] = {}
+# values are (session, df) so a hit can identity-check its session
+_DF_CACHE: dict[tuple, tuple[SparkSession, DataFrame]] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -114,8 +115,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     key = (id(spark), *_stat_key(path))
     cached = _DF_CACHE.get(key)
-    if cached is not None:
-        return cached
+    # identity check: a garbage-collected session's id() can be reused by
+    # a new one — never serve a plan bound to a dead session
+    if cached is not None and cached[0] is spark:
+        return cached[1]
     if name == "events":
         # the conf matters at SCAN time too (the physical reader honors
         # it when the explicit schema says long for a nanos column)
@@ -124,7 +127,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     df = _normalize_timestamps(df)
-    _DF_CACHE[key] = df
+    _DF_CACHE[key] = (spark, df)
     return df
 
 
