@@ -217,8 +217,9 @@ def q_text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.expr(_C4_PAGE_EXPR).alias("page")
     )
-    sig = c4_line_filters(docs, text_col="page")
-    j = sig.join(docs.select("doc_id", "source"), "doc_id")
+    # source rides through the per-row signal pass (keep_cols) — the
+    # join-back was a second corpus scan + doc-keyed exchange (§2.4)
+    j = c4_line_filters(docs, text_col="page", keep_cols=("source",))
     return j.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("c4_pass").cast("long").alias("n_pass"),
@@ -1473,15 +1474,18 @@ def q_text_quality_thresholds(
     from yaml_pipe_spark.operators.quality import repetition_signals
 
     docs = load_table(spark, sf_dir, "documents")
-    rep = repetition_signals(docs.select("doc_id", "text")).select(
-        "doc_id", "dup2_frac"
-    )
-    nw = docs.select(
+    # lang + word count are per-row — ride them through the repetition
+    # rollup's spine (keep_cols) instead of joining a second corpus scan
+    # back on doc_id (guide §2.4)
+    base = docs.select(
         "doc_id",
         "lang",
         F.size(tokens(F.col("text"))).cast("double").alias("n_words"),
+        "text",
     )
-    j = nw.join(rep, "doc_id")
+    j = repetition_signals(
+        base, keep_cols=("lang", "n_words")
+    ).select("doc_id", "lang", "n_words", "dup2_frac")
     out = j.groupBy("lang").agg(
         F.percentile(
             F.round(F.col("dup2_frac") * 10000).cast("long"),

@@ -131,6 +131,7 @@ def c4_line_filters(
     id_col: str = "doc_id",
     min_line_words: int = 5,
     min_kept_lines: int = 3,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document C4 cleaning signals (Raffel et al. 2020, section 2.2)
     — the line-level rule bundle the Gopher document-level rules are
@@ -150,7 +151,9 @@ def c4_line_filters(
 
     Pure Catalyst: one split + two array filters per row, zero shuffles
     until the caller aggregates — at 100 TB this is a narrow map on the
-    scan, exactly where a line-level filter must run.
+    scan, exactly where a line-level filter must run. `keep_cols` rides
+    extra input columns through (the gopher/repetition keep_cols seam),
+    so consumers never join a second corpus scan back on the doc key.
     """
     lines = F.filter(
         F.transform(F.split(F.col(text_col), "\n"), F.trim),
@@ -167,6 +170,7 @@ def c4_line_filters(
     )
     base = df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         lines.alias("__lines"),
         F.lower(F.col(text_col)).contains("lorem ipsum").alias("__lorem"),
         F.col(text_col).contains("{").alias("__brace"),
@@ -174,6 +178,7 @@ def c4_line_filters(
     kept = F.filter(F.col("__lines"), keep)
     out = base.select(
         id_col,
+        *keep_cols,
         F.size("__lines").cast("long").alias("n_lines"),
         F.size(kept).cast("long").alias("n_kept"),
         F.round(
@@ -217,6 +222,7 @@ def repetition_signals(
     id_col: str = "doc_id",
     top_ns: tuple[int, ...] = (2, 3),
     dup_n: int = 2,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document Gopher repetition signals over word n-grams.
 
@@ -226,6 +232,12 @@ def repetition_signals(
     occurring >= 2 times / length(text). Documents shorter than n words
     score 0.0. One explode over all requested n, one (id, n, gram) count
     shuffle, one per-id rollup.
+
+    `keep_cols` rides extra per-doc input columns through on the output
+    spine (the every-doc left-join side), so a consumer that needs the
+    repetition fractions AND other per-row signals (gopher_funnel) gets
+    both without joining a second corpus scan back on the doc key
+    (guide §2.4 — same seam as gopher_quality_signals.keep_cols).
     """
     all_ns = sorted(set(top_ns) | {dup_n})
     base = df.select(
@@ -277,10 +289,11 @@ def repetition_signals(
     doc = per_n.groupBy(id_col).agg(*aggs)
     out_cols = [f"top{n}_frac" for n in top_ns] + [f"dup{dup_n}_frac"]
     return (
-        df.select(id_col)
+        df.select(id_col, *keep_cols)
         .join(doc, id_col, "left")
         .select(
             id_col,
+            *keep_cols,
             *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in out_cols],
         )
     )
@@ -300,15 +313,25 @@ def gopher_funnel(
     One pass over the joined signal frames (a single agg row fanned out
     with stack — no per-stage rescans).
     """
-    flags = gopher_quality_signals(
-        df, text_col, id_col, **gopher_kwargs
+    # ONE corpus pass carries the per-row gopher flags into the
+    # repetition rollup's every-doc spine (both operators' keep_cols
+    # seams) — the r13 shape computed the flags in a separate scan and
+    # joined it back on the doc key (guide §2.4)
+    sig = gopher_quality_signals(
+        df, text_col, id_col, keep_cols=(text_col,), **gopher_kwargs
     ).select(
-        id_col, "pass_words", "pass_mean_word_len", "pass_alpha", "pass_stop"
+        id_col, text_col,
+        "pass_words", "pass_mean_word_len", "pass_alpha", "pass_stop",
     )
-    rep = repetition_signals(df, text_col, id_col).select(
-        id_col, "dup2_frac"
+    j = repetition_signals(
+        sig, text_col, id_col,
+        keep_cols=(
+            "pass_words", "pass_mean_word_len", "pass_alpha", "pass_stop",
+        ),
+    ).select(
+        id_col, "pass_words", "pass_mean_word_len", "pass_alpha",
+        "pass_stop", "dup2_frac",
     )
-    j = flags.join(rep, id_col)
     stages = [
         ("raw", F.lit(True)),
         ("word_count", F.col("pass_words") == 1),
