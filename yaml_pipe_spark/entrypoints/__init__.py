@@ -402,84 +402,77 @@ del _reordered, _n
 
 
 # The round driver validates a *prefix* of the queries() dict (each round
-# records exactly the first 50 entries in insertion order). Round 13
-# rotation (VERDICT r12 ask #1), in priority order:
+# records exactly the first 50 entries in insertion order). Round 14
+# rotation (the convention VERDICT r12 ask #1 established; r13 precedent),
+# in priority order:
 #   1. flagship (the smoke-checked canary),
-#   2. ROUND13_QUEUE — the thirty-nine round-8-generation rows whose
-#      newest driver row is still r8 — after these the oldest attestation
-#      anywhere in the registry is >= r9,
-#   3. ROUND13_NEW — the three rows registered after round 12's prefix
-#      was spent (judge-verified MATCH in r12, but no driver row yet),
-#   4. queries NEW in round 13 or whose implementation CHANGED in
-#      round 13 (grows as waves land; pinned in
-#      tests/test_registry_order.py ROUND13_CHANGED / ROUND13_R13NEW),
-#   5. round-9-generation refresh fill, as slots allow — sections 1-4
-#      take 43+ of the 50, so at most a handful of the 48 r9 rows get a
-#      fresh row; the rest queue for round 14 (ROUND14_QUEUE).
+#   2. queries whose implementation CHANGED in round 14 (the r14
+#      optimization restructures — their prior driver rows describe code
+#      that no longer exists; pinned in tests/test_registry_order.py
+#      ROUND14_CHANGED),
+#   3. ROUND14_NEW — the three rows registered after round 13's prefix
+#      was spent (locally verified at all three SFs, no driver row yet),
+#   4. ROUND14_QUEUE — the round-9-generation refresh debt staged by the
+#      r13 rotation; 6 of the 47 do not fit the 50-slot prefix and queue
+#      for round 15 (ROUND15_QUEUE in tests/test_registry_order.py).
 # Registry entries not listed here follow in registration order (still covered
 # by bench.py and the local sf0.001/sf0.01/sf0.1 oracle-parity runs every
 # round). Keep the sets in tests/test_registry_order.py in sync so the prefix
 # invariant stays pinned.
 DRIVER_ORDER: list[str] = [
     "flagship",  # canary: the smoke-checked query stays first
-    # -- (2) ROUND13_QUEUE: round-8-generation attestation debt (VERDICT
-    #        r12 ask #1; pinned in tests/test_registry_order.py), by
-    #        family --
-    "ann_recall_measured",
-    "ann_signlsh_topk",
-    "c1_recursive_chunk",
-    "c3_adaptive_chunk",
-    "corpus_curation_funnel",
-    "corpus_holdout_split",
-    "corpus_source_cap",
-    "dedup_simhash",
-    "dedup_soft_reweight",
-    "dedup_winnow_pairs",
-    "emb_int8_quant",
-    "events_approx_distinct_bounded",
-    "events_asof_join",
-    "events_forget_users",
-    "events_incremental_agg",
-    "events_sessionize",
-    "events_transition_matrix",
-    "multimodal_frame_sample",
-    "quality_rho_excess",
-    "rel_customer_distribution",
-    "rel_disjunctive_revenue",
-    "rel_forecast_revenue",
-    "rel_late_ship_orders",
-    "rel_nation_revenue",
-    "rel_order_gaps",
-    "rel_promo_revenue_pct",
-    "rel_returned_item_revenue",
-    "rel_top3_orders_per_priority",
-    "rel_top_supplier",
-    "rel_volume_shipping",
-    "s1_parse_docx",
-    "s1_parse_eml",
-    "s1_parse_pptx",
-    "s2_multi_fetch",
-    "sim_knn_join",
-    "stream_hopping_agg",
-    "stream_watermark_dedup",
-    "text_repetition",
-    "text_winnow_fingerprint",
-    # -- (3) ROUND13_NEW: registered after round 12's prefix was spent —
-    #        first driver row this round --
-    "ann_recall_trained_vs_seeded",
-    "multimodal_phash_jpeg_prog",
-    "multimodal_phash_jpeg_rst",
-    # -- (4) NEW or CHANGED in round 13 --
-    "quality_logreg_distill",    # CHANGED: exact integral div (ADVICE r12)
-    "ann_ivf_nprobe_select",     # NEW: measured nprobe auto-tune (ask #2)
-    "ann_index_retrain_lloyd",   # CHANGED: stamps + serves the tuned nprobe
-    "multimodal_phash_jpeg_sa",  # NEW: successive-approximation (ask #3)
-    "multimodal_png_interlaced",  # NEW: Adam7 interlaced PNG (ask #6)
-    "pipeline_forget_e2e",  # CHANGED: meta-write fix + phase trim (ask #5)
-    # -- (5) round-9-generation refresh fill (only entries inside the
-    #        first 50 get a driver row; the other r9 rows queue for
-    #        round 14 — ROUND14_QUEUE in tests/test_registry_order.py) --
-    "ann_pq_adc_topk",
+    # -- (2) CHANGED in round 14 (restructured implementations) --
+    "quality_logreg_distill",
+    "quality_nb_distill",
+    "corpus_ppl_quality_corr",
+    "corpus_gopher_funnel",
+    "text_quality_thresholds",
+    "text_c4_filters",
+    "pipeline_forget_e2e",
+    # -- (3) ROUND14_NEW: registered after round 13's prefix was spent --
+    "multimodal_gif_interlaced",
+    "multimodal_phash_jpeg422",
+    "multimodal_phash_jpeg_pc",
+    # -- (4) ROUND14_QUEUE: round-9-generation refresh (6 spill to r15) --
+    "corpus_doremi_weights",
+    "corpus_ngram_novelty",
+    "corpus_pack_windows",
+    "corpus_unimax_mix",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_blocked",
+    "dedup_lsh_scurve",
+    "dedup_ngram_jaccard",
+    "dedup_segment_exact",
+    "dedup_substring_span",
+    "emb_covariance",
+    "emb_dim_stats",
+    "emb_matryoshka_agreement",
+    "emb_outlier_zscore",
+    "emb_pca_project",
+    "events_funnel_time",
+    "events_hopping_agg",
+    "events_props_extract",
+    "events_props_json",
+    "events_session_window",
+    "events_tumbling_agg",
+    "multimodal_features",
+    "multimodal_phash_dedup",
+    "multimodal_real_decode",
+    "multimodal_resize",
+    "q2_ranking_metrics",
+    "rel_cube_flag_status",
+    "rel_important_stock",
+    "rel_join_key_skew",
+    "rel_local_supplier_volume",
+    "rel_min_cost_supplier",
+    "rel_pareto_revenue",
+    "rel_part_brand_stats",
+    "stream_bm25_append",
+    "stream_interval_join_outer",
+    "stream_window_topk",
+    "text_bpe_train",
+    "text_dsir_weight",
+    "text_vocab_coverage",
 ]
 
 
